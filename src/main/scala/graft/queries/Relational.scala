@@ -1,0 +1,384 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational query surface (SURVEY.md §2.2).
+  *
+  * The reference (sheetreader-duckdb) delegates all querying to DuckDB's SQL
+  * engine; this object re-expresses that surface Spark-first with the
+  * DataFrame API so Catalyst handles pushdown/pruning/join strategy.
+  *
+  * Oracle-matching rules (driver hash-compares against DuckDB at sf0.01):
+  *   - money/qty aggregates are summed as DECIMAL so the result is exact and
+  *     independent of partition/merge order (double sums are not);
+  *   - averages are expressed as cast(decimal_sum as double)/count so both
+  *     engines perform the identical IEEE division;
+  *   - every computed column is aliased identically on both sides;
+  *   - top-k queries carry a unique tiebreak column in the ordering.
+  */
+object Relational {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 #17: grouped aggregation with multiple agg functions (TPC-H Q1 shape)
+    "q01_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .filter($"l_shipdate" <= "1998-09-02 00:00:00")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(dec2($"l_quantity")).as("sum_qty"),
+          sum(dec2($"l_extendedprice")).as("sum_base_price"),
+          sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_price"),
+          (sum(dec2($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // §2.2 #16: filter + projection pushdown (TPC-H Q6 shape)
+    "q06_filter_revenue" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .filter($"l_shipdate" >= "1996-01-01 00:00:00" &&
+                $"l_shipdate" < "1997-01-01 00:00:00" &&
+                $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(sum(dec4($"l_extendedprice" * $"l_discount")).as("revenue"))
+    }),
+
+    // §2.2 #19: inner equi-join + agg + top-k (TPC-H Q3 shape)
+    "q03_shipping_priority" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      val ord = Tables.load(s, dir, "orders").filter($"o_orderdate" < "1998-01-01 00:00:00")
+      val li = Tables.load(s, dir, "lineitem").filter($"l_shipdate" > "1998-01-01 00:00:00")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }),
+
+    // §2.2 #20: multi-way join, broadcast small dims (TPC-H Q5 shape)
+    "q05_local_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val region = Tables.load(s, dir, "region").filter($"r_name" === "ASIA")
+      val nation = Tables.load(s, dir, "nation")
+      val cust = Tables.load(s, dir, "customer")
+      val supp = Tables.load(s, dir, "supplier")
+      val ord = Tables.load(s, dir, "orders")
+        .filter($"o_orderdate" >= "1996-01-01 00:00:00" && $"o_orderdate" < "1998-01-01 00:00:00")
+      val li = Tables.load(s, dir, "lineitem")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"))
+    }),
+
+    // §2.2 #18: conditional aggregation / CASE WHEN (TPC-H Q14 shape)
+    "q14_promo_share" -> ((s, dir) => {
+      import s.implicits._
+      val part = Tables.load(s, dir, "part")
+      val li = Tables.load(s, dir, "lineitem")
+        .filter($"l_shipdate" >= "1997-01-01 00:00:00" && $"l_shipdate" < "1997-04-01 00:00:00")
+      li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .agg(
+          sum(when($"p_type" === "PROMO", dec4($"l_extendedprice" * (lit(1) - $"l_discount")))
+            .otherwise(dec4(lit(0.0)))).as("promo_revenue"),
+          sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount"))).as("total_revenue"))
+    }),
+
+    // §2.2 #28: per-group average threshold via self-aggregation (TPC-H Q17 shape).
+    // avg comparison rewritten multiplicatively (qty*cnt*5 < sum) so both
+    // engines compare exact integers — no float-avg boundary nondeterminism.
+    "q17_small_qty" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val perPart = li.groupBy($"l_partkey".as("pk"))
+        .agg(sum(dec2($"l_quantity")).as("s"), count(lit(1)).as("c"))
+      li.join(perPart, $"l_partkey" === $"pk")
+        .filter($"l_quantity" * $"c" * 5 < $"s".cast("double"))
+        .agg(sum(dec2($"l_extendedprice")).as("total_price"), count(lit(1)).as("n_items"))
+    }),
+
+    // §2.2 #21: left outer join preserving unmatched rows
+    "q_outer_join" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders").filter($"o_totalprice" > 150000.0)
+      cust.join(ord, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_big_orders"))
+    }),
+
+    // §2.2 #22: semi join (EXISTS)
+    "q_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val ord = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem").filter($"l_quantity" >= 48)
+      ord.join(li, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .select($"o_orderkey", $"o_totalprice")
+    }),
+
+    // §2.2 #23: anti join (NOT EXISTS)
+    "q_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val ord = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem").filter($"l_quantity" >= 48)
+      ord.join(li, $"o_orderkey" === $"l_orderkey", "left_anti")
+        .agg(count(lit(1)).as("n_orders"), sum(dec2($"o_totalprice")).as("total"))
+    }),
+
+    // §2.2 #24: distinct + count distinct
+    "q_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+             countDistinct($"l_suppkey").as("n_supps"),
+             countDistinct($"l_returnflag", $"l_linestatus").as("n_flag_status"))
+    }),
+
+    // §2.2 #25: order by + limit (top-k) with unique tiebreak
+    "q_topk" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(15)
+    }),
+
+    // §2.2 #26: window rank partitioned, top-3 per group
+    "q_window_rank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+      Tables.load(s, dir, "part")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"p_brand", $"p_partkey", $"p_retailprice", $"rn")
+    }),
+
+    // §2.2 #27: window running aggregate (exact decimal running sum)
+    "q_window_running" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("running_value", sum(dec4($"value")).over(w))
+        .select($"user_id", $"event_id", $"running_value")
+    }),
+
+    // §2.2 #29: union all
+    "q_union" -> ((s, dir) => {
+      import s.implicits._
+      val ord = Tables.load(s, dir, "orders")
+      val hi = ord.filter($"o_totalprice" > 300000.0)
+        .select($"o_orderkey", lit("high").as("bucket"))
+      val lo = ord.filter($"o_totalprice" < 10000.0)
+        .select($"o_orderkey", lit("low").as("bucket"))
+      hi.unionAll(lo).groupBy($"bucket").agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.2 #30: having / post-aggregation filter
+    "q_having" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum(dec2($"o_totalprice")).as("spend"))
+        .filter($"n_orders" >= 3)
+    }),
+
+    // §2.2 #31: string functions
+    "q_string_funcs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .filter($"c_name".like("%1%"))
+        .select(
+          $"c_custkey",
+          upper($"c_name").as("name_upper"),
+          substring($"c_name", 1, 8).as("name_prefix"),
+          length($"c_name").as("name_len"),
+          concat($"c_mktsegment", lit("/"), $"c_name").as("seg_name"))
+    }),
+
+    // §2.2 #32: date/time bucketing on the events stream table
+    "q_time_bucket" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), sum(dec4($"value")).as("total_value"))
+    }),
+
+    // §2.2 #33: null handling — outer-join nulls through coalesce/null-safe agg
+    "q_null_handling" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders").filter($"o_totalprice" > 250000.0)
+      cust.join(ord, $"c_custkey" === $"o_custkey", "left")
+        .select(
+          $"c_custkey",
+          coalesce($"o_orderpriority", lit("NO-BIG-ORDER")).as("priority"),
+          when($"o_orderkey".isNull, 0).otherwise(1).as("has_big_order"))
+        .groupBy($"priority")
+        .agg(count(lit(1)).as("n"), sum($"has_big_order").as("n_matched"))
+    }),
+
+    // §2.2 #34: rollup (hierarchical grouping sets)
+    "q_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(dec2($"l_quantity")).as("qty"))
+    }),
+
+    // §2.2 #35: same surface via spark.sql over registered views
+    "q_sql_api" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT n_name,
+               count(*) AS n_customers,
+               sum(cast(c_acctbal AS decimal(18,2))) AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+      """)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
+         sum(cast(l_extendedprice AS decimal(18,2))) AS sum_base_price,
+         sum(cast(l_extendedprice*(1.0-l_discount) AS decimal(18,4))) AS sum_disc_price,
+         cast(sum(cast(l_quantity AS decimal(18,2))) AS double)/count(*) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q06_filter_revenue" ->
+      """SELECT sum(cast(l_extendedprice*l_discount AS decimal(18,4))) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+           AND l_shipdate < timestamp '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+         sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < timestamp '1998-01-01 00:00:00'
+           AND l_shipdate > timestamp '1998-01-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q05_local_supplier" ->
+      """SELECT n_name,
+         sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+           AND o_orderdate < timestamp '1998-01-01 00:00:00'
+         GROUP BY n_name""",
+    "q14_promo_share" ->
+      """SELECT
+         sum(CASE WHEN p_type = 'PROMO'
+             THEN cast(l_extendedprice*(1-l_discount) AS decimal(18,4))
+             ELSE cast(0.0 AS decimal(18,4)) END) AS promo_revenue,
+         sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS total_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+           AND l_shipdate < timestamp '1997-04-01 00:00:00'""",
+    "q17_small_qty" ->
+      """WITH per_part AS (
+           SELECT l_partkey AS pk, sum(cast(l_quantity AS decimal(18,2))) AS s, count(*) AS c
+           FROM lineitem GROUP BY l_partkey)
+         SELECT sum(cast(l_extendedprice AS decimal(18,2))) AS total_price, count(*) AS n_items
+         FROM lineitem JOIN per_part ON l_partkey = pk
+         WHERE l_quantity * c * 5 < cast(s AS double)""",
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big_orders
+         FROM customer LEFT JOIN (
+           SELECT * FROM orders WHERE o_totalprice > 150000.0) o
+         ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 48)""",
+    "q_anti_join" ->
+      """SELECT count(*) AS n_orders, sum(cast(o_totalprice AS decimal(18,2))) AS total
+         FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey AND l_quantity >= 48)""",
+    "q_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps,
+                count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+         FROM lineitem""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
+    "q_window_rank" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+           SELECT p_brand, p_partkey, p_retailprice,
+                  row_number() OVER (PARTITION BY p_brand
+                                     ORDER BY p_retailprice DESC, p_partkey) AS rn
+           FROM part) t WHERE rn <= 3""",
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+                sum(cast(value AS decimal(18,4)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+         FROM events""",
+    "q_union" ->
+      """SELECT bucket, count(*) AS n FROM (
+           SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 300000.0
+           UNION ALL
+           SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 10000.0) t
+         GROUP BY bucket""",
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+                sum(cast(o_totalprice AS decimal(18,2))) AS spend
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 3""",
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+                substr(c_name, 1, 8) AS name_prefix,
+                length(c_name) AS name_len,
+                c_mktsegment || '/' || c_name AS seg_name
+         FROM customer WHERE c_name LIKE '%1%'""",
+    "q_time_bucket" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+                count(*) AS n_events,
+                sum(cast(value AS decimal(18,4))) AS total_value
+         FROM events GROUP BY 1, 2""",
+    "q_null_handling" ->
+      """SELECT coalesce(o_orderpriority, 'NO-BIG-ORDER') AS priority,
+                count(*) AS n,
+                sum(CASE WHEN o_orderkey IS NULL THEN 0 ELSE 1 END) AS n_matched
+         FROM customer LEFT JOIN (
+           SELECT * FROM orders WHERE o_totalprice > 250000.0) o
+         ON c_custkey = o_custkey
+         GROUP BY 1""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                sum(cast(l_quantity AS decimal(18,2))) AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_sql_api" ->
+      """SELECT n_name, count(*) AS n_customers,
+                sum(cast(c_acctbal AS decimal(18,2))) AS total_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name"""
+  )
+}
