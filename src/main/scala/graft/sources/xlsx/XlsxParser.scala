@@ -1,0 +1,270 @@
+package graft.sources.xlsx
+
+import java.io.InputStream
+import java.time.LocalDate
+import java.util.zip.ZipInputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+import scala.collection.mutable
+import scala.collection.mutable.ArrayBuffer
+
+/** Cell model mirroring the reference's type lattice
+  * (reference: src/sheetreader_extension.cpp:152-178 — VARCHAR/DOUBLE/
+  * BOOLEAN/DATE are the only materialized types; empty/error cells → NULL).
+  */
+sealed trait XCell
+object XCell {
+  final case class XString(value: String) extends XCell
+  final case class XNumber(value: Double) extends XCell
+  final case class XBool(value: Boolean) extends XCell
+  /** Excel date serial: fractional days since 1899-12-30. */
+  final case class XDate(serial: Double) extends XCell
+  case object XError extends XCell
+  case object XNone extends XCell
+
+  /** Excel's day-0 epoch. serial→epochDay conversion mirrors the reference's
+    * seconds/86400 floor (sheetreader_extension.cpp:170-175). */
+  private val excelEpoch: Long = LocalDate.of(1899, 12, 30).toEpochDay
+  def serialToEpochDay(serial: Double): Int = (excelEpoch + math.floor(serial).toLong).toInt
+}
+
+final case class SheetInfo(name: String, target: String)
+
+/** Streaming XLSX (zip + SpreadsheetML) puller built on JDK ZipInputStream +
+  * StAX. One pass per needed zip entry; only the shared-strings table is held
+  * in memory (sized by the file, not the dataset — same tradeoff as the
+  * reference core). No external dependencies.
+  */
+object XlsxParser {
+  private val xif = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+    f
+  }
+
+  /** Opens `open()` several times — once per zip entry family — so the
+    * source can be any re-openable stream (local file, HDFS, S3A). */
+  final class Workbook(open: () => InputStream) {
+
+    /** Sheets in workbook order: (name, worksheet part path). */
+    lazy val sheets: Seq[SheetInfo] = {
+      val rels = readRels()
+      val out = ArrayBuffer[SheetInfo]()
+      foreachEntry("xl/workbook.xml") { xr =>
+        while (xr.hasNext) {
+          if (xr.next() == XMLStreamConstants.START_ELEMENT && xr.getLocalName == "sheet") {
+            val name = attr(xr, "name").getOrElse("")
+            val rid = attr(xr, "id").getOrElse("") // r:id resolves by local name
+            val target = rels.getOrElse(rid, "worksheets/sheet1.xml")
+            val path = if (target.startsWith("/")) target.drop(1)
+                       else if (target.startsWith("xl/")) target else "xl/" + target
+            out += SheetInfo(name, path)
+          }
+        }
+      }
+      out.toSeq
+    }
+
+    lazy val sharedStrings: Array[String] = {
+      val out = ArrayBuffer[String]()
+      foreachEntry("xl/sharedStrings.xml") { xr =>
+        var inSi = false
+        val sb = new StringBuilder
+        while (xr.hasNext) {
+          xr.next() match {
+            case XMLStreamConstants.START_ELEMENT if xr.getLocalName == "si" =>
+              inSi = true; sb.setLength(0)
+            case XMLStreamConstants.START_ELEMENT if inSi && xr.getLocalName == "t" =>
+              sb.append(xr.getElementText)
+            case XMLStreamConstants.END_ELEMENT if xr.getLocalName == "si" =>
+              inSi = false; out += sb.toString
+            case _ =>
+          }
+        }
+      }
+      out.toArray
+    }
+
+    /** styleIndex → isDateFormat, from xl/styles.xml cellXfs numFmtIds. */
+    lazy val dateStyles: Array[Boolean] = {
+      val custom = mutable.Map[Int, String]()
+      val xfFmts = ArrayBuffer[Int]()
+      foreachEntry("xl/styles.xml") { xr =>
+        var inCellXfs = false
+        while (xr.hasNext) {
+          xr.next() match {
+            case XMLStreamConstants.START_ELEMENT => xr.getLocalName match {
+              case "numFmt" =>
+                (attr(xr, "numFmtId"), attr(xr, "formatCode")) match {
+                  case (Some(id), Some(code)) => custom(id.toInt) = code
+                  case _ =>
+                }
+              case "cellXfs" => inCellXfs = true
+              case "xf" if inCellXfs =>
+                xfFmts += attr(xr, "numFmtId").map(_.toInt).getOrElse(0)
+              case _ =>
+            }
+            case XMLStreamConstants.END_ELEMENT if xr.getLocalName == "cellXfs" =>
+              inCellXfs = false
+            case _ =>
+          }
+        }
+      }
+      xfFmts.map(id => isDateFmt(id, custom.get(id))).toArray
+    }
+
+    /** Builtin date numFmtIds per ECMA-376 §18.8.30, plus custom formats
+      * containing date/time tokens (the same heuristic family the reference
+      * core uses to tag cells T_DATE). */
+    private def isDateFmt(id: Int, code: Option[String]): Boolean = {
+      val builtinDate = (id >= 14 && id <= 22) || (id >= 27 && id <= 36) ||
+        (id >= 45 && id <= 47) || (id >= 50 && id <= 58)
+      builtinDate || code.exists { c =>
+        val noLiterals = c.replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "")
+        noLiterals.exists(ch => "ymdhs".indexOf(ch.toLower) >= 0)
+      }
+    }
+
+    def sheetPath(sheetName: Option[String], sheetIndex: Int): String = {
+      sheetName match {
+        case Some(n) =>
+          sheets.find(_.name == n).map(_.target)
+            .getOrElse(throw new IllegalArgumentException(s"Sheet '$n' not found; have ${sheets.map(_.name).mkString(", ")}"))
+        case None =>
+          if (sheetIndex < 1 || sheetIndex > sheets.size)
+            throw new IllegalArgumentException(s"sheet_index $sheetIndex out of range 1..${sheets.size}")
+          sheets(sheetIndex - 1).target
+      }
+    }
+
+    /** Stream rows of one worksheet. Rows arrive as dense arrays (width =
+      * max seen cell column in that row); gaps are XNone. Stops early when
+      * `onRow` returns false (schema probes read only 2 rows). */
+    def foreachRow(path: String, onRow: (Long, Array[XCell]) => Boolean): Unit = {
+      val strings = sharedStrings
+      val dates = dateStyles
+      foreachEntry(path) { xr =>
+        var rowIdx = -1L
+        var cells = ArrayBuffer[XCell]()
+        var col = -1
+        var t = ""
+        var style = -1
+        var inV = false
+        var inIs = false
+        val text = new StringBuilder
+        var continue = true
+        while (continue && xr.hasNext) {
+          xr.next() match {
+            case XMLStreamConstants.START_ELEMENT => xr.getLocalName match {
+              case "row" =>
+                rowIdx = attr(xr, "r").map(_.toLong - 1).getOrElse(rowIdx + 1)
+                cells = ArrayBuffer[XCell]()
+              case "c" =>
+                col = attr(xr, "r").map(colOf).getOrElse(cells.length)
+                t = attr(xr, "t").getOrElse("")
+                style = attr(xr, "s").map(_.toInt).getOrElse(-1)
+              case "v" => inV = true; text.setLength(0)
+              case "is" => inIs = true; text.setLength(0)
+              case "t" if inIs => text.append(xr.getElementText)
+              case _ =>
+            }
+            case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inV =>
+              text.appendAll(xr.getTextCharacters, xr.getTextStart, xr.getTextLength)
+            case XMLStreamConstants.END_ELEMENT => xr.getLocalName match {
+              case "v" =>
+                inV = false
+                setCell(cells, col, parseCell(t, text.toString, style, strings, dates))
+              case "is" =>
+                inIs = false
+                setCell(cells, col, XCell.XString(text.toString))
+              case "c" =>
+                // <c> with no <v>/<is> child: leave as gap (XNone)
+                col = -1; t = ""; style = -1
+              case "row" =>
+                continue = onRow(rowIdx, cells.toArray)
+              case _ =>
+            }
+            case _ =>
+          }
+        }
+      }
+    }
+
+    private def parseCell(t: String, raw: String, style: Int,
+                          strings: Array[String], dates: Array[Boolean]): XCell = t match {
+      case "s" =>
+        val i = raw.trim.toInt
+        if (i >= 0 && i < strings.length) XCell.XString(strings(i)) else XCell.XError
+      case "str" | "inlineStr" => XCell.XString(raw)
+      case "b" => XCell.XBool(raw.trim == "1" || raw.trim.equalsIgnoreCase("true"))
+      case "e" => XCell.XError
+      case "" | "n" =>
+        try {
+          val d = raw.trim.toDouble
+          if (style >= 0 && style < dates.length && dates(style)) XCell.XDate(d)
+          else XCell.XNumber(d)
+        } catch { case _: NumberFormatException => XCell.XError }
+      case _ => XCell.XError
+    }
+
+    private def setCell(cells: ArrayBuffer[XCell], col: Int, v: XCell): Unit = {
+      val c = if (col < 0) cells.length else col
+      while (cells.length <= c) cells += XCell.XNone
+      cells(c) = v
+    }
+
+    /** Column index from an A1-style ref: "BC12" → 54. */
+    private def colOf(ref: String): Int = {
+      var i = 0; var n = 0
+      while (i < ref.length && ref.charAt(i).isLetter) {
+        n = n * 26 + (ref.charAt(i).toUpper - 'A' + 1); i += 1
+      }
+      n - 1
+    }
+
+    private def readRels(): Map[String, String] = {
+      val m = mutable.Map[String, String]()
+      foreachEntry("xl/_rels/workbook.xml.rels") { xr =>
+        while (xr.hasNext) {
+          if (xr.next() == XMLStreamConstants.START_ELEMENT && xr.getLocalName == "Relationship")
+            for (id <- attr(xr, "Id"); tgt <- attr(xr, "Target")) m(id) = tgt
+        }
+      }
+      m.toMap
+    }
+
+    /** Scan the zip stream for `name` and run `f` over its XML. Missing
+      * entry (e.g. no sharedStrings.xml) is a no-op. */
+    private def foreachEntry(name: String)(f: XMLStreamReader => Unit): Unit = {
+      val in = new ZipInputStream(open())
+      try {
+        var e = in.getNextEntry
+        while (e != null) {
+          if (e.getName == name) {
+            val xr = xif.createXMLStreamReader(new NonClosingStream(in))
+            try f(xr) finally xr.close()
+            return
+          }
+          e = in.getNextEntry
+        }
+      } finally in.close()
+    }
+
+    private def attr(xr: XMLStreamReader, local: String): Option[String] = {
+      var i = 0
+      while (i < xr.getAttributeCount) {
+        if (xr.getAttributeLocalName(i) == local) return Some(xr.getAttributeValue(i))
+        i += 1
+      }
+      None
+    }
+  }
+
+  /** StAX close() would close the whole zip stream; shield it. */
+  private final class NonClosingStream(in: InputStream) extends InputStream {
+    override def read(): Int = in.read()
+    override def read(b: Array[Byte], off: Int, len: Int): Int = in.read(b, off, len)
+    override def close(): Unit = ()
+  }
+}
