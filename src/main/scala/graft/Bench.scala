@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line {"metric":"total","value":N,"unit":"sec",...}.
+  *
+  * Measurement hygiene: queries run in sorted (deterministic) order; a full
+  * warmup pass absorbs JVM/codegen/IO-cache warmup; results are materialized
+  * through the noop sink so every column is computed (a bare .count() lets
+  * Catalyst prune projections and under-measures).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,14 +21,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    type Fn = (SparkSession, String) => org.apache.spark.sql.DataFrame
+    def runOne(fn: Fn): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // warmup pass (untimed)
+    ordered.foreach { case (_, fn) => try runOne(fn) catch { case _: Throwable => } }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try runOne(fn) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

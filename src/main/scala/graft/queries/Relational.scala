@@ -33,9 +33,9 @@ object Relational {
         .filter($"l_shipdate" <= "1998-09-02 00:00:00")
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum(dec2($"l_quantity")).as("sum_qty"),
-          sum(dec2($"l_extendedprice")).as("sum_base_price"),
-          sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_price"),
+          sum(dec2($"l_quantity")).cast("double").as("sum_qty"),
+          sum(dec2($"l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).cast("double").as("sum_disc_price"),
           (sum(dec2($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
     }),
@@ -47,7 +47,7 @@ object Relational {
         .filter($"l_shipdate" >= "1996-01-01 00:00:00" &&
                 $"l_shipdate" < "1997-01-01 00:00:00" &&
                 $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
-        .agg(sum(dec4($"l_extendedprice" * $"l_discount")).as("revenue"))
+        .agg(sum(dec4($"l_extendedprice" * $"l_discount")).cast("double").as("revenue"))
     }),
 
     // §2.2 #19: inner equi-join + agg + top-k (TPC-H Q3 shape)
@@ -57,9 +57,9 @@ object Relational {
       val ord = Tables.load(s, dir, "orders").filter($"o_orderdate" < "1998-01-01 00:00:00")
       val li = Tables.load(s, dir, "lineitem").filter($"l_shipdate" > "1998-01-01 00:00:00")
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate")
-        .agg(sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"))
+        .agg(sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount"))).cast("double").as("revenue"))
         .orderBy($"revenue".desc, $"l_orderkey")
         .limit(10)
     }),
@@ -75,12 +75,12 @@ object Relational {
         .filter($"o_orderdate" >= "1996-01-01 00:00:00" && $"o_orderdate" < "1998-01-01 00:00:00")
       val li = Tables.load(s, dir, "lineitem")
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
-        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(supp, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
         .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
-        .agg(sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"))
+        .agg(sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount"))).cast("double").as("revenue"))
     }),
 
     // §2.2 #18: conditional aggregation / CASE WHEN (TPC-H Q14 shape)
@@ -89,11 +89,11 @@ object Relational {
       val part = Tables.load(s, dir, "part")
       val li = Tables.load(s, dir, "lineitem")
         .filter($"l_shipdate" >= "1997-01-01 00:00:00" && $"l_shipdate" < "1997-04-01 00:00:00")
-      li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      li.join(part, $"l_partkey" === $"p_partkey")
         .agg(
           sum(when($"p_type" === "PROMO", dec4($"l_extendedprice" * (lit(1) - $"l_discount")))
-            .otherwise(dec4(lit(0.0)))).as("promo_revenue"),
-          sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount"))).as("total_revenue"))
+            .otherwise(dec4(lit(0.0)))).cast("double").as("promo_revenue"),
+          sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount"))).cast("double").as("total_revenue"))
     }),
 
     // §2.2 #28: per-group average threshold via self-aggregation (TPC-H Q17 shape).
@@ -106,7 +106,7 @@ object Relational {
         .agg(sum(dec2($"l_quantity")).as("s"), count(lit(1)).as("c"))
       li.join(perPart, $"l_partkey" === $"pk")
         .filter($"l_quantity" * $"c" * 5 < $"s".cast("double"))
-        .agg(sum(dec2($"l_extendedprice")).as("total_price"), count(lit(1)).as("n_items"))
+        .agg(sum(dec2($"l_extendedprice")).cast("double").as("total_price"), count(lit(1)).as("n_items"))
     }),
 
     // §2.2 #21: left outer join preserving unmatched rows
@@ -134,7 +134,7 @@ object Relational {
       val ord = Tables.load(s, dir, "orders")
       val li = Tables.load(s, dir, "lineitem").filter($"l_quantity" >= 48)
       ord.join(li, $"o_orderkey" === $"l_orderkey", "left_anti")
-        .agg(count(lit(1)).as("n_orders"), sum(dec2($"o_totalprice")).as("total"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec2($"o_totalprice")).cast("double").as("total"))
     }),
 
     // §2.2 #24: distinct + count distinct
@@ -171,7 +171,7 @@ object Relational {
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.load(s, dir, "events")
-        .withColumn("running_value", sum(dec4($"value")).over(w))
+        .withColumn("running_value", sum(dec4($"value")).over(w).cast("double"))
         .select($"user_id", $"event_id", $"running_value")
     }),
 
@@ -183,7 +183,7 @@ object Relational {
         .select($"o_orderkey", lit("high").as("bucket"))
       val lo = ord.filter($"o_totalprice" < 10000.0)
         .select($"o_orderkey", lit("low").as("bucket"))
-      hi.unionAll(lo).groupBy($"bucket").agg(count(lit(1)).as("n"))
+      hi.union(lo).groupBy($"bucket").agg(count(lit(1)).as("n"))
     }),
 
     // §2.2 #30: having / post-aggregation filter
@@ -191,7 +191,7 @@ object Relational {
       import s.implicits._
       Tables.load(s, dir, "orders")
         .groupBy($"o_custkey")
-        .agg(count(lit(1)).as("n_orders"), sum(dec2($"o_totalprice")).as("spend"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec2($"o_totalprice")).cast("double").as("spend"))
         .filter($"n_orders" >= 3)
     }),
 
@@ -213,7 +213,7 @@ object Relational {
       import s.implicits._
       Tables.load(s, dir, "events")
         .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
-        .agg(count(lit(1)).as("n_events"), sum(dec4($"value")).as("total_value"))
+        .agg(count(lit(1)).as("n_events"), sum(dec4($"value")).cast("double").as("total_value"))
     }),
 
     // §2.2 #33: null handling — outer-join nulls through coalesce/null-safe agg
@@ -235,7 +235,7 @@ object Relational {
       import s.implicits._
       Tables.load(s, dir, "lineitem")
         .rollup($"l_returnflag", $"l_linestatus")
-        .agg(count(lit(1)).as("n"), sum(dec2($"l_quantity")).as("qty"))
+        .agg(count(lit(1)).as("n"), sum(dec2($"l_quantity")).cast("double").as("qty"))
     }),
 
     // §2.2 #35: same surface via spark.sql over registered views
@@ -244,7 +244,7 @@ object Relational {
       s.sql("""
         SELECT n_name,
                count(*) AS n_customers,
-               sum(cast(c_acctbal AS decimal(18,2))) AS total_acctbal
+               cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS total_acctbal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
       """)
@@ -254,22 +254,22 @@ object Relational {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
-         sum(cast(l_extendedprice AS decimal(18,2))) AS sum_base_price,
-         sum(cast(l_extendedprice*(1.0-l_discount) AS decimal(18,4))) AS sum_disc_price,
+         cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+         cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+         cast(sum(cast(l_extendedprice*(1.0-l_discount) AS decimal(18,4))) AS double) AS sum_disc_price,
          cast(sum(cast(l_quantity AS decimal(18,2))) AS double)/count(*) AS avg_qty,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
     "q06_filter_revenue" ->
-      """SELECT sum(cast(l_extendedprice*l_discount AS decimal(18,4))) AS revenue
+      """SELECT cast(sum(cast(l_extendedprice*l_discount AS decimal(18,4))) AS double) AS revenue
          FROM lineitem
          WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
            AND l_shipdate < timestamp '1997-01-01 00:00:00'
            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
     "q03_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate,
-         sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS revenue
+         cast(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS double) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -280,7 +280,7 @@ object Relational {
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q05_local_supplier" ->
       """SELECT n_name,
-         sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS revenue
+         cast(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS double) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -293,10 +293,10 @@ object Relational {
          GROUP BY n_name""",
     "q14_promo_share" ->
       """SELECT
-         sum(CASE WHEN p_type = 'PROMO'
+         cast(sum(CASE WHEN p_type = 'PROMO'
              THEN cast(l_extendedprice*(1-l_discount) AS decimal(18,4))
-             ELSE cast(0.0 AS decimal(18,4)) END) AS promo_revenue,
-         sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS total_revenue
+             ELSE cast(0.0 AS decimal(18,4)) END) AS double) AS promo_revenue,
+         cast(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS double) AS total_revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
            AND l_shipdate < timestamp '1997-04-01 00:00:00'""",
@@ -304,7 +304,7 @@ object Relational {
       """WITH per_part AS (
            SELECT l_partkey AS pk, sum(cast(l_quantity AS decimal(18,2))) AS s, count(*) AS c
            FROM lineitem GROUP BY l_partkey)
-         SELECT sum(cast(l_extendedprice AS decimal(18,2))) AS total_price, count(*) AS n_items
+         SELECT cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS total_price, count(*) AS n_items
          FROM lineitem JOIN per_part ON l_partkey = pk
          WHERE l_quantity * c * 5 < cast(s AS double)""",
     "q_outer_join" ->
@@ -318,7 +318,7 @@ object Relational {
          WHERE EXISTS (SELECT 1 FROM lineitem
                        WHERE l_orderkey = o_orderkey AND l_quantity >= 48)""",
     "q_anti_join" ->
-      """SELECT count(*) AS n_orders, sum(cast(o_totalprice AS decimal(18,2))) AS total
+      """SELECT count(*) AS n_orders, cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
          FROM orders
          WHERE NOT EXISTS (SELECT 1 FROM lineitem
                            WHERE l_orderkey = o_orderkey AND l_quantity >= 48)""",
@@ -338,9 +338,9 @@ object Relational {
            FROM part) t WHERE rn <= 3""",
     "q_window_running" ->
       """SELECT user_id, event_id,
-                sum(cast(value AS decimal(18,4)))
+                cast(sum(cast(value AS decimal(18,4)))
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS running_value
          FROM events""",
     "q_union" ->
       """SELECT bucket, count(*) AS n FROM (
@@ -350,7 +350,7 @@ object Relational {
          GROUP BY bucket""",
     "q_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
-                sum(cast(o_totalprice AS decimal(18,2))) AS spend
+                cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS spend
          FROM orders GROUP BY o_custkey HAVING count(*) >= 3""",
     "q_string_funcs" ->
       """SELECT c_custkey, upper(c_name) AS name_upper,
@@ -361,23 +361,23 @@ object Relational {
     "q_time_bucket" ->
       """SELECT date_trunc('day', ts) AS day, event_type,
                 count(*) AS n_events,
-                sum(cast(value AS decimal(18,4))) AS total_value
+                cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
          FROM events GROUP BY 1, 2""",
     "q_null_handling" ->
       """SELECT coalesce(o_orderpriority, 'NO-BIG-ORDER') AS priority,
                 count(*) AS n,
-                sum(CASE WHEN o_orderkey IS NULL THEN 0 ELSE 1 END) AS n_matched
+                cast(sum(CASE WHEN o_orderkey IS NULL THEN 0 ELSE 1 END) AS bigint) AS n_matched
          FROM customer LEFT JOIN (
            SELECT * FROM orders WHERE o_totalprice > 250000.0) o
          ON c_custkey = o_custkey
          GROUP BY 1""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-                sum(cast(l_quantity AS decimal(18,2))) AS qty
+                cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q_sql_api" ->
       """SELECT n_name, count(*) AS n_customers,
-                sum(cast(c_acctbal AS decimal(18,2))) AS total_acctbal
+                cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS total_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name"""
   )

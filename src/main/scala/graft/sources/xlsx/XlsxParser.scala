@@ -194,8 +194,12 @@ object XlsxParser {
     private def parseCell(t: String, raw: String, style: Int,
                           strings: Array[String], dates: Array[Boolean]): XCell = t match {
       case "s" =>
-        val i = raw.trim.toInt
-        if (i >= 0 && i < strings.length) XCell.XString(strings(i)) else XCell.XError
+        // Bad/empty shared-string index → error cell → NULL, not a crashed
+        // scan (reference: sheetreader_extension.cpp:117-135).
+        try {
+          val i = raw.trim.toInt
+          if (i >= 0 && i < strings.length) XCell.XString(strings(i)) else XCell.XError
+        } catch { case _: NumberFormatException => XCell.XError }
       case "str" | "inlineStr" => XCell.XString(raw)
       case "b" => XCell.XBool(raw.trim == "1" || raw.trim.equalsIgnoreCase("true"))
       case "e" => XCell.XError

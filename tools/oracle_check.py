@@ -1,15 +1,16 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's t2 correctness gate.
+"""Local replica of the driver's t2 correctness gate — BIT-EXACT.
 
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 
 Reads every <verifyOutDir>/<name>/ parquet written by graft.Verify, runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the sfDir parquet
-tables, then compares: sort columns by name, sort rows, compare values
-(exact for ints/strings/timestamps, tiny-epsilon report for floats).
+tables, then compares: sort columns by name, stringify every value, sort
+rows, compare strings EXACTLY (the driver hashes values, so any
+representational difference — Decimal vs float, trailing zeros, 0 vs 0.0 —
+is a failure here too).
 """
 import json
-import math
 import sys
 from pathlib import Path
 
@@ -22,30 +23,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # Decimal columns arrive as objects; normalize to float-safe strings for
-    # sorting, but keep values for compare.
-    df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True,
-                        key=lambda s: s.map(lambda v: str(v)))
-    return df
-
-
-def values_equal(a, b) -> bool:
-    if a is None and b is None:
-        return True
-    try:
-        if pd.isna(a) and pd.isna(b):
-            return True
-    except (TypeError, ValueError):
-        pass
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        return fa == fb  # driver may hash exactly; flag any difference
-    return str(a) == str(b)
+    s = df.map(lambda v: str(v))
+    return s.sort_values(by=list(s.columns), kind="mergesort", ignore_index=True)
 
 
 def main() -> int:
@@ -81,22 +60,18 @@ def main() -> int:
             print(f"FAIL  {name}: rows {len(g)} != {len(e)}")
             n_fail += 1
             continue
-        bad = []
-        for col in g.columns:
-            for i, (a, b) in enumerate(zip(g[col], e[col])):
-                if not values_equal(a, b):
-                    bad.append((col, i, a, b))
-                    if len(bad) >= 3:
-                        break
-            if len(bad) >= 3:
-                break
-        if bad:
-            print(f"FAIL  {name}: value mismatches {bad}")
+        diff = g != e
+        if diff.any().any():
+            idx = diff.any(axis=1)
+            n_bad = int(idx.sum())
+            print(f"FAIL  {name}: {n_bad}/{len(g)} rows differ; first:")
+            print(pd.concat([g[idx].head(2).add_suffix("_spark"),
+                             e[idx].head(2).add_suffix("_duck")], axis=1).to_string())
             n_fail += 1
-        else:
-            print(f"PASS  {name}: rows={len(g)}")
-            n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
+            continue
+        print(f"PASS  {name}: rows={len(g)}")
+        n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail / {n_skip} rows-only")
     return 1 if n_fail else 0
 
 
