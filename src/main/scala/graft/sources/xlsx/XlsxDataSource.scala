@@ -1,0 +1,324 @@
+package graft.sources.xlsx
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** `spark.read.format("xlsx")` / `df.write.format("xlsx")` — DataSource V2
+  * re-expression of the reference's `sheetreader()` table function
+  * (reference: src/sheetreader_extension.cpp:949-967 for the option surface,
+  * :640-948 for bind-time schema determination).
+  *
+  * Spark-first design decisions (not a port):
+  *   - One `InputPartition` per file: deflate streams aren't splittable, so
+  *     intra-file parallelism is pointless — at 100 TB the unit of
+  *     parallelism is the file, and a directory of xlsx files fans out
+  *     across the cluster. The reference's `threads` knob maps to cluster
+  *     parallelism and is accepted-and-ignored.
+  *   - Column pruning is pushed into the reader: pruned columns are never
+  *     converted (SupportsPushDownRequiredColumns).
+  *   - Multi-file scans (directory / glob) are a superset of the reference,
+  *     which errors on more than one file (:650).
+  */
+final class XlsxDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "xlsx"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val paths = XlsxDataSource.resolvePaths(options)
+    if (paths.isEmpty)
+      throw new IllegalArgumentException("xlsx: no input files found")
+    val opts = XlsxOptions.from(options)
+    // Schema from the first file only — at scale you cannot open 10^6 files
+    // at planning time; files are expected to be schema-homogeneous.
+    XlsxSchema.resolve(XlsxDataSource.workbook(paths.head), opts).schema
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val map = new CaseInsensitiveStringMap(properties)
+    new XlsxTable(schema, XlsxOptions.from(map), map)
+  }
+}
+
+object XlsxDataSource {
+  /** All concrete .xlsx file paths for the scan: each entry may be a file, a
+    * directory (expanded non-recursively to its *.xlsx members) or a glob. */
+  def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val raw: Seq[String] =
+      Option(options.get("paths")).map(parseJsonStringArray).getOrElse(
+        Option(options.get("path")).toSeq)
+    val conf = hadoopConf()
+    raw.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(f => f.isFile && f.getPath.getName.toLowerCase.endsWith(".xlsx"))
+            .map(_.getPath.toString)
+        else Seq(st.getPath.toString)
+      }
+    }.sorted
+  }
+
+  private def parseJsonStringArray(json: String): Seq[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.readValue(json, classOf[Array[String]]).toSeq
+  }
+
+  def hadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def workbook(path: String): XlsxParser.Workbook = {
+    // The open() thunk re-opens the stream per zip-entry family; capture
+    // only the path string so the workbook is usable on executors.
+    new XlsxParser.Workbook(() => {
+      val p = new Path(path)
+      p.getFileSystem(new Configuration()).open(p)
+    })
+  }
+}
+
+final class XlsxTable(
+    schema: StructType,
+    opts: XlsxOptions,
+    options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"xlsx:${Option(options.get("path")).getOrElse("")}"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(caseInsensitiveStringMap: CaseInsensitiveStringMap): ScanBuilder =
+    new XlsxScanBuilder(schema, opts, XlsxDataSource.resolvePaths(caseInsensitiveStringMap))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new XlsxWriteBuilder(
+      Option(info.options.get("path")).getOrElse(
+        throw new IllegalArgumentException("xlsx write requires a path")),
+      info.schema(), opts)
+}
+
+final class XlsxScanBuilder(fullSchema: StructType, opts: XlsxOptions, paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // Preserve fullSchema field order; Spark passes a subset.
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
+  }
+
+  override def build(): Scan = new XlsxScan(fullSchema, required, opts, paths)
+}
+
+final class XlsxScan(
+    fullSchema: StructType,
+    required: StructType,
+    opts: XlsxOptions,
+    paths: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"xlsx scan of ${paths.size} file(s)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(p => XlsxInputPartition(p): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XlsxPartitionReaderFactory(fullSchema, required, opts)
+}
+
+final case class XlsxInputPartition(path: String) extends InputPartition
+
+final class XlsxPartitionReaderFactory(
+    fullSchema: StructType,
+    required: StructType,
+    opts: XlsxOptions)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[XlsxInputPartition]
+    new XlsxPartitionReader(p.path, fullSchema, required, opts)
+  }
+}
+
+/** Streams one file's target sheet. Each file re-resolves its own header
+  * (cheap 2-row probe) so multi-file scans tolerate per-file header rows;
+  * column mapping is positional, like the reference.
+  */
+final class XlsxPartitionReader(
+    path: String,
+    fullSchema: StructType,
+    required: StructType,
+    opts: XlsxOptions)
+    extends PartitionReader[InternalRow] {
+
+  private val wb = XlsxDataSource.workbook(path)
+  private val resolved = XlsxSchema.resolve(wb, opts)
+  private val sheetTarget = wb.sheetPath(opts.sheetName, opts.effectiveSheetIndex)
+  // positional index of each required column in the sheet
+  private val colIdx: Array[Int] = required.fieldNames.map(fullSchema.fieldIndex)
+  private val colTypes: Array[DataType] = required.fields.map(_.dataType)
+  private val iter = {
+    val it = wb.rowIterator(sheetTarget)
+    var dropped = 0
+    while (dropped < resolved.dropRows && it.hasNext) { it.next(); dropped += 1 }
+    it
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (iter.hasNext) {
+      val (rowIdx, cells) = iter.next()
+      // Ragged-wide row is an error (reference: sheetreader_extension.cpp:417-422)
+      if (cells.length > resolved.baseWidth)
+        throw new IllegalStateException(
+          s"Row ${rowIdx + 1} has more columns than the first row. " +
+            s"Has: ${cells.length} Expected: ${resolved.baseWidth}")
+      val values = new Array[Any](colIdx.length)
+      var i = 0
+      while (i < colIdx.length) {
+        val c = colIdx(i)
+        val cell: XCell = if (c < cells.length) cells(c) else XCell.XNone
+        values(i) = XlsxPartitionReader.convert(cell, colTypes(i), opts.coerceToString)
+        i += 1
+      }
+      current = new GenericInternalRow(values)
+      true
+    } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = iter.close()
+}
+
+object XlsxPartitionReader {
+  /** Cell → Catalyst value under the reference's compatibility rules
+    * (TypesCompatible, sheetreader_extension.cpp:225-250): exact type match
+    * materializes; STRING additionally accepts any cell when coerceToString;
+    * everything else (and empty/error cells) is NULL.
+    */
+  def convert(cell: XCell, dt: DataType, coerce: Boolean): Any = (dt, cell) match {
+    case (StringType, XCell.XString(s)) => UTF8String.fromString(s)
+    case (StringType, XCell.XNumber(d)) if coerce =>
+      // std::to_string(double): fixed 6 decimals (reference :182-221)
+      UTF8String.fromString(String.format(java.util.Locale.ROOT, "%f", Double.box(d)))
+    case (StringType, XCell.XBool(b)) if coerce =>
+      UTF8String.fromString(if (b) "TRUE" else "FALSE")
+    case (StringType, XCell.XDate(serial)) if coerce =>
+      UTF8String.fromString(
+        java.time.LocalDate.ofEpochDay(XCell.serialToEpochDay(serial).toLong).toString)
+    case (DoubleType, XCell.XNumber(d)) => d
+    case (BooleanType, XCell.XBool(b))  => b
+    case (DateType, XCell.XDate(serial)) => XCell.serialToEpochDay(serial)
+    case _ => null
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Write path
+// ---------------------------------------------------------------------------
+
+final class XlsxWriteBuilder(path: String, schema: StructType, opts: XlsxOptions)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new XlsxBatchWrite(path, schema, opts, doTruncate)
+  }
+}
+
+final class XlsxBatchWrite(path: String, schema: StructType, opts: XlsxOptions, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // Driver-side: prepare the output directory.
+    val p = new Path(path)
+    val fs = p.getFileSystem(XlsxDataSource.hadoopConf())
+    if (truncate && fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    new XlsxDataWriterFactory(path, schema, opts.writeHeader)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class XlsxDataWriterFactory(path: String, schema: StructType, header: Boolean)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new XlsxDataWriter(path, schema, header, partitionId, taskId)
+}
+
+/** One .xlsx file per write task, streamed row-by-row into the zip. */
+final class XlsxDataWriter(
+    dir: String,
+    schema: StructType,
+    header: Boolean,
+    partitionId: Int,
+    taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val file = new Path(dir, f"part-$partitionId%05d-$taskId.xlsx")
+  private val fs = file.getFileSystem(new Configuration())
+  private val out = fs.create(file, true)
+  private val sheet = new XlsxWriter.StreamingWorkbookWriter(
+    out, "Sheet1", if (header) Some(schema.fieldNames.toSeq) else None)
+
+  override def write(record: InternalRow): Unit = {
+    val vs: Seq[Any] = schema.fields.zipWithIndex.map { case (f, i) =>
+      if (record.isNullAt(i)) null
+      else f.dataType match {
+        case StringType  => record.getUTF8String(i).toString
+        case DoubleType  => record.getDouble(i)
+        case FloatType   => record.getFloat(i).toDouble
+        case IntegerType => record.getInt(i)
+        case LongType    => record.getLong(i)
+        case ShortType   => record.getShort(i).toInt
+        case ByteType    => record.getByte(i).toInt
+        case BooleanType => record.getBoolean(i)
+        case DateType    => java.time.LocalDate.ofEpochDay(record.getInt(i).toLong)
+        case other =>
+          throw new IllegalArgumentException(
+            s"xlsx write: unsupported column type $other (supported: " +
+              "string, double/float, int/long/short/byte, boolean, date)")
+      }
+    }.toSeq
+    sheet.addRow(vs)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    sheet.finish()
+    out.close()
+    XlsxCommit(file.toString)
+  }
+
+  override def abort(): Unit = {
+    try { sheet.finish(); out.close() } catch { case _: Throwable => }
+    try fs.delete(file, false) catch { case _: Throwable => }
+  }
+
+  override def close(): Unit = ()
+}
+
+final case class XlsxCommit(path: String) extends WriterCommitMessage

@@ -1,0 +1,67 @@
+package graft.sources.xlsx
+
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Option surface of the `xlsx` source, mirroring the reference's named
+  * parameters (reference: src/sheetreader_extension.cpp:949-967 registers
+  * sheet_name, sheet_index, threads, skip_rows, has_header, types,
+  * force_types, coerce_to_string; `threads` is subsumed by Spark's own
+  * parallelism — one partition per file).
+  *
+  * Both camelCase (Spark idiom) and snake_case (reference idiom) spellings
+  * are accepted.
+  */
+final case class XlsxOptions(
+    sheetName: Option[String],
+    sheetIndex: Option[Int],
+    hasHeader: Boolean, // force header; auto-detect still runs when false
+    skipRows: Int,
+    userTypes: Option[Seq[String]],
+    forceTypes: Boolean,
+    coerceToString: Boolean,
+    writeHeader: Boolean)
+    extends Serializable {
+
+  /** 1-based index to use when sheetName is absent (reference default 1). */
+  def effectiveSheetIndex: Int = sheetIndex.getOrElse(1)
+}
+
+object XlsxOptions {
+  private val allowedTypes = Set("STRING", "VARCHAR", "DOUBLE", "BOOLEAN", "DATE")
+
+  def from(map: CaseInsensitiveStringMap): XlsxOptions = {
+    def str(keys: String*): Option[String] =
+      keys.collectFirst { case k if map.containsKey(k) => map.get(k) }
+    def bool(keys: String*): Boolean =
+      str(keys: _*).exists(_.trim.equalsIgnoreCase("true"))
+
+    val sheetName = str("sheetName", "sheet_name").filter(_.nonEmpty)
+    val sheetIndex = str("sheetIndex", "sheet_index").map(_.trim.toInt)
+    // Reference errors when both are given (sheetreader_extension.cpp:683).
+    if (sheetName.isDefined && sheetIndex.isDefined)
+      throw new IllegalArgumentException(
+        "Sheet index & sheet name cannot be set at the same time.")
+
+    val userTypes = str("types").map { raw =>
+      // "[DOUBLE,STRING,...]" or "DOUBLE,STRING,..."
+      val body = raw.trim.stripPrefix("[").stripSuffix("]")
+      val ts = body.split(",").map(_.trim.toUpperCase).toSeq.filter(_.nonEmpty)
+      ts.foreach { t =>
+        if (!allowedTypes.contains(t))
+          throw new IllegalArgumentException(
+            s"""Unsupported type "$t" for types definition""")
+      }
+      ts
+    }
+
+    XlsxOptions(
+      sheetName = sheetName,
+      sheetIndex = sheetIndex,
+      hasHeader = bool("hasHeader", "has_header"),
+      skipRows = str("skipRows", "skip_rows").map(_.trim.toInt).getOrElse(0),
+      userTypes = userTypes,
+      forceTypes = bool("forceTypes", "force_types"),
+      coerceToString = bool("coerceToString", "coerce_to_string"),
+      writeHeader = str("header").forall(_.trim.equalsIgnoreCase("true")))
+  }
+}

@@ -142,10 +142,53 @@ object XlsxParser {
       * max seen cell column in that row); gaps are XNone. Stops early when
       * `onRow` returns false (schema probes read only 2 rows). */
     def foreachRow(path: String, onRow: (Long, Array[XCell]) => Boolean): Unit = {
+      val it = rowIterator(path)
+      try {
+        var continue = true
+        while (continue && it.hasNext) {
+          val (idx, cells) = it.next()
+          continue = onRow(idx, cells)
+        }
+      } finally it.close()
+    }
+
+    /** Pull-based row iterator over one worksheet — the shape a Spark DSv2
+      * PartitionReader needs (next()/get() driven from the scan), so the
+      * sheet never has to be buffered in memory. Close() releases the zip
+      * stream; exhausting the iterator also closes it.
+      */
+    def rowIterator(path: String): RowIterator = {
       val strings = sharedStrings
       val dates = dateStyles
-      foreachEntry(path) { xr =>
-        var rowIdx = -1L
+      new RowIterator(openEntry(path), strings, dates)
+    }
+
+    final class RowIterator(
+        entry: Option[(XMLStreamReader, () => Unit)],
+        strings: Array[String],
+        dates: Array[Boolean])
+        extends Iterator[(Long, Array[XCell])] with AutoCloseable {
+      private val xr = entry.map(_._1).orNull
+      private var closed = entry.isEmpty
+      private var nextRow: (Long, Array[XCell]) = _
+      private var rowIdx = -1L
+
+      override def hasNext: Boolean = {
+        if (nextRow != null) return true
+        if (closed) return false
+        nextRow = advance()
+        if (nextRow == null) { close(); false } else true
+      }
+
+      override def next(): (Long, Array[XCell]) = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextRow; nextRow = null; r
+      }
+
+      override def close(): Unit = if (!closed) { closed = true; entry.foreach(_._2()) }
+
+      /** Advance the StAX cursor to the next </row>; null at stream end. */
+      private def advance(): (Long, Array[XCell]) = {
         var cells = ArrayBuffer[XCell]()
         var col = -1
         var t = ""
@@ -153,8 +196,7 @@ object XlsxParser {
         var inV = false
         var inIs = false
         val text = new StringBuilder
-        var continue = true
-        while (continue && xr.hasNext) {
+        while (xr.hasNext) {
           xr.next() match {
             case XMLStreamConstants.START_ELEMENT => xr.getLocalName match {
               case "row" =>
@@ -182,12 +224,13 @@ object XlsxParser {
                 // <c> with no <v>/<is> child: leave as gap (XNone)
                 col = -1; t = ""; style = -1
               case "row" =>
-                continue = onRow(rowIdx, cells.toArray)
+                return (rowIdx, cells.toArray)
               case _ =>
             }
             case _ =>
           }
         }
+        null
       }
     }
 
@@ -240,19 +283,27 @@ object XlsxParser {
 
     /** Scan the zip stream for `name` and run `f` over its XML. Missing
       * entry (e.g. no sharedStrings.xml) is a no-op. */
-    private def foreachEntry(name: String)(f: XMLStreamReader => Unit): Unit = {
+    private def foreachEntry(name: String)(f: XMLStreamReader => Unit): Unit =
+      openEntry(name) match {
+        case Some((xr, closeAll)) => try f(xr) finally closeAll()
+        case None =>
+      }
+
+    /** Open the zip and position an XML reader at entry `name`; the returned
+      * thunk closes both the XML reader and the zip stream. None if the
+      * entry does not exist. */
+    private def openEntry(name: String): Option[(XMLStreamReader, () => Unit)] = {
       val in = new ZipInputStream(open())
-      try {
-        var e = in.getNextEntry
-        while (e != null) {
-          if (e.getName == name) {
-            val xr = xif.createXMLStreamReader(new NonClosingStream(in))
-            try f(xr) finally xr.close()
-            return
-          }
-          e = in.getNextEntry
+      var e = in.getNextEntry
+      while (e != null) {
+        if (e.getName == name) {
+          val xr = xif.createXMLStreamReader(new NonClosingStream(in))
+          return Some((xr, () => { try xr.close() finally in.close() }))
         }
-      } finally in.close()
+        e = in.getNextEntry
+      }
+      in.close()
+      None
     }
 
     private def attr(xr: XMLStreamReader, local: String): Option[String] = {

@@ -1,0 +1,197 @@
+package graft.sources
+
+import java.io.FileOutputStream
+import java.nio.file.{Files, Path}
+import java.time.LocalDate
+
+import graft.SparkSpec
+import graft.sources.xlsx.XlsxWriter
+import graft.sources.xlsx.XlsxWriter.SheetSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Option-surface edge cases of the `xlsx` DSv2 source, mirroring the
+  * reference's semantics (src/sheetreader_extension.cpp:640-948).
+  */
+class XlsxSourceSpec extends SparkSpec {
+
+  private def tmpXlsx(sheets: Seq[SheetSpec]): String = {
+    val f = Files.createTempFile("graft_spec_", ".xlsx")
+    val out = new FileOutputStream(f.toFile)
+    try XlsxWriter.write(out, sheets) finally out.close()
+    f.toString
+  }
+
+  private def one(header: Option[Seq[String]], rows: Seq[Seq[Any]]): String =
+    tmpXlsx(Seq(SheetSpec("Sheet1", header, rows.iterator)))
+
+  test("roundtrip: header + mixed types, header auto-detected") {
+    val p = one(Some(Seq("name", "price", "ok")), Seq(
+      Seq("a", 1.5, true),
+      Seq("b", -2.25, false),
+      Seq("c", 3.0, true)))
+    val df = spark.read.format("xlsx").load(p)
+    assert(df.schema == StructType(Seq(
+      StructField("name", StringType), StructField("price", DoubleType),
+      StructField("ok", BooleanType))))
+    val rows = df.collect().sortBy(_.getString(0))
+    assert(rows.map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2))).toSeq ==
+      Seq(("a", 1.5, true), ("b", -2.25, false), ("c", 3.0, true)))
+  }
+
+  test("headerless sheet gets generated names String0/Numeric1/Boolean2/Date3") {
+    val p = one(None, Seq(
+      Seq("x", 1.0, true, LocalDate.of(2020, 1, 2)),
+      Seq("y", 2.0, false, LocalDate.of(2021, 3, 4))))
+    val df = spark.read.format("xlsx").load(p)
+    assert(df.schema.fieldNames.toSeq == Seq("String0", "Numeric1", "Boolean2", "Date3"))
+    assert(df.schema.fields.map(_.dataType).toSeq ==
+      Seq(StringType, DoubleType, BooleanType, DateType))
+    val r = df.orderBy("Numeric1").collect()
+    assert(r(0).getDate(3).toLocalDate == LocalDate.of(2020, 1, 2))
+    assert(r(1).getDate(3).toLocalDate == LocalDate.of(2021, 3, 4))
+  }
+
+  test("all-string rows 1+2: no auto header; hasHeader forces it") {
+    val p = one(Some(Seq("k", "v")), Seq(Seq("a", "b"), Seq("c", "d")))
+    val auto = spark.read.format("xlsx").load(p)
+    assert(auto.schema.fieldNames.toSeq == Seq("String0", "String1"))
+    assert(auto.count() == 3) // header row is data without the option
+    val forced = spark.read.format("xlsx").option("hasHeader", "true").load(p)
+    assert(forced.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(forced.count() == 2)
+  }
+
+  test("hasHeader on a non-string first row errors") {
+    val p = one(None, Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    val e = intercept[Exception] {
+      spark.read.format("xlsx").option("hasHeader", "true").load(p).collect()
+    }
+    assert(e.getMessage.contains("must contain only strings"))
+  }
+
+  test("skipRows drops leading junk before header detection") {
+    val p = one(None, Seq(
+      Seq("junk"), Seq("more junk"),
+      Seq("name", "price"), Seq("a", 1.0), Seq("b", 2.0)))
+    val df = spark.read.format("xlsx").option("skipRows", "2").load(p)
+    assert(df.schema.fieldNames.toSeq == Seq("name", "price"))
+    assert(df.count() == 2)
+  }
+
+  test("sheetName and sheetIndex resolve sheets; both at once errors") {
+    val p = tmpXlsx(Seq(
+      SheetSpec("first", None, Iterator(Seq(1.0), Seq(2.0))),
+      SheetSpec("second", None, Iterator(Seq("z", 9.0), Seq("w", 8.0)))))
+    val byIdx = spark.read.format("xlsx").option("sheetIndex", "2").load(p)
+    assert(byIdx.schema.fieldNames.toSeq == Seq("String0", "Numeric1"))
+    val byName = spark.read.format("xlsx").option("sheetName", "second").load(p)
+    assert(byName.count() == 2)
+    val e = intercept[Exception] {
+      spark.read.format("xlsx")
+        .option("sheetName", "second").option("sheetIndex", "2").load(p)
+    }
+    assert(e.getMessage.contains("cannot be set at the same time"))
+  }
+
+  test("types override adds `Column N` extension columns as NULL") {
+    val p = one(None, Seq(Seq("a", 1.0), Seq("b", 2.0)))
+    val df = spark.read.format("xlsx")
+      .option("types", "[STRING,DOUBLE,DOUBLE]").load(p)
+    assert(df.schema.fieldNames.toSeq == Seq("String0", "Numeric1", "Column 2"))
+    assert(df.schema.fields(2).dataType == DoubleType)
+    assert(df.collect().forall(_.isNullAt(2)))
+  }
+
+  test("types mismatch without forceTypes errors; with forceTypes → NULLs") {
+    val p = one(None, Seq(Seq("a", 1.0), Seq("b", 2.0)))
+    val e = intercept[Exception] {
+      spark.read.format("xlsx").option("types", "[DOUBLE,DOUBLE]").load(p)
+    }
+    assert(e.getMessage.contains("not compatible"))
+    val forced = spark.read.format("xlsx")
+      .option("types", "[DOUBLE,DOUBLE]").option("forceTypes", "true").load(p)
+    val rows = forced.orderBy("Numeric1").collect()
+    assert(rows.forall(_.isNullAt(0))) // string cells under DOUBLE → NULL
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.0, 2.0))
+  }
+
+  test("coerceToString renders numerics/booleans/dates as reference-format text") {
+    val p = one(None, Seq(Seq(1.5, true, LocalDate.of(2020, 2, 29), "s")))
+    val df = spark.read.format("xlsx")
+      .option("types", "[STRING,STRING,STRING,STRING]")
+      .option("coerceToString", "true").load(p)
+    val r = df.collect()(0)
+    assert(r.getString(0) == "1.500000") // std::to_string fixed 6 decimals
+    assert(r.getString(1) == "TRUE")
+    assert(r.getString(2) == "2020-02-29")
+    assert(r.getString(3) == "s")
+  }
+
+  test("empty cells and type-mismatched cells are NULL") {
+    val p = one(Some(Seq("a", "b", "c")), Seq(
+      Seq("x", 1.0, true),
+      Seq(null, 2.0, null),
+      Seq("z", "not-a-number", false)))
+    val df = spark.read.format("xlsx").load(p)
+    val rows = df.collect()
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(2))
+    assert(rows(2).isNullAt(1)) // string cell in DOUBLE column → NULL
+  }
+
+  test("ragged row wider than row 1 errors at scan") {
+    val p = one(None, Seq(Seq(1.0, 2.0), Seq(3.0, 4.0, 5.0)))
+    val e = intercept[Exception] { spark.read.format("xlsx").load(p).collect() }
+    assert(e.getMessage.contains("more columns than the first row"))
+  }
+
+  test("date serials roundtrip, including pre-1970") {
+    val dates = Seq(LocalDate.of(1960, 6, 15), LocalDate.of(1970, 1, 1),
+      LocalDate.of(2000, 2, 29), LocalDate.of(2038, 12, 31))
+    val p = one(None, dates.map(d => Seq(d: Any)))
+    val df = spark.read.format("xlsx").load(p)
+    assert(df.schema.fields(0).dataType == DateType)
+    assert(df.collect().map(_.getDate(0).toLocalDate).toSet == dates.toSet)
+  }
+
+  test("column pruning reaches the reader (pruned schema)") {
+    val p = one(Some(Seq("a", "b", "c")), Seq(Seq("x", 1.0, true)))
+    val df = spark.read.format("xlsx").load(p).select("b")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(df.collect()(0).getDouble(0) == 1.0)
+    assert(plan.contains("ReadSchema") || df.schema.fieldNames.toSeq == Seq("b"))
+  }
+
+  test("DSv2 write path: df.write.format(\"xlsx\") roundtrips") {
+    val dir = Files.createTempDirectory("graft_xlsx_write_").toString
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row("a", 1.5, true, java.sql.Date.valueOf("2020-01-02")),
+        Row("b", 2.5, false, java.sql.Date.valueOf("2021-03-04"))),
+      StructType(Seq(
+        StructField("s", StringType), StructField("d", DoubleType),
+        StructField("f", BooleanType), StructField("dt", DateType))))
+    df.repartition(1).write.format("xlsx").mode("overwrite").save(dir)
+    val back = spark.read.format("xlsx").load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("s", "d", "f", "dt"))
+    val rows = back.orderBy("s").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5))
+    assert(rows(0).getDate(3).toLocalDate == LocalDate.of(2020, 1, 2))
+  }
+
+  test("multi-file directory scan unions files (beyond-reference superset)") {
+    val dir = Files.createTempDirectory("graft_xlsx_multi_")
+    def put(name: String, rows: Seq[Seq[Any]]): Unit = {
+      val out = new FileOutputStream(dir.resolve(name).toFile)
+      try XlsxWriter.write(out,
+        Seq(SheetSpec("Sheet1", Some(Seq("k", "v")), rows.iterator)))
+      finally out.close()
+    }
+    put("a.xlsx", Seq(Seq("a", 1.0), Seq("b", 2.0)))
+    put("b.xlsx", Seq(Seq("c", 3.0)))
+    val df = spark.read.format("xlsx").load(dir.toString)
+    assert(df.count() == 3)
+    assert(df.rdd.getNumPartitions == 2) // one partition per file
+  }
+}
