@@ -1,0 +1,250 @@
+package graft.queries
+
+import java.io.FileOutputStream
+import java.nio.file.{Files, Path, Paths}
+import java.time.LocalDate
+
+import graft.Tables
+import graft.sources.xlsx.XlsxWriter
+import graft.sources.xlsx.XlsxWriter.SheetSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** XLSX ingestion correctness surface (SURVEY.md §2.1 #1-15).
+  *
+  * Each query builds a deterministic xlsx fixture from the scale-factor's own
+  * parquet tables (using our writer — the only sandbox-local way to produce
+  * .xlsx), reads it back through `spark.read.format("xlsx")`, and is
+  * hash-compared by the driver against DuckDB running the oracle SQL directly
+  * on the parquet table. A roundtrip that reproduces the parquet values
+  * end-to-end exercises writer + reader + option plumbing at once.
+  *
+  * DATE columns are emitted as yyyy-MM-dd strings on both sides: the oracle
+  * harness reads Spark dates as datetime.date but DuckDB dates as
+  * datetime64, which would hash-differ despite equal values.
+  */
+object XlsxQueries {
+
+  // ---------------------------------------------------------------------
+  // fixtures
+  // ---------------------------------------------------------------------
+
+  private val generated = scala.collection.mutable.Set[String]()
+
+  private def fixtureDir(sfDir: String): Path = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Paths.get(sys.props("java.io.tmpdir"), "graft_xlsx_fixtures", tag)
+  }
+
+  private def writeFile(path: Path, sheets: Seq[SheetSpec]): Unit = {
+    Files.createDirectories(path.getParent)
+    val out = new FileOutputStream(path.toFile)
+    try XlsxWriter.write(out, sheets) finally out.close()
+  }
+
+  /** Build all fixtures for this sfDir once per JVM. Tables involved are the
+    * small dims (nation 25, region 5, customer SF-scaled but tiny at test
+    * SFs) — fixture generation is driver-side by design: it is test
+    * scaffolding, not the scan path.
+    */
+  private def ensure(spark: SparkSession, sfDir: String): Path = synchronized {
+    val dir = fixtureDir(sfDir)
+    if (generated.contains(dir.toString)) return dir
+    val nation = Tables.load(spark, sfDir, "nation")
+      .orderBy("n_nationkey").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1),
+        r.getAs[Number](2).longValue))
+    val region = Tables.load(spark, sfDir, "region")
+      .orderBy("r_regionkey").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1)))
+
+    val nationHeader = Some(Seq("n_nationkey", "n_name", "n_regionkey"))
+    def nationRows: Iterator[Seq[Any]] =
+      nation.iterator.map { case (k, n, rk) => Seq[Any](k.toDouble, n, rk.toDouble) }
+
+    writeFile(dir.resolve("nation_header.xlsx"),
+      Seq(SheetSpec("nation", nationHeader, nationRows)))
+    writeFile(dir.resolve("nation_noheader.xlsx"),
+      Seq(SheetSpec("nation", None, nationRows)))
+    writeFile(dir.resolve("two_sheets.xlsx"), Seq(
+      SheetSpec("region", Some(Seq("r_regionkey", "r_name")),
+        region.iterator.map { case (k, n) => Seq[Any](k.toDouble, n) }),
+      SheetSpec("nation", nationHeader, nationRows)))
+    writeFile(dir.resolve("region_strings.xlsx"),
+      Seq(SheetSpec("region", Some(Seq("r_name")),
+        region.iterator.map { case (_, n) => Seq[Any](n: Any) })))
+    writeFile(dir.resolve("typed.xlsx"),
+      Seq(SheetSpec("typed", Some(Seq("name", "key", "flag", "d")),
+        nation.iterator.map { case (k, n, _) =>
+          Seq[Any](n, k.toDouble, k % 2 == 0, LocalDate.of(2020, 1, 1).plusDays(k))
+        })))
+    writeFile(dir.resolve("skiprows.xlsx"),
+      Seq(SheetSpec("nation", None,
+        Iterator[Seq[Any]](Seq("junk header line"), Seq("another junk line")) ++
+          Iterator(nationHeader.get.map(s => s: Any)) ++ nationRows)))
+    writeFile(dir.resolve("nulls.xlsx"),
+      Seq(SheetSpec("nulls", Some(Seq("name", "val")),
+        nation.iterator.map { case (k, n, _) =>
+          Seq[Any](n, if (k % 3 == 1) null else k.toDouble)
+        })))
+    writeFile(dir.resolve("dates.xlsx"),
+      Seq(SheetSpec("dates", None,
+        nation.iterator.map { case (k, _, _) =>
+          Seq[Any](LocalDate.of(1960, 1, 1).plusDays(k * 100))
+        })))
+    val multi = dir.resolve("nation_multi")
+    Files.createDirectories(multi)
+    writeFile(multi.resolve("part-a.xlsx"),
+      Seq(SheetSpec("nation", nationHeader,
+        nationRows.filter(r => r(0).asInstanceOf[Double] < 12.0))))
+    writeFile(multi.resolve("part-b.xlsx"),
+      Seq(SheetSpec("nation", nationHeader,
+        nationRows.filter(r => r(0).asInstanceOf[Double] >= 12.0))))
+    generated += dir.toString
+    dir
+  }
+
+  private def fx(spark: SparkSession, sfDir: String, name: String): String =
+    ensure(spark, sfDir).resolve(name).toString
+
+  // ---------------------------------------------------------------------
+  // queries
+  // ---------------------------------------------------------------------
+
+  private val nationOracle =
+    """SELECT cast(n_nationkey AS double) AS n_nationkey, n_name,
+              cast(n_regionkey AS double) AS n_regionkey
+       FROM nation"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 #1: the scan itself (writer → reader roundtrip vs parquet truth)
+    "xlsx_scan_roundtrip" -> ((s, dir) =>
+      s.read.format("xlsx").option("hasHeader", "true")
+        .load(fx(s, dir, "nation_header.xlsx"))),
+
+    // §2.1 #4: header auto-detect (no options; row1 strings, row2 not)
+    "xlsx_header_autodetect" -> ((s, dir) =>
+      s.read.format("xlsx").load(fx(s, dir, "nation_header.xlsx"))),
+
+    // §2.1 #2: sheetIndex selects the 2nd sheet (1-based)
+    "xlsx_sheet_index" -> ((s, dir) =>
+      s.read.format("xlsx").option("sheetIndex", "2")
+        .load(fx(s, dir, "two_sheets.xlsx"))),
+
+    // §2.1 #3: sheetName lookup
+    "xlsx_sheet_name" -> ((s, dir) =>
+      s.read.format("xlsx").option("sheetName", "nation")
+        .load(fx(s, dir, "two_sheets.xlsx"))),
+
+    // §2.1 #5: hasHeader forces a header the auto-detector would reject
+    // (rows 1 AND 2 are all-string)
+    "xlsx_has_header" -> ((s, dir) =>
+      s.read.format("xlsx").option("hasHeader", "true")
+        .load(fx(s, dir, "region_strings.xlsx"))),
+
+    // §2.1 #6: generated names String0/Numeric1/... on a headerless sheet
+    "xlsx_generated_names" -> ((s, dir) =>
+      s.read.format("xlsx").load(fx(s, dir, "nation_noheader.xlsx"))),
+
+    // §2.1 #7: type inference STRING/DOUBLE/BOOLEAN/DATE from first two rows
+    "xlsx_type_inference" -> ((s, dir) => {
+      val df = s.read.format("xlsx").load(fx(s, dir, "typed.xlsx"))
+      df.select(col("name"), col("key"), col("flag"),
+        date_format(col("d"), "yyyy-MM-dd").as("d_str"))
+    }),
+
+    // §2.1 #8: skipRows
+    "xlsx_skip_rows" -> ((s, dir) =>
+      s.read.format("xlsx").option("skipRows", "2")
+        .load(fx(s, dir, "skiprows.xlsx"))),
+
+    // §2.1 #9: user types + `Column N` extension column
+    "xlsx_user_types" -> ((s, dir) =>
+      s.read.format("xlsx")
+        .option("types", "[DOUBLE,STRING,DOUBLE,STRING]")
+        .load(fx(s, dir, "nation_noheader.xlsx"))
+        .withColumnRenamed("Column 3", "extra")),
+
+    // §2.1 #10: forceTypes — incompatible cells become NULL
+    "xlsx_force_types" -> ((s, dir) =>
+      s.read.format("xlsx")
+        .option("types", "[STRING,STRING,DOUBLE]")
+        .option("forceTypes", "true")
+        .load(fx(s, dir, "nation_noheader.xlsx"))),
+
+    // §2.1 #11: coerceToString reference formats
+    "xlsx_coerce_to_string" -> ((s, dir) =>
+      s.read.format("xlsx")
+        .option("types", "[STRING,STRING,STRING,STRING]")
+        .option("coerceToString", "true")
+        .load(fx(s, dir, "typed.xlsx"))),
+
+    // §2.1 #12: empty cells → NULL
+    "xlsx_nulls" -> ((s, dir) =>
+      s.read.format("xlsx").load(fx(s, dir, "nulls.xlsx"))),
+
+    // §2.1 #13: date serial → DATE (incl. pre-1970)
+    "xlsx_dates" -> ((s, dir) =>
+      s.read.format("xlsx").load(fx(s, dir, "dates.xlsx"))
+        .select(date_format(col("Date0"), "yyyy-MM-dd").as("d_str"))),
+
+    // §2.1 #14: parallel multi-file scan (superset of the reference)
+    "xlsx_multifile" -> ((s, dir) =>
+      s.read.format("xlsx").load(fx(s, dir, "nation_multi"))),
+
+    // §2.1 #15: DSv2 write path roundtrip on an SF-scaled table
+    "xlsx_write_roundtrip" -> ((s, dir) => {
+      val out = ensure(s, dir).resolve("customer_written").toString
+      Tables.load(s, dir, "customer")
+        .write.format("xlsx").mode("overwrite").save(out)
+      s.read.format("xlsx").load(out)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "xlsx_scan_roundtrip" -> nationOracle,
+    "xlsx_header_autodetect" -> nationOracle,
+    "xlsx_sheet_index" -> nationOracle,
+    "xlsx_sheet_name" -> nationOracle,
+    "xlsx_has_header" -> "SELECT r_name FROM region",
+    "xlsx_generated_names" ->
+      """SELECT cast(n_nationkey AS double) AS "Numeric0", n_name AS "String1",
+                cast(n_regionkey AS double) AS "Numeric2"
+         FROM nation""",
+    "xlsx_type_inference" ->
+      """SELECT n_name AS name, cast(n_nationkey AS double) AS key,
+                (n_nationkey % 2 = 0) AS flag,
+                strftime(DATE '2020-01-01' + CAST(n_nationkey AS INT), '%Y-%m-%d') AS d_str
+         FROM nation""",
+    "xlsx_skip_rows" -> nationOracle,
+    "xlsx_user_types" ->
+      """SELECT cast(n_nationkey AS double) AS "Numeric0", n_name AS "String1",
+                cast(n_regionkey AS double) AS "Numeric2",
+                cast(NULL AS VARCHAR) AS extra
+         FROM nation""",
+    "xlsx_force_types" ->
+      """SELECT cast(NULL AS VARCHAR) AS "Numeric0", n_name AS "String1",
+                cast(n_regionkey AS double) AS "Numeric2"
+         FROM nation""",
+    "xlsx_coerce_to_string" ->
+      """SELECT n_name AS name,
+                printf('%.6f', cast(n_nationkey AS double)) AS key,
+                CASE WHEN n_nationkey % 2 = 0 THEN 'TRUE' ELSE 'FALSE' END AS flag,
+                strftime(DATE '2020-01-01' + CAST(n_nationkey AS INT), '%Y-%m-%d') AS d
+         FROM nation""",
+    "xlsx_nulls" ->
+      """SELECT n_name AS name,
+                CASE WHEN n_nationkey % 3 = 1 THEN NULL
+                     ELSE cast(n_nationkey AS double) END AS val
+         FROM nation""",
+    "xlsx_dates" ->
+      """SELECT strftime(DATE '1960-01-01' + CAST(n_nationkey * 100 AS INT), '%Y-%m-%d') AS d_str
+         FROM nation""",
+    "xlsx_multifile" -> nationOracle,
+    "xlsx_write_roundtrip" ->
+      """SELECT cast(c_custkey AS double) AS c_custkey, c_name,
+                cast(c_nationkey AS double) AS c_nationkey,
+                c_acctbal, c_mktsegment
+         FROM customer"""
+  )
+}
