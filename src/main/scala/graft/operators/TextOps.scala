@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY.md §2.3
+  * #43-46). All are pure Column expressions over builtins (codegen'd,
+  * no per-row UDFs), so they scale as plain projections: no shuffle, full
+  * pushdown, and they compose with any upstream filter.
+  */
+object TextOps {
+
+  /** Non-whitespace runs — the whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    regexp_count(text, lit("\\S+")).cast("long")
+
+  /** BPE-ish pre-tokenization: alphanumeric runs and single non-space
+    * punctuation marks each count as one token (the usual byte-pair corpus
+    * accounting shape). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_ ]")).cast("long")
+
+  /** doc_id + token counts. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      wsTokenCount(col("text")).as("ws_tokens"),
+      bpeTokenCount(col("text")).as("bpe_tokens"))
+
+  /** Quality-score ratios: length, punctuation density, digit density,
+    * stopword density — the standard cheap filters before expensive model
+    * scoring. */
+  def quality(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text")).cast("long")
+    val nTokens = wsTokenCount(col("text"))
+    val puncts = regexp_count(col("text"), lit("[.,;:!?]")).cast("long")
+    val digits = regexp_count(col("text"), lit("[0-9]")).cast("long")
+    val stops = regexp_count(lower(col("text")),
+      lit("\\b(the|a|of|and|to|in|is|it)\\b")).cast("long")
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      (puncts.cast("double") / nChars.cast("double")).as("punct_ratio"),
+      (digits.cast("double") / nChars.cast("double")).as("digit_ratio"),
+      (stops.cast("double") / greatest(nTokens, lit(1L)).cast("double")).as("stop_ratio"))
+  }
+
+  /** Stopword lexicons for the n-gram/stopword language-ID heuristic. */
+  private val lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "ich", "auf"),
+    "fr" -> Seq("le", "les", "et", "est", "pas", "pour", "que", "une", "dans", "je"),
+    "es" -> Seq("el", "los", "de", "que", "y", "en", "un", "es", "por", "con"))
+
+  /** Score for one language: count of tokens present in its lexicon. */
+  private def langScore(toks: Column, lex: Seq[String]): Column = {
+    val lexArr = array(lex.map(lit): _*)
+    size(filter(toks, t => array_contains(lexArr, t))).cast("long")
+  }
+
+  /** Language ID: argmax of per-language stopword hit counts (deterministic
+    * tie-break in lexicon order; no hits at all → "und" = undetermined).
+    * A pure projection — language-ID over 100 TB is a map-only pass.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), "[^a-zA-Zäöüßéèêàâçñáíóú']+")
+    val scored = docs.select(
+      (Seq(col("doc_id"), col("text")) ++
+        lexicons.map { case (l, lex) => langScore(toks, lex).as(s"score_$l") }): _*)
+    val best = greatest(lexicons.map { case (l, _) => col(s"score_$l") }: _*)
+    // first-match-wins in lexicon order (en before de before fr before es)
+    val pred = lexicons.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.select(col("doc_id"), pred.as("lang_pred"))
+  }
+
+  /** 64-bit document fingerprint via the native rolling-hash expression. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      GraftFunctions.rolling_hash(col("text")).as("fp"))
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operator surface (SURVEY.md §2.3 #36-49): dedup,
+  * similarity search, text analysis, multimodal plumbing, streaming
+  * batch-equivalents. SQL-expressible operators carry a DuckDB oracle;
+  * hash/LSH-based ones (xxhash64 has no DuckDB twin) are rows-only here and
+  * get semantic-property specs in src/test instead.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.3 #36 exact dedup by content hash
+    "dd_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+
+    // §2.3 #37 n-gram Jaccard near-dup pairs
+    "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), 0.6)),
+
+    // §2.3 #38 MinHash+LSH banded near-dup (rows-only + spec)
+    "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
+
+    // §2.3 #39 SimHash near-dup (rows-only + spec)
+    "dd_simhash" -> ((s, dir) => Dedup.simhashNearDup(docs(s, dir))),
+
+    // §2.3 #40 embedding cosine near-dup (rows-only + spec). The synthetic
+    // embeddings top out near cosine 0.51, so the "near" threshold here is
+    // 0.4 with 4-bit buckets; the spec plants true >0.99 near-dups and
+    // asserts recall at the production threshold.
+    "dd_embed_neardup" -> ((s, dir) =>
+      Dedup.embedNearDup(emb(s, dir), threshold = 0.4, nBits = 4)),
+
+    // §2.3 #41 brute-force cosine top-k (rows-only + spec)
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKBruteForce(e, e.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    // §2.3 #42 LSH-bucketed ANN (rows-only + recall spec)
+    "sim_topk_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKLsh(e, e.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    // §2.3 #43 language ID (rows-only + accuracy spec on planted texts)
+    "txt_langid" -> ((s, dir) => TextOps.langId(docs(s, dir))),
+
+    // §2.3 #44 quality scoring
+    "txt_quality" -> ((s, dir) => TextOps.quality(docs(s, dir))),
+
+    // §2.3 #45 token counting
+    "txt_tokens" -> ((s, dir) => TextOps.tokens(docs(s, dir))),
+
+    // §2.3 #46 rolling-hash fingerprint (native expression; rows-only + spec)
+    "txt_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
+
+    // §2.3 #47 multimodal decode plumbing (stub codec; rows-only + spec)
+    "mm_decode_meta" -> ((s, dir) => Multimodal.decodeMeta(s, docs(s, dir))),
+
+    // §2.3 #48 windowed aggregation (batch face; streaming face in specs)
+    "st_window_agg" -> ((s, dir) =>
+      EventStreams.windowAgg(Tables.load(s, dir, "events"))),
+
+    // §2.3 #49 sessionization (batch face; flatMapGroupsWithState in specs)
+    "st_sessionize" -> ((s, dir) =>
+      EventStreams.sessionizeBatch(Tables.load(s, dir, "events")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "dd_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
+           FROM toks),
+         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT da, db,
+                cast(i AS double) / cast(sa.sz + sb.sz - i AS double) AS j
+         FROM inter
+         JOIN szs sa ON da = sa.doc_id
+         JOIN szs sb ON db = sb.doc_id
+         WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6""",
+    "txt_quality" ->
+      """SELECT doc_id,
+                cast(length(text) AS bigint) AS n_chars,
+                cast(len(regexp_extract_all(text, '\S+')) AS bigint) AS n_tokens,
+                cast(len(regexp_extract_all(text, '[.,;:!?]')) AS double)
+                  / cast(length(text) AS double) AS punct_ratio,
+                cast(len(regexp_extract_all(text, '[0-9]')) AS double)
+                  / cast(length(text) AS double) AS digit_ratio,
+                cast(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) AS double)
+                  / cast(greatest(len(regexp_extract_all(text, '\S+')), 1) AS double) AS stop_ratio
+         FROM documents""",
+    "txt_tokens" ->
+      """SELECT doc_id,
+                cast(len(regexp_extract_all(text, '\S+')) AS bigint) AS ws_tokens,
+                cast(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]')) AS bigint) AS bpe_tokens
+         FROM documents""",
+    "st_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+                count(*) AS n_events,
+                cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
+         FROM events GROUP BY 1, 2""",
+    "st_sessionize" ->
+      """WITH e AS (
+           SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         t AS (
+           SELECT user_id, ts,
+             cast(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS bigint) AS session_id
+           FROM s)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(ts) AS session_start, max(ts) AS session_end
+         FROM t GROUP BY 1, 2"""
+  )
+}

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Streaming operators over the `events` table (SURVEY.md §2.3 #48-49).
+  *
+  * Each has two faces with identical semantics:
+  *   - a BATCH equivalent (verified against the DuckDB oracle) — windowed
+  *     aggregation == event-time tumbling window; sessionization == gap-based
+  *     window function;
+  *   - a STRUCTURED STREAMING face (readStream → transform → writeStream)
+  *     with watermarks / flatMapGroupsWithState, asserted equal to the batch
+  *     face in the specs via MemoryStream.
+  */
+object EventStreams {
+
+  val SessionGapSeconds = 1800L
+
+  // ------------------------------------------------------------------
+  // #48 windowed aggregation
+  // ------------------------------------------------------------------
+
+  /** Tumbling 1-hour event-time window + per-type counts and exact sums.
+    * Works identically on a batch DataFrame and a streaming one (pass a
+    * watermarked stream and the same code runs incrementally). */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming face of windowAgg: 10-minute watermark bounds state. */
+  def windowAggStream(events: DataFrame): DataFrame =
+    windowAgg(events.withWatermark("ts", "10 minutes"))
+
+  // ------------------------------------------------------------------
+  // #49 sessionization
+  // ------------------------------------------------------------------
+
+  /** Batch sessionization: a session breaks after a >30-minute silence per
+    * user. Window functions only — one shuffle on user_id. */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+        > SessionGapSeconds * 1000000L, 1).otherwise(0)
+    events
+      .withColumn("session_id", sum(newSession).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sessionId: Long)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      session_start: Timestamp, session_end: Timestamp)
+
+  /** Streaming face: explicit per-user state via flatMapGroupsWithState with
+    * a processing-time timeout. State is one small record per live user —
+    * the 100 TB story is state size O(active users), not O(events). */
+  def sessionizeStream(spark: SparkSession, events: Dataset[Event]): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L, 0L))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime // millis
+            if (st.n == 0L) {
+              st = SessionState(t, t, 1L, st.sessionId)
+            } else if (t - st.last > SessionGapSeconds * 1000L) {
+              out += SessionOut(userId, st.sessionId, st.n,
+                new Timestamp(st.start), new Timestamp(st.last))
+              st = SessionState(t, t, 1L, st.sessionId + 1L)
+            } else {
+              st = st.copy(last = math.max(st.last, t), n = st.n + 1L)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Flush whatever session state remains (batch-drain helper for specs). */
+  def drainOpenSessions(events: Seq[Event]): Seq[SessionOut] = {
+    events.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      var start = -1L; var last = -1L; var n = 0L; var sid = 0L
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (n == 0L) { start = t; last = t; n = 1L }
+        else if (t - last > SessionGapSeconds * 1000L) {
+          out += SessionOut(uid, sid, n, new Timestamp(start), new Timestamp(last))
+          sid += 1L; start = t; last = t; n = 1L
+        } else { last = math.max(last, t); n += 1L }
+      }
+      if (n > 0L) out += SessionOut(uid, sid, n, new Timestamp(start), new Timestamp(last))
+      out
+    }
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic-property specs for the dedup family (SURVEY.md §2.3 #36-40):
+  * planted duplicates must be found, and no operator may fall back to a
+  * cartesian pair space.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill"
+  private val corpus: DataFrame = docsDF(
+    Seq(
+      1L -> base,
+      2L -> base, // exact duplicate of 1
+      3L -> base.replace("lazy", "sleepy"), // near-dup of 1
+      4L -> "completely different content about spark shuffles and partitions and codegen",
+      5L -> "yet another unrelated document mentioning catalyst optimizer rules and pushdown",
+      6L -> base.replace("warm", "cold").replace("cat", "kitten") // near-dup
+    ))
+
+  test("exact dedup groups identical content, keeps min doc_id") {
+    val out = Dedup.exact(corpus).collect()
+    assert(out.length == 5) // 6 docs, one exact pair collapsed
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("ngram Jaccard finds planted near-dups and skips unrelated docs") {
+    val pairs = Dedup.ngramJaccard(corpus, 0.5).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L || a == 5L || b == 5L })
+  }
+
+  test("minhash LSH recall >= 0.9 vs exact ngram Jaccard, no cartesian join") {
+    val lsh = Dedup.minhashLsh(corpus, bands = 8, rowsPerBand = 4, threshold = 0.5)
+    val exact = Dedup.ngramJaccard(corpus, 0.5).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val found = lsh.collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(exact.nonEmpty)
+    val recall = found.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall; exact=$exact found=$found")
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "LSH must not plan a cartesian product")
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups within 3 bits") {
+    val out = Dedup.simhashNearDup(corpus, maxHamming = 3).collect()
+      .map(r => ((r.getAs[Long]("da"), r.getAs[Long]("db")), r.getAs[Int]("hamming").toLong))
+      .toMap
+    assert(out((1L, 2L)) == 0L)
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("embedding near-dup finds planted perturbed vectors, not random ones") {
+    val dim = 16
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(j => (((seed * 31 + j * 17) % 97) - 48).toFloat / 48f)
+    val planted = vec(1).zipWithIndex.map { case (x, j) => x + (if (j == 0) 0.01f else 0f) }
+    val emb = Seq(
+      (1L, vec(1)), (2L, planted), // planted near-dup pair (cos ~ 1)
+      (3L, vec(7)), (4L, vec(13)), (5L, vec(29)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embedNearDup(emb, threshold = 0.99, nBits = 4, dim = dim).collect()
+      .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal plumbing spec (SURVEY.md §2.3 #47): the binary+metadata
+  * schema, the mapPartitions decode hop, and determinism of the stub codec.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "hello multimodal world", "en", "src0", 22L),
+    (2L, "another longer document body here", "en", "src1", 33L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("blob table has binary payload + typed metadata struct fields") {
+    val b = Multimodal.blobs(docs)
+    assert(b.schema("payload").dataType == BinaryType)
+    assert(b.schema("format").dataType == StringType)
+    assert(b.schema("width").dataType == IntegerType)
+    val r = b.orderBy("doc_id").collect()(0)
+    assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") == "hello multimodal world")
+  }
+
+  test("decode pipeline is deterministic and partition-preserving") {
+    val in = Multimodal.blobs(docs).repartition(2)
+    val out1 = Multimodal.decodeMeta(spark, docs).orderBy("doc_id").collect()
+    val out2 = Multimodal.decodeMeta(spark, docs).orderBy("doc_id").collect()
+    assert(out1.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+    assert(out1.length == 2)
+    // checksum equals the rolling hash of the payload bytes
+    val blob = Multimodal.Blob(1L, "hello multimodal world".getBytes("UTF-8"), "fake/raw", 23, 23)
+    assert(out1(0).getAs[Long]("checksum") == Multimodal.decodeStub(blob).checksum)
+    // decode introduces no shuffle: partition count in == out
+    val decodedParts = Multimodal.decodeMeta(spark, docs).rdd.getNumPartitions
+    assert(decodedParts == docs.rdd.getNumPartitions)
+  }
+}

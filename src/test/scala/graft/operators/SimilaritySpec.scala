@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** ANN specs (SURVEY.md §2.3 #41-42): brute force must equal the naive
+  * answer exactly; LSH must reach high recall on clustered data.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 24
+  private val nClusters = 10
+  private val perCluster = 12
+
+  /** Deterministic clustered corpus: points = cluster center + small noise,
+    * so true top-k neighbors are same-cluster. */
+  private def center(c: Int): Array[Double] =
+    Array.tabulate(dim)(j => (((c * 131 + j * 37) % 101) - 50) / 50.0)
+
+  private lazy val corpusLocal: Seq[(Long, Array[Float])] =
+    (0 until nClusters).flatMap { c =>
+      (0 until perCluster).map { i =>
+        val id = (c * perCluster + i).toLong
+        val noise = Array.tabulate(dim)(j => (((id * 17 + j * 7) % 13) - 6) / 600.0)
+        id -> center(c).zip(noise).map { case (x, n) => (x + n).toFloat }
+      }
+    }
+
+  private lazy val corpus: DataFrame = corpusLocal.toDF("vec_id", "embedding")
+  private lazy val queries: DataFrame =
+    corpusLocal.filter(_._1 % perCluster == 0).toDF("vec_id", "embedding")
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def naiveTopK(k: Int): Map[Long, Seq[Long]] = {
+    val qs = corpusLocal.filter(_._1 % perCluster == 0)
+    qs.map { case (qid, qv) =>
+      qid -> corpusLocal.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosine(v, qv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+    }.toMap
+  }
+
+  test("brute-force top-k equals the naive exact answer") {
+    val k = 5
+    val got = Similarity.topKBruteForce(corpus, queries, k).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+      }
+    val want = naiveTopK(k)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (q, ids) => assert(ids == want(q), s"query $q: $ids vs ${want(q)}") }
+  }
+
+  test("LSH top-k recall >= 0.8 on clustered vectors") {
+    val k = 5
+    val want = naiveTopK(k)
+    val got = Similarity.topKLsh(corpus, queries, k, nBits = 8, dim = dim).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("vec_id")).toSet }
+    val recalls = want.map { case (q, ids) =>
+      got.getOrElse(q, Set.empty).intersect(ids.toSet).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall $mean")
+  }
+}

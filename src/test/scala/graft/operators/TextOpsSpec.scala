@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.RollingHash
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-analysis specs (SURVEY.md §2.3 #43-46). */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq((1L, "Hello, world! 42 tokens-here")).toDF("doc_id", "text")
+    val r = TextOps.tokens(df).collect()(0)
+    assert(r.getAs[Long]("ws_tokens") == 4L)
+    // Hello , world ! 42 tokens - here = 8
+    assert(r.getAs[Long]("bpe_tokens") == 8L)
+  }
+
+  test("quality ratios on a known string") {
+    val df = Seq((1L, "the cat, the hat!")).toDF("doc_id", "text")
+    val r = TextOps.quality(df).collect()(0)
+    assert(r.getAs[Long]("n_chars") == 17L)
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 2.0 / 17) < 1e-15)
+    assert(r.getAs[Double]("digit_ratio") == 0.0)
+    assert(math.abs(r.getAs[Double]("stop_ratio") - 2.0 / 4) < 1e-15)
+  }
+
+  test("language ID accuracy > 0.9 on planted real-language texts") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it is happy that you are here for tea"),
+      ("en", "this is the best of times and it is the worst of times you know"),
+      ("en", "to be or not to be that is the question for all of us"),
+      ("en", "the quick brown fox jumps over the lazy dog in the morning"),
+      ("en", "it is a truth universally acknowledged that a single man is in want"),
+      ("de", "der hund ist nicht mit der katze auf das sofa gegangen und ich auch nicht"),
+      ("de", "ich bin mit dem zug gefahren und das war ein gutes erlebnis auf der reise"),
+      ("de", "das wetter ist heute nicht gut und ich bleibe mit einem buch zu hause"),
+      ("de", "ein mann und eine frau sind nicht auf das fest gekommen ich war allein"),
+      ("de", "die sonne ist nicht zu sehen und das macht mich mit der zeit müde"),
+      ("fr", "le chat est sur la table et il ne mange pas dans la cuisine je crois"),
+      ("fr", "je ne sais pas pour quoi les enfants sont dans une salle et pas dehors"),
+      ("fr", "il est venu pour que nous puissions manger une tarte dans le jardin"),
+      ("fr", "les fleurs sont belles et je pense que le printemps est pour nous une joie"),
+      ("fr", "elle est partie dans une ville pour que le travail ne manque pas je pense"),
+      ("es", "el perro y el gato están en un jardín que es de los vecinos por la tarde"),
+      ("es", "es un día bonito y los niños están en la playa con un balón por horas"),
+      ("es", "que la vida es un sueño y los sueños sueños son es por todos conocido"),
+      ("es", "en un lugar de la mancha de cuyo nombre no quiero acordarme por ahora"),
+      ("es", "los libros que están en la mesa son de un amigo y es un placer leerlos"))
+    val df = samples.zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, t, l) }.toDF("doc_id", "text", "lang")
+    val pred = TextOps.langId(df.select("doc_id", "text"))
+    val joined = pred.join(df, "doc_id")
+      .select($"lang_pred" === $"lang").collect().map(_.getBoolean(0))
+    val acc = joined.count(identity).toDouble / joined.length
+    assert(acc > 0.9, s"langid accuracy $acc")
+  }
+
+  test("rolling-hash fingerprint: codegen output matches reference formula") {
+    def expected(s: String): Long = {
+      val bytes = s.getBytes("UTF-8")
+      var h = 1125899906842597L
+      bytes.foreach(b => h = h * 257L + (b & 0xff))
+      h
+    }
+    val df = Seq((1L, "hello world"), (2L, "hello worlD"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.fingerprint(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+    assert(out(1L) == expected("hello world"))
+    assert(out(2L) == expected("hello worlD"))
+    assert(out(1L) != out(2L))
+    assert(out(3L) == expected(""))
+    // interpreted eval path agrees with codegen
+    assert(RollingHash.hash(UTF8String.fromString("hello world")) == out(1L))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming faces of the batch-verified operators
+  * (SURVEY.md §2.3 #48-49): the streaming plan over a MemoryStream must
+  * produce exactly the batch answer on the same data.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val eventsLocal: Seq[EventStreams.Event] = Seq(
+    // user 1: two sessions (gap > 30 min between minute 20 and 70)
+    EventStreams.Event(1L, ts(0), 1L, "click", 1.0),
+    EventStreams.Event(2L, ts(10), 1L, "click", 2.0),
+    EventStreams.Event(3L, ts(20), 1L, "view", 3.0),
+    EventStreams.Event(4L, ts(70), 1L, "click", 4.0),
+    EventStreams.Event(5L, ts(80), 1L, "view", 5.0),
+    // user 2: one session spanning an hour boundary
+    EventStreams.Event(6L, ts(55), 2L, "click", 6.0),
+    EventStreams.Event(7L, ts(65), 2L, "click", 7.0))
+
+  test("streaming windowed agg equals batch windowed agg") {
+    val batch = EventStreams.windowAgg(eventsLocal.toDF())
+      .collect().map(_.toString).sorted
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.windowAggStream(mem.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(eventsLocal: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("win_out").collect().map(_.toString).sorted
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization (flatMapGroupsWithState) matches batch sessions") {
+    // batch truth
+    val batch = EventStreams.sessionizeBatch(eventsLocal.toDF())
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("n_events")))
+      .toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionizeStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(eventsLocal: _*)
+      q.processAllAvailable()
+      // Append mode emits only CLOSED sessions; drain open state via the
+      // helper and union for the complete picture.
+      val closed = spark.table("sess_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+          r.getAs[Long]("n_events"))).toSet
+      val all = EventStreams.drainOpenSessions(eventsLocal)
+        .map(s => (s.user_id, s.session_id, s.n_events)).toSet
+      assert(closed.subsetOf(all))
+      assert(all == batch)
+      // user 1's first session (3 events) must have been closed by the stream
+      assert(closed.contains((1L, 0L, 3L)))
+    } finally q.stop()
+  }
+
+  test("batch sessionization splits on >30-minute gaps") {
+    val out = EventStreams.sessionizeBatch(eventsLocal.toDF())
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 3L) // user1 session 0
+    assert(out(1).getAs[Long]("n_events") == 2L) // user1 session 1
+    assert(out(2).getAs[Long]("n_events") == 2L) // user2 session 0
+  }
+}
