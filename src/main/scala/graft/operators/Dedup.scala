@@ -17,19 +17,29 @@ object Dedup {
   // shared shingling
   // ------------------------------------------------------------------
 
-  /** Distinct word 3-gram shingles of `text`, as an array column. */
-  def shingles(text: Column): Column = {
-    val toks = split(lower(text), " +")
+  /** Distinct word 3-gram shingles from an already-materialized token-array
+    * column. IMPORTANT: `toks` must be a bound attribute (a named column
+    * from a projection), not an inline `split(...)` expression — the lambda
+    * references it 3× per shingle position, and an inline expression would
+    * be re-evaluated every time (measured: the whole-text regex split ran
+    * 3 × n_shingles times per row, dominating the near-dup operators). */
+  def shinglesFromToks(toks: Column): Column =
     when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(0), size(toks) - 3),
         i => concat_ws(" ",
           element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
-      .otherwise(array(lower(text)))
-  }
+      .otherwise(array(concat_ws(" ", toks)))
 
-  /** (doc_id, shingle) exploded — the join-side representation. */
+  /** Distinct word 3-gram shingles of `text` (convenience; see
+    * shinglesFromToks for the fast path used by the operators). */
+  def shingles(text: Column): Column = shinglesFromToks(split(lower(text), " +"))
+
+  /** (doc_id, shingle) exploded — the join-side representation. The token
+    * split is bound to a column of its own projection so it is computed
+    * once per row. */
   private def explodedShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+    docs.select(col("doc_id"), split(lower(col("text")), " +").as("__toks"))
+      .select(col("doc_id"), explode(shinglesFromToks(col("__toks"))).as("shingle"))
 
   /** Exact word-3-gram Jaccard for explicit candidate pairs (da < db) via
     * double shingle join + group — exact verification touches candidates

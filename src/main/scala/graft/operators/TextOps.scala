@@ -65,10 +65,13 @@ object TextOps {
     * A pure projection — language-ID over 100 TB is a map-only pass.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = split(lower(col("text")), "[^a-zA-Zäöüßéèêàâçñáíóú']+")
-    val scored = docs.select(
-      (Seq(col("doc_id"), col("text")) ++
-        lexicons.map { case (l, lex) => langScore(toks, lex).as(s"score_$l") }): _*)
+    // bind the split to its own projection: each lexicon score references
+    // the token array, and an inline split would be re-evaluated per score
+    val tokenized = docs.select(col("doc_id"),
+      split(lower(col("text")), "[^a-zA-Zäöüßéèêàâçñáíóú']+").as("__toks"))
+    val scored = tokenized.select(
+      (Seq(col("doc_id")) ++
+        lexicons.map { case (l, lex) => langScore(col("__toks"), lex).as(s"score_$l") }): _*)
     val best = greatest(lexicons.map { case (l, _) => col(s"score_$l") }: _*)
     // first-match-wins in lexicon order (en before de before fr before es)
     val pred = lexicons.foldRight(lit("und"): Column) { case ((l, _), acc) =>
