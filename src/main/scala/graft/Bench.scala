@@ -28,6 +28,7 @@ object Bench {
     // warmup pass (untimed)
     ordered.foreach { case (_, fn) => try runOne(fn) catch { case _: Throwable => } }
     val results = ordered.map { case (name, fn) =>
+      System.gc() // don't bill one query for its predecessors' garbage
       val t0 = System.nanoTime()
       try runOne(fn) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
