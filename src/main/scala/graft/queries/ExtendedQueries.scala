@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.AsofJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Beyond-inventory extensions (SURVEY.md §2.4): operators a production
+  * training-data pipeline needs that neither the reference's surface nor
+  * the base inventory covers — as-of join, pivot, exact percentiles,
+  * deterministic sampling, text normalization. All oracle-checked.
+  */
+object ExtendedQueries {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4 #50: as-of join (union-sort, one shuffle — no range-join blowup).
+    // Latest order (by orderdate) per user at each event's time. Orders are
+    // deduped to one per (custkey, date) so tie semantics are deterministic
+    // in both engines.
+    "q_asof_join" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val orders = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsofJoin.asof(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightSeq = "o_orderkey", rightVals = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_order"))
+    }),
+
+    // §2.4 #51: pivot (wide conditional aggregation)
+    "q_pivot" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(dec2(col("l_quantity"))).cast("double"))),
+
+    // §2.4 #52: exact percentiles (sort-based, interpolated)
+    "q_percentiles" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5D)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9D)").as("p90"))),
+
+    // §2.4 #53: deterministic content-hash sampling (the reproducible way
+    // to subsample a 100 TB corpus — no RNG state, stable across runs and
+    // engines, stratifiable by any grouping)
+    "q_sample_hash" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(substring(md5(col("text")), 1, 1).isin("0", "1", "2", "3"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))),
+
+    // §2.4 #54: text normalization (lowercase, strip punctuation, collapse
+    // whitespace) — the canonicalization step before exact dedup
+    "txt_normalize" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[.,;:!?]", ""), " +", " ")).as("norm")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2),
+         e AS (
+           SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+           FROM events)
+         SELECT e.event_id, e.user_id, o.o_orderkey AS last_order
+         FROM e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""",
+    "q_pivot" ->
+      """SELECT l_linestatus,
+                cast(sum(CASE WHEN l_returnflag = 'A'
+                     THEN cast(l_quantity AS decimal(18,2)) END) AS double) AS "A",
+                cast(sum(CASE WHEN l_returnflag = 'N'
+                     THEN cast(l_quantity AS decimal(18,2)) END) AS double) AS "N",
+                cast(sum(CASE WHEN l_returnflag = 'R'
+                     THEN cast(l_quantity AS decimal(18,2)) END) AS double) AS "R"
+         FROM lineitem GROUP BY 1""",
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_extendedprice, 0.5) AS p50,
+                quantile_cont(l_extendedprice, 0.9) AS p90
+         FROM lineitem GROUP BY 1""",
+    "q_sample_hash" ->
+      """SELECT source, count(*) AS n_sampled,
+                cast(sum(n_chars) AS bigint) AS sampled_chars
+         FROM documents
+         WHERE substr(md5(text), 1, 1) IN ('0','1','2','3')
+         GROUP BY 1""",
+    "txt_normalize" ->
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text),
+                  '[.,;:!?]', '', 'g'), ' +', ' ', 'g')) AS norm
+         FROM documents"""
+  )
+}

@@ -198,6 +198,25 @@ object XlsxQueries {
       Tables.load(s, dir, "customer")
         .write.format("xlsx").mode("overwrite").save(out)
       s.read.format("xlsx").load(out)
+    }),
+
+    // §2.4 #55: ingestion throughput — the reference's headline claim.
+    // lineitem (~600k rows at sf0.1) is written once per JVM as 8 xlsx
+    // files via the DSv2 writer and scanned back in parallel; the bench
+    // measures true multi-file xlsx scan throughput, not a toy fixture.
+    "xlsx_ingest_lineitem" -> ((s, dir) => {
+      val out = fixtureDir(dir).resolve("lineitem_xlsx").toString
+      synchronized {
+        if (!generated.contains(out)) {
+          Tables.load(s, dir, "lineitem")
+            .select("l_orderkey", "l_quantity", "l_extendedprice",
+              "l_returnflag", "l_linestatus")
+            .repartition(8)
+            .write.format("xlsx").mode("overwrite").save(out)
+          generated += out
+        }
+      }
+      s.read.format("xlsx").load(out)
     })
   )
 
@@ -241,6 +260,10 @@ object XlsxQueries {
       """SELECT strftime(DATE '1960-01-01' + CAST(n_nationkey * 100 AS INT), '%Y-%m-%d') AS d_str
          FROM nation""",
     "xlsx_multifile" -> nationOracle,
+    "xlsx_ingest_lineitem" ->
+      """SELECT cast(l_orderkey AS double) AS l_orderkey, l_quantity,
+                l_extendedprice, l_returnflag, l_linestatus
+         FROM lineitem""",
     "xlsx_write_roundtrip" ->
       """SELECT cast(c_custkey AS double) AS c_custkey, c_name,
                 cast(c_nationkey AS double) AS c_nationkey,

@@ -1,0 +1,48 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** As-of join semantics on hand-built data: most recent right row at or
+  * before the left time, per key; no match → null. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("asof picks latest right row <= left time per key; unmatched → null") {
+    val left = Seq(
+      (1L, 10L, t("2024-01-01 12:00:00")),
+      (2L, 10L, t("2024-01-03 00:00:00")),
+      (3L, 20L, t("2024-01-02 00:00:00")), // key 20 has no right rows
+      (4L, 10L, t("2024-01-01 00:00:00"))  // exactly at right row r1's time
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, t("2024-01-01 00:00:00")),
+      (200L, 10L, t("2024-01-02 00:00:00")),
+      (300L, 30L, t("2024-01-01 00:00:00"))
+    ).toDF("o_id", "o_key", "o_time")
+
+    val out = AsofJoin.asof(left, right,
+      leftKey = "user_id", rightKey = "o_key",
+      leftTime = "ts", rightTime = "o_time",
+      rightSeq = "o_id", rightVals = Seq("o_id"))
+      .select("event_id", "o_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    assert(out(1L) == 100L) // between r1 and r2 → r1
+    assert(out(2L) == 200L) // after both → r2
+    assert(out(3L) == -1L)  // no rows for key 20
+    assert(out(4L) == 100L) // equal times: right row at left time matches
+  }
+
+  test("asof is a single shuffle (window), no range-join blowup") {
+    val left = Seq((1L, 10L, t("2024-01-01 00:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, 10L, t("2024-01-01 00:00:00"))).toDF("o_id", "o_key", "o_time")
+    val plan = AsofJoin.asof(left, right, "user_id", "o_key", "ts", "o_time",
+      "o_id", Seq("o_id")).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.toLowerCase.contains("broadcastnestedloop"))
+  }
+}
