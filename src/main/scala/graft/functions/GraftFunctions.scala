@@ -47,4 +47,28 @@ object RollingHash {
 object GraftFunctions {
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+
+  private[functions] val registry: Seq[(String, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+
+  /** Make graft functions callable from `spark.sql` on an existing session
+    * (SQL parity, SURVEY §4). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    registry.foreach { case (name, info, builder) =>
+      ColumnBridge.registerFunction(spark, name, info, builder)
+    }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` — the deploy-time
+  * injection path: every session on the cluster gets graft's native SQL
+  * functions without code changes.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.registry.foreach { case (name, info, builder) =>
+      ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder))
+    }
 }
