@@ -48,11 +48,18 @@ object GraftFunctions {
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
 
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   private[functions] val registry: Seq[(String, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("rolling_hash",
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[RollingHash].getName, "rolling_hash"),
-      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)),
+    ("cosine_sim",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
 
   /** Make graft functions callable from `spark.sql` on an existing session
     * (SQL parity, SURVEY §4). */

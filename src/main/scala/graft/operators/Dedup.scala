@@ -188,14 +188,11 @@ object Dedup {
   // §2.3 #40 embedding cosine near-dup
   // ------------------------------------------------------------------
 
-  /** Cosine similarity of two double-array columns (sequential fold — the
-    * same op order on both sides of any comparison). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two double-array columns — native codegen
+    * expression (one fused loop; higher-order-function composition would
+    * drop out of whole-stage codegen on the ANN hot path). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_sim(a, b)
 
   /** Deterministic ±1 Rademacher hyperplane component for (plane i, dim j),
     * computed driver-side (splitmix64-style bit mix) — the planes become

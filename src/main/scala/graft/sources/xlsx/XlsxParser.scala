@@ -70,13 +70,21 @@ object XlsxParser {
       val out = ArrayBuffer[String]()
       foreachEntry("xl/sharedStrings.xml") { xr =>
         var inSi = false
+        var phoneticDepth = 0 // inside <rPh>/<phoneticPr>: furigana, not text
         val sb = new StringBuilder
         while (xr.hasNext) {
           xr.next() match {
             case XMLStreamConstants.START_ELEMENT if xr.getLocalName == "si" =>
               inSi = true; sb.setLength(0)
-            case XMLStreamConstants.START_ELEMENT if inSi && xr.getLocalName == "t" =>
+            case XMLStreamConstants.START_ELEMENT
+                if inSi && (xr.getLocalName == "rPh" || xr.getLocalName == "phoneticPr") =>
+              phoneticDepth += 1
+            case XMLStreamConstants.START_ELEMENT
+                if inSi && phoneticDepth == 0 && xr.getLocalName == "t" =>
               sb.append(xr.getElementText)
+            case XMLStreamConstants.END_ELEMENT
+                if inSi && (xr.getLocalName == "rPh" || xr.getLocalName == "phoneticPr") =>
+              phoneticDepth -= 1
             case XMLStreamConstants.END_ELEMENT if xr.getLocalName == "si" =>
               inSi = false; out += sb.toString
             case _ =>

@@ -67,6 +67,21 @@ class XlsxParserSpec extends AnyFunSuite {
     assert(r(2) == XCell.XString(""))
   }
 
+  test("phonetic runs (rPh furigana) are excluded from shared strings") {
+    val b = zip(
+      "xl/workbook.xml" -> workbookXml,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/sharedStrings.xml" ->
+        """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<si><r><t>東京</t></r><rPh sb="0" eb="2"><t>トウキョウ</t></rPh><phoneticPr fontId="1"/></si>
+          |</sst>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+          |<row r="1"><c r="A1" t="s"><v>0</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    assert(rows(b)(0)(0) == XCell.XString("東京"))
+  }
+
   test("bad shared-string references are error cells, not crashes") {
     val b = zip(
       "xl/workbook.xml" -> workbookXml,
