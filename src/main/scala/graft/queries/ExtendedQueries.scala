@@ -63,7 +63,29 @@ object ExtendedQueries {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           trim(regexp_replace(regexp_replace(lower(col("text")),
-            "[.,;:!?]", ""), " +", " ")).as("norm")))
+            "[.,;:!?]", ""), " +", " ")).as("norm"))),
+
+    // §2.4 #56: the whole corpus pipeline composed end-to-end — normalize,
+    // quality-filter, exact-dedup on the canonical form, deterministic
+    // subsample, per-source accounting. One map pass + one shuffle for the
+    // dedup + one for the final rollup; the shape a 100 TB pre-training
+    // cleanup job actually runs.
+    "pipeline_corpus" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val norm = docs.select(col("doc_id"), col("source"), col("n_chars"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[.,;:!?]", ""), " +", " ")).as("norm"))
+      val filtered = norm.filter(length(col("norm")) >= 50)
+      val deduped = filtered
+        .groupBy(md5(col("norm")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("source"), col("doc_id")).as("source"),
+          min_by(col("n_chars"), col("doc_id")).as("n_chars"))
+      val sampled = deduped.filter(substring(col("h"), 1, 1) < "c")
+      sampled.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -101,6 +123,22 @@ object ExtendedQueries {
       """SELECT doc_id,
                 trim(regexp_replace(regexp_replace(lower(text),
                   '[.,;:!?]', '', 'g'), ' +', ' ', 'g')) AS norm
-         FROM documents"""
+         FROM documents""",
+    "pipeline_corpus" ->
+      """WITH norm AS (
+           SELECT doc_id, source, n_chars,
+                  trim(regexp_replace(regexp_replace(lower(text),
+                    '[.,;:!?]', '', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents),
+         filt AS (SELECT * FROM norm WHERE length(norm) >= 50),
+         dedup AS (
+           SELECT md5(norm) AS h, min(doc_id) AS doc_id,
+                  arg_min(source, doc_id) AS source,
+                  arg_min(n_chars, doc_id) AS n_chars
+           FROM filt GROUP BY 1),
+         samp AS (SELECT * FROM dedup WHERE substr(h, 1, 1) < 'c')
+         SELECT source, count(*) AS n_docs,
+                cast(sum(n_chars) AS bigint) AS total_chars
+         FROM samp GROUP BY 1"""
   )
 }

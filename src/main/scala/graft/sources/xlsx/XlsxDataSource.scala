@@ -221,6 +221,10 @@ object XlsxPartitionReader {
     */
   def convert(cell: XCell, dt: DataType, coerce: Boolean): Any = (dt, cell) match {
     case (StringType, XCell.XString(s)) => UTF8String.fromString(s)
+    // user-supplied schemas (spark.read.schema(...)) may narrow numerics
+    case (LongType, XCell.XNumber(d))    => d.toLong
+    case (IntegerType, XCell.XNumber(d)) => d.toInt
+    case (FloatType, XCell.XNumber(d))   => d.toFloat
     case (StringType, XCell.XNumber(d)) if coerce =>
       // std::to_string(double): fixed 6 decimals (reference :182-221)
       UTF8String.fromString(String.format(java.util.Locale.ROOT, "%f", Double.box(d)))

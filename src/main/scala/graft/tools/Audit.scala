@@ -1,0 +1,56 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Scale-smell audit over every SparkEntry query: flags plan shapes that
+  * break at 100 TB — cartesian products, nested-loop joins, and broadcast
+  * exchanges built from SF-scaled tables (anything but nation/region).
+  * `runMain graft.tools.Audit [sfDir]`.
+  */
+object Audit {
+  private val fixedSizeTables = Set("nation", "region")
+  private val scaledTables =
+    Set("customer", "supplier", "part", "orders", "lineitem", "events",
+      "documents", "embeddings")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        // materialize so AQE settles on final join strategies
+        df.write.format("noop").mode("overwrite").save()
+        val plan = df.queryExecution.executedPlan.toString
+        val flags = scala.collection.mutable.ArrayBuffer[String]()
+        if (plan.contains("CartesianProduct")) flags += "CARTESIAN"
+        if (plan.contains("BroadcastNestedLoopJoin")) flags += "BNLJ"
+        // a broadcast subtree whose scan reads an SF-scaled parquet
+        val broadcastBlocks = plan.split("BroadcastExchange").drop(1)
+        val broadcastScaled = scaledTables.filter(t =>
+          broadcastBlocks.exists(b =>
+            b.linesIterator.take(30).exists(_.contains(s"$t.parquet"))))
+        // lineitem as broadcast is always wrong; others are AQE-sized at
+        // test SF and switch to shuffle joins at scale (no explicit hint)
+        if (broadcastScaled.nonEmpty) flags += s"bcast(${broadcastScaled.mkString(",")})"
+        // codegen stages appear as "*(n)" markers in the final plan string
+        val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
+        val exch = "Exchange".r.findAllIn(plan).size
+        println(f"$name%-24s exch=$exch%-3d codegenSpans=$wsc%-3d ${flags.mkString(" ")}")
+      } catch {
+        case e: Throwable => println(f"$name%-24s ERROR ${e.getMessage.take(80)}")
+      }
+    }
+    spark.stop()
+  }
+}

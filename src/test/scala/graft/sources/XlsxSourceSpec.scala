@@ -180,6 +180,21 @@ class XlsxSourceSpec extends SparkSpec {
     assert(rows(0).getDate(3).toLocalDate == LocalDate.of(2020, 1, 2))
   }
 
+  test("user-supplied schema narrows numeric types") {
+    val p = one(Some(Seq("name", "price")), Seq(Seq("a", 10.0), Seq("b", 20.0)))
+    val df = spark.read.format("xlsx")
+      .schema("name STRING, price BIGINT").load(p)
+    val rows = df.orderBy("name").collect()
+    assert(df.schema("price").dataType == LongType)
+    assert(rows.map(_.getLong(1)).toSeq == Seq(10L, 20L))
+  }
+
+  test("empty input path errors clearly") {
+    val dir = Files.createTempDirectory("graft_xlsx_empty_").toString
+    val e = intercept[Exception] { spark.read.format("xlsx").load(dir) }
+    assert(e.getMessage.contains("no input files"))
+  }
+
   test("multi-file directory scan unions files (beyond-reference superset)") {
     val dir = Files.createTempDirectory("graft_xlsx_multi_")
     def put(name: String, rows: Seq[Seq[Any]]): Unit = {
