@@ -85,7 +85,36 @@ object ExtendedQueries {
       sampled.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"))
-    })
+    }),
+
+    // §2.4 #57: RANGE window frame — trailing 1-hour sum per user
+    "q_window_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          sum(col("value").cast(DecimalType(18, 4))).over(w)
+            .cast("double").as("hr_sum"))
+    }),
+
+    // §2.4 #58: CUBE grouping sets
+    "q_cube" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("qty"))),
+
+    // §2.4 #59: date part extraction + arithmetic
+    "q_date_funcs" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -139,6 +168,25 @@ object ExtendedQueries {
          samp AS (SELECT * FROM dedup WHERE substr(h, 1, 1) < 'c')
          SELECT source, count(*) AS n_docs,
                 cast(sum(n_chars) AS bigint) AS total_chars
-         FROM samp GROUP BY 1"""
+         FROM samp GROUP BY 1""",
+    "q_window_range" ->
+      """SELECT event_id,
+                cast(sum(cast(value AS decimal(18,4))) OVER (
+                  PARTITION BY user_id
+                  ORDER BY epoch_us(date_trunc('microseconds', ts))
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS double) AS hr_sum
+         FROM events""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+                cast(year(o_orderdate) AS bigint) AS y,
+                cast(month(o_orderdate) AS bigint) AS m,
+                cast(day(o_orderdate) AS bigint) AS d,
+                cast(quarter(o_orderdate) AS bigint) AS q,
+                strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
+         FROM orders"""
   )
 }

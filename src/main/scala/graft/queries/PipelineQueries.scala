@@ -100,6 +100,25 @@ object PipelineQueries {
          JOIN szs sa ON da = sa.doc_id
          JOIN szs sb ON db = sb.doc_id
          WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6""",
+    "txt_langid" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split_regex(lower(text), '[^a-zäöüßéèêàâçñáíóú'']+') AS t
+           FROM documents),
+         sc AS (
+           SELECT doc_id,
+             len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x))) AS s_en,
+             len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','ich','auf'], x))) AS s_de,
+             len(list_filter(t, x -> list_contains(['le','les','et','est','pas','pour','que','une','dans','je'], x))) AS s_fr,
+             len(list_filter(t, x -> list_contains(['el','los','de','que','y','en','un','es','por','con'], x))) AS s_es
+           FROM toks)
+         SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS lang_pred
+         FROM sc""",
     "txt_quality" ->
       """SELECT doc_id,
                 cast(length(text) AS bigint) AS n_chars,
