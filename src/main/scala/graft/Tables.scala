@@ -18,8 +18,10 @@ object Tables {
     // raw long (spark.sql.legacy.parquet.nanosAsLong=true, set in
     // Verify/Bench/specs). Convert to a microsecond timestamp here so every
     // consumer sees a proper timestamp column.
+    // Floor division via pmod: `ts div 1000` truncates toward zero, which
+    // rounds pre-1970 nanos the wrong way.
     if (name == "events" && df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      df.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
     else df
   }
 
