@@ -204,7 +204,11 @@ object XlsxWriter {
       case '<' => sb.append("&lt;")
       case '>' => sb.append("&gt;")
       case '"' => sb.append("&quot;")
-      case c   => sb.append(c)
+      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' =>
+        // XML 1.0 cannot represent these control chars at all (not even as
+        // character references); U+FFFD keeps the workbook well-formed
+        sb.append('�')
+      case c => sb.append(c)
     }
     sb.toString
   }

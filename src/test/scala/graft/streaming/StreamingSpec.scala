@@ -74,6 +74,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late data once passed (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.windowAggStream(mem.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events in window 00:00, one at 02:00 → watermark 01:50
+      mem.addData(
+        EventStreams.Event(1L, ts(5), 1L, "click", 1.0),
+        EventStreams.Event(2L, ts(30), 1L, "click", 1.0),
+        EventStreams.Event(3L, ts(120), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: event 4 is LATE (00:15 < watermark) → must be dropped;
+      // event 5 advances the watermark further
+      mem.addData(
+        EventStreams.Event(4L, ts(15), 1L, "click", 100.0),
+        EventStreams.Event(5L, ts(190), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val w0 = spark.table("late_out").collect()
+        .find(_.getTimestamp(0) == ts(0))
+      assert(w0.isDefined, "window 00:00 should have finalized")
+      assert(w0.get.getAs[Long]("n_events") == 2L) // late event excluded
+      assert(w0.get.getAs[Double]("total_value") == 2.0)
+    } finally q.stop()
+  }
+
   test("batch sessionization splits on >30-minute gaps") {
     val out = EventStreams.sessionizeBatch(eventsLocal.toDF())
       .orderBy("user_id", "session_id").collect()
