@@ -114,7 +114,17 @@ object ExtendedQueries {
           month(col("o_orderdate")).cast("long").as("m"),
           dayofmonth(col("o_orderdate")).cast("long").as("d"),
           quarter(col("o_orderdate")).cast("long").as("q"),
-          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30")))
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"))),
+
+    // §2.4 #60: approximate distinct counts (HyperLogLog++) — the sketch
+    // that replaces exact countDistinct at 100 TB (mergeable, fixed-size
+    // state, no huge shuffle of distinct values). Rows-only: sketches are
+    // engine-specific; the spec bounds relative error vs the exact count.
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")))
   )
 
   def oracleSql: Map[String, String] = Map(
