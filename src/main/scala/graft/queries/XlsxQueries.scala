@@ -201,9 +201,10 @@ object XlsxQueries {
     }),
 
     // §2.4 #55: ingestion throughput — the reference's headline claim.
-    // lineitem (~600k rows at sf0.1) is written once per JVM as 8 xlsx
-    // files via the DSv2 writer and scanned back in parallel; the bench
-    // measures true multi-file xlsx scan throughput, not a toy fixture.
+    // lineitem (~600k rows at sf0.1) is written once per JVM as 32 xlsx
+    // files (one scan partition per core) via the DSv2 writer and scanned
+    // back in parallel; the bench measures true multi-file xlsx scan
+    // throughput, not a toy fixture.
     "xlsx_ingest_lineitem" -> ((s, dir) => {
       val out = fixtureDir(dir).resolve("lineitem_xlsx").toString
       synchronized {
@@ -211,7 +212,7 @@ object XlsxQueries {
           Tables.load(s, dir, "lineitem")
             .select("l_orderkey", "l_quantity", "l_extendedprice",
               "l_returnflag", "l_linestatus")
-            .repartition(8)
+            .repartition(32)
             .write.format("xlsx").mode("overwrite").save(out)
           generated += out
         }
