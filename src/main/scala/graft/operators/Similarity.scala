@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,6 +56,87 @@ object Similarity {
         transform(sequence(lit(0), lit(nBits - 1)),
           i => col("qbucket").bitwiseXOR(call_function("shiftleft", lit(1L), i))))).as("bucket"))
     val scored = corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosine(col("v"), col("qv")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the coarse-quantizer scale path
+  // ------------------------------------------------------------------
+
+  /** Deterministic spherical k-means centroids (Lloyd's, fixed iterations).
+    * Initialization picks the vectors with the smallest xxhash64(vec_id) —
+    * reproducible with no RNG state. Assignment is distributed; only the
+    * nCentroids × dim centroid table ever reaches the driver (that is the
+    * IVF contract: the index metadata is tiny, the corpus never moves).
+    */
+  def trainCentroids(
+      emb: DataFrame,
+      nCentroids: Int,
+      iters: Int = 3): Array[Array[Double]] = {
+    val corpus = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCentroids)
+      .collect().map(_.getSeq[Double](1).toArray)
+    (0 until iters).foreach { _ =>
+      val cLit = typedLit(centroids.map(_.toSeq).toSeq)
+      val assigned = corpus.withColumn("scores",
+        transform(cLit, c => Dedup.cosine(col("v"), c)))
+        .withColumn("cid",
+          (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      // per-dimension mean of each cluster, then renormalize
+      val sums = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val dim = centroids(0).length
+      val next = Array.fill(nCentroids)(Array.fill(dim)(0.0))
+      sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next.zip(centroids).map { case (c, old) =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        if (n == 0.0) old else c.map(_ / n) // empty cluster keeps its centroid
+      }
+    }
+    centroids
+  }
+
+  /** IVF ANN: assign the corpus to its nearest centroid ONCE (one map
+    * pass), then each query probes only its `nProbe` closest centroids'
+    * inverted lists — the corpus shuffle is a single int-keyed
+    * partitioning, and query cost scales with nProbe/nCentroids of the
+    * data. Exact cosine ranks within the probed lists. */
+  def topKIvf(
+      spark: SparkSession,
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val centroids = trainCentroids(emb, nCentroids)
+    val cLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val corpus = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("scores", transform(cLit, c => Dedup.cosine(col("v"), c)))
+      .withColumn("cid",
+        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      .drop("scores")
+    val probes = queries.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), x => x.cast("double")).as("qv"))
+      .withColumn("scores", transform(cLit, c => Dedup.cosine(col("qv"), c)))
+      .withColumn("cid", explode(slice(
+        // centroid ids sorted by query-to-centroid similarity, best first
+        transform(array_sort(zip_with(col("scores"),
+          sequence(lit(0), lit(nCentroids - 1)),
+          (s, i) => struct((-s).as("negs"), i.as("i")))), p => p.getField("i")),
+        1, nProbe)))
+      .select(col("query_id"), col("qv"), col("cid").cast("int").as("cid"))
+    val scored = corpus.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         Dedup.cosine(col("v"), col("qv")).as("cos"))

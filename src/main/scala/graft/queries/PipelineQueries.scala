@@ -51,6 +51,21 @@ object PipelineQueries {
       Similarity.topKLsh(e, e.filter(col("vec_id") < 8), k = 5)
     }),
 
+    // §2.4 #63 IVF ANN — coarse-quantizer scale path (rows-only + recall
+    // spec; centroid training is deterministic hash-seeded Lloyd's)
+    "sim_topk_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKIvf(s, e, e.filter(col("vec_id") < 8), k = 5,
+        nCentroids = 16, nProbe = 4)
+    }),
+
+    // §2.4 #64 streaming exact dedup (batch face here: same first-occurrence
+    // semantics as the stateful stream; flatMapGroupsWithState spec in tests)
+    "st_dedup" -> ((s, dir) =>
+      docs(s, dir).groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("h"), col("doc_id"))),
+
     // §2.3 #43 language ID (rows-only + accuracy spec on planted texts)
     "txt_langid" -> ((s, dir) => TextOps.langId(docs(s, dir))),
 
@@ -78,6 +93,9 @@ object PipelineQueries {
   def oracleSql: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "st_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS doc_id
          FROM documents GROUP BY 1""",
     "dd_ngram_jaccard" ->
       """WITH toks AS (

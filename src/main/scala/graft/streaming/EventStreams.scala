@@ -96,6 +96,36 @@ object EventStreams {
       }
   }
 
+  // ------------------------------------------------------------------
+  // streaming exact dedup
+  // ------------------------------------------------------------------
+
+  final case class Doc(doc_id: Long, text: String)
+
+  /** Streaming exact dedup: first occurrence of each content hash passes,
+    * later ones are dropped — `mapGroupsWithState`-style boolean state per
+    * distinct content. At scale the state is bounded by DISTINCT content
+    * (not stream length); production would add a state TTL via
+    * GroupStateTimeout for open-ended streams. */
+  def dedupStream(spark: SparkSession, docs: Dataset[Doc]): Dataset[Doc] = {
+    import spark.implicits._
+    docs
+      .groupByKey(d => java.security.MessageDigest.getInstance("MD5")
+        .digest(d.text.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .flatMapGroupsWithState[Boolean, Doc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[Doc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // first occurrence within the batch = smallest doc_id
+            var best: Doc = null
+            it.foreach(d => if (best == null || d.doc_id < best.doc_id) best = d)
+            Iterator(best)
+          }
+      }
+  }
+
   /** Flush whatever session state remains (batch-drain helper for specs). */
   def drainOpenSessions(events: Seq[Event]): Seq[SessionOut] = {
     events.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>

@@ -101,6 +101,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup emits only first occurrences across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.dedupStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        EventStreams.Doc(1L, "alpha"), EventStreams.Doc(2L, "beta"),
+        EventStreams.Doc(3L, "alpha")) // in-batch dup
+      q.processAllAvailable()
+      mem.addData(
+        EventStreams.Doc(4L, "beta"), // cross-batch dup
+        EventStreams.Doc(5L, "gamma"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+      assert(out == Set((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
+    } finally q.stop()
+  }
+
   test("batch sessionization splits on >30-minute gaps") {
     val out = EventStreams.sessionizeBatch(eventsLocal.toDF())
       .orderBy("user_id", "session_id").collect()
