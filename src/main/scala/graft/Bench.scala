@@ -30,12 +30,17 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       System.gc() // don't bill one query for its predecessors' garbage
       val t0 = System.nanoTime()
-      try runOne(fn) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query reports -1, not a bogus small timing
+      val t = try { runOne(fn); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -33,26 +33,33 @@ object AsofJoin {
       rightVals: Seq[String]): DataFrame = {
 
     val leftCols = left.columns.toSeq
+    // Right-side values travel as ONE struct: last(_, ignoreNulls) then
+    // skips left rows (null struct) but still attaches the most recent
+    // right ROW even when one of its value fields is genuinely NULL —
+    // per-value carrying would fall back to a stale older row's value.
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(v => right.schema(v).copy(name = v)))
     val lTagged = left.select(
       (Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
-        lit(null).cast("long").as("__seq")) ++
-        leftCols.map(col) ++
-        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(s"__r_$v"))): _*)
+        lit(null).cast("long").as("__seq"),
+        lit(null).cast(rvType).as("__rv")) ++
+        leftCols.map(col)): _*)
     val rTagged = right.select(
       (Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
-        col(rightSeq).cast("long").as("__seq")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(v => col(v).as(s"__r_$v"))): _*)
+        col(rightSeq).cast("long").as("__seq"),
+        struct(rightVals.map(col): _*).as("__rv")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"), col("__seq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = lTagged.unionByName(rTagged)
+      .withColumn("__rvlast", last(col("__rv"), ignoreNulls = true).over(w))
       .select(
         (Seq(col("__side")) ++
           leftCols.map(col) ++
-          rightVals.map(v => last(col(s"__r_$v"), ignoreNulls = true).over(w).as(v))): _*)
+          rightVals.map(v => col("__rvlast").getField(v).as(v))): _*)
 
     carried.filter(col("__side") === 1).drop("__side")
   }

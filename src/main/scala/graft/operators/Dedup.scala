@@ -177,6 +177,10 @@ object Dedup {
     * at least one identical chunk), equi-join on (chunk idx, chunk value),
     * verify exact hamming distance on candidates. */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // 4 chunks pigeonhole-guarantee candidates only up to hamming 3; a
+    // larger radius would silently lose recall
+    require(maxHamming <= 3,
+      s"simhashNearDup with 4 chunks guarantees recall only for maxHamming <= 3, got $maxHamming")
     val sh = simhashDocs(docs)
     val chunks = sh.select(col("doc_id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)),
@@ -216,6 +220,17 @@ object Dedup {
     if ((z & 1L) == 1L) 1.0 else -1.0
   }
 
+  /** Fail fast when `dim` doesn't match the data: a wrong dim null-pads
+    * the plane dot products, every bit collapses to 0, and ALL vectors
+    * land in bucket 0 — turning the bucketed join into the full n² blowup
+    * it exists to prevent. One cheap first() probe guards against that. */
+  private[operators] def validateDim(emb: DataFrame, dim: Int): Unit = {
+    val actual = emb.select(size(col("embedding"))).first().getInt(0)
+    require(actual == dim,
+      s"embedding dimension is $actual but dim=$dim was requested — " +
+        "hyperplane buckets would all collapse to 0")
+  }
+
   /** Random-hyperplane bucket signature (`nBits` sign bits) of a `dim`-dim
     * vector column. */
   def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column = {
@@ -233,6 +248,7 @@ object Dedup {
     * the corpus is shuffled once on an 8-byte key, not crossed. */
   def embedNearDup(emb: DataFrame, threshold: Double = 0.95, nBits: Int = 8,
       dim: Int = 64): DataFrame = {
+    validateDim(emb, dim)
     val v = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val bucketed = v.withColumn("bucket", hyperplaneBucket(col("v"), nBits, dim))

@@ -14,12 +14,39 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact cosine top-k for each query vector, two-stage:
-    * stage 1 (map-side): score + per-(query, input-partition) top-k via a
-    * window keyed by spark_partition_id — no data movement;
-    * stage 2: global top-k over the q·p·k survivors. Queries are a broadcast
-    * (tiny by construction). */
+  final case class Scored(query_id: Long, vec_id: Long, cos: Double)
+
+  /** Typed top-k aggregator: the buffer is a k-bounded sorted list, so the
+    * aggregation is PARTIAL on the map side (each input partition reduces
+    * to <= k rows per query before the shuffle) and the exchange moves only
+    * q × partitions × k entries. A window over spark_partition_id does NOT
+    * achieve this — the window itself shuffles every scored row first. */
+  private final class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def insert(buf: Seq[Scored], s: Scored): Seq[Scored] = {
+      if (buf.size >= k && (buf.last.cos > s.cos ||
+          (buf.last.cos == s.cos && buf.last.vec_id < s.vec_id))) buf
+      else (buf :+ s).sortBy(x => (-x.cos, x.vec_id)).take(k)
+    }
+    override def zero: Seq[Scored] = Nil
+    override def reduce(buf: Seq[Scored], s: Scored): Seq[Scored] = insert(buf, s)
+    override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+      b.foldLeft(a)(insert)
+    override def finish(buf: Seq[Scored]): Seq[Scored] =
+      buf.sortBy(x => (-x.cos, x.vec_id))
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** Exact cosine top-k for each query vector. Scoring is a map-only pass
+    * (queries broadcast); selection is the typed partial top-k aggregator
+    * above, so the only shuffle carries k-bounded buffers per (query,
+    * partition) — the corpus itself never moves. */
   def topKBruteForce(emb: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val corpus = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val q = queries.select(col("vec_id").as("query_id"),
@@ -27,15 +54,13 @@ object Similarity {
     val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         Dedup.cosine(col("v"), col("qv")).as("cos"))
-      .withColumn("pid", spark_partition_id())
-    val partial = Window.partitionBy(col("query_id"), col("pid"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    val global = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("prn", row_number().over(partial)).filter(col("prn") <= k)
-      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+      .as[Scored]
+    scored.groupByKey(_.query_id)
+      .agg(new TopKAgg(k).toColumn.name("topk"))
+      .flatMap { case (_, topk) =>
+        topk.zipWithIndex.map { case (s, i) => (s.query_id, s.vec_id, s.cos, i + 1) }
+      }
+      .toDF("query_id", "vec_id", "cos", "rank")
   }
 
   /** LSH-bucketed ANN: corpus bucketed once by random-hyperplane signature;
@@ -44,6 +69,7 @@ object Similarity {
     * Exact cosine ranks within the probed buckets. */
   def topKLsh(emb: DataFrame, queries: DataFrame, k: Int = 5, nBits: Int = 8,
       dim: Int = 64): DataFrame = {
+    Dedup.validateDim(emb, dim)
     val corpus = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("bucket", Dedup.hyperplaneBucket(col("v"), nBits, dim))

@@ -80,6 +80,16 @@ object TextOps {
     scored.select(col("doc_id"), pred.as("lang_pred"))
   }
 
+  /** Canonical text normalization (lowercase, strip punctuation, collapse
+    * whitespace) — THE single definition; `normalizeSql` below must mirror
+    * it for DuckDB oracles. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[.,;:!?]", ""), " +", " "))
+
+  /** DuckDB rendering of [[normalize]]; %s is the column. */
+  def normalizeSql(colName: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($colName), '[.,;:!?]', '', 'g'), ' +', ' ', 'g'))"
+
   /** 64-bit document fingerprint via the native rolling-hash expression. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

@@ -62,8 +62,7 @@ object ExtendedQueries {
     "txt_normalize" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          trim(regexp_replace(regexp_replace(lower(col("text")),
-            "[.,;:!?]", ""), " +", " ")).as("norm"))),
+          graft.operators.TextOps.normalize(col("text")).as("norm"))),
 
     // §2.4 #56: the whole corpus pipeline composed end-to-end — normalize,
     // quality-filter, exact-dedup on the canonical form, deterministic
@@ -73,8 +72,7 @@ object ExtendedQueries {
     "pipeline_corpus" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val norm = docs.select(col("doc_id"), col("source"), col("n_chars"),
-        trim(regexp_replace(regexp_replace(lower(col("text")),
-          "[.,;:!?]", ""), " +", " ")).as("norm"))
+        graft.operators.TextOps.normalize(col("text")).as("norm"))
       val filtered = norm.filter(length(col("norm")) >= 50)
       val deduped = filtered
         .groupBy(md5(col("norm")).as("h"))
@@ -159,15 +157,12 @@ object ExtendedQueries {
          WHERE substr(md5(text), 1, 1) IN ('0','1','2','3')
          GROUP BY 1""",
     "txt_normalize" ->
-      """SELECT doc_id,
-                trim(regexp_replace(regexp_replace(lower(text),
-                  '[.,;:!?]', '', 'g'), ' +', ' ', 'g')) AS norm
+      s"""SELECT doc_id, ${graft.operators.TextOps.normalizeSql("text")} AS norm
          FROM documents""",
     "pipeline_corpus" ->
-      """WITH norm AS (
+      s"""WITH norm AS (
            SELECT doc_id, source, n_chars,
-                  trim(regexp_replace(regexp_replace(lower(text),
-                    '[.,;:!?]', '', 'g'), ' +', ' ', 'g')) AS norm
+                  ${graft.operators.TextOps.normalizeSql("text")} AS norm
            FROM documents),
          filt AS (SELECT * FROM norm WHERE length(norm) >= 50),
          dedup AS (

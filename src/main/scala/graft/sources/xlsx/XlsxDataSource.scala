@@ -45,7 +45,8 @@ final class XlsxDataSource extends TableProvider with DataSourceRegister {
     val opts = XlsxOptions.from(options)
     // Schema from the first file only — at scale you cannot open 10^6 files
     // at planning time; files are expected to be schema-homogeneous.
-    XlsxSchema.resolve(XlsxDataSource.workbook(paths.head), opts).schema
+    XlsxSchema.resolve(
+      XlsxDataSource.workbook(paths.head, XlsxDataSource.hadoopConf()), opts).schema
   }
 
   override def getTable(
@@ -89,12 +90,29 @@ object XlsxDataSource {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
-  def workbook(path: String): XlsxParser.Workbook = {
+  /** Driver-captured hadoop conf entries, rebuilt per executor task — a
+    * bare `new Configuration()` on executors would drop every
+    * spark.hadoop.* session setting (object-store credentials etc.). */
+  final case class ConfProps(props: Array[(String, String)]) extends Serializable {
+    def toConf: Configuration = {
+      val c = new Configuration(false)
+      props.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+  }
+
+  def captureConf(): ConfProps = {
+    import scala.jdk.CollectionConverters._
+    ConfProps(hadoopConf().iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray)
+  }
+
+  def workbook(path: String, conf: Configuration): XlsxParser.Workbook = {
     // The open() thunk re-opens the stream per zip-entry family; capture
     // only the path string so the workbook is usable on executors.
     new XlsxParser.Workbook(() => {
       val p = new Path(path)
-      p.getFileSystem(new Configuration()).open(p)
+      p.getFileSystem(conf).open(p)
     })
   }
 }
@@ -148,7 +166,8 @@ final class XlsxScan(
     paths.map(p => XlsxInputPartition(p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsxPartitionReaderFactory(fullSchema, required, opts)
+    new XlsxPartitionReaderFactory(fullSchema, required, opts,
+      XlsxDataSource.captureConf())
 }
 
 final case class XlsxInputPartition(path: String) extends InputPartition
@@ -156,11 +175,12 @@ final case class XlsxInputPartition(path: String) extends InputPartition
 final class XlsxPartitionReaderFactory(
     fullSchema: StructType,
     required: StructType,
-    opts: XlsxOptions)
+    opts: XlsxOptions,
+    conf: XlsxDataSource.ConfProps)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[XlsxInputPartition]
-    new XlsxPartitionReader(p.path, fullSchema, required, opts)
+    new XlsxPartitionReader(p.path, fullSchema, required, opts, conf)
   }
 }
 
@@ -172,10 +192,11 @@ final class XlsxPartitionReader(
     path: String,
     fullSchema: StructType,
     required: StructType,
-    opts: XlsxOptions)
+    opts: XlsxOptions,
+    conf: XlsxDataSource.ConfProps)
     extends PartitionReader[InternalRow] {
 
-  private val wb = XlsxDataSource.workbook(path)
+  private val wb = XlsxDataSource.workbook(path, conf.toConf)
   private val resolved = XlsxSchema.resolve(wb, opts)
   private val sheetTarget = wb.sheetPath(opts.sheetName, opts.effectiveSheetIndex)
   // positional index of each required column in the sheet
@@ -262,16 +283,18 @@ final class XlsxBatchWrite(path: String, schema: StructType, opts: XlsxOptions, 
     val fs = p.getFileSystem(XlsxDataSource.hadoopConf())
     if (truncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    new XlsxDataWriterFactory(path, schema, opts.writeHeader)
+    new XlsxDataWriterFactory(path, schema, opts.writeHeader,
+      XlsxDataSource.captureConf())
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-final class XlsxDataWriterFactory(path: String, schema: StructType, header: Boolean)
+final class XlsxDataWriterFactory(path: String, schema: StructType, header: Boolean,
+    conf: XlsxDataSource.ConfProps)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new XlsxDataWriter(path, schema, header, partitionId, taskId)
+    new XlsxDataWriter(path, schema, header, partitionId, taskId, conf)
 }
 
 /** One .xlsx file per write task, streamed row-by-row into the zip. */
@@ -280,11 +303,12 @@ final class XlsxDataWriter(
     schema: StructType,
     header: Boolean,
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    conf: XlsxDataSource.ConfProps)
     extends DataWriter[InternalRow] {
 
   private val file = new Path(dir, f"part-$partitionId%05d-$taskId.xlsx")
-  private val fs = file.getFileSystem(new Configuration())
+  private val fs = file.getFileSystem(conf.toConf)
   private val out = fs.create(file, true)
   private val sheet = new XlsxWriter.StreamingWorkbookWriter(
     out, "Sheet1", if (header) Some(schema.fieldNames.toSeq) else None)

@@ -83,9 +83,11 @@ object XlsxSchema {
       throw new IllegalArgumentException(
         "First row must contain only strings when hasHeader is set to true")
 
+    // hasHeader honors the header even on a header-only sheet (0 data
+    // rows, all-STRING types since no data row exists to infer from);
+    // auto-detect additionally needs a non-all-string second row.
     val headerDetected =
-      (opts.hasHeader || (row1AllString && row2.nonEmpty && !allString(row2))) &&
-        row2.nonEmpty
+      opts.hasHeader || (row1AllString && row2.nonEmpty && !allString(row2))
 
     val (typeNames, names) =
       if (headerDetected) {

@@ -204,9 +204,15 @@ object XlsxWriter {
       case '<' => sb.append("&lt;")
       case '>' => sb.append("&gt;")
       case '"' => sb.append("&quot;")
-      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' =>
-        // XML 1.0 cannot represent these control chars at all (not even as
-        // character references); U+FFFD keeps the workbook well-formed
+      // \r \n \t as character references: XML parsers normalize literal
+      // \r(\n) in content to \n (and all three to spaces in attributes),
+      // which would corrupt a write/read roundtrip
+      case '\r' => sb.append("&#xD;")
+      case '\n' => sb.append("&#xA;")
+      case '\t' => sb.append("&#x9;")
+      case c if c < ' ' =>
+        // XML 1.0 cannot represent the remaining control chars at all (not
+        // even as character references); U+FFFD keeps the workbook well-formed
         sb.append('�')
       case c => sb.append(c)
     }

@@ -29,8 +29,10 @@ object Audit {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        // materialize so AQE settles on final join strategies
-        df.write.format("noop").mode("overwrite").save()
+        // execute THIS dataframe's own QueryExecution (foreach reuses it,
+        // unlike a noop write which builds a separate one) so AQE finalizes
+        // the plan we stringify
+        df.foreach(_ => ())
         val plan = df.queryExecution.executedPlan.toString
         val flags = scala.collection.mutable.ArrayBuffer[String]()
         if (plan.contains("CartesianProduct")) flags += "CARTESIAN"

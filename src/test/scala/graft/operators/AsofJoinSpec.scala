@@ -37,6 +37,18 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(4L) == 100L) // equal times: right row at left time matches
   }
 
+  test("a NULL value in the most recent right row is NOT replaced by an older row's value") {
+    val left = Seq((1L, 10L, t("2024-01-03 00:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, t("2024-01-01 00:00:00"), Some("old-note")),
+      (200L, 10L, t("2024-01-02 00:00:00"), None: Option[String])
+    ).toDF("o_id", "o_key", "o_time", "note")
+    val out = AsofJoin.asof(left, right, "user_id", "o_key", "ts", "o_time",
+      "o_id", Seq("o_id", "note")).collect()(0)
+    assert(out.getAs[Long]("o_id") == 200L) // most recent row attached...
+    assert(out.isNullAt(out.fieldIndex("note"))) // ...with its genuinely-null value
+  }
+
   test("asof is a single shuffle (window), no range-join blowup") {
     val left = Seq((1L, 10L, t("2024-01-01 00:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq((100L, 10L, t("2024-01-01 00:00:00"))).toDF("o_id", "o_key", "o_time")
