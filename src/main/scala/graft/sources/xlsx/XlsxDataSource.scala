@@ -284,17 +284,17 @@ final class XlsxBatchWrite(path: String, schema: StructType, opts: XlsxOptions, 
     if (truncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
     new XlsxDataWriterFactory(path, schema, opts.writeHeader,
-      XlsxDataSource.captureConf())
+      opts.sheetName.getOrElse("Sheet1"), XlsxDataSource.captureConf())
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 final class XlsxDataWriterFactory(path: String, schema: StructType, header: Boolean,
-    conf: XlsxDataSource.ConfProps)
+    sheetName: String, conf: XlsxDataSource.ConfProps)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new XlsxDataWriter(path, schema, header, partitionId, taskId, conf)
+    new XlsxDataWriter(path, schema, header, sheetName, partitionId, taskId, conf)
 }
 
 /** One .xlsx file per write task, streamed row-by-row into the zip. */
@@ -302,6 +302,7 @@ final class XlsxDataWriter(
     dir: String,
     schema: StructType,
     header: Boolean,
+    sheetName: String,
     partitionId: Int,
     taskId: Long,
     conf: XlsxDataSource.ConfProps)
@@ -311,7 +312,7 @@ final class XlsxDataWriter(
   private val fs = file.getFileSystem(conf.toConf)
   private val out = fs.create(file, true)
   private val sheet = new XlsxWriter.StreamingWorkbookWriter(
-    out, "Sheet1", if (header) Some(schema.fieldNames.toSeq) else None)
+    out, sheetName, if (header) Some(schema.fieldNames.toSeq) else None)
 
   override def write(record: InternalRow): Unit = {
     val vs: Seq[Any] = schema.fields.zipWithIndex.map { case (f, i) =>

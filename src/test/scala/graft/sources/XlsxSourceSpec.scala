@@ -195,6 +195,18 @@ class XlsxSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("no input files"))
   }
 
+  test("DSv2 write honors the sheetName option") {
+    val dir = Files.createTempDirectory("graft_xlsx_sheetname_").toString
+    val df = spark.createDataFrame(
+      java.util.List.of(Row("a", 1.0)),
+      StructType(Seq(StructField("s", StringType), StructField("d", DoubleType))))
+    df.repartition(1).write.format("xlsx")
+      .option("sheetName", "mydata").mode("overwrite").save(dir)
+    // readable by name proves the workbook metadata carries it
+    val back = spark.read.format("xlsx").option("sheetName", "mydata").load(dir)
+    assert(back.count() == 1)
+  }
+
   test("multi-file directory scan unions files (beyond-reference superset)") {
     val dir = Files.createTempDirectory("graft_xlsx_multi_")
     def put(name: String, rows: Seq[Seq[Any]]): Unit = {
