@@ -140,8 +140,10 @@ final class XlsxTable(
 }
 
 final class XlsxScanBuilder(fullSchema: StructType, opts: XlsxOptions, paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // Preserve fullSchema field order; Spark passes a subset.
@@ -149,25 +151,36 @@ final class XlsxScanBuilder(fullSchema: StructType, opts: XlsxOptions, paths: Se
     required = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
   }
 
-  override def build(): Scan = new XlsxScan(fullSchema, required, opts, paths)
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(XlsxFilterEval.supported(fullSchema, _))
+    // everything also stays residual: the reader's evaluation is a pure
+    // early-skip optimization, Spark still re-checks
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new XlsxScan(fullSchema, required, opts, paths, pushed)
 }
 
 final class XlsxScan(
     fullSchema: StructType,
     required: StructType,
     opts: XlsxOptions,
-    paths: Seq[String])
+    paths: Seq[String],
+    filters: Array[org.apache.spark.sql.sources.Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"xlsx scan of ${paths.size} file(s)"
+  override def description(): String =
+    s"xlsx scan of ${paths.size} file(s), PushedFilters: [${filters.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => XlsxInputPartition(p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new XlsxPartitionReaderFactory(fullSchema, required, opts,
-      XlsxDataSource.captureConf())
+      XlsxDataSource.captureConf(), filters)
 }
 
 final case class XlsxInputPartition(path: String) extends InputPartition
@@ -176,11 +189,12 @@ final class XlsxPartitionReaderFactory(
     fullSchema: StructType,
     required: StructType,
     opts: XlsxOptions,
-    conf: XlsxDataSource.ConfProps)
+    conf: XlsxDataSource.ConfProps,
+    filters: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[XlsxInputPartition]
-    new XlsxPartitionReader(p.path, fullSchema, required, opts, conf)
+    new XlsxPartitionReader(p.path, fullSchema, required, opts, conf, filters)
   }
 }
 
@@ -193,7 +207,8 @@ final class XlsxPartitionReader(
     fullSchema: StructType,
     required: StructType,
     opts: XlsxOptions,
-    conf: XlsxDataSource.ConfProps)
+    conf: XlsxDataSource.ConfProps,
+    filters: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReader[InternalRow] {
 
   private val wb = XlsxDataSource.workbook(path, conf.toConf)
@@ -202,6 +217,10 @@ final class XlsxPartitionReader(
   // positional index of each required column in the sheet
   private val colIdx: Array[Int] = required.fieldNames.map(fullSchema.fieldIndex)
   private val colTypes: Array[DataType] = required.fields.map(_.dataType)
+  // filters whose columns survive pruning can be evaluated on the row
+  private val requiredIdx: Map[String, Int] =
+    required.fieldNames.zipWithIndex.toMap
+  private val evaluable = filters.filter(_.references.forall(requiredIdx.contains))
   private val iter = {
     val it = wb.rowIterator(sheetTarget)
     var dropped = 0
@@ -210,8 +229,8 @@ final class XlsxPartitionReader(
   }
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (iter.hasNext) {
+  override def next(): Boolean = {
+    while (iter.hasNext) {
       val (rowIdx, cells) = iter.next()
       // Ragged-wide row is an error (reference: sheetreader_extension.cpp:417-422)
       if (cells.length > resolved.baseWidth)
@@ -226,9 +245,15 @@ final class XlsxPartitionReader(
         values(i) = XlsxPartitionReader.convert(cell, colTypes(i), opts.coerceToString)
         i += 1
       }
-      current = new GenericInternalRow(values)
-      true
-    } else false
+      // pushed-filter early skip: drop non-matching rows before Spark sees them
+      val get: String => Any = name => values(requiredIdx(name))
+      if (evaluable.forall(XlsxFilterEval.eval(_, get))) {
+        current = new GenericInternalRow(values)
+        return true
+      }
+    }
+    false
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit = iter.close()

@@ -8,6 +8,7 @@ import graft.SparkSpec
 import graft.sources.xlsx.XlsxWriter
 import graft.sources.xlsx.XlsxWriter.SheetSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Option-surface edge cases of the `xlsx` DSv2 source, mirroring the
@@ -152,6 +153,22 @@ class XlsxSourceSpec extends SparkSpec {
     val df = spark.read.format("xlsx").load(p)
     assert(df.schema.fields(0).dataType == DateType)
     assert(df.collect().map(_.getDate(0).toLocalDate).toSet == dates.toSet)
+  }
+
+  test("filters push into the scan (early row skip + PushedFilters in plan)") {
+    val p = one(Some(Seq("name", "price", "ok")), Seq(
+      Seq("a", 1.0, true), Seq("b", 5.0, false),
+      Seq("c", 10.0, true), Seq(null, 7.0, true)))
+    val df = spark.read.format("xlsx").load(p)
+      .filter(col("price") > 4.0 && col("name").isNotNull)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("b", "c"))
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("PushedFilters") &&
+      (scanDesc.contains("GreaterThan(price") || scanDesc.contains("price")),
+      s"expected pushed filters in scan description:\n$scanDesc")
+    // equality and string filters too
+    val eq = spark.read.format("xlsx").load(p).filter(col("name") === "c")
+    assert(eq.count() == 1)
   }
 
   test("column pruning reaches the reader (pruned schema)") {
