@@ -55,6 +55,21 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "LSH must not plan a cartesian product")
   }
 
+  test("minhash LSH output is a verified subset of exact ngram Jaccard on real corpus") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val exact = Dedup.ngramJaccard(docs, 0.6).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val lsh = Dedup.minhashLsh(docs, threshold = 0.6).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    // every LSH pair is exact-verified, so it must appear in the exact set
+    assert(lsh.subsetOf(exact), s"LSH emitted unverified pairs: ${lsh -- exact}")
+    // and on the planted near-dups, recall should be high
+    if (exact.nonEmpty) {
+      val recall = lsh.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall $recall on ${exact.size} true pairs")
+    }
+  }
+
   test("simhash: identical docs at hamming 0, near-dups within 3 bits") {
     val out = Dedup.simhashNearDup(corpus, maxHamming = 3).collect()
       .map(r => ((r.getAs[Long]("da"), r.getAs[Long]("db")), r.getAs[Int]("hamming").toLong))
