@@ -96,7 +96,11 @@ object Relational {
           sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount"))).cast("double").as("total_revenue"))
     }),
 
-    // §2.2 #28: per-group average threshold via self-aggregation (TPC-H Q17 shape).
+    // §2.2 #28: per-group average threshold via self-aggregation (TPC-H Q17
+    // shape). The hash-agg + join-back formulation is deliberate: an
+    // unbounded window over l_partkey measures the same locally but forces
+    // a full per-partition SORT of the fact table, while this shape stays
+    // hash-based end-to-end (map-side-combined agg, shuffled hash join).
     // avg comparison rewritten multiplicatively (qty*cnt*5 < sum) so both
     // engines compare exact integers — no float-avg boundary nondeterminism.
     "q17_small_qty" -> ((s, dir) => {
