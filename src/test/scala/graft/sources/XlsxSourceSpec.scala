@@ -197,6 +197,27 @@ class XlsxSourceSpec extends SparkSpec {
     assert(rows(0).getDate(3).toLocalDate == LocalDate.of(2020, 1, 2))
   }
 
+  test("snake_case option spellings (reference idiom) are accepted") {
+    val p = tmpXlsx(Seq(
+      SheetSpec("first", None, Iterator(Seq(1.0))),
+      SheetSpec("second", None, Iterator[Seq[Any]](
+        Seq("junk"), Seq("name", "price"), Seq("a", 1.0), Seq("b", 2.0)))))
+    val df = spark.read.format("xlsx")
+      .option("sheet_name", "second")
+      .option("skip_rows", "1")
+      .option("has_header", "true")
+      .load(p)
+    assert(df.schema.fieldNames.toSeq == Seq("name", "price"))
+    assert(df.count() == 2)
+    val coerced = spark.read.format("xlsx")
+      .option("sheet_index", "1")
+      .option("types", "[STRING]")
+      .option("force_types", "true")
+      .option("coerce_to_string", "true")
+      .load(p)
+    assert(coerced.collect()(0).getString(0) == "1.000000")
+  }
+
   test("user-supplied schema narrows numeric types") {
     val p = one(Some(Seq("name", "price")), Seq(Seq("a", 10.0), Seq("b", 20.0)))
     val df = spark.read.format("xlsx")
