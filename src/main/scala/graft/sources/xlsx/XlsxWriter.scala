@@ -180,9 +180,11 @@ object XlsxWriter {
     * read cycle reproduces the exact same double; integral values drop the
     * ".0" to match how spreadsheet tools store whole numbers. */
   private def fmt(d: Double): String = {
-    if (d == math.floor(d) && !d.isInfinite && math.abs(d) < 1e15) {
-      val l = d.toLong
-      l.toString
+    if (d == 0.0) {
+      // the integral fast path would drop the sign of -0.0
+      if (1 / d < 0) "-0" else "0"
+    } else if (d == math.floor(d) && !d.isInfinite && math.abs(d) < 1e15) {
+      d.toLong.toString
     } else d.toString
   }
 
