@@ -81,6 +81,14 @@ object PipelineQueries {
     // §2.3 #47 multimodal decode plumbing (stub codec; rows-only + spec)
     "mm_decode_meta" -> ((s, dir) => Multimodal.decodeMeta(s, docs(s, dir))),
 
+    // §2.4 #67 multimodal metadata stats — the SQL-expressible face of the
+    // blob table (payload size, derived pixel geometry), oracle-checked
+    "mm_meta_stats" -> ((s, dir) =>
+      Multimodal.blobs(docs(s, dir))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          (col("width").cast("long") * col("height")).as("n_pixels"))),
+
     // §2.3 #48 windowed aggregation (batch face; streaming face in specs)
     "st_window_agg" -> ((s, dir) =>
       EventStreams.windowAgg(Tables.load(s, dir, "events"))),
@@ -97,6 +105,11 @@ object PipelineQueries {
     "st_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS doc_id
          FROM documents GROUP BY 1""",
+    "mm_meta_stats" ->
+      """SELECT doc_id,
+                cast(octet_length(encode(text)) AS bigint) AS n_bytes,
+                cast((n_chars % 64 + 1) * (n_chars % 48 + 1) AS bigint) AS n_pixels
+         FROM documents""",
     "dd_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),

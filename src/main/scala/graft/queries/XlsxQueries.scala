@@ -200,6 +200,22 @@ object XlsxQueries {
       s.read.format("xlsx").load(out)
     }),
 
+    // §2.4 #66: federation — an xlsx-scanned dim joined against a parquet
+    // fact in one plan (the mixed-source query a spreadsheet-era team runs
+    // on day one of a lakehouse migration). Catalyst plans both scans;
+    // the xlsx side broadcast-joins like any other dim.
+    "xlsx_join_parquet" -> ((s, dir) => {
+      val nationXlsx = s.read.format("xlsx")
+        .load(fx(s, dir, "nation_header.xlsx"))
+      val customer = Tables.load(s, dir, "customer")
+      customer.join(nationXlsx,
+          customer("c_nationkey").cast("double") === nationXlsx("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total_acctbal"))
+    }),
+
     // §2.4 #55: ingestion throughput — the reference's headline claim.
     // lineitem (~600k rows at sf0.1) is written once per JVM as 32 xlsx
     // files (one scan partition per core) via the DSv2 writer and scanned
@@ -261,6 +277,11 @@ object XlsxQueries {
       """SELECT strftime(DATE '1960-01-01' + CAST(n_nationkey * 100 AS INT), '%Y-%m-%d') AS d_str
          FROM nation""",
     "xlsx_multifile" -> nationOracle,
+    "xlsx_join_parquet" ->
+      """SELECT n_name, count(*) AS n_customers,
+                cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS total_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1""",
     "xlsx_ingest_lineitem" ->
       """SELECT cast(l_orderkey AS double) AS l_orderkey, l_quantity,
                 l_extendedprice, l_returnflag, l_linestatus
