@@ -122,7 +122,34 @@ object ExtendedQueries {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")))
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))),
+
+    // §2.4 #68: approximate percentiles (mergeable quantile sketch) — what
+    // replaces exact sort-based percentiles at 100 TB. Rows-only: sketch
+    // internals are engine-specific; the spec bounds error vs exact.
+    "q_approx_percentile" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap90"))),
+
+    // §2.4 #69: column profiling — the QA pass a pipeline runs before
+    // training. Aggregates chosen to stay bit-exact: min/max/counts are
+    // order-independent, the mean is a decimal sum divided in double.
+    "q_profile_stats" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("price_min"),
+          max(col("l_extendedprice")).as("price_max"),
+          (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1)))
+            .as("price_mean"),
+          sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L))
+            .cast("long").as("price_nulls"),
+          min(col("l_shipdate")).as("ship_min"),
+          max(col("l_shipdate")).as("ship_max"),
+          countDistinct(col("l_returnflag")).as("flag_card")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -185,6 +212,16 @@ object ExtendedQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
                 cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_profile_stats" ->
+      """SELECT count(*) AS n_rows,
+                min(l_extendedprice) AS price_min,
+                max(l_extendedprice) AS price_max,
+                cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / count(*) AS price_mean,
+                cast(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS bigint) AS price_nulls,
+                min(l_shipdate) AS ship_min,
+                max(l_shipdate) AS ship_max,
+                count(DISTINCT l_returnflag) AS flag_card
+         FROM lineitem""",
     "q_date_funcs" ->
       """SELECT o_orderkey,
                 cast(year(o_orderdate) AS bigint) AS y,

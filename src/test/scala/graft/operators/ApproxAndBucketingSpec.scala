@@ -20,6 +20,16 @@ class ApproxAndBucketingSpec extends SparkSpec {
     assert(relErr < 0.05, s"exact=$exact approx=$approx relErr=$relErr")
   }
 
+  test("approx_percentile lands within tolerance of the exact percentile") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val exact = li.select(expr("percentile(l_extendedprice, 0.5D)"))
+      .collect()(0).getDouble(0)
+    val approx = li.select(expr("approx_percentile(l_extendedprice, 0.5, 1000)"))
+      .collect()(0).getDouble(0)
+    val relErr = math.abs(approx - exact) / exact
+    assert(relErr < 0.05, s"exact=$exact approx=$approx relErr=$relErr")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = Files.createTempDirectory("graft_bucketing_").toString
     val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
