@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines (SURVEY.md §2.3
@@ -80,18 +81,34 @@ object Dedup {
     * not n²; intersection counts fall directly out of the join's groupBy —
     * no second verification pass touches the data.
     *
+    * `maxShingleDf` drops shingles whose document frequency exceeds the cap
+    * BEFORE the self-join — the 100 TB skew lever: one boilerplate shingle
+    * shared by df documents alone generates df² candidate pairs, and real
+    * corpora always have boilerplate. The cap applies to sizes and
+    * intersections alike, so `j` is the exact Jaccard over the
+    * sub-boilerplate shingle sets (a well-defined semantic the DuckDB
+    * oracle mirrors bit-for-bit). The df window shuffles on `shingle`,
+    * the same partitioning the self-join needs, so Spark reuses the
+    * exchange — the cap costs no extra shuffle of the shingle stream.
+    * `maxShingleDf <= 0` disables the cap.
+    *
     * Measured alternatives (kept out deliberately): AllPairs-style prefix
     * filtering (order shingles globally, join only each doc's first
     * |S|-ceil(t|S|)+1) halves candidates on this corpus but pays an extra
     * per-doc sort plus an array-carrying verify join — net 1.7-4x SLOWER
     * at sf0.1 both with window-ranked and map-side-sliced prefixes. It
     * becomes the right tool when candidate volume, not per-pair work,
-    * dominates: corpora where most docs share nothing and a few stopword
-    * shingles are ultra-hot. For such skew the cheap first lever is
-    * dropping shingles with document-frequency above a cap before the
-    * join. */
-  def ngramJaccard(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
-    val sh = explodedShingles(docs)
+    * dominates; for hot-shingle skew the DF cap is the cheaper first
+    * lever. */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.6,
+      maxShingleDf: Long = 1000L): DataFrame = {
+    val all = explodedShingles(docs)
+    val sh =
+      if (maxShingleDf <= 0) all
+      else all
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+        .filter(col("__df") <= maxShingleDf)
+        .drop("__df")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("doc_id").as("da"), col("shingle"))
       .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
@@ -232,10 +249,14 @@ object Dedup {
   }
 
   /** Random-hyperplane bucket signature (`nBits` sign bits) of a `dim`-dim
-    * vector column. */
-  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column = {
+    * vector column. `table` selects an independent plane family, so t
+    * tables give t independent signatures of the same vector (banded
+    * multi-table LSH — the same recall trick as minhash bands). table=0
+    * reproduces the single-table planes. */
+  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int, table: Int = 0): Column = {
     val bits = (0 until nBits).map { i =>
-      val plane = array((0 until dim).map(j => lit(rademacherSign(i, j))): _*)
+      val plane = array((0 until dim).map(j =>
+        lit(rademacherSign(table * 10007 + i, j))): _*)
       val dot = aggregate(zip_with(vec, plane, (x, p) => x * p),
         lit(0.0), (acc, x) => acc + x)
       when(dot > 0, lit(1L << i)).otherwise(lit(0L)): Column
@@ -243,19 +264,59 @@ object Dedup {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** Embedding near-dup: bucket by hyperplane signature, exact cosine on
-    * bucket-mates only. Vectors in different buckets are never compared —
-    * the corpus is shuffled once on an 8-byte key, not crossed. */
-  def embedNearDup(emb: DataFrame, threshold: Double = 0.95, nBits: Int = 8,
-      dim: Int = 64): DataFrame = {
+  /** Bucket width that keeps expected occupancy near `targetOccupancy`
+    * as the corpus grows: nBits = ceil(log2(n / target)), clamped to
+    * [4, 24]. This is THE scale lever for hyperplane LSH — fixed nBits
+    * leaves O(n²/2^nBits) residual pair generation, which a 100× corpus
+    * growth turns into the all-pairs blowup the buckets exist to prevent.
+    * Recall lost to narrower buckets is bought back with `nTables`
+    * independent plane families (candidate if bucket-equal in ANY table),
+    * exactly like minhash banding. */
+  def nBitsFor(n: Long, targetOccupancy: Long = 1024L): Int = {
+    val raw = math.ceil(
+      math.log(math.max(n.toDouble / targetOccupancy, 1.0)) / math.log(2.0)).toInt
+    math.max(4, math.min(24, raw))
+  }
+
+  /** (vec_id, table, bucket) rows: `nTables` independent hyperplane
+    * signatures per vector, computed in ONE map-side projection (the
+    * signatures are bound to the exploded struct array, so each plane dot
+    * is evaluated once per row, not once per downstream reference). */
+  private[operators] def multiTableBuckets(
+      v: DataFrame, nBits: Int, dim: Int, nTables: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val kept = col("vec_id") +: carry.map(col)
+    v.select(kept :+ explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"),
+          hyperplaneBucket(col("v"), nBits, dim, t).as("bucket"))): _*)).as("tb"): _*)
+      .select(kept ++ Seq(col("tb.t").as("t"), col("tb.bucket").as("bucket")): _*)
+  }
+
+  /** Embedding near-dup: bucket by `nTables` banded hyperplane signatures,
+    * exact cosine on bucket-mates only. Vectors sharing no bucket in any
+    * table are never compared — the corpus is shuffled on an (int, long)
+    * key, not crossed.
+    *
+    * `nBits <= 0` (the default) derives the bucket width from the corpus
+    * count via [[nBitsFor]], so occupancy — and with it the residual
+    * within-bucket O(occupancy²) pair work — stays constant as the corpus
+    * grows. The count() is one metadata-cheap pass (parquet row counts come
+    * from footers); pass an explicit nBits to skip it. */
+  def embedNearDup(emb: DataFrame, threshold: Double = 0.95, nBits: Int = 0,
+      dim: Int = 64, nTables: Int = 4): DataFrame = {
     validateDim(emb, dim)
+    val bits = if (nBits > 0) nBits else nBitsFor(emb.count())
     val v = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val bucketed = v.withColumn("bucket", hyperplaneBucket(col("v"), nBits, dim))
-    bucketed.select(col("vec_id").as("va"), col("v").as("a"), col("bucket"))
-      .join(bucketed.select(col("vec_id").as("vb"), col("v").as("b"), col("bucket")),
-        "bucket")
+    val bucketed = multiTableBuckets(v, bits, dim, nTables)
+    val cand = bucketed.select(col("vec_id").as("va"), col("t"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("vb"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
       .filter(col("va") < col("vb"))
+      .select("va", "vb").distinct()
+    cand
+      .join(v.select(col("vec_id").as("va"), col("v").as("a")), "va")
+      .join(v.select(col("vec_id").as("vb"), col("v").as("b")), "vb")
       .select(col("va"), col("vb"), cosine(col("a"), col("b")).as("cos"))
       .filter(col("cos") >= threshold)
   }

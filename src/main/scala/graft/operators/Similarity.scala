@@ -63,28 +63,45 @@ object Similarity {
       .toDF("query_id", "vec_id", "cos", "rank")
   }
 
-  /** LSH-bucketed ANN: corpus bucketed once by random-hyperplane signature;
-    * each query probes its own bucket plus all hamming-1 neighbor buckets
-    * (multi-probe — recovers most of the recall the quantization loses).
-    * Exact cosine ranks within the probed buckets. */
-  def topKLsh(emb: DataFrame, queries: DataFrame, k: Int = 5, nBits: Int = 8,
-      dim: Int = 64): DataFrame = {
+  /** LSH-bucketed ANN: corpus bucketed once per table by banded
+    * random-hyperplane signatures; each query probes, per table, its own
+    * bucket plus all hamming-1 neighbor buckets (multi-probe). A corpus
+    * vector is scored if it shares a probed bucket in ANY table; exact
+    * cosine ranks within the probed buckets.
+    *
+    * `nBits <= 0` (default) derives bucket width from the corpus count
+    * ([[Dedup.nBitsFor]]) so bucket occupancy — the per-probe scan cost —
+    * stays constant as the corpus grows; `nTables` independent plane
+    * families hold recall up as nBits grows (the minhash-band trick). */
+  def topKLsh(emb: DataFrame, queries: DataFrame, k: Int = 5, nBits: Int = 0,
+      dim: Int = 64, nTables: Int = 2): DataFrame = {
     Dedup.validateDim(emb, dim)
-    val corpus = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("bucket", Dedup.hyperplaneBucket(col("v"), nBits, dim))
+    val bits = if (nBits > 0) nBits else Dedup.nBitsFor(emb.count())
+    // the probes side is broadcast, so carrying v through the bucket
+    // explode keeps the corpus map-side (never shuffled)
+    val corpus = Dedup.multiTableBuckets(
+      emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")),
+      bits, dim, nTables, carry = Seq("v"))
     val q = queries.select(col("vec_id").as("query_id"),
       transform(col("embedding"), x => x.cast("double")).as("qv"))
-      .withColumn("qbucket", Dedup.hyperplaneBucket(col("qv"), nBits, dim))
-    // multi-probe: own bucket + flip each of the nBits bits once
-    val probes = q.select(col("query_id"), col("qv"),
+    // per-table query signature, bound once, then exploded into the probe
+    // set: own bucket + each single-bit flip (qbucket is a bound attribute
+    // here, so the flips are cheap bitwise ops, not signature recomputes)
+    val qb = q.select(col("query_id"), col("qv"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"),
+          Dedup.hyperplaneBucket(col("qv"), bits, dim, t).as("qbucket"))): _*)).as("tb"))
+      .select(col("query_id"), col("qv"), col("tb.t").as("t"), col("tb.qbucket").as("qbucket"))
+    val probes = qb.select(col("query_id"), col("qv"), col("t"),
       explode(concat(array(col("qbucket")),
-        transform(sequence(lit(0), lit(nBits - 1)),
+        transform(sequence(lit(0), lit(bits - 1)),
           i => col("qbucket").bitwiseXOR(call_function("shiftleft", lit(1L), i))))).as("bucket"))
-    val scored = corpus.join(broadcast(probes), Seq("bucket"))
+    val scored = corpus.join(broadcast(probes), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         Dedup.cosine(col("v"), col("qv")).as("cos"))
+      .distinct() // a (query, vec) pair can collide in several tables/probes
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))

@@ -34,10 +34,12 @@ object PipelineQueries {
 
     // §2.3 #40 embedding cosine near-dup (rows-only + spec). The synthetic
     // embeddings top out near cosine 0.51, so the "near" threshold here is
-    // 0.4 with 4-bit buckets; the spec plants true >0.99 near-dups and
-    // asserts recall at the production threshold.
+    // 0.4; nBits is derived from the corpus count (constant bucket
+    // occupancy at any scale) and 4 banded plane tables hold recall up.
+    // The spec plants true >0.99 near-dups and asserts recall at the
+    // production threshold with nBits >= 12.
     "dd_embed_neardup" -> ((s, dir) =>
-      Dedup.embedNearDup(emb(s, dir), threshold = 0.4, nBits = 4)),
+      Dedup.embedNearDup(emb(s, dir), threshold = 0.4)),
 
     // §2.3 #41 brute-force cosine top-k (rows-only + spec)
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -113,13 +115,19 @@ object PipelineQueries {
     "dd_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
-         sh AS (
+         sh0 AS (
            SELECT doc_id, unnest(list_distinct(
              CASE WHEN len(t) >= 3
                THEN list_transform(generate_series(1, len(t) - 2),
                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
                ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
            FROM toks),
+         sh AS (
+           SELECT doc_id, shingle FROM (
+             SELECT doc_id, shingle,
+                    count(*) OVER (PARTITION BY shingle) AS df
+             FROM sh0)
+           WHERE df <= 1000),
          szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
          inter AS (
            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i

@@ -70,6 +70,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hot-shingle DF cap bounds candidate pairs on a boilerplate corpus") {
+    // adversarial corpus: every doc shares the same boilerplate header, so
+    // without a cap every doc pairs with every other doc (n² candidates)
+    val boiler = "this document is provided as is without warranty of any kind either express"
+    val n = 60
+    val adv = docsDF((0 until n).map { i =>
+      val unique =
+        if (i == 1) s"unique payload content item ${i - 1} alpha beta gamma delta epsilon zeta"
+        else s"unique payload content item $i alpha beta gamma delta epsilon zeta"
+      (i.toLong, s"$boiler $unique")
+    })
+    // threshold 0 surfaces EVERY candidate pair the join generates
+    val uncapped = Dedup.ngramJaccard(adv, threshold = 0.0, maxShingleDf = 0).count()
+    val capped = Dedup.ngramJaccard(adv, threshold = 0.0, maxShingleDf = 10).count()
+    assert(uncapped == n.toLong * (n - 1) / 2, s"boilerplate => all pairs, got $uncapped")
+    // with the cap the boilerplate shingles drop; only docs sharing
+    // sub-cap shingles remain candidates (docs 0/1 share their payload)
+    assert(capped < 10, s"capped candidates should collapse, got $capped")
+    val pairs = Dedup.ngramJaccard(adv, threshold = 0.5, maxShingleDf = 10).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(pairs.contains((0L, 1L)), s"planted near-dup must survive the cap: $pairs")
+  }
+
   test("simhash: identical docs at hamming 0, near-dups within 3 bits") {
     val out = Dedup.simhashNearDup(corpus, maxHamming = 3).collect()
       .map(r => ((r.getAs[Long]("da"), r.getAs[Long]("db")), r.getAs[Int]("hamming").toLong))
