@@ -190,24 +190,49 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("sh"))
   }
 
-  /** SimHash near-dup: pigeonhole on 4 16-bit chunks (hamming <= 3 implies
-    * at least one identical chunk), equi-join on (chunk idx, chunk value),
-    * verify exact hamming distance on candidates. */
-  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // 4 chunks pigeonhole-guarantee candidates only up to hamming 3; a
-    // larger radius would silently lose recall
-    require(maxHamming <= 3,
-      s"simhashNearDup with 4 chunks guarantees recall only for maxHamming <= 3, got $maxHamming")
+  /** SimHash near-dup with Manku-style multi-table block pigeonholing.
+    *
+    * The 64-bit simhash is split into `nBlocks` near-equal blocks; a pair
+    * at hamming distance <= maxHamming has its differing bits in at most
+    * maxHamming blocks, so at least m = nBlocks - maxHamming blocks are
+    * identical. One table per m-block combination (C(nBlocks, m) tables),
+    * keyed by the combination's block values, therefore catches every such
+    * pair; exact hamming on candidates filters false positives.
+    *
+    * The bucket-space scale lever: nBlocks=4, maxHamming=3 keys tables on
+    * a single 16-bit block — 4 × 65,536 buckets, quadratic within buckets
+    * at billions of docs. nBlocks=6 keys on 3-block (32-bit) combinations:
+    * 20 tables × 2^32 buckets — the within-bucket population collapses and
+    * the explode factor (20 rows/doc) is the price. The candidate sets
+    * differ across nBlocks but the verified result set is identical (the
+    * spec proves it). Table keys are xxhash64 over the block values: hash
+    * collisions can only ADD candidates (removed by the exact-hamming
+    * verify), never lose a pair. */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
+      nBlocks: Int = 4): DataFrame = {
+    require(nBlocks > maxHamming && nBlocks <= 16,
+      s"need maxHamming < nBlocks <= 16 for the pigeonhole guarantee, " +
+        s"got maxHamming=$maxHamming nBlocks=$nBlocks")
+    val m = nBlocks - maxHamming
+    // near-equal block widths covering all 64 bits
+    val widths = Array.tabulate(nBlocks)(j => 64 / nBlocks + (if (j < 64 % nBlocks) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
     val sh = simhashDocs(docs)
-    val chunks = sh.select(col("doc_id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(3)),
-        c => struct(c.as("c"),
-          call_function("shiftright", col("sh"), c * 16)
-            .bitwiseAND(0xffffL).as("cv")))).as("ch"))
-      .select(col("doc_id"), col("sh"), col("ch.c").as("c"), col("ch.cv").as("cv"))
-    chunks.select(col("doc_id").as("da"), col("sh").as("sha"), col("c"), col("cv"))
-      .join(chunks.select(col("doc_id").as("db"), col("sh").as("shb"), col("c"), col("cv")),
-        Seq("c", "cv"))
+    val blockCols = (0 until nBlocks).map { j =>
+      call_function("shiftright", col("sh"), lit(starts(j)))
+        .bitwiseAND((1L << widths(j)) - 1L).as(s"__b$j")
+    }
+    val withBlocks = sh.select(col("doc_id") +: col("sh") +: blockCols: _*)
+    val combos = (0 until nBlocks).combinations(m).toSeq
+    val keyed = withBlocks.select(col("doc_id"), col("sh"),
+      explode(array(combos.zipWithIndex.map { case (combo, ci) =>
+        struct(lit(ci).as("tbl"),
+          xxhash64(combo.map(j => col(s"__b$j")): _*).as("key"))
+      }: _*)).as("tk"))
+      .select(col("doc_id"), col("sh"), col("tk.tbl").as("tbl"), col("tk.key").as("key"))
+    keyed.select(col("doc_id").as("da"), col("sh").as("sha"), col("tbl"), col("key"))
+      .join(keyed.select(col("doc_id").as("db"), col("sh").as("shb"), col("tbl"), col("key")),
+        Seq("tbl", "key"))
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"),
         bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))

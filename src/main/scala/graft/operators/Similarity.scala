@@ -111,39 +111,61 @@ object Similarity {
   // IVF (inverted-file) ANN — the coarse-quantizer scale path
   // ------------------------------------------------------------------
 
-  /** Deterministic spherical k-means centroids (Lloyd's, fixed iterations).
-    * Initialization picks the vectors with the smallest xxhash64(vec_id) —
-    * reproducible with no RNG state. Assignment is distributed; only the
-    * nCentroids × dim centroid table ever reaches the driver (that is the
-    * IVF contract: the index metadata is tiny, the corpus never moves).
-    */
+  /** Deterministic spherical k-means centroids (Lloyd's, fixed iterations)
+    * trained on a hash-ordered SAMPLE of the corpus.
+    *
+    * The sample is the `sampleSize` vectors with the smallest
+    * xxhash64(vec_id) — a uniform, reproducible draw with no RNG state,
+    * collected with one TakeOrdered pass (map-side top-k per partition,
+    * tiny reduce). Lloyd's then iterates DRIVER-SIDE on that sample: at
+    * 100 TB the training cost is one corpus scan instead of `iters`
+    * full-corpus passes with two jobs each, and the driver holds only
+    * sampleSize × dim doubles. Centroid quality is statistically identical
+    * — k-means centroids estimated on a uniform sample converge at
+    * O(1/sqrt(sampleSize)), far below the quantization error nProbe
+    * absorbs. Initialization = first nCentroids of the sample, which is
+    * exactly the full-corpus init (same hash order). */
   def trainCentroids(
       emb: DataFrame,
       nCentroids: Int,
-      iters: Int = 3): Array[Array[Double]] = {
+      iters: Int = 3,
+      sampleSize: Int = 4096): Array[Array[Double]] = {
+    require(sampleSize >= nCentroids, s"sampleSize $sampleSize < nCentroids $nCentroids")
     val corpus = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    var centroids: Array[Array[Double]] = corpus
+    val sample: Array[Array[Double]] = corpus
       .orderBy(xxhash64(col("vec_id").cast("string")), col("vec_id"))
-      .limit(nCentroids)
+      .limit(sampleSize)
       .collect().map(_.getSeq[Double](1).toArray)
+    var centroids = sample.take(nCentroids)
+    val dim = centroids(0).length
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
     (0 until iters).foreach { _ =>
-      val cLit = typedLit(centroids.map(_.toSeq).toSeq)
-      val assigned = corpus.withColumn("scores",
-        transform(cLit, c => Dedup.cosine(col("v"), c)))
-        .withColumn("cid",
-          (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
-      // per-dimension mean of each cluster, then renormalize
-      val sums = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
-        .collect()
-      val dim = centroids(0).length
-      val next = Array.fill(nCentroids)(Array.fill(dim)(0.0))
-      sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      centroids = next.zip(centroids).map { case (c, old) =>
-        val n = math.sqrt(c.map(x => x * x).sum)
-        if (n == 0.0) old else c.map(_ / n) // empty cluster keeps its centroid
+      val sums = Array.fill(nCentroids)(Array.fill(dim)(0.0))
+      val counts = Array.fill(nCentroids)(0L)
+      sample.foreach { v =>
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < nCentroids) {
+          val s = cos(v, centroids(c))
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0L) old // empty cluster keeps its centroid
+        else {
+          val mean = sums(c).map(_ / counts(c))
+          val n = math.sqrt(mean.map(x => x * x).sum)
+          if (n == 0.0) old else mean.map(_ / n)
+        }
       }
     }
     centroids

@@ -101,6 +101,18 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("multi-table simhash yields the identical verified pair set across nBlocks") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    def pairs(nBlocks: Int): Set[(Long, Long)] =
+      Dedup.simhashNearDup(docs, maxHamming = 3, nBlocks = nBlocks).collect()
+        .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val legacy = pairs(4) // single-16-bit-block tables (the r2 shape)
+    val six = pairs(6) // 20 tables keyed on 32-bit block combinations
+    val eight = pairs(8) // 56 tables keyed on 40-bit combinations
+    assert(six == legacy, s"nBlocks=6 diverged: ${six.diff(legacy)} / ${legacy.diff(six)}")
+    assert(eight == legacy, s"nBlocks=8 diverged: ${eight.diff(legacy)} / ${legacy.diff(eight)}")
+  }
+
   test("embedding near-dup finds planted perturbed vectors, not random ones") {
     val dim = 16
     def vec(seed: Int): Array[Float] =

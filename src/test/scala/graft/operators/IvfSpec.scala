@@ -59,4 +59,37 @@ class IvfSpec extends SparkSpec {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
     assert(c1.length == 4 && c1(0).length == dim)
   }
+
+  test("training reads one bounded sample, not per-iteration corpus passes") {
+    val sc = spark.sparkContext
+    sc.setJobGroup("ivf-train-count", "counting training jobs")
+    val c = Similarity.trainCentroids(corpus, 4, iters = 3, sampleSize = 64)
+    sc.clearJobGroup()
+    // Lloyd's iterates driver-side on the sample: the only cluster work is
+    // the single TakeOrdered sample collection (the r2 version ran
+    // 1 + 2*iters full-corpus jobs here)
+    val jobs = sc.statusTracker.getJobIdsForGroup("ivf-train-count")
+    assert(jobs.length == 1, s"training ran ${jobs.length} jobs, expected 1")
+    assert(c.length == 4 && c(0).length == dim)
+  }
+
+  test("IVF recall holds when trained on a small sample") {
+    val k = 5
+    val want = corpusLocal.filter(_._1 % perCluster == 0).map { case (qid, qv) =>
+      qid -> corpusLocal.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosine(v, qv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+    }.toMap
+    val cents = Similarity.trainCentroids(corpus, 8, iters = 3, sampleSize = 48)
+    assert(cents.length == 8)
+    val got = Similarity.topKIvf(spark, corpus, queries, k, nCentroids = 8, nProbe = 2)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("vec_id")).toSet }
+    val recalls = want.map { case (q, ids) =>
+      got.getOrElse(q, Set.empty).intersect(ids).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean IVF recall $mean with sampled training")
+  }
 }
