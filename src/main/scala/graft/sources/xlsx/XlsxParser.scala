@@ -164,18 +164,33 @@ object XlsxParser {
       * PartitionReader needs (next()/get() driven from the scan), so the
       * sheet never has to be buffered in memory. Close() releases the zip
       * stream; exhausting the iterator also closes it.
+      *
+      * Hot path is the byte-level [[SheetScanner]]; workbooks with a UTF-16
+      * BOM (never produced by Excel, but legal XML) fall back to the StAX
+      * [[RowIterator]], which handles any declared encoding.
       */
-    def rowIterator(path: String): RowIterator = {
+    def rowIterator(path: String): CellRowIterator = {
       val strings = sharedStrings
       val dates = dateStyles
-      new RowIterator(openEntry(path), strings, dates)
+      openEntryStream(path) match {
+        case None => new RowIterator(None, strings, dates)
+        case Some((raw, closeAll)) =>
+          val in = new java.io.PushbackInputStream(raw, 2)
+          val b0 = in.read(); val b1 = in.read()
+          val utf16 = (b0 == 0xFE && b1 == 0xFF) || (b0 == 0xFF && b1 == 0xFE)
+          if (b1 != -1) in.unread(b1)
+          if (b0 != -1) in.unread(b0)
+          if (utf16)
+            new RowIterator(Some((xif.createXMLStreamReader(in), closeAll)), strings, dates)
+          else new SheetScanner(in, strings, dates, closeAll)
+      }
     }
 
     final class RowIterator(
         entry: Option[(XMLStreamReader, () => Unit)],
         strings: Array[String],
         dates: Array[Boolean])
-        extends Iterator[(Long, Array[XCell])] with AutoCloseable {
+        extends CellRowIterator {
       private val xr = entry.map(_._1).orNull
       private var closed = entry.isEmpty
       private var nextRow: (Long, Array[XCell]) = _
@@ -300,14 +315,20 @@ object XlsxParser {
     /** Open the zip and position an XML reader at entry `name`; the returned
       * thunk closes both the XML reader and the zip stream. None if the
       * entry does not exist. */
-    private def openEntry(name: String): Option[(XMLStreamReader, () => Unit)] = {
+    private def openEntry(name: String): Option[(XMLStreamReader, () => Unit)] =
+      openEntryStream(name).map { case (s, closeAll) =>
+        val xr = xif.createXMLStreamReader(s)
+        (xr, () => { try xr.close() finally closeAll() })
+      }
+
+    /** Open the zip and position the raw inflated byte stream at entry
+      * `name`; the thunk closes the zip stream. None if absent. */
+    private[xlsx] def openEntryStream(name: String): Option[(InputStream, () => Unit)] = {
       val in = new ZipInputStream(open())
       var e = in.getNextEntry
       while (e != null) {
-        if (e.getName == name) {
-          val xr = xif.createXMLStreamReader(new NonClosingStream(in))
-          return Some((xr, () => { try xr.close() finally in.close() }))
-        }
+        if (e.getName == name)
+          return Some((new NonClosingStream(in), () => in.close()))
         e = in.getNextEntry
       }
       in.close()

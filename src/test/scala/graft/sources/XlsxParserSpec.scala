@@ -150,4 +150,102 @@ class XlsxParserSpec extends AnyFunSuite {
     assert(r(0) == XCell.XString("inline"))
     assert(r(1) == XCell.XString("formula-result"))
   }
+
+  // ---- byte-scanner edge cases: markup shapes other producers emit --------
+
+  test("namespace-prefixed worksheet markup parses (local-name matching)") {
+    val b = zip(
+      "xl/workbook.xml" -> workbookXml,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0" encoding="UTF-8"?>
+          |<x:worksheet xmlns:x="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><x:sheetData>
+          |<x:row r="1"><x:c r="A1"><x:v>7.5</x:v></x:c><x:c r="B1" t="inlineStr"><x:is><x:t>ns</x:t></x:is></x:c></x:row>
+          |</x:sheetData></x:worksheet>""".stripMargin)
+    val r = rows(b)(0)
+    assert(r(0) == XCell.XNumber(7.5))
+    assert(r(1) == XCell.XString("ns"))
+  }
+
+  test("entities, character references and CDATA decode in cell text") {
+    val b = zip(
+      "xl/workbook.xml" -> workbookXml,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+          |<row r="1">
+          |<c r="A1" t="inlineStr"><is><t>a&amp;b &lt;x&gt; &quot;q&quot; &apos;s&apos;</t></is></c>
+          |<c r="B1" t="inlineStr"><is><t>tab&#x9;nl&#xA;eur&#8364;</t></is></c>
+          |<c r="C1" t="str"><v><![CDATA[raw <&> text]]></v></c>
+          |</row>
+          |</sheetData></worksheet>""".stripMargin)
+    val r = rows(b)(0)
+    assert(r(0) == XCell.XString("a&b <x> \"q\" 's'"))
+    assert(r(1) == XCell.XString("tab\tnl\neur€"))
+    assert(r(2) == XCell.XString("raw <&> text"))
+  }
+
+  test("formula bodies are ignored; only <v> results materialize") {
+    val b = zip(
+      "xl/workbook.xml" -> workbookXml,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+          |<row r="1"><c r="A1"><f>SUM(B1:B9)</f><v>42</v></c><c r="B1"><f aca="true">1+2</f><v>3</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    val r = rows(b)(0)
+    assert(r(0) == XCell.XNumber(42.0))
+    assert(r(1) == XCell.XNumber(3.0))
+  }
+
+  test("self-closing cells, rows and values; single-quoted and reordered attrs") {
+    val b = zip(
+      "xl/workbook.xml" -> workbookXml,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+          |<row r='1'><c s='0' r='A1'/><c t='s' r='B1'><v/></c><c r='C1'><v>1</v></c></row>
+          |<row r="2"/>
+          |<row r="3"><c r="A3"><v>2</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    val rs = rows(b)
+    assert(rs(0)(0) == XCell.XNone) // self-closed styled cell → gap
+    assert(rs(0)(1) == XCell.XError) // empty shared-string index → error → NULL
+    assert(rs(0)(2) == XCell.XNumber(1.0))
+    assert(rs(1).isEmpty) // self-closed row → zero cells
+    assert(rs(2)(0) == XCell.XNumber(2.0))
+  }
+
+  test("multi-byte UTF-8 text and comments inside sheetData survive") {
+    val b = zip(
+      "xl/workbook.xml" -> workbookXml,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+          |<!-- row comment -->
+          |<row r="1"><c r="A1" t="inlineStr"><is><t>日本語テキスト🎉</t></is></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    assert(rows(b)(0)(0) == XCell.XString("日本語テキスト🎉"))
+  }
+
+  test("UTF-16 encoded worksheet falls back to the StAX reader") {
+    val sheetUtf16 =
+      """<?xml version="1.0" encoding="UTF-16"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1"><v>9.25</v></c><c r="B1" t="inlineStr"><is><t>wide</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos, StandardCharsets.UTF_8)
+    Seq("xl/workbook.xml" -> workbookXml.getBytes(StandardCharsets.UTF_8),
+        "xl/_rels/workbook.xml.rels" -> relsXml.getBytes(StandardCharsets.UTF_8),
+        // UTF_16 charset emits the BOM that routes to the fallback
+        "xl/worksheets/sheet1.xml" -> sheetUtf16.getBytes(StandardCharsets.UTF_16))
+      .foreach { case (name, content) =>
+        z.putNextEntry(new ZipEntry(name)); z.write(content); z.closeEntry()
+      }
+    z.close()
+    val r = rows(bos.toByteArray)(0)
+    assert(r(0) == XCell.XNumber(9.25))
+    assert(r(1) == XCell.XString("wide"))
+  }
 }
