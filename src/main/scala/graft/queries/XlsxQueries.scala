@@ -70,6 +70,11 @@ object XlsxQueries {
       SheetSpec("region", Some(Seq("r_regionkey", "r_name")),
         region.iterator.map { case (k, n) => Seq[Any](k.toDouble, n) }),
       SheetSpec("nation", nationHeader, nationRows)))
+    writeFile(dir.resolve("nation_sheets.xlsx"), Seq(
+      SheetSpec("A", nationHeader,
+        nationRows.filter(r => r(0).asInstanceOf[Double] < 13.0)),
+      SheetSpec("B", nationHeader,
+        nationRows.filter(r => r(0).asInstanceOf[Double] >= 13.0))))
     writeFile(dir.resolve("region_strings.xlsx"),
       Seq(SheetSpec("region", Some(Seq("r_name")),
         region.iterator.map { case (_, n) => Seq[Any](n: Any) })))
@@ -135,6 +140,12 @@ object XlsxQueries {
     "xlsx_sheet_name" -> ((s, dir) =>
       s.read.format("xlsx").option("sheetName", "nation")
         .load(fx(s, dir, "two_sheets.xlsx"))),
+
+    // §2.4: allSheets fan-out — one scan partition per (file, sheet), the
+    // sheet surfaced as a `_sheet_name` column (SURVEY §4's partition shape)
+    "xlsx_all_sheets" -> ((s, dir) =>
+      s.read.format("xlsx").option("allSheets", "true")
+        .load(fx(s, dir, "nation_sheets.xlsx"))),
 
     // §2.1 #5: hasHeader forces a header the auto-detector would reject
     // (rows 1 AND 2 are all-string)
@@ -243,6 +254,11 @@ object XlsxQueries {
     "xlsx_sheet_index" -> nationOracle,
     "xlsx_sheet_name" -> nationOracle,
     "xlsx_has_header" -> "SELECT r_name FROM region",
+    "xlsx_all_sheets" ->
+      """SELECT cast(n_nationkey AS double) AS n_nationkey, n_name,
+                cast(n_regionkey AS double) AS n_regionkey,
+                CASE WHEN n_nationkey < 13 THEN 'A' ELSE 'B' END AS _sheet_name
+         FROM nation""",
     "xlsx_generated_names" ->
       """SELECT cast(n_nationkey AS double) AS "Numeric0", n_name AS "String1",
                 cast(n_regionkey AS double) AS "Numeric2"

@@ -45,8 +45,12 @@ final class XlsxDataSource extends TableProvider with DataSourceRegister {
     val opts = XlsxOptions.from(options)
     // Schema from the first file only — at scale you cannot open 10^6 files
     // at planning time; files are expected to be schema-homogeneous.
-    XlsxSchema.resolve(
+    val base = XlsxSchema.resolve(
       XlsxDataSource.workbook(paths.head, XlsxDataSource.hadoopConf()), opts).schema
+    if (opts.allSheets)
+      StructType(base.fields :+
+        StructField(XlsxDataSource.SheetNameCol, StringType, nullable = false))
+    else base
   }
 
   override def getTable(
@@ -59,6 +63,9 @@ final class XlsxDataSource extends TableProvider with DataSourceRegister {
 }
 
 object XlsxDataSource {
+  /** Name of the per-row sheet column the allSheets scan appends. */
+  val SheetNameCol = "_sheet_name"
+
   /** All concrete .xlsx file paths for the scan: each entry may be a file, a
     * directory (expanded non-recursively to its *.xlsx members) or a glob. */
   def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
@@ -127,10 +134,11 @@ final class XlsxTable(
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE).asJava
+        TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(caseInsensitiveStringMap: CaseInsensitiveStringMap): ScanBuilder =
-    new XlsxScanBuilder(schema, opts, XlsxDataSource.resolvePaths(caseInsensitiveStringMap))
+    new XlsxScanBuilder(schema, opts,
+      XlsxDataSource.resolvePaths(caseInsensitiveStringMap), caseInsensitiveStringMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new XlsxWriteBuilder(
@@ -139,7 +147,8 @@ final class XlsxTable(
       info.schema(), opts)
 }
 
-final class XlsxScanBuilder(fullSchema: StructType, opts: XlsxOptions, paths: Seq[String])
+final class XlsxScanBuilder(fullSchema: StructType, opts: XlsxOptions, paths: Seq[String],
+    options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = fullSchema
@@ -160,7 +169,8 @@ final class XlsxScanBuilder(fullSchema: StructType, opts: XlsxOptions, paths: Se
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def build(): Scan = new XlsxScan(fullSchema, required, opts, paths, pushed)
+  override def build(): Scan =
+    new XlsxScan(fullSchema, required, opts, paths, pushed, options)
 }
 
 final class XlsxScan(
@@ -168,7 +178,8 @@ final class XlsxScan(
     required: StructType,
     opts: XlsxOptions,
     paths: Seq[String],
-    filters: Array[org.apache.spark.sql.sources.Filter])
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    options: CaseInsensitiveStringMap)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -176,14 +187,56 @@ final class XlsxScan(
     s"xlsx scan of ${paths.size} file(s), PushedFilters: [${filters.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => XlsxInputPartition(p): InputPartition).toArray
+    XlsxScan.partitionsFor(paths, opts)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new XlsxPartitionReaderFactory(fullSchema, required, opts,
       XlsxDataSource.captureConf(), filters)
+
+  /** Streaming face: the same scan over files arriving in a directory —
+    * each micro-batch is the set of not-yet-seen files (one partition per
+    * file, or per (file, sheet) under allSheets), the arrival pattern of a
+    * spreadsheet drop-box. */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new XlsxMicroBatchStream(fullSchema, required, opts, options, filters,
+      checkpointLocation)
 }
 
-final case class XlsxInputPartition(path: String) extends InputPartition
+object XlsxScan {
+  /** Partitions for a concrete file list: one per file, or — under
+    * allSheets — one per (file, sheet). Sheet enumeration needs each
+    * file's workbook.xml, so it is a driver-side metadata read done on a
+    * bounded pool, the same planning-time cost class as parquet footer
+    * reads. (At extreme file counts enumeration itself could be made a
+    * distributed job; partition-per-sheet is the win here: a few huge
+    * multi-sheet workbooks still fan out across the cluster.) */
+  def partitionsFor(paths: Seq[String], opts: XlsxOptions): Array[InputPartition] =
+    if (!opts.allSheets)
+      paths.map(p => XlsxInputPartition(p): InputPartition).toArray
+    else {
+      val conf = XlsxDataSource.captureConf()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(16, paths.size)))
+      try {
+        val futures = paths.map { p =>
+          pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
+            override def call(): Seq[InputPartition] = {
+              val wb = XlsxDataSource.workbook(p, conf.toConf)
+              wb.sheets.map(si =>
+                XlsxInputPartition(p, Some(SheetRef(si.name, si.target))): InputPartition)
+            }
+          })
+        }
+        futures.flatMap(_.get()).toArray
+      } finally pool.shutdown()
+    }
+}
+
+/** A specific worksheet inside one file (allSheets fan-out unit). */
+final case class SheetRef(name: String, target: String)
+
+final case class XlsxInputPartition(path: String, sheet: Option[SheetRef] = None)
+    extends InputPartition
 
 final class XlsxPartitionReaderFactory(
     fullSchema: StructType,
@@ -194,7 +247,7 @@ final class XlsxPartitionReaderFactory(
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[XlsxInputPartition]
-    new XlsxPartitionReader(p.path, fullSchema, required, opts, conf, filters)
+    new XlsxPartitionReader(p.path, p.sheet, fullSchema, required, opts, conf, filters)
   }
 }
 
@@ -204,6 +257,7 @@ final class XlsxPartitionReaderFactory(
   */
 final class XlsxPartitionReader(
     path: String,
+    sheet: Option[SheetRef],
     fullSchema: StructType,
     required: StructType,
     opts: XlsxOptions,
@@ -212,10 +266,17 @@ final class XlsxPartitionReader(
     extends PartitionReader[InternalRow] {
 
   private val wb = XlsxDataSource.workbook(path, conf.toConf)
-  private val resolved = XlsxSchema.resolve(wb, opts)
-  private val sheetTarget = wb.sheetPath(opts.sheetName, opts.effectiveSheetIndex)
-  // positional index of each required column in the sheet
-  private val colIdx: Array[Int] = required.fieldNames.map(fullSchema.fieldIndex)
+  private val resolved = XlsxSchema.resolve(wb, opts, sheet.map(_.target))
+  private val sheetTarget = sheet.map(_.target).getOrElse(
+    wb.sheetPath(opts.sheetName, opts.effectiveSheetIndex))
+  private val sheetNameValue: UTF8String =
+    UTF8String.fromString(sheet.map(_.name).getOrElse(""))
+  // positional index of each required column in the sheet; -1 marks the
+  // allSheets metadata column, which has no sheet position
+  private val colIdx: Array[Int] = required.fieldNames.map { n =>
+    if (opts.allSheets && n == XlsxDataSource.SheetNameCol) -1
+    else fullSchema.fieldIndex(n)
+  }
   private val colTypes: Array[DataType] = required.fields.map(_.dataType)
   // filters whose columns survive pruning can be evaluated on the row
   private val requiredIdx: Map[String, Int] =
@@ -241,8 +302,12 @@ final class XlsxPartitionReader(
       var i = 0
       while (i < colIdx.length) {
         val c = colIdx(i)
-        val cell: XCell = if (c < cells.length) cells(c) else XCell.XNone
-        values(i) = XlsxPartitionReader.convert(cell, colTypes(i), opts.coerceToString)
+        values(i) =
+          if (c < 0) sheetNameValue
+          else {
+            val cell: XCell = if (c < cells.length) cells(c) else XCell.XNone
+            XlsxPartitionReader.convert(cell, colTypes(i), opts.coerceToString)
+          }
         i += 1
       }
       // pushed-filter early skip: drop non-matching rows before Spark sees them

@@ -19,7 +19,11 @@ final case class XlsxOptions(
     userTypes: Option[Seq[String]],
     forceTypes: Boolean,
     coerceToString: Boolean,
-    writeHeader: Boolean)
+    writeHeader: Boolean,
+    /** Scan every sheet of every file — one partition per (file, sheet) —
+      * and expose the sheet as a `_sheet_name` column (beyond the
+      * reference, which is single-sheet). */
+    allSheets: Boolean = false)
     extends Serializable {
 
   /** 1-based index to use when sheetName is absent (reference default 1). */
@@ -41,6 +45,10 @@ object XlsxOptions {
     if (sheetName.isDefined && sheetIndex.isDefined)
       throw new IllegalArgumentException(
         "Sheet index & sheet name cannot be set at the same time.")
+    val allSheets = bool("allSheets", "all_sheets")
+    if (allSheets && (sheetName.isDefined || sheetIndex.isDefined))
+      throw new IllegalArgumentException(
+        "allSheets cannot be combined with sheet name or sheet index.")
 
     val userTypes = str("types").map { raw =>
       // "[DOUBLE,STRING,...]" or "DOUBLE,STRING,..."
@@ -62,6 +70,7 @@ object XlsxOptions {
       userTypes = userTypes,
       forceTypes = bool("forceTypes", "force_types"),
       coerceToString = bool("coerceToString", "coerce_to_string"),
-      writeHeader = str("header").forall(_.trim.equalsIgnoreCase("true")))
+      writeHeader = str("header").forall(_.trim.equalsIgnoreCase("true")),
+      allSheets = allSheets)
   }
 }

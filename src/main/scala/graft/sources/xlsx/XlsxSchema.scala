@@ -60,9 +60,13 @@ object XlsxSchema {
 
   /** Probe the first two post-skip rows of the target sheet and resolve the
     * schema per the reference's rules. Opens the workbook stream once.
+    * `targetOverride` points at a specific worksheet part (the allSheets
+    * fan-out resolves each sheet's own header/types).
     */
-  def resolve(wb: XlsxParser.Workbook, opts: XlsxOptions): Resolved = {
-    val path = wb.sheetPath(opts.sheetName, opts.effectiveSheetIndex)
+  def resolve(wb: XlsxParser.Workbook, opts: XlsxOptions,
+              targetOverride: Option[String] = None): Resolved = {
+    val path = targetOverride.getOrElse(
+      wb.sheetPath(opts.sheetName, opts.effectiveSheetIndex))
     val probe = ArrayBuffer[Array[XCell]]()
     var seen = 0
     wb.foreachRow(path, (_, cells) => {

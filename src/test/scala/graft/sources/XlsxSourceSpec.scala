@@ -26,6 +26,32 @@ class XlsxSourceSpec extends SparkSpec {
   private def one(header: Option[Seq[String]], rows: Seq[Seq[Any]]): String =
     tmpXlsx(Seq(SheetSpec("Sheet1", header, rows.iterator)))
 
+  test("allSheets fans out one partition per (file, sheet) with _sheet_name") {
+    val h = Some(Seq("k", "v"))
+    val p = tmpXlsx(Seq(
+      SheetSpec("alpha", h, Seq(Seq[Any]("a", 1.0), Seq[Any]("b", 2.0)).iterator),
+      SheetSpec("beta", h, Seq(Seq[Any]("c", 3.0)).iterator)))
+    val df = spark.read.format("xlsx").option("allSheets", "true").load(p)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "v", "_sheet_name"))
+    assert(df.rdd.getNumPartitions == 2) // one per sheet
+    val rows = df.collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2))).sorted
+    assert(rows.toSeq == Seq(("a", 1.0, "alpha"), ("b", 2.0, "alpha"), ("c", 3.0, "beta")))
+    // pruning down to the metadata column alone still works
+    assert(df.select("_sheet_name").distinct().collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("alpha", "beta"))
+    // and filtering on it prunes to one sheet's rows
+    assert(df.filter(col("_sheet_name") === "beta").count() == 1)
+  }
+
+  test("allSheets conflicts with sheetName/sheetIndex") {
+    val p = one(Some(Seq("k", "v")), Seq(Seq("a", 1.0)))
+    val e = intercept[Exception] {
+      spark.read.format("xlsx").option("allSheets", "true")
+        .option("sheetName", "Sheet1").load(p).collect()
+    }
+    assert(e.getMessage.contains("allSheets"))
+  }
+
   test("roundtrip: header + mixed types, header auto-detected") {
     val p = one(Some(Seq("name", "price", "ok")), Seq(
       Seq("a", 1.5, true),
