@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Whole-schema column profiler — the QA pass a pipeline runs before
+  * training (null rates, ranges, sums/means) for EVERY column of a table in
+  * ONE job.
+  *
+  * Scale shape: a single hash aggregate with map-side partial merge — the
+  * per-column stats are all algebraic (min/max/sum/count), so executors
+  * reduce 100 TB to one row of fixed width and the driver never sees data.
+  * Deliberately NO exact per-column distinct counts: that would put an
+  * Expand (one row copy per column) under the aggregate; cardinality at
+  * scale is `q_approx_distinct`'s HLL++ sketch instead.
+  *
+  * Output: one row per column — (col_name, n_nulls, n_notnull, min_num,
+  * max_num, sum_num, mean_num, min_str, max_str). Numeric columns fill the
+  * `_num` fields (sums through decimal(38,6) so the value is
+  * order-independent and oracle-exact); strings fill min/max_str (binary
+  * collation on both engines); timestamps profile as epoch millis.
+  */
+object Profiler {
+
+  private def dec(c: Column) = c.cast(DecimalType(38, 6))
+
+  def profile(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields
+    val nullD = lit(null).cast(DoubleType)
+    val nullS = lit(null).cast(StringType)
+
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val base = Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).cast(LongType).as(s"${f.name}__nulls"),
+        count(c).as(s"${f.name}__cnt"))
+      f.dataType match {
+        case _: NumericType => base ++ Seq(
+          min(c).cast(DoubleType).as(s"${f.name}__min"),
+          max(c).cast(DoubleType).as(s"${f.name}__max"),
+          sum(dec(c)).cast(DoubleType).as(s"${f.name}__sum"))
+        // NTZ (how Spark reads naive parquet timestamps) casts through
+        // TimestampType: with the UTC session zone that is the same
+        // wall-clock→epoch reading DuckDB's epoch_ms gives naive timestamps
+        case TimestampType | TimestampNTZType => base ++ Seq(
+          unix_millis(min(c).cast(TimestampType)).cast(DoubleType).as(s"${f.name}__min"),
+          unix_millis(max(c).cast(TimestampType)).cast(DoubleType).as(s"${f.name}__max"))
+        case StringType | DateType => base ++ Seq(
+          min(c).cast(StringType).as(s"${f.name}__mins"),
+          max(c).cast(StringType).as(s"${f.name}__maxs"))
+        case _ => base // opaque types: null counts only
+      }
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+
+    val structs = fields.map { f =>
+      val (minN, maxN, sumN, meanN, minS, maxS) = f.dataType match {
+        case _: NumericType =>
+          val s = col(s"${f.name}__sum")
+          (col(s"${f.name}__min"), col(s"${f.name}__max"), s,
+            s / col(s"${f.name}__cnt"), nullS, nullS)
+        case TimestampType | TimestampNTZType =>
+          (col(s"${f.name}__min"), col(s"${f.name}__max"), nullD, nullD, nullS, nullS)
+        case StringType | DateType =>
+          (nullD, nullD, nullD, nullD, col(s"${f.name}__mins"), col(s"${f.name}__maxs"))
+        case _ => (nullD, nullD, nullD, nullD, nullS, nullS)
+      }
+      struct(
+        lit(f.name).as("col_name"),
+        col(s"${f.name}__nulls").as("n_nulls"),
+        col(s"${f.name}__cnt").as("n_notnull"),
+        minN.as("min_num"), maxN.as("max_num"),
+        sumN.as("sum_num"), meanN.as("mean_num"),
+        minS.as("min_str"), maxS.as("max_str"))
+    }
+    one.select(explode(array(structs.toIndexedSeq: _*)).as("p")).select("p.*")
+  }
+
+  /** DuckDB oracle for `profile` over a table with the given (name, type)
+    * columns; types: "num", "ts", "str". One aggregate SELECT per column,
+    * UNION ALL — the single-pass Spark plan and this N-pass SQL agree
+    * bit-exactly because every stat is order-independent. */
+  def oracleSqlFor(table: String, cols: Seq[(String, String)]): String =
+    cols.map { case (c, kind) =>
+      val (minN, maxN, sumN, meanN, minS, maxS) = kind match {
+        case "num" =>
+          (s"cast(min($c) AS double)", s"cast(max($c) AS double)",
+            s"cast(sum(cast($c AS decimal(38,6))) AS double)",
+            s"cast(sum(cast($c AS decimal(38,6))) AS double) / count($c)",
+            "cast(NULL AS varchar)", "cast(NULL AS varchar)")
+        case "ts" =>
+          (s"cast(epoch_ms(min($c)) AS double)", s"cast(epoch_ms(max($c)) AS double)",
+            "cast(NULL AS double)", "cast(NULL AS double)",
+            "cast(NULL AS varchar)", "cast(NULL AS varchar)")
+        case _ =>
+          ("cast(NULL AS double)", "cast(NULL AS double)",
+            "cast(NULL AS double)", "cast(NULL AS double)",
+            s"min($c)", s"max($c)")
+      }
+      s"""SELECT '$c' AS col_name,
+            cast(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_nulls,
+            cast(count($c) AS bigint) AS n_notnull,
+            $minN AS min_num, $maxN AS max_num,
+            $sumN AS sum_num, $meanN AS mean_num,
+            $minS AS min_str, $maxS AS max_str
+          FROM $table"""
+    }.mkString("\n        UNION ALL\n")
+}

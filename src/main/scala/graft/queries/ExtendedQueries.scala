@@ -134,6 +134,11 @@ object ExtendedQueries {
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
           expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap90"))),
 
+    // §2.4: the full-schema profiler — every column of lineitem (nulls,
+    // ranges, sums, means) in ONE map-side-combinable aggregate job.
+    "q_profile_full" -> ((s, dir) =>
+      graft.operators.Profiler.profile(Tables.load(s, dir, "lineitem"))),
+
     // §2.4 #69: column profiling — the QA pass a pipeline runs before
     // training. Aggregates chosen to stay bit-exact: min/max/counts are
     // order-independent, the mean is a decimal sum divided in double.
@@ -212,6 +217,12 @@ object ExtendedQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
                 cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_profile_full" -> graft.operators.Profiler.oracleSqlFor("lineitem", Seq(
+      "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+      "l_linenumber" -> "num", "l_quantity" -> "num",
+      "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+      "l_returnflag" -> "str", "l_linestatus" -> "str",
+      "l_shipdate" -> "ts")),
     "q_profile_stats" ->
       """SELECT count(*) AS n_rows,
                 min(l_extendedprice) AS price_min,
