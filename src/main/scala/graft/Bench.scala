@@ -55,14 +55,13 @@ object Bench {
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
       .sortBy(_.getName).lastOption
     prev.foreach { f =>
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
-      val old = Option(node.get("queries")).map { q =>
-        q.properties().iterator()
-      }.map { it =>
-        val m = scala.collection.mutable.Map[String, Double]()
-        while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
-        m.toMap
-      }.getOrElse(Map.empty[String, Double])
+      // The driver wraps (and truncates) the bench JSON line, so parse
+      // leniently: scrape "name":seconds pairs out of the raw text.
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val pair = "\"([A-Za-z0-9_]+)\":([0-9]+\\.[0-9]+)".r
+      val old = pair.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
       System.err.println(s"[bench] trend vs ${f.getName}:")
       results.foreach { case (name, t) =>
         old.get(name) match {

@@ -66,29 +66,44 @@ object XlsxParser {
       out.toSeq
     }
 
-    lazy val sharedStrings: Array[String] = {
+    /** Hot for string-heavy workbooks (Excel interns every sheet string
+      * here) — byte scanner by default, StAX on a UTF-16 BOM. */
+    lazy val sharedStrings: Array[String] =
+      openEntryStream("xl/sharedStrings.xml") match {
+        case None => Array.empty
+        case Some((raw, closeAll)) =>
+          try {
+            val in = new java.io.PushbackInputStream(raw, 2)
+            val b0 = in.read(); val b1 = in.read()
+            val utf16 = (b0 == 0xFE && b1 == 0xFF) || (b0 == 0xFF && b1 == 0xFE)
+            if (b1 != -1) in.unread(b1)
+            if (b0 != -1) in.unread(b0)
+            if (utf16) sharedStringsStax(xif.createXMLStreamReader(in))
+            else SharedStringsScanner.parse(in).toArray
+          } finally closeAll()
+      }
+
+    private def sharedStringsStax(xr: XMLStreamReader): Array[String] = {
       val out = ArrayBuffer[String]()
-      foreachEntry("xl/sharedStrings.xml") { xr =>
-        var inSi = false
-        var phoneticDepth = 0 // inside <rPh>/<phoneticPr>: furigana, not text
-        val sb = new StringBuilder
-        while (xr.hasNext) {
-          xr.next() match {
-            case XMLStreamConstants.START_ELEMENT if xr.getLocalName == "si" =>
-              inSi = true; sb.setLength(0)
-            case XMLStreamConstants.START_ELEMENT
-                if inSi && (xr.getLocalName == "rPh" || xr.getLocalName == "phoneticPr") =>
-              phoneticDepth += 1
-            case XMLStreamConstants.START_ELEMENT
-                if inSi && phoneticDepth == 0 && xr.getLocalName == "t" =>
-              sb.append(xr.getElementText)
-            case XMLStreamConstants.END_ELEMENT
-                if inSi && (xr.getLocalName == "rPh" || xr.getLocalName == "phoneticPr") =>
-              phoneticDepth -= 1
-            case XMLStreamConstants.END_ELEMENT if xr.getLocalName == "si" =>
-              inSi = false; out += sb.toString
-            case _ =>
-          }
+      var inSi = false
+      var phoneticDepth = 0 // inside <rPh>/<phoneticPr>: furigana, not text
+      val sb = new StringBuilder
+      while (xr.hasNext) {
+        xr.next() match {
+          case XMLStreamConstants.START_ELEMENT if xr.getLocalName == "si" =>
+            inSi = true; sb.setLength(0)
+          case XMLStreamConstants.START_ELEMENT
+              if inSi && (xr.getLocalName == "rPh" || xr.getLocalName == "phoneticPr") =>
+            phoneticDepth += 1
+          case XMLStreamConstants.START_ELEMENT
+              if inSi && phoneticDepth == 0 && xr.getLocalName == "t" =>
+            sb.append(xr.getElementText)
+          case XMLStreamConstants.END_ELEMENT
+              if inSi && (xr.getLocalName == "rPh" || xr.getLocalName == "phoneticPr") =>
+            phoneticDepth -= 1
+          case XMLStreamConstants.END_ELEMENT if xr.getLocalName == "si" =>
+            inSi = false; out += sb.toString
+          case _ =>
         }
       }
       out.toArray

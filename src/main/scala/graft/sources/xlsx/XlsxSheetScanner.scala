@@ -483,3 +483,172 @@ object SheetScanner {
   private final val ElemC = 1
   private final val ElemOther = -1
 }
+
+/** Byte-level scanner for `xl/sharedStrings.xml` — the other hot entry of a
+  * real-world workbook (Excel interns every worksheet string here, so for
+  * string-heavy sheets this table IS most of the bytes). Same technique as
+  * [[SheetScanner]]: one pass, bulk text runs, entities and CDATA decoded
+  * inline. `<rPh>`/`<phoneticPr>` subtrees (furigana) are excluded from the
+  * string value, matching the StAX path and the reference. */
+object SharedStringsScanner {
+
+  def parse(in: InputStream): ArrayBuffer[String] = {
+    val out = ArrayBuffer[String]()
+    val buf = new Array[Byte](1 << 16)
+    var pos = 0
+    var lim = 0
+    var eof = false
+    var txt = new Array[Byte](256)
+    var txtLen = 0
+    val nm = new Array[Char](24)
+    var nmLen = 0
+    var delim = 0
+    var inSi = false
+    var inT = false
+    var phonetic = 0 // depth inside rPh / phoneticPr
+
+    def fill(): Boolean = {
+      if (eof) return false
+      var n = in.read(buf)
+      while (n == 0) n = in.read(buf)
+      if (n < 0) { eof = true; false } else { pos = 0; lim = n; true }
+    }
+    def rb(): Int =
+      if (pos >= lim && !fill()) -1
+      else { val b = buf(pos); pos += 1; b & 0xff }
+
+    def txtAppend(b: Int): Unit = {
+      if (txtLen == txt.length) txt = java.util.Arrays.copyOf(txt, txt.length * 2)
+      txt(txtLen) = b.toByte; txtLen += 1
+    }
+    def txtAppendCp(cp: Int): Unit =
+      if (cp < 0x80) txtAppend(cp)
+      else if (cp < 0x800) { txtAppend(0xC0 | (cp >> 6)); txtAppend(0x80 | (cp & 0x3F)) }
+      else if (cp < 0x10000) {
+        txtAppend(0xE0 | (cp >> 12)); txtAppend(0x80 | ((cp >> 6) & 0x3F)); txtAppend(0x80 | (cp & 0x3F))
+      } else {
+        txtAppend(0xF0 | (cp >> 18)); txtAppend(0x80 | ((cp >> 12) & 0x3F))
+        txtAppend(0x80 | ((cp >> 6) & 0x3F)); txtAppend(0x80 | (cp & 0x3F))
+      }
+    def entity(): Unit = {
+      val eb = new Array[Char](12); var n = 0
+      var b = rb()
+      while (b != -1 && b != ';' && n < eb.length) { eb(n) = b.toChar; n += 1; b = rb() }
+      val s = new String(eb, 0, n)
+      s match {
+        case "amp" => txtAppend('&')
+        case "lt" => txtAppend('<')
+        case "gt" => txtAppend('>')
+        case "quot" => txtAppend('"')
+        case "apos" => txtAppend('\'')
+        case _ if s.startsWith("#") =>
+          try txtAppendCp(
+            if (s.length > 2 && (s.charAt(1) == 'x' || s.charAt(1) == 'X'))
+              Integer.parseInt(s.substring(2), 16)
+            else Integer.parseInt(s.substring(1)))
+          catch { case _: NumberFormatException => }
+        case _ =>
+      }
+    }
+    def readName(b0: Int): Unit = {
+      nmLen = 0
+      var b = b0
+      while (b != -1 && b != ' ' && b != '\t' && b != '\n' && b != '\r' &&
+             b != '>' && b != '/' && b != '=') {
+        if (b == ':') nmLen = 0
+        else if (nmLen < nm.length) { nm(nmLen) = b.toChar; nmLen += 1 }
+        b = rb()
+      }
+      delim = b
+    }
+    def nameIs(s: String): Boolean = {
+      if (nmLen != s.length) return false
+      var i = 0
+      while (i < nmLen) { if (nm(i) != s.charAt(i)) return false; i += 1 }
+      true
+    }
+    /** Consume the rest of a start tag; true if self-closing. */
+    def finishTag(): Boolean = {
+      var b = delim
+      var lastSlash = false
+      var inQ = 0
+      while (b != -1) {
+        if (inQ != 0) { if (b == inQ) inQ = 0 }
+        else if (b == '"' || b == '\'') { inQ = b; lastSlash = false }
+        else if (b == '>') return lastSlash
+        else lastSlash = b == '/'
+        b = rb()
+      }
+      false
+    }
+
+    var b = rb()
+    while (b != -1) {
+      if (b == '<') {
+        val c = rb()
+        if (c == '/') {
+          readName(rb())
+          var d = delim
+          while (d != -1 && d != '>') d = rb()
+          if (nameIs("t")) inT = false
+          else if (nameIs("rPh") || nameIs("phoneticPr")) phonetic -= 1
+          else if (nameIs("si")) {
+            inSi = false
+            out += (if (txtLen == 0) ""
+                    else new String(txt, 0, txtLen, StandardCharsets.UTF_8))
+          }
+        } else if (c == '!') {
+          val d = rb()
+          if (d == '-') { // comment
+            rb()
+            var p2 = 0; var p1 = 0; var e = rb()
+            while (e != -1 && !(p2 == '-' && p1 == '-' && e == '>')) { p2 = p1; p1 = e; e = rb() }
+          } else if (d == '[') { // CDATA
+            var i = 0
+            while (i < 6 && rb() != -1) i += 1
+            val collect = inT && phonetic == 0
+            var a = rb(); var m = rb(); var e = rb()
+            while (e != -1 && !(a == ']' && m == ']' && e == '>')) {
+              if (collect) txtAppend(a)
+              a = m; m = e; e = rb()
+            }
+          } else { var e = d; while (e != -1 && e != '>') e = rb() }
+        } else if (c == '?') {
+          var p1 = 0; var e = rb()
+          while (e != -1 && !(p1 == '?' && e == '>')) { p1 = e; e = rb() }
+        } else {
+          readName(c)
+          val selfClose = finishTag()
+          if (nameIs("si")) { inSi = true; txtLen = 0; if (selfClose) { inSi = false; out += "" } }
+          else if (nameIs("t")) { if (inSi && !selfClose) inT = true }
+          else if (nameIs("rPh") || nameIs("phoneticPr")) { if (!selfClose) phonetic += 1 }
+        }
+        b = rb()
+      } else {
+        if (inT && phonetic == 0) {
+          // bulk text run
+          if (b == '&') entity()
+          else {
+            txtAppend(b)
+            var p = pos
+            val l = lim
+            val start = p
+            while (p < l && buf(p) != '<' && buf(p) != '&') p += 1
+            if (p > start) {
+              if (txtLen + (p - start) > txt.length) {
+                var cap = txt.length * 2
+                while (cap < txtLen + (p - start)) cap *= 2
+                txt = java.util.Arrays.copyOf(txt, cap)
+              }
+              System.arraycopy(buf, start, txt, txtLen, p - start)
+              txtLen += p - start
+            }
+            pos = p
+          }
+        }
+        b = rb()
+      }
+    }
+    out
+  }
+}

@@ -153,6 +153,26 @@ class XlsxParserSpec extends AnyFunSuite {
 
   // ---- byte-scanner edge cases: markup shapes other producers emit --------
 
+  test("shared strings with entities, CDATA and self-closed si decode") {
+    val b = zip(
+      "xl/workbook.xml" -> workbookXml,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/sharedStrings.xml" ->
+        """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<si><t>a&amp;b&#x9;&#8364;</t></si>
+          |<si><t><![CDATA[<raw&>]]></t></si>
+          |<si/>
+          |</sst>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+          |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    val r = rows(b)(0)
+    assert(r(0) == XCell.XString("a&b\t€"))
+    assert(r(1) == XCell.XString("<raw&>"))
+    assert(r(2) == XCell.XString(""))
+  }
+
   test("namespace-prefixed worksheet markup parses (local-name matching)") {
     val b = zip(
       "xl/workbook.xml" -> workbookXml,
