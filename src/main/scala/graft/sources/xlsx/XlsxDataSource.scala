@@ -116,11 +116,17 @@ object XlsxDataSource {
 
   def workbook(path: String, conf: Configuration): XlsxParser.Workbook = {
     // The open() thunk re-opens the stream per zip-entry family; capture
-    // only the path string so the workbook is usable on executors.
+    // only the path string so the workbook is usable on executors. Local
+    // paths additionally get ZipFile central-directory seeks.
+    val uri = new Path(path).toUri
+    val local =
+      if (uri.getScheme == null || uri.getScheme == "file")
+        Some(new java.io.File(uri.getPath)).filter(_.isFile)
+      else None
     new XlsxParser.Workbook(() => {
       val p = new Path(path)
       p.getFileSystem(conf).open(p)
-    })
+    }, local)
   }
 }
 

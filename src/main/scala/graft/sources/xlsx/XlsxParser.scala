@@ -44,8 +44,16 @@ object XlsxParser {
   }
 
   /** Opens `open()` several times — once per zip entry family — so the
-    * source can be any re-openable stream (local file, HDFS, S3A). */
-  final class Workbook(open: () => InputStream) {
+    * source can be any re-openable stream (local file, HDFS, S3A).
+    *
+    * `localFile`, when set, short-circuits entry access through
+    * `java.util.zip.ZipFile` (central-directory seek) instead of
+    * sequentially inflating the stream up to each entry — a reader touches
+    * ~6 entries per file (rels, workbook, styles, shared strings, schema
+    * probe, row scan), so direct seeks measurably cut per-file overhead on
+    * multi-file scans. Object stores keep the streaming path. */
+  final class Workbook(open: () => InputStream,
+      localFile: Option[java.io.File] = None) {
 
     /** Sheets in workbook order: (name, worksheet part path). */
     lazy val sheets: Seq[SheetInfo] = {
@@ -338,17 +346,27 @@ object XlsxParser {
 
     /** Open the zip and position the raw inflated byte stream at entry
       * `name`; the thunk closes the zip stream. None if absent. */
-    private[xlsx] def openEntryStream(name: String): Option[(InputStream, () => Unit)] = {
-      val in = new ZipInputStream(open())
-      var e = in.getNextEntry
-      while (e != null) {
-        if (e.getName == name)
-          return Some((new NonClosingStream(in), () => in.close()))
-        e = in.getNextEntry
+    private[xlsx] def openEntryStream(name: String): Option[(InputStream, () => Unit)] =
+      localFile match {
+        case Some(f) =>
+          val zf = new java.util.zip.ZipFile(f)
+          Option(zf.getEntry(name)) match {
+            case None => zf.close(); None
+            case Some(e) =>
+              val s = zf.getInputStream(e)
+              Some((s, () => { try s.close() finally zf.close() }))
+          }
+        case None =>
+          val in = new ZipInputStream(open())
+          var e = in.getNextEntry
+          while (e != null) {
+            if (e.getName == name)
+              return Some((new NonClosingStream(in), () => in.close()))
+            e = in.getNextEntry
+          }
+          in.close()
+          None
       }
-      in.close()
-      None
-    }
 
     private def attr(xr: XMLStreamReader, local: String): Option[String] = {
       var i = 0

@@ -67,32 +67,53 @@ object EventStreams {
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       session_start: Timestamp, session_end: Timestamp)
 
-  /** Streaming face: explicit per-user state via flatMapGroupsWithState with
-    * a processing-time timeout. State is one small record per live user —
-    * the 100 TB story is state size O(active users), not O(events). */
-  def sessionizeStream(spark: SparkSession, events: Dataset[Event]): Dataset[SessionOut] = {
+  /** Streaming face: explicit per-user state via flatMapGroupsWithState.
+    * State is one small record per live user — the 100 TB story is state
+    * size O(active users), not O(events).
+    *
+    * `idleTimeout` (e.g. "30 minutes") bounds that state over unbounded
+    * wall-clock time: a user silent past the timeout has their open session
+    * EMITTED and their state EVICTED, so abandoned users never accumulate.
+    * Without it (None), open sessions close only when a later event for the
+    * same user arrives. */
+  def sessionizeStream(spark: SparkSession, events: Dataset[Event],
+      idleTimeout: Option[String] = None): Dataset[SessionOut] = {
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L, 0L))
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime // millis
-            if (st.n == 0L) {
-              st = SessionState(t, t, 1L, st.sessionId)
-            } else if (t - st.last > SessionGapSeconds * 1000L) {
-              out += SessionOut(userId, st.sessionId, st.n,
-                new Timestamp(st.start), new Timestamp(st.last))
-              st = SessionState(t, t, 1L, st.sessionId + 1L)
-            } else {
-              st = st.copy(last = math.max(st.last, t), n = st.n + 1L)
+          if (state.hasTimedOut) {
+            // idle past the timeout: close out the open session, free state
+            val st = state.get
+            state.remove()
+            if (st.n > 0L)
+              Iterator(SessionOut(userId, st.sessionId, st.n,
+                new Timestamp(st.start), new Timestamp(st.last)))
+            else Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L, 0L))
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime // millis
+              if (st.n == 0L) {
+                st = SessionState(t, t, 1L, st.sessionId)
+              } else if (t - st.last > SessionGapSeconds * 1000L) {
+                out += SessionOut(userId, st.sessionId, st.n,
+                  new Timestamp(st.start), new Timestamp(st.last))
+                st = SessionState(t, t, 1L, st.sessionId + 1L)
+              } else {
+                st = st.copy(last = math.max(st.last, t), n = st.n + 1L)
+              }
             }
+            state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 
@@ -104,20 +125,30 @@ object EventStreams {
 
   /** Streaming exact dedup: first occurrence of each content hash passes,
     * later ones are dropped — `mapGroupsWithState`-style boolean state per
-    * distinct content. At scale the state is bounded by DISTINCT content
-    * (not stream length); production would add a state TTL via
-    * GroupStateTimeout for open-ended streams. */
-  def dedupStream(spark: SparkSession, docs: Dataset[Doc]): Dataset[Doc] = {
+    * distinct content. State is bounded by DISTINCT content, not stream
+    * length; `ttl` (e.g. "7 days") additionally bounds it over unbounded
+    * wall-clock time — a hash idle past the TTL is evicted, trading exact
+    * all-time dedup for dedup-within-a-window with O(recent distinct)
+    * state, the standard posture for an open-ended ingest stream. */
+  def dedupStream(spark: SparkSession, docs: Dataset[Doc],
+      ttl: Option[String] = None): Dataset[Doc] = {
     import spark.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     docs
       .groupByKey(d => java.security.MessageDigest.getInstance("MD5")
         .digest(d.text.getBytes("UTF-8")).map("%02x".format(_)).mkString)
       .flatMapGroupsWithState[Boolean, Doc](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_: String, it: Iterator[Doc], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            ttl.foreach(state.setTimeoutDuration) // seen again: refresh TTL
+            Iterator.empty
+          } else {
             state.update(true)
+            ttl.foreach(state.setTimeoutDuration)
             // first occurrence within the batch = smallest doc_id
             var best: Doc = null
             it.foreach(d => if (best == null || d.doc_id < best.doc_id) best = d)

@@ -130,4 +130,51 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_events") == 2L) // user1 session 1
     assert(out(2).getAs[Long]("n_events") == 2L) // user2 session 0
   }
+
+  // With ProcessingTimeTimeout the engine self-triggers timeout-sweep
+  // batches continuously, so processAllAvailable never settles — poll the
+  // sink with a deadline instead.
+  private def eventually(ms: Long = 30000)(cond: => Boolean): Unit = {
+    val end = System.currentTimeMillis + ms
+    while (!cond && System.currentTimeMillis < end) Thread.sleep(100)
+    assert(cond, s"condition not met within $ms ms")
+  }
+
+  test("dedup state TTL evicts idle hashes: duplicate re-admitted after expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.dedupStream(spark, mem.toDS(), ttl = Some("1 millisecond"))
+      .writeStream.format("memory").queryName("dedup_ttl_out")
+      .outputMode("append").start()
+    def ids: Set[Long] =
+      spark.table("dedup_ttl_out").collect().map(_.getAs[Long]("doc_id")).toSet
+    try {
+      mem.addData(EventStreams.Doc(1L, "alpha"))
+      eventually()(ids.contains(1L))
+      Thread.sleep(300) // 1 ms TTL lapses; the sweep evicts alpha's state
+      mem.addData(EventStreams.Doc(3L, "alpha")) // same content, state gone
+      eventually()(ids.contains(3L)) // re-admitted: dedup-within-a-window
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("idle-session timeout emits the open session and evicts its state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionizeStream(spark, mem.toDS(),
+      idleTimeout = Some("1 millisecond"))
+      .writeStream.format("memory").queryName("sess_ttl_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(EventStreams.Event(1L, ts(0), 7L, "click", 1.0),
+        EventStreams.Event(2L, ts(5), 7L, "view", 2.0))
+      // no further events for user 7: the idle timeout alone must close the
+      // session (the engine self-triggers sweeps for processing-time TTLs)
+      eventually() {
+        spark.table("sess_ttl_out").collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+          .contains((7L, 2L))
+      }
+    } finally q.stop()
+  }
 }
