@@ -51,6 +51,9 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def hyperplane_sig(vec: Column, nBits: Int, table: Int): Column =
+    ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(vec), nBits, table))
+
   private[functions] val registry: Seq[(String, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("rolling_hash",
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

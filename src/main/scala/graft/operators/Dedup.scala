@@ -250,18 +250,6 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosine_sim(a, b)
 
-  /** Deterministic ±1 Rademacher hyperplane component for (plane i, dim j),
-    * computed driver-side (splitmix64-style bit mix) — the planes become
-    * literal arrays in the plan, so bucketing a row costs nBits·dim
-    * codegen'd multiply-adds and zero hash calls. */
-  private def rademacherSign(i: Int, j: Int): Double = {
-    var z = i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xC2B2AE3D27D4EB4FL + 0xD6E8FEB86659FD93L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    if ((z & 1L) == 1L) 1.0 else -1.0
-  }
-
   /** Fail fast when `dim` doesn't match the data: a wrong dim null-pads
     * the plane dot products, every bit collapses to 0, and ALL vectors
     * land in bucket 0 — turning the bucketed join into the full n² blowup
@@ -277,17 +265,16 @@ object Dedup {
     * vector column. `table` selects an independent plane family, so t
     * tables give t independent signatures of the same vector (banded
     * multi-table LSH — the same recall trick as minhash bands). table=0
-    * reproduces the single-table planes. */
-  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int, table: Int = 0): Column = {
-    val bits = (0 until nBits).map { i =>
-      val plane = array((0 until dim).map(j =>
-        lit(rademacherSign(table * 10007 + i, j))): _*)
-      val dot = aggregate(zip_with(vec, plane, (x, p) => x * p),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L)): Column
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+    * reproduces the single-table planes.
+    *
+    * Backed by the fused codegen expression
+    * [[graft.functions.HyperplaneSig]] — the earlier composed form (one
+    * `aggregate(zip_with(...))` per bit) was bit-identical but evaluated
+    * interpreted, and the signature is the map-side hot loop of every LSH
+    * query. `dim` is validated upstream ([[validateDim]]); the expression
+    * itself reads the vector's actual length. */
+  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int, table: Int = 0): Column =
+    graft.functions.GraftFunctions.hyperplane_sig(vec, nBits, table)
 
   /** Bucket width that keeps expected occupancy near `targetOccupancy`
     * as the corpus grows: nBits = ceil(log2(n / target)), clamped to
