@@ -90,6 +90,9 @@ object Dedup {
     * oracle mirrors bit-for-bit). The df window shuffles on `shingle`,
     * the same partitioning the self-join needs, so Spark reuses the
     * exchange — the cap costs no extra shuffle of the shingle stream.
+    * (Measured alternative: heavy-hitter aggregate + anti-join avoids
+    * WindowExec's sort/buffer but recomputes and reshuffles the expensive
+    * shingle explode for the aggregate — 2.1x slower at sf0.1.)
     * `maxShingleDf <= 0` disables the cap.
     *
     * Measured alternatives (kept out deliberately): AllPairs-style prefix
