@@ -438,6 +438,45 @@ final class SheetScanner(
     if (neg) -v else v
   }
 
+  /** Parse the text buffer as a double. Fast path for plain decimal forms
+    * (sign, ≤15 significant digits, optional fraction): exact long
+    * mantissa scaled by one exact power-of-ten division — correctly
+    * rounded, hence bit-identical to Double.parseDouble (Clinger's safe
+    * range: mantissa < 2^53, |exponent| ≤ 22). Everything else (exponents,
+    * >15 digits, hex, NaN/Infinity) takes the JDK path. null = malformed. */
+  private def parseNumber(): java.lang.Double = {
+    var s = 0
+    var e = txtLen
+    while (s < e && (txt(s) & 0xff) <= ' ') s += 1
+    while (e > s && (txt(e - 1) & 0xff) <= ' ') e -= 1
+    if (s >= e) return null
+    var i = s
+    var neg = false
+    val c0 = txt(i)
+    if (c0 == '-') { neg = true; i += 1 } else if (c0 == '+') i += 1
+    var mant = 0L
+    var digits = 0
+    var frac = 0
+    var seenDot = false
+    var plain = i < e
+    while (plain && i < e) {
+      val b = txt(i)
+      if (b >= '0' && b <= '9') {
+        mant = mant * 10 + (b - '0'); digits += 1
+        if (seenDot) frac += 1
+        i += 1
+      } else if (b == '.' && !seenDot) { seenDot = true; i += 1 }
+      else plain = false
+    }
+    if (plain && digits > 0 && digits <= 15) {
+      val v = if (frac == 0) mant.toDouble else mant.toDouble / SheetScanner.Pow10(frac)
+      java.lang.Double.valueOf(if (neg) -v else v)
+    } else
+      try java.lang.Double.valueOf(
+        new String(txt, s, e - s, StandardCharsets.US_ASCII))
+      catch { case _: NumberFormatException => null }
+  }
+
   /** Materialize the finished <v>/<is> content as an XCell (same lattice and
     * error rules as the StAX path / the reference). */
   private def endValue(): Unit = {
@@ -451,11 +490,11 @@ final class SheetScanner(
         XCell.XBool(s == "1" || s.equalsIgnoreCase("true"))
       case TErr => XCell.XError
       case TNum =>
-        try {
-          val d = java.lang.Double.parseDouble(takeAsciiTrimmed())
-          if (curStyle >= 0 && curStyle < dates.length && dates(curStyle)) XCell.XDate(d)
-          else XCell.XNumber(d)
-        } catch { case _: NumberFormatException => XCell.XError }
+        val d = parseNumber()
+        if (d == null) XCell.XError
+        else if (curStyle >= 0 && curStyle < dates.length && dates(curStyle))
+          XCell.XDate(d.doubleValue())
+        else XCell.XNumber(d.doubleValue())
       case _ => XCell.XError
     }
     setCell(cell)
@@ -470,6 +509,17 @@ final class SheetScanner(
 }
 
 object SheetScanner {
+  /** Exact powers of ten up to 10^22 (the last exactly-representable one)
+    * by iterative multiplication — every step's true product is
+    * representable, so every entry is exact (math.pow only promises 1 ulp). */
+  private[xlsx] val Pow10: Array[Double] = {
+    val a = new Array[Double](23)
+    a(0) = 1.0
+    var i = 1
+    while (i < a.length) { a(i) = a(i - 1) * 10.0; i += 1 }
+    a
+  }
+
   // cell-type codes from t="..."
   private final val TNum = 0 // absent / "n"
   private final val TShared = 1 // "s"

@@ -248,6 +248,51 @@ class XlsxParserSpec extends AnyFunSuite {
     assert(rows(b)(0)(0) == XCell.XString("日本語テキスト🎉"))
   }
 
+  test("numeric fast path is bit-identical to Double.parseDouble") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val forms = scala.collection.mutable.ArrayBuffer[String](
+      "0", "-0", "+1", "1.", ".5", "-.5", "0.1", "3.14159", "45000",
+      "1e10", "1E-7", "-2.5E+3", "9007199254740993", // 2^53+1: >15 digits
+      "123456789012345678901", "0.00000000000000001", "1.7976931348623157E308",
+      "4.9E-324", "2.2250738585072011e-308", // the infamous slow-strtod value
+      "100.5d", "Infinity", "-Infinity", "NaN", "0.000001")
+    (1 to 3000).foreach { _ =>
+      val d = rnd.nextInt(4) match {
+        case 0 => rnd.nextDouble() * 1e6 - 5e5
+        case 1 => rnd.nextLong().toDouble
+        case 2 => java.lang.Double.longBitsToDouble(rnd.nextLong())
+        case _ => rnd.nextInt(1000000) / 1000.0
+      }
+      if (!d.isNaN) { forms += d.toString; forms += f"$d%.6f" }
+    }
+    val xml = new StringBuilder(
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    forms.zipWithIndex.foreach { case (f, i) =>
+      xml.append(s"""<row r="${i + 1}"><c r="A${i + 1}"><v>$f</v></c></row>""")
+    }
+    xml.append("</sheetData></worksheet>")
+    val b = zip(
+      "xl/workbook.xml" -> workbookXml,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/worksheets/sheet1.xml" -> xml.toString)
+    val got = rows(b)
+    forms.zipWithIndex.foreach { case (f, i) =>
+      val expected: XCell =
+        try {
+          val d = java.lang.Double.parseDouble(f.trim)
+          XCell.XNumber(d)
+        } catch { case _: NumberFormatException => XCell.XError }
+      val actual = got(i)(0)
+      (expected, actual) match {
+        case (XCell.XNumber(e), XCell.XNumber(a)) =>
+          assert(java.lang.Double.doubleToRawLongBits(e)
+            == java.lang.Double.doubleToRawLongBits(a)
+            || (e.isNaN && a.isNaN), s"'$f': expected $e got $a")
+        case _ => assert(expected == actual, s"'$f': expected $expected got $actual")
+      }
+    }
+  }
+
   test("UTF-16 encoded worksheet falls back to the StAX reader") {
     val sheetUtf16 =
       """<?xml version="1.0" encoding="UTF-16"?>
