@@ -65,4 +65,29 @@ class XlsxStreamSpec extends SparkSpec {
       assert(sunk() == Seq(("a1", 1.0), ("a2", 2.0), ("b1", 3.0), ("c1", 4.0)))
     } finally q2.stop()
   }
+
+  test("streaming composes with allSheets: per-sheet rows with _sheet_name") {
+    val dir = Files.createTempDirectory("graft_xlsx_stream_as_")
+    val ckpt = Files.createTempDirectory("graft_xlsx_ckpt_as_").toString
+    val h = Some(Seq("k", "v"))
+    val tmp = dir.resolve("multi.xlsx.tmp")
+    val out = new FileOutputStream(tmp.toFile)
+    try XlsxWriter.write(out, Seq(
+      SheetSpec("first", h, Seq(Seq[Any]("x", 1.0)).iterator),
+      SheetSpec("second", h, Seq(Seq[Any]("y", 2.0)).iterator)))
+    finally out.close()
+    Files.move(tmp, dir.resolve("multi.xlsx"))
+
+    val q = spark.readStream.format("xlsx").option("allSheets", "true")
+      .load(dir.toString)
+      .writeStream.format("memory").queryName("xlsx_stream_as")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("xlsx_stream_as").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).sorted.toSeq
+      assert(rows == Seq(("x", 1.0, "first"), ("y", 2.0, "second")))
+    } finally q.stop()
+  }
 }
