@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing and stratified sampling — the batch-assembly steps
+  * between a cleaned corpus and a training run.
+  */
+object Packing {
+
+  /** Assign each document to a fixed-capacity bin by cumulative token
+    * count: the deterministic greedy packing that turns a corpus into
+    * training sequences. Documents are ordered by content hash (stable
+    * across runs and engines) WITHIN `shards` hash shards, and a document
+    * whose cumulative count crosses a capacity boundary starts the next
+    * bin — the standard one-pass approximation (a bin may overflow by at
+    * most one document's tokens; exact bin packing is NP-hard and
+    * inherently sequential).
+    *
+    * Scale shape: the only shuffle is the window's partitioning on
+    * `shard`, and the cumulative sum runs independently per shard — at
+    * 100 TB you raise `shards` so each shard's sort fits an executor
+    * (packing quality is per-shard, unaffected by shard count). A single
+    * global ORDER BY window — the tempting formulation — would serialize
+    * the entire corpus through one partition.
+    */
+  def packByTokens(docs: DataFrame, capacity: Long, shards: Int = 64): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        TextOps.wsTokenCount(col("text")).as("n_tokens"),
+        md5(col("text")).as("h"),
+        // key-mod sharding (not Murmur3 `hash`): bit-identical in any engine
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // bin = which capacity-span the PRE-document cumulative count lands
+      // in; the doc that crosses a boundary opens the next bin
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(capacity.toDouble))
+          .cast("long").as("bin"))
+  }
+
+  /** Exactly `n` documents per stratum (e.g. per source), chosen by
+    * deterministic content-hash rank — reproducible across runs and
+    * engines, no RNG state. The rank window partitions by the stratum, so
+    * work distributes across strata; within one stratum the sort is the
+    * price of exact-N (for rate-based sampling at unbounded scale, hash
+    * thresholding — `q_sample_hash` — needs no sort at all).
+    */
+  def stratifiedSample(docs: DataFrame, stratum: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(md5(col("text")), col("doc_id"))
+    docs
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+}

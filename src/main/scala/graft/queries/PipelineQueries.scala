@@ -92,6 +92,16 @@ object PipelineQueries {
           (col("width").cast("long") * col("height")).as("n_pixels"))),
 
     // §2.3 #48 windowed aggregation (batch face; streaming face in specs)
+    // §2.5: sequence packing — deterministic greedy token-count binning,
+    // the batch-assembly step between a cleaned corpus and a training run
+    "pipeline_pack" -> ((s, dir) =>
+      graft.operators.Packing.packByTokens(docs(s, dir), capacity = 512L, shards = 16)),
+
+    // §2.5: exact-N per-source stratified sample by content-hash rank
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.operators.Packing.stratifiedSample(docs(s, dir), col("source"), n = 25)
+        .select(col("doc_id"), col("source"))),
+
     "st_window_agg" -> ((s, dir) =>
       EventStreams.windowAgg(Tables.load(s, dir, "events"))),
 
@@ -107,6 +117,26 @@ object PipelineQueries {
     "st_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS doc_id
          FROM documents GROUP BY 1""",
+    "pipeline_pack" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  cast(len(regexp_extract_all(text, '\S+')) AS bigint) AS n_tokens,
+                  md5(text) AS h,
+                  doc_id % 16 AS shard
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id) AS cum
+           FROM base)
+         SELECT doc_id, cast(shard AS bigint) AS shard, n_tokens,
+                cast(floor((cum - n_tokens) / 512.0) AS bigint) AS bin
+         FROM c""",
+    "q_sample_stratified" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 25""",
     "mm_meta_stats" ->
       """SELECT doc_id,
                 cast(octet_length(encode(text)) AS bigint) AS n_bytes,
