@@ -94,4 +94,40 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       GraftFunctions.rolling_hash(col("text")).as("fp"))
+
+  /** PII redaction patterns, applied in order (map-only, codegen'd). The
+    * patterns stay in the Java↔RE2 common dialect so [[redactSql]] is the
+    * exact DuckDB twin. Email before number: an address can contain a
+    * digit run, and the chain must see it as an email first. */
+  private val redactions: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{7,}\\b" -> "<NUM>")
+
+  /** Redact emails / IPv4s / long digit runs — the cheap PII scrub a
+    * training corpus gets before anything model-based. */
+  def redact(text: Column): Column =
+    redactions.foldLeft(text) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
+
+  /** DuckDB rendering of [[redact]]; must stay the bit-exact mirror.
+    * (DuckDB single-quoted strings pass backslashes through verbatim, so
+    * the Java pattern string IS the SQL pattern string.) */
+  def redactSql(colName: String): String =
+    redactions.foldLeft(colName) { case (sql, (pat, rep)) =>
+      s"regexp_replace($sql, '$pat', '$rep', 'g')"
+    }
+
+  /** Repetition signals — the cheap boilerplate/spam detectors: share of
+    * duplicate tokens and share of duplicate lines. Pure projections. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toksDf = docs.select(col("doc_id"),
+      split(col("text"), " +").as("__toks"),
+      split(col("text"), "\n").as("__lines"))
+    toksDf.select(
+      col("doc_id"),
+      (lit(1.0) - size(array_distinct(col("__toks"))).cast("double") /
+        greatest(size(col("__toks")), lit(1)).cast("double")).as("dup_token_ratio"),
+      (lit(1.0) - size(array_distinct(col("__lines"))).cast("double") /
+        greatest(size(col("__lines")), lit(1)).cast("double")).as("dup_line_ratio"))
+  }
 }

@@ -92,6 +92,14 @@ object PipelineQueries {
           (col("width").cast("long") * col("height")).as("n_pixels"))),
 
     // §2.3 #48 windowed aggregation (batch face; streaming face in specs)
+    // §2.5: cheap PII scrub (emails / IPv4s / long digit runs) — map-only
+    "txt_redact" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.redact(col("text")).as("redacted"))),
+
+    // §2.5: repetition signals — duplicate-token and duplicate-line shares
+    "txt_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
+
     // §2.5: sequence packing — deterministic greedy token-count binning,
     // the batch-assembly step between a cleaned corpus and a training run
     "pipeline_pack" -> ((s, dir) =>
@@ -117,6 +125,16 @@ object PipelineQueries {
     "st_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS doc_id
          FROM documents GROUP BY 1""",
+    "txt_redact" ->
+      s"""SELECT doc_id, ${TextOps.redactSql("text")} AS redacted
+         FROM documents""",
+    "txt_repetition" ->
+      """SELECT doc_id,
+                1.0 - len(list_distinct(string_split_regex(text, ' +'))) /
+                      greatest(len(string_split_regex(text, ' +')), 1) AS dup_token_ratio,
+                1.0 - len(list_distinct(string_split_regex(text, '\n'))) /
+                      greatest(len(string_split_regex(text, '\n')), 1) AS dup_line_ratio
+         FROM documents""",
     "pipeline_pack" ->
       """WITH base AS (
            SELECT doc_id,

@@ -75,4 +75,31 @@ class TextOpsSpec extends SparkSpec {
     // interpreted eval path agrees with codegen
     assert(RollingHash.hash(UTF8String.fromString("hello world")) == out(1L))
   }
+
+  test("redact scrubs emails, IPv4s and long digit runs; order matters") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+spam@example.co.uk today"),
+      (2L, "server 10.0.255.7 port 8080"),
+      (3L, "card 4111111111111111 pin 1234"),
+      (4L, "clean text stays clean")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextOps.redact($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail me at <EMAIL> today") // digits in address don't become <NUM>
+    assert(out(2L) == "server <IP> port 8080") // short run survives
+    assert(out(3L) == "card <NUM> pin 1234")
+    assert(out(4L) == "clean text stays clean")
+  }
+
+  test("repetition ratios flag duplicate tokens and lines") {
+    val df = Seq(
+      (1L, "spam spam spam spam"), // 4 tokens, 1 distinct
+      (2L, "all tokens are different"),
+      (3L, "line\nline\nother")) // 3 lines, 2 distinct
+      .toDF("doc_id", "text")
+    val out = TextOps.repetition(df).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 0.75)
+    assert(out(2L)._1 == 0.0)
+    assert(out(3L)._2 == 1.0 - 2.0 / 3.0)
+  }
 }
