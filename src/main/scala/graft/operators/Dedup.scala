@@ -126,6 +126,29 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minShared` word-3-gram shingles with any benchmark document — the
+    * eval-set leakage check every training pipeline runs before a model
+    * sees the data. Returns (doc_id, bench_id, n_shared) per contaminated
+    * pair.
+    *
+    * Scale shape: the benchmark side is small by nature (eval sets are
+    * thousands of docs, the corpus is billions), so its exploded shingles
+    * broadcast and the corpus stream is a map-side join — the 100 TB side
+    * is never shuffled. The equi-join is on the shingle itself; corpus
+    * docs sharing nothing with the benchmark never materialize a row. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      minShared: Long = 3L): DataFrame = {
+    val corpusSh = explodedShingles(corpus)
+    val benchSh = explodedShingles(benchmark)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    corpusSh
+      .join(broadcast(benchSh), "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ------------------------------------------------------------------
   // §2.3 #38 MinHash + LSH
   // ------------------------------------------------------------------

@@ -42,6 +42,16 @@ object Packing {
           .cast("long").as("bin"))
   }
 
+  /** Rate-based mixture sampling: keep a deterministic content-hash
+    * fraction of each row's stratum, with the rate supplied per row as a
+    * 4-hex-digit threshold string (e.g. a CASE over `source`, or a joined
+    * rate table rendered to hex) — "0400" keeps ≈1/16, "8000" keeps ≈1/2.
+    * String comparison against the content hash means zero RNG state,
+    * engine-identical decisions, and granularity 1/65536. A map-only
+    * filter: the mixture step of a training run costs one projection. */
+  def mixtureSample(docs: DataFrame, thresholdHex: Column): DataFrame =
+    docs.filter(substring(md5(col("text")), 1, 4) < thresholdHex)
+
   /** Exactly `n` documents per stratum (e.g. per source), chosen by
     * deterministic content-hash rank — reproducible across runs and
     * engines, no RNG state. The rank window partitions by the stratum, so

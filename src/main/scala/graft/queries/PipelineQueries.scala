@@ -100,6 +100,26 @@ object PipelineQueries {
     // §2.5: repetition signals — duplicate-token and duplicate-line shares
     "txt_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
 
+    // §2.5: benchmark decontamination — eval-set n-gram leakage check;
+    // the benchmark side broadcasts, the corpus is never shuffled
+    "pipeline_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+        d.filter(col("doc_id") % 10 =!= 0), // "corpus"
+        d.filter(col("doc_id") % 10 === 0), // stand-in "benchmark" slice
+        minShared = 3L)
+    }),
+
+    // §2.5: mixture sampling — per-source hash-threshold rates (here each
+    // source's pseudo-weight derives from its own name; production passes
+    // a CASE/rate-table column), rolled up for compact comparison
+    "pipeline_mixture" -> ((s, dir) =>
+      graft.operators.Packing
+        .mixtureSample(docs(s, dir), substring(md5(col("source")), 1, 4))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("kept_chars"))),
+
     // §2.5: sequence packing — deterministic greedy token-count binning,
     // the batch-assembly step between a cleaned corpus and a training run
     "pipeline_pack" -> ((s, dir) =>
@@ -128,6 +148,28 @@ object PipelineQueries {
     "txt_redact" ->
       s"""SELECT doc_id, ${TextOps.redactSql("text")} AS redacted
          FROM documents""",
+    "pipeline_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
+           FROM toks),
+         corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+         bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 10 = 0)
+         SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+         FROM corpus c JOIN bench b USING (shingle)
+         GROUP BY 1, 2
+         HAVING count(*) >= 3""",
+    "pipeline_mixture" ->
+      """SELECT source, count(*) AS n_kept,
+                cast(sum(n_chars) AS bigint) AS kept_chars
+         FROM documents
+         WHERE substr(md5(text), 1, 4) < substr(md5(source), 1, 4)
+         GROUP BY 1""",
     "txt_repetition" ->
       """SELECT doc_id,
                 1.0 - len(list_distinct(string_split_regex(text, ' +'))) /

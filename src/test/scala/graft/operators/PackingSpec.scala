@@ -43,6 +43,35 @@ class PackingSpec extends SparkSpec {
     } finally packed.unpersist()
   }
 
+  test("decontaminate flags planted eval-set leakage and nothing else") {
+    val bench = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val corpusDocs = Seq(
+      // verbatim leak of a benchmark span (many shared 3-grams)
+      (1L, "prefix words then the quick brown fox jumps over the lazy dog tonight and more"),
+      // shares exactly two 3-grams ("quick brown fox", "brown fox jumps") — under minShared=3
+      (2L, "a quick brown fox jumps here"),
+      (3L, "completely unrelated content about databases and spark plans")).toDF("doc_id", "text")
+    val flagged = Dedup.decontaminate(corpusDocs, bench, minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == Set((1L, 1000L)), s"got $flagged")
+    // the benchmark side is the broadcast side of the join
+    val plan = Dedup.decontaminate(corpusDocs, bench).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("mixtureSample keeps a deterministic per-threshold fraction") {
+    val docs = (1 to 2000).map(i => (i.toLong, s"document body $i")).toDF("doc_id", "text")
+    val half = Packing.mixtureSample(docs, lit("8000")).count()
+    assert(math.abs(half - 1000) < 120, s"~half expected, got $half") // hash-uniform
+    val none = Packing.mixtureSample(docs, lit("0000")).count()
+    assert(none == 0)
+    // deterministic: same rows both times
+    val a = Packing.mixtureSample(docs, lit("4000")).select("doc_id")
+    val b = Packing.mixtureSample(docs, lit("4000")).select("doc_id")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("stratifiedSample: exactly n per stratum, deterministic") {
     val docs = (1 to 300).map { i =>
       (i.toLong, s"src${i % 3}", s"text body number $i")
