@@ -54,12 +54,15 @@ object HyperplaneSig {
   }
 
   /** All nBits plane dots in one fused pass; shared by interpreted eval and
-    * generated code. */
+    * generated code. A null element nulls every dot in the composed
+    * aggregate(zip_with(...)) form, which lands the row in bucket 0 — kept
+    * bit-compatible here rather than reading undefined slot bytes. */
   def compute(a: ArrayData, nBits: Int, table: Int): Long = {
     val n = a.numElements()
     val dots = new Array[Double](nBits)
     var j = 0
     while (j < n) {
+      if (a.isNullAt(j)) return 0L
       val x = a.getDouble(j)
       var i = 0
       while (i < nBits) {

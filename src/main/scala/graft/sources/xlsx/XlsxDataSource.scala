@@ -41,7 +41,10 @@ final class XlsxDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val paths = XlsxDataSource.resolvePaths(options)
     if (paths.isEmpty)
-      throw new IllegalArgumentException("xlsx: no input files found")
+      throw new IllegalArgumentException(
+        "xlsx: no input files found — schema inference needs at least one " +
+          "workbook. To stream a drop-box directory that starts empty, " +
+          "supply the schema explicitly with .schema(...)")
     val opts = XlsxOptions.from(options)
     // Schema from the first file only — at scale you cannot open 10^6 files
     // at planning time; files are expected to be schema-homogeneous.
@@ -278,10 +281,17 @@ final class XlsxPartitionReader(
   private val sheetNameValue: UTF8String =
     UTF8String.fromString(sheet.map(_.name).getOrElse(""))
   // positional index of each required column in the sheet; -1 marks the
-  // allSheets metadata column, which has no sheet position
+  // allSheets metadata column, which has no sheet position. Sheet
+  // positions count only DATA columns: a user-supplied schema may place
+  // _sheet_name anywhere, and fieldIndex over the full schema would then
+  // shift every column after it.
+  private val dataFieldNames: Array[String] =
+    if (opts.allSheets)
+      fullSchema.fieldNames.filterNot(_ == XlsxDataSource.SheetNameCol)
+    else fullSchema.fieldNames
   private val colIdx: Array[Int] = required.fieldNames.map { n =>
     if (opts.allSheets && n == XlsxDataSource.SheetNameCol) -1
-    else fullSchema.fieldIndex(n)
+    else dataFieldNames.indexOf(n)
   }
   private val colTypes: Array[DataType] = required.fields.map(_.dataType)
   // filters whose columns survive pruning can be evaluated on the row

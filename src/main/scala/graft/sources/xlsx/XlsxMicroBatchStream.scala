@@ -83,11 +83,18 @@ final class XlsxMicroBatchStream(
                     catch { case _: java.io.IOException => 0L }
         (mtime, p)
       }.sorted.map(_._2)
+      // write-to-temp then rename: a crash mid-write must never leave a
+      // truncated entry, because the constructor replays this log verbatim
+      // and a poisoned path would fail every subsequent restart (the same
+      // reason Spark's own file-source metadata log renames atomically)
       val entry = new Path(logDir, logEntries.toString)
+      val tmp = new Path(logDir, s".${logEntries}.tmp")
       fs.mkdirs(logDir)
-      val out = fs.create(entry, true)
+      val out = fs.create(tmp, true)
       try out.write(ordered.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      if (!fs.rename(tmp, entry))
+        throw new java.io.IOException(s"xlsx stream: failed to commit file-log entry $entry")
       logEntries += 1
       ordered.foreach { p => if (seenSet.add(p)) seen += p }
     }

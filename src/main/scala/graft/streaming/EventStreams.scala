@@ -71,11 +71,15 @@ object EventStreams {
     * State is one small record per live user — the 100 TB story is state
     * size O(active users), not O(events).
     *
-    * `idleTimeout` (e.g. "30 minutes") bounds that state over unbounded
-    * wall-clock time: a user silent past the timeout has their open session
-    * EMITTED and their state EVICTED, so abandoned users never accumulate.
-    * Without it (None), open sessions close only when a later event for the
-    * same user arrives. */
+    * `idleTimeout` (e.g. "30 minutes") closes idle sessions promptly: a
+    * user silent past the timeout has their open session EMITTED, and the
+    * state collapses to a tombstone carrying only the next session id (no
+    * timeout re-armed, so it never fires again) — session ids stay
+    * monotonic per user when they return. The tombstone is the same fixed
+    * size as live state, so memory is O(ever-seen users) with or without
+    * the timeout; what the timeout buys is emission latency, not memory.
+    * Without it (None), open sessions close only when a later event for
+    * the same user arrives. */
   def sessionizeStream(spark: SparkSession, events: Dataset[Event],
       idleTimeout: Option[String] = None): Dataset[SessionOut] = {
     import spark.implicits._
@@ -88,13 +92,14 @@ object EventStreams {
         OutputMode.Append(), timeoutConf) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // idle past the timeout: close out the open session, free state
+            // idle past the timeout: close out the open session; keep a
+            // tombstone (n=0, next id) so a returning user's ids continue
             val st = state.get
-            state.remove()
-            if (st.n > 0L)
+            if (st.n > 0L) {
+              state.update(SessionState(-1L, -1L, 0L, st.sessionId + 1L))
               Iterator(SessionOut(userId, st.sessionId, st.n,
                 new Timestamp(st.start), new Timestamp(st.last)))
-            else Iterator.empty
+            } else { state.remove(); Iterator.empty }
           } else {
             val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
             var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L, 0L))

@@ -43,6 +43,22 @@ class XlsxSourceSpec extends SparkSpec {
     assert(df.filter(col("_sheet_name") === "beta").count() == 1)
   }
 
+  test("allSheets with a user schema placing _sheet_name first still maps cells") {
+    val h = Some(Seq("k", "v"))
+    val p = tmpXlsx(Seq(
+      SheetSpec("alpha", h, Seq(Seq[Any]("a", 1.0)).iterator)))
+    val df = spark.read.format("xlsx")
+      .schema(StructType(Seq(
+        StructField("_sheet_name", StringType),
+        StructField("k", StringType),
+        StructField("v", DoubleType))))
+      .option("allSheets", "true").load(p)
+    val r = df.collect()(0)
+    assert(r.getAs[String]("_sheet_name") == "alpha")
+    assert(r.getAs[String]("k") == "a") // not shifted by the metadata column
+    assert(r.getAs[Double]("v") == 1.0)
+  }
+
   test("allSheets conflicts with sheetName/sheetIndex") {
     val p = one(Some(Seq("k", "v")), Seq(Seq("a", 1.0)))
     val e = intercept[Exception] {

@@ -175,6 +175,17 @@ class StreamingSpec extends SparkSpec {
           .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
           .contains((7L, 2L))
       }
+      // the returning user's next session id continues monotonically (the
+      // tombstone carries it) — no duplicate (user_id, session_id) keys
+      mem.addData(EventStreams.Event(5L, ts(500), 7L, "click", 5.0))
+      eventually() {
+        spark.table("sess_ttl_out").collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")))
+          .contains((7L, 1L))
+      }
+      val keys = spark.table("sess_ttl_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")))
+      assert(keys.distinct.length == keys.length, s"duplicate session keys: ${keys.toSeq}")
     } finally q.stop()
   }
 }
