@@ -42,6 +42,21 @@ object Packing {
           .cast("long").as("bin"))
   }
 
+  /** Trim each stratum to a token budget: documents are taken in
+    * content-hash order until the stratum's cumulative token count reaches
+    * the budget (the crossing document is kept — the same pre-document
+    * cumulative rule as [[packByTokens]]). The right-sizing step when
+    * assembling a training mixture from unevenly sized sources. One
+    * stratum-partitioned window, no global sort. */
+  def budgetTrim(docs: DataFrame, stratum: Column, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(md5(col("text")), col("doc_id"))
+    docs
+      .withColumn("__nt", TextOps.wsTokenCount(col("text")))
+      .withColumn("__cum", sum(col("__nt")).over(w))
+      .filter(col("__cum") - col("__nt") < budgetTokens)
+      .drop("__nt", "__cum")
+  }
+
   /** Rate-based mixture sampling: keep a deterministic content-hash
     * fraction of each row's stratum, with the rate supplied per row as a
     * 4-hex-digit threshold string (e.g. a CASE over `source`, or a joined

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -209,4 +209,16 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
+
+  /** Symmetric int8 scalar quantization of a double-array vector:
+    * q_i = floor(x_i · 127 / max|x| + 0.5), the 4× storage reduction an
+    * ANN corpus takes before sharding (dequantize with scale = max|x|/127).
+    * Rounding is an explicit floor(+0.5) — round-half-up — so the result
+    * is bit-identical in any engine computing in doubles (no dependence on
+    * an engine's round() tie rule). Map-only; `maxAbs` must be the bound
+    * column of the same projection (lambda re-evaluation pitfall). */
+  def quantizeInt8(v: Column, maxAbs: Column): Column =
+    transform(v, x =>
+      when(maxAbs > 0, floor(x * lit(127.0) / maxAbs + lit(0.5)).cast("long"))
+        .otherwise(lit(0L)))
 }

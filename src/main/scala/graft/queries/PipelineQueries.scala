@@ -91,7 +91,6 @@ object PipelineQueries {
           length(col("payload")).cast("long").as("n_bytes"),
           (col("width").cast("long") * col("height")).as("n_pixels"))),
 
-    // §2.3 #48 windowed aggregation (batch face; streaming face in specs)
     // §2.5: cheap PII scrub (emails / IPv4s / long digit runs) — map-only
     "txt_redact" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -120,6 +119,29 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).cast("long").as("kept_chars"))),
 
+    // §2.5: per-source token budget trimming — right-size uneven sources
+    // when assembling a mixture (hash-ordered fill to 600 tokens/source)
+    "pipeline_budget" -> ((s, dir) =>
+      graft.operators.Packing
+        .budgetTrim(docs(s, dir), col("source"), budgetTokens = 600L)
+        .select(col("doc_id"), col("source"))),
+
+    // §2.5: int8 scalar quantization of the embedding corpus (4x storage
+    // for ANN sharding); compact per-vector checksums keep the compare
+    // schema scalar while still pinning every quantized component
+    "emb_quantize" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val m = d.select(col("vec_id"), col("v"),
+        array_max(transform(col("v"), x => abs(x))).as("mx"))
+      val q = m.select(col("vec_id"), col("mx"),
+        graft.operators.Similarity.quantizeInt8(col("v"), col("mx")).as("ql"))
+      q.select(col("vec_id"),
+        (col("mx") / lit(127.0)).as("scale"),
+        aggregate(col("ql"), lit(0L), (a, x) => a + x).as("q_sum"),
+        aggregate(col("ql"), lit(0L), (a, x) => a + abs(x)).as("q_abs_sum"))
+    }),
+
     // §2.5: sequence packing — deterministic greedy token-count binning,
     // the batch-assembly step between a cleaned corpus and a training run
     "pipeline_pack" -> ((s, dir) =>
@@ -130,6 +152,7 @@ object PipelineQueries {
       graft.operators.Packing.stratifiedSample(docs(s, dir), col("source"), n = 25)
         .select(col("doc_id"), col("source"))),
 
+    // §2.3 #48 windowed aggregation (batch face; streaming face in specs)
     "st_window_agg" -> ((s, dir) =>
       EventStreams.windowAgg(Tables.load(s, dir, "events"))),
 
@@ -164,6 +187,30 @@ object PipelineQueries {
          FROM corpus c JOIN bench b USING (shingle)
          GROUP BY 1, 2
          HAVING count(*) >= 3""",
+    "pipeline_budget" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  cast(len(regexp_extract_all(text, '\S+')) AS bigint) AS nt,
+                  sum(cast(len(regexp_extract_all(text, '\S+')) AS bigint))
+                    OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS cum
+           FROM documents)
+         WHERE cum - nt < 600""",
+    "emb_quantize" ->
+      """WITH d AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         m AS (
+           SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) AS mx FROM d),
+         q AS (
+           SELECT vec_id, mx,
+                  list_transform(v, x -> CASE WHEN mx > 0
+                    THEN CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)
+                    ELSE 0 END) AS ql
+           FROM m)
+         SELECT vec_id, mx / 127.0 AS scale,
+                cast(list_sum(ql) AS bigint) AS q_sum,
+                cast(list_sum(list_transform(ql, x -> abs(x))) AS bigint) AS q_abs_sum
+         FROM q""",
     "pipeline_mixture" ->
       """SELECT source, count(*) AS n_kept,
                 cast(sum(n_chars) AS bigint) AS kept_chars

@@ -72,6 +72,45 @@ class PackingSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("budgetTrim fills each stratum to the token budget, crossing doc kept") {
+    val docs = (1 to 100).map { i =>
+      (i.toLong, s"src${i % 2}", (1 to 10).map(j => s"t$j").mkString(" ")) // 10 tokens each
+    }.toDF("doc_id", "source", "text")
+    val kept = Packing.budgetTrim(docs, col("source"), budgetTokens = 95L)
+    // 10-token docs, budget 95: pre-doc cumsum < 95 admits docs at cum 0..90
+    // → exactly 10 docs per source (the 10th crosses the boundary, kept)
+    val counts = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("src0" -> 10L, "src1" -> 10L), s"got $counts")
+    // a budget larger than the stratum keeps everything
+    assert(Packing.budgetTrim(docs, col("source"), 10000L).count() == 100)
+  }
+
+  test("quantizeInt8: max maps to ±127, zero vector to zeros, dequant error bounded") {
+    val df = Seq(
+      (1L, Seq(0.5, -1.0, 0.25, 0.0)),
+      (2L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(3.0))).toDF("vec_id", "v")
+    val out = df.select(col("vec_id"),
+        array_max(transform(col("v"), x => abs(x))).as("mx"))
+      .join(df, "vec_id")
+      .select(col("vec_id"), Similarity.quantizeInt8(col("v"), col("mx")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(64L, -127L, 32L, 0L)) // floor(.5*127+.5)=64
+    assert(out(2L) == Seq(0L, 0L, 0L, 0L)) // zero vector guard
+    assert(out(3L) == Seq(127L))
+    // dequantization error ≤ scale/2 per component by construction
+    val v = Seq(0.9, -0.3, 0.7071, 0.123, -0.456)
+    val mx = v.map(math.abs).max
+    val scale = mx / 127.0
+    val q = df.sparkSession.createDataFrame(Seq((1L, v))).toDF("vec_id", "v")
+      .select(Similarity.quantizeInt8(col("v"), lit(mx)).as("q"))
+      .collect()(0).getSeq[Long](0)
+    v.zip(q).foreach { case (x, qi) =>
+      assert(math.abs(x - qi * scale) <= scale / 2 + 1e-12)
+    }
+  }
+
   test("stratifiedSample: exactly n per stratum, deterministic") {
     val docs = (1 to 300).map { i =>
       (i.toLong, s"src${i % 3}", s"text body number $i")
