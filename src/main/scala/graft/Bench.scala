@@ -55,10 +55,11 @@ object Bench {
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
       .sortBy(_.getName).lastOption
     prev.foreach { f =>
-      // The driver wraps (and truncates) the bench JSON line, so parse
-      // leniently: scrape "name":seconds pairs out of the raw text.
+      // The driver wraps (and truncates) the bench JSON line inside a JSON
+      // string field, so quotes arrive backslash-escaped — unescape, then
+      // scrape "name":seconds pairs out of the raw text.
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
+        java.nio.charset.StandardCharsets.UTF_8).replace("\\\"", "\"")
       val pair = "\"([A-Za-z0-9_]+)\":([0-9]+\\.[0-9]+)".r
       val old = pair.findAllMatchIn(text)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
