@@ -126,6 +126,46 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
+  /** Connected components over a near-dup pair graph: every document gets
+    * the MINIMUM doc_id reachable through pairs as its cluster id — the
+    * step that turns pairwise near-dup output into dedup groups (keep one
+    * survivor per cluster, usually the min id itself). Deterministic, so
+    * it oracle-checks against a recursive-CTE closure.
+    *
+    * Scale shape: iterative min-label propagation — each round is ONE
+    * equi-join + min-aggregate on the edge list, and rounds needed =
+    * graph diameter (near-dup clusters are shallow: mostly stars and
+    * short chains, so a handful of rounds). Lineage is truncated per
+    * round with localCheckpoint so the plan doesn't grow with the
+    * iteration count. The documented upgrade path at extreme diameters
+    * is star-contraction (large-star/small-star), which squares the
+    * convergence rate with the same per-round join shape. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // best label reachable over one hop
+      val prop = edges.join(labels, edges("b") === labels("node"))
+        .groupBy(col("a")).agg(min(col("label")).as("hop"))
+      val updated = labels
+        .join(prop, labels("node") === prop("a"), "left")
+        .select(labels("node"),
+          least(labels("label"), coalesce(col("hop"), labels("label"))).as("next"),
+          labels("label"))
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("node"), col("next").as("label"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing at least
     * `minShared` word-3-gram shingles with any benchmark document — the
     * eval-set leakage check every training pipeline runs before a model

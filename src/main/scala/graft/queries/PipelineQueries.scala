@@ -99,6 +99,11 @@ object PipelineQueries {
     // §2.5: repetition signals — duplicate-token and duplicate-line shares
     "txt_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
 
+    // §2.5: near-dup clustering — connected components over the exact
+    // ngram-Jaccard pair graph (pairs → dedup groups; survivor = min id)
+    "dd_cluster" -> ((s, dir) =>
+      Dedup.connectedComponents(Dedup.ngramJaccard(docs(s, dir), 0.6))),
+
     // §2.5: benchmark decontamination — eval-set n-gram leakage check;
     // the benchmark side broadcasts, the corpus is never shuffled
     "pipeline_decontaminate" -> ((s, dir) => {
@@ -187,6 +192,42 @@ object PipelineQueries {
          FROM corpus c JOIN bench b USING (shingle)
          GROUP BY 1, 2
          HAVING count(*) >= 3""",
+    "dd_cluster" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+         sh0 AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
+           FROM toks),
+         sh AS (
+           SELECT doc_id, shingle FROM (
+             SELECT doc_id, shingle,
+                    count(*) OVER (PARTITION BY shingle) AS df
+             FROM sh0)
+           WHERE df <= 1000),
+         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (
+           SELECT da, db
+           FROM inter
+           JOIN szs sa ON da = sa.doc_id
+           JOIN szs sb ON db = sb.doc_id
+           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6),
+         edges AS (
+           SELECT da AS a, db AS b FROM pairs
+           UNION ALL SELECT db, da FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a""",
     "pipeline_budget" ->
       """SELECT doc_id, source FROM (
            SELECT doc_id, source,

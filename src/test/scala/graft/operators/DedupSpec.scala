@@ -126,4 +126,23 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
+
+  test("connectedComponents: chains, stars and singleton pairs get min-id clusters") {
+    // components: chain {1,2,3}, pair {5,6}, star {10,11,12,13}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (5L, 6L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("da", "db")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(cc == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L), s"got $cc")
+    // a longer chain exercises multi-round propagation (diameter 6)
+    val chain = (20L until 26L).map(i => (i, i + 1)).toDF("da", "db")
+    val cc2 = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getAs[Long]("cluster_id")).distinct
+    assert(cc2.toSeq == Seq(20L), s"chain should collapse to one cluster, got $cc2")
+  }
 }
