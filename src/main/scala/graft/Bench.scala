@@ -53,7 +53,9 @@ object Bench {
   private def reportTrend(results: Seq[(String, Double)]): Unit = try {
     val prev = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      .sortBy(_.getName).lastOption
+      // numeric round sort: lexicographic picks r9 over r10
+      .sortBy(f => "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
+      .lastOption
     prev.foreach { f =>
       // The driver wraps (and truncates) the bench JSON line inside a JSON
       // string field, so quotes arrive backslash-escaped — unescape, then

@@ -54,20 +54,25 @@ object HyperplaneSig {
   }
 
   /** All nBits plane dots in one fused pass; shared by interpreted eval and
-    * generated code. A null element nulls every dot in the composed
-    * aggregate(zip_with(...)) form, which lands the row in bucket 0 — kept
-    * bit-compatible here rather than reading undefined slot bytes. */
+    * generated code. Null elements contribute nothing to any dot (the
+    * vector hashes on its remaining components). NOT the composed form's
+    * behavior — aggregate(zip_with(...)) nulls every dot, piling every
+    * null-bearing vector into bucket 0 of every table, which at scale
+    * concentrates them into exactly the quadratic within-bucket blowup
+    * the buckets exist to prevent. Skipping spreads them like any other
+    * vector, deterministically. */
   def compute(a: ArrayData, nBits: Int, table: Int): Long = {
     val n = a.numElements()
     val dots = new Array[Double](nBits)
     var j = 0
     while (j < n) {
-      if (a.isNullAt(j)) return 0L
-      val x = a.getDouble(j)
-      var i = 0
-      while (i < nBits) {
-        dots(i) += x * sign(table * 10007 + i, j)
-        i += 1
+      if (!a.isNullAt(j)) {
+        val x = a.getDouble(j)
+        var i = 0
+        while (i < nBits) {
+          dots(i) += x * sign(table * 10007 + i, j)
+          i += 1
+        }
       }
       j += 1
     }

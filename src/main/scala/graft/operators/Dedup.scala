@@ -152,17 +152,24 @@ object Dedup {
       // best label reachable over one hop
       val prop = edges.join(labels, edges("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("label")).as("hop"))
+      // checkpoint BEFORE deriving the changed-count and the next labels,
+      // so the round's join+aggregate executes once, not once per consumer
       val updated = labels
         .join(prop, labels("node") === prop("a"), "left")
         .select(labels("node"),
           least(labels("label"), coalesce(col("hop"), labels("label"))).as("next"),
           labels("label"))
+        .localCheckpoint(true)
       changed = updated.filter(col("next") < col("label")).count()
       labels = updated.select(col("node"), col("next").as("label"))
-        .localCheckpoint(true)
       i += 1
     }
     edges.unpersist()
+    // a silent cap would report one component as several — refuse instead
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds the cap); raise maxIter")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

