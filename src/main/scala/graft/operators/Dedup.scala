@@ -141,8 +141,12 @@ object Dedup {
     * is star-contraction (large-star/small-star), which squares the
     * convergence rate with the same per-round join shape. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
-      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+    // persist the input first: `edges` references it twice (both union
+    // branches), and the pair generation upstream (a near-dup join) is
+    // far too expensive to evaluate twice
+    val p = pairs.persist()
+    val edges = p.select(col("da").as("a"), col("db").as("b"))
+      .union(p.select(col("db").as("a"), col("da").as("b")))
       .persist()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -165,6 +169,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    p.unpersist()
     // a silent cap would report one component as several — refuse instead
     if (changed > 0)
       throw new IllegalStateException(
