@@ -209,6 +209,11 @@ object XlsxParser {
       }
     }
 
+    /** StAX-backed row iterator regardless of encoding — the differential
+      * fuzz spec drives this against the byte scanner on identical input. */
+    private[xlsx] def rowIteratorStax(path: String): CellRowIterator =
+      new RowIterator(openEntry(path), sharedStrings, dateStyles)
+
     final class RowIterator(
         entry: Option[(XMLStreamReader, () => Unit)],
         strings: Array[String],

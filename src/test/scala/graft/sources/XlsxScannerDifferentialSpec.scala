@@ -1,0 +1,130 @@
+// in the xlsx package for access to the test-only StAX iterator hook
+package graft.sources.xlsx
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Differential fuzz: seeded random SpreadsheetML — shuffled attribute
+  * order, random whitespace, entities, CDATA, self-closing forms, comments,
+  * namespace prefixes, every cell type, bad shared-string indices — parsed
+  * by BOTH the byte scanner and the StAX iterator must yield identical
+  * cells. The StAX path is the semantics baseline the scanner replaced;
+  * any divergence is a scanner bug by definition.
+  */
+class XlsxScannerDifferentialSpec extends AnyFunSuite {
+
+  private val workbookXml =
+    """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+      | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+      |<sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin
+  private val relsXml =
+    """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+      |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+      |</Relationships>""".stripMargin
+  private val sharedXml =
+    """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+      |<si><t>alpha</t></si><si><r><t>be</t></r><r><t>ta</t></r></si><si><t/></si>
+      |</sst>""".stripMargin
+
+  private def zip(entries: (String, String)*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos, StandardCharsets.UTF_8)
+    entries.foreach { case (name, content) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes(StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private def randomSheet(rnd: Random): String = {
+    val sb = new StringBuilder
+    def ws(): String = " " * rnd.nextInt(3) + (if (rnd.nextInt(4) == 0) "\n" else "")
+    sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""")
+    sb.append("<sheetData>")
+    val nRows = 1 + rnd.nextInt(12)
+    var rowNum = 0
+    (0 until nRows).foreach { _ =>
+      rowNum += 1 + rnd.nextInt(2) // occasional gaps in row numbering
+      if (rnd.nextInt(5) == 0) sb.append(s"<!-- noise ${rnd.nextInt(100)} -->")
+      val rAttr = if (rnd.nextBoolean()) s""" r="$rowNum"""" else ""
+      if (rnd.nextInt(10) == 0) { sb.append(s"<row$rAttr/>"); }
+      else {
+        sb.append(s"<row$rAttr${ws()}>")
+        val nCells = rnd.nextInt(6)
+        (0 until nCells).foreach { c =>
+          val ref = s"${('A' + c).toChar}$rowNum"
+          // attribute set in random order
+          val attrs = rnd.shuffle(List(
+            if (rnd.nextBoolean()) Some(s"""r="$ref"""") else None,
+            if (rnd.nextInt(4) == 0) Some(s"""s="${rnd.nextInt(3)}"""") else None
+          ).flatten)
+          val a = if (attrs.isEmpty) "" else attrs.mkString(" ", " ", "")
+          rnd.nextInt(8) match {
+            case 0 => sb.append(s"<c$a/>") // empty styled cell
+            case 1 => // shared string, sometimes out of range
+              val idx = rnd.nextInt(5) // 3 valid, 2 invalid
+              sb.append(s"""<c$a t="s"><v>$idx</v></c>""")
+            case 2 => sb.append(s"""<c$a t="b"><v>${rnd.nextInt(2)}</v></c>""")
+            case 3 => sb.append(s"""<c$a t="e"><v>#DIV/0!</v></c>""")
+            case 4 =>
+              val s = rnd.nextInt(4) match {
+                case 0 => s"plain ${rnd.nextInt(100)}"
+                case 1 => "a&amp;b&lt;c&#x40;"
+                case 2 => s"<![CDATA[raw<${rnd.nextInt(10)}&>]]>"
+                case _ => "日本語🎉"
+              }
+              sb.append(s"""<c$a t="inlineStr"><is>${ws()}<t>$s</t></is></c>""")
+            case 5 => sb.append(s"""<c$a t="str"><v>fx${rnd.nextInt(10)}</v></c>""")
+            case 6 => sb.append(s"""<c$a><v/></c>""") // empty numeric -> error
+            case _ =>
+              val num = rnd.nextInt(5) match {
+                case 0 => rnd.nextInt(100000).toString
+                case 1 => f"${rnd.nextDouble() * 1000 - 500}%.6f"
+                case 2 => s"${rnd.nextInt(1000)}.${rnd.nextInt(1000000000)}${rnd.nextInt(1000000000)}" // >15 digits
+                case 3 => f"${rnd.nextDouble()}%.4fE${rnd.nextInt(20) - 10}%+d".replace("E+", "E").replace("E-0", "E-")
+                case _ => (rnd.nextDouble() * 2 - 1).toString
+              }
+              sb.append(s"""<c$a><v>$num</v></c>""")
+          }
+        }
+        sb.append("</row>")
+      }
+    }
+    sb.append("</sheetData></worksheet>")
+    sb.toString
+  }
+
+  test("byte scanner and StAX agree cell-for-cell on 200 random sheets") {
+    val rnd = new Random(0xBEEF)
+    (1 to 200).foreach { trial =>
+      val sheet = randomSheet(rnd)
+      val bytes = zip(
+        "xl/workbook.xml" -> workbookXml,
+        "xl/_rels/workbook.xml.rels" -> relsXml,
+        "xl/sharedStrings.xml" -> sharedXml,
+        "xl/styles.xml" ->
+          """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+            |<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="2"/></cellXfs>
+            |</styleSheet>""".stripMargin,
+        "xl/worksheets/sheet1.xml" -> sheet)
+
+      def drain(it: Iterator[(Long, Array[XCell])]): Seq[(Long, Seq[XCell])] =
+        it.map { case (i, cells) => (i, cells.toSeq) }.toList
+
+      val wb1 = new XlsxParser.Workbook(() => new ByteArrayInputStream(bytes))
+      val scanner = drain(wb1.rowIterator("xl/worksheets/sheet1.xml"))
+      val wb2 = new XlsxParser.Workbook(() => new ByteArrayInputStream(bytes))
+      val stax = drain(wb2.rowIteratorStax("xl/worksheets/sheet1.xml"))
+
+      assert(scanner == stax,
+        s"trial $trial diverged\nsheet:\n$sheet\nscanner: $scanner\nstax: $stax")
+    }
+  }
+}
