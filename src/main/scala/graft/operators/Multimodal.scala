@@ -63,4 +63,38 @@ object Multimodal {
       .select(col("doc_id"), col("n_bytes"), col("checksum"), col("n_pixels"),
         element_at(col("feat"), 3).as("pixel_feat"))
   }
+
+  /** One sampled frame of a video-like blob. */
+  final case class Frame(doc_id: Long, frame_idx: Long, ts_ms: Long,
+      frame_bytes: Long, frame_hash: Long)
+
+  /** Frame sampling: every `everyN`-th frame of each blob, one output row
+    * per sampled frame — the fan-out a video corpus takes before
+    * per-frame feature extraction. The blob's "frame count" and per-frame
+    * "bytes" come from the stub codec (payload length / a fixed frame
+    * stride); a real deployment swaps the demuxer in the same
+    * mapPartitions hop. flatMap shape: a 1-hour 30 fps blob becomes 108k
+    * rows WITHOUT materializing them driver-side, and downstream
+    * repartition spreads per-frame work regardless of blob skew. */
+  def sampleFrames(spark: SparkSession, docs: DataFrame, everyN: Int = 10,
+      frameStride: Int = 256, fps: Int = 30): DataFrame = {
+    require(everyN > 0 && frameStride > 0 && fps > 0)
+    import spark.implicits._
+    val ds: Dataset[Blob] = blobs(docs).as[Blob]
+    ds.mapPartitions { it =>
+      // per-partition init point (demuxer handle would live here)
+      it.flatMap { b =>
+        val nFrames = math.max(1L, b.payload.length.toLong / frameStride)
+        (0L until nFrames by everyN.toLong).iterator.map { f =>
+          // stub per-frame "decode": hash of the frame's byte span
+          val from = (f * frameStride).toInt.min(b.payload.length)
+          val until = ((f + 1) * frameStride).toInt.min(b.payload.length)
+          var h = 1125899906842597L
+          var i = from
+          while (i < until) { h = h * 257L + (b.payload(i) & 0xff); i += 1 }
+          Frame(b.doc_id, f, f * 1000L / fps, (until - from).toLong, h)
+        }
+      }
+    }.toDF()
+  }
 }

@@ -83,6 +83,13 @@ object PipelineQueries {
     // §2.3 #47 multimodal decode plumbing (stub codec; rows-only + spec)
     "mm_decode_meta" -> ((s, dir) => Multimodal.decodeMeta(s, docs(s, dir))),
 
+    // §2.5: frame sampling — every Nth frame of each blob as its own row
+    // (the fan-out before per-frame feature extraction); geometry columns
+    // are oracle-checked, the stub per-frame hash is spec-checked
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(s, docs(s, dir))
+        .select(col("doc_id"), col("frame_idx"), col("ts_ms"), col("frame_bytes"))),
+
     // §2.4 #67 multimodal metadata stats — the SQL-expressible face of the
     // blob table (payload size, derived pixel geometry), oracle-checked
     "mm_meta_stats" -> ((s, dir) =>
@@ -285,6 +292,18 @@ object PipelineQueries {
                   row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
            FROM documents)
          WHERE rk <= 25""",
+    "mm_frame_sample" ->
+      """WITH b AS (
+           SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+         f AS (
+           SELECT doc_id, len,
+                  unnest(range(0, greatest(len // 256, 1), 10)) AS frame_idx
+           FROM b)
+         SELECT doc_id, frame_idx,
+                frame_idx * 1000 // 30 AS ts_ms,
+                cast(least((frame_idx + 1) * 256, len)
+                     - least(frame_idx * 256, len) AS bigint) AS frame_bytes
+         FROM f""",
     "mm_meta_stats" ->
       """SELECT doc_id,
                 cast(octet_length(encode(text)) AS bigint) AS n_bytes,

@@ -37,4 +37,28 @@ class MultimodalSpec extends SparkSpec {
     val decodedParts = Multimodal.decodeMeta(spark, docs).rdd.getNumPartitions
     assert(decodedParts == docs.rdd.getNumPartitions)
   }
+
+  test("frame sampling: everyN stride, geometry, deterministic hashes") {
+    import spark.implicits._
+    // 1000-byte payload → 3 frames of 256 + remainder; everyN=2 keeps 0 and 2
+    val text = "x" * 1000
+    val one = Seq((1L, text, 1000L)).toDF("doc_id", "text", "n_chars")
+    val frames = Multimodal.sampleFrames(spark, one, everyN = 2)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getAs[Long]("frame_idx")).toSeq == Seq(0L, 2L))
+    assert(frames.map(_.getAs[Long]("frame_bytes")).toSeq == Seq(256L, 256L))
+    assert(frames.map(_.getAs[Long]("ts_ms")).toSeq == Seq(0L, 66L)) // 2*1000/30
+    // a short blob still yields exactly one frame row
+    val tiny = Seq((2L, "ab", 2L)).toDF("doc_id", "text", "n_chars")
+    val tf = Multimodal.sampleFrames(spark, tiny, everyN = 10).collect()
+    assert(tf.length == 1 && tf(0).getAs[Long]("frame_bytes") == 2L)
+    // hashes are deterministic and differ across distinct frame content
+    val varied = Seq((3L, ('a' to 'z').mkString * 40, 1040L)).toDF("doc_id", "text", "n_chars")
+    val h1 = Multimodal.sampleFrames(spark, varied, everyN = 1)
+      .orderBy("frame_idx").collect().map(_.getAs[Long]("frame_hash"))
+    val h2 = Multimodal.sampleFrames(spark, varied, everyN = 1)
+      .orderBy("frame_idx").collect().map(_.getAs[Long]("frame_hash"))
+    assert(h1.toSeq == h2.toSeq)
+    assert(h1.distinct.length > 1, "distinct frame spans should hash differently")
+  }
 }
