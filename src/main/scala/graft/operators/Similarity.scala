@@ -210,6 +210,18 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** L2 norm of a double-array vector, folded in element order — the same
+    * sequential accumulation every engine's list-sum uses, so the value is
+    * bit-identical cross-engine. */
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+
+  /** L2-normalize a vector given its precomputed norm (bind the norm to a
+    * column of the same projection — an inline l2Norm(v) would re-fold the
+    * array once per element). Zero vectors pass through unchanged. */
+  def l2Normalize(v: Column, norm: Column): Column =
+    when(norm > 0, transform(v, x => x / norm)).otherwise(v)
+
   /** Symmetric int8 scalar quantization of a double-array vector:
     * q_i = floor(x_i · 127 / max|x| + 0.5), the 4× storage reduction an
     * ANN corpus takes before sharding (dequantize with scale = max|x|/127).

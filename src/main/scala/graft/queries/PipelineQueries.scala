@@ -154,6 +154,20 @@ object PipelineQueries {
         aggregate(col("ql"), lit(0L), (a, x) => a + abs(x)).as("q_abs_sum"))
     }),
 
+    // §2.5: L2 normalization — the step before any cosine machinery;
+    // per-vector norm and a component checksum keep the compare scalar
+    "emb_normalize" -> ((s, dir) => {
+      val d = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val n = d.select(col("vec_id"), col("v"),
+        Similarity.l2Norm(col("v")).as("norm"))
+      n.select(col("vec_id"), col("norm"),
+        when(col("norm") > 0,
+          aggregate(Similarity.l2Normalize(col("v"), col("norm")),
+            lit(0.0), (a, x) => a + x))
+          .otherwise(lit(0.0)).as("comp_sum"))
+    }),
+
     // §2.5: sequence packing — deterministic greedy token-count binning,
     // the batch-assembly step between a cleaned corpus and a training run
     "pipeline_pack" -> ((s, dir) =>
@@ -243,6 +257,18 @@ object PipelineQueries {
                     OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS cum
            FROM documents)
          WHERE cum - nt < 600""",
+    "emb_normalize" ->
+      """WITH d AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+                  sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+           FROM d)
+         SELECT vec_id, norm,
+                CASE WHEN norm > 0
+                  THEN list_sum(list_transform(v, x -> x / norm))
+                  ELSE 0.0 END AS comp_sum
+         FROM n""",
     "emb_quantize" ->
       """WITH d AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -74,4 +74,22 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"mean recall $mean")
   }
+
+  test("l2Normalize: unit norm after, zero vector untouched, norm bound once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(3.0, 4.0)),
+      (2L, Seq(0.0, 0.0)),
+      (3L, Seq(-1.0, 2.0, -2.0))).toDF("vec_id", "v")
+    val n = df.select(col("vec_id"), col("v"), Similarity.l2Norm(col("v")).as("norm"))
+    val out = n.select(col("vec_id"), col("norm"),
+        Similarity.l2Normalize(col("v"), col("norm")).as("u"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Double](2))).toMap
+    assert(out(1L)._1 == 5.0 && out(1L)._2 == Seq(0.6, 0.8))
+    assert(out(2L)._2 == Seq(0.0, 0.0)) // zero vector passes through
+    assert(out(3L)._1 == 3.0)
+    val renorm = math.sqrt(out(3L)._2.map(x => x * x).sum)
+    assert(math.abs(renorm - 1.0) < 1e-12)
+  }
 }
