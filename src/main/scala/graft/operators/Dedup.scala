@@ -141,41 +141,48 @@ object Dedup {
     * is star-contraction (large-star/small-star), which squares the
     * convergence rate with the same per-round join shape. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // persist the input first: `edges` references it twice (both union
-    // branches), and the pair generation upstream (a near-dup join) is
-    // far too expensive to evaluate twice
-    val p = pairs.persist()
+    // persist a DEFENSIVE PROJECTION of the input: `edges` references it
+    // twice (both union branches) and the pair generation upstream (a
+    // near-dup join) is far too expensive to evaluate twice — but
+    // persisting `pairs` itself would make the unpersist below evict a
+    // cache the CALLER may have established on the same object
+    val p = pairs.select(col("da"), col("db")).persist()
     val edges = p.select(col("da").as("a"), col("db").as("b"))
       .union(p.select(col("db").as("a"), col("da").as("b")))
       .persist()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
     var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      // best label reachable over one hop
-      val prop = edges.join(labels, edges("b") === labels("node"))
-        .groupBy(col("a")).agg(min(col("label")).as("hop"))
-      // checkpoint BEFORE deriving the changed-count and the next labels,
-      // so the round's join+aggregate executes once, not once per consumer
-      val updated = labels
-        .join(prop, labels("node") === prop("a"), "left")
-        .select(labels("node"),
-          least(labels("label"), coalesce(col("hop"), labels("label"))).as("next"),
-          labels("label"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("next") < col("label")).count()
-      labels = updated.select(col("node"), col("next").as("label"))
-      i += 1
+    try {
+      var labels = edges.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint(true) // materializes edges (and through it, p)
+      p.unpersist() // dead once edges is materialized — free it before the loop
+      var i = 0
+      while (changed > 0 && i < maxIter) {
+        // best label reachable over one hop
+        val prop = edges.join(labels, edges("b") === labels("node"))
+          .groupBy(col("a")).agg(min(col("label")).as("hop"))
+        // checkpoint BEFORE deriving the changed-count and the next labels,
+        // so the round's join+aggregate executes once, not once per consumer
+        val updated = labels
+          .join(prop, labels("node") === prop("a"), "left")
+          .select(labels("node"),
+            least(labels("label"), coalesce(col("hop"), labels("label"))).as("next"),
+            labels("label"))
+          .localCheckpoint(true)
+        changed = updated.filter(col("next") < col("label")).count()
+        labels = updated.select(col("node"), col("next").as("label"))
+        i += 1
+      }
+      // a silent cap would report one component as several — refuse instead
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            "(component diameter exceeds the cap); raise maxIter")
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    } finally {
+      edges.unpersist()
+      p.unpersist() // idempotent if already released
     }
-    edges.unpersist()
-    p.unpersist()
-    // a silent cap would report one component as several — refuse instead
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          "(component diameter exceeds the cap); raise maxIter")
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Benchmark decontamination: flag corpus documents sharing at least

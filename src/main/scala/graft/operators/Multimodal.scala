@@ -24,14 +24,21 @@ object Multimodal {
   final case class Decoded(doc_id: Long, n_bytes: Long, checksum: Long,
       n_pixels: Long, feat: Array[Double])
 
+  /** Rolling hash over a byte span — the one stub "checksum" shared by the
+    * whole-blob decode and the per-frame decode, so they can never drift. */
+  private def hashSpan(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 1125899906842597L
+    var i = from
+    while (i < until) { h = h * 257L + (bytes(i) & 0xff); i += 1 }
+    h
+  }
+
   /** STUB CODEC: deterministic fake "decode" — rolling checksum + a fixed
     * 4-dim feature vector derived from payload bytes. A real deployment
     * swaps only this function (and its per-partition init) for e.g. a JNI
     * JPEG decoder; the pipeline shape does not change. */
   def decodeStub(b: Blob): Decoded = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < b.payload.length) { h = h * 257L + (b.payload(i) & 0xff); i += 1 }
+    val h = hashSpan(b.payload, 0, b.payload.length)
     val feat = Array(
       b.payload.length.toDouble,
       (h & 0xffff).toDouble,
@@ -89,10 +96,8 @@ object Multimodal {
           // stub per-frame "decode": hash of the frame's byte span
           val from = (f * frameStride).toInt.min(b.payload.length)
           val until = ((f + 1) * frameStride).toInt.min(b.payload.length)
-          var h = 1125899906842597L
-          var i = from
-          while (i < until) { h = h * 257L + (b.payload(i) & 0xff); i += 1 }
-          Frame(b.doc_id, f, f * 1000L / fps, (until - from).toLong, h)
+          Frame(b.doc_id, f, f * 1000L / fps, (until - from).toLong,
+            hashSpan(b.payload, from, until))
         }
       }
     }.toDF()

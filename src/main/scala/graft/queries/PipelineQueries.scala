@@ -257,16 +257,20 @@ object PipelineQueries {
                     OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS cum
            FROM documents)
          WHERE cum - nt < 600""",
+    // coalesce aligns DuckDB's empty-list NULL with Spark's 0.0 fold init
+    // (same guard as emb_quantize); vectors with NULL elements have no
+    // clean cross-engine twin (Spark folds to NULL, DuckDB skips) and are
+    // out of contract for an embedding column
     "emb_normalize" ->
       """WITH d AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (
            SELECT vec_id, v,
-                  sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+                  sqrt(coalesce(list_sum(list_transform(v, x -> x * x)), 0)) AS norm
            FROM d)
          SELECT vec_id, norm,
                 CASE WHEN norm > 0
-                  THEN list_sum(list_transform(v, x -> x / norm))
+                  THEN coalesce(list_sum(list_transform(v, x -> x / norm)), 0)
                   ELSE 0.0 END AS comp_sum
          FROM n""",
     "emb_quantize" ->
