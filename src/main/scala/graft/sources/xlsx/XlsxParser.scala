@@ -91,7 +91,9 @@ object XlsxParser {
           } finally closeAll()
       }
 
-    private def sharedStringsStax(xr: XMLStreamReader): Array[String] = {
+    /** package-visible so the differential fuzz can drive the StAX path
+      * against the byte scanner on identical input */
+    private[xlsx] def sharedStringsStax(xr: XMLStreamReader): Array[String] = {
       val out = ArrayBuffer[String]()
       var inSi = false
       var phoneticDepth = 0 // inside <rPh>/<phoneticPr>: furigana, not text

@@ -101,6 +101,48 @@ class XlsxScannerDifferentialSpec extends AnyFunSuite {
     sb.toString
   }
 
+  private def randomSharedStrings(rnd: Random): String = {
+    val sb = new StringBuilder
+    sb.append("""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""")
+    val n = rnd.nextInt(20)
+    (0 until n).foreach { _ =>
+      rnd.nextInt(6) match {
+        case 0 => sb.append("<si/>") // StAX never sees an END for this one
+        case 1 => sb.append("<si><t/></si>")
+        case 2 => sb.append(s"<si><t>plain ${rnd.nextInt(100)}</t></si>")
+        case 3 => // rich-text runs, sometimes with phonetic furigana
+          sb.append("<si>")
+          (0 to rnd.nextInt(3)).foreach(i => sb.append(s"<r><t>run$i </t></r>"))
+          if (rnd.nextBoolean())
+            sb.append("""<rPh sb="0" eb="1"><t>ヨミ</t></rPh><phoneticPr fontId="1"/>""")
+          sb.append("</si>")
+        case 4 => sb.append(s"<si><t>esc &amp;&lt;&#${64 + rnd.nextInt(26)};</t></si>")
+        case _ => sb.append(s"<si><t><![CDATA[cd<${rnd.nextInt(10)}&>]]></t></si>")
+      }
+    }
+    sb.append("</sst>")
+    sb.toString
+  }
+
+  test("sharedStrings byte scanner and StAX agree on 200 random tables") {
+    val rnd = new Random(0xFEED)
+    (1 to 200).foreach { trial =>
+      val sst = randomSharedStrings(rnd)
+      // <si/> never produces an END_ELEMENT text flush under StAX either —
+      // both paths must agree on whatever the answer is
+      val bytes = sst.getBytes(StandardCharsets.UTF_8)
+      val scanner = SharedStringsScanner
+        .parse(new ByteArrayInputStream(bytes)).toSeq
+      val xif = javax.xml.stream.XMLInputFactory.newInstance()
+      xif.setProperty(javax.xml.stream.XMLInputFactory.IS_COALESCING, true)
+      val wb = new XlsxParser.Workbook(() => new ByteArrayInputStream(Array.empty))
+      val stax = wb.sharedStringsStax(
+        xif.createXMLStreamReader(new ByteArrayInputStream(bytes))).toSeq
+      assert(scanner == stax,
+        s"trial $trial diverged\nsst:\n$sst\nscanner: $scanner\nstax: $stax")
+    }
+  }
+
   test("byte scanner and StAX agree cell-for-cell on 200 random sheets") {
     val rnd = new Random(0xBEEF)
     (1 to 200).foreach { trial =>
