@@ -42,7 +42,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     reportTrend(results)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver truncates stderr/stdout when archiving; persist the full
+    // per-query table so round-over-round trends survive (VERDICT r3 item 7).
+    try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("bench_full.json"),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception => System.err.println(s"[bench] persist skipped: $e") }
+    println(line)
     spark.stop()
   }
 

@@ -397,12 +397,14 @@ object Dedup {
     * `nBits <= 0` (the default) derives the bucket width from the corpus
     * count via [[nBitsFor]], so occupancy — and with it the residual
     * within-bucket O(occupancy²) pair work — stays constant as the corpus
-    * grows. The count() is one metadata-cheap pass (parquet row counts come
-    * from footers); pass an explicit nBits to skip it. */
+    * grows. Pass `n` (the corpus row count) when the caller already knows
+    * it — otherwise a count() job runs here, and for a filtered/computed
+    * input that job re-executes the whole upstream plan. Pass an explicit
+    * nBits to skip the derivation entirely. */
   def embedNearDup(emb: DataFrame, threshold: Double = 0.95, nBits: Int = 0,
-      dim: Int = 64, nTables: Int = 4): DataFrame = {
+      dim: Int = 64, nTables: Int = 4, n: Long = -1L): DataFrame = {
     validateDim(emb, dim)
-    val bits = if (nBits > 0) nBits else nBitsFor(emb.count())
+    val bits = if (nBits > 0) nBits else nBitsFor(if (n > 0) n else emb.count())
     val v = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val bucketed = multiTableBuckets(v, bits, dim, nTables)

@@ -72,11 +72,13 @@ object Similarity {
     * `nBits <= 0` (default) derives bucket width from the corpus count
     * ([[Dedup.nBitsFor]]) so bucket occupancy — the per-probe scan cost —
     * stays constant as the corpus grows; `nTables` independent plane
-    * families hold recall up as nBits grows (the minhash-band trick). */
+    * families hold recall up as nBits grows (the minhash-band trick).
+    * Pass `n` (the corpus row count) when known to skip the count() job —
+    * for a filtered/computed corpus that job re-runs the upstream plan. */
   def topKLsh(emb: DataFrame, queries: DataFrame, k: Int = 5, nBits: Int = 0,
-      dim: Int = 64, nTables: Int = 2): DataFrame = {
+      dim: Int = 64, nTables: Int = 2, n: Long = -1L): DataFrame = {
     Dedup.validateDim(emb, dim)
-    val bits = if (nBits > 0) nBits else Dedup.nBitsFor(emb.count())
+    val bits = if (nBits > 0) nBits else Dedup.nBitsFor(if (n > 0) n else emb.count())
     // the probes side is broadcast, so carrying v through the bucket
     // explode keeps the corpus map-side (never shuffled)
     val corpus = Dedup.multiTableBuckets(

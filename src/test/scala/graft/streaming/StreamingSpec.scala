@@ -158,6 +158,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time sessionization: a fast replay closes sessions by event time, " +
+      "matching the batch face") {
+    // The 100 TB reprocessing case: the whole history arrives as one burst
+    // (wall-clock ~instant), so a processing-time idle timeout would never
+    // fire mid-replay — only the WATERMARK can close sessions correctly.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionizeStreamEventTime(spark, mem.toDS())
+      .writeStream.format("memory").queryName("sess_et_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: the full burst (out of order — the fold sorts per user)
+      mem.addData(scala.util.Random.shuffle(eventsLocal): _*)
+      q.processAllAvailable()
+      // batches 2-3: an unrelated user advances the watermark past every
+      // session's last+gap; the timeouts fire on the batch AFTER the
+      // watermark moves
+      mem.addData(EventStreams.Event(100L, ts(200), 99L, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Event(101L, ts(201), 99L, "click", 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_et_out").collect()
+        .filter(_.getAs[Long]("user_id") != 99L)
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+          r.getAs[Long]("n_events"), r.getAs[Timestamp]("session_start"),
+          r.getAs[Timestamp]("session_end"))).toSet
+      val batch = EventStreams.sessionizeBatch(eventsLocal.toDF())
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+          r.getAs[Long]("n_events"), r.getAs[Timestamp]("session_start"),
+          r.getAs[Timestamp]("session_end"))).toSet
+      assert(closed == batch,
+        s"replayed stream sessions $closed != batch face $batch")
+    } finally q.stop()
+  }
+
+  test("event-time dedup TTL: eviction tracks the event clock, not the wall clock") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.TsDoc]
+    val q = EventStreams.dedupStreamEventTime(spark, mem.toDS(),
+      ttl = "30 minutes", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_et_out")
+      .outputMode("append").start()
+    def ids: Set[Long] =
+      spark.table("dedup_et_out").collect().map(_.getAs[Long]("doc_id")).toSet
+    try {
+      mem.addData(EventStreams.TsDoc(ts(0), 1L, "alpha"),
+        EventStreams.TsDoc(ts(1), 2L, "beta"),
+        EventStreams.TsDoc(ts(2), 3L, "alpha")) // in-batch dup → dropped
+      q.processAllAvailable()
+      // alpha re-sighted at minute 100 (still within TTL on the event
+      // clock: watermark is ~0 here) → dropped, AND its lastSeen advances
+      mem.addData(EventStreams.TsDoc(ts(100), 4L, "alpha"))
+      q.processAllAvailable()
+      // watermark is now 90 min: beta (lastSeen minute 1, TTL 30 min) is
+      // evicted this batch; alpha (lastSeen minute 100) survives
+      mem.addData(EventStreams.TsDoc(ts(101), 5L, "gamma"))
+      q.processAllAvailable()
+      // beta re-admitted after event-time eviction; alpha still deduped
+      mem.addData(EventStreams.TsDoc(ts(102), 6L, "beta"),
+        EventStreams.TsDoc(ts(103), 7L, "alpha"))
+      q.processAllAvailable()
+      assert(ids == Set(1L, 2L, 5L, 6L),
+        s"expected beta re-admitted and alpha still deduped, got $ids")
+    } finally q.stop()
+  }
+
   test("idle-session timeout emits the open session and evicts its state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
