@@ -132,14 +132,16 @@ object Dedup {
     * survivor per cluster, usually the min id itself). Deterministic, so
     * it oracle-checks against a recursive-CTE closure.
     *
-    * Scale shape: iterative min-label propagation — each round is ONE
-    * equi-join + min-aggregate on the edge list, and rounds needed =
-    * graph diameter (near-dup clusters are shallow: mostly stars and
-    * short chains, so a handful of rounds). Lineage is truncated per
-    * round with localCheckpoint so the plan doesn't grow with the
-    * iteration count. The documented upgrade path at extreme diameters
-    * is star-contraction (large-star/small-star), which squares the
-    * convergence rate with the same per-round join shape. */
+    * Scale shape: min-label propagation with POINTER JUMPING — each round
+    * is one equi-join + min-aggregate on the edge list (propagate one hop)
+    * plus one self-join on the label frame (label := label(label), the
+    * path-doubling step of star-contraction-family algorithms). The
+    * reachable window doubles per round, so rounds needed =
+    * O(log diameter), not O(diameter): a 256-node chain converges in 8
+    * rounds (spec-pinned), a star in 2. Lineage is truncated per round
+    * with localCheckpoint so the plan doesn't grow with the iteration
+    * count, and the convergence check is a cheap count on the
+    * just-checkpointed frame — no recompute. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // persist a DEFENSIVE PROJECTION of the input: `edges` references it
     // twice (both union branches) and the pair generation upstream (a
@@ -161,15 +163,24 @@ object Dedup {
         // best label reachable over one hop
         val prop = edges.join(labels, edges("b") === labels("node"))
           .groupBy(col("a")).agg(min(col("label")).as("hop"))
-        // checkpoint BEFORE deriving the changed-count and the next labels,
-        // so the round's join+aggregate executes once, not once per consumer
-        val updated = labels
+        val stepped = labels
           .join(prop, labels("node") === prop("a"), "left")
           .select(labels("node"),
-            least(labels("label"), coalesce(col("hop"), labels("label"))).as("next"),
-            labels("label"))
+            least(labels("label"), coalesce(col("hop"), labels("label"))).as("mid"),
+            labels("label").as("old"))
+        // pointer jump: mid := label(mid). Labels only ever decrease and
+        // label(x) <= x, so the jump is monotone and stays inside the
+        // component; it is what turns O(diameter) rounds into O(log).
+        val lookup = stepped.select(col("node").as("pnode"), col("mid").as("plabel"))
+        // checkpoint BEFORE deriving the changed-count and the next labels,
+        // so the round's joins execute once, not once per consumer
+        val updated = stepped
+          .join(lookup, stepped("mid") === lookup("pnode"), "left")
+          .select(col("node"),
+            least(col("mid"), coalesce(col("plabel"), col("mid"))).as("next"),
+            col("old"))
           .localCheckpoint(true)
-        changed = updated.filter(col("next") < col("label")).count()
+        changed = updated.filter(col("next") < col("old")).count()
         labels = updated.select(col("node"), col("next").as("label"))
         i += 1
       }

@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal plumbing (SURVEY.md §2.3 #47): opaque binary payloads with
   * typed metadata, decoded/feature-extracted per partition.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * deterministic fake (documented as such) — but everything Spark-side is
-  * real and load-bearing: the binary+struct schema, the typed Dataset hop,
-  * the mapPartitions batch shape (one decoder init per partition, not per
-  * row — exactly where a JNI codec or an ONNX session would be hoisted),
-  * and the columnar return schema.
+  * Formats with a JDK-stdlib codec (PNG/BMP/GIF via `javax.imageio`) get a
+  * REAL decode — actual pixel dimensions and luminance statistics; other
+  * formats (JPEG variants without a reader here, audio, video) fall back to
+  * `decodeStub`, a deterministic fake documented as such. Either way the
+  * Spark side is identical and load-bearing: the binary+struct schema, the
+  * typed Dataset hop, the mapPartitions batch shape (one decoder init per
+  * partition, not per row — where a JNI codec or an ONNX session would be
+  * hoisted), and the columnar return schema.
   */
 object Multimodal {
 
@@ -47,6 +49,48 @@ object Multimodal {
     Decoded(b.doc_id, b.payload.length.toLong, h, b.width.toLong * b.height, feat)
   }
 
+  /** REAL CODEC for formats the JDK decodes natively (PNG, BMP, GIF):
+    * actual raster dimensions plus sampled luminance mean — the "feature
+    * extract" a vision-data pipeline runs before filtering/dedup. Pixel
+    * sampling is a deterministic stride capped at ~4096 samples so a
+    * pathological 100-megapixel payload costs bounded CPU per row. None on
+    * undecodable bytes (caller falls back to the stub — a corrupt image
+    * must not fail a 100 TB scan). */
+  def decodeImage(b: Blob): Option[Decoded] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val n = w.toLong * h
+        val stride = math.max(1L, n / 4096L)
+        var i = 0L
+        var sum = 0.0
+        var cnt = 0L
+        while (i < n) {
+          val rgb = img.getRGB((i % w).toInt, (i / w).toInt)
+          sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          cnt += 1
+          i += stride
+        }
+        val mean = if (cnt > 0) sum / cnt else 0.0
+        Some(Decoded(b.doc_id, b.payload.length.toLong,
+          hashSpan(b.payload, 0, b.payload.length), n,
+          Array(w.toDouble, h.toDouble, mean, cnt.toDouble)))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Formats [[decodeImage]] handles; everything else takes the stub. */
+  private val ImageFormats = Set("image/png", "image/bmp", "image/gif")
+
+  /** Dispatch: real codec for stdlib-decodable images, stub otherwise. */
+  def decodeAny(b: Blob): Decoded =
+    if (ImageFormats.contains(b.format)) decodeImage(b).getOrElse(decodeStub(b))
+    else decodeStub(b)
+
   /** Fake blob table derived from `documents` (payload = UTF-8 bytes of the
     * text, metadata from n_chars) — stands in for an image/audio table. */
   def blobs(docs: DataFrame): DataFrame =
@@ -57,19 +101,25 @@ object Multimodal {
       (col("n_chars") % 64 + 1).cast("int").as("width"),
       (col("n_chars") % 48 + 1).cast("int").as("height"))
 
-  /** The decode pipeline: typed Dataset → mapPartitions with per-partition
-    * decoder init → typed Dataset of features. Parallelism = input
-    * partitioning; no shuffle is introduced by decoding. */
-  def decodeMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** The decode pipeline over an arbitrary blob table: typed Dataset →
+    * mapPartitions with per-partition decoder init → typed Dataset of
+    * features. Parallelism = input partitioning; no shuffle is introduced
+    * by decoding. Real codec for PNG/BMP/GIF, stub for the rest. */
+  def decodeMetaBlobs(spark: SparkSession, blobDf: DataFrame): DataFrame = {
     import spark.implicits._
-    val ds: Dataset[Blob] = blobs(docs).as[Blob]
+    val ds: Dataset[Blob] = blobDf.as[Blob]
     ds.mapPartitions { it =>
       // per-partition init point (codec/session handle would live here)
-      it.map(decodeStub)
+      it.map(decodeAny)
     }.toDF()
       .select(col("doc_id"), col("n_bytes"), col("checksum"), col("n_pixels"),
         element_at(col("feat"), 3).as("pixel_feat"))
   }
+
+  /** decodeMetaBlobs over the documents-derived fake blob table (the
+    * oracle-checked query face; payloads are text bytes → stub codec). */
+  def decodeMeta(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeMetaBlobs(spark, blobs(docs))
 
   /** One sampled frame of a video-like blob. */
   final case class Frame(doc_id: Long, frame_idx: Long, ts_ms: Long,

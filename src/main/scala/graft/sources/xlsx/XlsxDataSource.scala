@@ -25,10 +25,12 @@ import scala.jdk.CollectionConverters._
   *
   * Spark-first design decisions (not a port):
   *   - One `InputPartition` per file: deflate streams aren't splittable, so
-  *     intra-file parallelism is pointless — at 100 TB the unit of
-  *     parallelism is the file, and a directory of xlsx files fans out
-  *     across the cluster. The reference's `threads` knob maps to cluster
-  *     parallelism and is accepted-and-ignored.
+  *     at 100 TB the unit of parallelism is the file, and a directory of
+  *     xlsx files fans out across the cluster. The reference's `threads`
+  *     knob additionally engages intra-file parallelism INSIDE a partition
+  *     ([[ParallelSheetScanner]]: inflate → row-boundary chunks → N-way
+  *     parse) for the one-huge-workbook case where cores would otherwise
+  *     idle.
   *   - Column pruning is pushed into the reader: pruned columns are never
   *     converted (SupportsPushDownRequiredColumns).
   *   - Multi-file scans (directory / glob) are a superset of the reference,
@@ -299,7 +301,7 @@ final class XlsxPartitionReader(
     required.fieldNames.zipWithIndex.toMap
   private val evaluable = filters.filter(_.references.forall(requiredIdx.contains))
   private val iter = {
-    val it = wb.rowIterator(sheetTarget)
+    val it = wb.rowIterator(sheetTarget, opts.threads)
     var dropped = 0
     while (dropped < resolved.dropRows && it.hasNext) { it.next(); dropped += 1 }
     it

@@ -23,7 +23,14 @@ final case class XlsxOptions(
     /** Scan every sheet of every file — one partition per (file, sheet) —
       * and expose the sheet as a `_sheet_name` column (beyond the
       * reference, which is single-sheet). */
-    allSheets: Boolean = false)
+    allSheets: Boolean = false,
+    /** Intra-file parse workers per partition (the reference's `threads`
+      * parameter, sheetreader_extension.cpp:36-53): >= 2 pipelines
+      * inflate → chunk → N-way parse inside ONE file's scan. Default 1 —
+      * under a normal multi-file Spark scan each task is already one core
+      * of parallelism, and oversubscribing executors hurts; raise it for
+      * the single-huge-workbook case where cores would otherwise idle. */
+    threads: Int = 1)
     extends Serializable {
 
   /** 1-based index to use when sheetName is absent (reference default 1). */
@@ -71,6 +78,7 @@ object XlsxOptions {
       forceTypes = bool("forceTypes", "force_types"),
       coerceToString = bool("coerceToString", "coerce_to_string"),
       writeHeader = str("header").forall(_.trim.equalsIgnoreCase("true")),
-      allSheets = allSheets)
+      allSheets = allSheets,
+      threads = str("threads").map(_.trim.toInt).filter(_ >= 1).getOrElse(1))
   }
 }

@@ -1,0 +1,656 @@
+package graft.sources.xlsx
+
+import java.io.{ByteArrayInputStream, InputStream}
+import java.util.concurrent.{ArrayBlockingQueue, Callable, ExecutorService, Executors, Future, ThreadFactory, TimeUnit}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Intra-file parallel worksheet parsing — the Spark-side equivalent of the
+  * reference's `threads` knob (reference: src/sheetreader_extension.cpp:36-53,
+  * 294-458 parses ONE workbook with N workers into per-thread buffers).
+  *
+  * Deflate streams are not splittable, so the inflate pass is inherently
+  * sequential; what CAN fan out is everything after it — attribute parsing,
+  * entity decoding, number parsing, cell materialization, which dominate the
+  * per-byte cost. The pipeline:
+  *
+  *   producer thread:  inflate → locate row boundaries → cut ~`chunkBytes`
+  *                     chunks ending on a row boundary
+  *   worker pool (N):  parse each chunk with an ordinary [[SheetScanner]]
+  *   caller thread:    merge chunk results in submission order, stitching
+  *                     implicit (r-attribute-less) row indices across chunks
+  *
+  * Backpressure is the bounded future queue: at most `threads * 2` chunks
+  * are in flight, so memory is O(threads · chunkBytes) regardless of sheet
+  * size. The boundary locator ([[RowBoundaryTracker]]) is an incremental
+  * mimic of [[SheetScanner]]'s markup state machine — quotes, comments,
+  * CDATA, processing instructions, `<v>`/`<is>` text containment and the
+  * entity quirk included — so a chunk cut is NEVER inside markup that the
+  * scanner would have treated as content (the differential fuzz drives the
+  * chunked path against StAX on adversarial sheets).
+  *
+  * This is for the reference's headline scenario — one huge workbook on an
+  * otherwise idle machine. Under a normal multi-file Spark scan each task
+  * is already one core of parallelism and `threads` stays 1.
+  */
+final class ParallelSheetScanner(
+    in: InputStream,
+    strings: Array[String],
+    dates: Array[Boolean],
+    threads: Int,
+    closeUnderlying: () => Unit,
+    chunkBytes: Int = ParallelSheetScanner.DefaultChunkBytes)
+    extends CellRowIterator {
+  require(threads >= 2, s"ParallelSheetScanner needs >= 2 threads, got $threads")
+  import ParallelSheetScanner._
+
+  // futures in submission order; capacity bounds in-flight chunks
+  private val queue = new ArrayBlockingQueue[AnyRef](threads * 2)
+  @volatile private var producerError: Throwable = _
+  @volatile private var stopped = false
+
+  private val pool: ExecutorService =
+    Executors.newFixedThreadPool(threads, new ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"xlsx-parse-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    })
+
+  // Inflate on its own thread: deflate yields ~4 KiB per read and costs a
+  // core of its own; decoupling it from boundary tracking makes the
+  // pipeline's sequential stage max(inflate, track), not their sum.
+  private val prefetch = new PrefetchStream(in, 1 << 20, 4, () => stopped)
+
+  private val producer = new Thread(() => produce(), "xlsx-chunk-producer")
+  producer.setDaemon(true)
+  producer.start()
+
+  // ---- producer -----------------------------------------------------------
+
+  private def produce(): Unit = {
+    try {
+      val debug = java.lang.Boolean.getBoolean("graft.parsedebug")
+      var tRead, tScan, tSubmit = 0L
+      val tAll = System.nanoTime()
+      val tracker = new RowBoundaryTracker
+      var buf = new Array[Byte](chunkBytes + (chunkBytes >> 2))
+      var filled = 0
+      var lastBoundary = -1 // offset just past the last row end seen in buf
+      var done = false
+      while (!done && !stopped) {
+        var t0 = if (debug) System.nanoTime() else 0L
+        val n = prefetch.read(buf, filled, buf.length - filled)
+        if (debug) tRead += System.nanoTime() - t0
+        if (n < 0) {
+          if (filled > 0) submit(buf, filled)
+          done = true
+        } else if (n > 0) {
+          val from = filled
+          filled += n
+          if (debug) t0 = System.nanoTime()
+          val b = tracker.scan(buf, from, filled)
+          if (debug) tScan += System.nanoTime() - t0
+          if (b >= 0) lastBoundary = b
+          if (filled >= chunkBytes && lastBoundary > 0) {
+            if (debug) t0 = System.nanoTime()
+            // zero-copy handoff: the worker parses [0, lastBoundary) of THIS
+            // buffer; only the tail carries over into a fresh one
+            val tail = filled - lastBoundary
+            val nbuf = new Array[Byte](math.max(buf.length, chunkBytes + (chunkBytes >> 2)))
+            System.arraycopy(buf, lastBoundary, nbuf, 0, tail)
+            submit(buf, lastBoundary)
+            buf = nbuf
+            if (debug) tSubmit += System.nanoTime() - t0
+            filled = tail
+            lastBoundary = -1
+          } else if (filled == buf.length) {
+            // a single row larger than the chunk target: grow and keep going
+            buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+          }
+        }
+      }
+      if (debug) System.err.println(
+        f"[parse-producer] total ${(System.nanoTime() - tAll) / 1e9}%.3f s: " +
+        f"read ${tRead / 1e9}%.3f scan ${tScan / 1e9}%.3f submit ${tSubmit / 1e9}%.3f")
+    } catch {
+      case _: InterruptedException => // close() raced us; fall through to End
+      case t: Throwable => producerError = t
+    } finally {
+      putQuietly(End)
+    }
+  }
+
+  /** put() that gives up when the consumer has been closed (the queue may
+    * be full and never drained again — don't leave a zombie thread). */
+  private def putQuietly(x: AnyRef): Unit = {
+    var ok = false
+    while (!ok && !stopped)
+      ok = queue.offer(x, 50, TimeUnit.MILLISECONDS)
+  }
+
+  private def submit(chunk: Array[Byte], len: Int): Unit =
+    putQuietly(pool.submit(new Callable[ParsedChunk] {
+      override def call(): ParsedChunk = parseChunk(chunk, len)
+    }))
+
+  private def parseChunk(chunk: Array[Byte], len: Int): ParsedChunk = {
+    val sc = new SheetScanner(
+      new ByteArrayInputStream(chunk, 0, len), strings, dates, () => ())
+    val idx = new ArrayBuffer[Long]()
+    val explicitR = new ArrayBuffer[Boolean]()
+    val rows = new ArrayBuffer[Array[XCell]]()
+    while (sc.hasNext) {
+      val (i, cells) = sc.next()
+      idx += i
+      explicitR += sc.lastRowExplicit
+      rows += cells
+    }
+    ParsedChunk(idx.toArray, explicitR.toArray, rows.toArray)
+  }
+
+  // ---- consumer (the iterator face) ---------------------------------------
+
+  private var cur: ParsedChunk = _
+  private var curI = 0
+  private var lastIdx = -1L // last emitted absolute row index
+  private var ended = false
+  private var nextReady: (Long, Array[XCell]) = _
+
+  override def hasNext: Boolean = {
+    if (nextReady != null) return true
+    if (ended) return false
+    while (cur == null || curI >= cur.idx.length) {
+      queue.take() match {
+        case End =>
+          ended = true
+          if (producerError != null) { close(); throw producerError }
+          close()
+          return false
+        case f: Future[_] =>
+          cur = f.get().asInstanceOf[ParsedChunk]
+          curI = 0
+      }
+    }
+    // stitch: an implicit row numbers from the previously EMITTED row, not
+    // from the chunk-local counter (which started at -1)
+    val abs = if (cur.explicitR(curI)) cur.idx(curI) else lastIdx + 1
+    lastIdx = abs
+    nextReady = (abs, cur.rows(curI))
+    curI += 1
+    true
+  }
+
+  override def next(): (Long, Array[XCell]) = {
+    if (!hasNext) throw new NoSuchElementException
+    val r = nextReady; nextReady = null; r
+  }
+
+  override def close(): Unit = if (!stopped) {
+    stopped = true
+    producer.interrupt()
+    prefetch.shutdown()
+    pool.shutdownNow()
+    // drain so a blocked producer put can finish dying
+    while (queue.poll() != null) ()
+    closeUnderlying()
+  }
+}
+
+/** Background-reader InputStream: a daemon thread drains `in` into FULL
+  * `bufSize` buffers (an InflaterInputStream yields ~4 KiB per read — the
+  * refill loop amortizes that) on a `depth`-bounded queue. Single-consumer. */
+private final class PrefetchStream(in: java.io.InputStream, bufSize: Int,
+    depth: Int, cancelled: () => Boolean) extends java.io.InputStream {
+  import java.util.concurrent.{ArrayBlockingQueue, TimeUnit}
+  private val queue = new ArrayBlockingQueue[AnyRef](depth)
+  @volatile private var err: Throwable = _
+  @volatile private var stopped = false
+  private case object Eof
+
+  private val reader = new Thread(() => {
+    try {
+      var done = false
+      while (!done && !stopped && !cancelled()) {
+        val buf = new Array[Byte](bufSize)
+        var n = 0
+        var r = 0
+        while (n < bufSize && r >= 0) {
+          r = in.read(buf, n, bufSize - n)
+          if (r > 0) n += r
+        }
+        if (n > 0) put((buf, n))
+        if (r < 0) done = true
+      }
+    } catch {
+      case _: InterruptedException =>
+      case t: Throwable => err = t
+    } finally put(Eof)
+  }, "xlsx-inflate")
+  reader.setDaemon(true)
+  reader.start()
+
+  private def put(x: AnyRef): Unit = {
+    var ok = false
+    while (!ok && !stopped && !cancelled())
+      ok = queue.offer(x, 50, TimeUnit.MILLISECONDS)
+  }
+
+  private var cur: Array[Byte] = _
+  private var curLen = 0
+  private var curPos = 0
+  private var eof = false
+
+  override def read(): Int = {
+    val one = new Array[Byte](1)
+    val n = read(one, 0, 1)
+    if (n < 0) -1 else one(0) & 0xff
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (eof) return -1
+    while (cur == null || curPos >= curLen) {
+      queue.take() match {
+        case Eof =>
+          eof = true
+          if (err != null) throw new java.io.IOException(err)
+          return -1
+        case (buf: Array[Byte], n: Integer) =>
+          cur = buf; curLen = n; curPos = 0
+      }
+    }
+    val take = math.min(len, curLen - curPos)
+    System.arraycopy(cur, curPos, b, off, take)
+    curPos += take
+    take
+  }
+
+  def shutdown(): Unit = {
+    stopped = true
+    reader.interrupt()
+    while (queue.poll() != null) ()
+  }
+}
+
+object ParallelSheetScanner {
+  val DefaultChunkBytes: Int = 4 << 20 // 4 MiB: ~dozens of chunks per big sheet
+
+  private case object End
+  private final case class ParsedChunk(
+      idx: Array[Long], explicitR: Array[Boolean], rows: Array[Array[XCell]])
+}
+
+/** Incremental locator of row boundaries in a SpreadsheetML byte stream.
+  *
+  * `scan(buf, from, to)` consumes bytes and returns the offset just past the
+  * LAST row end seen in this range (-1 if none); state persists across calls
+  * so the stream can be fed in arbitrary slices. A "row end" is what
+  * [[SheetScanner]] treats as one: a `</row>` close tag or a self-closing
+  * `<row .../>`, in ordinary markup context — NOT inside a comment, CDATA
+  * section, processing instruction, quoted attribute value, and not inside
+  * `<v>`/`<is><t>` text content (where the scanner swallows stray close tags
+  * as part of `handleTextMarkup`), and not shadowed by the scanner's
+  * 12-byte entity-name consumption quirk. The transitions below mirror
+  * SheetScanner method-for-method; divergence is a bug by definition and is
+  * fuzzed against it.
+  */
+final class RowBoundaryTracker {
+  import RowBoundaryTracker._
+
+  // Persistent state between scan() calls. Inside scan() everything is
+  // hoisted into locals — the tracker runs on ONE thread and must outrun N
+  // parse workers, so per-transition field traffic matters.
+  private var state = Text
+  private var inV = false // element-containment flags, mirroring SheetScanner
+  private var inIs = false
+  private var inT = false
+  private var ltFromText = false // did the '<' dispatch happen in text mode?
+  // current element name packed little-endian into a Long (first 8 bytes,
+  // prefix-stripped); len caps at 9 meaning "longer than any name we match"
+  private var nameWord = 0L
+  private var nameLen = 0
+  private var kind = KOther // classification of the packed name
+  private var quote = 0 // active attribute-value quote char
+  private var entN = 0 // entity-name bytes consumed
+  private var look1, look2 = 0 // lookbehind for -->, ]]>, ?>
+  private var hdrLeft = 0 // remaining "CDATA[" header bytes
+
+  /** Feed buf[from, to); returns offset just past the last row end, or -1. */
+  def scan(buf: Array[Byte], from: Int, to: Int): Int = {
+    // hoist persistent state
+    var st = state
+    var iv = inV; var iis = inIs; var it = inT
+    var ltText = ltFromText
+    var word = nameWord; var wlen = nameLen; var k = kind
+    var q0 = quote; var en = entN
+    var l1 = look1; var l2 = look2; var hdr = hdrLeft
+
+    var last = -1
+    var p = from
+
+    // (classification is RowBoundaryTracker.classify — a static helper, so
+    // the hoisted locals stay unboxed registers)
+
+    while (p < to) {
+      (st: @annotation.switch) match {
+        case Text =>
+          // bulk path: skip to the next interesting byte
+          var q = p
+          if (iv || it) while (q < to && buf(q) != '<' && buf(q) != '&') q += 1
+          else while (q < to && buf(q) != '<') q += 1
+          if (q >= to) p = q
+          else if (buf(q) == '&') { st = Entity; en = 0; p = q + 1 }
+          else {
+            ltText = iv || it
+            p = q + 1
+            if (p >= to) st = Lt
+            else {
+              // fused Lt dispatch (saves one state hop per tag)
+              val b = buf(p) & 0xff
+              p += 1
+              if (b == '/') { st = CloseName; word = 0L; wlen = 0 }
+              else if (b == '!') st = Bang0
+              else if (b == '?' && !ltText) { st = Pi; l1 = 0 }
+              else {
+                st = OpenName
+                if (b == ':') { word = 0L; wlen = 0 }
+                else { word = b.toLong; wlen = 1 }
+              }
+            }
+          }
+        case Lt =>
+          val b = buf(p) & 0xff
+          p += 1
+          if (b == '/') { st = CloseName; word = 0L; wlen = 0 }
+          else if (b == '!') st = Bang0
+          else if (b == '?' && !ltText) { st = Pi; l1 = 0 }
+          else { // text-mode '?' lands here too: handleTextMarkup readName()s it
+            st = OpenName
+            if (b == ':') { word = 0L; wlen = 0 }
+            else { word = b.toLong; wlen = 1 }
+          }
+        case OpenName =>
+          var q = p
+          var w = word; var n = wlen
+          var stop = false
+          while (q < to && !stop) {
+            val b = buf(q) & 0xff
+            if (NameStop(b)) stop = true
+            else {
+              if (b == ':') { w = 0L; n = 0 }
+              else if (n < 8) { w |= b.toLong << (n * 8); n += 1 }
+              else n = 9
+              q += 1
+            }
+          }
+          word = w; wlen = n
+          if (!stop) p = q
+          else {
+            k = RowBoundaryTracker.classify(w, n)
+            // fused common delimiter: a bare '>' ends the tag right here
+            if (buf(q) == '>') {
+              p = q + 1
+              st = Text
+              if (!ltText) {
+                if (k == KV) iv = true
+                else if (k == KIs) iis = true
+                else if (k == KT && iis) it = true
+              }
+            } else { p = q; st = AttrScan } // '/', ws, '=' handled there
+          }
+        case CloseName =>
+          var q = p
+          var w = word; var n = wlen
+          var stop = false
+          while (q < to && !stop) {
+            val b = buf(q) & 0xff
+            if (NameStop(b)) stop = true
+            else {
+              if (b == ':') { w = 0L; n = 0 }
+              else if (n < 8) { w |= b.toLong << (n * 8); n += 1 }
+              else n = 9
+              q += 1
+            }
+          }
+          word = w; wlen = n
+          if (!stop) p = q
+          else {
+            k = RowBoundaryTracker.classify(w, n)
+            // fused CloseRest: skip to '>' and apply close semantics
+            var r = q
+            while (r < to && buf(r) != '>') r += 1
+            if (r >= to) { p = r; st = CloseRest }
+            else {
+              p = r + 1
+              st = Text
+              if (ltText) {
+                // handleTextMarkup's close dispatch: v / t / is only
+                if (k == KV) iv = false
+                else if (k == KT && it) it = false
+                else if (k == KIs) { iis = false; it = false }
+              } else {
+                // main-loop close dispatch: v / is / row
+                if (k == KV) iv = false
+                else if (k == KIs) { iis = false; it = false }
+                else if (k == KRow) last = p
+              }
+            }
+          }
+        case CloseRest =>
+          var q = p
+          while (q < to && buf(q) != '>') q += 1
+          if (q >= to) p = q
+          else {
+            p = q + 1
+            st = Text
+            if (ltText) {
+              // handleTextMarkup's close dispatch: v / t / is only
+              if (k == KV) iv = false
+              else if (k == KT && it) it = false
+              else if (k == KIs) { iis = false; it = false }
+            } else {
+              // main-loop close dispatch: v / is / row
+              if (k == KV) iv = false
+              else if (k == KIs) { iis = false; it = false }
+              else if (k == KRow) last = p
+            }
+          }
+        case AttrScan =>
+          val b = buf(p) & 0xff
+          p += 1
+          if (b == '>') {
+            st = Text
+            // open-tag-complete, not self-closing
+            if (!ltText) {
+              if (k == KV) iv = true
+              else if (k == KIs) iis = true
+              else if (k == KT && iis) it = true
+            }
+          } else if (b == '/') st = AttrSlash
+          else if (b == ' ' || b == '\t' || b == '\n' || b == '\r') ()
+          // a stray '=' is an empty attribute name: the scanner's
+          // readName('=') stops immediately and takes the value path
+          else if (b == '=') st = AttrEq
+          else st = AttrName // attribute name begins (content irrelevant)
+        case AttrSlash =>
+          val b = buf(p) & 0xff
+          if (b == '>') {
+            p += 1
+            st = Text
+            // self-closing tag: no containment flags; a row IS a boundary
+            if (!ltText && k == KRow) last = p
+          } else st = AttrScan // scanner reprocesses this byte
+        case AttrName =>
+          // fused happy path for one whole attribute — name* ws* '=' ws*
+          // quoted-value — with precise sub-state saves at buffer edges;
+          // semantics per sub-step identical to the unfused states below
+          var q = p
+          while (q < to && !NameStop(buf(q) & 0xff)) q += 1
+          if (q >= to) p = q // still AttrName
+          else {
+            var b = buf(q) & 0xff
+            while (q < to && (b == ' ' || b == '\t' || b == '\n' || b == '\r')) {
+              q += 1
+              if (q < to) b = buf(q) & 0xff
+            }
+            if (q >= to) { p = q; st = AttrAfterName }
+            else if (b != '=') { p = q; st = AttrScan } // reprocess there
+            else {
+              q += 1
+              while (q < to && {
+                val w = buf(q) & 0xff
+                w == ' ' || w == '\t' || w == '\n' || w == '\r'
+              }) q += 1
+              if (q >= to) { p = q; st = AttrEq }
+              else {
+                val qc = buf(q) & 0xff
+                q += 1
+                if (qc == '"' || qc == '\'') {
+                  while (q < to && (buf(q) & 0xff) != qc) q += 1
+                  if (q >= to) { p = q; q0 = qc; st = AttrValue }
+                  else { p = q + 1; st = AttrScan }
+                } else { p = q; st = AttrScan } // unquoted byte dropped
+              }
+            }
+          }
+        case AttrAfterName =>
+          val b = buf(p) & 0xff
+          if (b == ' ' || b == '\t' || b == '\n' || b == '\r') p += 1
+          else if (b == '=') { p += 1; st = AttrEq }
+          else st = AttrScan
+        case AttrEq =>
+          val b = buf(p) & 0xff
+          p += 1
+          if (b == ' ' || b == '\t' || b == '\n' || b == '\r') ()
+          else if (b == '"' || b == '\'') { q0 = b; st = AttrValue }
+          else st = AttrScan // unquoted byte is consumed and dropped
+        case AttrValue =>
+          var q = p
+          while (q < to && (buf(q) & 0xff) != q0) q += 1
+          p = q
+          if (q < to) { p = q + 1; st = AttrScan }
+        case Bang0 =>
+          val b = buf(p) & 0xff
+          p += 1
+          if (b == '-') st = Comment1
+          else if (b == '[') { hdr = 6; st = CdataHdr }
+          else if (b == '>') st = Text // empty <!>: skip-to-'>' done
+          else st = BangSkip
+        case Comment1 =>
+          // scanner consumes the second '-' blindly
+          p += 1
+          st = Comment; l1 = 0; l2 = 0
+        case Comment | Cdata =>
+          // scan for the 3-byte terminator c2 c1 '>' with cross-call lookbehind
+          val c = if (st == Comment) '-' else ']'
+          var q = p
+          var term = -1
+          while (q < to && term < 0) {
+            if (buf(q) == '>') {
+              val b1 = if (q - 1 >= p) buf(q - 1) & 0xff else l1
+              val b2 = if (q - 2 >= p) buf(q - 2) & 0xff
+                       else if (q - 1 >= p) l1 else l2
+              if (b1 == c && b2 == c) term = q + 1
+            }
+            q += 1
+          }
+          if (term >= 0) { st = Text; p = term }
+          else {
+            if (to - p >= 2) { l1 = buf(to - 1) & 0xff; l2 = buf(to - 2) & 0xff }
+            else if (to - p == 1) { l2 = l1; l1 = buf(to - 1) & 0xff }
+            p = to
+          }
+        case CdataHdr =>
+          val take = math.min(hdr, to - p)
+          p += take
+          hdr -= take
+          if (hdr == 0) { st = Cdata; l1 = 0; l2 = 0 }
+        case Pi =>
+          var q = p
+          while (q < to && buf(q) != '>') q += 1
+          if (q >= to) { if (q > p) l1 = buf(q - 1) & 0xff; p = q }
+          else {
+            val prev = if (q > p) buf(q - 1) & 0xff else l1
+            p = q + 1
+            if (prev == '?') st = Text else l1 = '>'
+          }
+        case BangSkip =>
+          var q = p
+          while (q < to && buf(q) != '>') q += 1
+          p = if (q < to) { st = Text; q + 1 } else q
+        case Entity =>
+          // SheetScanner.readEntity: consume until ';' or 12 name bytes,
+          // then one more byte is read and DROPPED (even '<')
+          val b = buf(p) & 0xff
+          p += 1
+          if (b == ';') st = Text
+          else { en += 1; if (en == 12) st = EntityDrop }
+        case EntityDrop =>
+          p += 1
+          st = Text
+      }
+    }
+
+    // persist hoisted state
+    state = st
+    inV = iv; inIs = iis; inT = it
+    ltFromText = ltText
+    nameWord = word; nameLen = wlen; kind = k
+    quote = q0; entN = en
+    look1 = l1; look2 = l2; hdrLeft = hdr
+    last
+  }
+}
+
+object RowBoundaryTracker {
+  /** Bytes that terminate an element/attribute name in SheetScanner.readName. */
+  final val NameStop: Array[Boolean] = {
+    val a = new Array[Boolean](256)
+    Seq(' ', '\t', '\n', '\r', '>', '/', '=').foreach(c => a(c) = true)
+    a
+  }
+
+  // element names packed little-endian byte-per-char, as scan() builds them
+  final val WordRow: Long = 'r' | ('o'.toLong << 8) | ('w'.toLong << 16)
+  final val WordV: Long = 'v'
+  final val WordIs: Long = 'i' | ('s'.toLong << 8)
+  final val WordT: Long = 't'
+
+  final val KOther = 0
+  final val KRow = 1
+  final val KV = 2
+  final val KIs = 3
+  final val KT = 4
+
+  /** Classify a packed element name: row / v / is / t (anything else —
+    * including c — has no effect on boundary state). */
+  def classify(w: Long, n: Int): Int =
+    if (n == 3 && w == WordRow) KRow
+    else if (n == 1 && w == WordV) KV
+    else if (n == 2 && w == WordIs) KIs
+    else if (n == 1 && w == WordT) KT
+    else KOther
+
+  final val Text = 0
+  final val Lt = 1
+  final val OpenName = 2
+  final val CloseName = 3
+  final val CloseRest = 4
+  final val AttrScan = 5
+  final val AttrSlash = 6
+  final val AttrName = 7
+  final val AttrAfterName = 8
+  final val AttrEq = 9
+  final val AttrValue = 10
+  final val Bang0 = 11
+  final val Comment1 = 12
+  final val Comment = 13
+  final val CdataHdr = 14
+  final val Cdata = 15
+  final val Pi = 16
+  final val BangSkip = 17
+  final val Entity = 18
+  final val EntityDrop = 19
+}

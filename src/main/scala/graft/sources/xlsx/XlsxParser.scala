@@ -190,11 +190,13 @@ object XlsxParser {
       * sheet never has to be buffered in memory. Close() releases the zip
       * stream; exhausting the iterator also closes it.
       *
-      * Hot path is the byte-level [[SheetScanner]]; workbooks with a UTF-16
-      * BOM (never produced by Excel, but legal XML) fall back to the StAX
+      * Hot path is the byte-level [[SheetScanner]]; `threads >= 2` engages
+      * the chunked [[ParallelSheetScanner]] (the reference's `threads` knob:
+      * one big workbook parsed by N cores); workbooks with a UTF-16 BOM
+      * (never produced by Excel, but legal XML) fall back to the StAX
       * [[RowIterator]], which handles any declared encoding.
       */
-    def rowIterator(path: String): CellRowIterator = {
+    def rowIterator(path: String, threads: Int = 1): CellRowIterator = {
       val strings = sharedStrings
       val dates = dateStyles
       openEntryStream(path) match {
@@ -207,6 +209,8 @@ object XlsxParser {
           if (b0 != -1) in.unread(b0)
           if (utf16)
             new RowIterator(Some((xif.createXMLStreamReader(in), closeAll)), strings, dates)
+          else if (threads >= 2)
+            new ParallelSheetScanner(in, strings, dates, threads, closeAll)
           else new SheetScanner(in, strings, dates, closeAll)
       }
     }
@@ -215,6 +219,11 @@ object XlsxParser {
       * fuzz spec drives this against the byte scanner on identical input. */
     private[xlsx] def rowIteratorStax(path: String): CellRowIterator =
       new RowIterator(openEntry(path), sharedStrings, dateStyles)
+
+    /** Raw inflated entry stream for throughput probes (graft.tools). */
+    def entryStreamForProbe(path: String): (InputStream, () => Unit) =
+      openEntryStream(path).getOrElse(
+        throw new IllegalArgumentException(s"no entry $path"))
 
     final class RowIterator(
         entry: Option[(XMLStreamReader, () => Unit)],

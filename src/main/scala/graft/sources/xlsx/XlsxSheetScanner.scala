@@ -81,6 +81,10 @@ final class SheetScanner(
 
   // parser state
   private var rowIdx = -1L
+  /** Whether the last emitted row carried an explicit r="N" attribute —
+    * chunked parallel parsing needs this to stitch implicit row indices
+    * across chunk boundaries (a chunk-local scanner counts from -1). */
+  private[xlsx] var lastRowExplicit = false
   private val cells = new ArrayBuffer[XCell]()
   private var inV = false
   private var inIs = false
@@ -142,6 +146,7 @@ final class SheetScanner(
           } else if (nameIs("row")) {
             aRow = -1L
             parseAttrs(ElemRow)
+            lastRowExplicit = aRow >= 1
             rowIdx = if (aRow >= 1) aRow - 1 else rowIdx + 1
             cells.clear()
             if (selfClose) return (rowIdx, Array.empty[XCell])

@@ -3,11 +3,12 @@ package graft.tools
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import graft.sources.xlsx.{XlsxParser, XlsxWriter}
 
-/** Single-core parser throughput probe (no Spark): writes one lineitem-like
-  * sheet in memory, then measures cells/s through `Workbook.rowIterator` —
-  * the same path a DSv2 partition reader drives. The reference's published
-  * single-thread number is ≈3.4M cells/s (README.md:63-68 at SF1); this
-  * prints ours so parser work is measured, not guessed.
+/** Parser throughput probe (no Spark): writes one lineitem-like sheet in
+  * memory, then measures cells/s through `Workbook.rowIterator` — the same
+  * path a DSv2 partition reader drives — single-core AND with the chunked
+  * parallel scanner at 2/4/8 workers on the SAME single file (the
+  * reference's `threads` scenario; its published curve is ≈13.5 s at 1
+  * thread → ≈7 s at 4 on SF1 lineitem, i.e. ~1.9× — README.md:63-68).
   *
   * Run: sbt "runMain graft.tools.ParseBench [rows] [reps]"
   */
@@ -35,17 +36,33 @@ object ParseBench {
     }
     println(s"xlsx bytes: ${bytes.length / 1024 / 1024} MiB, $rows rows x $cols cols")
     val totalCells = rows.toLong * cols
-    var best = Double.MaxValue
-    for (r <- 1 to reps) {
-      val wb = new XlsxParser.Workbook(() => new ByteArrayInputStream(bytes))
-      val t0 = System.nanoTime()
-      var n = 0L
-      val it = wb.rowIterator("xl/worksheets/sheet1.xml")
-      while (it.hasNext) { val (_, cells) = it.next(); n += cells.length }
-      val sec = (System.nanoTime() - t0) / 1e9
-      best = math.min(best, sec)
-      println(f"rep $r: $sec%.3f s, ${n / sec / 1e6}%.2f M cells/s (cells=$n)")
+    // a real single-big-workbook scan opens a local file (ZipFile seeks);
+    // a ByteArrayInputStream-only workbook would re-stream the 10+ MB zip
+    // for every metadata entry and overstate the sequential fraction
+    val tmp = java.io.File.createTempFile("parsebench", ".xlsx")
+    tmp.deleteOnExit()
+    java.nio.file.Files.write(tmp.toPath, bytes)
+    def run(threads: Int): Double = {
+      var best = Double.MaxValue
+      for (r <- 1 to reps) {
+        val wb = new XlsxParser.Workbook(
+          () => new java.io.FileInputStream(tmp), Some(tmp))
+        val t0 = System.nanoTime()
+        var n = 0L
+        val it = wb.rowIterator("xl/worksheets/sheet1.xml", threads)
+        while (it.hasNext) { val (_, cells) = it.next(); n += cells.length }
+        val sec = (System.nanoTime() - t0) / 1e9
+        best = math.min(best, sec)
+        println(f"threads=$threads rep $r: $sec%.3f s, ${n / sec / 1e6}%.2f M cells/s (cells=$n)")
+      }
+      best
     }
-    println(f"best: ${totalCells / best / 1e6}%.2f M cells/s single-core")
+    val t1 = run(1)
+    println(f"best: ${totalCells / t1 / 1e6}%.2f M cells/s single-core")
+    Seq(2, 4, 8).foreach { th =>
+      val t = run(th)
+      println(f"best: ${totalCells / t / 1e6}%.2f M cells/s at $th workers " +
+        f"(${t1 / t}%.2fx vs single)")
+    }
   }
 }

@@ -145,4 +145,16 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("cluster_id")).distinct
     assert(cc2.toSeq == Seq(20L), s"chain should collapse to one cluster, got $cc2")
   }
+
+  test("connectedComponents: pointer jumping converges a 256-chain in <= log2 rounds") {
+    // The path-doubling round grows the reachable window as 2^r - 1, so a
+    // 256-node chain (diameter 255) must finish within 8 rounds plus the
+    // final no-change round; maxIter = 9 REFUSES (throws) if convergence
+    // is any slower — this is the spec that distinguishes star-contraction
+    // convergence from plain O(diameter) label propagation.
+    val chain = (1000L until 1255L).map(i => (i, i + 1)).toDF("da", "db")
+    val cc = Dedup.connectedComponents(chain, maxIter = 9).collect()
+      .map(r => r.getAs[Long]("cluster_id")).distinct
+    assert(cc.toSeq == Seq(1000L), s"expected one cluster rooted at 1000, got $cc")
+  }
 }

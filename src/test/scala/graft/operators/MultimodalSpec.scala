@@ -38,6 +38,41 @@ class MultimodalSpec extends SparkSpec {
     assert(decodedParts == docs.rdd.getNumPartitions)
   }
 
+  test("real codec: generated PNG and BMP decode to actual dimensions and luminance") {
+    // known images: 8x5 all-white PNG (mean luminance 255) and a 4x4 BMP
+    // with the left half black, right half white (mean ~127.6)
+    def pngBytes(w: Int, h: Int, fill: (Int, Int) => Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, fill(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val white = pngBytes(8, 5, (_, _) => 0xFFFFFF, "png")
+    val halfBmp = pngBytes(4, 4, (x, _) => if (x < 2) 0x000000 else 0xFFFFFF, "bmp")
+    val blobDf = Seq(
+      (1L, white, "image/png", 8, 5),
+      (2L, halfBmp, "image/bmp", 4, 4),
+      (3L, "not an image".getBytes("UTF-8"), "image/png", 1, 1), // corrupt → stub
+      (4L, "plain text".getBytes("UTF-8"), "fake/raw", 2, 2) // non-image → stub
+    ).toDF("doc_id", "payload", "format", "width", "height")
+    val out = Multimodal.decodeMetaBlobs(spark, blobDf)
+      .orderBy("doc_id").collect()
+    // real decode: n_pixels from the RASTER, pixel_feat = mean luminance
+    assert(out(0).getAs[Long]("n_pixels") == 40L)
+    assert(math.abs(out(0).getAs[Double]("pixel_feat") - 255.0) < 0.5)
+    assert(out(1).getAs[Long]("n_pixels") == 16L)
+    val halfLum = out(1).getAs[Double]("pixel_feat")
+    assert(halfLum > 120 && halfLum < 135, s"half-white mean luminance: $halfLum")
+    // corrupt image bytes fall back to the stub rather than failing the scan
+    assert(out(2).getAs[Long]("n_pixels") == 1L) // stub: width*height metadata
+    // non-image formats keep the stub's semantics
+    val stub = Multimodal.decodeStub(
+      Multimodal.Blob(4L, "plain text".getBytes("UTF-8"), "fake/raw", 2, 2))
+    assert(out(3).getAs[Long]("checksum") == stub.checksum)
+  }
+
   test("frame sampling: everyN stride, geometry, deterministic hashes") {
     import spark.implicits._
     // 1000-byte payload → 3 frames of 256 + remainder; everyN=2 keeps 0 and 2

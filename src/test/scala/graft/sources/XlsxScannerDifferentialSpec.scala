@@ -167,6 +167,22 @@ class XlsxScannerDifferentialSpec extends AnyFunSuite {
 
       assert(scanner == stax,
         s"trial $trial diverged\nsheet:\n$sheet\nscanner: $scanner\nstax: $stax")
+
+      // chunked parallel path: a tiny chunk target forces a cut at nearly
+      // every row boundary, exercising the RowBoundaryTracker across
+      // comments, CDATA, self-closing rows and implicit row indices; the
+      // merged output must be identical to the sequential scanners
+      Seq(48, 256).foreach { cb =>
+        val wb3 = new XlsxParser.Workbook(() => new ByteArrayInputStream(bytes))
+        val (raw, closeAll) =
+          wb3.openEntryStream("xl/worksheets/sheet1.xml").get
+        val par = new ParallelSheetScanner(raw, wb3.sharedStrings,
+          wb3.dateStyles, threads = 3, closeAll, chunkBytes = cb)
+        val chunked = drain(par)
+        assert(chunked == stax,
+          s"trial $trial chunked(chunkBytes=$cb) diverged\nsheet:\n$sheet\n" +
+            s"chunked: $chunked\nstax: $stax")
+      }
     }
   }
 }
