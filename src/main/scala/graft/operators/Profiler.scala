@@ -46,6 +46,11 @@ object Profiler {
           min(c).cast(DoubleType).as(s"${f.name}__min"),
           max(c).cast(DoubleType).as(s"${f.name}__max"),
           sum(dec(c)).cast(DoubleType).as(s"${f.name}__sum"))
+        // booleans profile as 0/1 numerics: sum = true count, mean = true rate
+        case BooleanType => base ++ Seq(
+          min(c.cast(IntegerType)).cast(DoubleType).as(s"${f.name}__min"),
+          max(c.cast(IntegerType)).cast(DoubleType).as(s"${f.name}__max"),
+          sum(c.cast(LongType)).cast(DoubleType).as(s"${f.name}__sum"))
         // NTZ (how Spark reads naive parquet timestamps) casts through
         // TimestampType: with the UTC session zone that is the same
         // wall-clock→epoch reading DuckDB's epoch_ms gives naive timestamps
@@ -62,7 +67,7 @@ object Profiler {
 
     val structs = fields.map { f =>
       val (minN, maxN, sumN, meanN, minS, maxS) = f.dataType match {
-        case _: NumericType =>
+        case dt if dt.isInstanceOf[NumericType] || dt == BooleanType =>
           val s = col(s"${f.name}__sum")
           (col(s"${f.name}__min"), col(s"${f.name}__max"), s,
             s / col(s"${f.name}__cnt"), nullS, nullS)
@@ -84,9 +89,9 @@ object Profiler {
   }
 
   /** DuckDB oracle for `profile` over a table with the given (name, type)
-    * columns; types: "num", "ts", "str". One aggregate SELECT per column,
-    * UNION ALL — the single-pass Spark plan and this N-pass SQL agree
-    * bit-exactly because every stat is order-independent. */
+    * columns; types: "num", "bool", "ts", "str". One aggregate SELECT per
+    * column, UNION ALL — the single-pass Spark plan and this N-pass SQL
+    * agree bit-exactly because every stat is order-independent. */
   def oracleSqlFor(table: String, cols: Seq[(String, String)]): String =
     cols.map { case (c, kind) =>
       val (minN, maxN, sumN, meanN, minS, maxS) = kind match {
@@ -94,6 +99,12 @@ object Profiler {
           (s"cast(min($c) AS double)", s"cast(max($c) AS double)",
             s"cast(sum(cast($c AS decimal(38,6))) AS double)",
             s"cast(sum(cast($c AS decimal(38,6))) AS double) / count($c)",
+            "cast(NULL AS varchar)", "cast(NULL AS varchar)")
+        case "bool" =>
+          (s"cast(min(cast($c AS int)) AS double)",
+            s"cast(max(cast($c AS int)) AS double)",
+            s"cast(sum(cast($c AS bigint)) AS double)",
+            s"cast(sum(cast($c AS bigint)) AS double) / count($c)",
             "cast(NULL AS varchar)", "cast(NULL AS varchar)")
         case "ts" =>
           (s"cast(epoch_ms(min($c)) AS double)", s"cast(epoch_ms(max($c)) AS double)",

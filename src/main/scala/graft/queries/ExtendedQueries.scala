@@ -139,6 +139,13 @@ object ExtendedQueries {
     "q_profile_full" -> ((s, dir) =>
       graft.operators.Profiler.profile(Tables.load(s, dir, "lineitem"))),
 
+    // r4: profiler schema generality — a string-heavy table (documents)
+    // and a timestamp-heavy one (events), same one-pass plan.
+    "q_profile_docs" -> ((s, dir) =>
+      graft.operators.Profiler.profile(Tables.load(s, dir, "documents"))),
+    "q_profile_events" -> ((s, dir) =>
+      graft.operators.Profiler.profile(Tables.load(s, dir, "events"))),
+
     // §2.4 #69: column profiling — the QA pass a pipeline runs before
     // training. Aggregates chosen to stay bit-exact: min/max/counts are
     // order-independent, the mean is a decimal sum divided in double.
@@ -223,6 +230,12 @@ object ExtendedQueries {
       "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
       "l_returnflag" -> "str", "l_linestatus" -> "str",
       "l_shipdate" -> "ts")),
+    "q_profile_docs" -> graft.operators.Profiler.oracleSqlFor("documents", Seq(
+      "doc_id" -> "num", "text" -> "str", "lang" -> "str",
+      "source" -> "str", "n_chars" -> "num")),
+    "q_profile_events" -> graft.operators.Profiler.oracleSqlFor("events", Seq(
+      "event_id" -> "num", "ts" -> "ts", "user_id" -> "num",
+      "event_type" -> "str", "value" -> "num", "props" -> "str")),
     "q_profile_stats" ->
       """SELECT count(*) AS n_rows,
                 min(l_extendedprice) AS price_min,

@@ -245,6 +245,25 @@ object XlsxQueries {
         }
       }
       s.read.format("xlsx").load(out)
+    }),
+
+    // §2.6 #87: the reference's OWN headline scenario — ONE big workbook,
+    // `threads` parse workers. Same rows as xlsx_ingest_lineitem but the
+    // file is a single xlsx, so the scan is one partition and all
+    // parallelism comes from the intra-file pipeline.
+    "xlsx_ingest_single" -> ((s, dir) => {
+      val out = fixtureDir(dir).resolve("lineitem_xlsx_single").toString
+      synchronized {
+        if (!generated.contains(out)) {
+          Tables.load(s, dir, "lineitem")
+            .select("l_orderkey", "l_quantity", "l_extendedprice",
+              "l_returnflag", "l_linestatus")
+            .coalesce(1)
+            .write.format("xlsx").mode("overwrite").save(out)
+          generated += out
+        }
+      }
+      s.read.format("xlsx").option("threads", "4").load(out)
     })
   )
 
@@ -299,6 +318,10 @@ object XlsxQueries {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY 1""",
     "xlsx_ingest_lineitem" ->
+      """SELECT cast(l_orderkey AS double) AS l_orderkey, l_quantity,
+                l_extendedprice, l_returnflag, l_linestatus
+         FROM lineitem""",
+    "xlsx_ingest_single" ->
       """SELECT cast(l_orderkey AS double) AS l_orderkey, l_quantity,
                 l_extendedprice, l_returnflag, l_linestatus
          FROM lineitem""",

@@ -51,7 +51,8 @@ final class XlsxDataSource extends TableProvider with DataSourceRegister {
     // Schema from the first file only — at scale you cannot open 10^6 files
     // at planning time; files are expected to be schema-homogeneous.
     val base = XlsxSchema.resolve(
-      XlsxDataSource.workbook(paths.head, XlsxDataSource.hadoopConf()), opts).schema
+      XlsxDataSource.workbook(paths.head, XlsxDataSource.hadoopConf(),
+        opts.maxSharedStringsBytes), opts).schema
     if (opts.allSheets)
       StructType(base.fields :+
         StructField(XlsxDataSource.SheetNameCol, StringType, nullable = false))
@@ -119,7 +120,8 @@ object XlsxDataSource {
       .map(e => e.getKey -> e.getValue).toArray)
   }
 
-  def workbook(path: String, conf: Configuration): XlsxParser.Workbook = {
+  def workbook(path: String, conf: Configuration,
+      maxSharedStringsBytes: Long = SharedStringsScanner.DefaultMaxBytes): XlsxParser.Workbook = {
     // The open() thunk re-opens the stream per zip-entry family; capture
     // only the path string so the workbook is usable on executors. Local
     // paths additionally get ZipFile central-directory seeks.
@@ -131,7 +133,7 @@ object XlsxDataSource {
     new XlsxParser.Workbook(() => {
       val p = new Path(path)
       p.getFileSystem(conf).open(p)
-    }, local)
+    }, local, maxSharedStringsBytes)
   }
 }
 
@@ -214,32 +216,57 @@ final class XlsxScan(
 }
 
 object XlsxScan {
+  /** Above this file count, allSheets enumeration runs as a Spark job
+    * instead of a driver-side pool. The driver pool (16 threads, one
+    * workbook.xml read per file) is fine to ~10^5 files; beyond that the
+    * driver becomes the planning bottleneck and the cluster should do the
+    * metadata reads — the same cutover logic Spark's own file listing
+    * (`parallelPartitionDiscoveryThreshold`) applies. */
+  val DistributedEnumerationCutover: Int = 8192
+
   /** Partitions for a concrete file list: one per file, or — under
     * allSheets — one per (file, sheet). Sheet enumeration needs each
-    * file's workbook.xml, so it is a driver-side metadata read done on a
-    * bounded pool, the same planning-time cost class as parquet footer
-    * reads. (At extreme file counts enumeration itself could be made a
-    * distributed job; partition-per-sheet is the win here: a few huge
-    * multi-sheet workbooks still fan out across the cluster.) */
-  def partitionsFor(paths: Seq[String], opts: XlsxOptions): Array[InputPartition] =
+    * file's workbook.xml: below `cutover` files it is a driver-side
+    * metadata read on a bounded pool (the planning-time cost class of
+    * parquet footer reads); above, a distributed flatMap over the path
+    * list with results collected to the planner — O(paths) tiny tuples,
+    * not data. Both paths return identical partitions in identical order
+    * (spec-asserted). */
+  def partitionsFor(paths: Seq[String], opts: XlsxOptions,
+      cutover: Int = DistributedEnumerationCutover): Array[InputPartition] =
     if (!opts.allSheets)
       paths.map(p => XlsxInputPartition(p): InputPartition).toArray
     else {
       val conf = XlsxDataSource.captureConf()
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.max(1, math.min(16, paths.size)))
-      try {
-        val futures = paths.map { p =>
-          pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
-            override def call(): Seq[InputPartition] = {
-              val wb = XlsxDataSource.workbook(p, conf.toConf)
-              wb.sheets.map(si =>
-                XlsxInputPartition(p, Some(SheetRef(si.name, si.target))): InputPartition)
-            }
-          })
-        }
-        futures.flatMap(_.get()).toArray
-      } finally pool.shutdown()
+      val spark = SparkSession.getActiveSession
+      if (paths.size > cutover && spark.isDefined) {
+        val sc = spark.get.sparkContext
+        val nTasks = math.max(1, math.min(2000, paths.size / 64))
+        sc.parallelize(paths, nTasks)
+          .flatMap { p =>
+            val wb = XlsxDataSource.workbook(p, conf.toConf)
+            wb.sheets.map(si => (p, si.name, si.target))
+          }
+          .collect() // partition-index order == paths order: deterministic
+          .map { case (p, n, t) =>
+            XlsxInputPartition(p, Some(SheetRef(n, t))): InputPartition
+          }
+      } else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(16, paths.size)))
+        try {
+          val futures = paths.map { p =>
+            pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
+              override def call(): Seq[InputPartition] = {
+                val wb = XlsxDataSource.workbook(p, conf.toConf)
+                wb.sheets.map(si =>
+                  XlsxInputPartition(p, Some(SheetRef(si.name, si.target))): InputPartition)
+              }
+            })
+          }
+          futures.flatMap(_.get()).toArray
+        } finally pool.shutdown()
+      }
     }
 }
 
@@ -276,7 +303,8 @@ final class XlsxPartitionReader(
     filters: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReader[InternalRow] {
 
-  private val wb = XlsxDataSource.workbook(path, conf.toConf)
+  private val wb = XlsxDataSource.workbook(path, conf.toConf,
+    opts.maxSharedStringsBytes)
   private val resolved = XlsxSchema.resolve(wb, opts, sheet.map(_.target))
   private val sheetTarget = sheet.map(_.target).getOrElse(
     wb.sheetPath(opts.sheetName, opts.effectiveSheetIndex))

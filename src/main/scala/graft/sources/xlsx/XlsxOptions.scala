@@ -30,7 +30,11 @@ final case class XlsxOptions(
       * under a normal multi-file Spark scan each task is already one core
       * of parallelism, and oversubscribing executors hurts; raise it for
       * the single-huge-workbook case where cores would otherwise idle. */
-    threads: Int = 1)
+    threads: Int = 1,
+    /** Per-task cap on decoded sharedStrings bytes — the one xlsx structure
+      * whose memory is set by the FILE, not the scan; a pathological
+      * workbook aborts with a clear error instead of OOMing the task. */
+    maxSharedStringsBytes: Long = SharedStringsScanner.DefaultMaxBytes)
     extends Serializable {
 
   /** 1-based index to use when sheetName is absent (reference default 1). */
@@ -79,6 +83,10 @@ object XlsxOptions {
       coerceToString = bool("coerceToString", "coerce_to_string"),
       writeHeader = str("header").forall(_.trim.equalsIgnoreCase("true")),
       allSheets = allSheets,
-      threads = str("threads").map(_.trim.toInt).filter(_ >= 1).getOrElse(1))
+      threads = str("threads").map(_.trim.toInt).filter(_ >= 1).getOrElse(1),
+      maxSharedStringsBytes =
+        str("maxSharedStringsBytes", "max_shared_strings_bytes")
+          .map(_.trim.toLong).filter(_ > 0)
+          .getOrElse(SharedStringsScanner.DefaultMaxBytes))
   }
 }

@@ -53,7 +53,8 @@ object XlsxParser {
     * probe, row scan), so direct seeks measurably cut per-file overhead on
     * multi-file scans. Object stores keep the streaming path. */
   final class Workbook(open: () => InputStream,
-      localFile: Option[java.io.File] = None) {
+      localFile: Option[java.io.File] = None,
+      maxSharedStringsBytes: Long = SharedStringsScanner.DefaultMaxBytes) {
 
     /** Sheets in workbook order: (name, worksheet part path). */
     lazy val sheets: Seq[SheetInfo] = {
@@ -87,7 +88,7 @@ object XlsxParser {
             if (b1 != -1) in.unread(b1)
             if (b0 != -1) in.unread(b0)
             if (utf16) sharedStringsStax(xif.createXMLStreamReader(in))
-            else SharedStringsScanner.parse(in).toArray
+            else SharedStringsScanner.parse(in, maxSharedStringsBytes).toArray
           } finally closeAll()
       }
 
@@ -97,6 +98,7 @@ object XlsxParser {
       val out = ArrayBuffer[String]()
       var inSi = false
       var phoneticDepth = 0 // inside <rPh>/<phoneticPr>: furigana, not text
+      var retained = 0L
       val sb = new StringBuilder
       while (xr.hasNext) {
         xr.next() match {
@@ -112,7 +114,12 @@ object XlsxParser {
               if inSi && (xr.getLocalName == "rPh" || xr.getLocalName == "phoneticPr") =>
             phoneticDepth -= 1
           case XMLStreamConstants.END_ELEMENT if xr.getLocalName == "si" =>
-            inSi = false; out += sb.toString
+            inSi = false
+            retained += sb.length
+            if (retained > maxSharedStringsBytes)
+              throw new IllegalStateException(
+                SharedStringsScanner.guardMessage(maxSharedStringsBytes))
+            out += sb.toString
           case _ =>
         }
       }

@@ -547,8 +547,25 @@ object SheetScanner {
   * string value, matching the StAX path and the reference. */
 object SharedStringsScanner {
 
-  def parse(in: InputStream): ArrayBuffer[String] = {
+  /** Default cap on retained shared-string bytes per task (UTF-8 length of
+    * the decoded table). The sharedStrings table is the ONE xlsx structure
+    * whose memory footprint is set by the FILE, not the scan — a
+    * pathological workbook can intern gigabytes here, and without a guard
+    * that is a silent per-task OOM. 512 MiB of text is far beyond any real
+    * workbook (Excel's own cell limits cap it well below) while safely
+    * inside executor task budgets. */
+  val DefaultMaxBytes: Long = 512L << 20
+
+  def guardMessage(limit: Long): String =
+    s"xlsx: sharedStrings table exceeds the $limit-byte per-task budget — " +
+      "this workbook interns more string data than a scan task can hold in " +
+      "memory. Raise the maxSharedStringsBytes option if the executor heap " +
+      "has room, or split the workbook."
+
+  def parse(in: InputStream,
+      maxBytes: Long = DefaultMaxBytes): ArrayBuffer[String] = {
     val out = ArrayBuffer[String]()
+    var retained = 0L
     val buf = new Array[Byte](1 << 16)
     var pos = 0
     var lim = 0
@@ -649,6 +666,9 @@ object SharedStringsScanner {
           else if (nameIs("rPh") || nameIs("phoneticPr")) phonetic -= 1
           else if (nameIs("si")) {
             inSi = false
+            retained += txtLen
+            if (retained > maxBytes)
+              throw new IllegalStateException(guardMessage(maxBytes))
             out += (if (txtLen == 0) ""
                     else new String(txt, 0, txtLen, StandardCharsets.UTF_8))
           }

@@ -39,6 +39,32 @@ class ProfilerSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("boolean columns profile as 0/1: sum = true count, mean = true rate") {
+    val df = Seq(
+      (1L, Some(true)), (2L, Some(false)),
+      (3L, Some(true)), (4L, None)).toDF("k", "b")
+    val p = Profiler.profile(df).collect().map(r => r.getString(0) -> r).toMap
+    val b = p("b")
+    assert(b.getAs[Long]("n_nulls") == 1 && b.getAs[Long]("n_notnull") == 3)
+    assert(b.getAs[Double]("min_num") == 0.0 && b.getAs[Double]("max_num") == 1.0)
+    assert(b.getAs[Double]("sum_num") == 2.0)
+    assert(math.abs(b.getAs[Double]("mean_num") - 2.0 / 3.0) < 1e-15)
+  }
+
+  test("documents and events profiles: full schemas, one pass each") {
+    val docs = Profiler.profile(graft.Tables.load(spark, sf, "documents"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(docs.keySet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    assert(docs("text").getAs[String]("min_str") != null)
+    assert(docs("n_chars").getAs[Double]("mean_num") > 0)
+    val ev = Profiler.profile(graft.Tables.load(spark, sf, "events"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(ev.keySet == Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+    // ts profiles as epoch millis with a sane range
+    assert(ev("ts").getAs[Double]("max_num") >= ev("ts").getAs[Double]("min_num"))
+    assert(ev("ts").isNullAt(ev("ts").fieldIndex("sum_num")))
+  }
+
   test("timestamp columns profile as epoch millis") {
     val df = Seq(
       java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
