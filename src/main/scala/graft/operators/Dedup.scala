@@ -163,11 +163,15 @@ object Dedup {
         // best label reachable over one hop
         val prop = edges.join(labels, edges("b") === labels("node"))
           .groupBy(col("a")).agg(min(col("label")).as("hop"))
+        // persist: the jump self-join reads `stepped` on BOTH sides (and on
+        // different join keys, so exchange reuse can't apply); without the
+        // cache the edges-join + min-aggregate would execute twice per round
         val stepped = labels
           .join(prop, labels("node") === prop("a"), "left")
           .select(labels("node"),
             least(labels("label"), coalesce(col("hop"), labels("label"))).as("mid"),
             labels("label").as("old"))
+          .persist()
         // pointer jump: mid := label(mid). Labels only ever decrease and
         // label(x) <= x, so the jump is monotone and stays inside the
         // component; it is what turns O(diameter) rounds into O(log).
@@ -179,7 +183,8 @@ object Dedup {
           .select(col("node"),
             least(col("mid"), coalesce(col("plabel"), col("mid"))).as("next"),
             col("old"))
-          .localCheckpoint(true)
+          .localCheckpoint(true) // materializes; stepped's cache is now dead
+        stepped.unpersist()
         changed = updated.filter(col("next") < col("old")).count()
         labels = updated.select(col("node"), col("next").as("label"))
         i += 1

@@ -56,6 +56,11 @@ object Multimodal {
     * pathological 100-megapixel payload costs bounded CPU per row. None on
     * undecodable bytes (caller falls back to the stub — a corrupt image
     * must not fail a 100 TB scan). */
+  // in-memory decode: the default ImageIO cache spools every non-file
+  // stream through a temp file — one create/write/delete per ROW inside
+  // the mapPartitions hot loop. JVM-wide setting, executor-side safe.
+  javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImage(b: Blob): Option[Decoded] = {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.payload))
@@ -64,7 +69,13 @@ object Multimodal {
         val w = img.getWidth
         val h = img.getHeight
         val n = w.toLong * h
-        val stride = math.max(1L, n / 4096L)
+        // sampling stride made coprime with the width: a stride sharing a
+        // factor with w (every power-of-two image) would revisit the same
+        // 1-2 pixel COLUMNS forever and the "mean" would see only them
+        var stride = math.max(1L, n / 4096L)
+        while (java.math.BigInteger.valueOf(stride)
+            .gcd(java.math.BigInteger.valueOf(w.toLong)).longValue != 1L)
+          stride += 1L
         var i = 0L
         var sum = 0.0
         var cnt = 0L

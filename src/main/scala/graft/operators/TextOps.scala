@@ -117,6 +117,32 @@ object TextOps {
       s"regexp_replace($sql, '$pat', '$rep', 'g')"
     }
 
+  /** CCNet-style line-level boilerplate removal: drop every line whose
+    * corpus-wide DOCUMENT frequency reaches `maxLineDf` (navigation menus,
+    * cookie banners, licence footers — the lines that repeat across the
+    * web), keep blank lines (document structure), and reassemble the
+    * surviving lines in their original order. A document whose every line
+    * is boilerplate disappears from the output.
+    *
+    * Scale shape: one shuffle of the exploded lines on the line itself for
+    * the DF aggregate (countDistinct is a partial-merge aggregate — hot
+    * boilerplate lines skew the key but map-side combine absorbs them), a
+    * 1:1 equi-join back (no fan-out: df is unique per line), and one
+    * shuffle on doc_id to reassemble. No collects, no windows over the
+    * whole corpus. */
+  def lineDedup(docs: DataFrame, maxLineDf: Long = 5L): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val dfc = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+    lines.join(dfc, "line")
+      .filter(col("line_df") < maxLineDf || trim(col("line")) === "")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"))
+  }
+
   /** Repetition signals — the cheap boilerplate/spam detectors: share of
     * duplicate tokens and share of duplicate lines. Pure projections. */
   def repetition(docs: DataFrame): DataFrame = {

@@ -118,6 +118,12 @@ object PipelineQueries {
     // §2.5: repetition signals — duplicate-token and duplicate-line shares
     "txt_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
 
+    // §2.6: CCNet-style line-level boilerplate removal — drop lines whose
+    // corpus document-frequency reaches the cap, reassemble the rest.
+    // maxLineDf=3 so the testdata's repeated texts actually trigger it.
+    "txt_line_dedup" -> ((s, dir) =>
+      TextOps.lineDedup(docs(s, dir), maxLineDf = 3L)),
+
     // §2.5: near-dup clustering — connected components over the exact
     // ngram-Jaccard pair graph (pairs → dedup groups; survivor = min id)
     "dd_cluster" -> ((s, dir) =>
@@ -314,6 +320,19 @@ object PipelineQueries {
                 1.0 - len(list_distinct(string_split_regex(text, '\n'))) /
                       greatest(len(string_split_regex(text, '\n')), 1) AS dup_line_ratio
          FROM documents""",
+    "txt_line_dedup" ->
+      """WITH lines AS (
+           SELECT doc_id,
+                  unnest(string_split(text, chr(10))) AS line,
+                  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+           FROM documents),
+         df AS (
+           SELECT line, count(DISTINCT doc_id) AS line_df FROM lines GROUP BY 1)
+         SELECT l.doc_id,
+                string_agg(l.line, chr(10) ORDER BY l.pos) AS clean_text
+         FROM lines l JOIN df USING (line)
+         WHERE df.line_df < 3 OR trim(l.line) = ''
+         GROUP BY 1""",
     "pipeline_pack" ->
       """WITH base AS (
            SELECT doc_id,

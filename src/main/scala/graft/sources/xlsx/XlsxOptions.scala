@@ -5,8 +5,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 /** Option surface of the `xlsx` source, mirroring the reference's named
   * parameters (reference: src/sheetreader_extension.cpp:949-967 registers
   * sheet_name, sheet_index, threads, skip_rows, has_header, types,
-  * force_types, coerce_to_string; `threads` is subsumed by Spark's own
-  * parallelism — one partition per file).
+  * force_types, coerce_to_string; `threads >= 2` engages intra-file
+  * parallel parsing inside a partition — see [[ParallelSheetScanner]] —
+  * on top of Spark's own partition-per-file parallelism).
   *
   * Both camelCase (Spark idiom) and snake_case (reference idiom) spellings
   * are accepted.

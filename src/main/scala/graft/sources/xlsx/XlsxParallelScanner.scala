@@ -170,7 +170,21 @@ final class ParallelSheetScanner(
           close()
           return false
         case f: Future[_] =>
-          cur = f.get().asInstanceOf[ParsedChunk]
+          // a worker parse failure must tear the pipeline down (producer,
+          // prefetch, pool, underlying stream) and surface the CAUSE, the
+          // same exception the sequential scanner would have thrown
+          cur =
+            try f.get().asInstanceOf[ParsedChunk]
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                ended = true
+                close()
+                throw Option(e.getCause).getOrElse(e)
+              case e: InterruptedException =>
+                ended = true
+                close()
+                throw e
+            }
           curI = 0
       }
     }

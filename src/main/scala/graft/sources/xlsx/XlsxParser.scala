@@ -115,7 +115,16 @@ object XlsxParser {
             phoneticDepth -= 1
           case XMLStreamConstants.END_ELEMENT if xr.getLocalName == "si" =>
             inSi = false
-            retained += sb.length
+            // count UTF-8 bytes like the byte-scanner path (sb.length is
+            // UTF-16 chars — it would under-enforce the budget up to 3x on
+            // CJK text, exactly where the OOM guard matters); surrogate
+            // pairs count 3+3 vs a true 4, erring toward earlier abort
+            var ci = 0
+            while (ci < sb.length) {
+              val c = sb.charAt(ci)
+              retained += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
+              ci += 1
+            }
             if (retained > maxSharedStringsBytes)
               throw new IllegalStateException(
                 SharedStringsScanner.guardMessage(maxSharedStringsBytes))

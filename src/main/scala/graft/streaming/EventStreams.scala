@@ -248,11 +248,13 @@ object EventStreams {
       doc_id: Long, text: String)
 
   /** Event-time TTL dedup: like [[dedupStream]] but the TTL is measured on
-    * the EVENT clock — a hash whose last sighting is more than `ttl` of
-    * event time behind the watermark is evicted. On a replay/backfill the
-    * dedup window tracks the data's own timeline instead of ingest speed,
-    * so reprocessing yields the same keep/drop decisions as the live run.
-    * Requires a timestamp on the document (ingestion time at capture). */
+    * the EVENT clock — a sighting more than `ttl` of event time after the
+    * previous one is re-admitted, whether the gap shows up across batches
+    * (state evicted by the watermark timeout) or INSIDE one batch (the
+    * whole-history-in-one-burst replay case: the per-event fold below
+    * applies the same gap rule, so a fast replay reproduces exactly the
+    * live run's keep/drop decisions). Requires a timestamp on the document
+    * (ingestion time at capture). */
   def dedupStreamEventTime(spark: SparkSession, docs: Dataset[TsDoc],
       ttl: String = "7 days",
       watermarkDelay: String = "10 minutes"): Dataset[Doc] = {
@@ -273,15 +275,20 @@ object EventStreams {
         (_: (Long, Long), it: Iterator[HashedTsDoc], state: GroupState[Long]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val batch = it.toSeq
-            val lastSeen = batch.map(_.ts.getTime).max
-            val first =
-              if (state.exists) None
-              else Some(batch.minBy(_.doc_id))
-            state.update(math.max(state.getOption.getOrElse(Long.MinValue), lastSeen))
+            // event-time fold: admit on first sighting or on a gap > ttl,
+            // refresh lastSeen on every sighting (rolling window)
+            val out = scala.collection.mutable.ArrayBuffer[Doc]()
+            var lastSeen = state.getOption.getOrElse(Long.MinValue)
+            it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+              val t = d.ts.getTime
+              if (lastSeen == Long.MinValue || t - lastSeen > ttlMillis)
+                out += Doc(d.doc_id, d.text)
+              lastSeen = math.max(lastSeen, t)
+            }
+            state.update(lastSeen)
             state.setTimeoutTimestamp(
-              math.max(state.get + ttlMillis, state.getCurrentWatermarkMs() + 1L))
-            first.map(d => Doc(d.doc_id, d.text)).iterator
+              math.max(lastSeen + ttlMillis, state.getCurrentWatermarkMs() + 1L))
+            out.iterator
           }
       }
   }

@@ -102,4 +102,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L)._1 == 0.0)
     assert(out(3L)._2 == 1.0 - 2.0 / 3.0)
   }
+
+  test("lineDedup drops corpus-frequent lines, keeps order, blanks and unique docs") {
+    val banner = "ACCEPT ALL COOKIES"
+    val docs = Seq(
+      (1L, s"$banner\nunique one\n\nunique two"),
+      (2L, s"intro\n$banner\noutro"),
+      (3L, s"$banner\nbody three"),
+      (4L, banner), // every line boilerplate → document disappears
+      (5L, "standalone document")).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(docs, maxLineDf = 3L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(out == Map(
+      1L -> "unique one\n\nunique two", // blank line survives, order kept
+      2L -> "intro\noutro",
+      3L -> "body three",
+      5L -> "standalone document"), s"got $out")
+  }
 }

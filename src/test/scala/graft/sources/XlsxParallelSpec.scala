@@ -75,10 +75,71 @@ class XlsxParallelSpec extends SparkSpec {
   }
 
   test("ragged-wide row error propagates through the parallel reader") {
-    // partition reader raises on rows wider than the schema row; the
-    // parallel path must surface the same error, not hang
-    val p = file.getAbsolutePath
-    val ok = spark.read.format("xlsx").option("threads", "3").load(p)
-    assert(ok.count() == 20000)
+    // a workbook whose row 3 is wider than row 1: the partition reader must
+    // raise the reference's ragged-row error through the threads path and
+    // tear the pipeline down rather than hang
+    val sheet =
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1"><v>1</v></c></row>
+        |<row r="2"><c r="A2"><v>2</v></c></row>
+        |<row r="3"><c r="A3"><v>3</v></c><c r="B3"><v>4</v></c><c r="C3"><v>5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    Seq(
+      "xl/workbook.xml" ->
+        """<workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""",
+      "xl/_rels/workbook.xml.rels" ->
+        """<Relationships><Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>""",
+      "xl/worksheets/sheet1.xml" -> sheet
+    ).foreach { case (n, c) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(c.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    val f = java.io.File.createTempFile("ragged", ".xlsx")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, bos.toByteArray)
+    val e = intercept[Exception] {
+      spark.read.format("xlsx").option("threads", "3")
+        .load(f.getAbsolutePath).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("more columns"), msgs)
+  }
+
+  test("a stream failure mid-parse surfaces the cause and kills the pipeline") {
+    // the inflated stream dies after some bytes: hasNext must throw the
+    // cause (not hang on the queue) and the daemon threads must exit
+    val failing = new java.io.InputStream {
+      private val head =
+        "<worksheet><sheetData><row r=\"1\"><c><v>1</v></c></row>".getBytes("UTF-8")
+      private var i = 0
+      override def read(): Int =
+        if (i < head.length) { i += 1; head(i - 1) & 0xff }
+        else throw new java.io.IOException("stream died mid-entry")
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (i >= head.length) throw new java.io.IOException("stream died mid-entry")
+        val n = math.min(len, head.length - i)
+        System.arraycopy(head, i, b, off, n)
+        i += n
+        n
+      }
+    }
+    val before = Thread.activeCount()
+    var closed = false
+    val it = new ParallelSheetScanner(failing, Array.empty, Array.empty,
+      threads = 2, () => closed = true, chunkBytes = 16)
+    val e = intercept[Exception] { while (it.hasNext) it.next() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("stream died"), msgs)
+    assert(closed, "underlying close hook must run on failure")
+    val deadline = System.currentTimeMillis + 5000
+    while (Thread.activeCount() > before + 1 && System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    assert(Thread.activeCount() <= before + 1, "threads leaked after failure")
   }
 }

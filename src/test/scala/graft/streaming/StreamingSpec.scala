@@ -206,22 +206,27 @@ class StreamingSpec extends SparkSpec {
     try {
       mem.addData(EventStreams.TsDoc(ts(0), 1L, "alpha"),
         EventStreams.TsDoc(ts(1), 2L, "beta"),
-        EventStreams.TsDoc(ts(2), 3L, "alpha")) // in-batch dup → dropped
+        EventStreams.TsDoc(ts(2), 3L, "alpha")) // 2-min gap < TTL → dropped
       q.processAllAvailable()
-      // alpha re-sighted at minute 100 (still within TTL on the event
-      // clock: watermark is ~0 here) → dropped, AND its lastSeen advances
+      // alpha re-sighted at minute 100: the EVENT-TIME gap (98 min) exceeds
+      // the TTL, so it is re-admitted even though the watermark (and any
+      // timeout) hasn't moved yet — a live run whose watermark had caught
+      // up would have evicted and re-admitted identically
       mem.addData(EventStreams.TsDoc(ts(100), 4L, "alpha"))
       q.processAllAvailable()
       // watermark is now 90 min: beta (lastSeen minute 1, TTL 30 min) is
       // evicted this batch; alpha (lastSeen minute 100) survives
       mem.addData(EventStreams.TsDoc(ts(101), 5L, "gamma"))
       q.processAllAvailable()
-      // beta re-admitted after event-time eviction; alpha still deduped
+      // beta re-admitted after event-time eviction; alpha within-TTL dup
+      // dropped; an IN-BATCH gap > ttl re-admits too (the fast-replay case:
+      // the whole gap arrives in one batch, no timeout ever fires)
       mem.addData(EventStreams.TsDoc(ts(102), 6L, "beta"),
-        EventStreams.TsDoc(ts(103), 7L, "alpha"))
+        EventStreams.TsDoc(ts(103), 7L, "alpha"), // 3 min after doc 4 → dup
+        EventStreams.TsDoc(ts(200), 8L, "alpha")) // 97 min after doc 7
       q.processAllAvailable()
-      assert(ids == Set(1L, 2L, 5L, 6L),
-        s"expected beta re-admitted and alpha still deduped, got $ids")
+      assert(ids == Set(1L, 2L, 4L, 5L, 6L, 8L),
+        s"expected event-time-gap re-admissions (4, 8), dups 3/7 dropped, got $ids")
     } finally q.stop()
   }
 
