@@ -41,7 +41,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    reportTrend(results)
+    reportTrend(results, sfDir)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The driver truncates stderr/stdout when archiving (r3's trend baseline
     // was lost exactly this way); persist the full per-query table twice —
@@ -65,12 +65,20 @@ object Bench {
     * stdout stays the single JSON line the driver parses). Flags >1.3x
     * moves so a regression gets an explanation at build time, not at
     * judging time. */
-  private def reportTrend(results: Seq[(String, Double)]): Unit = try {
+  private def reportTrend(results: Seq[(String, Double)], sfDir: String): Unit = try {
     // Prefer our own append-only history (complete by construction); fall
     // back to the driver's BENCH_r*.json capture, which may be truncated.
+    // History lines from a DIFFERENT scale factor are skipped — a smoke
+    // run at sf0.001 must not become the baseline for an sf0.1 run.
     val hist = new java.io.File("BENCH_HISTORY.jsonl")
+    val histLine: Option[String] =
+      if (!hist.isFile) None
+      else new String(java.nio.file.Files.readAllBytes(hist.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.contains("\"sf\":\"" + sfDir + "\""))
+        .toSeq.lastOption
     val prev: Option[java.io.File] =
-      if (hist.isFile && hist.length > 0) Some(hist)
+      if (histLine.isDefined) Some(hist)
       else Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
         // numeric round sort: lexicographic picks r9 over r10
@@ -80,15 +88,12 @@ object Bench {
       // The driver wraps (and truncates) the bench JSON line inside a JSON
       // string field, so quotes arrive backslash-escaped — unescape, then
       // scrape "name":seconds pairs out of the raw text. For the history
-      // file, use only its LAST line (the most recent full run). If the
-      // driver capture holds no pairs (tail-only truncation), scrape the
-      // trend table's own "name  a ->  b s" rows as the baseline.
-      val raw = new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val text =
-        (if (f.getName == "BENCH_HISTORY.jsonl")
-           raw.linesIterator.filter(_.nonEmpty).toSeq.lastOption.getOrElse("")
-         else raw).replace("\\\"", "\"")
+      // file, use only its last SAME-SF line. If the driver capture holds
+      // no pairs (tail-only truncation), scrape the trend table's own
+      // "name  a ->  b s" rows as the baseline.
+      val text = histLine.getOrElse(
+        new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)).replace("\\\"", "\"")
       val pair = "\"([A-Za-z0-9_]+)\":([0-9]+\\.[0-9]+)".r
       val arrow = "([A-Za-z0-9_]+)\\s+[0-9.]+ ->\\s+([0-9.]+) s".r
       val direct = pair.findAllMatchIn(text)

@@ -73,9 +73,12 @@ object Multimodal {
         // factor with w (every power-of-two image) would revisit the same
         // 1-2 pixel COLUMNS forever and the "mean" would see only them
         var stride = math.max(1L, n / 4096L)
-        while (java.math.BigInteger.valueOf(stride)
-            .gcd(java.math.BigInteger.valueOf(w.toLong)).longValue != 1L)
-          stride += 1L
+        def gcd(a0: Long, b0: Long): Long = {
+          var a = a0; var b = b0
+          while (b != 0L) { val t = a % b; a = b; b = t }
+          a
+        }
+        while (gcd(stride, w.toLong) != 1L) stride += 1L
         var i = 0L
         var sum = 0.0
         var cnt = 0L

@@ -87,7 +87,16 @@ object XlsxOptions {
       threads = str("threads").map(_.trim.toInt).filter(_ >= 1).getOrElse(1),
       maxSharedStringsBytes =
         str("maxSharedStringsBytes", "max_shared_strings_bytes")
-          .map(_.trim.toLong).filter(_ > 0)
+          .map { raw =>
+            val v = raw.trim.toLong
+            // a non-positive value is a misconfiguration, not "no cap" —
+            // silently substituting the default would abort scans the user
+            // believes they un-capped
+            if (v <= 0) throw new IllegalArgumentException(
+              s"maxSharedStringsBytes must be positive, got $v " +
+                "(use a large value to effectively disable the guard)")
+            v
+          }
           .getOrElse(SharedStringsScanner.DefaultMaxBytes))
   }
 }

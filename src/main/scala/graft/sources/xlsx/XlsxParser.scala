@@ -99,35 +99,47 @@ object XlsxParser {
       var inSi = false
       var phoneticDepth = 0 // inside <rPh>/<phoneticPr>: furigana, not text
       var retained = 0L
+      // count UTF-8 bytes like the byte-scanner path (UTF-16 chars would
+      // under-enforce the budget up to 3x on CJK text, exactly where the
+      // OOM guard matters); surrogate pairs count 3+3 vs a true 4, erring
+      // toward earlier abort. Checked per <t> fragment, not just at </si>,
+      // so a single giant run still hits the guard (one element's text is
+      // the remaining granularity — StAX materializes it whole, and this
+      // path only serves the rare UTF-16 workbooks).
+      def utf8Len(s: CharSequence): Long = {
+        var n = 0L
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          n += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
+          i += 1
+        }
+        n
+      }
+      var pendingBytes = 0L
       val sb = new StringBuilder
       while (xr.hasNext) {
         xr.next() match {
           case XMLStreamConstants.START_ELEMENT if xr.getLocalName == "si" =>
-            inSi = true; sb.setLength(0)
+            inSi = true; sb.setLength(0); pendingBytes = 0L
           case XMLStreamConstants.START_ELEMENT
               if inSi && (xr.getLocalName == "rPh" || xr.getLocalName == "phoneticPr") =>
             phoneticDepth += 1
           case XMLStreamConstants.START_ELEMENT
               if inSi && phoneticDepth == 0 && xr.getLocalName == "t" =>
-            sb.append(xr.getElementText)
+            val frag = xr.getElementText
+            pendingBytes += utf8Len(frag)
+            if (retained + pendingBytes > maxSharedStringsBytes)
+              throw new IllegalStateException(
+                SharedStringsScanner.guardMessage(maxSharedStringsBytes))
+            sb.append(frag)
           case XMLStreamConstants.END_ELEMENT
               if inSi && (xr.getLocalName == "rPh" || xr.getLocalName == "phoneticPr") =>
             phoneticDepth -= 1
           case XMLStreamConstants.END_ELEMENT if xr.getLocalName == "si" =>
             inSi = false
-            // count UTF-8 bytes like the byte-scanner path (sb.length is
-            // UTF-16 chars — it would under-enforce the budget up to 3x on
-            // CJK text, exactly where the OOM guard matters); surrogate
-            // pairs count 3+3 vs a true 4, erring toward earlier abort
-            var ci = 0
-            while (ci < sb.length) {
-              val c = sb.charAt(ci)
-              retained += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
-              ci += 1
-            }
-            if (retained > maxSharedStringsBytes)
-              throw new IllegalStateException(
-                SharedStringsScanner.guardMessage(maxSharedStringsBytes))
+            retained += pendingBytes
+            pendingBytes = 0L
             out += sb.toString
           case _ =>
         }

@@ -566,6 +566,12 @@ object SharedStringsScanner {
       maxBytes: Long = DefaultMaxBytes): ArrayBuffer[String] = {
     val out = ArrayBuffer[String]()
     var retained = 0L
+    // budget check on every accumulation, not just at </si>: ONE huge
+    // string must hit the guard too (otherwise the buffer doubles
+    // unboundedly before the si ever closes)
+    def checkBudget(pending: Int): Unit =
+      if (retained + pending > maxBytes)
+        throw new IllegalStateException(guardMessage(maxBytes))
     val buf = new Array[Byte](1 << 16)
     var pos = 0
     var lim = 0
@@ -590,6 +596,7 @@ object SharedStringsScanner {
       else { val b = buf(pos); pos += 1; b & 0xff }
 
     def txtAppend(b: Int): Unit = {
+      checkBudget(txtLen + 1)
       if (txtLen == txt.length) txt = java.util.Arrays.copyOf(txt, txt.length * 2)
       txt(txtLen) = b.toByte; txtLen += 1
     }
@@ -710,6 +717,7 @@ object SharedStringsScanner {
             val start = p
             while (p < l && buf(p) != '<' && buf(p) != '&') p += 1
             if (p > start) {
+              checkBudget(txtLen + (p - start))
               if (txtLen + (p - start) > txt.length) {
                 var cap = txt.length * 2
                 while (cap < txtLen + (p - start)) cap *= 2

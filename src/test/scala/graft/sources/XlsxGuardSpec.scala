@@ -55,6 +55,14 @@ class XlsxGuardSpec extends SparkSpec {
     // same table under the default budget parses fine
     val ok = new XlsxParser.Workbook(() => new java.io.ByteArrayInputStream(bytes))
     assert(ok.sharedStrings.length == 50)
+    // ONE giant string must hit the guard too (enforced per append, not
+    // only at </si> — otherwise the buffer doubles unboundedly first)
+    val one = zipOf("xl/sharedStrings.xml" ->
+      s"""<sst><si><t>${"y" * 5000}</t></si></sst>""")
+    val wb1 = new XlsxParser.Workbook(
+      () => new java.io.ByteArrayInputStream(one), maxSharedStringsBytes = 1000L)
+    val e1 = intercept[IllegalStateException](wb1.sharedStrings)
+    assert(e1.getMessage.contains("sharedStrings"))
   }
 
   test("the budget is a DSv2 option, enforced during the scan") {
@@ -71,7 +79,6 @@ class XlsxGuardSpec extends SparkSpec {
     val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(_.getMessage).mkString("; ")
     assert(msgs.contains("sharedStrings"), msgs)
-    // default budget: reads clean
     // default budget: reads clean (all 50 rows are string cells, row2 is a
     // string too, so header auto-detect keeps row1 as data)
     val ok = spark.read.format("xlsx").load(f.getAbsolutePath)
