@@ -117,6 +117,24 @@ object TextOps {
       s"regexp_replace($sql, '$pat', '$rep', 'g')"
     }
 
+  /** Corpus n-gram frequency table — the vocabulary/statistics pass a
+    * tokenizer or contamination analysis starts from: explode token
+    * n-grams, one count aggregate, threshold. Map-side combine absorbs the
+    * Zipfian head (hot n-grams partial-aggregate before the shuffle), so
+    * the exchange carries the distinct-gram space, not the corpus. */
+  def ngramFreq(docs: DataFrame, n: Int = 2, minCount: Long = 10L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = docs.select(split(col("text"), " +").as("__t"))
+    toks.select(explode(
+        when(size(col("__t")) >= n,
+          transform(sequence(lit(0), size(col("__t")) - n),
+            i => concat_ws(" ",
+              (0 until n).map(j => element_at(col("__t"), i + j + 1)): _*)))
+          .otherwise(array().cast("array<string>"))).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+  }
+
   /** CCNet-style line-level boilerplate removal: drop every line whose
     * corpus-wide DOCUMENT frequency reaches `maxLineDf` (navigation menus,
     * cookie banners, licence footers — the lines that repeat across the

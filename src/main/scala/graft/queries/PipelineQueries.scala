@@ -124,6 +124,10 @@ object PipelineQueries {
     "txt_line_dedup" -> ((s, dir) =>
       TextOps.lineDedup(docs(s, dir), maxLineDf = 3L)),
 
+    // §2.6: corpus bigram frequency table (vocabulary statistics)
+    "txt_ngram_freq" -> ((s, dir) =>
+      TextOps.ngramFreq(docs(s, dir), n = 2, minCount = 10L)),
+
     // §2.5: near-dup clustering — connected components over the exact
     // ngram-Jaccard pair graph (pairs → dedup groups; survivor = min id)
     "dd_cluster" -> ((s, dir) =>
@@ -320,6 +324,15 @@ object PipelineQueries {
                 1.0 - len(list_distinct(string_split_regex(text, '\n'))) /
                       greatest(len(string_split_regex(text, '\n')), 1) AS dup_line_ratio
          FROM documents""",
+    "txt_ngram_freq" ->
+      """WITH toks AS (
+           SELECT string_split_regex(text, ' +') AS t FROM documents),
+         grams AS (
+           SELECT unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i + 1])) AS ngram
+           FROM toks WHERE len(t) >= 2)
+         SELECT ngram, count(*) AS n_occurrences
+         FROM grams GROUP BY 1 HAVING count(*) >= 10""",
     "txt_line_dedup" ->
       """WITH lines AS (
            SELECT doc_id,

@@ -190,6 +190,45 @@ object Relational {
       hi.union(lo).groupBy($"bucket").agg(count(lit(1)).as("n"))
     }),
 
+    // §2.6: INTERSECT — set semantics (distinct), shuffle on the full row.
+    // Customers ordered in both halves of the date range.
+    "q_intersect" -> ((s, dir) => {
+      import s.implicits._
+      val ord = Tables.load(s, dir, "orders")
+      ord.filter($"o_orderdate" < "1994-01-01 00:00:00").select($"o_custkey")
+        .intersect(
+          ord.filter($"o_orderdate" >= "1994-01-01 00:00:00").select($"o_custkey"))
+    }),
+
+    // §2.6: EXCEPT — customers ordering ONLY in the early half.
+    "q_except" -> ((s, dir) => {
+      import s.implicits._
+      val ord = Tables.load(s, dir, "orders")
+      ord.filter($"o_orderdate" < "1994-01-01 00:00:00").select($"o_custkey")
+        .except(
+          ord.filter($"o_orderdate" >= "1994-01-01 00:00:00").select($"o_custkey"))
+    }),
+
+    // §2.6: scalar math functions, restricted to the IEEE-exact set so the
+    // hash compare holds: floor/ceil/abs/sqrt/mul/mod are bit-identical in
+    // any IEEE engine; round() / log() / pow() are NOT (BigDecimal-string
+    // rounding vs numeric tricks, libm ulp differences), so "round half up
+    // to 1 decimal" is spelled floor(x*10 + 0.5)/10 in both dialects —
+    // the same trick quantizeInt8 uses.
+    "q_math_funcs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .filter($"o_orderkey" % 100 === 0)
+        .select($"o_orderkey",
+          (floor($"o_totalprice" * 10.0 + 0.5) / 10.0).as("r1"),
+          floor($"o_totalprice").cast("double").as("fl"),
+          ceil($"o_totalprice").cast("double").as("ce"),
+          abs($"o_totalprice" * lit(-1.0)).as("ab"),
+          sqrt($"o_totalprice").as("sq"),
+          ($"o_totalprice" * $"o_totalprice").as("p2"),
+          ($"o_orderkey" % 7).as("m7"))
+    }),
+
     // §2.2 #30: having / post-aggregation filter
     "q_having" -> ((s, dir) => {
       import s.implicits._
@@ -356,6 +395,24 @@ object Relational {
       """SELECT o_custkey, count(*) AS n_orders,
                 cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS spend
          FROM orders GROUP BY o_custkey HAVING count(*) >= 3""",
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderdate < '1994-01-01'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderdate >= '1994-01-01'""",
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderdate < '1994-01-01'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderdate >= '1994-01-01'""",
+    "q_math_funcs" ->
+      """SELECT o_orderkey,
+                floor(o_totalprice * 10.0 + 0.5) / 10.0 AS r1,
+                floor(o_totalprice) AS fl,
+                ceil(o_totalprice) AS ce,
+                abs(o_totalprice * -1.0) AS ab,
+                sqrt(o_totalprice) AS sq,
+                o_totalprice * o_totalprice AS p2,
+                o_orderkey % 7 AS m7
+         FROM orders WHERE o_orderkey % 100 = 0""",
     "q_string_funcs" ->
       """SELECT c_custkey, upper(c_name) AS name_upper,
                 substr(c_name, 1, 8) AS name_prefix,

@@ -103,6 +103,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L)._2 == 1.0 - 2.0 / 3.0)
   }
 
+  test("ngramFreq counts token bigrams across the corpus with a threshold") {
+    val docs = Seq(
+      (1L, "a b c a b"),
+      (2L, "a b x"),
+      (3L, "z")) // too short for a bigram
+      .toDF("doc_id", "text")
+    val out = TextOps.ngramFreq(docs, n = 2, minCount = 2L).collect()
+      .map(r => r.getAs[String]("ngram") -> r.getAs[Long]("n_occurrences")).toMap
+    // "a b" appears twice in doc1 and once in doc2; everything else once
+    assert(out == Map("a b" -> 3L), s"got $out")
+    val tri = TextOps.ngramFreq(docs, n = 3, minCount = 1L).collect()
+      .map(r => r.getAs[String]("ngram")).toSet
+    assert(tri == Set("a b c", "b c a", "c a b", "a b x"), s"got $tri")
+  }
+
   test("lineDedup drops corpus-frequent lines, keeps order, blanks and unique docs") {
     val banner = "ACCEPT ALL COOKIES"
     val docs = Seq(
