@@ -328,46 +328,85 @@ final class XlsxPartitionReader(
   private val requiredIdx: Map[String, Int] =
     required.fieldNames.zipWithIndex.toMap
   private val evaluable = filters.filter(_.references.forall(requiredIdx.contains))
-  private val iter = {
-    val it = wb.rowIterator(sheetTarget, opts.threads)
-    var dropped = 0
-    while (dropped < resolved.dropRows && it.hasNext) { it.next(); dropped += 1 }
-    it
+
+  /** Cell row → Catalyst values for the required columns — runs on the
+    * consumer thread for sequential scans, INSIDE the parse workers for
+    * `threads >= 2` (it is the per-cell match/boxing hot loop, and
+    * serializing it on one thread would cap the parallel scan). */
+  private def convertCells(cells: Array[XCell]): Array[Any] = {
+    val values = new Array[Any](colIdx.length)
+    var i = 0
+    while (i < colIdx.length) {
+      val c = colIdx(i)
+      values(i) =
+        if (c < 0) sheetNameValue
+        else {
+          val cell: XCell = if (c < cells.length) cells(c) else XCell.XNone
+          XlsxPartitionReader.convert(cell, colTypes(i), opts.coerceToString)
+        }
+      i += 1
+    }
+    values
+  }
+
+  // threads >= 2 on a byte-scannable entry: parallel scanner with
+  // worker-side conversion; otherwise the sequential iterator
+  private val iterE: Either[CellRowIterator, ParallelSheetScanner] =
+    if (opts.threads >= 2)
+      wb.convertingRowIterator(sheetTarget, opts.threads,
+        cells => convertCells(cells))
+    else Left(wb.rowIterator(sheetTarget))
+  private val seqIter: CellRowIterator = iterE.left.toOption.orNull
+  private val parIter: ParallelSheetScanner = iterE.toOption.orNull
+
+  private var dropped = 0
+  if (seqIter != null) {
+    while (dropped < resolved.dropRows && seqIter.hasNext) {
+      seqIter.next(); dropped += 1
+    }
   }
   private var current: InternalRow = _
 
+  private def accept(values: Array[Any]): Boolean = {
+    // pushed-filter early skip: drop non-matching rows before Spark sees them
+    val get: String => Any = name => values(requiredIdx(name))
+    if (evaluable.forall(XlsxFilterEval.eval(_, get))) {
+      current = new GenericInternalRow(values)
+      true
+    } else false
+  }
+
   override def next(): Boolean = {
-    while (iter.hasNext) {
-      val (rowIdx, cells) = iter.next()
-      // Ragged-wide row is an error (reference: sheetreader_extension.cpp:417-422)
-      if (cells.length > resolved.baseWidth)
-        throw new IllegalStateException(
-          s"Row ${rowIdx + 1} has more columns than the first row. " +
-            s"Has: ${cells.length} Expected: ${resolved.baseWidth}")
-      val values = new Array[Any](colIdx.length)
-      var i = 0
-      while (i < colIdx.length) {
-        val c = colIdx(i)
-        values(i) =
-          if (c < 0) sheetNameValue
-          else {
-            val cell: XCell = if (c < cells.length) cells(c) else XCell.XNone
-            XlsxPartitionReader.convert(cell, colTypes(i), opts.coerceToString)
-          }
-        i += 1
+    if (parIter != null) {
+      while (parIter.hasNext) {
+        val (rowIdx, vref, width) = parIter.nextConverted()
+        if (dropped < resolved.dropRows) dropped += 1 // skipRows (converted needlessly; harmless)
+        else {
+          // Ragged-wide row is an error (reference: sheetreader_extension.cpp:417-422)
+          if (width > resolved.baseWidth)
+            throw new IllegalStateException(
+              s"Row ${rowIdx + 1} has more columns than the first row. " +
+                s"Has: $width Expected: ${resolved.baseWidth}")
+          if (accept(vref.asInstanceOf[Array[Any]])) return true
+        }
       }
-      // pushed-filter early skip: drop non-matching rows before Spark sees them
-      val get: String => Any = name => values(requiredIdx(name))
-      if (evaluable.forall(XlsxFilterEval.eval(_, get))) {
-        current = new GenericInternalRow(values)
-        return true
+      false
+    } else {
+      while (seqIter.hasNext) {
+        val (rowIdx, cells) = seqIter.next()
+        if (cells.length > resolved.baseWidth)
+          throw new IllegalStateException(
+            s"Row ${rowIdx + 1} has more columns than the first row. " +
+              s"Has: ${cells.length} Expected: ${resolved.baseWidth}")
+        if (accept(convertCells(cells))) return true
       }
+      false
     }
-    false
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = iter.close()
+  override def close(): Unit =
+    if (parIter != null) parIter.close() else seqIter.close()
 }
 
 object XlsxPartitionReader {

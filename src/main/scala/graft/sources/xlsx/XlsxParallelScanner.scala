@@ -39,7 +39,15 @@ final class ParallelSheetScanner(
     dates: Array[Boolean],
     threads: Int,
     closeUnderlying: () => Unit,
-    chunkBytes: Int = ParallelSheetScanner.DefaultChunkBytes)
+    chunkBytes: Int = ParallelSheetScanner.DefaultChunkBytes,
+    /** Optional per-row transform applied IN THE WORKER right after a row
+      * parses (the DSv2 reader passes its cell→Catalyst-value conversion
+      * here, so the per-cell match/boxing work fans out with the parse
+      * instead of serializing on the consumer thread). When set, drive the
+      * iterator with [[nextConverted]]; the raw `next()` face is disabled.
+      * The transform must be thread-safe and must not depend on the row's
+      * global index (workers see chunk-local parses). */
+    convert: Array[XCell] => AnyRef = null)
     extends CellRowIterator {
   require(threads >= 2, s"ParallelSheetScanner needs >= 2 threads, got $threads")
   import ParallelSheetScanner._
@@ -141,14 +149,20 @@ final class ParallelSheetScanner(
       new ByteArrayInputStream(chunk, 0, len), strings, dates, () => ())
     val idx = new ArrayBuffer[Long]()
     val explicitR = new ArrayBuffer[Boolean]()
-    val rows = new ArrayBuffer[Array[XCell]]()
+    val rows = if (convert == null) new ArrayBuffer[Array[XCell]]() else null
+    val conv = if (convert != null) new ArrayBuffer[AnyRef]() else null
+    val widths = if (convert != null) new ArrayBuffer[Int]() else null
     while (sc.hasNext) {
       val (i, cells) = sc.next()
       idx += i
       explicitR += sc.lastRowExplicit
-      rows += cells
+      if (convert == null) rows += cells
+      else { conv += convert(cells); widths += cells.length }
     }
-    ParsedChunk(idx.toArray, explicitR.toArray, rows.toArray)
+    ParsedChunk(idx.toArray, explicitR.toArray,
+      if (rows == null) null else rows.toArray,
+      if (conv == null) null else conv.toArray,
+      if (widths == null) null else widths.toArray)
   }
 
   // ---- consumer (the iterator face) ---------------------------------------
@@ -157,10 +171,14 @@ final class ParallelSheetScanner(
   private var curI = 0
   private var lastIdx = -1L // last emitted absolute row index
   private var ended = false
-  private var nextReady: (Long, Array[XCell]) = _
+  private var nrValid = false
+  private var nrIdx = 0L
+  private var nrCells: Array[XCell] = _
+  private var nrConv: AnyRef = _
+  private var nrWidth = 0
 
   override def hasNext: Boolean = {
-    if (nextReady != null) return true
+    if (nrValid) return true
     if (ended) return false
     while (cur == null || curI >= cur.idx.length) {
       queue.take() match {
@@ -192,14 +210,28 @@ final class ParallelSheetScanner(
     // from the chunk-local counter (which started at -1)
     val abs = if (cur.explicitR(curI)) cur.idx(curI) else lastIdx + 1
     lastIdx = abs
-    nextReady = (abs, cur.rows(curI))
+    nrIdx = abs
+    if (convert == null) nrCells = cur.rows(curI)
+    else { nrConv = cur.conv(curI); nrWidth = cur.widths(curI) }
+    nrValid = true
     curI += 1
     true
   }
 
   override def next(): (Long, Array[XCell]) = {
+    require(convert == null, "next() is disabled when a convert fn is set; use nextConverted()")
     if (!hasNext) throw new NoSuchElementException
-    val r = nextReady; nextReady = null; r
+    nrValid = false
+    (nrIdx, nrCells)
+  }
+
+  /** Converted-row face (convert != null): (absolute row index, the
+    * convert() result, the parsed cell count for ragged-row checks). */
+  def nextConverted(): (Long, AnyRef, Int) = {
+    require(convert != null, "nextConverted() needs a convert fn")
+    if (!hasNext) throw new NoSuchElementException
+    nrValid = false
+    (nrIdx, nrConv, nrWidth)
   }
 
   override def close(): Unit = if (!stopped) {
@@ -293,7 +325,8 @@ object ParallelSheetScanner {
 
   private case object End
   private final case class ParsedChunk(
-      idx: Array[Long], explicitR: Array[Boolean], rows: Array[Array[XCell]])
+      idx: Array[Long], explicitR: Array[Boolean], rows: Array[Array[XCell]],
+      conv: Array[AnyRef], widths: Array[Int])
 }
 
 /** Incremental locator of row boundaries in a SpreadsheetML byte stream.

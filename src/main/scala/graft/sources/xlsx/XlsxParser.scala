@@ -243,6 +243,31 @@ object XlsxParser {
       }
     }
 
+    /** Parallel row iterator with a WORKER-side per-row transform — the
+      * DSv2 reader passes its cell→Catalyst conversion here so that work
+      * fans out with the parse. Right(parallel scanner, drive with
+      * nextConverted) on the byte path; Left(plain iterator) when the
+      * entry is missing or UTF-16 (the caller converts on its own thread
+      * there). */
+    private[xlsx] def convertingRowIterator(path: String, threads: Int,
+        convert: Array[XCell] => AnyRef): Either[CellRowIterator, ParallelSheetScanner] = {
+      val strings = sharedStrings
+      val dates = dateStyles
+      openEntryStream(path) match {
+        case None => Left(new RowIterator(None, strings, dates))
+        case Some((raw, closeAll)) =>
+          val in = new java.io.PushbackInputStream(raw, 2)
+          val b0 = in.read(); val b1 = in.read()
+          val utf16 = (b0 == 0xFE && b1 == 0xFF) || (b0 == 0xFF && b1 == 0xFE)
+          if (b1 != -1) in.unread(b1)
+          if (b0 != -1) in.unread(b0)
+          if (utf16)
+            Left(new RowIterator(Some((xif.createXMLStreamReader(in), closeAll)), strings, dates))
+          else Right(new ParallelSheetScanner(in, strings, dates, threads,
+            closeAll, convert = convert))
+      }
+    }
+
     /** StAX-backed row iterator regardless of encoding — the differential
       * fuzz spec drives this against the byte scanner on identical input. */
     private[xlsx] def rowIteratorStax(path: String): CellRowIterator =

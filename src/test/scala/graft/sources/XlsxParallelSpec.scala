@@ -56,6 +56,23 @@ class XlsxParallelSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("skipRows and pushed filters behave identically under threads") {
+    val bos = new ByteArrayOutputStream()
+    XlsxWriter.write(bos, Seq(XlsxWriter.SheetSpec("S", None,
+      Iterator[Seq[Any]](Seq("junk one"), Seq("junk two"),
+        Seq("id", "v")) ++ (1 to 100).iterator.map(i => Seq[Any](i.toDouble, s"r$i")))))
+    val f = java.io.File.createTempFile("skipthreads", ".xlsx")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, bos.toByteArray)
+    def read(threads: Int) = spark.read.format("xlsx")
+      .option("skipRows", "2").option("threads", threads.toString)
+      .load(f.getAbsolutePath)
+      .filter(org.apache.spark.sql.functions.col("id") <= 50)
+      .collect().map(_.toString).sorted.toSeq
+    assert(read(1).size == 50)
+    assert(read(3) == read(1))
+  }
+
   test("early close terminates the worker pipeline") {
     val wb = new XlsxParser.Workbook(
       () => new java.io.FileInputStream(file), Some(file))
