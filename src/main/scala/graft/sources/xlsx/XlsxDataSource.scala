@@ -367,6 +367,13 @@ final class XlsxPartitionReader(
   }
   private var current: InternalRow = _
 
+  // Ragged-wide row is an error (reference: sheetreader_extension.cpp:417-422)
+  private def raggedCheck(rowIdx: Long, width: Int): Unit =
+    if (width > resolved.baseWidth)
+      throw new IllegalStateException(
+        s"Row ${rowIdx + 1} has more columns than the first row. " +
+          s"Has: $width Expected: ${resolved.baseWidth}")
+
   private def accept(values: Array[Any]): Boolean = {
     // pushed-filter early skip: drop non-matching rows before Spark sees them
     val get: String => Any = name => values(requiredIdx(name))
@@ -382,11 +389,7 @@ final class XlsxPartitionReader(
         val (rowIdx, vref, width) = parIter.nextConverted()
         if (dropped < resolved.dropRows) dropped += 1 // skipRows (converted needlessly; harmless)
         else {
-          // Ragged-wide row is an error (reference: sheetreader_extension.cpp:417-422)
-          if (width > resolved.baseWidth)
-            throw new IllegalStateException(
-              s"Row ${rowIdx + 1} has more columns than the first row. " +
-                s"Has: $width Expected: ${resolved.baseWidth}")
+          raggedCheck(rowIdx, width)
           if (accept(vref.asInstanceOf[Array[Any]])) return true
         }
       }
@@ -394,10 +397,7 @@ final class XlsxPartitionReader(
     } else {
       while (seqIter.hasNext) {
         val (rowIdx, cells) = seqIter.next()
-        if (cells.length > resolved.baseWidth)
-          throw new IllegalStateException(
-            s"Row ${rowIdx + 1} has more columns than the first row. " +
-              s"Has: ${cells.length} Expected: ${resolved.baseWidth}")
+        raggedCheck(rowIdx, cells.length)
         if (accept(convertCells(cells))) return true
       }
       false

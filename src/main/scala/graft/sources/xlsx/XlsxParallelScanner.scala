@@ -219,7 +219,10 @@ final class ParallelSheetScanner(
   }
 
   override def next(): (Long, Array[XCell]) = {
-    require(convert == null, "next() is disabled when a convert fn is set; use nextConverted()")
+    // with a convert fn the raw cells are never materialized chunk-side;
+    // the Iterator face is deliberately unusable rather than subtly wrong
+    if (convert != null) throw new UnsupportedOperationException(
+      "next() is disabled when a convert fn is set; drive nextConverted()")
     if (!hasNext) throw new NoSuchElementException
     nrValid = false
     (nrIdx, nrCells)

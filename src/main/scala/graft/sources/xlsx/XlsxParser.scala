@@ -224,11 +224,14 @@ object XlsxParser {
       * (never produced by Excel, but legal XML) fall back to the StAX
       * [[RowIterator]], which handles any declared encoding.
       */
-    def rowIterator(path: String, threads: Int = 1): CellRowIterator = {
-      val strings = sharedStrings
-      val dates = dateStyles
+    /** Open `path` and sniff the encoding BOM once: Left(an iterator for
+      * the missing-entry / UTF-16 StAX fallback), Right(the positioned
+      * byte stream + closer) when the byte scanners can run. The single
+      * copy of this dispatch — rowIterator and convertingRowIterator both
+      * ride it. */
+    private def openSniffed(path: String): Either[CellRowIterator, (InputStream, () => Unit)] =
       openEntryStream(path) match {
-        case None => new RowIterator(None, strings, dates)
+        case None => Left(new RowIterator(None, sharedStrings, dateStyles))
         case Some((raw, closeAll)) =>
           val in = new java.io.PushbackInputStream(raw, 2)
           val b0 = in.read(); val b1 = in.read()
@@ -236,37 +239,34 @@ object XlsxParser {
           if (b1 != -1) in.unread(b1)
           if (b0 != -1) in.unread(b0)
           if (utf16)
-            new RowIterator(Some((xif.createXMLStreamReader(in), closeAll)), strings, dates)
-          else if (threads >= 2)
-            new ParallelSheetScanner(in, strings, dates, threads, closeAll)
-          else new SheetScanner(in, strings, dates, closeAll)
+            Left(new RowIterator(Some((xif.createXMLStreamReader(in), closeAll)),
+              sharedStrings, dateStyles))
+          else Right((in, closeAll))
       }
-    }
+
+    def rowIterator(path: String, threads: Int = 1): CellRowIterator =
+      openSniffed(path) match {
+        case Left(it) => it
+        case Right((in, closeAll)) =>
+          if (threads >= 2)
+            new ParallelSheetScanner(in, sharedStrings, dateStyles, threads, closeAll)
+          else new SheetScanner(in, sharedStrings, dateStyles, closeAll)
+      }
 
     /** Parallel row iterator with a WORKER-side per-row transform — the
       * DSv2 reader passes its cell→Catalyst conversion here so that work
       * fans out with the parse. Right(parallel scanner, drive with
-      * nextConverted) on the byte path; Left(plain iterator) when the
-      * entry is missing or UTF-16 (the caller converts on its own thread
-      * there). */
+      * nextConverted — its raw Iterator face is disabled) on the byte
+      * path; Left(plain iterator) when the entry is missing or UTF-16
+      * (the caller converts on its own thread there). */
     private[xlsx] def convertingRowIterator(path: String, threads: Int,
-        convert: Array[XCell] => AnyRef): Either[CellRowIterator, ParallelSheetScanner] = {
-      val strings = sharedStrings
-      val dates = dateStyles
-      openEntryStream(path) match {
-        case None => Left(new RowIterator(None, strings, dates))
-        case Some((raw, closeAll)) =>
-          val in = new java.io.PushbackInputStream(raw, 2)
-          val b0 = in.read(); val b1 = in.read()
-          val utf16 = (b0 == 0xFE && b1 == 0xFF) || (b0 == 0xFF && b1 == 0xFE)
-          if (b1 != -1) in.unread(b1)
-          if (b0 != -1) in.unread(b0)
-          if (utf16)
-            Left(new RowIterator(Some((xif.createXMLStreamReader(in), closeAll)), strings, dates))
-          else Right(new ParallelSheetScanner(in, strings, dates, threads,
+        convert: Array[XCell] => AnyRef): Either[CellRowIterator, ParallelSheetScanner] =
+      openSniffed(path) match {
+        case Left(it) => Left(it)
+        case Right((in, closeAll)) =>
+          Right(new ParallelSheetScanner(in, sharedStrings, dateStyles, threads,
             closeAll, convert = convert))
       }
-    }
 
     /** StAX-backed row iterator regardless of encoding — the differential
       * fuzz spec drives this against the byte scanner on identical input. */

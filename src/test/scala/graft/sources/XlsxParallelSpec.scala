@@ -56,6 +56,34 @@ class XlsxParallelSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("worker-side conversion stitches indices and widths across many chunks") {
+    val wb = new XlsxParser.Workbook(
+      () => new java.io.FileInputStream(file), Some(file))
+    val (raw, closeAll) = wb.openEntryStream("xl/worksheets/sheet1.xml").get
+    // tiny chunks force dozens of ParsedChunks through the converted face
+    val par = new ParallelSheetScanner(raw, wb.sharedStrings, wb.dateStyles,
+      threads = 3, closeAll, chunkBytes = 32 << 10,
+      convert = cells => Integer.valueOf(cells.length))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Int)]()
+    while (par.hasNext) {
+      val (i, v, w) = par.nextConverted()
+      out += ((i, v.asInstanceOf[Integer].intValue, w))
+    }
+    val seq = drain(1)
+    assert(out.size == seq.size)
+    assert(out.map(_._1).toSeq == seq.map(_._1)) // stitched absolute indices
+    assert(out.map(_._3).toSeq == seq.map(_._2.size)) // widths track the cells
+    assert(out.forall(t => t._2 == t._3)) // convert() saw the same rows
+    // the raw Iterator face must refuse, not return garbage
+    val wb2 = new XlsxParser.Workbook(
+      () => new java.io.FileInputStream(file), Some(file))
+    val (raw2, closeAll2) = wb2.openEntryStream("xl/worksheets/sheet1.xml").get
+    val par2 = new ParallelSheetScanner(raw2, wb2.sharedStrings, wb2.dateStyles,
+      threads = 2, closeAll2, convert = cells => Integer.valueOf(0))
+    try intercept[UnsupportedOperationException] { par2.next() }
+    finally par2.close()
+  }
+
   test("skipRows and pushed filters behave identically under threads") {
     val bos = new ByteArrayOutputStream()
     XlsxWriter.write(bos, Seq(XlsxWriter.SheetSpec("S", None,
