@@ -8,6 +8,13 @@ import org.apache.spark.sql.SparkSession
   * warmup pass absorbs JVM/codegen/IO-cache warmup; results are materialized
   * through the noop sink so every column is computed (a bare .count() lets
   * Catalyst prune projections and under-measures).
+  *
+  * The suite is timed SPARK_GRAFT_BENCH_REPS times (default 3) and the
+  * recorded value per query is the MEDIAN across reps — a single contended
+  * run (GC storm, noisy neighbor) must not stand as the round's artifact
+  * (the r4 recorded run showed a spurious 4x dd_* blowup no repeat
+  * reproduced). A rep whose total deviates >30% from the median total is
+  * flagged on stderr as a contended outlier.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,7 +34,8 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // warmup pass (untimed)
     ordered.foreach { case (_, fn) => try runOne(fn) catch { case _: Throwable => } }
-    val results = ordered.map { case (name, fn) =>
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    def timedPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       System.gc() // don't bill one query for its predecessors' garbage
       val t0 = System.nanoTime()
       // a failed query reports -1, not a bogus small timing
@@ -37,6 +45,30 @@ object Bench {
           -1.0
         }
       name -> t
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val passes = (1 to reps).map { i =>
+      val p = timedPass()
+      System.err.println(f"[bench] rep $i/$reps total ${p.map(_._2).filter(_ >= 0).sum}%.1f s")
+      p
+    }
+    // per-query median across reps; a query counts only reps where it ran
+    val results = ordered.map { case (name, _) =>
+      val ts = passes.flatMap(_.collectFirst { case (`name`, t) if t >= 0 => t })
+      name -> (if (ts.nonEmpty) median(ts) else -1.0)
+    }
+    // contended-outlier detector: a rep far off the median total is noise
+    val repTotals = passes.map(_.map(_._2).filter(_ >= 0).sum)
+    val medTotal = median(repTotals)
+    repTotals.zipWithIndex.foreach { case (tot, i) =>
+      if (medTotal > 0 && math.abs(tot - medTotal) / medTotal > 0.3)
+        System.err.println(f"[bench] WARNING rep ${i + 1} total $tot%.1f s deviates >30%% " +
+          f"from median $medTotal%.1f s — contended outlier, median shields the artifact")
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
