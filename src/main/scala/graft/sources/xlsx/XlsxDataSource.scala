@@ -349,12 +349,48 @@ final class XlsxPartitionReader(
     values
   }
 
+  /** Worker-side cell row → UnsafeRow (threads >= 2 path), or null when a
+    * pushed filter rejects the row. Writing UnsafeRows IN the parse workers
+    * (unboxed typed writes, one buffer copy) instead of boxing into
+    * `Array[Any]` + GenericInternalRow moves the whole row-materialization
+    * cost off the sequential consumer thread, and Spark's scan-side unsafe
+    * projection then reads direct-memory fields instead of unboxing. A
+    * filtered row still produces an entry (null) so the consumer can count
+    * it toward skipRows and ragged-row checks. */
+  private def convertToUnsafe(cells: Array[XCell]): AnyRef = {
+    if (evaluable.nonEmpty) {
+      val values = convertCells(cells)
+      val get: String => Any = name => values(requiredIdx(name))
+      if (!evaluable.forall(XlsxFilterEval.eval(_, get))) return null
+    }
+    val w = localWriter.get()
+    w.reset()
+    w.zeroOutNullBytes()
+    var i = 0
+    while (i < colIdx.length) {
+      val c = colIdx(i)
+      if (c < 0) w.write(i, sheetNameValue)
+      else {
+        val cell: XCell = if (c < cells.length) cells(c) else XCell.XNone
+        XlsxPartitionReader.writeCell(w, i, cell, typeCodes(i), opts.coerceToString)
+      }
+      i += 1
+    }
+    w.getRow.copy()
+  }
+
+  private val typeCodes: Array[Int] = colTypes.map(XlsxPartitionReader.typeCode)
+  private val localWriter:
+      ThreadLocal[org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter] =
+    ThreadLocal.withInitial(() =>
+      new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(colIdx.length))
+
   // threads >= 2 on a byte-scannable entry: parallel scanner with
   // worker-side conversion; otherwise the sequential iterator
   private val iterE: Either[CellRowIterator, ParallelSheetScanner] =
     if (opts.threads >= 2)
       wb.convertingRowIterator(sheetTarget, opts.threads,
-        cells => convertCells(cells))
+        cells => convertToUnsafe(cells))
     else Left(wb.rowIterator(sheetTarget))
   private val seqIter: CellRowIterator = iterE.left.toOption.orNull
   private val parIter: ParallelSheetScanner = iterE.toOption.orNull
@@ -385,12 +421,12 @@ final class XlsxPartitionReader(
 
   override def next(): Boolean = {
     if (parIter != null) {
-      while (parIter.hasNext) {
-        val (rowIdx, vref, width) = parIter.nextConverted()
+      while (parIter.advance()) {
         if (dropped < resolved.dropRows) dropped += 1 // skipRows (converted needlessly; harmless)
         else {
-          raggedCheck(rowIdx, width)
-          if (accept(vref.asInstanceOf[Array[Any]])) return true
+          raggedCheck(parIter.rowIdx, parIter.rowWidth)
+          val row = parIter.rowConv // null = rejected by a pushed filter
+          if (row != null) { current = row.asInstanceOf[InternalRow]; return true }
         }
       }
       false
@@ -433,6 +469,67 @@ object XlsxPartitionReader {
     case (BooleanType, XCell.XBool(b))  => b
     case (DateType, XCell.XDate(serial)) => XCell.serialToEpochDay(serial)
     case _ => null
+  }
+
+  // compact type codes so the per-cell hot loop switches on an int instead
+  // of pattern-matching a DataType
+  final val TDouble = 0; final val TString = 1; final val TBool = 2
+  final val TDate = 3; final val TLong = 4; final val TInt = 5; final val TFloat = 6
+
+  def typeCode(dt: DataType): Int = dt match {
+    case DoubleType  => TDouble
+    case StringType  => TString
+    case BooleanType => TBool
+    case DateType    => TDate
+    case LongType    => TLong
+    case IntegerType => TInt
+    case FloatType   => TFloat
+    case other => throw new IllegalArgumentException(s"unsupported xlsx type $other")
+  }
+
+  /** Unboxed twin of [[convert]]: same value/NULL semantics, but writes the
+    * field straight into an UnsafeRowWriter. Every (code, cell) pair here
+    * MUST mirror the corresponding `convert` case — the differential ingest
+    * fuzz drives both paths over the same workbooks. */
+  def writeCell(
+      w: org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter,
+      i: Int, cell: XCell, code: Int, coerce: Boolean): Unit = (code: @annotation.switch) match {
+    case TDouble => cell match {
+      case XCell.XNumber(d) => w.write(i, d)
+      case _ => w.setNullAt(i)
+    }
+    case TString => cell match {
+      case XCell.XString(s) => w.write(i, UTF8String.fromString(s))
+      case XCell.XNumber(d) if coerce =>
+        w.write(i, UTF8String.fromString(
+          String.format(java.util.Locale.ROOT, "%f", Double.box(d))))
+      case XCell.XBool(b) if coerce =>
+        w.write(i, UTF8String.fromString(if (b) "TRUE" else "FALSE"))
+      case XCell.XDate(serial) if coerce =>
+        w.write(i, UTF8String.fromString(
+          java.time.LocalDate.ofEpochDay(XCell.serialToEpochDay(serial).toLong).toString))
+      case _ => w.setNullAt(i)
+    }
+    case TBool => cell match {
+      case XCell.XBool(b) => w.write(i, b)
+      case _ => w.setNullAt(i)
+    }
+    case TDate => cell match {
+      case XCell.XDate(serial) => w.write(i, XCell.serialToEpochDay(serial))
+      case _ => w.setNullAt(i)
+    }
+    case TLong => cell match {
+      case XCell.XNumber(d) => w.write(i, d.toLong)
+      case _ => w.setNullAt(i)
+    }
+    case TInt => cell match {
+      case XCell.XNumber(d) => w.write(i, d.toInt)
+      case _ => w.setNullAt(i)
+    }
+    case TFloat => cell match {
+      case XCell.XNumber(d) => w.write(i, d.toFloat)
+      case _ => w.setNullAt(i)
+    }
   }
 }
 

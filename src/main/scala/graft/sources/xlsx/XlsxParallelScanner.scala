@@ -47,8 +47,17 @@ final class ParallelSheetScanner(
       * iterator with [[nextConverted]]; the raw `next()` face is disabled.
       * The transform must be thread-safe and must not depend on the row's
       * global index (workers see chunk-local parses). */
-    convert: Array[XCell] => AnyRef = null)
+    convert: Array[XCell] => AnyRef = null,
+    /** Optional per-CHUNK transform: called IN THE WORKER with all of a
+      * chunk's parsed rows at once — `(rows, count) => batch` — so a
+      * columnar reader can build one ColumnarBatch per chunk off the
+      * consumer thread. Mutually exclusive with `convert`; drive the
+      * iterator with [[advanceChunk]] + the `chunk*` fields. Must be
+      * thread-safe and row-order-preserving. */
+    chunkConvert: (Array[Array[XCell]], Int) => AnyRef = null)
     extends CellRowIterator {
+  require(convert == null || chunkConvert == null,
+    "convert and chunkConvert are mutually exclusive")
   require(threads >= 2, s"ParallelSheetScanner needs >= 2 threads, got $threads")
   import ParallelSheetScanner._
 
@@ -151,18 +160,24 @@ final class ParallelSheetScanner(
     val explicitR = new ArrayBuffer[Boolean]()
     val rows = if (convert == null) new ArrayBuffer[Array[XCell]]() else null
     val conv = if (convert != null) new ArrayBuffer[AnyRef]() else null
-    val widths = if (convert != null) new ArrayBuffer[Int]() else null
+    val widths = if (convert != null || chunkConvert != null) new ArrayBuffer[Int]() else null
     while (sc.hasNext) {
       val (i, cells) = sc.next()
       idx += i
       explicitR += sc.lastRowExplicit
       if (convert == null) rows += cells
       else { conv += convert(cells); widths += cells.length }
+      if (chunkConvert != null) widths += cells.length
     }
-    ParsedChunk(idx.toArray, explicitR.toArray,
-      if (rows == null) null else rows.toArray,
-      if (conv == null) null else conv.toArray,
-      if (widths == null) null else widths.toArray)
+    if (chunkConvert != null) {
+      val rowArr = rows.toArray
+      ParsedChunk(idx.toArray, explicitR.toArray, null, null, widths.toArray,
+        chunkConvert(rowArr, rowArr.length))
+    } else
+      ParsedChunk(idx.toArray, explicitR.toArray,
+        if (rows == null) null else rows.toArray,
+        if (conv == null) null else conv.toArray,
+        if (widths == null) null else widths.toArray)
   }
 
   // ---- consumer (the iterator face) ---------------------------------------
@@ -178,6 +193,8 @@ final class ParallelSheetScanner(
   private var nrWidth = 0
 
   override def hasNext: Boolean = {
+    if (chunkConvert != null) throw new UnsupportedOperationException(
+      "row faces are disabled when a chunkConvert fn is set; drive advanceChunk()")
     if (nrValid) return true
     if (ended) return false
     while (cur == null || curI >= cur.idx.length) {
@@ -236,6 +253,57 @@ final class ParallelSheetScanner(
     nrValid = false
     (nrIdx, nrConv, nrWidth)
   }
+
+  /** Allocation-free converted-row face: `advance()` then read the three
+    * `row*` fields. `nextConverted` allocates a Tuple3 + two boxes per row —
+    * real money on the consumer thread, which is the pipeline's sequential
+    * merge stage. Fields are valid until the next `advance()`. */
+  def advance(): Boolean = {
+    val h = hasNext
+    if (h) nrValid = false
+    h
+  }
+  def rowIdx: Long = nrIdx
+  def rowConv: AnyRef = nrConv
+  def rowWidth: Int = nrWidth
+
+  // ---- chunk face (chunkConvert != null) -----------------------------------
+
+  private var chunkCur: ParsedChunk = _
+
+  /** Whole-chunk face: pull the next parsed chunk (worker-built batch plus
+    * the per-row index/width metadata the consumer needs for row-number
+    * stitching, skipRows and ragged checks). Returns false at stream end.
+    * Do not interleave with the row faces. */
+  def advanceChunk(): Boolean = {
+    require(chunkConvert != null, "advanceChunk() needs a chunkConvert fn")
+    if (ended) return false
+    queue.take() match {
+      case End =>
+        ended = true
+        if (producerError != null) { close(); throw producerError }
+        close()
+        false
+      case f: Future[_] =>
+        chunkCur =
+          try f.get().asInstanceOf[ParsedChunk]
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              ended = true
+              close()
+              throw Option(e.getCause).getOrElse(e)
+            case e: InterruptedException =>
+              ended = true
+              close()
+              throw e
+          }
+        true
+    }
+  }
+  def chunkBatch: AnyRef = chunkCur.batch
+  def chunkIdx: Array[Long] = chunkCur.idx
+  def chunkExplicitR: Array[Boolean] = chunkCur.explicitR
+  def chunkWidths: Array[Int] = chunkCur.widths
 
   override def close(): Unit = if (!stopped) {
     stopped = true
@@ -329,7 +397,7 @@ object ParallelSheetScanner {
   private case object End
   private final case class ParsedChunk(
       idx: Array[Long], explicitR: Array[Boolean], rows: Array[Array[XCell]],
-      conv: Array[AnyRef], widths: Array[Int])
+      conv: Array[AnyRef], widths: Array[Int], batch: AnyRef = null)
 }
 
 /** Incremental locator of row boundaries in a SpreadsheetML byte stream.

@@ -268,6 +268,20 @@ object XlsxParser {
             closeAll, convert = convert))
       }
 
+    /** Parallel row iterator with a WORKER-side per-CHUNK transform — the
+      * columnar DSv2 reader passes its rows→ColumnarBatch builder here so
+      * whole batches materialize off the consumer thread. Right(parallel
+      * scanner, drive with advanceChunk); Left(plain iterator) when the
+      * entry is missing or UTF-16 (the caller batches on its own thread). */
+    private[xlsx] def chunkingRowIterator(path: String, threads: Int,
+        chunkConvert: (Array[Array[XCell]], Int) => AnyRef): Either[CellRowIterator, ParallelSheetScanner] =
+      openSniffed(path) match {
+        case Left(it) => Left(it)
+        case Right((in, closeAll)) =>
+          Right(new ParallelSheetScanner(in, sharedStrings, dateStyles, threads,
+            closeAll, chunkConvert = chunkConvert))
+      }
+
     /** StAX-backed row iterator regardless of encoding — the differential
       * fuzz spec drives this against the byte scanner on identical input. */
     private[xlsx] def rowIteratorStax(path: String): CellRowIterator =
