@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST line of combined sbt output as
+// JSON. Three things used to break that: sbt's logger prefixes forked run
+// output with [info]/[error], and sbt appends "[success]"/"Total time"
+// footers after the program's final line. Pass child output through raw
+// and drop the footers so graft.Bench's JSON line is the last line emitted.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

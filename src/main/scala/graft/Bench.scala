@@ -74,7 +74,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     reportTrend(results, sfDir)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The driver truncates stderr/stdout when archiving (r3's trend baseline
     // was lost exactly this way); persist the full per-query table twice —
     // target/bench_full.json (this run) and an append-only committed history
@@ -83,14 +83,34 @@ object Bench {
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(dir.resolve("bench_full.json"),
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Exception => System.err.println(s"[bench] persist skipped: $e") }
-    println(line)
-    spark.stop()
+    // The driver's archive keeps only the LAST ~2000 chars of output and
+    // parses the final line as JSON — a full 87-query table (~2.8 KB) gets
+    // its head truncated and fails to parse (BENCH_r01–r05 all recorded
+    // parsed:null). Emit a budgeted line on stdout: ms precision, slowest
+    // queries first, stop before the line outgrows the window. The complete
+    // full-precision table lives in BENCH_HISTORY.jsonl (committed) and
+    // target/bench_full.json.
+    def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val header = s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","queries_full":"BENCH_HISTORY.jsonl","queries":{"""
+    val budget = 1880 - header.length
+    val entries = results.filter(_._2 >= 0).sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    val kept = entries.scanLeft(0)(_ + _.length + 1).tail
+      .zip(entries).takeWhile(_._1 <= budget).map(_._2)
+    val stdoutLine = header + kept.mkString(",") + "}}"
+    if (kept.size < entries.size)
+      System.err.println(s"[bench] stdout line budget kept ${kept.size}/${entries.size} " +
+        "slowest queries; full table in BENCH_HISTORY.jsonl")
+    // stop() BEFORE the final println: Spark's shutdown logging must not
+    // land after the line the driver parses.
+    try spark.stop() catch { case _: Throwable => }
+    println(stdoutLine)
   }
 
   /** Per-query deltas vs the previous round's BENCH_r*.json (stderr only —
