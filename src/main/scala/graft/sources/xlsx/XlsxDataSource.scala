@@ -475,6 +475,12 @@ object XlsxPartitionReader {
   // of pattern-matching a DataType
   final val TDouble = 0; final val TString = 1; final val TBool = 2
   final val TDate = 3; final val TLong = 4; final val TInt = 5; final val TFloat = 6
+  // Catch-all for DataTypes with no xlsx representation (user-supplied
+  // TimestampType/DecimalType/... via supportsExternalMetadata): the boxed
+  // `convert` path reads them as NULL columns, so the unsafe path must too —
+  // throwing here would fail reader CONSTRUCTION even for threads=1, which
+  // never takes the unsafe path.
+  final val TNull = 7
 
   def typeCode(dt: DataType): Int = dt match {
     case DoubleType  => TDouble
@@ -484,7 +490,7 @@ object XlsxPartitionReader {
     case LongType    => TLong
     case IntegerType => TInt
     case FloatType   => TFloat
-    case other => throw new IllegalArgumentException(s"unsupported xlsx type $other")
+    case _           => TNull
   }
 
   /** Unboxed twin of [[convert]]: same value/NULL semantics, but writes the
@@ -530,6 +536,7 @@ object XlsxPartitionReader {
       case XCell.XNumber(d) => w.write(i, d.toFloat)
       case _ => w.setNullAt(i)
     }
+    case TNull => w.setNullAt(i)
   }
 }
 

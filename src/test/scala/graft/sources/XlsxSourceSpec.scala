@@ -301,4 +301,26 @@ class XlsxSourceSpec extends SparkSpec {
     assert(df.count() == 3)
     assert(df.rdd.getNumPartitions == 2) // one partition per file
   }
+
+  test("user schema with non-xlsx types reads those columns as NULL on both paths") {
+    // supportsExternalMetadata lets a user supply any Spark type; types with
+    // no xlsx representation must read as NULL columns (convert's catch-all),
+    // not fail reader construction — on the boxed (threads=1) AND the
+    // unsafe parallel (threads>=2) path.
+    val p = one(Some(Seq("name", "ts", "dec", "qty")),
+      Seq(Seq[Any]("a", 1.0, 2.0, 3.0), Seq[Any]("b", 4.0, 5.0, 6.0)))
+    val schema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("ts", TimestampType),   // no xlsx representation
+      StructField("dec", DecimalType(10, 2)), // no xlsx representation
+      StructField("qty", DoubleType)))
+    for (threads <- Seq("1", "2")) {
+      val df = spark.read.format("xlsx").schema(schema)
+        .option("threads", threads).load(p)
+      val rows = df.collect().sortBy(_.getString(0))
+      assert(rows.length == 2, s"threads=$threads")
+      assert(rows.forall(r => r.isNullAt(1) && r.isNullAt(2)), s"threads=$threads")
+      assert(rows.map(_.getDouble(3)).toSeq == Seq(3.0, 6.0), s"threads=$threads")
+    }
+  }
 }
