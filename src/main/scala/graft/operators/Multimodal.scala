@@ -97,8 +97,12 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** Formats [[decodeImage]] handles; everything else takes the stub. */
-  private val ImageFormats = Set("image/png", "image/bmp", "image/gif")
+  /** Formats [[decodeImage]] handles; everything else takes the stub.
+    * JPEG is here because javax.imageio ships a native JPEG reader and real
+    * corpora are JPEG-first; a corrupt JPEG still falls back to the stub
+    * via decodeImage's None. */
+  private val ImageFormats =
+    Set("image/png", "image/bmp", "image/gif", "image/jpeg", "image/jpg")
 
   /** Dispatch: real codec for stdlib-decodable images, stub otherwise. */
   def decodeAny(b: Blob): Decoded =

@@ -73,6 +73,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3).getAs[Long]("checksum") == stub.checksum)
   }
 
+  test("real codec: JPEG decodes to true raster dims; corrupt JPEG falls back to stub") {
+    def jpgBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
+      bos.toByteArray
+    }
+    val white = jpgBytes(12, 7, 0xFFFFFF)
+    val dark = jpgBytes(6, 6, 0x101010)
+    val blobDf = Seq(
+      (1L, white, "image/jpeg", 12, 7),
+      (2L, dark, "image/jpg", 6, 6), // alias MIME spelling dispatches too
+      (3L, "not a jpeg".getBytes("UTF-8"), "image/jpeg", 1, 1) // corrupt → stub
+    ).toDF("doc_id", "payload", "format", "width", "height")
+    val out = Multimodal.decodeMetaBlobs(spark, blobDf).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_pixels") == 84L) // 12x7 raster, not metadata
+    // JPEG is lossy: all-white must stay within a couple of levels of 255
+    assert(math.abs(out(0).getAs[Double]("pixel_feat") - 255.0) < 3.0)
+    assert(out(1).getAs[Long]("n_pixels") == 36L)
+    assert(math.abs(out(1).getAs[Double]("pixel_feat") - 16.0) < 6.0)
+    val stub = Multimodal.decodeStub(
+      Multimodal.Blob(3L, "not a jpeg".getBytes("UTF-8"), "image/jpeg", 1, 1))
+    assert(out(2).getAs[Long]("checksum") == stub.checksum)
+    assert(out(2).getAs[Long]("n_pixels") == 1L)
+  }
+
   test("frame sampling: everyN stride, geometry, deterministic hashes") {
     import spark.implicits._
     // 1000-byte payload → 3 frames of 256 + remainder; everyN=2 keeps 0 and 2
