@@ -132,33 +132,73 @@ object Dedup {
     * survivor per cluster, usually the min id itself). Deterministic, so
     * it oracle-checks against a recursive-CTE closure.
     *
-    * Scale shape: min-label propagation with POINTER JUMPING — each round
-    * is one equi-join + min-aggregate on the edge list (propagate one hop)
-    * plus one self-join on the label frame (label := label(label), the
-    * path-doubling step of star-contraction-family algorithms). The
-    * reachable window doubles per round, so rounds needed =
-    * O(log diameter), not O(diameter): a 256-node chain converges in 8
-    * rounds (spec-pinned), a star in 2. Lineage is truncated per round
-    * with localCheckpoint so the plan doesn't grow with the iteration
-    * count, and the convergence check is a cheap count on the
-    * just-checkpointed frame — no recompute. */
+    * Scale shape, in three layers:
+    *  1. per-partition union-find PRE-CONTRACTION — one shuffle-free map
+    *     pass collapses each partition's local edges to member→min stars,
+    *     so everything a single partition can see converges before the
+    *     first global round (a chain living in one partition needs zero);
+    *  2. min-label propagation with POINTER JUMPING over the stars — each
+    *     round is one equi-join + min-aggregate (propagate one hop) plus
+    *     one self-join (label := label(label), path doubling), so the
+    *     residual cross-partition diameter converges in O(log) rounds
+    *     (256-chain across 8 partitions: spec-pinned ≤ 6);
+    *  3. ONE action per round — the localCheckpoint materialization both
+    *     truncates lineage and fills the convergence accumulator, so no
+    *     separate count() job pays the per-round scheduling cost twice. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // persist a DEFENSIVE PROJECTION of the input: `edges` references it
-    // twice (both union branches) and the pair generation upstream (a
-    // near-dup join) is far too expensive to evaluate twice — but
-    // persisting `pairs` itself would make the unpersist below evict a
-    // cache the CALLER may have established on the same object
-    val p = pairs.select(col("da"), col("db")).persist()
-    val edges = p.select(col("da").as("a"), col("db").as("b"))
-      .union(p.select(col("db").as("a"), col("da").as("b")))
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // Phase 1 — per-partition union-find PRE-CONTRACTION: one map pass, no
+    // shuffle. Each partition collapses its local edge structure into
+    // member→min-root stars (path-halving find, union-by-min). Cross-
+    // partition components stay connected because a node split across
+    // partitions appears in several stars, and the stars share that node.
+    // On a near-dup graph (short chains, dense stars) this leaves the
+    // global loop 1-2 rounds of work instead of O(log diameter) from
+    // scratch — and the per-round driver/job overhead, not the shuffled
+    // bytes, is what dominated the old loop's wall clock.
+    val star = pairs.select(col("da").cast("long"), col("db").cast("long"))
+      .as[(Long, Long)].rdd.mapPartitions { it =>
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        def root(x0: Long): Long = {
+          var x = x0
+          var p = parent.get(x).longValue
+          while (p != x) {
+            val g = parent.get(p).longValue // path halving: parent(x) := grandparent
+            parent.put(x, g)
+            x = g
+            p = parent.get(x).longValue
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = root(a); val rb = root(b)
+          if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+        }
+        // root() only re-puts EXISTING keys (path halving), so iterating the
+        // key set while calling it is safe (no structural modification)
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+        val ks = parent.keySet.iterator()
+        while (ks.hasNext) { val k = ks.next().longValue; out += ((k, root(k))) }
+        out.iterator
+      }.toDF("node", "root").persist()
+    // symmetric adjacency over the contracted stars; roots self-loop via
+    // their own (root, root) row, so every node survives into the label set
+    val edges = star.select(col("node").as("a"), col("root").as("b"))
+      .union(star.select(col("root").as("a"), col("node").as("b")))
       .persist()
-    var changed = 1L
     try {
-      var labels = edges.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .localCheckpoint(true) // materializes edges (and through it, p)
-      p.unpersist() // dead once edges is materialized — free it before the loop
+      // initial labels = one propagation round for free: each node's best
+      // locally-known root
+      var labels = edges.groupBy(col("a").as("node"))
+        .agg(min(col("b")).as("label"))
+        .localCheckpoint(true) // materializes edges (and through it, star)
+      star.unpersist() // dead once edges is materialized
+      var changed = 1L
       var i = 0
+      var prevRound: org.apache.spark.rdd.RDD[(Long, Long)] = null
       while (changed > 0 && i < maxIter) {
         // best label reachable over one hop
         val prop = edges.join(labels, edges("b") === labels("node"))
@@ -176,17 +216,26 @@ object Dedup {
         // label(x) <= x, so the jump is monotone and stays inside the
         // component; it is what turns O(diameter) rounds into O(log).
         val lookup = stepped.select(col("node").as("pnode"), col("mid").as("plabel"))
-        // checkpoint BEFORE deriving the changed-count and the next labels,
-        // so the round's joins execute once, not once per consumer
-        val updated = stepped
+        // ONE action per round: the localCheckpoint materialization itself
+        // fills the convergence accumulator, instead of a checkpoint job
+        // plus a separate count() job (the old loop's second fixed cost).
+        // A task retry can only inflate the count, never zero a genuinely
+        // changed round, so the worst case is one extra (cheap) round.
+        val acc = spark.sparkContext.longAccumulator("cc_changed")
+        val round = stepped
           .join(lookup, stepped("mid") === lookup("pnode"), "left")
           .select(col("node"),
             least(col("mid"), coalesce(col("plabel"), col("mid"))).as("next"),
             col("old"))
-          .localCheckpoint(true) // materializes; stepped's cache is now dead
+          .as[(Long, Long, Long)].rdd
+          .map { case (n, nx, o) => if (nx < o) acc.add(1L); (n, nx) }
+        round.localCheckpoint()
+        round.count() // materializes the round AND the accumulator
         stepped.unpersist()
-        changed = updated.filter(col("next") < col("old")).count()
-        labels = updated.select(col("node"), col("next").as("label"))
+        if (prevRound != null) prevRound.unpersist(false)
+        prevRound = round
+        changed = acc.value
+        labels = round.toDF("node", "label")
         i += 1
       }
       // a silent cap would report one component as several — refuse instead
@@ -197,7 +246,7 @@ object Dedup {
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
     } finally {
       edges.unpersist()
-      p.unpersist() // idempotent if already released
+      star.unpersist() // idempotent if already released
     }
   }
 

@@ -149,12 +149,33 @@ class DedupSpec extends SparkSpec {
   test("connectedComponents: pointer jumping converges a 256-chain in <= log2 rounds") {
     // The path-doubling round grows the reachable window as 2^r - 1, so a
     // 256-node chain (diameter 255) must finish within 8 rounds plus the
-    // final no-change round; maxIter = 9 REFUSES (throws) if convergence
-    // is any slower — this is the spec that distinguishes star-contraction
-    // convergence from plain O(diameter) label propagation.
+    // final no-change round even when hash partitioning scatters its edges;
+    // maxIter = 9 REFUSES (throws) if convergence is any slower — this is
+    // the spec that distinguishes star-contraction convergence from plain
+    // O(diameter) label propagation.
     val chain = (1000L until 1255L).map(i => (i, i + 1)).toDF("da", "db")
+      .repartition(8)
     val cc = Dedup.connectedComponents(chain, maxIter = 9).collect()
       .map(r => r.getAs[Long]("cluster_id")).distinct
     assert(cc.toSeq == Seq(1000L), s"expected one cluster rooted at 1000, got $cc")
+  }
+
+  test("connectedComponents: per-partition union-find pre-contracts local structure") {
+    // A chain living in ONE partition must be fully solved by the local
+    // union-find: the global loop sees already-correct labels and needs
+    // only the single no-change round maxIter = 1 allows.
+    val local = (1L until 257L).map(i => (i, i + 1)).toDF("da", "db")
+      .coalesce(1)
+    val cc1 = Dedup.connectedComponents(local, maxIter = 1).collect()
+      .map(r => r.getAs[Long]("cluster_id")).distinct
+    assert(cc1.toSeq == Seq(1L), s"single-partition chain: got $cc1")
+    // Range-partitioned into 8 contiguous segments, contraction leaves an
+    // 8-star meta-chain; pointer jumping needs ceil(log2(8)) = 3 doubling
+    // rounds plus the no-change round.
+    val seg = (1L until 257L).map(i => (i, i + 1)).toDF("da", "db")
+      .repartitionByRange(8, col("da"))
+    val cc8 = Dedup.connectedComponents(seg, maxIter = 4).collect()
+      .map(r => r.getAs[Long]("cluster_id")).distinct
+    assert(cc8.toSeq == Seq(1L), s"segmented chain: got $cc8")
   }
 }
