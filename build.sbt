@@ -19,6 +19,8 @@ run / fork := true
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
 Global / showTiming := false
+// used by sbt's command layer, not other settings — exclude from lint
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -94,9 +94,9 @@ object IngestProbe {
     bench(s"partition reader t=$threads") {
       val opts = XlsxOptions(None, None, hasHeader = false, skipRows = 0,
         userTypes = None, forceTypes = false, coerceToString = false,
-        writeHeader = true, threads = threads)
+        writeHeader = true, threads = Some(threads))
       val r = new XlsxPartitionReader(xlsx, None, schema, schema, opts,
-        XlsxDataSource.captureConf(), Array.empty)
+        XlsxDataSource.captureConf(), Array.empty, threads)
       var n = 0L
       while (r.next()) { r.get(); n += 5 }
       r.close()

@@ -234,8 +234,12 @@ object XlsxScan {
     * (spec-asserted). */
   def partitionsFor(paths: Seq[String], opts: XlsxOptions,
       cutover: Int = DistributedEnumerationCutover): Array[InputPartition] =
+    assignThreads(rawPartitionsFor(paths, opts, cutover), opts)
+
+  private def rawPartitionsFor(paths: Seq[String], opts: XlsxOptions,
+      cutover: Int): Array[XlsxInputPartition] =
     if (!opts.allSheets)
-      paths.map(p => XlsxInputPartition(p): InputPartition).toArray
+      paths.map(p => XlsxInputPartition(p)).toArray
     else {
       val conf = XlsxDataSource.captureConf()
       val spark = SparkSession.getActiveSession
@@ -249,18 +253,18 @@ object XlsxScan {
           }
           .collect() // partition-index order == paths order: deterministic
           .map { case (p, n, t) =>
-            XlsxInputPartition(p, Some(SheetRef(n, t))): InputPartition
+            XlsxInputPartition(p, Some(SheetRef(n, t)))
           }
       } else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.max(1, math.min(16, paths.size)))
         try {
           val futures = paths.map { p =>
-            pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
-              override def call(): Seq[InputPartition] = {
+            pool.submit(new java.util.concurrent.Callable[Seq[XlsxInputPartition]] {
+              override def call(): Seq[XlsxInputPartition] = {
                 val wb = XlsxDataSource.workbook(p, conf.toConf)
                 wb.sheets.map(si =>
-                  XlsxInputPartition(p, Some(SheetRef(si.name, si.target))): InputPartition)
+                  XlsxInputPartition(p, Some(SheetRef(si.name, si.target))))
               }
             })
           }
@@ -268,12 +272,62 @@ object XlsxScan {
         } finally pool.shutdown()
       }
     }
+
+  /** Per-partition intra-file parse workers. An explicit `threads` option
+    * applies verbatim to every partition (the reference's semantics). AUTO
+    * (option absent) mirrors the reference's cores/2 default without
+    * oversubscribing a busy scan: when the scan already has at least as
+    * many partitions as executor cores every task stays single-threaded;
+    * when cores would idle, the spare ones are dealt to partitions
+    * PROPORTIONAL TO FILE BYTES (one metadata getFileStatus per distinct
+    * file — only taken on small-partition-count scans by construction), so
+    * a single huge workbook engages ~cores/2 workers and the one 10 GB
+    * straggler in a skewed directory gets the capacity its bytes demand
+    * while its small siblings stay at 1. */
+  private def assignThreads(parts: Array[XlsxInputPartition],
+      opts: XlsxOptions): Array[InputPartition] = opts.threads match {
+    case Some(t) => parts.map(p => p.copy(threads = t): InputPartition)
+    case None =>
+      val cores = executorCores()
+      if (parts.length >= cores || parts.isEmpty)
+        parts.map(p => p: InputPartition)
+      else {
+        val conf = XlsxDataSource.hadoopConf()
+        val bytes: Map[String, Double] = parts.map(_.path).distinct.map { p =>
+          val path = new Path(p)
+          val len = try path.getFileSystem(conf).getFileStatus(path).getLen.toDouble
+            catch { case _: Exception => 1.0 }
+          p -> math.max(1.0, len)
+        }.toMap
+        // a file's sheets split the file's weight (allSheets fan-out)
+        val sheetsPerFile = parts.groupBy(_.path).view.mapValues(_.length).toMap
+        val weights = parts.map(p => bytes(p.path) / sheetsPerFile(p.path))
+        val total = weights.sum
+        val spare = cores - parts.length
+        val cap = math.max(1, cores / 2) // reference's single-file default
+        parts.zip(weights).map { case (p, w) =>
+          val t = 1 + math.round(spare * w / total).toInt
+          p.copy(threads = math.min(cap, t)): InputPartition
+        }
+      }
+  }
+
+  /** Cores one task can realistically fan worker threads across: the
+    * per-executor core count on a cluster; the local[N] thread count in
+    * local mode (defaultParallelism). */
+  private def executorCores(): Int =
+    SparkSession.getActiveSession.map { s =>
+      s.sparkContext.getConf.getOption("spark.executor.cores").map(_.toInt)
+        .getOrElse(s.sparkContext.defaultParallelism)
+    }.getOrElse(Runtime.getRuntime.availableProcessors())
 }
 
 /** A specific worksheet inside one file (allSheets fan-out unit). */
 final case class SheetRef(name: String, target: String)
 
-final case class XlsxInputPartition(path: String, sheet: Option[SheetRef] = None)
+final case class XlsxInputPartition(path: String, sheet: Option[SheetRef] = None,
+    /** Intra-file parse workers for THIS partition (planner-assigned). */
+    threads: Int = 1)
     extends InputPartition
 
 final class XlsxPartitionReaderFactory(
@@ -285,7 +339,8 @@ final class XlsxPartitionReaderFactory(
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[XlsxInputPartition]
-    new XlsxPartitionReader(p.path, p.sheet, fullSchema, required, opts, conf, filters)
+    new XlsxPartitionReader(p.path, p.sheet, fullSchema, required, opts, conf,
+      filters, p.threads)
   }
 }
 
@@ -300,7 +355,9 @@ final class XlsxPartitionReader(
     required: StructType,
     opts: XlsxOptions,
     conf: XlsxDataSource.ConfProps,
-    filters: Array[org.apache.spark.sql.sources.Filter])
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    /** planner-assigned intra-file parse workers (explicit option or auto) */
+    threads: Int = 1)
     extends PartitionReader[InternalRow] {
 
   private val wb = XlsxDataSource.workbook(path, conf.toConf,
@@ -388,8 +445,8 @@ final class XlsxPartitionReader(
   // threads >= 2 on a byte-scannable entry: parallel scanner with
   // worker-side conversion; otherwise the sequential iterator
   private val iterE: Either[CellRowIterator, ParallelSheetScanner] =
-    if (opts.threads >= 2)
-      wb.convertingRowIterator(sheetTarget, opts.threads,
+    if (threads >= 2)
+      wb.convertingRowIterator(sheetTarget, threads,
         cells => convertToUnsafe(cells))
     else Left(wb.rowIterator(sheetTarget))
   private val seqIter: CellRowIterator = iterE.left.toOption.orNull

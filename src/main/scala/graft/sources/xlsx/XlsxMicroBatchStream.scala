@@ -77,12 +77,19 @@ final class XlsxMicroBatchStream(
     if (unseen.nonEmpty) {
       // admission order: stable (mtime, path) so a restarted driver that
       // re-lists before reading its own log would admit identically
-      val ordered = unseen.map { p =>
+      val orderedAll = unseen.map { p =>
         val hp = new Path(p)
         val mtime = try hp.getFileSystem(conf).getFileStatus(hp).getModificationTime
                     catch { case _: java.io.IOException => 0L }
         (mtime, p)
       }.sorted.map(_._2)
+      // maxFilesPerTrigger: admit a bounded prefix per trigger; the tail
+      // stays unseen and re-lists next trigger, so a backfilled directory
+      // streams as ceil(backlog / cap) batches instead of one giant one
+      val ordered = opts.maxFilesPerTrigger match {
+        case Some(cap) => orderedAll.take(cap)
+        case None => orderedAll
+      }
       // write-to-temp then rename: a crash mid-write must never leave a
       // truncated entry, because the constructor replays this log verbatim
       // and a poisoned path would fail every subsequent restart (the same

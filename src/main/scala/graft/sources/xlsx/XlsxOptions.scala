@@ -27,15 +27,23 @@ final case class XlsxOptions(
     allSheets: Boolean = false,
     /** Intra-file parse workers per partition (the reference's `threads`
       * parameter, sheetreader_extension.cpp:36-53): >= 2 pipelines
-      * inflate → chunk → N-way parse inside ONE file's scan. Default 1 —
-      * under a normal multi-file Spark scan each task is already one core
-      * of parallelism, and oversubscribing executors hurts; raise it for
-      * the single-huge-workbook case where cores would otherwise idle. */
-    threads: Int = 1,
+      * inflate → chunk → N-way parse inside ONE file's scan. None = AUTO
+      * (matching the reference's cores/2 default): planning engages
+      * workers only when the scan has fewer partitions than executor
+      * cores, sized proportional to each file's bytes — a single huge
+      * workbook gets cores/2, a 32-file scan on 32 cores gets 1 per task,
+      * and the one 10 GB straggler among small files gets the spare
+      * cores. An explicit value applies to every partition as-is. */
+    threads: Option[Int] = None,
     /** Per-task cap on decoded sharedStrings bytes — the one xlsx structure
       * whose memory is set by the FILE, not the scan; a pathological
       * workbook aborts with a clear error instead of OOMing the task. */
-    maxSharedStringsBytes: Long = SharedStringsScanner.DefaultMaxBytes)
+    maxSharedStringsBytes: Long = SharedStringsScanner.DefaultMaxBytes,
+    /** Streaming only: cap on files ADMITTED per micro-batch (Spark's file
+      * source spelling). Without it a backfilled drop-box directory arrives
+      * as one giant first batch; with it the backlog streams in bounded
+      * batches. None = admit everything new each trigger. */
+    maxFilesPerTrigger: Option[Int] = None)
     extends Serializable {
 
   /** 1-based index to use when sheetName is absent (reference default 1). */
@@ -84,7 +92,7 @@ object XlsxOptions {
       coerceToString = bool("coerceToString", "coerce_to_string"),
       writeHeader = str("header").forall(_.trim.equalsIgnoreCase("true")),
       allSheets = allSheets,
-      threads = str("threads").map(_.trim.toInt).filter(_ >= 1).getOrElse(1),
+      threads = str("threads").map(_.trim.toInt).filter(_ >= 1),
       maxSharedStringsBytes =
         str("maxSharedStringsBytes", "max_shared_strings_bytes")
           .map { raw =>
@@ -97,6 +105,13 @@ object XlsxOptions {
                 "(use a large value to effectively disable the guard)")
             v
           }
-          .getOrElse(SharedStringsScanner.DefaultMaxBytes))
+          .getOrElse(SharedStringsScanner.DefaultMaxBytes),
+      maxFilesPerTrigger =
+        str("maxFilesPerTrigger", "max_files_per_trigger").map { raw =>
+          val v = raw.trim.toInt
+          if (v <= 0) throw new IllegalArgumentException(
+            s"maxFilesPerTrigger must be positive, got $v")
+          v
+        })
   }
 }

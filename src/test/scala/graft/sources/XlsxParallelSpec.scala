@@ -187,4 +187,53 @@ class XlsxParallelSpec extends SparkSpec {
       Thread.sleep(50)
     assert(Thread.activeCount() <= before + 1, "threads leaked after failure")
   }
+
+  private def defaultOpts: XlsxOptions =
+    XlsxOptions.from(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.emptyMap[String, String]()))
+
+  private def threadsOf(parts: Array[org.apache.spark.sql.connector.read.InputPartition]): Seq[Int] =
+    parts.map(_.asInstanceOf[XlsxInputPartition].threads).toSeq
+
+  test("auto threads: lone file engages workers, saturated scan stays serial, option wins") {
+    assert(spark.sparkContext.defaultParallelism == 4) // the arithmetic below assumes it
+    // single file on 4 cores: 3 spare cores, capped at cores/2 = 2 — the
+    // reference's cores/2 default, engaged WITHOUT any option
+    val lone = XlsxScan.partitionsFor(Seq(file.toString), defaultOpts)
+    assert(threadsOf(lone) == Seq(2), s"got ${threadsOf(lone)}")
+    // scan with >= cores partitions: every task already owns a core
+    val many = XlsxScan.partitionsFor(
+      (1 to 4).map(_ => file.toString), defaultOpts)
+    assert(threadsOf(many) == Seq(1, 1, 1, 1), s"got ${threadsOf(many)}")
+    // an explicit threads option applies verbatim to every partition
+    val explicit = XlsxScan.partitionsFor(
+      Seq(file.toString, file.toString), defaultOpts.copy(threads = Some(3)))
+    assert(threadsOf(explicit) == Seq(3, 3), s"got ${threadsOf(explicit)}")
+    // and the auto path must not change WHAT is read: same rows either way
+    val auto = spark.read.format("xlsx").load(file.toString)
+    val serial = spark.read.format("xlsx").option("threads", "1").load(file.toString)
+    assert(auto.count() == 20000L)
+    assert(auto.exceptAll(serial).isEmpty && serial.exceptAll(auto).isEmpty)
+  }
+
+  test("auto threads: the straggler file gets the spare cores, small siblings stay serial") {
+    // one ~20k-row file + one 3-row file on 4 cores: 2 spare cores flow to
+    // the big file (byte-proportional, capped at 2); the small one stays 1
+    val small = {
+      val bos = new ByteArrayOutputStream()
+      XlsxWriter.write(bos, Seq(XlsxWriter.SheetSpec("S", Some(Seq("id", "nm", "v", "d", "b")),
+        (1 to 3).iterator.map(i => Seq[Any](i.toLong, s"n$i", i * 1.0,
+          java.time.LocalDate.ofEpochDay(10000L + i), i % 2 == 0)))))
+      val f = java.io.File.createTempFile("small", ".xlsx")
+      f.deleteOnExit()
+      java.nio.file.Files.write(f.toPath, bos.toByteArray)
+      f
+    }
+    val parts = XlsxScan.partitionsFor(
+      Seq(file.toString, small.toString), defaultOpts)
+    val byPath = parts.map(_.asInstanceOf[XlsxInputPartition])
+      .map(p => p.path -> p.threads).toMap
+    assert(byPath(file.toString) == 2, s"straggler: got $byPath")
+    assert(byPath(small.toString) == 1, s"small sibling: got $byPath")
+  }
 }

@@ -66,6 +66,47 @@ class XlsxStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxFilesPerTrigger bounds admission; a backlog streams in batches without duplicates") {
+    val dir = Files.createTempDirectory("graft_xlsx_mfpt_")
+    val ckpt = Files.createTempDirectory("graft_xlsx_mfpt_ckpt_").toString
+    val sink = Files.createTempDirectory("graft_xlsx_mfpt_sink_").toString
+    // a pre-existing backlog: 100 files already in the drop-box at start
+    for (i <- 0 until 100)
+      writeBook(dir, f"f$i%03d.xlsx", Seq(Seq(f"f$i%03d", i.toDouble)))
+
+    def startQuery(trigger: org.apache.spark.sql.streaming.Trigger) =
+      spark.readStream.format("xlsx")
+        .option("maxFilesPerTrigger", "10")
+        .load(dir.toString)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(trigger)
+        .start()
+
+    def sunk(): Seq[String] =
+      spark.read.parquet(sink).collect().map(_.getString(0)).toSeq
+
+    // leg 1: a single trigger admits exactly the cap, not the whole backlog
+    val q1 = startQuery(org.apache.spark.sql.streaming.Trigger.Once())
+    try q1.awaitTermination() finally q1.stop()
+    assert(sunk().size == 10, s"one trigger should admit 10 files, got ${sunk().size}")
+
+    // leg 2: restart mid-backlog; the rest arrives in capped batches with
+    // no re-ingestion of leg 1's files
+    val q2 = startQuery(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q2.processAllAvailable()
+      val all = sunk()
+      assert(all.size == 100, s"expected the full backlog once, got ${all.size}")
+      assert(all.distinct.size == 100, "duplicates across restart")
+      // 90 remaining files / 10 per trigger = at least 9 non-empty batches
+      val batches = q2.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 9, s"expected >= 9 capped batches, got $batches")
+    } finally q2.stop()
+  }
+
   test("streaming composes with allSheets: per-sheet rows with _sheet_name") {
     val dir = Files.createTempDirectory("graft_xlsx_stream_as_")
     val ckpt = Files.createTempDirectory("graft_xlsx_ckpt_as_").toString
