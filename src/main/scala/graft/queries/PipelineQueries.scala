@@ -206,8 +206,88 @@ object PipelineQueries {
 
     // §2.3 #49 sessionization (batch face; flatMapGroupsWithState in specs)
     "st_sessionize" -> ((s, dir) =>
-      EventStreams.sessionizeBatch(Tables.load(s, dir, "events")))
+      EventStreams.sessionizeBatch(Tables.load(s, dir, "events"))),
+
+    // §2.6 #88/#89 EVENT-TIME streaming faces, driven end-to-end: the
+    // table is replayed through MemoryStream in one burst (the 100 TB
+    // reprocessing posture — fast replay of history through the SAME
+    // stateful operator that runs live), sentinel batches advance the
+    // watermark so EventTimeTimeout closes every open session, and the
+    // collected sink is oracle-checked against the batch closure. The
+    // driver-side collect is the REPLAY HARNESS feeding MemoryStream (a
+    // test-only source), not the operator's data path — the operator
+    // shuffles by key and keeps O(active keys) state.
+    "st_sessionize_et" -> ((s, dir) => stSessionizeEt(s, dir)),
+    "st_dedup_et" -> ((s, dir) => stDedupEt(s, dir))
   )
+
+  /** Sentinel user for watermark-advancing events (filtered from output). */
+  private val SentinelUser = -99L
+
+  private def stSessionizeEt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .as[EventStreams.Event].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event]
+    val name = "st_sessionize_et_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.sessionizeStreamEventTime(s, mem.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(evs.toSeq)
+      q.processAllAvailable()
+      // two sentinel batches: the first moves the watermark past every
+      // session's last+gap, the second fires the now-due timeouts
+      val maxUs = evs.iterator.map(e =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(e.ts)).max
+      for (i <- 1 to 2) {
+        mem.addData(Seq(EventStreams.Event(-i.toLong,
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(
+            maxUs + i * 3600L * 1000000L * 3L),
+          SentinelUser, "sentinel", 0.0)))
+        q.processAllAvailable()
+      }
+      val out = s.table(name).filter(col("user_id") =!= lit(SentinelUser))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start"), col("session_end"))
+      val rows = out.collect() // O(users x sessions), not O(events)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
+  private def stDedupEt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // synthesize an event clock from doc_id (60 s per id): dupes of a text
+    // re-admit when their id gap exceeds ttl/60s — mirrored exactly by the
+    // oracle's lag() window
+    val tsd = docs(s, dir)
+      .select(expr("timestamp_micros(1704067200000000 + doc_id * 60000000)").as("ts"),
+        col("doc_id"), col("text"))
+      .as[EventStreams.TsDoc].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.TsDoc]
+    val name = "st_dedup_et_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.dedupStreamEventTime(s, mem.toDS(), ttl = "30 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // one-burst replay: every admit/drop decision is the in-batch fold
+      // (no timeouts involved), the pure fast-replay case
+      mem.addData(tsd.toSeq)
+      q.processAllAvailable()
+      val out = s.table(name).select(col("doc_id"))
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
 
   def oracleSql: Map[String, String] = Map(
     "dd_exact" ->
@@ -466,6 +546,34 @@ object PipelineQueries {
            FROM s)
          SELECT user_id, session_id, count(*) AS n_events,
                 min(ts) AS session_start, max(ts) AS session_end
-         FROM t GROUP BY 1, 2"""
+         FROM t GROUP BY 1, 2""",
+    // the full-history replay's CLOSED sessions are exactly the batch
+    // closure — same oracle as st_sessionize
+    "st_sessionize_et" ->
+      """WITH e AS (
+           SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         t AS (
+           SELECT user_id, ts,
+             cast(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS bigint) AS session_id
+           FROM s)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(ts) AS session_start, max(ts) AS session_end
+         FROM t GROUP BY 1, 2""",
+    // event clock = doc_id * 60 s, ttl = 30 min: a sighting is admitted iff
+    // it is the first for its text or the id gap to the previous sighting
+    // exceeds 1800/60 — the rolling-window fold linearizes to lag()
+    "st_dedup_et" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  lag(doc_id) OVER (PARTITION BY md5(text) ORDER BY doc_id) AS prev
+           FROM documents)
+         SELECT doc_id FROM s WHERE prev IS NULL OR (doc_id - prev) * 60 > 1800"""
   )
 }

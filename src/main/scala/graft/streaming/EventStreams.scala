@@ -22,6 +22,15 @@ object EventStreams {
 
   val SessionGapSeconds = 1800L
 
+  /** Exact MICROSECOND clock for the stateful folds: `Timestamp.getTime`
+    * is millisecond-truncating, and the events table carries microsecond
+    * components — a fold on millis would emit session bounds that differ
+    * from the batch face (and its oracle) below the millisecond. */
+  private def micros(t: Timestamp): Long =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+  private def tsOf(us: Long): Timestamp =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(us)
+
   // ------------------------------------------------------------------
   // #48 windowed aggregation
   // ------------------------------------------------------------------
@@ -102,18 +111,18 @@ object EventStreams {
               state.update(SessionState(-1L, -1L, 0L, st.sessionId + 1L))
               idleTimeout.foreach(state.setTimeoutDuration)
               Iterator(SessionOut(userId, st.sessionId, st.n,
-                new Timestamp(st.start), new Timestamp(st.last)))
+                tsOf(st.start), tsOf(st.last)))
             } else { state.remove(); Iterator.empty }
           } else {
             val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
             var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L, 0L))
-            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-              val t = e.ts.getTime // millis
+            it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              val t = micros(e.ts)
               if (st.n == 0L) {
                 st = SessionState(t, t, 1L, st.sessionId)
-              } else if (t - st.last > SessionGapSeconds * 1000L) {
+              } else if (t - st.last > SessionGapSeconds * 1000000L) {
                 out += SessionOut(userId, st.sessionId, st.n,
-                  new Timestamp(st.start), new Timestamp(st.last))
+                  tsOf(st.start), tsOf(st.last))
                 st = SessionState(t, t, 1L, st.sessionId + 1L)
               } else {
                 st = st.copy(last = math.max(st.last, t), n = st.n + 1L)
@@ -147,6 +156,7 @@ object EventStreams {
   def sessionizeStreamEventTime(spark: SparkSession, events: Dataset[Event],
       watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import spark.implicits._
+    val gapUs = SessionGapSeconds * 1000000L
     val gapMs = SessionGapSeconds * 1000L
     events
       .withWatermark("ts", watermarkDelay)
@@ -155,7 +165,9 @@ object EventStreams {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           // a timeout timestamp must land strictly after the watermark;
-          // anything already due fires on the next batch
+          // anything already due fires on the next batch. The session fold
+          // runs on MICROS (exact); only the timeout boundary speaks the
+          // watermark's millisecond clock.
           def schedule(atMs: Long): Unit =
             state.setTimeoutTimestamp(math.max(atMs, state.getCurrentWatermarkMs() + 1L))
           if (state.hasTimedOut) {
@@ -166,25 +178,25 @@ object EventStreams {
               state.update(SessionState(-1L, -1L, 0L, st.sessionId + 1L))
               schedule(state.getCurrentWatermarkMs() + gapMs)
               Iterator(SessionOut(userId, st.sessionId, st.n,
-                new Timestamp(st.start), new Timestamp(st.last)))
+                tsOf(st.start), tsOf(st.last)))
             } else { state.remove(); Iterator.empty }
           } else {
             val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
             var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L, 0L))
-            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-              val t = e.ts.getTime // millis
+            it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              val t = micros(e.ts)
               if (st.n == 0L) {
                 st = SessionState(t, t, 1L, st.sessionId)
-              } else if (t - st.last > gapMs) {
+              } else if (t - st.last > gapUs) {
                 out += SessionOut(userId, st.sessionId, st.n,
-                  new Timestamp(st.start), new Timestamp(st.last))
+                  tsOf(st.start), tsOf(st.last))
                 st = SessionState(t, t, 1L, st.sessionId + 1L)
               } else {
                 st = st.copy(last = math.max(st.last, t), n = st.n + 1L)
               }
             }
             state.update(st)
-            schedule(st.last + gapMs)
+            schedule(st.last / 1000L + gapMs)
             out.iterator
           }
       }
@@ -262,7 +274,7 @@ object EventStreams {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
     require(iv.months == 0, s"ttl must be a fixed-length interval, got '$ttl'")
-    val ttlMillis = iv.days * 86400000L + iv.microseconds / 1000L
+    val ttlUs = iv.days * 86400000000L + iv.microseconds
     docs
       .withWatermark("ts", watermarkDelay)
       .select(xxhash64(col("text")).as("h1"),
@@ -279,15 +291,15 @@ object EventStreams {
             // refresh lastSeen on every sighting (rolling window)
             val out = scala.collection.mutable.ArrayBuffer[Doc]()
             var lastSeen = state.getOption.getOrElse(Long.MinValue)
-            it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
-              val t = d.ts.getTime
-              if (lastSeen == Long.MinValue || t - lastSeen > ttlMillis)
+            it.toSeq.sortBy(d => (micros(d.ts), d.doc_id)).foreach { d =>
+              val t = micros(d.ts)
+              if (lastSeen == Long.MinValue || t - lastSeen > ttlUs)
                 out += Doc(d.doc_id, d.text)
               lastSeen = math.max(lastSeen, t)
             }
             state.update(lastSeen)
             state.setTimeoutTimestamp(
-              math.max(lastSeen + ttlMillis, state.getCurrentWatermarkMs() + 1L))
+              math.max((lastSeen + ttlUs) / 1000L, state.getCurrentWatermarkMs() + 1L))
             out.iterator
           }
       }
@@ -296,18 +308,18 @@ object EventStreams {
   /** Flush whatever session state remains (batch-drain helper for specs). */
   def drainOpenSessions(events: Seq[Event]): Seq[SessionOut] = {
     events.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
-      val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = es.sortBy(e => (micros(e.ts), e.event_id))
       val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
       var start = -1L; var last = -1L; var n = 0L; var sid = 0L
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        val t = micros(e.ts)
         if (n == 0L) { start = t; last = t; n = 1L }
-        else if (t - last > SessionGapSeconds * 1000L) {
-          out += SessionOut(uid, sid, n, new Timestamp(start), new Timestamp(last))
+        else if (t - last > SessionGapSeconds * 1000000L) {
+          out += SessionOut(uid, sid, n, tsOf(start), tsOf(last))
           sid += 1L; start = t; last = t; n = 1L
         } else { last = math.max(last, t); n += 1L }
       }
-      if (n > 0L) out += SessionOut(uid, sid, n, new Timestamp(start), new Timestamp(last))
+      if (n > 0L) out += SessionOut(uid, sid, n, tsOf(start), tsOf(last))
       out
     }
   }
