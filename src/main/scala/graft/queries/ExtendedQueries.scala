@@ -116,23 +116,40 @@ object ExtendedQueries {
 
     // §2.4 #60: approximate distinct counts (HyperLogLog++) — the sketch
     // that replaces exact countDistinct at 100 TB (mergeable, fixed-size
-    // state, no huge shuffle of distinct values). Rows-only: sketches are
-    // engine-specific; the spec bounds relative error vs the exact count.
+    // state, no huge shuffle of distinct values). Sketch values are
+    // engine-specific, so the ORACLE-comparable output is the exact counts
+    // plus an error-bound boolean: each engine checks ITS OWN sketch
+    // against ITS OWN exact count within 5% — hash-equal iff both sketches
+    // are sane. (The spec additionally bounds the Spark-side rel-error.)
     "q_approx_distinct" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))),
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
+            .as("parts_ok"),
+          (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.05)
+            .as("orders_ok"))),
 
     // §2.4 #68: approximate percentiles (mergeable quantile sketch) — what
-    // replaces exact sort-based percentiles at 100 TB. Rows-only: sketch
-    // internals are engine-specific; the spec bounds error vs exact.
+    // replaces exact sort-based percentiles at 100 TB. Same oracle shape as
+    // q_approx_distinct: engine-own sketch vs engine-own exact quantile
+    // within 5% relative error, hash-compared as booleans.
     "q_approx_percentile" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
-          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap90"))),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap90"),
+          expr("percentile(l_extendedprice, 0.5)").as("ex50"),
+          expr("percentile(l_extendedprice, 0.9)").as("ex90"))
+        .select(col("l_returnflag"),
+          (abs(col("ap50") - col("ex50")) <= col("ex50") * 0.05).as("p50_ok"),
+          (abs(col("ap90") - col("ex90")) <= col("ex90") * 0.05).as("p90_ok"))),
 
     // §2.4: the full-schema profiler — every column of lineitem (nulls,
     // ranges, sums, means) in ONE map-side-combinable aggregate job.
@@ -224,6 +241,22 @@ object ExtendedQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
                 cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_partkey) AS exact_parts,
+                count(DISTINCT l_orderkey) AS exact_orders,
+                (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+                   <= 0.05 * count(DISTINCT l_partkey)) AS parts_ok,
+                (abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+                   <= 0.05 * count(DISTINCT l_orderkey)) AS orders_ok
+         FROM lineitem GROUP BY 1""",
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+                (abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+                   <= 0.05 * quantile_cont(l_extendedprice, 0.5)) AS p50_ok,
+                (abs(approx_quantile(l_extendedprice, 0.9) - quantile_cont(l_extendedprice, 0.9))
+                   <= 0.05 * quantile_cont(l_extendedprice, 0.9)) AS p90_ok
+         FROM lineitem GROUP BY 1""",
     "q_profile_full" -> graft.operators.Profiler.oracleSqlFor("lineitem", Seq(
       "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
       "l_linenumber" -> "num", "l_quantity" -> "num",

@@ -248,9 +248,11 @@ object XlsxQueries {
     }),
 
     // §2.6 #87: the reference's OWN headline scenario — ONE big workbook,
-    // `threads` parse workers. Same rows as xlsx_ingest_lineitem but the
+    // intra-file parse workers. Same rows as xlsx_ingest_lineitem but the
     // file is a single xlsx, so the scan is one partition and all
-    // parallelism comes from the intra-file pipeline.
+    // parallelism comes from the intra-file pipeline. No `threads` option:
+    // the AUTO default must engage workers on its own (reference defaults
+    // to cores/2; a user who doesn't know the knob still gets the machine).
     "xlsx_ingest_single" -> ((s, dir) => {
       val out = fixtureDir(dir).resolve("lineitem_xlsx_single").toString
       synchronized {
@@ -263,7 +265,7 @@ object XlsxQueries {
           generated += out
         }
       }
-      s.read.format("xlsx").option("threads", "4").load(out)
+      s.read.format("xlsx").load(out)
     })
   )
 

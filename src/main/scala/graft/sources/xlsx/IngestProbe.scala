@@ -31,12 +31,15 @@ object IngestProbe {
         .coalesce(1)
         .write.format("xlsx").mode("overwrite").save(out.toString)
     }
-    val file = java.nio.file.Files.list(out).iterator()
-      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-    var xlsx: String = null
-    while (file.hasNext) {
-      val p = file.next()
-      if (p.toString.endsWith(".xlsx")) xlsx = p.toString
+    val xlsx: String = {
+      val listing = java.nio.file.Files.list(out)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".xlsx")).toSeq.sorted.headOption
+          .getOrElse(throw new IllegalStateException(
+            s"no .xlsx fixture found under $out — delete the directory and rerun"))
+      } finally listing.close()
     }
     println(s"fixture: $xlsx")
     val rows = spark.read.format("xlsx").load(xlsx).count()

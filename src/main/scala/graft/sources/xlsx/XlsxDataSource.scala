@@ -204,7 +204,7 @@ final class XlsxScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new XlsxPartitionReaderFactory(fullSchema, required, opts,
-      XlsxDataSource.captureConf(), filters)
+      XlsxDataSource.captureConf(), filters, columnar = true)
 
   /** Streaming face: the same scan over files arriving in a directory —
     * each micro-batch is the set of not-yet-seen files (one partition per
@@ -335,12 +335,24 @@ final class XlsxPartitionReaderFactory(
     required: StructType,
     opts: XlsxOptions,
     conf: XlsxDataSource.ConfProps,
-    filters: Array[org.apache.spark.sql.sources.Filter])
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    /** Batch scans read columnar (ColumnarBatch per parse chunk, Spark
+      * inserts codegen'd ColumnarToRow — the same shape as the built-in
+      * vectorized parquet reader); the streaming face keeps the row path. */
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[XlsxInputPartition]
     new XlsxPartitionReader(p.path, p.sheet, fullSchema, required, opts, conf,
       filters, p.threads)
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[XlsxInputPartition]
+    new XlsxColumnarPartitionReader(p.path, p.sheet, fullSchema, required, opts,
+      conf, filters, p.threads)
   }
 }
 
@@ -416,8 +428,17 @@ final class XlsxPartitionReader(
     * it toward skipRows and ragged-row checks. */
   private def convertToUnsafe(cells: Array[XCell]): AnyRef = {
     if (evaluable.nonEmpty) {
-      val values = convertCells(cells)
-      val get: String => Any = name => values(requiredIdx(name))
+      // convert ONLY the filter-referenced columns for the eval — a full
+      // convertCells pass here would box every column a second time and
+      // forfeit most of the unsafe-path gain on filtered scans
+      val get: String => Any = name => {
+        val i = requiredIdx(name)
+        val c = colIdx(i)
+        if (c < 0) sheetNameValue
+        else XlsxPartitionReader.convert(
+          if (c < cells.length) cells(c) else XCell.XNone,
+          colTypes(i), opts.coerceToString)
+      }
       if (!evaluable.forall(XlsxFilterEval.eval(_, get))) return null
     }
     val w = localWriter.get()
@@ -460,12 +481,8 @@ final class XlsxPartitionReader(
   }
   private var current: InternalRow = _
 
-  // Ragged-wide row is an error (reference: sheetreader_extension.cpp:417-422)
   private def raggedCheck(rowIdx: Long, width: Int): Unit =
-    if (width > resolved.baseWidth)
-      throw new IllegalStateException(
-        s"Row ${rowIdx + 1} has more columns than the first row. " +
-          s"Has: $width Expected: ${resolved.baseWidth}")
+    XlsxPartitionReader.raggedCheck(rowIdx, width, resolved.baseWidth)
 
   private def accept(values: Array[Any]): Boolean = {
     // pushed-filter early skip: drop non-matching rows before Spark sees them
@@ -595,6 +612,225 @@ object XlsxPartitionReader {
     }
     case TNull => w.setNullAt(i)
   }
+
+  /** Columnar twin of [[writeCell]]: same value/NULL semantics, writing the
+    * cell into a WritableColumnVector slot instead of an UnsafeRow field.
+    * Every (code, cell) pair MUST mirror `convert` — the xlsx oracle suite
+    * rides this path end-to-end for every batch scan. */
+  def writeVector(
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      i: Int, cell: XCell, code: Int, coerce: Boolean): Unit = (code: @annotation.switch) match {
+    case TDouble => cell match {
+      case XCell.XNumber(d) => v.putDouble(i, d)
+      case _ => v.putNull(i)
+    }
+    case TString => cell match {
+      case XCell.XString(s) =>
+        v.putByteArray(i, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case XCell.XNumber(d) if coerce =>
+        v.putByteArray(i, String.format(java.util.Locale.ROOT, "%f", Double.box(d))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case XCell.XBool(b) if coerce =>
+        v.putByteArray(i, (if (b) "TRUE" else "FALSE")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case XCell.XDate(serial) if coerce =>
+        v.putByteArray(i, java.time.LocalDate.ofEpochDay(
+          XCell.serialToEpochDay(serial).toLong).toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case _ => v.putNull(i)
+    }
+    case TBool => cell match {
+      case XCell.XBool(b) => v.putBoolean(i, b)
+      case _ => v.putNull(i)
+    }
+    case TDate => cell match {
+      case XCell.XDate(serial) => v.putInt(i, XCell.serialToEpochDay(serial))
+      case _ => v.putNull(i)
+    }
+    case TLong => cell match {
+      case XCell.XNumber(d) => v.putLong(i, d.toLong)
+      case _ => v.putNull(i)
+    }
+    case TInt => cell match {
+      case XCell.XNumber(d) => v.putInt(i, d.toInt)
+      case _ => v.putNull(i)
+    }
+    case TFloat => cell match {
+      case XCell.XNumber(d) => v.putFloat(i, d.toFloat)
+      case _ => v.putNull(i)
+    }
+    case TNull => v.putNull(i)
+  }
+
+  /** Ragged-wide row is an error (reference: sheetreader_extension.cpp:417-422). */
+  def raggedCheck(rowIdx: Long, width: Int, baseWidth: Int): Unit =
+    if (width > baseWidth)
+      throw new IllegalStateException(
+        s"Row ${rowIdx + 1} has more columns than the first row. " +
+          s"Has: $width Expected: $baseWidth")
+}
+
+/** Columnar batch scan over one file's target sheet — the default batch-read
+  * path. With `threads >= 2` the parse workers build one ColumnarBatch per
+  * producer chunk ([[ParallelSheetScanner]]'s chunk face), so the consumer
+  * thread's per-row work drops to a metadata walk (row-index stitching +
+  * ragged checks) and Spark reads the batch through codegen'd ColumnarToRow —
+  * the vectorized-parquet shape, with no per-row InternalRow materialization
+  * anywhere on the sequential stages. Sequential scans (threads = 1, or the
+  * StAX/missing-entry fallback) batch consumer-side into reused vectors.
+  */
+final class XlsxColumnarPartitionReader(
+    path: String,
+    sheet: Option[SheetRef],
+    fullSchema: StructType,
+    required: StructType,
+    opts: XlsxOptions,
+    conf: XlsxDataSource.ConfProps,
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    threads: Int)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val wb = XlsxDataSource.workbook(path, conf.toConf,
+    opts.maxSharedStringsBytes)
+  private val resolved = XlsxSchema.resolve(wb, opts, sheet.map(_.target))
+  private val sheetTarget = sheet.map(_.target).getOrElse(
+    wb.sheetPath(opts.sheetName, opts.effectiveSheetIndex))
+  private val sheetNameBytes: Array[Byte] = sheet.map(_.name).getOrElse("")
+    .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val dataFieldNames: Array[String] =
+    if (opts.allSheets)
+      fullSchema.fieldNames.filterNot(_ == XlsxDataSource.SheetNameCol)
+    else fullSchema.fieldNames
+  private val colIdx: Array[Int] = required.fieldNames.map { n =>
+    if (opts.allSheets && n == XlsxDataSource.SheetNameCol) -1
+    else dataFieldNames.indexOf(n)
+  }
+  private val colTypes: Array[DataType] = required.fields.map(_.dataType)
+  private val typeCodes: Array[Int] = colTypes.map(XlsxPartitionReader.typeCode)
+  private val requiredIdx: Map[String, Int] =
+    required.fieldNames.zipWithIndex.toMap
+  private val evaluable = filters.filter(_.references.forall(requiredIdx.contains))
+
+  /** Pushed-filter early skip on only the filter-referenced columns. */
+  private def passes(cells: Array[XCell]): Boolean =
+    evaluable.isEmpty || {
+      val get: String => Any = name => {
+        val i = requiredIdx(name)
+        val c = colIdx(i)
+        if (c < 0) UTF8String.fromBytes(sheetNameBytes)
+        else XlsxPartitionReader.convert(
+          if (c < cells.length) cells(c) else XCell.XNone,
+          colTypes(i), opts.coerceToString)
+      }
+      evaluable.forall(XlsxFilterEval.eval(_, get))
+    }
+
+  private def writeRow(vectors: Array[OnHeapColumnVector], out: Int,
+      cells: Array[XCell]): Unit = {
+    var j = 0
+    while (j < colIdx.length) {
+      val c = colIdx(j)
+      if (c < 0) vectors(j).putByteArray(out, sheetNameBytes)
+      else XlsxPartitionReader.writeVector(vectors(j), out,
+        if (c < cells.length) cells(c) else XCell.XNone,
+        typeCodes(j), opts.coerceToString)
+      j += 1
+    }
+  }
+
+  /** Worker-side chunk transform: parsed rows → one ColumnarBatch, excluding
+    * the producer-assigned leading-drop prefix and filter-rejected rows.
+    * Thread-safe: allocates fresh vectors per chunk, touches no reader state
+    * beyond immutable arrays. */
+  private def buildBatch(rows: Array[Array[XCell]], dropFirst: Int): AnyRef = {
+    val n = rows.length
+    val vectors = colTypes.map(dt =>
+      new OnHeapColumnVector(math.max(1, n - dropFirst), dt))
+    var out = 0
+    var i = dropFirst
+    while (i < n) {
+      val cells = rows(i)
+      if (passes(cells)) { writeRow(vectors, out, cells); out += 1 }
+      i += 1
+    }
+    new ColumnarBatch(vectors.toArray[ColumnVector], out)
+  }
+
+  private val iterE: Either[CellRowIterator, ParallelSheetScanner] =
+    if (threads >= 2)
+      wb.chunkingRowIterator(sheetTarget, threads, buildBatch,
+        resolved.dropRows.toLong)
+    else Left(wb.rowIterator(sheetTarget))
+  private val seqIter: CellRowIterator = iterE.left.toOption.orNull
+  private val parIter: ParallelSheetScanner = iterE.toOption.orNull
+
+  private var dropped = 0
+  if (seqIter != null) {
+    while (dropped < resolved.dropRows && seqIter.hasNext) {
+      seqIter.next(); dropped += 1
+    }
+  }
+
+  /** Reused across sequential batches (reset per fill), like the vectorized
+    * parquet reader; worker-built batches are fresh per chunk instead. */
+  private var seqVectors: Array[OnHeapColumnVector] = _
+  private var current: ColumnarBatch = _
+  private var lastIdx = -1L
+
+  override def next(): Boolean = {
+    if (parIter != null) {
+      while (parIter.advanceChunk()) {
+        // metadata walk: stitch implicit row indices across chunks and
+        // ragged-check every non-dropped row (dropped header/skip rows are
+        // exempt, same as the sequential path)
+        val idx = parIter.chunkIdx
+        val expl = parIter.chunkExplicitR
+        val widths = parIter.chunkWidths
+        val exempt = parIter.chunkDropped
+        var i = 0
+        while (i < idx.length) {
+          val abs = if (expl(i)) idx(i) else lastIdx + 1
+          lastIdx = abs
+          if (i >= exempt)
+            XlsxPartitionReader.raggedCheck(abs, widths(i), resolved.baseWidth)
+          i += 1
+        }
+        val b = parIter.chunkBatch.asInstanceOf[ColumnarBatch]
+        if (b.numRows > 0) { current = b; return true }
+        b.close() // zero-row producer tail: skip and keep pulling
+      }
+      false
+    } else {
+      if (seqVectors == null)
+        seqVectors = colTypes.map(dt =>
+          new OnHeapColumnVector(XlsxColumnarPartitionReader.SeqBatchRows, dt))
+      else seqVectors.foreach(_.reset())
+      var out = 0
+      while (out < XlsxColumnarPartitionReader.SeqBatchRows && seqIter.hasNext) {
+        val (rowIdx, cells) = seqIter.next()
+        XlsxPartitionReader.raggedCheck(rowIdx, cells.length, resolved.baseWidth)
+        if (passes(cells)) { writeRow(seqVectors, out, cells); out += 1 }
+      }
+      if (out == 0) false
+      else {
+        current = new ColumnarBatch(seqVectors.toArray[ColumnVector], out)
+        true
+      }
+    }
+  }
+
+  override def get(): ColumnarBatch = current
+  override def close(): Unit =
+    if (parIter != null) parIter.close() else seqIter.close()
+}
+
+object XlsxColumnarPartitionReader {
+  /** Consumer-side batch size for sequential scans: big enough to amortize
+    * the per-batch handoff, small enough that 32 concurrent single-threaded
+    * file tasks × a few live batches stay well inside executor memory. */
+  val SeqBatchRows: Int = 4096
 }
 
 // ---------------------------------------------------------------------------

@@ -49,12 +49,19 @@ final class ParallelSheetScanner(
       * global index (workers see chunk-local parses). */
     convert: Array[XCell] => AnyRef = null,
     /** Optional per-CHUNK transform: called IN THE WORKER with all of a
-      * chunk's parsed rows at once — `(rows, count) => batch` — so a
+      * chunk's parsed rows at once — `(rows, dropFirst) => batch` — so a
       * columnar reader can build one ColumnarBatch per chunk off the
-      * consumer thread. Mutually exclusive with `convert`; drive the
-      * iterator with [[advanceChunk]] + the `chunk*` fields. Must be
-      * thread-safe and row-order-preserving. */
-    chunkConvert: (Array[Array[XCell]], Int) => AnyRef = null)
+      * consumer thread. `dropFirst` is how many leading rows of THIS chunk
+      * fall inside the file-level `dropFirstRows` prefix (header/skipRows):
+      * the producer derives it EXACTLY from its boundary counts, so the
+      * transform must exclude those rows from the batch (they still appear
+      * in the chunk metadata arrays for row-index stitching). Mutually
+      * exclusive with `convert`; drive the iterator with [[advanceChunk]] +
+      * the `chunk*` fields. Must be thread-safe and row-order-preserving. */
+    chunkConvert: (Array[Array[XCell]], Int) => AnyRef = null,
+    /** File-level leading-row drop (header + skipRows) dealt out to chunk
+      * workers via `chunkConvert`'s dropFirst argument. Chunk-face only. */
+    dropFirstRows: Long = 0L)
     extends CellRowIterator {
   require(convert == null || chunkConvert == null,
     "convert and chunkConvert are mutually exclusive")
@@ -96,13 +103,20 @@ final class ParallelSheetScanner(
       var buf = new Array[Byte](chunkBytes + (chunkBytes >> 2))
       var filled = 0
       var lastBoundary = -1 // offset just past the last row end seen in buf
+      // rows already handed to workers — every boundary the tracker has
+      // seen at cut time is inside the cut (the cut IS the last boundary),
+      // so cumulative boundary counts deal the file-level dropFirstRows
+      // prefix out to chunks EXACTLY, even when the prefix spans chunks
+      var rowsBefore = 0L
+      def dropFor(): Int =
+        math.min(math.max(0L, dropFirstRows - rowsBefore), Int.MaxValue.toLong).toInt
       var done = false
       while (!done && !stopped) {
         var t0 = if (debug) System.nanoTime() else 0L
         val n = prefetch.read(buf, filled, buf.length - filled)
         if (debug) tRead += System.nanoTime() - t0
         if (n < 0) {
-          if (filled > 0) submit(buf, filled)
+          if (filled > 0) submit(buf, filled, dropFor())
           done = true
         } else if (n > 0) {
           val from = filled
@@ -118,7 +132,8 @@ final class ParallelSheetScanner(
             val tail = filled - lastBoundary
             val nbuf = new Array[Byte](math.max(buf.length, chunkBytes + (chunkBytes >> 2)))
             System.arraycopy(buf, lastBoundary, nbuf, 0, tail)
-            submit(buf, lastBoundary)
+            submit(buf, lastBoundary, dropFor())
+            rowsBefore = tracker.boundaries
             buf = nbuf
             if (debug) tSubmit += System.nanoTime() - t0
             filled = tail
@@ -148,12 +163,12 @@ final class ParallelSheetScanner(
       ok = queue.offer(x, 50, TimeUnit.MILLISECONDS)
   }
 
-  private def submit(chunk: Array[Byte], len: Int): Unit =
+  private def submit(chunk: Array[Byte], len: Int, dropFirst: Int): Unit =
     putQuietly(pool.submit(new Callable[ParsedChunk] {
-      override def call(): ParsedChunk = parseChunk(chunk, len)
+      override def call(): ParsedChunk = parseChunk(chunk, len, dropFirst)
     }))
 
-  private def parseChunk(chunk: Array[Byte], len: Int): ParsedChunk = {
+  private def parseChunk(chunk: Array[Byte], len: Int, dropFirst: Int): ParsedChunk = {
     val sc = new SheetScanner(
       new ByteArrayInputStream(chunk, 0, len), strings, dates, () => ())
     val idx = new ArrayBuffer[Long]()
@@ -171,8 +186,9 @@ final class ParallelSheetScanner(
     }
     if (chunkConvert != null) {
       val rowArr = rows.toArray
+      val dropped = math.min(dropFirst, rowArr.length)
       ParsedChunk(idx.toArray, explicitR.toArray, null, null, widths.toArray,
-        chunkConvert(rowArr, rowArr.length))
+        chunkConvert(rowArr, dropped), dropped)
     } else
       ParsedChunk(idx.toArray, explicitR.toArray,
         if (rows == null) null else rows.toArray,
@@ -274,7 +290,10 @@ final class ParallelSheetScanner(
   /** Whole-chunk face: pull the next parsed chunk (worker-built batch plus
     * the per-row index/width metadata the consumer needs for row-number
     * stitching, skipRows and ragged checks). Returns false at stream end.
-    * Do not interleave with the row faces. */
+    * A chunk may carry ZERO rows (a producer tail holding only trailing
+    * markup) — its batch is whatever chunkConvert returned for an empty
+    * row set; callers skip it and keep pulling. Do not interleave with the
+    * row faces. */
   def advanceChunk(): Boolean = {
     require(chunkConvert != null, "advanceChunk() needs a chunkConvert fn")
     if (ended) return false
@@ -304,6 +323,10 @@ final class ParallelSheetScanner(
   def chunkIdx: Array[Long] = chunkCur.idx
   def chunkExplicitR: Array[Boolean] = chunkCur.explicitR
   def chunkWidths: Array[Int] = chunkCur.widths
+  /** Leading rows of this chunk excluded from the batch (file-level
+    * header/skipRows prefix): present in the metadata arrays, exempt from
+    * ragged checks — the sequential reader never width-checks dropped rows. */
+  def chunkDropped: Int = chunkCur.dropped
 
   override def close(): Unit = if (!stopped) {
     stopped = true
@@ -397,7 +420,8 @@ object ParallelSheetScanner {
   private case object End
   private final case class ParsedChunk(
       idx: Array[Long], explicitR: Array[Boolean], rows: Array[Array[XCell]],
-      conv: Array[AnyRef], widths: Array[Int], batch: AnyRef = null)
+      conv: Array[AnyRef], widths: Array[Int], batch: AnyRef = null,
+      dropped: Int = 0)
 }
 
 /** Incremental locator of row boundaries in a SpreadsheetML byte stream.
@@ -434,6 +458,13 @@ final class RowBoundaryTracker {
   private var entN = 0 // entity-name bytes consumed
   private var look1, look2 = 0 // lookbehind for -->, ]]>, ?>
   private var hdrLeft = 0 // remaining "CDATA[" header bytes
+  private var bcount = 0L // row boundaries seen since construction
+
+  /** Cumulative count of row boundaries seen across all scan() calls — the
+    * chunk producer samples this at cut time to deal the file-level
+    * leading-row drop out to chunk workers exactly (boundaries ≡ rows the
+    * chunk's parser will emit, because cuts land ON boundaries). */
+  def boundaries: Long = bcount
 
   /** Feed buf[from, to); returns offset just past the last row end, or -1. */
   def scan(buf: Array[Byte], from: Int, to: Int): Int = {
@@ -444,6 +475,7 @@ final class RowBoundaryTracker {
     var word = nameWord; var wlen = nameLen; var k = kind
     var q0 = quote; var en = entN
     var l1 = look1; var l2 = look2; var hdr = hdrLeft
+    var bc = bcount
 
     var last = -1
     var p = from
@@ -454,27 +486,204 @@ final class RowBoundaryTracker {
     while (p < to) {
       (st: @annotation.switch) match {
         case Text =>
-          // bulk path: skip to the next interesting byte
-          var q = p
-          if (iv || it) while (q < to && buf(q) != '<' && buf(q) != '&') q += 1
-          else while (q < to && buf(q) != '<') q += 1
-          if (q >= to) p = q
-          else if (buf(q) == '&') { st = Entity; en = 0; p = q + 1 }
-          else {
-            ltText = iv || it
-            p = q + 1
-            if (p >= to) st = Lt
+          // Fused fast path: text run + ENTIRE tag (name, attribute region,
+          // self-close, close semantics) per inner-loop pass, staying inside
+          // this case across whole row/cell structures. The per-byte states
+          // below survive purely as buffer-edge resume points and for the
+          // rare constructs (comments, CDATA, PIs, entities) — each spill
+          // sets the exact state the unfused machine would be in, so a cut
+          // mid-anything resumes byte-identically (differential-fuzzed with
+          // 48-byte chunk targets). Fusing matters because SpreadsheetML is
+          // markup-dense: a ~40-byte cell tag otherwise costs ~12 dispatches
+          // through the outer switch, which measured ~460 MB/s — the
+          // sequential floor of the whole parallel-parse pipeline.
+          var fast = true
+          while (fast) {
+            // ---- text run ----
+            var q = p
+            if (iv || it) while (q < to && buf(q) != '<' && buf(q) != '&') q += 1
+            else while (q < to && buf(q) != '<') q += 1
+            if (q >= to) { p = q; fast = false }
+            else if (buf(q) == '&') { st = Entity; en = 0; p = q + 1; fast = false }
+            else if (LittleEndian && q + 8 <= to && {
+              // Literal-tag probe: ONE unaligned 8-byte load covers the
+              // fixed no-attribute tags that dominate SpreadsheetML
+              // (</c>, <v>, </v>, <is>, </is>, <t>, </t>, </row> — ~20 of
+              // the ~26 tags in a typical row). Each branch applies EXACTLY
+              // the semantics the generic path would conclude for that tag
+              // in the current containment context, so this is a pure
+              // short-circuit — tags with attributes and every rare
+              // construct fall through to the machinery below.
+              val w8 = org.apache.spark.unsafe.Platform.getLong(buf,
+                org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + q)
+              ltText = iv || it
+              if ((w8 & 0xFFFFFFFFL) == LitCloseC) { p = q + 4; true }
+              else if ((w8 & 0xFFFFFFL) == LitOpenV) {
+                p = q + 3; if (!ltText) iv = true; true
+              } else if ((w8 & 0xFFFFFFFFL) == LitCloseV) {
+                // ltText close dispatch and main close dispatch agree: v → iv off
+                p = q + 4; iv = false; true
+              } else if ((w8 & 0xFFFFFFFFFFFFL) == LitCloseRow) {
+                p = q + 6
+                if (!ltText) { last = p; bc += 1 } // in-text </row> is content
+                true
+              } else if ((w8 & 0xFFFFFFFFL) == LitOpenIs) {
+                p = q + 4; if (!ltText) iis = true; true
+              } else if ((w8 & 0xFFFFFFFFFFL) == LitCloseIs) {
+                p = q + 5; iis = false; it = false; true
+              } else if ((w8 & 0xFFFFFFL) == LitOpenT) {
+                p = q + 3; if (!ltText && iis) it = true; true
+              } else if ((w8 & 0xFFFFFFFFL) == LitCloseT) {
+                // main-loop close dispatch ignores t; only in-text t closes
+                p = q + 4; if (ltText && it) it = false; true
+              } else false
+            }) ()
             else {
-              // fused Lt dispatch (saves one state hop per tag)
-              val b = buf(p) & 0xff
-              p += 1
-              if (b == '/') { st = CloseName; word = 0L; wlen = 0 }
-              else if (b == '!') st = Bang0
-              else if (b == '?' && !ltText) { st = Pi; l1 = 0 }
+              ltText = iv || it
+              p = q + 1
+              if (p >= to) { st = Lt; fast = false }
               else {
-                st = OpenName
-                if (b == ':') { word = 0L; wlen = 0 }
-                else { word = b.toLong; wlen = 1 }
+                val b = buf(p) & 0xff
+                p += 1
+                if (b == '!') { st = Bang0; fast = false }
+                else if (b == '?' && !ltText) { st = Pi; l1 = 0; fast = false }
+                else if (b == '/') {
+                  // ---- close tag: name, then blind skip to '>' ----
+                  var w = 0L; var n = 0
+                  var r = p
+                  var stop = false
+                  while (r < to && !stop) {
+                    val c = buf(r) & 0xff
+                    if (NameStop(c)) stop = true
+                    else {
+                      if (c == ':') { w = 0L; n = 0 }
+                      else if (n < 8) { w |= c.toLong << (n * 8); n += 1 }
+                      else n = 9
+                      r += 1
+                    }
+                  }
+                  if (!stop) { word = w; wlen = n; p = r; st = CloseName; fast = false }
+                  else {
+                    k = RowBoundaryTracker.classify(w, n)
+                    while (r < to && buf(r) != '>') r += 1
+                    if (r >= to) { p = r; st = CloseRest; fast = false }
+                    else {
+                      p = r + 1
+                      if (ltText) {
+                        // handleTextMarkup's close dispatch: v / t / is only
+                        if (k == KV) iv = false
+                        else if (k == KT && it) it = false
+                        else if (k == KIs) { iis = false; it = false }
+                      } else {
+                        // main-loop close dispatch: v / is / row
+                        if (k == KV) iv = false
+                        else if (k == KIs) { iis = false; it = false }
+                        else if (k == KRow) { last = p; bc += 1 }
+                      }
+                    }
+                  }
+                } else {
+                  // ---- open tag: name ----
+                  var w = 0L; var n = 0
+                  if (b != ':') { w = b.toLong; n = 1 }
+                  var r = p
+                  var stop = false
+                  while (r < to && !stop) {
+                    val c = buf(r) & 0xff
+                    if (NameStop(c)) stop = true
+                    else {
+                      if (c == ':') { w = 0L; n = 0 }
+                      else if (n < 8) { w |= c.toLong << (n * 8); n += 1 }
+                      else n = 9
+                      r += 1
+                    }
+                  }
+                  if (!stop) { word = w; wlen = n; p = r; st = OpenName; fast = false }
+                  else {
+                    k = RowBoundaryTracker.classify(w, n)
+                    if (buf(r) == '>') {
+                      p = r + 1
+                      if (!ltText) {
+                        if (k == KV) iv = true
+                        else if (k == KIs) iis = true
+                        else if (k == KT && iis) it = true
+                      }
+                    } else {
+                      // ---- attribute region (AttrScan semantics, fused) ----
+                      var done = false
+                      while (!done) {
+                        if (r >= to) { p = r; st = AttrScan; fast = false; done = true }
+                        else {
+                          val c = buf(r) & 0xff
+                          if (c == ' ' || c == '\t' || c == '\n' || c == '\r') r += 1
+                          else if (c == '>') {
+                            p = r + 1
+                            if (!ltText) {
+                              if (k == KV) iv = true
+                              else if (k == KIs) iis = true
+                              else if (k == KT && iis) it = true
+                            }
+                            done = true
+                          } else if (c == '/') {
+                            if (r + 1 >= to) { p = r + 1; st = AttrSlash; fast = false; done = true }
+                            else if (buf(r + 1) == '>') {
+                              p = r + 2
+                              // self-closing tag: no containment; a row IS a boundary
+                              if (!ltText && k == KRow) { last = p; bc += 1 }
+                              done = true
+                            } else r += 1 // AttrSlash reprocesses the byte in AttrScan
+                          } else if (c == '=') {
+                            // stray '=': empty attr name — straight to value
+                            r += 1
+                            while (r < to && {
+                              val x = buf(r) & 0xff
+                              x == ' ' || x == '\t' || x == '\n' || x == '\r'
+                            }) r += 1
+                            if (r >= to) { p = r; st = AttrEq; fast = false; done = true }
+                            else {
+                              val qc = buf(r) & 0xff
+                              r += 1
+                              if (qc == '"' || qc == '\'') {
+                                while (r < to && (buf(r) & 0xff) != qc) r += 1
+                                if (r >= to) { p = r; q0 = qc; st = AttrValue; fast = false; done = true }
+                                else r += 1
+                              } // else: unquoted byte consumed and dropped
+                            }
+                          } else {
+                            // attribute name — ws — '=' — ws — quoted value
+                            while (r < to && !NameStop(buf(r) & 0xff)) r += 1
+                            if (r >= to) { p = r; st = AttrName; fast = false; done = true }
+                            else {
+                              while (r < to && {
+                                val x = buf(r) & 0xff
+                                x == ' ' || x == '\t' || x == '\n' || x == '\r'
+                              }) r += 1
+                              if (r >= to) { p = r; st = AttrAfterName; fast = false; done = true }
+                              else if ((buf(r) & 0xff) != '=') () // reprocess in attr loop
+                              else {
+                                r += 1
+                                while (r < to && {
+                                  val x = buf(r) & 0xff
+                                  x == ' ' || x == '\t' || x == '\n' || x == '\r'
+                                }) r += 1
+                                if (r >= to) { p = r; st = AttrEq; fast = false; done = true }
+                                else {
+                                  val qc = buf(r) & 0xff
+                                  r += 1
+                                  if (qc == '"' || qc == '\'') {
+                                    while (r < to && (buf(r) & 0xff) != qc) r += 1
+                                    if (r >= to) { p = r; q0 = qc; st = AttrValue; fast = false; done = true }
+                                    else r += 1
+                                  } // else: unquoted byte consumed and dropped
+                                }
+                              }
+                            }
+                          }
+                        }
+                      }
+                    }
+                  }
+                }
               }
             }
           }
@@ -552,7 +761,7 @@ final class RowBoundaryTracker {
                 // main-loop close dispatch: v / is / row
                 if (k == KV) iv = false
                 else if (k == KIs) { iis = false; it = false }
-                else if (k == KRow) last = p
+                else if (k == KRow) { last = p; bc += 1 }
               }
             }
           }
@@ -572,7 +781,7 @@ final class RowBoundaryTracker {
               // main-loop close dispatch: v / is / row
               if (k == KV) iv = false
               else if (k == KIs) { iis = false; it = false }
-              else if (k == KRow) last = p
+              else if (k == KRow) { last = p; bc += 1 }
             }
           }
         case AttrScan =>
@@ -598,7 +807,7 @@ final class RowBoundaryTracker {
             p += 1
             st = Text
             // self-closing tag: no containment flags; a row IS a boundary
-            if (!ltText && k == KRow) last = p
+            if (!ltText && k == KRow) { last = p; bc += 1 }
           } else st = AttrScan // scanner reprocesses this byte
         case AttrName =>
           // fused happy path for one whole attribute — name* ws* '=' ws*
@@ -718,6 +927,7 @@ final class RowBoundaryTracker {
     nameWord = word; nameLen = wlen; kind = k
     quote = q0; entN = en
     look1 = l1; look2 = l2; hdrLeft = hdr
+    bcount = bc
     last
   }
 }
@@ -729,6 +939,25 @@ object RowBoundaryTracker {
     Seq(' ', '\t', '\n', '\r', '>', '/', '=').foreach(c => a(c) = true)
     a
   }
+
+  /** Platform.getLong reads NATIVE order; the literal constants below are
+    * little-endian, so the probe only runs on LE hardware (x86/aarch64 —
+    * everything Spark ships on). On a BE JVM the masked compares would test
+    * the wrong byte positions, so the probe is compiled out entirely and
+    * every tag takes the generic (still exact) machinery. */
+  final val LittleEndian: Boolean =
+    java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.LITTLE_ENDIAN
+
+  // whole-tag literals, little-endian byte order as Platform.getLong reads
+  // them on x86/aarch64; masked to the literal's length
+  final val LitCloseC: Long = 0x3E632F3CL // "</c>"
+  final val LitOpenV: Long = 0x3E763CL // "<v>"
+  final val LitCloseV: Long = 0x3E762F3CL // "</v>"
+  final val LitCloseRow: Long = 0x3E776F722F3CL // "</row>"
+  final val LitOpenIs: Long = 0x3E73693CL // "<is>"
+  final val LitCloseIs: Long = 0x3E73692F3CL // "</is>"
+  final val LitOpenT: Long = 0x3E743CL // "<t>"
+  final val LitCloseT: Long = 0x3E742F3CL // "</t>"
 
   // element names packed little-endian byte-per-char, as scan() builds them
   final val WordRow: Long = 'r' | ('o'.toLong << 8) | ('w'.toLong << 16)

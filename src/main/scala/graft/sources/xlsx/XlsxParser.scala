@@ -274,12 +274,13 @@ object XlsxParser {
       * scanner, drive with advanceChunk); Left(plain iterator) when the
       * entry is missing or UTF-16 (the caller batches on its own thread). */
     private[xlsx] def chunkingRowIterator(path: String, threads: Int,
-        chunkConvert: (Array[Array[XCell]], Int) => AnyRef): Either[CellRowIterator, ParallelSheetScanner] =
+        chunkConvert: (Array[Array[XCell]], Int) => AnyRef,
+        dropFirstRows: Long = 0L): Either[CellRowIterator, ParallelSheetScanner] =
       openSniffed(path) match {
         case Left(it) => Left(it)
         case Right((in, closeAll)) =>
           Right(new ParallelSheetScanner(in, sharedStrings, dateStyles, threads,
-            closeAll, chunkConvert = chunkConvert))
+            closeAll, chunkConvert = chunkConvert, dropFirstRows = dropFirstRows))
       }
 
     /** StAX-backed row iterator regardless of encoding — the differential

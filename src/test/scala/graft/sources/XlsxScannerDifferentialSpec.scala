@@ -183,6 +183,39 @@ class XlsxScannerDifferentialSpec extends AnyFunSuite {
           s"trial $trial chunked(chunkBytes=$cb) diverged\nsheet:\n$sheet\n" +
             s"chunked: $chunked\nstax: $stax")
       }
+
+      // tracker slice invariance: feeding the SAME bytes in random tiny
+      // slices must yield the same boundary sequence as one whole-buffer
+      // scan — this pins the fused fast path to its buffer-edge spill
+      // states (every spill state gets hit when slices are 1-17 bytes)
+      locally {
+        val sheetBytes = sheet.getBytes(StandardCharsets.UTF_8)
+        def boundaries(sliceAt: () => Int): Seq[Int] = {
+          val t = new RowBoundaryTracker
+          val found = Seq.newBuilder[Int]
+          var off = 0
+          while (off < sheetBytes.length) {
+            val end = math.min(sheetBytes.length, off + sliceAt())
+            val b = t.scan(sheetBytes, off, end)
+            if (b >= 0) found += b
+            off = end
+          }
+          found.result()
+        }
+        val whole = boundaries(() => sheetBytes.length)
+        // 1-byte slices report EVERY boundary exactly where it occurs and
+        // route every transition through the spill states; wider random
+        // slices mix fast path and spills. Each scan call reports only the
+        // LAST boundary in its range, so coarser slicings are subsets of
+        // the 1-byte set — and all slicings must agree on the final one.
+        val byByte = boundaries(() => 1)
+        val sliced = boundaries(() => 1 + rnd.nextInt(17))
+        assert(sliced.toSet.subsetOf(byByte.toSet) &&
+            sliced.lastOption == byByte.lastOption &&
+            whole.lastOption == byByte.lastOption,
+          s"trial $trial tracker slice divergence\nsheet:\n$sheet\n" +
+            s"whole: $whole\nsliced: $sliced\nbyByte: $byByte")
+      }
     }
   }
 }
