@@ -52,10 +52,17 @@ object PipelineQueries {
     "dd_embed_neardup" -> ((s, dir) =>
       Dedup.embedNearDup(emb(s, dir), threshold = 0.4, n = embCount(s, dir))),
 
-    // §2.3 #41 brute-force cosine top-k (rows-only + spec)
+    // §2.3 #41 brute-force cosine top-k. Oracle-checked on the RANKING
+    // (query_id, vec_id, rank): both engines fold the dot/norms in double
+    // sequentially and tie-break by vec_id, and the cos values themselves
+    // stay out of the output because the final dot/(√na·√nb) arithmetic is
+    // not guaranteed ulp-identical across engines — ranks are stable (top-k
+    // gaps are ~1e-2, ties are exact duplicates broken by id on both
+    // sides). The exact-equality spec still pins the cos values.
     "sim_topk_bruteforce" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.topKBruteForce(e, e.filter(col("vec_id") < 8), k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank"))
     }),
 
     // §2.3 #42 LSH-bucketed ANN (rows-only + recall spec)
@@ -293,6 +300,20 @@ object PipelineQueries {
     "dd_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",
+    "sim_topk_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 8),
+              c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              scored AS (
+                SELECT q.query_id, c.vec_id,
+                       list_cosine_similarity(c.v, q.qv) AS cos
+                FROM c, q WHERE c.vec_id <> q.query_id),
+              ranked AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id) AS rank
+                FROM scored)
+         SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5""",
     "st_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS doc_id
          FROM documents GROUP BY 1""",

@@ -70,6 +70,10 @@ final class ParallelSheetScanner(
 
   // futures in submission order; capacity bounds in-flight chunks
   private val queue = new ArrayBlockingQueue[AnyRef](threads * 2)
+  // chunk buffers recycled worker→producer: a big sheet otherwise allocates
+  // (and the JVM zeroes) sheetBytes worth of fresh arrays — measurable on
+  // the producer thread, which is the pipeline's sequential stage
+  private val bufPool = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
   @volatile private var producerError: Throwable = _
   @volatile private var stopped = false
 
@@ -85,8 +89,10 @@ final class ParallelSheetScanner(
 
   // Inflate on its own thread: deflate yields ~4 KiB per read and costs a
   // core of its own; decoupling it from boundary tracking makes the
-  // pipeline's sequential stage max(inflate, track), not their sum.
-  private val prefetch = new PrefetchStream(in, 1 << 20, 4, () => stopped)
+  // pipeline's sequential stage max(inflate, track), not their sum. Depth
+  // 8 × 1 MiB absorbs inflate burstiness (zlib throughput varies with
+  // block content) so the tracker — the slower stage — never starves.
+  private val prefetch = new PrefetchStream(in, 1 << 20, 8, () => stopped)
 
   private val producer = new Thread(() => produce(), "xlsx-chunk-producer")
   producer.setDaemon(true)
@@ -128,9 +134,14 @@ final class ParallelSheetScanner(
           if (filled >= chunkBytes && lastBoundary > 0) {
             if (debug) t0 = System.nanoTime()
             // zero-copy handoff: the worker parses [0, lastBoundary) of THIS
-            // buffer; only the tail carries over into a fresh one
+            // buffer; only the tail carries over into a fresh (or recycled)
+            // one
             val tail = filled - lastBoundary
-            val nbuf = new Array[Byte](math.max(buf.length, chunkBytes + (chunkBytes >> 2)))
+            val minLen = math.max(buf.length, chunkBytes + (chunkBytes >> 2))
+            val recycled = bufPool.poll()
+            val nbuf =
+              if (recycled != null && recycled.length >= minLen) recycled
+              else new Array[Byte](minLen)
             System.arraycopy(buf, lastBoundary, nbuf, 0, tail)
             submit(buf, lastBoundary, dropFor())
             rowsBefore = tracker.boundaries
@@ -184,7 +195,7 @@ final class ParallelSheetScanner(
       else { conv += convert(cells); widths += cells.length }
       if (chunkConvert != null) widths += cells.length
     }
-    if (chunkConvert != null) {
+    val out = if (chunkConvert != null) {
       val rowArr = rows.toArray
       val dropped = math.min(dropFirst, rowArr.length)
       ParsedChunk(idx.toArray, explicitR.toArray, null, null, widths.toArray,
@@ -194,6 +205,10 @@ final class ParallelSheetScanner(
         if (rows == null) null else rows.toArray,
         if (conv == null) null else conv.toArray,
         if (widths == null) null else widths.toArray)
+    // the chunk's bytes are fully consumed — recycle the buffer (bounded:
+    // at most the in-flight chunk count ever accumulates)
+    if (bufPool.size < threads * 2) bufPool.offer(chunk)
+    out
   }
 
   // ---- consumer (the iterator face) ---------------------------------------
@@ -415,7 +430,10 @@ private final class PrefetchStream(in: java.io.InputStream, bufSize: Int,
 }
 
 object ParallelSheetScanner {
-  val DefaultChunkBytes: Int = 4 << 20 // 4 MiB: ~dozens of chunks per big sheet
+  /** 2 MiB: enough chunks that a 16-worker pool drains in many small waves
+    * (short tail after the producer finishes) while per-chunk overhead
+    * (buffer alloc, queue hop, per-chunk scanner setup) stays amortized. */
+  val DefaultChunkBytes: Int = 2 << 20
 
   private case object End
   private final case class ParsedChunk(
@@ -536,6 +554,24 @@ final class RowBoundaryTracker {
               } else if ((w8 & 0xFFFFFFFFL) == LitCloseT) {
                 // main-loop close dispatch ignores t; only in-text t closes
                 p = q + 4; if (ltText && it) it = false; true
+              } else if (w8 == LitRowRQ || (w8 & 0xFFFFFFFFFFFFL) == LitCRQ) {
+                // `<row r="` (a full 8-byte literal) / `<c r="`: skip the
+                // quoted ref, then the tag usually ends right there — `>`
+                // opens (row/c open tags change no state) or `/>`
+                // self-closes (boundary iff row). ANY other continuation
+                // (a t=/s= attribute, buffer edge) falls back to the
+                // generic machinery from the '<', which re-reads the ~8
+                // probed bytes — the probe mutated nothing.
+                val isRow = w8 == LitRowRQ
+                var i = q + (if (isRow) 8 else 6)
+                while (i < to && buf(i) != '"') i += 1
+                if (i + 1 < to && buf(i + 1) == '>') {
+                  p = i + 2; true // plain open tag: no containment for row/c
+                } else if (i + 2 < to && buf(i + 1) == '/' && buf(i + 2) == '>') {
+                  p = i + 3
+                  if (isRow && !ltText) { last = p; bc += 1 }
+                  true
+                } else false // bail: generic path re-dispatches from q
               } else false
             }) ()
             else {
@@ -958,6 +994,8 @@ object RowBoundaryTracker {
   final val LitCloseIs: Long = 0x3E73692F3CL // "</is>"
   final val LitOpenT: Long = 0x3E743CL // "<t>"
   final val LitCloseT: Long = 0x3E742F3CL // "</t>"
+  final val LitRowRQ: Long = 0x223D7220776F723CL // `<row r="` (8 bytes)
+  final val LitCRQ: Long = 0x223D7220633CL // `<c r="` (6 bytes)
 
   // element names packed little-endian byte-per-char, as scan() builds them
   final val WordRow: Long = 'r' | ('o'.toLong << 8) | ('w'.toLong << 16)
