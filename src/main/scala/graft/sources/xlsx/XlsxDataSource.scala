@@ -468,7 +468,7 @@ final class XlsxPartitionReader(
   private val iterE: Either[CellRowIterator, ParallelSheetScanner] =
     if (threads >= 2)
       wb.convertingRowIterator(sheetTarget, threads,
-        cells => convertToUnsafe(cells))
+        cells => convertToUnsafe(cells), opts.chunkBytes)
     else Left(wb.rowIterator(sheetTarget))
   private val seqIter: CellRowIterator = iterE.left.toOption.orNull
   private val parIter: ParallelSheetScanner = iterE.toOption.orNull
@@ -761,7 +761,7 @@ final class XlsxColumnarPartitionReader(
   private val iterE: Either[CellRowIterator, ParallelSheetScanner] =
     if (threads >= 2)
       wb.chunkingRowIterator(sheetTarget, threads, buildBatch,
-        resolved.dropRows.toLong)
+        resolved.dropRows.toLong, opts.chunkBytes)
     else Left(wb.rowIterator(sheetTarget))
   private val seqIter: CellRowIterator = iterE.left.toOption.orNull
   private val parIter: ParallelSheetScanner = iterE.toOption.orNull

@@ -43,7 +43,12 @@ final case class XlsxOptions(
       * source spelling). Without it a backfilled drop-box directory arrives
       * as one giant first batch; with it the backlog streams in bounded
       * batches. None = admit everything new each trigger. */
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    /** Parallel-parse chunk target in bytes (tuning knob; specs shrink it
+      * to force row-boundary cuts on tiny fixtures so the chunk-dealing
+      * paths — skipRows prefix, index stitching, ragged exemption — get
+      * exercised at every cut). */
+    chunkBytes: Int = ParallelSheetScanner.DefaultChunkBytes)
     extends Serializable {
 
   /** 1-based index to use when sheetName is absent (reference default 1). */
@@ -112,6 +117,12 @@ object XlsxOptions {
           if (v <= 0) throw new IllegalArgumentException(
             s"maxFilesPerTrigger must be positive, got $v")
           v
-        })
+        },
+      chunkBytes = str("chunkBytes", "chunk_bytes").map { raw =>
+        val v = raw.trim.toInt
+        if (v <= 0) throw new IllegalArgumentException(
+          s"chunkBytes must be positive, got $v")
+        v
+      }.getOrElse(ParallelSheetScanner.DefaultChunkBytes))
   }
 }

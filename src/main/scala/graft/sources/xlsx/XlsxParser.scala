@@ -260,12 +260,13 @@ object XlsxParser {
       * path; Left(plain iterator) when the entry is missing or UTF-16
       * (the caller converts on its own thread there). */
     private[xlsx] def convertingRowIterator(path: String, threads: Int,
-        convert: Array[XCell] => AnyRef): Either[CellRowIterator, ParallelSheetScanner] =
+        convert: Array[XCell] => AnyRef,
+        chunkBytes: Int = ParallelSheetScanner.DefaultChunkBytes): Either[CellRowIterator, ParallelSheetScanner] =
       openSniffed(path) match {
         case Left(it) => Left(it)
         case Right((in, closeAll)) =>
           Right(new ParallelSheetScanner(in, sharedStrings, dateStyles, threads,
-            closeAll, convert = convert))
+            closeAll, chunkBytes = chunkBytes, convert = convert))
       }
 
     /** Parallel row iterator with a WORKER-side per-CHUNK transform — the
@@ -275,12 +276,14 @@ object XlsxParser {
       * entry is missing or UTF-16 (the caller batches on its own thread). */
     private[xlsx] def chunkingRowIterator(path: String, threads: Int,
         chunkConvert: (Array[Array[XCell]], Int) => AnyRef,
-        dropFirstRows: Long = 0L): Either[CellRowIterator, ParallelSheetScanner] =
+        dropFirstRows: Long = 0L,
+        chunkBytes: Int = ParallelSheetScanner.DefaultChunkBytes): Either[CellRowIterator, ParallelSheetScanner] =
       openSniffed(path) match {
         case Left(it) => Left(it)
         case Right((in, closeAll)) =>
           Right(new ParallelSheetScanner(in, sharedStrings, dateStyles, threads,
-            closeAll, chunkConvert = chunkConvert, dropFirstRows = dropFirstRows))
+            closeAll, chunkBytes = chunkBytes, chunkConvert = chunkConvert,
+            dropFirstRows = dropFirstRows))
       }
 
     /** StAX-backed row iterator regardless of encoding — the differential

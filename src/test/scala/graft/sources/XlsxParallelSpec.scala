@@ -101,6 +101,41 @@ class XlsxParallelSpec extends SparkSpec {
     assert(read(3) == read(1))
   }
 
+  test("columnar chunk dealing: skipRows prefix spans many tiny chunks exactly") {
+    // 3 junk rows + header + 300 data rows read with chunkBytes=256 —
+    // dozens of chunks, so the header/skipRows prefix and the first data
+    // rows land in DIFFERENT chunks and the producer's boundary-count
+    // dealing (dropFor) must hand each worker exactly its share. Compare
+    // against the sequential read, which drops rows one by one.
+    val bos = new ByteArrayOutputStream()
+    XlsxWriter.write(bos, Seq(XlsxWriter.SheetSpec("S", None,
+      Iterator[Seq[Any]](Seq("junk a"), Seq("junk b"), Seq("junk c"),
+        Seq("id", "v")) ++
+        (1 to 300).iterator.map(i => Seq[Any](i.toDouble, s"row-$i")))))
+    val f = java.io.File.createTempFile("chunkdeal", ".xlsx")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, bos.toByteArray)
+    def read(extra: Map[String, String]) = {
+      var r = spark.read.format("xlsx").option("skipRows", "3")
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(f.getAbsolutePath).collect().map(_.toString).sorted.toSeq
+    }
+    val serial = read(Map("threads" -> "1"))
+    assert(serial.size == 300)
+    val chunked = read(Map("threads" -> "3", "chunkBytes" -> "256"))
+    assert(chunked == serial)
+    // pushed filter evaluated in the chunk workers, same tiny chunks
+    def readFiltered(threads: Int) = {
+      spark.read.format("xlsx").option("skipRows", "3")
+        .option("threads", threads.toString).option("chunkBytes", "256")
+        .load(f.getAbsolutePath)
+        .filter(org.apache.spark.sql.functions.col("id") > 250.0)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(readFiltered(3).size == 50)
+    assert(readFiltered(3) == readFiltered(1))
+  }
+
   test("early close terminates the worker pipeline") {
     val wb = new XlsxParser.Workbook(
       () => new java.io.FileInputStream(file), Some(file))
