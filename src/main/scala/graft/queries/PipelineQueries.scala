@@ -231,6 +231,20 @@ object PipelineQueries {
   /** Sentinel user for watermark-advancing events (filtered from output). */
   private val SentinelUser = -99L
 
+  /** Run `body` with the session's shuffle partitions pinned to `n`, then
+    * restore. Stateful streams size their shuffle partitions to STATE
+    * volume, not scan width: the state store commits one delta per
+    * partition per micro-batch, so a replay with a few thousand keys on 32
+    * partitions pays 5× the store commits it needs. The partition count is
+    * captured at query START and kept for the query's lifetime, so
+    * restoring after start() is safe. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   private def stSessionizeEt(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -241,8 +255,10 @@ object PipelineQueries {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event]
     val name = "st_sessionize_et_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = EventStreams.sessionizeStreamEventTime(s, mem.toDS())
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val q = withStatePartitions(s, 8) {
+      EventStreams.sessionizeStreamEventTime(s, mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+    }
     try {
       mem.addData(evs.toSeq)
       q.processAllAvailable()
@@ -280,8 +296,10 @@ object PipelineQueries {
       .as[EventStreams.TsDoc].collect()
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.TsDoc]
     val name = "st_dedup_et_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = EventStreams.dedupStreamEventTime(s, mem.toDS(), ttl = "30 minutes")
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val q = withStatePartitions(s, 8) {
+      EventStreams.dedupStreamEventTime(s, mem.toDS(), ttl = "30 minutes")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+    }
     try {
       // one-burst replay: every admit/drop decision is the in-batch fold
       // (no timeouts involved), the pure fast-replay case
