@@ -9,29 +9,27 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import scala.util.Random
 
-/** Differential fuzz: seeded random SpreadsheetML — shuffled attribute
-  * order, random whitespace, entities, CDATA, self-closing forms, comments,
-  * namespace prefixes, every cell type, bad shared-string indices — parsed
-  * by BOTH the byte scanner and the StAX iterator must yield identical
-  * cells. The StAX path is the semantics baseline the scanner replaced;
-  * any divergence is a scanner bug by definition.
-  */
-class XlsxScannerDifferentialSpec extends AnyFunSuite {
-
-  private val workbookXml =
+/** Shared random-SpreadsheetML fuzz fixtures: the scanner-level differential
+  * spec and the end-to-end DSv2 reader fuzz both draw from here. */
+object SheetFuzz {
+  val workbookXml =
     """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
       | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
       |<sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin
-  private val relsXml =
+  val relsXml =
     """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
       |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
       |</Relationships>""".stripMargin
-  private val sharedXml =
+  val sharedXml =
     """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
       |<si><t>alpha</t></si><si><r><t>be</t></r><r><t>ta</t></r></si><si><t/></si>
       |</sst>""".stripMargin
+  val stylesXml =
+    """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+      |<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="2"/></cellXfs>
+      |</styleSheet>""".stripMargin
 
-  private def zip(entries: (String, String)*): Array[Byte] = {
+  def zip(entries: (String, String)*): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val z = new ZipOutputStream(bos, StandardCharsets.UTF_8)
     entries.foreach { case (name, content) =>
@@ -43,7 +41,15 @@ class XlsxScannerDifferentialSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
-  private def randomSheet(rnd: Random): String = {
+  /** A complete workbook zip around one random sheet. */
+  def workbookZip(sheet: String): Array[Byte] = zip(
+    "xl/workbook.xml" -> workbookXml,
+    "xl/_rels/workbook.xml.rels" -> relsXml,
+    "xl/sharedStrings.xml" -> sharedXml,
+    "xl/styles.xml" -> stylesXml,
+    "xl/worksheets/sheet1.xml" -> sheet)
+
+  def randomSheet(rnd: Random): String = {
     val sb = new StringBuilder
     def ws(): String = " " * rnd.nextInt(3) + (if (rnd.nextInt(4) == 0) "\n" else "")
     sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""")
@@ -101,7 +107,7 @@ class XlsxScannerDifferentialSpec extends AnyFunSuite {
     sb.toString
   }
 
-  private def randomSharedStrings(rnd: Random): String = {
+  def randomSharedStrings(rnd: Random): String = {
     val sb = new StringBuilder
     sb.append("""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""")
     val n = rnd.nextInt(20)
@@ -123,6 +129,17 @@ class XlsxScannerDifferentialSpec extends AnyFunSuite {
     sb.append("</sst>")
     sb.toString
   }
+}
+
+/** Differential fuzz: seeded random SpreadsheetML — shuffled attribute
+  * order, random whitespace, entities, CDATA, self-closing forms, comments,
+  * namespace prefixes, every cell type, bad shared-string indices — parsed
+  * by BOTH the byte scanner and the StAX iterator must yield identical
+  * cells. The StAX path is the semantics baseline the scanner replaced;
+  * any divergence is a scanner bug by definition.
+  */
+class XlsxScannerDifferentialSpec extends AnyFunSuite {
+  import SheetFuzz._
 
   test("sharedStrings byte scanner and StAX agree on 200 random tables") {
     val rnd = new Random(0xFEED)
@@ -147,15 +164,7 @@ class XlsxScannerDifferentialSpec extends AnyFunSuite {
     val rnd = new Random(0xBEEF)
     (1 to 200).foreach { trial =>
       val sheet = randomSheet(rnd)
-      val bytes = zip(
-        "xl/workbook.xml" -> workbookXml,
-        "xl/_rels/workbook.xml.rels" -> relsXml,
-        "xl/sharedStrings.xml" -> sharedXml,
-        "xl/styles.xml" ->
-          """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
-            |<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="2"/></cellXfs>
-            |</styleSheet>""".stripMargin,
-        "xl/worksheets/sheet1.xml" -> sheet)
+      val bytes = workbookZip(sheet)
 
       def drain(it: Iterator[(Long, Array[XCell])]): Seq[(Long, Seq[XCell])] =
         it.map { case (i, cells) => (i, cells.toSeq) }.toList
