@@ -211,6 +211,16 @@ object XlsxQueries {
       s.read.format("xlsx").load(out)
     }),
 
+    // r6: the SQL catalog face — the closest Spark spelling to the
+    // reference's `sheetreader('f.xlsx')` table function: a temp view
+    // USING xlsx with options, queried through spark.sql.
+    "xlsx_sql_view" -> ((s, dir) => {
+      val p = fx(s, dir, "nation_header.xlsx")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW xlsx_nation_v " +
+        s"USING xlsx OPTIONS (path '$p', hasHeader 'true')")
+      s.sql("SELECT n_nationkey, n_name, n_regionkey FROM xlsx_nation_v")
+    }),
+
     // §2.4 #66: federation — an xlsx-scanned dim joined against a parquet
     // fact in one plan (the mixed-source query a spreadsheet-era team runs
     // on day one of a lakehouse migration). Catalyst plans both scans;
@@ -271,6 +281,7 @@ object XlsxQueries {
 
   def oracleSql: Map[String, String] = Map(
     "xlsx_scan_roundtrip" -> nationOracle,
+    "xlsx_sql_view" -> nationOracle,
     "xlsx_header_autodetect" -> nationOracle,
     "xlsx_sheet_index" -> nationOracle,
     "xlsx_sheet_name" -> nationOracle,

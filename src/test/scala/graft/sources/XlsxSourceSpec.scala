@@ -213,6 +213,35 @@ class XlsxSourceSpec extends SparkSpec {
     assert(eq.count() == 1)
   }
 
+  test("SQL surface: CREATE TEMPORARY VIEW ... USING xlsx") {
+    // the reference's primary UX is a SQL table function
+    // (sheetreader('f.xlsx')); the Spark-native spelling is a view/table
+    // over the source with the same options. (The direct-path form
+    // `FROM xlsx.\`p\`` is reserved for FileDataSourceV2 sources — Spark
+    // rejects it for TableProvider connectors, Kafka included.)
+    val p = one(Some(Seq("k", "v")), Seq(Seq("a", 1.0), Seq("b", 2.0)))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW xlsx_sql_t USING xlsx OPTIONS (path '$p')")
+    try {
+      val rows = spark.sql("SELECT k, v FROM xlsx_sql_t ORDER BY k")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(rows == Seq(("a", 1.0), ("b", 2.0)))
+      val agg = spark.sql("SELECT sum(v) AS s FROM xlsx_sql_t")
+      assert(agg.collect()(0).getDouble(0) == 3.0)
+    } finally spark.sql("DROP VIEW IF EXISTS xlsx_sql_t")
+  }
+
+  test("batch scans read columnar (ColumnarToRow above the BatchScan)") {
+    // the batch path must hand Spark ColumnarBatches — the
+    // vectorized-parquet shape; a silent fall-back to the row path would
+    // still be correct but forfeit the codegen'd consume, so pin the plan
+    val p = one(Some(Seq("k", "v")), Seq(Seq("a", 1.0), Seq("b", 2.0)))
+    val df = spark.read.format("xlsx").load(p)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"expected a columnar scan (ColumnarToRow), got:\n$plan")
+    assert(df.count() == 2)
+  }
+
   test("column pruning reaches the reader (pruned schema)") {
     val p = one(Some(Seq("a", "b", "c")), Seq(Seq("x", 1.0, true)))
     val df = spark.read.format("xlsx").load(p).select("b")
