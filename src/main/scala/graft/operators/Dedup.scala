@@ -454,6 +454,88 @@ object Dedup {
       .select(kept ++ Seq(col("tb.t").as("t"), col("tb.bucket").as("bucket")): _*)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-bucket the embedding space, compare pairs ONLY within a
+    * cluster, group the over-threshold pairs, keep the min vec_id per
+    * group. Complements [[embedNearDup]]: hyperplane LSH buckets by random
+    * projections (recall from multiple tables), SemDeDup buckets by the
+    * DATA's own density structure (recall from cluster coherence) — the
+    * published choice for web-scale corpora like LAION.
+    *
+    * Scale shape, stage by stage:
+    *  - centroids train driver-side on a bounded hash-ordered sample
+    *    ([[Similarity.trainCentroids]] — ONE corpus scan, no per-iteration
+    *    jobs);
+    *  - assignment is a map-only pass against broadcast centroid literals;
+    *  - candidate generation is an equi-join on cluster id — never
+    *    all-pairs. THE 100 TB lever is `nCentroids ∝ n` (the paper runs
+    *    50k clusters): per-cluster occupancy, and with it the
+    *    within-cluster O(size²) cosine work, stays constant as the corpus
+    *    grows;
+    *  - grouping needs NO iterative connected-components pass: dup groups
+    *    cannot span clusters by construction, so one shuffle on cluster id
+    *    + a per-cluster union-find (mapGroups) labels every group exactly.
+    *
+    * Returns (vec_id, survivor_id, keep) for every corpus vector —
+    * vectors in no near-dup pair survive as their own group. Deterministic
+    * given the corpus (sample order is hash-fixed, Lloyd's has no RNG),
+    * but float k-means has no DuckDB twin → rows-only + semantic spec. */
+  def semDedup(emb: DataFrame, tau: Double = 0.95, nCentroids: Int = 16,
+      dim: Int = 64): DataFrame = {
+    validateDim(emb, dim)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = Similarity.trainCentroids(emb, nCentroids)
+    val cLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val v = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val assigned = v
+      .withColumn("scores", transform(cLit, c => cosine(col("v"), c)))
+      .withColumn("cid",
+        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      .drop("scores")
+    val pairs = assigned.select(col("cid"), col("vec_id").as("va"), col("v").as("a"))
+      .join(assigned.select(col("cid"), col("vec_id").as("vb"), col("v").as("b")),
+        Seq("cid"))
+      .filter(col("va") < col("vb"))
+      .filter(cosine(col("a"), col("b")) >= tau)
+      .select(col("cid"), col("va"), col("vb"))
+    // exact per-cluster grouping in ONE shuffle: union-find over each
+    // cluster's pairs (pair count bounded by occupancy², the lever above)
+    val groups = pairs.as[(Int, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        def root(x0: Long): Long = {
+          var x = x0
+          var p = parent.get(x).longValue
+          while (p != x) {
+            val g = parent.get(p).longValue
+            parent.put(x, g)
+            x = g
+            p = parent.get(x).longValue
+          }
+          x
+        }
+        it.foreach { case (_, a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = root(a); val rb = root(b)
+          if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+        val ks = parent.keySet.iterator()
+        while (ks.hasNext) { val k = ks.next().longValue; out += ((k, root(k))) }
+        out.iterator
+      }
+      .toDF("vec_id", "survivor_id")
+    assigned.select(col("vec_id"))
+      .join(groups, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("survivor_id"), col("vec_id")).as("survivor_id"))
+      .withColumn("keep", col("vec_id") === col("survivor_id"))
+  }
+
   /** Embedding near-dup: bucket by `nTables` banded hyperplane signatures,
     * exact cosine on bucket-mates only. Vectors sharing no bucket in any
     * table are never compared — the corpus is shuffled on an (int, long)

@@ -225,7 +225,21 @@ object PipelineQueries {
     // test-only source), not the operator's data path — the operator
     // shuffles by key and keeps O(active keys) state.
     "st_sessionize_et" -> ((s, dir) => stSessionizeEt(s, dir)),
-    "st_dedup_et" -> ((s, dir) => stDedupEt(s, dir))
+    "st_dedup_et" -> ((s, dir) => stDedupEt(s, dir)),
+
+    // §2.7 #115 stream-stream interval join — batch face (oracle-exact)
+    // and a MemoryStream replay through the watermarked streaming join,
+    // checked against the SAME oracle
+    "st_join" -> ((s, dir) =>
+      EventStreams.intervalJoinBatch(Tables.load(s, dir, "events"))),
+    "st_join_et" -> ((s, dir) => stJoinEt(s, dir)),
+
+    // §2.7 #116 SemDeDup: k-means-bucketed semantic dedup over the
+    // embeddings table (rows-only — float k-means has no DuckDB twin;
+    // soundness/recall pinned by SemDedupSpec). Threshold mirrors
+    // dd_embed_neardup's corpus reality (synthetic non-dup cosines top
+    // out ~0.51; planted near-dups sit >0.99).
+    "dd_semdedup" -> ((s, dir) => Dedup.semDedup(emb(s, dir), tau = 0.8))
   )
 
   /** Sentinel user for watermark-advancing events (filtered from output). */
@@ -277,6 +291,41 @@ object PipelineQueries {
         .select(col("user_id"), col("session_id"), col("n_events"),
           col("session_start"), col("session_end"))
       val rows = out.collect() // O(users x sessions), not O(events)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
+  private def stJoinEt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = Tables.load(s, dir, "events")
+    val clicks = evs.filter(col("event_type") === lit("click"))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .as[EventStreams.Click].collect()
+    val purchases = evs.filter(col("event_type") === lit("purchase"))
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").cast("double").as("value"))
+      .as[EventStreams.Purchase].collect()
+    val memC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Click]
+    val memP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Purchase]
+    val name = "st_join_et_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = withStatePartitions(s, 8) {
+      EventStreams.intervalJoinStream(memC.toDF(), memP.toDF())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+    }
+    try {
+      // one-burst replay: an INNER stream-stream join emits every match as
+      // soon as both rows are buffered — the initial watermark (epoch 0)
+      // drops nothing, so the replay reproduces the batch join exactly
+      memC.addData(clicks.toSeq)
+      memP.addData(purchases.toSeq)
+      q.processAllAvailable()
+      val out = s.table(name)
+      val rows = out.collect() // attribution pairs, not the event stream
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
       q.stop()
@@ -613,6 +662,24 @@ object PipelineQueries {
            SELECT doc_id,
                   lag(doc_id) OVER (PARTITION BY md5(text) ORDER BY doc_id) AS prev
            FROM documents)
-         SELECT doc_id FROM s WHERE prev IS NULL OR (doc_id - prev) * 60 > 1800"""
+         SELECT doc_id FROM s WHERE prev IS NULL OR (doc_id - prev) * 60 > 1800""",
+    // interval join: inclusive bounds on both ends, raw values (no
+    // cross-engine float folding)
+    "st_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+                c.ts AS click_ts, p.ts AS purchase_ts, p.value
+         FROM events c JOIN events p
+           ON p.user_id = c.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+    // the one-burst replay of an INNER watermarked join emits exactly the
+    // batch join — same oracle as st_join
+    "st_join_et" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+                c.ts AS click_ts, p.ts AS purchase_ts, p.value
+         FROM events c JOIN events p
+           ON p.user_id = c.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"""
   )
 }

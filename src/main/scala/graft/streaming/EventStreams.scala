@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -304,6 +304,54 @@ object EventStreams {
           }
       }
   }
+
+  // ------------------------------------------------------------------
+  // #115 stream-stream interval join (click→purchase attribution)
+  // ------------------------------------------------------------------
+
+  final case class Click(click_id: Long, user_id: Long, click_ts: Timestamp)
+  final case class Purchase(purchase_id: Long, p_user_id: Long,
+      purchase_ts: Timestamp, value: Double)
+
+  val AttributionWindow = "INTERVAL 30 MINUTES"
+
+  private def attributionCond: Column =
+    col("user_id") === col("p_user_id") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr(AttributionWindow)
+
+  private val joinOutput = Seq(
+    col("click_id"), col("purchase_id"), col("user_id"),
+    col("click_ts"), col("purchase_ts"), col("value"))
+
+  /** Batch face: each purchase attributed to every click by the same user
+    * in the preceding 30 minutes (inclusive bounds on both ends, so the
+    * DuckDB oracle's BETWEEN matches exactly). One shuffle on user_id per
+    * side; Spark's range predicates evaluate post-join on the equi-key. */
+  def intervalJoinBatch(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === lit("click"))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === lit("purchase"))
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").cast("double").as("value"))
+    clicks.join(purchases, attributionCond).select(joinOutput: _*)
+  }
+
+  /** Streaming face: the SAME join over two live streams. The event-time
+    * range condition plus watermarks on both sides is what lets Spark
+    * bound the join state — a buffered click is discarded once the
+    * purchase-side watermark passes click_ts + 30 min, and a buffered
+    * purchase once the click-side watermark passes purchase_ts, so state
+    * is O(events within the watermark horizon), not O(stream history).
+    * That is the 100 TB posture: joining two unbounded streams with
+    * bounded memory. Inner join: matches emit as soon as both rows have
+    * arrived (no timeout needed for emission, only for state cleanup). */
+  def intervalJoinStream(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    clicks.withWatermark("click_ts", watermark)
+      .join(purchases.withWatermark("purchase_ts", watermark), attributionCond)
+      .select(joinOutput: _*)
 
   /** Flush whatever session state remains (batch-drain helper for specs). */
   def drainOpenSessions(events: Seq[Event]): Seq[SessionOut] = {

@@ -178,4 +178,67 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("cluster_id")).distinct
     assert(cc8.toSeq == Seq(1L), s"segmented chain: got $cc8")
   }
+
+  test("semDedup groups planted near-dups, keeps exactly one survivor per group") {
+    val dim = 16
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(j => (((seed * 31 + j * 17) % 97) - 48).toFloat / 48f)
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zipWithIndex.map { case (x, j) => x + (if (j == 0) eps else 0f) }
+    // two planted dup groups ({1,2,3} around vec(1), {10,11} around vec(7))
+    // plus three singletons
+    val emb = Seq(
+      (1L, vec(1)), (2L, jitter(vec(1), 0.01f)), (3L, jitter(vec(1), -0.01f)),
+      (10L, vec(7)), (11L, jitter(vec(7), 0.02f)),
+      (20L, vec(13)), (21L, vec(29)), (22L, vec(43)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(emb, tau = 0.99, nCentroids = 4, dim = dim).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("survivor_id"),
+        r.getAs[Boolean]("keep")))
+    assert(out.length == 8, s"every corpus vector must appear: ${out.toSeq}")
+    val bySurvivor = out.groupBy(_._2)
+    // min-id survivor per planted group, singletons survive as themselves
+    assert(bySurvivor(1L).map(_._1).toSet == Set(1L, 2L, 3L), s"${out.toSeq}")
+    assert(bySurvivor(10L).map(_._1).toSet == Set(10L, 11L), s"${out.toSeq}")
+    Seq(20L, 21L, 22L).foreach(id =>
+      assert(bySurvivor(id).map(_._1).toSet == Set(id), s"${out.toSeq}"))
+    // exactly one keep per group, and it is the survivor itself
+    bySurvivor.foreach { case (s, members) =>
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == s,
+        s"group $s keep rule broken: ${members.toSeq}")
+    }
+  }
+
+  test("semDedup recall >= 0.8 vs exact pairwise cosine on a planted corpus") {
+    val dim = 16
+    // independent random directions (seeded → deterministic): 60 base
+    // vectors at pairwise |cos| ~ 1/√dim, far from tau — the modular
+    // family the other specs use produces near-shifted copies that
+    // legitimately merge ACROSS bases at 0.99 and would fog ground truth
+    def vec(seed: Int): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    }
+    // 60 base vectors; every 6th gets a planted near-dup twin (10 pairs)
+    val base = (0 until 60).map(i => (i.toLong, vec(i + 3)))
+    val twins = (0 until 60 by 6).map(i =>
+      (100L + i, vec(i + 3).zipWithIndex.map { case (x, j) =>
+        x + (if (j == 1) 0.015f else 0f) }))
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(emb, tau = 0.99, nCentroids = 8, dim = dim).collect()
+    // ground truth: twin i belongs with base i — count how many planted
+    // twins were grouped with their base (cluster splits can miss some;
+    // the paper's recall lever is nCentroids vs corpus density)
+    val twinRows = out.filter(_.getAs[Long]("vec_id") >= 100L)
+    val found = twinRows.count(r =>
+      r.getAs[Long]("survivor_id") == r.getAs[Long]("vec_id") - 100L)
+    assert(twinRows.length == 10)
+    assert(found >= 8, s"semantic recall $found/10 below 0.8")
+    // soundness: a base vector never groups under a DIFFERENT base (no
+    // false merges at tau=0.99 — non-dup cosines in this corpus are far
+    // lower)
+    val falseMerges = out.filter(r => r.getAs[Long]("vec_id") < 100L &&
+      r.getAs[Long]("survivor_id") != r.getAs[Long]("vec_id"))
+    assert(falseMerges.isEmpty, s"false merges: ${falseMerges.toSeq}")
+  }
 }

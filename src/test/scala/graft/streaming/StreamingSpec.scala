@@ -262,4 +262,52 @@ class StreamingSpec extends SparkSpec {
         s"(user, id, start) keys must be unique: ${keys.toSeq}")
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches the batch join under " +
+    "out-of-order, multi-batch delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    // clicks/purchases as one events table for the batch face
+    val events = Seq(
+      (1L, ts(0), 1L, "click", 0.0), // ← p1 (t20 within 30 min)
+      (2L, ts(40), 1L, "click", 0.0), // ← p2 (t50)
+      (3L, ts(10), 2L, "click", 0.0), // no purchase within window
+      (4L, ts(25), 1L, "click", 0.0), // ← p2 (t50; p1 at t20 PRECEDES it)
+      (10L, ts(20), 1L, "purchase", 9.5),
+      (11L, ts(50), 1L, "purchase", 3.25),
+      (12L, ts(60), 2L, "purchase", 1.0), // 50 min after click 3: outside
+      (13L, ts(5), 3L, "purchase", 7.0)) // user with no clicks
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val expected = EventStreams.intervalJoinBatch(events).collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id")))
+      .toSet
+    assert(expected == Set((1L, 10L), (2L, 11L), (4L, 11L)),
+      s"batch face sanity: $expected")
+
+    val memC = MemoryStream[EventStreams.Click]
+    val memP = MemoryStream[EventStreams.Purchase]
+    val q = EventStreams.intervalJoinStream(memC.toDF(), memP.toDF())
+      .writeStream.format("memory").queryName("st_join_out")
+      .outputMode("append").start()
+    try {
+      // purchases arrive FIRST (buffered in join state), then clicks
+      // trickle in across batches out of event-time order — the join must
+      // still emit every match exactly once
+      memP.addData(EventStreams.Purchase(11L, 1L, ts(50), 3.25),
+        EventStreams.Purchase(13L, 3L, ts(5), 7.0))
+      q.processAllAvailable()
+      memC.addData(EventStreams.Click(2L, 1L, ts(40)),
+        EventStreams.Click(3L, 2L, ts(10)))
+      q.processAllAvailable()
+      memP.addData(EventStreams.Purchase(10L, 1L, ts(20), 9.5),
+        EventStreams.Purchase(12L, 2L, ts(60), 1.0))
+      q.processAllAvailable()
+      memC.addData(EventStreams.Click(1L, 1L, ts(0)),
+        EventStreams.Click(4L, 1L, ts(25)))
+      q.processAllAvailable()
+      val got = spark.table("st_join_out").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id")))
+      assert(got.toSet == expected, s"stream join diverged: ${got.toSet}")
+      assert(got.length == expected.size, s"duplicate emissions: ${got.toSeq}")
+    } finally q.stop()
+  }
 }
