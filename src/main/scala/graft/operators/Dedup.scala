@@ -454,6 +454,27 @@ object Dedup {
       .select(kept ++ Seq(col("tb.t").as("t"), col("tb.bucket").as("bucket")): _*)
   }
 
+  /** Incremental exact dedup: admit only `delta` rows whose content digest
+    * is absent from `corpus` AND first (min doc_id) within the delta —
+    * the daily-increment posture of a crawl pipeline, where re-running
+    * exact dedup over corpus+delta from scratch would reshuffle 100 TB to
+    * admit a few GB.
+    *
+    * Scale shape: the corpus contributes ONLY its digest column — the
+    * anti-join shuffles 16-byte digests, never documents; the intra-delta
+    * first-wins rule is one map-side-combinable aggregate over the
+    * (small) delta. At steady state the corpus digest projection is the
+    * pipeline's persistent "seen" index (write it bucketed by `h` once
+    * and the per-increment shuffle disappears too). Returns the admitted
+    * (doc_id, h) pairs. */
+  def incremental(corpus: DataFrame, delta: DataFrame): DataFrame = {
+    val seen = corpus.select(md5(col("text")).as("h"))
+    delta.select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .join(seen, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * k-means-bucket the embedding space, compare pairs ONLY within a
     * cluster, group the over-threshold pairs, keep the min vec_id per

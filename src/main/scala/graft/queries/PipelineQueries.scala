@@ -234,6 +234,28 @@ object PipelineQueries {
       EventStreams.intervalJoinBatch(Tables.load(s, dir, "events"))),
     "st_join_et" -> ((s, dir) => stJoinEt(s, dir)),
 
+    // §2.7 #117 LEFT OUTER stream-stream join — unconverted clicks emit
+    // null-extended rows once the watermark proves no match can arrive;
+    // batch face + watermark-advanced replay, one LEFT JOIN oracle
+    "st_join_outer" -> ((s, dir) =>
+      EventStreams.intervalJoinOuterBatch(Tables.load(s, dir, "events"))),
+    "st_join_outer_et" -> ((s, dir) => stJoinOuterEt(s, dir)),
+
+    // §2.7 #118 incremental exact dedup: a synthetic daily increment
+    // (one fresh source + a recrawl of src0 under new ids + an
+    // intra-delta duplicate burst) admitted against the standing corpus —
+    // digests shuffle, documents don't
+    "dd_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("source") =!= lit("src19"))
+      val fresh = d.filter(col("source") === lit("src19"))
+        .select(col("doc_id"), col("text"))
+      val recrawl = d.filter(col("source") === lit("src0"))
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      val burst = fresh.select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+      Dedup.incremental(corpus, fresh.unionByName(recrawl).unionByName(burst))
+    }),
+
     // §2.7 #116 SemDeDup: k-means-bucketed semantic dedup over the
     // embeddings table (rows-only — float k-means has no DuckDB twin;
     // soundness/recall pinned by SemDedupSpec). Threshold mirrors
@@ -326,6 +348,54 @@ object PipelineQueries {
       q.processAllAvailable()
       val out = s.table(name)
       val rows = out.collect() // attribution pairs, not the event stream
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
+  private def stJoinOuterEt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = Tables.load(s, dir, "events")
+    val clicks = evs.filter(col("event_type") === lit("click"))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .as[EventStreams.Click].collect()
+    val purchases = evs.filter(col("event_type") === lit("purchase"))
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").cast("double").as("value"))
+      .as[EventStreams.Purchase].collect()
+    val memC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Click]
+    val memP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Purchase]
+    val name = "st_join_outer_et_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = withStatePartitions(s, 8) {
+      EventStreams.intervalJoinStream(memC.toDF(), memP.toDF(),
+          joinType = "left_outer")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+    }
+    try {
+      memC.addData(clicks.toSeq)
+      memP.addData(purchases.toSeq)
+      q.processAllAvailable()
+      // null-extended rows for unconverted clicks emit only once the
+      // GLOBAL watermark (min across both streams) proves no purchase can
+      // still match — sentinel batches on BOTH sides advance it past
+      // every click's matching horizon
+      val toUs = (t: java.sql.Timestamp) =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+      val maxUs = (clicks.iterator.map(c => toUs(c.click_ts)) ++
+        purchases.iterator.map(p => toUs(p.purchase_ts))).max
+      for (i <- 1 to 2) {
+        val sentinelTs = org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .toJavaTimestamp(maxUs + i * 3600L * 1000000L * 3L)
+        memC.addData(Seq(EventStreams.Click(-i.toLong, SentinelUser, sentinelTs)))
+        memP.addData(Seq(EventStreams.Purchase(-i.toLong, SentinelUser, sentinelTs, 0.0)))
+        q.processAllAvailable()
+      }
+      val out = s.table(name).filter(col("user_id") =!= lit(SentinelUser))
+      val rows = out.collect() // attribution pairs + unconverted clicks
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
       q.stop()
@@ -680,6 +750,35 @@ object PipelineQueries {
          FROM events c JOIN events p
            ON p.user_id = c.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
-          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"""
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+    "st_join_outer" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+                c.ts AS click_ts, p.ts AS purchase_ts, p.value
+         FROM events c LEFT JOIN events p
+           ON p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         WHERE c.event_type = 'click'""",
+    // watermark-advanced replay: matched rows plus null-extended
+    // unconverted clicks — same oracle as st_join_outer
+    "st_join_outer_et" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+                c.ts AS click_ts, p.ts AS purchase_ts, p.value
+         FROM events c LEFT JOIN events p
+           ON p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         WHERE c.event_type = 'click'""",
+    "dd_incremental" ->
+      """WITH corpus AS (
+           SELECT md5(text) AS h FROM documents WHERE source <> 'src19'),
+         delta AS (
+           SELECT doc_id, text FROM documents WHERE source = 'src19'
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE source = 'src0'
+           UNION ALL
+           SELECT doc_id + 20000, text FROM documents WHERE source = 'src19'),
+         firsts AS (
+           SELECT md5(text) AS h, min(doc_id) AS doc_id FROM delta GROUP BY 1)
+         SELECT doc_id, h FROM firsts f
+         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = f.h)"""
   )
 }

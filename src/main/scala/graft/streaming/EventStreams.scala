@@ -338,6 +338,19 @@ object EventStreams {
     clicks.join(purchases, attributionCond).select(joinOutput: _*)
   }
 
+  /** Batch face of the LEFT OUTER variant: every click, matched or not —
+    * the "which clicks never converted" face. Same predicate, null
+    * purchase columns for unconverted clicks. */
+  def intervalJoinOuterBatch(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === lit("click"))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === lit("purchase"))
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").cast("double").as("value"))
+    clicks.join(purchases, attributionCond, "left_outer").select(joinOutput: _*)
+  }
+
   /** Streaming face: the SAME join over two live streams. The event-time
     * range condition plus watermarks on both sides is what lets Spark
     * bound the join state — a buffered click is discarded once the
@@ -346,11 +359,16 @@ object EventStreams {
     * is O(events within the watermark horizon), not O(stream history).
     * That is the 100 TB posture: joining two unbounded streams with
     * bounded memory. Inner join: matches emit as soon as both rows have
-    * arrived (no timeout needed for emission, only for state cleanup). */
+    * arrived (no timeout needed for emission, only for state cleanup).
+    * `joinType` left_outer additionally emits a null-extended row for a
+    * click once the watermark proves no matching purchase can still
+    * arrive — which is why the outer face NEEDS the watermark semantics,
+    * not just state cleanup. */
   def intervalJoinStream(clicks: DataFrame, purchases: DataFrame,
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour", joinType: String = "inner"): DataFrame =
     clicks.withWatermark("click_ts", watermark)
-      .join(purchases.withWatermark("purchase_ts", watermark), attributionCond)
+      .join(purchases.withWatermark("purchase_ts", watermark),
+        attributionCond, joinType)
       .select(joinOutput: _*)
 
   /** Flush whatever session state remains (batch-drain helper for specs). */

@@ -179,6 +179,22 @@ class DedupSpec extends SparkSpec {
     assert(cc8.toSeq == Seq(1L), s"segmented chain: got $cc8")
   }
 
+  test("incremental dedup admits only unseen-digest, first-in-delta rows") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "beta"), // already in the corpus → dropped
+      (11L, "gamma"), (12L, "gamma"), // intra-delta dup → first id wins
+      (13L, "delta")).toDF("doc_id", "text")
+    val admitted = Dedup.incremental(corpus, delta).collect()
+      .map(r => r.getAs[Long]("doc_id")).sorted.toSeq
+    assert(admitted == Seq(11L, 13L), s"admitted $admitted")
+    // idempotence: re-running the SAME delta against corpus+admitted
+    // admits nothing (the steady-state daily-increment invariant)
+    val grown = corpus.unionByName(
+      delta.filter(col("doc_id").isin(11L, 13L)))
+    assert(Dedup.incremental(grown, delta).isEmpty)
+  }
+
   test("semDedup groups planted near-dups, keeps exactly one survivor per group") {
     val dim = 16
     def vec(seed: Int): Array[Float] =

@@ -310,4 +310,37 @@ class StreamingSpec extends SparkSpec {
       assert(got.length == expected.size, s"duplicate emissions: ${got.toSeq}")
     } finally q.stop()
   }
+
+  test("left-outer stream join emits a null-extended row for an unconverted " +
+    "click once the watermark proves no match can arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val memC = MemoryStream[EventStreams.Click]
+    val memP = MemoryStream[EventStreams.Purchase]
+    val q = EventStreams.intervalJoinStream(memC.toDF(), memP.toDF(),
+      watermark = "10 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("st_join_outer_out")
+      .outputMode("append").start()
+    try {
+      memC.addData(EventStreams.Click(1L, 1L, ts(0)), // converts (p 10 at t20)
+        EventStreams.Click(2L, 2L, ts(5))) // never converts
+      memP.addData(EventStreams.Purchase(10L, 1L, ts(20), 5.0))
+      q.processAllAvailable()
+      // the matched row is out already; the null row for click 2 must NOT
+      // be out yet — a purchase at t(5..35) could still arrive
+      val early = spark.table("st_join_outer_out").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Any]("purchase_id")))
+      assert(early.toSet == Set((1L, 10L)), s"premature outer emission: ${early.toSeq}")
+      // advance the GLOBAL watermark (min of both sides) past t(5)+30m+10m
+      for (i <- 1 to 2) {
+        memC.addData(EventStreams.Click(-i.toLong, -99L, ts(600 + i)))
+        memP.addData(EventStreams.Purchase(-i.toLong, -99L, ts(600 + i), 0.0))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("st_join_outer_out")
+        .filter(col("user_id") =!= lit(-99L)).collect()
+        .map(r => (r.getAs[Long]("click_id"), Option(r.getAs[Any]("purchase_id"))))
+      assert(rows.toSet == Set((1L, Some(10L)), (2L, None)),
+        s"outer join rows: ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
