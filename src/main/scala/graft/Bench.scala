@@ -28,13 +28,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // *_check keys are CORRECTNESS-only faces (sketch + exact + bound
+    // boolean): benching them would re-time the exact computation the
+    // sketch operators exist to avoid — skip them here; Verify runs them.
+    val ordered = SparkEntry.queries.toSeq
+      .filterNot(_._1.endsWith("_check")).sortBy(_._1)
     type Fn = (SparkSession, String) => org.apache.spark.sql.DataFrame
     def runOne(fn: Fn): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // warmup pass (untimed)
     ordered.foreach { case (_, fn) => try runOne(fn) catch { case _: Throwable => } }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // Load provenance: r6's official artifact was a contended-mode run
+    // (65 s vs 26-32 s same-code uncontended) with nothing in the artifact
+    // saying so. Record 1-min loadavg before/after plus per-rep totals so
+    // every future line carries its own noise context.
+    def loadavg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadavg()
     def timedPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       System.gc() // don't bill one query for its predecessors' garbage
       val t0 = System.nanoTime()
@@ -70,11 +84,16 @@ object Bench {
         System.err.println(f"[bench] WARNING rep ${i + 1} total $tot%.1f s deviates >30%% " +
           f"from median $medTotal%.1f s — contended outlier, median shields the artifact")
     }
+    val loadAfter = loadavg()
+    def r2(v: Double): String = (math.rint(v * 100) / 100).toString
+    val provenance =
+      s""""load":{"before":${r2(loadBefore)},"after":${r2(loadAfter)}},""" +
+      s""""rep_totals":[${repTotals.map(r2).mkString(",")}]"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     reportTrend(results, sfDir)
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",$provenance,"queries":$qs,"sf":"$sfDir"}"""
     // The driver truncates stderr/stdout when archiving (r3's trend baseline
     // was lost exactly this way); persist the full per-query table twice —
     // target/bench_full.json (this run) and an append-only committed history
@@ -97,7 +116,7 @@ object Bench {
     // full-precision table lives in BENCH_HISTORY.jsonl (committed) and
     // target/bench_full.json.
     def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    val header = s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","queries_full":"BENCH_HISTORY.jsonl","queries":{"""
+    val header = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$provenance,"sf":"$sfDir","queries_full":"BENCH_HISTORY.jsonl","queries":{"""
     val budget = 1880 - header.length
     val entries = results.filter(_._2 >= 0).sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }

@@ -116,15 +116,21 @@ object ExtendedQueries {
 
     // §2.4 #60: approximate distinct counts (HyperLogLog++) — the sketch
     // that replaces exact countDistinct at 100 TB (mergeable, fixed-size
-    // state, no huge shuffle of distinct values). Sketch values are
-    // engine-specific, so the ORACLE-comparable output is the exact counts
-    // plus an error-bound boolean: each engine checks ITS OWN sketch
-    // against ITS OWN exact count within 5% — hash-equal iff both sketches
-    // are sane. (The spec additionally bounds the Spark-side rel-error.)
-    // ONE distinct column only: a second countDistinct would put an Expand
-    // under the aggregate and the query would bench as the exact plan it
-    // exists to replace.
+    // state, no huge shuffle of distinct values). This is the BENCH face:
+    // sketch only — no exact countDistinct, no Expand, so the bench line
+    // times exactly the plan a 100 TB user would run. Sketch values are
+    // engine-specific → rows-only driver check; accuracy is pinned by
+    // (a) the ApproxAndBucketingSpec rel-error bound and (b) the
+    // q_approx_distinct_check oracle face below.
     "q_approx_distinct" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))),
+
+    // CHECK face (correctness-only; Bench skips *_check keys): sketch +
+    // exact + 5% bound boolean. Each engine checks ITS OWN sketch against
+    // ITS OWN exact count — hash-equal iff both sketches are sane.
+    "q_approx_distinct_check" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -135,12 +141,21 @@ object ExtendedQueries {
             .as("orders_ok"))),
 
     // §2.4 #68: approximate percentiles (mergeable quantile sketch) — what
-    // replaces exact sort-based percentiles at 100 TB. Same oracle shape as
-    // q_approx_distinct: engine-own sketch vs engine-own exact quantile
-    // within 5% relative error, hash-compared as booleans.
-    // array-percentile faces: one sketch pass + one exact pass total, not
-    // one sort per requested quantile
+    // replaces exact sort-based percentiles at 100 TB. BENCH face: sketch
+    // only (array-percentile: one sketch pass total, not one sort per
+    // quantile); rows-only driver check, accuracy pinned by the spec and
+    // the *_check oracle face.
     "q_approx_percentile" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").as("ap"))
+        .select(col("l_returnflag"),
+          element_at(col("ap"), 1).as("p50"),
+          element_at(col("ap"), 2).as("p90"))),
+
+    // CHECK face: engine-own sketch vs engine-own exact quantile within 5%
+    // relative error, hash-compared as booleans.
+    "q_approx_percentile_check" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -242,13 +257,16 @@ object ExtendedQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
                 cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
-    "q_approx_distinct" ->
+    // q_approx_distinct / q_approx_percentile (the bench faces) emit raw
+    // engine-specific sketch values — deliberately NO oracle (rows-only
+    // driver check); their accuracy oracles are the *_check faces.
+    "q_approx_distinct_check" ->
       """SELECT l_returnflag,
                 count(DISTINCT l_orderkey) AS exact_orders,
                 (abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
                    <= 0.05 * count(DISTINCT l_orderkey)) AS orders_ok
          FROM lineitem GROUP BY 1""",
-    "q_approx_percentile" ->
+    "q_approx_percentile_check" ->
       """SELECT l_returnflag,
                 (abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
                    <= 0.05 * quantile_cont(l_extendedprice, 0.5)) AS p50_ok,
