@@ -484,9 +484,11 @@ object Dedup {
     * published choice for web-scale corpora like LAION.
     *
     * Scale shape, stage by stage:
-    *  - centroids train driver-side on a bounded hash-ordered sample
-    *    ([[Similarity.trainCentroids]] — ONE corpus scan, no per-iteration
-    *    jobs);
+    *  - centroids train DISTRIBUTED on a hash-selected sample that scales
+    *    with nCentroids ([[Similarity.trainCentroids]] — one corpus scan,
+    *    then one Spark job per Lloyd's iteration over the cached sample;
+    *    the driver holds only k × dim centroid doubles, so the paper's 50k
+    *    clusters are reachable);
     *  - assignment is a map-only pass against broadcast centroid literals;
     *  - candidate generation is an equi-join on cluster id — never
     *    all-pairs. THE 100 TB lever is `nCentroids ∝ n` (the paper runs
@@ -510,13 +512,14 @@ object Dedup {
     val cLit = typedLit(centroids.map(_.toSeq).toSeq)
     val v = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val assigned = v
-      .withColumn("scores", transform(cLit, c => cosine(col("v"), c)))
-      .withColumn("cid",
-        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
-      .drop("scores")
-    val pairs = assigned.select(col("cid"), col("vec_id").as("va"), col("v").as("a"))
-      .join(assigned.select(col("cid"), col("vec_id").as("vb"), col("v").as("b")),
+    val assigned = Similarity.withCid(v, "v", cLit)
+    // zero-norm vectors (cid -1, cosine undefined) can't be near-dups of
+    // anything — exclude them from pair generation instead of pooling them
+    // into one pseudo-cluster whose O(size²) join defeats the occupancy
+    // bound; the final left join still emits them as their own survivors
+    val clustered = assigned.filter(col("cid") >= 0)
+    val pairs = clustered.select(col("cid"), col("vec_id").as("va"), col("v").as("a"))
+      .join(clustered.select(col("cid"), col("vec_id").as("vb"), col("v").as("b")),
         Seq("cid"))
       .filter(col("va") < col("vb"))
       .filter(cosine(col("a"), col("b")) >= tau)

@@ -113,50 +113,24 @@ object Similarity {
   // IVF (inverted-file) ANN — the coarse-quantizer scale path
   // ------------------------------------------------------------------
 
-  /** Deterministic spherical k-means centroids (Lloyd's, fixed iterations)
-    * trained on a hash-ordered SAMPLE of the corpus.
-    *
-    * The sample is the `sampleSize` vectors with the smallest
-    * xxhash64(vec_id) — a uniform, reproducible draw with no RNG state,
-    * collected with one TakeOrdered pass (map-side top-k per partition,
-    * tiny reduce). Lloyd's then iterates DRIVER-SIDE on that sample: at
-    * 100 TB the training cost is one corpus scan instead of `iters`
-    * full-corpus passes with two jobs each, and the driver holds only
-    * sampleSize × dim doubles. Centroid quality is statistically identical
-    * — k-means centroids estimated on a uniform sample converge at
-    * O(1/sqrt(sampleSize)), far below the quantization error nProbe
-    * absorbs. Initialization = first nCentroids of the sample, which is
-    * exactly the full-corpus init (same hash order). */
-  def trainCentroids(
-      emb: DataFrame,
-      nCentroids: Int,
-      iters: Int = 3,
-      sampleSize: Int = 4096): Array[Array[Double]] = {
-    require(sampleSize >= nCentroids, s"sampleSize $sampleSize < nCentroids $nCentroids")
-    val corpus = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    val sample: Array[Array[Double]] = corpus
-      .orderBy(xxhash64(col("vec_id").cast("string")), col("vec_id"))
-      .limit(sampleSize)
-      .collect().map(_.getSeq[Double](1).toArray)
+  /** Work gate (sample rows × centroids) below which Lloyd's runs as an
+    * in-driver loop on one collected sample — a few ms of arithmetic vs
+    * `iters` scheduled jobs. Above it, training distributes. */
+  private[operators] val driverLoopMaxWork: Long = 500000L
+
+  /** In-driver Lloyd's on a collected sample (the small-configuration
+    * fast path): same init (first nCentroids of the hash-ordered sample),
+    * same tie and empty-cluster rules as the distributed path. */
+  private def lloydLocal(
+      sample: Array[Array[Double]], nCentroids: Int, iters: Int)
+      : Array[Array[Double]] = {
     var centroids = sample.take(nCentroids)
     val dim = centroids(0).length
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     (0 until iters).foreach { _ =>
-      val sums = Array.fill(nCentroids)(Array.fill(dim)(0.0))
-      val counts = Array.fill(nCentroids)(0L)
+      val sums = Array.fill(nCentroids)(new Array[Double](dim))
+      val counts = new Array[Long](nCentroids)
       sample.foreach { v =>
-        var best = 0; var bestScore = Double.NegativeInfinity
-        var c = 0
-        while (c < nCentroids) {
-          val s = cos(v, centroids(c))
-          if (s > bestScore) { bestScore = s; best = c }
-          c += 1
-        }
+        val best = bestCentroid(v, centroids)
         counts(best) += 1
         var j = 0
         while (j < dim) { sums(best)(j) += v(j); j += 1 }
@@ -173,6 +147,157 @@ object Similarity {
     centroids
   }
 
+  /** Best-centroid index for vector `a` — lowest index wins ties; zero-norm
+    * vectors (cosine undefined) return -1. Shared by training and the
+    * callers' assignment guards so every stage agrees on placement. */
+  private[operators] def bestCentroid(
+      a: Array[Double], centroids: Array[Array[Double]]): Int = {
+    val na = { var s = 0.0; var i = 0; while (i < a.length) { s += a(i) * a(i); i += 1 }; s }
+    if (na == 0.0) return -1
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val b = centroids(c)
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var nb = 0.0; var i = 0
+      while (i < n) { dot += a(i) * b(i); nb += b(i) * b(i); i += 1 }
+      val s = if (nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic spherical k-means centroids (Lloyd's, fixed iterations)
+    * trained on a hash-selected SAMPLE of the corpus, with the per-iteration
+    * work DISTRIBUTED.
+    *
+    * The sample is the ~`sampleSize` non-zero vectors with the smallest
+    * xxhash64(vec_id) — a uniform, reproducible draw with no RNG state.
+    * The threshold hash is found with one TakeOrdered over the 8-byte hash
+    * column only (never the vectors); the sample is cached as an RDD and
+    * each Lloyd's iteration is ONE RDD job (no AQE stage-splits): the
+    * E-step (nearest centroid against a broadcast of the current
+    * centroids) and per-partition partial sums run map-side; partials
+    * merge per cluster in partition-id order — on the driver when
+    * nPartitions × k × dim is small (the common case; the merge is pure
+    * addition), through one shuffle otherwise — so float accumulation
+    * order, and with it the result, is deterministic run-to-run. The
+    * driver only ever holds k × dim centroid doubles plus bounded
+    * partials, so `nCentroids` scales to the paper-sized 50k clusters
+    * (SemDeDup, arXiv:2303.09540) that the earlier driver-side loop
+    * (O(sample × k × dim × iters) single-threaded, sample hard-capped at
+    * 4096) could not reach.
+    *
+    * `sampleSize <= 0` (default) auto-scales the sample with the requested
+    * resolution: max(4096, 32 × nCentroids). Initialization = first
+    * nCentroids of the hash-ordered sample, as before.
+    *
+    * Tiny configurations (sample × nCentroids below [[driverLoopMaxWork]],
+    * e.g. the default 16-centroid SemDeDup) short-circuit to a single
+    * TakeOrdered job + an in-driver loop — at that size the whole E+M step
+    * is a few ms and per-iteration job scheduling would dominate; the
+    * distributed path is the uncapped scale lever, not a tax on small k. */
+  def trainCentroids(
+      emb: DataFrame,
+      nCentroids: Int,
+      iters: Int = 3,
+      sampleSize: Int = 0): Array[Array[Double]] = {
+    val targetSample =
+      if (sampleSize > 0) sampleSize else math.max(4096, 32 * nCentroids)
+    require(targetSample >= nCentroids,
+      s"sampleSize $targetSample < nCentroids $nCentroids")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val corpus = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      // zero-norm vectors can't vote (cosine undefined) and, worse, a
+      // zero-norm INITIAL centroid would NaN every score — keep them out
+      .filter(aggregate(col("v"), lit(0.0), (a, x) => a + x * x) > 0)
+      .withColumn("h", xxhash64(col("vec_id").cast("string")))
+    if (targetSample.toLong * nCentroids <= driverLoopMaxWork) {
+      val sampleArr: Array[Array[Double]] = corpus
+        .orderBy(col("h"), col("vec_id")).limit(targetSample)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      require(sampleArr.nonEmpty, "trainCentroids: corpus has no non-zero vectors")
+      return lloydLocal(sampleArr, nCentroids, iters)
+    }
+    // hash threshold via TakeOrdered over (hash, id) pairs only — the
+    // vectors themselves never sort or collect
+    val bound = corpus.select(col("h"), col("vec_id"))
+      .orderBy(col("h"), col("vec_id")).limit(targetSample)
+      .collect()
+    require(bound.nonEmpty, "trainCentroids: corpus has no non-zero vectors")
+    val (hMax, idMax) = (bound.last.getLong(0), bound.last.getLong(1))
+    val sample: org.apache.spark.rdd.RDD[((Long, Long), Array[Double])] = corpus
+      .filter(col("h") < hMax || (col("h") === hMax && col("vec_id") <= idMax))
+      .select(col("h"), col("vec_id"), col("v"))
+      .as[(Long, Long, Array[Double])]
+      .rdd.map { case (h, id, v) => ((h, id), v) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[Array[Double]] =
+        sample.takeOrdered(nCentroids)(Ordering.by(_._1)).map(_._2)
+      val dim = centroids(0).length
+      val nPart = sample.getNumPartitions
+      (0 until iters).foreach { _ =>
+        val bc = spark.sparkContext.broadcast(centroids)
+        // E-step + per-partition partial M-step in one map pass
+        val raw = sample.mapPartitionsWithIndex { (pid, it) =>
+          val cs = bc.value
+          val sums = new java.util.HashMap[Int, (Array[Double], Array[Long])]()
+          it.foreach { case (_, v) =>
+            val cid = bestCentroid(v, cs)
+            val cell = sums.computeIfAbsent(cid,
+              _ => (new Array[Double](v.length), new Array[Long](1)))
+            var j = 0
+            while (j < v.length) { cell._1(j) += v(j); j += 1 }
+            cell._2(0) += 1L
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Double], Long)]
+          sums.forEach { (cid, cell) => out += ((pid, cid, cell._1, cell._2(0))) }
+          out.iterator
+        }
+        // merge per-cluster in (cid, pid) order — deterministic float
+        // accumulation either way; driver-side when the worst-case partial
+        // volume is small (one job, pure addition), one shuffle otherwise
+        def mergeSorted(parts: Array[(Int, Int, Array[Double], Long)])
+            : (Array[Double], Long) = {
+          val acc = new Array[Double](dim)
+          var cnt = 0L
+          parts.foreach { case (_, _, s, c) =>
+            var j = 0
+            while (j < dim) { acc(j) += s(j); j += 1 }
+            cnt += c
+          }
+          (acc, cnt)
+        }
+        val smallPartials =
+          nPart.toLong * nCentroids * dim * 8L <= 64L * 1024 * 1024
+        val byCid: Map[Int, (Array[Double], Long)] =
+          if (smallPartials)
+            raw.collect().groupBy(_._2)
+              .map { case (cid, ps) => cid -> mergeSorted(ps.sortBy(_._1)) }
+          else
+            raw.map(t => (t._2, t))
+              .groupByKey()
+              .map { case (cid, ps) => (cid, mergeSorted(ps.toArray.sortBy(_._1))) }
+              .collect().toMap
+        bc.destroy()
+        centroids = centroids.zipWithIndex.map { case (old, c) =>
+          byCid.get(c) match {
+            case None => old // empty cluster keeps its centroid
+            case Some((s, cnt)) =>
+              val mean = s.map(_ / cnt)
+              val n = math.sqrt(mean.map(x => x * x).sum)
+              if (n == 0.0) old else mean.map(_ / n)
+          }
+        }
+      }
+      centroids
+    } finally { sample.unpersist(); () }
+  }
+
   /** IVF ANN: assign the corpus to its nearest centroid ONCE (one map
     * pass), then each query probes only its `nProbe` closest centroids'
     * inverted lists — the corpus shuffle is a single int-keyed
@@ -187,12 +312,13 @@ object Similarity {
       nProbe: Int = 4): DataFrame = {
     val centroids = trainCentroids(emb, nCentroids)
     val cLit = typedLit(centroids.map(_.toSeq).toSeq)
-    val corpus = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("scores", transform(cLit, c => Dedup.cosine(col("v"), c)))
-      .withColumn("cid",
-        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
-      .drop("scores")
+    val corpus = withCid(
+      emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")),
+      "v", cLit)
+      // zero-norm vectors (cid -1) have no cosine neighborhood: no probe
+      // ever visits them, so drop them from the inverted lists up front
+      .filter(col("cid") >= 0)
     val probes = queries.select(col("vec_id").as("query_id"),
       transform(col("embedding"), x => x.cast("double")).as("qv"))
       .withColumn("scores", transform(cLit, c => Dedup.cosine(col("qv"), c)))
@@ -211,6 +337,24 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
+
+  /** Adds a nearest-centroid `cid` column: argmax of cosine against the
+    * broadcast centroid literals, lowest index on ties (matching
+    * [[bestCentroid]]). The per-centroid score array is BOUND to its own
+    * projection first, so the k cosines are computed once per row, not once
+    * per downstream reference. A zero-norm vector scores NaN against every
+    * centroid — `array_max` propagates the NaN and `array_position` would
+    * silently map it to cid -1, pooling all zero vectors into one
+    * pseudo-cluster whose O(size²) pair join defeats the occupancy bound —
+    * so those rows get an EXPLICIT cid -1 for callers to filter. */
+  private[operators] def withCid(
+      df: DataFrame, vCol: String, cLit: Column): DataFrame =
+    df.withColumn("scores", transform(cLit, c => Dedup.cosine(col(vCol), c)))
+      .withColumn("cid",
+        when(isnan(element_at(col("scores"), 1)), lit(-1))
+          .otherwise(array_position(col("scores"), array_max(col("scores"))) - 1)
+          .cast("int"))
+      .drop("scores")
 
   /** L2 norm of a double-array vector, folded in element order — the same
     * sequential accumulation every engine's list-sum uses, so the value is

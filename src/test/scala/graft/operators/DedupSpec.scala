@@ -257,4 +257,47 @@ class DedupSpec extends SparkSpec {
       r.getAs[Long]("survivor_id") != r.getAs[Long]("vec_id"))
     assert(falseMerges.isEmpty, s"false merges: ${falseMerges.toSeq}")
   }
+
+  test("semDedup emits zero-norm vectors as their own survivors, never paired") {
+    val dim = 16
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(j => (((seed * 31 + j * 17) % 97) - 48).toFloat / 48f)
+    val emb = Seq(
+      (1L, vec(1)), (2L, vec(1).zipWithIndex.map { case (x, j) =>
+        x + (if (j == 0) 0.01f else 0f) }),
+      (50L, Array.fill(dim)(0f)), (51L, Array.fill(dim)(0f)),
+      (60L, vec(9)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(emb, tau = 0.99, nCentroids = 2, dim = dim).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("survivor_id"),
+        r.getAs[Boolean]("keep")))
+    assert(out.length == 5, s"every vector must appear: ${out.toSeq}")
+    // zero vectors have undefined cosine: each survives as its own group
+    // (NOT pooled into one pseudo-cluster or merged with each other)
+    Seq(50L, 51L).foreach { id =>
+      val row = out.find(_._1 == id).get
+      assert(row._2 == id && row._3, s"zero vector $id mishandled: $row")
+    }
+    // the planted near-dup pair still groups
+    assert(out.find(_._1 == 2L).get._2 == 1L)
+  }
+
+  test("semDedup holds its invariants at nCentroids=256 on the sf0.1 embeddings") {
+    // paper-posture resolution (nCentroids ∝ n) on real data: the r6
+    // driver-side trainer could not run past 4096 samples single-threaded;
+    // this pins the distributed path through the full operator
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val n = emb.count()
+    val out = Dedup.semDedup(emb, tau = 0.95, nCentroids = 256, dim = 64).cache()
+    try {
+      assert(out.count() == n, "every corpus vector appears exactly once")
+      // survivor is the min vec_id of its group, keep marks survivors only
+      assert(out.filter(col("survivor_id") > col("vec_id")).isEmpty)
+      assert(out.filter(col("keep") =!= (col("vec_id") === col("survivor_id"))).isEmpty)
+      // every named survivor is itself a kept row (groups are well-formed)
+      val orphans = out.select(col("survivor_id").as("vec_id")).distinct()
+        .join(out.filter(col("keep")), Seq("vec_id"), "left_anti")
+      assert(orphans.isEmpty, "survivor_id pointing at a non-kept row")
+    } finally { out.unpersist(); () }
+  }
 }

@@ -53,24 +53,66 @@ class IvfSpec extends SparkSpec {
     assert(mean >= 0.8, s"mean IVF recall $mean")
   }
 
-  test("centroid training is deterministic") {
+  test("centroid training is deterministic (driver and distributed paths)") {
     val c1 = Similarity.trainCentroids(corpus, 4, iters = 2)
     val c2 = Similarity.trainCentroids(corpus, 4, iters = 2)
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
     assert(c1.length == 4 && c1(0).length == dim)
+    // force the distributed path (sample × k above the driver-loop gate)
+    val big = (Similarity.driverLoopMaxWork / 4 + 1).toInt
+    val d1 = Similarity.trainCentroids(corpus, 4, iters = 2, sampleSize = big)
+    val d2 = Similarity.trainCentroids(corpus, 4, iters = 2, sampleSize = big)
+    assert(d1.map(_.toSeq).toSeq == d2.map(_.toSeq).toSeq)
   }
 
-  test("training reads one bounded sample, not per-iteration corpus passes") {
+  test("distributed training job count is bounded: 2 setup jobs + one per iteration") {
     val sc = spark.sparkContext
     sc.setJobGroup("ivf-train-count", "counting training jobs")
-    val c = Similarity.trainCentroids(corpus, 4, iters = 3, sampleSize = 64)
+    val iters = 3
+    // sampleSize above the driver-loop gate forces the distributed path
+    // (the tiny corpus then IS the sample)
+    val c = Similarity.trainCentroids(corpus, 4, iters = iters,
+      sampleSize = (Similarity.driverLoopMaxWork / 4 + 1).toInt)
     sc.clearJobGroup()
-    // Lloyd's iterates driver-side on the sample: the only cluster work is
-    // the single TakeOrdered sample collection (the r2 version ran
-    // 1 + 2*iters full-corpus jobs here)
+    // Distributed Lloyd's: one TakeOrdered for the hash threshold, one for
+    // the initial centroids (this materializes the cached sample — the ONLY
+    // corpus scan), then one aggregation per iteration over the cached
+    // sample (AQE materializes its shuffle stage as a second job, hence
+    // 2 per iteration). The r2 version ran 1 + 2*iters FULL-CORPUS jobs.
     val jobs = sc.statusTracker.getJobIdsForGroup("ivf-train-count")
-    assert(jobs.length == 1, s"training ran ${jobs.length} jobs, expected 1")
+    assert(jobs.length <= 2 + 2 * iters,
+      s"training ran ${jobs.length} jobs, expected <= ${2 + 2 * iters}")
     assert(c.length == 4 && c(0).length == dim)
+  }
+
+  test("training scales past the old 4096-vector driver ceiling (k=256 on sf0.1)") {
+    // the documented SemDeDup lever is nCentroids ∝ n (the paper runs 50k);
+    // the r6 driver-side loop threw above k=4096 and iterated
+    // O(sample×k×dim) single-threaded — train at k=256 on the real sf0.1
+    // embeddings to pin the distributed path end to end
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val cents = Similarity.trainCentroids(emb, 256, iters = 2)
+    assert(cents.length == 256 && cents(0).length == 64)
+    // spherical k-means: every trained centroid is unit-norm (or a kept
+    // init vector); none may be the zero vector
+    cents.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(n > 0.0, "zero-norm centroid")
+    }
+  }
+
+  test("zero-norm vectors never enter training or inverted lists") {
+    val withZeros = (corpusLocal :+ (900L -> Array.fill(dim)(0f)) :+
+      (901L -> Array.fill(dim)(0f))).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(withZeros, 4, iters = 2)
+    assert(cents.forall(c => math.sqrt(c.map(x => x * x).sum) > 0.0))
+    // IVF drops cid -1 (zero-norm) rows from the lists: results must never
+    // contain the zero vectors, and every query still gets k hits
+    val got = Similarity.topKIvf(spark, withZeros, queries, 5, nCentroids = 4, nProbe = 2)
+      .collect()
+    assert(got.nonEmpty)
+    assert(!got.exists(r => r.getAs[Long]("vec_id") >= 900L),
+      "zero-norm vector leaked into ANN results")
   }
 
   test("IVF recall holds when trained on a small sample") {
