@@ -216,19 +216,19 @@ object PipelineQueries {
       EventStreams.sessionizeBatch(Tables.load(s, dir, "events"))),
 
     // §2.6 #88/#89 EVENT-TIME streaming faces, driven end-to-end: the
-    // table is replayed through MemoryStream in one burst (the 100 TB
-    // reprocessing posture — fast replay of history through the SAME
-    // stateful operator that runs live), sentinel batches advance the
-    // watermark so EventTimeTimeout closes every open session, and the
-    // collected sink is oracle-checked against the batch closure. The
-    // driver-side collect is the REPLAY HARNESS feeding MemoryStream (a
-    // test-only source), not the operator's data path — the operator
-    // shuffles by key and keeps O(active keys) state.
+    // table is replayed through a FILE streaming source in one burst (the
+    // 100 TB reprocessing posture — fast replay of history through the
+    // SAME stateful operator that runs live), sentinel files appended
+    // between processAllAvailable rounds advance the watermark so
+    // EventTimeTimeout closes every open session, and the (result-sized)
+    // collected sink is oracle-checked against the batch closure. Nothing
+    // source-table-sized ever touches the driver — the r6 MemoryStream
+    // harness collected the full events table to feed it.
     "st_sessionize_et" -> ((s, dir) => stSessionizeEt(s, dir)),
     "st_dedup_et" -> ((s, dir) => stDedupEt(s, dir)),
 
     // §2.7 #115 stream-stream interval join — batch face (oracle-exact)
-    // and a MemoryStream replay through the watermarked streaming join,
+    // and a file-source replay through the watermarked streaming join,
     // checked against the SAME oracle
     "st_join" -> ((s, dir) =>
       EventStreams.intervalJoinBatch(Tables.load(s, dir, "events"))),
@@ -267,6 +267,35 @@ object PipelineQueries {
   /** Sentinel user for watermark-advancing events (filtered from output). */
   private val SentinelUser = -99L
 
+  /** File-backed replay source: writes `df` to a fresh subdir of `root`
+    * (a DISTRIBUTED write — the source table never collects to the
+    * driver) and opens the same path as a file-streaming source. This
+    * replaces the r6 MemoryStream harness, whose driver-side collect
+    * scaled with the source table.
+    *
+    * Watermark-advancing SENTINEL rows ride in the same initial write:
+    * during the first micro-batch the watermark is still epoch 0, so
+    * nothing is late-dropped regardless of arrival order; the batch's end
+    * advances the watermark past every real event's horizon at once, and
+    * processAllAvailable keeps running (cheap, empty) micro-batches while
+    * that advance leaves timeouts or evictions due. One write + one PAA
+    * round — each extra micro-batch costs ~0.5-1 s of fixed state-commit
+    * and planning overhead, so the replay runs exactly two. */
+  private def fileReplaySource(
+      s: SparkSession, df: DataFrame,
+      root: java.nio.file.Path, sub: String): DataFrame = {
+    val path = root.resolve(sub).toString
+    df.write.mode("overwrite").parquet(path)
+    s.readStream.schema(df.schema).parquet(path)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = try {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  } catch { case _: java.io.IOException => }
+
   /** Run `body` with the session's shuffle partitions pinned to `n`, then
     * restore. Stateful streams size their shuffle partitions to STATE
     * volume, not scan width: the state store commits one delta per
@@ -281,34 +310,39 @@ object PipelineQueries {
     try body finally s.conf.set(key, old)
   }
 
+  /** Sentinel events (one per shift `i`) at maxTs + i×3h — past every
+    * session gap, TTL and join horizon used by the replay faces. */
+  private def sentinelEvents(
+      s: SparkSession, evs: DataFrame): DataFrame = {
+    import s.implicits._
+    val maxUs = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .fromJavaTimestamp(evs.agg(max(col("ts"))).first().getTimestamp(0))
+    (1 to 2).map(i => EventStreams.Event(-i.toLong,
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(
+        maxUs + i * 3600L * 1000000L * 3L),
+      SentinelUser, "sentinel", 0.0)).toDF()
+  }
+
   private def stSessionizeEt(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val evs = Tables.load(s, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value").cast("double").as("value"))
-      .as[EventStreams.Event].collect()
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event]
+    val root = java.nio.file.Files.createTempDirectory("graft_et_")
+    // sentinels ride in the initial write (watermark is epoch 0 during
+    // batch 0, so co-arrival drops nothing); their +3h/+6h timestamps move
+    // the watermark past every session's last+gap at the batch boundary
+    // and PAA's follow-up batch fires the now-due timeouts
+    val src = fileReplaySource(s, evs.unionByName(sentinelEvents(s, evs)),
+      root, "events")
     val name = "st_sessionize_et_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val q = withStatePartitions(s, 8) {
-      EventStreams.sessionizeStreamEventTime(s, mem.toDS())
+      EventStreams.sessionizeStreamEventTime(s, src.as[EventStreams.Event])
         .writeStream.format("memory").queryName(name).outputMode("append").start()
     }
     try {
-      mem.addData(evs.toSeq)
       q.processAllAvailable()
-      // two sentinel batches: the first moves the watermark past every
-      // session's last+gap, the second fires the now-due timeouts
-      val maxUs = evs.iterator.map(e =>
-        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(e.ts)).max
-      for (i <- 1 to 2) {
-        mem.addData(Seq(EventStreams.Event(-i.toLong,
-          org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(
-            maxUs + i * 3600L * 1000000L * 3L),
-          SentinelUser, "sentinel", 0.0)))
-        q.processAllAvailable()
-      }
       val out = s.table(name).filter(col("user_id") =!= lit(SentinelUser))
         .select(col("user_id"), col("session_id"), col("n_events"),
           col("session_start"), col("session_end"))
@@ -317,112 +351,82 @@ object PipelineQueries {
     } finally {
       q.stop()
       s.catalog.dropTempView(name)
+      deleteRecursively(root)
     }
   }
 
-  private def stJoinEt(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+  /** Shared plumbing for the stream-stream interval-join replay faces:
+    * ONE distributed write of the projected events table (plus watermark
+    * sentinels for the outer join), then TWO file sources over the same
+    * path filter it into the click / purchase sides — the same
+    * split-one-stream shape a Kafka-backed deployment would use. */
+  private def stJoinEtFace(
+      s: SparkSession, dir: String, joinType: String): DataFrame = {
     val evs = Tables.load(s, dir, "events")
-    val clicks = evs.filter(col("event_type") === lit("click"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+    val root = java.nio.file.Files.createTempDirectory("graft_et_")
+    // outer: null rows for unconverted clicks emit only once the GLOBAL
+    // watermark (min across both streams) proves no purchase can match —
+    // sentinel events pass BOTH sides' filters, advancing each stream
+    val payload =
+      if (joinType == "inner") evs
+      else evs.unionByName(sentinelEvents(s, evs))
+    val src = fileReplaySource(s, payload, root, "events")
+    def side(kind: String) = src.filter(
+      col("event_type").isin(kind, "sentinel"))
+    val clicks = side("click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
-      .as[EventStreams.Click].collect()
-    val purchases = evs.filter(col("event_type") === lit("purchase"))
+    val purchases = side("purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
-        col("ts").as("purchase_ts"), col("value").cast("double").as("value"))
-      .as[EventStreams.Purchase].collect()
-    val memC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Click]
-    val memP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Purchase]
-    val name = "st_join_et_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        col("ts").as("purchase_ts"), col("value"))
+    val name = s"st_join_${joinType}_et_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     val q = withStatePartitions(s, 8) {
-      EventStreams.intervalJoinStream(memC.toDF(), memP.toDF())
+      EventStreams.intervalJoinStream(clicks, purchases, joinType = joinType)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
     }
     try {
-      // one-burst replay: an INNER stream-stream join emits every match as
-      // soon as both rows are buffered — the initial watermark (epoch 0)
-      // drops nothing, so the replay reproduces the batch join exactly
-      memC.addData(clicks.toSeq)
-      memP.addData(purchases.toSeq)
+      // one-burst replay: the initial watermark (epoch 0) drops nothing,
+      // so the replay reproduces the batch join exactly; matches emit in
+      // batch 0, outer null-rows in PAA's watermark follow-up batch
       q.processAllAvailable()
-      val out = s.table(name)
+      val out = s.table(name).filter(col("user_id") =!= lit(SentinelUser))
       val rows = out.collect() // attribution pairs, not the event stream
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
       q.stop()
       s.catalog.dropTempView(name)
+      deleteRecursively(root)
     }
   }
 
-  private def stJoinOuterEt(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val evs = Tables.load(s, dir, "events")
-    val clicks = evs.filter(col("event_type") === lit("click"))
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("click_ts"))
-      .as[EventStreams.Click].collect()
-    val purchases = evs.filter(col("event_type") === lit("purchase"))
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
-        col("ts").as("purchase_ts"), col("value").cast("double").as("value"))
-      .as[EventStreams.Purchase].collect()
-    val memC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Click]
-    val memP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Purchase]
-    val name = "st_join_outer_et_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = withStatePartitions(s, 8) {
-      EventStreams.intervalJoinStream(memC.toDF(), memP.toDF(),
-          joinType = "left_outer")
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
-    }
-    try {
-      memC.addData(clicks.toSeq)
-      memP.addData(purchases.toSeq)
-      q.processAllAvailable()
-      // null-extended rows for unconverted clicks emit only once the
-      // GLOBAL watermark (min across both streams) proves no purchase can
-      // still match — sentinel batches on BOTH sides advance it past
-      // every click's matching horizon
-      val toUs = (t: java.sql.Timestamp) =>
-        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
-      val maxUs = (clicks.iterator.map(c => toUs(c.click_ts)) ++
-        purchases.iterator.map(p => toUs(p.purchase_ts))).max
-      for (i <- 1 to 2) {
-        val sentinelTs = org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .toJavaTimestamp(maxUs + i * 3600L * 1000000L * 3L)
-        memC.addData(Seq(EventStreams.Click(-i.toLong, SentinelUser, sentinelTs)))
-        memP.addData(Seq(EventStreams.Purchase(-i.toLong, SentinelUser, sentinelTs, 0.0)))
-        q.processAllAvailable()
-      }
-      val out = s.table(name).filter(col("user_id") =!= lit(SentinelUser))
-      val rows = out.collect() // attribution pairs + unconverted clicks
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-    } finally {
-      q.stop()
-      s.catalog.dropTempView(name)
-    }
-  }
+  private def stJoinEt(s: SparkSession, dir: String): DataFrame =
+    stJoinEtFace(s, dir, "inner")
+
+  private def stJoinOuterEt(s: SparkSession, dir: String): DataFrame =
+    stJoinEtFace(s, dir, "left_outer")
 
   private def stDedupEt(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     // synthesize an event clock from doc_id (60 s per id): dupes of a text
     // re-admit when their id gap exceeds ttl/60s — mirrored exactly by the
     // oracle's lag() window
     val tsd = docs(s, dir)
       .select(expr("timestamp_micros(1704067200000000 + doc_id * 60000000)").as("ts"),
         col("doc_id"), col("text"))
-      .as[EventStreams.TsDoc].collect()
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.TsDoc]
+    val root = java.nio.file.Files.createTempDirectory("graft_et_")
+    val src = fileReplaySource(s, tsd, root, "docs")
     val name = "st_dedup_et_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = withStatePartitions(s, 8) {
-      EventStreams.dedupStreamEventTime(s, mem.toDS(), ttl = "30 minutes")
+      EventStreams.dedupStreamEventTime(s, src.as[EventStreams.TsDoc],
+          ttl = "30 minutes")
         .writeStream.format("memory").queryName(name).outputMode("append").start()
     }
     try {
       // one-burst replay: every admit/drop decision is the in-batch fold
       // (no timeouts involved), the pure fast-replay case
-      mem.addData(tsd.toSeq)
       q.processAllAvailable()
       val out = s.table(name).select(col("doc_id"))
       val rows = out.collect()
@@ -430,6 +434,7 @@ object PipelineQueries {
     } finally {
       q.stop()
       s.catalog.dropTempView(name)
+      deleteRecursively(root)
     }
   }
 
