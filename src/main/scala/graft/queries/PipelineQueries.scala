@@ -65,20 +65,39 @@ object PipelineQueries {
         .select(col("query_id"), col("vec_id"), col("rank"))
     }),
 
-    // §2.3 #42 LSH-bucketed ANN (rows-only + recall spec)
+    // §2.3 #42 LSH-bucketed ANN (rows-only + recall spec). nTables=4: the
+    // synthetic embeddings are near-uniform (top-5 cosines ~0.5, no cluster
+    // structure), the hard case for hyperplane LSH — 2 tables measure 0.60
+    // mean recall@5 on sf0.1, 4 tables 0.90. The check face below verifies
+    // >= 0.8 at THESE settings every round.
     "sim_topk_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.topKLsh(e, e.filter(col("vec_id") < 8), k = 5,
-        n = embCount(s, dir))
+        nTables = 4, n = embCount(s, dir))
     }),
 
     // §2.4 #63 IVF ANN — coarse-quantizer scale path (rows-only + recall
-    // spec; centroid training is deterministic hash-seeded Lloyd's)
+    // spec; centroid training is deterministic hash-seeded Lloyd's).
+    // nProbe=8: same corpus-difficulty story as LSH above (nProbe=4
+    // measures 0.58-0.63 mean recall@5 on the real tables, 8 clears 0.8,
+    // verified per round by the check face).
     "sim_topk_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.topKIvf(s, e, e.filter(col("vec_id") < 8), k = 5,
-        nCentroids = 16, nProbe = 4)
+        nCentroids = 16, nProbe = 8)
     }),
+
+    // §2.7: driver-verified ANN recall (CHECK faces — Bench skips *_check,
+    // so the raw ANN faces above keep timing only the approximate path).
+    // Same engine-own convention as the sketch *_check oracles: Spark
+    // measures ITS ANN's mean recall@k against ITS exact top-k (itself
+    // oracle-pinned to DuckDB ranking by sim_topk_bruteforce); DuckDB
+    // validates the ground truth is well-formed (every query has >= k
+    // defined-cosine candidates) and reports its own exact-scan recall
+    // (trivially 1). Hash-equal iff Spark's recall clears 0.8 AND both
+    // engines see the same well-defined query set.
+    "sim_topk_lsh_check" -> ((s, dir) => annRecallCheck(s, dir, "lsh")),
+    "sim_topk_ivf_check" -> ((s, dir) => annRecallCheck(s, dir, "ivf")),
 
     // §2.4 #64 streaming exact dedup (batch face here: same first-occurrence
     // semantics as the stateful stream; flatMapGroupsWithState spec in tests)
@@ -310,6 +329,48 @@ object PipelineQueries {
     try body finally s.conf.set(key, old)
   }
 
+  private val annRecallOracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     list_cosine_similarity(c.v, q.qv) AS cos
+              FROM c, q WHERE c.vec_id <> q.query_id),
+            wellformed AS (
+              SELECT query_id FROM scored WHERE cos IS NOT NULL
+              GROUP BY 1 HAVING count(*) >= 5)
+       SELECT count(*)::BIGINT AS n_queries,
+              (1.0 >= 0.8) AS recall_ok
+       FROM wellformed"""
+
+  /** Mean recall@k of an ANN family against the engine's own exact top-k,
+    * as a single (n_queries, recall_ok) row — the shape both engines can
+    * produce independently (see the sim_topk_*_check query docs). */
+  private def annRecallCheck(
+      s: SparkSession, dir: String, kind: String): DataFrame = {
+    val k = 5
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 8)
+    // EXACTLY the sim_topk_lsh / sim_topk_ivf bench-face settings — the
+    // check certifies the path users actually run
+    val ann = kind match {
+      case "lsh" => Similarity.topKLsh(e, q, k = k, nTables = 4,
+        n = embCount(s, dir))
+      case _ => Similarity.topKIvf(s, e, q, k = k, nCentroids = 16, nProbe = 8)
+    }
+    val exact = Similarity.topKBruteForce(e, q, k = k)
+      .select(col("query_id"), col("vec_id"))
+    val perQuery = ann.select(col("query_id"), col("vec_id"))
+      .join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    q.select(col("vec_id").as("query_id"))
+      .join(perQuery, Seq("query_id"), "left")
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        ((sum(coalesce(col("n_hit"), lit(0L))) /
+          (count(lit(1)) * k)) >= 0.8).as("recall_ok"))
+  }
+
   /** Sentinel events (one per shift `i`) at maxTs + i×3h — past every
     * session gap, TTL and join horizon used by the replay faces. */
   private def sentinelEvents(
@@ -456,6 +517,14 @@ object PipelineQueries {
                                           ORDER BY cos DESC, vec_id) AS rank
                 FROM scored)
          SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5""",
+    // ANN recall check faces: DuckDB's side validates the exact ground
+    // truth is well-formed (every query has >= k candidates with a defined
+    // cosine — n_queries would drop below Spark's count otherwise) and
+    // reports its own exact-scan recall, which is 1 by construction. The
+    // Spark side carries the real assertion (LSH/IVF mean recall >= 0.8
+    // against its bruteforce top-k, itself rank-pinned to DuckDB above).
+    "sim_topk_lsh_check" -> annRecallOracleSql,
+    "sim_topk_ivf_check" -> annRecallOracleSql,
     "st_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS doc_id
          FROM documents GROUP BY 1""",
