@@ -143,29 +143,114 @@ object Multimodal {
   final case class Frame(doc_id: Long, frame_idx: Long, ts_ms: Long,
       frame_bytes: Long, frame_hash: Long)
 
+  /** Content hash of a decoded raster: rolling hash over RGB values on a
+    * deterministic stride capped at ~4096 samples (coprime with the width
+    * so power-of-two rasters don't degenerate to 1-2 columns — same trick
+    * as [[decodeImage]]). Two frames with different pixels hash apart;
+    * re-decoding the same frame is bit-stable. */
+  private def rasterHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val n = w.toLong * img.getHeight
+    var stride = math.max(1L, n / 4096L)
+    def gcd(a0: Long, b0: Long): Long = {
+      var a = a0; var b = b0
+      while (b != 0L) { val t = a % b; a = b; b = t }
+      a
+    }
+    while (gcd(stride, w.toLong) != 1L) stride += 1L
+    var h = 1125899906842597L
+    var i = 0L
+    while (i < n) {
+      h = h * 257L + (img.getRGB((i % w).toInt, (i / w).toInt) & 0xffffff)
+      i += stride
+    }
+    h
+  }
+
+  /** REAL frame demux for animated GIF (the one multi-frame container the
+    * JDK decodes natively — the video stand-in): every `everyN`-th frame
+    * is decoded to its true raster; `ts_ms` accumulates the per-frame
+    * GraphicControlExtension delays (centiseconds) across ALL frames, so a
+    * sampled frame's timestamp is its real presentation time; `frame_hash`
+    * hashes decoded PIXELS, not payload bytes; `frame_bytes` is the
+    * decoded ARGB raster size. None on undecodable bytes → caller falls
+    * back to the stub (a corrupt video must not fail a 100 TB scan). */
+  def sampleGifFrames(b: Blob, everyN: Int): Option[Seq[Frame]] = {
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b.payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      reader.setInput(iis, false, false)
+      try {
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        val out = scala.collection.mutable.ArrayBuffer.empty[Frame]
+        var tsMs = 0L
+        var i = 0
+        while (i < n) {
+          if (i % everyN == 0) {
+            val img = reader.read(i)
+            out += Frame(b.doc_id, i.toLong, tsMs,
+              4L * img.getWidth * img.getHeight, rasterHash(img))
+          }
+          tsMs += 10L * frameDelayCs(reader, i)
+          i += 1
+        }
+        Some(out.toSeq)
+      } finally reader.dispose()
+    } catch { case _: Exception => None }
+  }
+
+  /** GIF per-frame delay in centiseconds from the frame's
+    * GraphicControlExtension (0 when absent/unreadable). */
+  private def frameDelayCs(reader: javax.imageio.ImageReader, i: Int): Int =
+    try {
+      val tree = reader.getImageMetadata(i)
+        .getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val gce = tree.getElementsByTagName("GraphicControlExtension")
+      if (gce.getLength == 0) 0
+      else gce.item(0).asInstanceOf[org.w3c.dom.Element]
+        .getAttribute("delayTime").toInt
+    } catch { case _: Exception => 0 }
+
   /** Frame sampling: every `everyN`-th frame of each blob, one output row
     * per sampled frame — the fan-out a video corpus takes before
-    * per-frame feature extraction. The blob's "frame count" and per-frame
-    * "bytes" come from the stub codec (payload length / a fixed frame
-    * stride); a real deployment swaps the demuxer in the same
-    * mapPartitions hop. flatMap shape: a 1-hour 30 fps blob becomes 108k
-    * rows WITHOUT materializing them driver-side, and downstream
-    * repartition spreads per-frame work regardless of blob skew. */
+    * per-frame feature extraction. GIF payloads go through the REAL
+    * demuxer above (true rasters, true presentation times); other formats
+    * take the stub (frame count = payload length / a fixed stride,
+    * per-frame hash over the byte span), with corrupt GIFs falling back to
+    * the stub rather than failing the scan. flatMap shape: a 1-hour 30 fps
+    * blob becomes 108k rows WITHOUT materializing them driver-side, and
+    * downstream repartition spreads per-frame work regardless of blob
+    * skew. */
   def sampleFrames(spark: SparkSession, docs: DataFrame, everyN: Int = 10,
-      frameStride: Int = 256, fps: Int = 30): DataFrame = {
+      frameStride: Int = 256, fps: Int = 30): DataFrame =
+    sampleFrameBlobs(spark, blobs(docs), everyN, frameStride, fps)
+
+  /** [[sampleFrames]] over an arbitrary blob table. */
+  def sampleFrameBlobs(spark: SparkSession, blobDf: DataFrame,
+      everyN: Int = 10, frameStride: Int = 256, fps: Int = 30): DataFrame = {
     require(everyN > 0 && frameStride > 0 && fps > 0)
     import spark.implicits._
-    val ds: Dataset[Blob] = blobs(docs).as[Blob]
+    val ds: Dataset[Blob] = blobDf.as[Blob]
+    val GifFormats = Set("image/gif", "video/gif")
     ds.mapPartitions { it =>
       // per-partition init point (demuxer handle would live here)
       it.flatMap { b =>
-        val nFrames = math.max(1L, b.payload.length.toLong / frameStride)
-        (0L until nFrames by everyN.toLong).iterator.map { f =>
-          // stub per-frame "decode": hash of the frame's byte span
-          val from = (f * frameStride).toInt.min(b.payload.length)
-          val until = ((f + 1) * frameStride).toInt.min(b.payload.length)
-          Frame(b.doc_id, f, f * 1000L / fps, (until - from).toLong,
-            hashSpan(b.payload, from, until))
+        val real =
+          if (GifFormats.contains(b.format)) sampleGifFrames(b, everyN) else None
+        real.map(_.iterator).getOrElse {
+          val nFrames = math.max(1L, b.payload.length.toLong / frameStride)
+          (0L until nFrames by everyN.toLong).iterator.map { f =>
+            // stub per-frame "decode": hash of the frame's byte span
+            val from = (f * frameStride).toInt.min(b.payload.length)
+            val until = ((f + 1) * frameStride).toInt.min(b.payload.length)
+            Frame(b.doc_id, f, f * 1000L / fps, (until - from).toLong,
+              hashSpan(b.payload, from, until))
+          }
         }
       }
     }.toDF()

@@ -124,4 +124,78 @@ class MultimodalSpec extends SparkSpec {
     assert(h1.toSeq == h2.toSeq)
     assert(h1.distinct.length > 1, "distinct frame spans should hash differently")
   }
+
+  /** In-memory animated GIF: `fills(i)` paints frame i a solid color;
+    * every frame carries a GraphicControlExtension delay of `delayCs`. */
+  private def animatedGif(w: Int, h: Int, fills: Seq[Int], delayCs: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    fills.foreach { rgb =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = {
+        val existing = tree.getElementsByTagName("GraphicControlExtension")
+        if (existing.getLength > 0)
+          existing.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        else {
+          val node = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+          node.setAttribute("disposalMethod", "none")
+          node.setAttribute("userInputFlag", "FALSE")
+          node.setAttribute("transparentColorFlag", "FALSE")
+          node.setAttribute("transparentColorIndex", "0")
+          tree.appendChild(node)
+          node
+        }
+      }
+      gce.setAttribute("delayTime", delayCs.toString)
+      meta.setFromTree(fmt, tree)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("video frames: animated GIF demuxes to true per-frame rasters and times") {
+    import spark.implicits._
+    // 5 frames, alternating white/black, 10 cs (=100 ms) per frame
+    val fills = Seq(0xFFFFFF, 0x000000, 0xFFFFFF, 0x000000, 0xFFFFFF)
+    val gif = animatedGif(6, 4, fills, delayCs = 10)
+    val blobDf = Seq(
+      (1L, gif, "image/gif", 6, 4),
+      (2L, "not a gif".getBytes("UTF-8"), "image/gif", 1, 1) // corrupt → stub
+    ).toDF("doc_id", "payload", "format", "width", "height")
+    val out = Multimodal.sampleFrameBlobs(spark, blobDf, everyN = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+    val real = out.filter(_.getAs[Long]("doc_id") == 1L)
+    // everyN=2 over 5 frames keeps 0, 2, 4
+    assert(real.map(_.getAs[Long]("frame_idx")).toSeq == Seq(0L, 2L, 4L))
+    // true presentation times: 100 ms per frame accumulated over ALL frames
+    assert(real.map(_.getAs[Long]("ts_ms")).toSeq == Seq(0L, 200L, 400L))
+    // decoded ARGB raster size, not a byte-span length
+    assert(real.forall(_.getAs[Long]("frame_bytes") == 4L * 6 * 4))
+    // content hashes: white frames agree with each other, differ from black;
+    // and the run is deterministic
+    val hashes = real.map(_.getAs[Long]("frame_hash"))
+    assert(hashes(0) == hashes(1) && hashes(1) == hashes(2),
+      s"all-sampled frames are white, hashes: ${hashes.toSeq}")
+    val all = Multimodal.sampleFrameBlobs(spark, blobDf.filter(col("doc_id") === 1L),
+      everyN = 1).orderBy("frame_idx").collect().map(_.getAs[Long]("frame_hash"))
+    assert(all.length == 5)
+    assert(all(0) == all(2) && all(2) == all(4), "white frames hash equal")
+    assert(all(1) == all(3), "black frames hash equal")
+    assert(all(0) != all(1), "white and black frames hash apart")
+    // corrupt GIF bytes fall back to the stub path, not a failure
+    val stubRows = out.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(stubRows.length == 1 && stubRows(0).getAs[Long]("frame_bytes") == 9L)
+  }
 }
