@@ -118,9 +118,14 @@ final class XlsxMicroBatchStream(
     XlsxScan.partitionsFor(seen.slice(s, e).toSeq, opts)
   }
 
+  // columnar = true: micro-batches ride the same ColumnarBatch parse path
+  // as batch scans (Spark plans codegen'd ColumnarToRow above the
+  // streaming scan too) — a 100 TB backfill through readStream must not
+  // pay a slower parse rate than the batch side (r6 pinned columnar to
+  // batch only; parity is spec-asserted now)
   override def createReaderFactory(): PartitionReaderFactory =
     new XlsxPartitionReaderFactory(fullSchema, required, opts,
-      XlsxDataSource.captureConf(), filters)
+      XlsxDataSource.captureConf(), filters, columnar = true)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

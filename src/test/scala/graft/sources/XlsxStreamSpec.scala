@@ -107,6 +107,32 @@ class XlsxStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("micro-batches read columnar, matching the batch scan's parse path") {
+    val dir = Files.createTempDirectory("graft_xlsx_stream_col_")
+    val ckpt = Files.createTempDirectory("graft_xlsx_ckpt_col_").toString
+    writeBook(dir, "a.xlsx", (1 to 200).map(i => Seq(s"k$i", i.toDouble)))
+    val q = spark.readStream.format("xlsx").load(dir.toString)
+      .writeStream.format("memory").queryName("xlsx_stream_col")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // row parity with the batch (columnar) reader
+      val streamed = spark.table("xlsx_stream_col").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+      val batch = spark.read.format("xlsx").load(dir.toString).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+      assert(streamed == batch && streamed.size == 200)
+      // the executed micro-batch plan must ride the columnar reader
+      // (ColumnarToRow above the streaming scan), not the row fallback
+      val exec = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      val lastPlan = exec.explainInternal(false)
+      assert(lastPlan.contains("ColumnarToRow"),
+        s"expected a columnar streaming scan (ColumnarToRow), got:\n$lastPlan")
+    } finally q.stop()
+  }
+
   test("streaming composes with allSheets: per-sheet rows with _sheet_name") {
     val dir = Files.createTempDirectory("graft_xlsx_stream_as_")
     val ckpt = Files.createTempDirectory("graft_xlsx_ckpt_as_").toString
