@@ -72,8 +72,15 @@ final class ParallelSheetScanner(
   private val queue = new ArrayBlockingQueue[AnyRef](threads * 2)
   // chunk buffers recycled worker→producer: a big sheet otherwise allocates
   // (and the JVM zeroes) sheetBytes worth of fresh arrays — measurable on
-  // the producer thread, which is the pipeline's sequential stage
-  private val bufPool = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
+  // the producer thread, which is the pipeline's sequential stage.
+  // ArrayBlockingQueue: offer() gives an EXACT O(1) capacity bound (the
+  // earlier ConcurrentLinkedQueue size()-check-then-offer was an O(n)
+  // traversal and racy across workers, so the bound was only advisory).
+  // Buffers that became undersized after a growth event are discarded on
+  // poll — the producer's buffer only ever grows, so they can never fit
+  // again and re-offering would clog the pool with dead weight.
+  private val bufPool =
+    new java.util.concurrent.ArrayBlockingQueue[Array[Byte]](threads * 2)
   @volatile private var producerError: Throwable = _
   @volatile private var stopped = false
 
@@ -205,9 +212,9 @@ final class ParallelSheetScanner(
         if (rows == null) null else rows.toArray,
         if (conv == null) null else conv.toArray,
         if (widths == null) null else widths.toArray)
-    // the chunk's bytes are fully consumed — recycle the buffer (bounded:
-    // at most the in-flight chunk count ever accumulates)
-    if (bufPool.size < threads * 2) bufPool.offer(chunk)
+    // the chunk's bytes are fully consumed — recycle the buffer; offer()
+    // drops it when the pool is at capacity (exact bound, no size() scan)
+    bufPool.offer(chunk)
     out
   }
 

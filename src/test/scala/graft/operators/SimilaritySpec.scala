@@ -75,6 +75,37 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.8, s"mean recall $mean")
   }
 
+  test("rank-oracle stability: top-k cosine gaps dwarf cross-engine float error") {
+    // sim_topk_bruteforce's oracle hash-compares RANKINGS computed by Spark
+    // and DuckDB; ordering agreement relies on adjacent top-k cosines being
+    // either exactly tied (identical folds on both engines, tie-broken by
+    // vec_id) or separated by far more than cross-engine float error
+    // (~1e-12 relative). Guard the fixture: if a future testdata
+    // regeneration introduces near-ties beyond float error inside (or at
+    // the boundary of) the top-k, fail HERE with a clear message instead of
+    // flaking the driver's oracle.
+    import org.apache.spark.sql.functions._
+    val eps = 1e-9
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 8)
+      // k+1: the gap between rank 5 and rank 6 guards the SELECTION
+      // boundary, not just the order within the emitted top-5
+      val rows = Similarity.topKBruteForce(e, q, k = 6).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+      rows.foreach { case (qid, rs) =>
+        val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+        cs.sliding(2).filter(_.length == 2).foreach { pair =>
+          val gap = pair(0) - pair(1)
+          assert(gap == 0.0 || gap > eps,
+            s"$dir query $qid: adjacent top-k cosines ${pair(0)} / ${pair(1)} " +
+              s"differ by $gap — inside the cross-engine float-error band, " +
+              "the rank oracle would flake")
+        }
+      }
+    }
+  }
+
   test("l2Normalize: unit norm after, zero vector untouched, norm bound once") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
