@@ -497,7 +497,11 @@ object PipelineQueries {
         col("ts").as("purchase_ts"), col("value"))
     val name = s"st_join_${joinType}_et_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = withStatePartitions(s, 8) {
+    // 4 state partitions: a stream-stream join commits FOUR state stores
+    // per partition per micro-batch, so the join replay's fixed commit
+    // cost is 2x a single-operator face's at the same partition count —
+    // half the partitions, same per-store row volume as the other faces
+    val q = withStatePartitions(s, 4) {
       EventStreams.intervalJoinStream(clicks, purchases, joinType = joinType)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
     }
