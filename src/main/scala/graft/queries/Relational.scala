@@ -291,6 +291,53 @@ object Relational {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
       """)
+    }),
+
+    // §2.8: lead/lag navigation — per-user inter-event gaps (the
+    // sessionization primitive expressed as a window). Gaps stay in exact
+    // microsecond longs: a seconds division would round differently across
+    // engines.
+    "q_window_lag" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("prev_id", lag($"event_id", 1).over(w))
+        .withColumn("gap_us",
+          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+        .select($"user_id", $"event_id", $"prev_id", $"gap_us")
+    }),
+
+    // §2.8: GROUPING SETS beyond rollup/cube — the two marginals without
+    // the (flag, status) cross, plus grouping_id to disambiguate the nulls
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS bigint) AS gid,
+               count(*) AS n,
+               cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      """)
+    }),
+
+    // §2.8: correlated scalar subqueries — orders above 1.5x their
+    // customer's average order value (each decorrelates to an aggregate +
+    // join under Catalyst). The comparison is INTEGER-EXACT on both
+    // engines: price > 1.5*avg rewritten as 2*n*cents > 3*sum_cents, so a
+    // boundary-hitting order can't flip on cross-engine float rounding.
+    "q_scalar_subquery" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT o_orderkey, o_custkey,
+               cast(o_totalprice AS double) AS price
+        FROM orders o
+        WHERE cast(round(o_totalprice * 100) AS bigint)
+              * (SELECT 2 * count(*) FROM orders o2
+                 WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT 3 * sum(cast(round(o2.o_totalprice * 100) AS bigint))
+                 FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      """)
     })
   )
 
@@ -440,6 +487,27 @@ object Relational {
       """SELECT n_name, count(*) AS n_customers,
                 cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS total_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
-         GROUP BY n_name"""
+         GROUP BY n_name""",
+    "q_window_lag" ->
+      """SELECT user_id, event_id,
+                lag(event_id) OVER w AS prev_id,
+                epoch_us(date_trunc('microseconds', ts))
+                  - epoch_us(date_trunc('microseconds', lag(ts) OVER w)) AS gap_us
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS bigint) AS gid,
+                count(*) AS n,
+                cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS qty
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, cast(o_totalprice AS double) AS price
+         FROM orders o
+         WHERE cast(round(o_totalprice * 100) AS bigint)
+               * (SELECT 2 * count(*) FROM orders o2
+                  WHERE o2.o_custkey = o.o_custkey)
+               > (SELECT 3 * sum(cast(round(o2.o_totalprice * 100) AS bigint))
+                  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"""
   )
 }
