@@ -161,6 +161,60 @@ object TextOps {
           s => s.getField("line")), "\n").as("clean_text"))
   }
 
+  /** Character n-grams of lowercased text — the unit of the statistical
+    * LM below. Positions are 1-based `substr` windows, so both engines
+    * (and the oracle) enumerate identical grams, including spaces. */
+  private def charGrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+      .otherwise(array(t))
+  }
+
+  /** Character-n-gram language-model COUNTS — the model-building pass of a
+    * CCNet-style statistical quality filter (Wenzek et al. 2020 score web
+    * text against a clean-corpus LM; a char-trigram model is its
+    * dependency-free cousin). One explode + one map-side-combinable
+    * aggregate; `minCount` prunes the hapax tail so the model stays
+    * broadcastable (char-trigram vocabularies plateau around 10^5 keys no
+    * matter how big the corpus — THE property that makes LM scoring a
+    * map-only pass at 100 TB). */
+  def charNgramCounts(docs: DataFrame, n: Int = 3, minCount: Long = 2L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    docs.select(explode(charGrams(col("text"), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
+  /** Score each document against a trained char-n-gram model: mean
+    * negative log2 probability per gram under add-one smoothing,
+    * p(g) = (c(g)+1) / (total+V). Clean in-distribution text scores LOW,
+    * gibberish and out-of-language text score HIGH — threshold on the
+    * score to filter.
+    *
+    * Scale shape: the model side is an aggregated, pruned table (bounded
+    * vocabulary — see [[charNgramCounts]]) joined BROADCAST to the
+    * exploded grams; per-doc reduction is one map-side-combinable
+    * aggregate on doc_id. total/V are two scalars read off the model
+    * (bounded metadata, not data). Returns (doc_id, n_grams, n_oov,
+    * score): the integer columns are cross-engine exact; the float score
+    * is shuffle-order-dependent in its last ulps, so oracle faces expose
+    * the integers and specs pin the score's ordering semantics. */
+  def lmScore(docs: DataFrame, model: DataFrame, n: Int = 3): DataFrame = {
+    val stats = model.agg(
+      sum(col("cnt")).cast("double").as("total"),
+      count(lit(1)).cast("double").as("v")).collect()(0)
+    val (total, v) = (stats.getDouble(0), stats.getDouble(1))
+    val grams = docs.select(col("doc_id"), explode(charGrams(col("text"), n)).as("gram"))
+    grams.join(broadcast(model), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"),
+        (-sum(log2((coalesce(col("cnt"), lit(0L)) + lit(1.0)) / lit(total + v)))
+          / count(lit(1))).as("score"))
+  }
+
   /** Repetition signals — the cheap boilerplate/spam detectors: share of
     * duplicate tokens and share of duplicate lines. Pure projections. */
   def repetition(docs: DataFrame): DataFrame = {

@@ -195,6 +195,20 @@ object PipelineQueries {
     "txt_ngram_freq" -> ((s, dir) =>
       TextOps.ngramFreq(docs(s, dir), n = 2, minCount = 10L)),
 
+    // §2.8: char-trigram LM counts — the model-building pass of the
+    // CCNet-style statistical quality filter (oracle-exact counts)
+    "txt_charlm" -> ((s, dir) =>
+      TextOps.charNgramCounts(docs(s, dir), n = 3, minCount = 2L)),
+
+    // §2.8: LM scoring face — integer columns only (n_grams, n_oov are
+    // cross-engine exact; the float score is shuffle-order-dependent in
+    // its last ulps and is pinned by TextOpsSpec's ordering assertions)
+    "txt_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.lmScore(d, TextOps.charNgramCounts(d, n = 3, minCount = 2L))
+        .select(col("doc_id"), col("n_grams"), col("n_oov"))
+    }),
+
     // §2.5: near-dup clustering — connected components over the exact
     // ngram-Jaccard pair graph (pairs → dedup groups; survivor = min id)
     "dd_cluster" -> ((s, dir) =>
@@ -810,6 +824,32 @@ object PipelineQueries {
          SELECT count(*)::BIGINT AS n_true_pairs, (1.0 >= 0.8) AS recall_ok
          FROM c a JOIN c b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.4""",
+    "txt_charlm" ->
+      """WITH grams AS (
+           SELECT unnest(CASE WHEN length(lower(text)) >= 3
+                  THEN list_transform(
+                         generate_series(1, length(lower(text)) - 2),
+                         i -> substr(lower(text), i, 3))
+                  ELSE [lower(text)] END) AS gram
+           FROM documents)
+         SELECT gram, count(*) AS cnt FROM grams
+         GROUP BY 1 HAVING count(*) >= 2""",
+    "txt_lm_score" ->
+      """WITH grams AS (
+           SELECT doc_id,
+                  unnest(CASE WHEN length(lower(text)) >= 3
+                  THEN list_transform(
+                         generate_series(1, length(lower(text)) - 2),
+                         i -> substr(lower(text), i, 3))
+                  ELSE [lower(text)] END) AS gram
+           FROM documents),
+         model AS (
+           SELECT gram, count(*) AS cnt FROM grams
+           GROUP BY 1 HAVING count(*) >= 2)
+         SELECT g.doc_id, count(*) AS n_grams,
+                cast(sum(CASE WHEN m.gram IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_oov
+         FROM grams g LEFT JOIN model m ON g.gram = m.gram
+         GROUP BY 1""",
     "txt_langid" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -118,6 +118,33 @@ class TextOpsSpec extends SparkSpec {
     assert(tri == Set("a b c", "b c a", "c a b", "a b x"), s"got $tri")
   }
 
+  test("char-ngram LM: clean text scores low, gibberish high, all-OOV stays finite") {
+    // in-distribution corpus: repetitive English-like text; one gibberish
+    // doc drawn from characters the corpus never uses
+    val clean = (1 to 20).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog " * 3))
+    val docs = (clean :+ (100L, "zqxj vvkk wqzz jxqv zzzz qqqq xxxx jjjj"))
+      .toDF("doc_id", "text")
+    val model = TextOps.charNgramCounts(docs, n = 3, minCount = 2L)
+    val out = TextOps.lmScore(docs, model).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_oov"), r.getAs[Double]("score"))).toMap
+    // clean docs share every gram with the model: zero OOV, low score
+    assert(out(1L)._1 == 0L)
+    // gibberish: mostly OOV grams, and the add-one-smoothed score stays
+    // finite while sitting far above every clean doc's
+    val garbage = out(100L)
+    assert(garbage._1 > 20L, s"gibberish OOV count: $garbage")
+    assert(!garbage._2.isNaN && !garbage._2.isInfinite)
+    val worstClean = clean.map(c => out(c._1)._2).max
+    assert(garbage._2 > worstClean + 1.0,
+      s"gibberish ${garbage._2} vs worst clean $worstClean")
+    // the model itself: short texts (< n chars) degrade to one whole-text gram
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val tinyGrams = TextOps.charNgramCounts(tiny, n = 3, minCount = 1L).collect()
+    assert(tinyGrams.map(_.getString(0)).toSeq == Seq("ab"))
+  }
+
   test("lineDedup drops corpus-frequent lines, keeps order, blanks and unique docs") {
     val banner = "ACCEPT ALL COOKIES"
     val docs = Seq(
