@@ -315,6 +315,15 @@ object PipelineQueries {
       EventStreams.intervalJoinOuterBatch(Tables.load(s, dir, "events"))),
     "st_join_outer_et" -> ((s, dir) => stJoinOuterEt(s, dir)),
 
+    // §2.8: stream-static enrichment — the THIRD streaming join mode
+    // (stream-stream and dedup/sessionize state ops are #115/#107). Batch
+    // face + a file-replay face through the SAME function in complete
+    // output mode; no watermark needed (static side), state = O(|dim|).
+    "st_enrich" -> ((s, dir) =>
+      EventStreams.enrichAgg(Tables.load(s, dir, "events"),
+        Tables.load(s, dir, "nation"))),
+    "st_enrich_et" -> ((s, dir) => stEnrichEt(s, dir)),
+
     // §2.7 #118 incremental exact dedup: a synthetic daily increment
     // (one fresh source + a recrawl of src0 under new ids + an
     // intra-delta duplicate burst) admitted against the standing corpus —
@@ -539,6 +548,32 @@ object PipelineQueries {
 
   private def stJoinOuterEt(s: SparkSession, dir: String): DataFrame =
     stJoinEtFace(s, dir, "left_outer")
+
+  private def stEnrichEt(s: SparkSession, dir: String): DataFrame = {
+    val evs = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+    val nation = Tables.load(s, dir, "nation")
+    val root = java.nio.file.Files.createTempDirectory("graft_et_")
+    val src = fileReplaySource(s, evs, root, "events")
+    val name = "st_enrich_et_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // complete mode: the unwatermarked aggregate re-emits all |dim| rows
+    // per batch — O(25) state, no sentinels needed
+    val q = withStatePartitions(s, 4) {
+      EventStreams.enrichAgg(src, nation)
+        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    }
+    try {
+      q.processAllAvailable()
+      val out = s.table(name)
+      val rows = out.collect() // one row per nation
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+      deleteRecursively(root)
+    }
+  }
 
   private def stDedupEt(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -849,6 +884,16 @@ object PipelineQueries {
          SELECT g.doc_id, count(*) AS n_grams,
                 cast(sum(CASE WHEN m.gram IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_oov
          FROM grams g LEFT JOIN model m ON g.gram = m.gram
+         GROUP BY 1""",
+    "st_enrich" ->
+      """SELECT n_name, count(*) AS n_events,
+                cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
+         FROM events JOIN nation ON (user_id % 25) = n_nationkey
+         GROUP BY 1""",
+    "st_enrich_et" ->
+      """SELECT n_name, count(*) AS n_events,
+                cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
+         FROM events JOIN nation ON (user_id % 25) = n_nationkey
          GROUP BY 1""",
     "txt_langid" ->
       """WITH toks AS (

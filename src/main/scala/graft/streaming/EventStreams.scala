@@ -371,6 +371,25 @@ object EventStreams {
         attributionCond, joinType)
       .select(joinOutput: _*)
 
+  // ------------------------------------------------------------------
+  // stream-static enrichment (the third streaming join mode)
+  // ------------------------------------------------------------------
+
+  /** Stream-static dimension enrichment + running per-dimension totals:
+    * each event joins a BROADCAST static dim (nation, keyed by
+    * user_id mod 25 — the canonical user→region lookup shape) and the
+    * aggregate maintains one row per dimension value. Stream-static joins
+    * need no watermark (the static side never grows stale in-plan), and
+    * the unwatermarked aggregate runs in complete output mode with
+    * O(|dim|) state — both properties the spec pins. The SAME function is
+    * the batch face: identical code, batch or incremental execution. */
+  def enrichAgg(events: DataFrame, nation: DataFrame): DataFrame =
+    events.join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        pmod(col("user_id"), lit(25)).cast("int") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+
   /** Flush whatever session state remains (batch-drain helper for specs). */
   def drainOpenSessions(events: Seq[Event]): Seq[SessionOut] = {
     events.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>

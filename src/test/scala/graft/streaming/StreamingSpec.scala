@@ -122,6 +122,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: totals update incrementally across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val nation = (0 until 25).map(i => (i, s"N$i")).toDF("n_nationkey", "n_name")
+    val mem = MemoryStream[EventStreams.Event]
+    val name = "enrich_spec_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.enrichAgg(mem.toDF(), nation)
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      def totals(): Map[String, (Long, Double)] =
+        spark.table(name).collect().map(r => r.getAs[String]("n_name") ->
+          ((r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))).toMap
+      // batch 1: users 1 (→N1) and 2 (→N2)
+      mem.addData(eventsLocal.filter(_.event_id <= 3L))
+      q.processAllAvailable()
+      assert(totals() == Map("N1" -> ((3L, 6.0))))
+      // batch 2: the static side stays joined; running totals grow in place
+      mem.addData(eventsLocal.filter(_.event_id > 3L))
+      q.processAllAvailable()
+      assert(totals() == Map("N1" -> ((5L, 15.0)), "N2" -> ((2L, 13.0))))
+      // streaming complete-mode output equals the batch face on same data
+      val batch = EventStreams.enrichAgg(eventsLocal.toDF(), nation)
+        .collect().map(r => r.getAs[String]("n_name") ->
+          ((r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))).toMap
+      assert(totals() == batch)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   test("batch sessionization splits on >30-minute gaps") {
     val out = EventStreams.sessionizeBatch(eventsLocal.toDF())
       .orderBy("user_id", "session_id").collect()
