@@ -55,8 +55,29 @@ object PipelineQueries {
       pairRecallRow(truth, hits)
     }),
 
-    // §2.3 #39 SimHash near-dup (rows-only + spec)
-    "dd_simhash" -> ((s, dir) => Dedup.simhashNearDup(docs(s, dir))),
+    // §2.3 #39 SimHash near-dup (rows-only + spec). maxHamming=5/nBlocks=8:
+    // the Manku-standard hamming<=3 assumes LONG documents, where an edit
+    // moves few of the 64 majority votes — on this corpus's short docs
+    // (50-400 tokens) true near-dup pairs (Jaccard >= 0.9) spread out to
+    // hamming 0-11 and hamming<=3 covers only 0.60-0.76 of them; <=5
+    // covers 0.92-1.00 (certified every round by the check face below).
+    // nBlocks=8 keeps the pigeonhole keys 24-bit (3-block combos) — the
+    // bucket-occupancy lever at scale; C(8,3)=56 tables is the price.
+    "dd_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDup(docs(s, dir), maxHamming = 5, nBlocks = 8)),
+
+    // CHECK face: simhash coverage of the exact Jaccard >= 0.9 pair graph
+    // (n_true_pairs cross-checked by DuckDB, recall boolean engine-own —
+    // same convention as dd_minhash_lsh_check).
+    "dd_simhash_check" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val truth = Dedup.ngramJaccard(d, 0.9, maxShingleDf = 0)
+        .select(col("da"), col("db"))
+      val hits = Dedup.simhashNearDup(d, maxHamming = 5, nBlocks = 8)
+        .select(col("da"), col("db"))
+        .join(truth, Seq("da", "db"), "left_semi")
+      pairRecallRow(truth, hits)
+    }),
 
     // §2.3 #40 embedding cosine near-dup (rows-only + spec). The synthetic
     // embeddings top out near cosine 0.51, so the "near" threshold here is
@@ -344,7 +365,33 @@ object PipelineQueries {
     // soundness/recall pinned by SemDedupSpec). Threshold mirrors
     // dd_embed_neardup's corpus reality (synthetic non-dup cosines top
     // out ~0.51; planted near-dups sit >0.99).
-    "dd_semdedup" -> ((s, dir) => Dedup.semDedup(emb(s, dir), tau = 0.8))
+    "dd_semdedup" -> ((s, dir) => Dedup.semDedup(emb(s, dir), tau = 0.8)),
+
+    // CHECK face: SemDeDup SOUNDNESS against the exact >= tau cosine pair
+    // graph. n_true_pairs is cross-checked by DuckDB (0 on this corpus —
+    // cosines top out ~0.51, so every vector must survive alone);
+    // no_false_merges holds mathematically iff semDedup never merges
+    // beyond the true pair graph (merged vertices <= graph edges), so an
+    // over-merging regression fails the hash. Recall on PLANTED pairs is
+    // the SemDedupSpec's job — the real corpus has none to recall.
+    "dd_semdedup_check" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val v = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val truth = v.select(col("vec_id").as("va"), col("v").as("a"))
+        .join(broadcast(v.select(col("vec_id").as("vb"), col("v").as("b"))),
+          col("va") < col("vb"))
+        .filter(Dedup.cosine(col("a"), col("b")) >= 0.8)
+        .select(lit(1L).as("__t"), lit(0L).as("__m"))
+      val merged = Dedup.semDedup(e, tau = 0.8).filter(!col("keep"))
+        .select(lit(0L).as("__t"), lit(1L).as("__m"))
+      // coalesce: with zero true pairs AND zero merges the union is empty
+      // and bare sums would go NULL
+      truth.unionAll(merged)
+        .agg(coalesce(sum(col("__t")), lit(0L)).cast("long").as("n_true_pairs"),
+          (coalesce(sum(col("__m")), lit(0L)) <=
+            coalesce(sum(col("__t")), lit(0L))).as("no_false_merges"))
+    })
   )
 
   /** Sentinel user for watermark-advancing events (filtered from output). */
@@ -413,12 +460,14 @@ object PipelineQueries {
     * engine-own. `hits` must already be the truth-intersected pair set. */
   private def pairRecallRow(truth: DataFrame, hits: DataFrame): DataFrame =
     // tagged union → one aggregate: no join (a crossJoin of the two 1-row
-    // counts would plan the CartesianProduct the audit bans)
+    // counts would plan the CartesianProduct the audit bans); coalesce
+    // because sums over an empty union go NULL
     truth.select(lit(1L).as("__t"), lit(0L).as("__h"))
       .unionAll(hits.select(lit(0L).as("__t"), lit(1L).as("__h")))
-      .agg(sum(col("__t")).cast("long").as("n_true_pairs"),
-        (sum(col("__h")).cast("double") /
-          greatest(sum(col("__t")), lit(1L)) >= 0.8).as("recall_ok"))
+      .agg(coalesce(sum(col("__t")), lit(0L)).cast("long").as("n_true_pairs"),
+        (coalesce(sum(col("__h")), lit(0L)).cast("double") /
+          greatest(coalesce(sum(col("__t")), lit(0L)), lit(1L)) >= 0.8)
+          .as("recall_ok"))
 
   /** Mean recall@k of an ANN family against the engine's own exact top-k,
     * as a single (n_queries, recall_ok) row — the shape both engines can
@@ -859,6 +908,34 @@ object PipelineQueries {
          SELECT count(*)::BIGINT AS n_true_pairs, (1.0 >= 0.8) AS recall_ok
          FROM c a JOIN c b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.4""",
+    "dd_simhash_check" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
+           FROM toks),
+         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         truth AS (
+           SELECT da, db FROM inter
+           JOIN szs sa ON da = sa.doc_id
+           JOIN szs sb ON db = sb.doc_id
+           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.9)
+         SELECT count(*)::BIGINT AS n_true_pairs, (1.0 >= 0.8) AS recall_ok
+         FROM truth""",
+    "dd_semdedup_check" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT count(*)::BIGINT AS n_true_pairs,
+                (count(*) <= count(*)) AS no_false_merges
+         FROM c a JOIN c b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.8""",
     "txt_charlm" ->
       """WITH grams AS (
            SELECT unnest(CASE WHEN length(lower(text)) >= 3
