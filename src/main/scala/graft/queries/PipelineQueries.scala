@@ -962,6 +962,52 @@ object PipelineQueries {
                 cast(sum(CASE WHEN m.gram IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_oov
          FROM grams g LEFT JOIN model m ON g.gram = m.gram
          GROUP BY 1""",
+    // txt_fingerprint: DuckDB has no direct byte-fold, but the 64-bit
+    // polynomial rolling hash is reproducible bit-for-bit by expanding the
+    // UTF-8 bytes through hex() and folding with 128-bit HUGEINT arithmetic
+    // mod 2^64 — flipping the last hash-based text face from rows-only to a
+    // REAL cross-engine oracle (multibyte text included).
+    "txt_fingerprint" ->
+      """WITH hx AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS n
+           FROM documents)
+         SELECT doc_id,
+                (CASE WHEN fp >= 9223372036854775808::HUGEINT
+                      THEN fp - 18446744073709551616::HUGEINT
+                      ELSE fp END)::BIGINT AS fp
+         FROM (
+           SELECT doc_id, list_reduce(
+             list_prepend(1125899906842597::HUGEINT,
+               list_transform(generate_series(1, n),
+                 i -> (16 * (instr('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1)
+                        + (instr('0123456789ABCDEF', substr(h, 2*i, 1)) - 1))::HUGEINT)),
+             (acc, x) -> (acc * 257 + x) % 18446744073709551616::HUGEINT) AS fp
+           FROM hx)""",
+    // mm_decode_meta: the stub codec's checksum is the SAME rolling hash
+    // as txt_fingerprint (over the payload bytes = UTF-8 text bytes), so
+    // the whole face is oracle-exact — the last hash-based rows-only face
+    // falls.
+    "mm_decode_meta" ->
+      """WITH hx AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS n,
+                  (n_chars % 64 + 1) * (n_chars % 48 + 1) AS px
+           FROM documents)
+         SELECT doc_id, n::BIGINT AS n_bytes,
+                (CASE WHEN cs >= 9223372036854775808::HUGEINT
+                      THEN cs - 18446744073709551616::HUGEINT
+                      ELSE cs END)::BIGINT AS checksum,
+                px::BIGINT AS n_pixels,
+                px::DOUBLE AS pixel_feat
+         FROM (
+           SELECT doc_id, n, px, list_reduce(
+             list_prepend(1125899906842597::HUGEINT,
+               list_transform(generate_series(1, n),
+                 i -> (16 * (instr('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1)
+                        + (instr('0123456789ABCDEF', substr(h, 2*i, 1)) - 1))::HUGEINT)),
+             (acc, x) -> (acc * 257 + x) % 18446744073709551616::HUGEINT) AS cs
+           FROM hx)""",
     "st_enrich" ->
       """SELECT n_name, count(*) AS n_events,
                 cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
