@@ -475,6 +475,35 @@ object Dedup {
       .select(col("doc_id"), col("h"))
   }
 
+  /** Persist the corpus's digest index BUCKETED by digest — the
+    * steady-state "seen" set of the incremental-dedup pipeline
+    * ([[incremental]]'s doc promises this removes even the digest shuffle;
+    * this is that index). One distinct-shuffle at build time; every daily
+    * increment after that reads the index pre-partitioned.
+    *
+    * `table` must be a saveAsTable-able identifier; `path` pins the data
+    * location (bucketing metadata lives in the session catalog). */
+  def writeSeenIndex(corpus: DataFrame, table: String, path: String,
+      buckets: Int = 8): Unit =
+    corpus.select(md5(col("text")).as("h")).distinct()
+      .write.bucketBy(buckets, "h").sortBy("h")
+      .option("path", path).mode("overwrite").saveAsTable(table)
+
+  /** [[incremental]] against a persisted bucketed index: the anti-join
+    * reads the corpus side pre-partitioned on `h` (NO exchange — the
+    * bucketed scan IS the join layout, spec-asserted), so a daily
+    * increment's cost is one shuffle of the (small) delta's digests and
+    * zero movement of corpus state. Admitted digests can be appended back
+    * into the index (same bucketing) to close the loop. */
+  def incrementalIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, delta: DataFrame): DataFrame = {
+    val seen = spark.table(table)
+    delta.select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .join(seen, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * k-means-bucket the embedding space, compare pairs ONLY within a
     * cluster, group the over-threshold pairs, keep the min vec_id per

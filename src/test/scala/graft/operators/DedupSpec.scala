@@ -195,6 +195,48 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.incremental(grown, delta).isEmpty)
   }
 
+  test("bucketed seen-index: incremental dedup joins with zero corpus-side shuffle") {
+    val corpus = Seq(
+      (1L, "alpha doc"), (2L, "beta doc"), (3L, "gamma doc"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (11L, "alpha doc"), // already seen → rejected
+      (12L, "delta doc"), // fresh → admitted
+      (13L, "delta doc"), // intra-delta dup → first wins
+      (14L, "epsilon doc"))
+      .toDF("doc_id", "text")
+    val wh = java.nio.file.Files.createTempDirectory("graft_seenidx_").toString
+    Dedup.writeSeenIndex(corpus, "seen_idx", s"$wh/seen_idx", buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // disable broadcast + AQE so the plan shows the real shuffle layout
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val admitted = Dedup.incrementalIndexed(spark, "seen_idx", delta)
+      // same answer as the from-scratch incremental
+      val want = Dedup.incremental(corpus, delta).collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      val got = admitted.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(got == want && got == Seq(12L, 14L), s"admitted $got")
+      // THE point of the index: exactly one Exchange in the whole plan
+      // (the delta's digest shuffle, reused by its groupBy) — the seen
+      // side reads pre-bucketed, no corpus-side movement
+      val plan = admitted.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 exchange (delta side only):\n$plan")
+      // closing the loop: append admitted digests, re-run → nothing admitted
+      admitted.select(col("h"))
+        .write.bucketBy(4, "h").sortBy("h")
+        .option("path", s"$wh/seen_idx").mode("append").saveAsTable("seen_idx")
+      assert(Dedup.incrementalIndexed(spark, "seen_idx", delta).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS seen_idx")
+    }
+  }
+
   test("semDedup groups planted near-dups, keeps exactly one survivor per group") {
     val dim = 16
     def vec(seed: Int): Array[Float] =
