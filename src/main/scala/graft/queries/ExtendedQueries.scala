@@ -33,6 +33,28 @@ object ExtendedQueries {
         .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_order"))
     }),
 
+    // §2.8: in-flight pipeline QA via the Observation API (CollectMetrics):
+    // counters computed ON the rows as they stream through a filter — at
+    // 100 TB this replaces a SECOND full scan for "how many docs did the
+    // filter drop". The face runs the instrumented pipeline once through
+    // the noop sink and returns the observed metrics as its (1-row)
+    // result; the oracle recomputes the same aggregates declaratively.
+    "q_observe" -> ((s, dir) => {
+      val obs = org.apache.spark.sql.Observation()
+      val pipeline = Tables.load(s, dir, "documents")
+        .observe(obs,
+          count(lit(1)).cast("long").as("n_in"),
+          sum(when(col("n_chars") < 200, 1L).otherwise(0L)).cast("long").as("n_short"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+        .filter(col("n_chars") >= 200)
+      pipeline.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_in").asInstanceOf[Long], m("n_short").asInstanceOf[Long],
+        m("max_chars").asInstanceOf[Long]))
+        .toDF("n_in", "n_short", "max_chars")
+    }),
+
     // §2.4 #51: pivot (wide conditional aggregation)
     "q_pivot" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -257,6 +279,11 @@ object ExtendedQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
                 cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_observe" ->
+      """SELECT count(*) AS n_in,
+                cast(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS bigint) AS n_short,
+                cast(max(n_chars) AS bigint) AS max_chars
+         FROM documents""",
     // q_approx_distinct / q_approx_percentile (the bench faces) emit raw
     // engine-specific sketch values — deliberately NO oracle (rows-only
     // driver check); their accuracy oracles are the *_check faces.
