@@ -149,6 +149,13 @@ object PipelineQueries {
         nCentroids = 16, nProbe = 8)
     }),
 
+    // §2.8: PQ ANN — the compressed-codes scale path (ADC over m-byte
+    // codes + exact rerank of a bounded shortlist; rows-only + check face)
+    "sim_topk_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKPq(s, e, e.filter(col("vec_id") < 8), k = 5)
+    }),
+
     // §2.7: driver-verified ANN recall (CHECK faces — Bench skips *_check,
     // so the raw ANN faces above keep timing only the approximate path).
     // Same engine-own convention as the sketch *_check oracles: Spark
@@ -160,6 +167,7 @@ object PipelineQueries {
     // engines see the same well-defined query set.
     "sim_topk_lsh_check" -> ((s, dir) => annRecallCheck(s, dir, "lsh")),
     "sim_topk_ivf_check" -> ((s, dir) => annRecallCheck(s, dir, "ivf")),
+    "sim_topk_pq_check" -> ((s, dir) => annRecallCheck(s, dir, "pq")),
 
     // §2.4 #64 streaming exact dedup (batch face here: same first-occurrence
     // semantics as the stateful stream; flatMapGroupsWithState spec in tests)
@@ -482,6 +490,7 @@ object PipelineQueries {
     val ann = kind match {
       case "lsh" => Similarity.topKLsh(e, q, k = k, nTables = 4,
         n = embCount(s, dir))
+      case "pq" => Similarity.topKPq(s, e, q, k = k)
       case _ => Similarity.topKIvf(s, e, q, k = k, nCentroids = 16, nProbe = 8)
     }
     val exact = Similarity.topKBruteForce(e, q, k = k)
@@ -680,6 +689,7 @@ object PipelineQueries {
     // against its bruteforce top-k, itself rank-pinned to DuckDB above).
     "sim_topk_lsh_check" -> annRecallOracleSql,
     "sim_topk_ivf_check" -> annRecallOracleSql,
+    "sim_topk_pq_check" -> annRecallOracleSql,
     "st_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS doc_id
          FROM documents GROUP BY 1""",

@@ -106,6 +106,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ: 32x-compressed codes, deterministic encode, recall >= 0.8 on clusters") {
+    import org.apache.spark.sql.functions._
+    val k = 5
+    // codebooks + codes: m small ints per vector, stable across runs
+    val books = Similarity.trainPqCodebooks(corpus, m = 8, k = 8)
+    assert(books.length == 8 && books(0).length == 8 && books(0)(0).length == dim / 8)
+    val c1 = Similarity.pqEncode(corpus, books).orderBy("vec_id").collect()
+    val c2 = Similarity.pqEncode(corpus, books).orderBy("vec_id").collect()
+    assert(c1.map(_.getSeq[Int](1)).toSeq == c2.map(_.getSeq[Int](1)).toSeq)
+    assert(c1.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 8)))
+    // ADC + rerank recall vs the exact answer on the clustered corpus
+    val want = naiveTopK(k)
+    val got = Similarity.topKPq(spark, corpus, queries, k, m = 8, kSub = 8,
+        rerank = 24).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("vec_id")).toSet }
+    val recalls = want.map { case (q, ids) =>
+      got.getOrElse(q, Set.empty).intersect(ids.toSet).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean PQ recall $mean")
+    // the rerank stage returns TRUE cosines: every returned cos must match
+    // the naive computation for that pair
+    val sample = Similarity.topKPq(spark, corpus, queries, k, m = 8, kSub = 8,
+      rerank = 24).collect().take(10)
+    val byId = corpusLocal.toMap
+    sample.foreach { r =>
+      val expect = cosine(byId(r.getAs[Long]("vec_id")), byId(r.getAs[Long]("query_id")))
+      assert(math.abs(r.getAs[Double]("cos") - expect) < 1e-12)
+    }
+  }
+
   test("l2Normalize: unit norm after, zero vector untouched, norm bound once") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
