@@ -344,6 +344,14 @@ object PipelineQueries {
       EventStreams.intervalJoinOuterBatch(Tables.load(s, dir, "events"))),
     "st_join_outer_et" -> ((s, dir) => stJoinOuterEt(s, dir)),
 
+    // §2.8 FULL OUTER stream-stream join — the two-sided reconciliation:
+    // null rows for unconverted clicks AND for purchases with no
+    // attributable click, each emitted once the global watermark proves no
+    // match can arrive
+    "st_join_full" -> ((s, dir) =>
+      EventStreams.intervalJoinFullBatch(Tables.load(s, dir, "events"))),
+    "st_join_full_et" -> ((s, dir) => stJoinEtFace(s, dir, "full_outer")),
+
     // §2.8: stream-static enrichment — the THIRD streaming join mode
     // (stream-stream and dedup/sessionize state ops are #115/#107). Batch
     // face + a file-replay face through the SAME function in complete
@@ -589,9 +597,13 @@ object PipelineQueries {
     try {
       // one-burst replay: the initial watermark (epoch 0) drops nothing,
       // so the replay reproduces the batch join exactly; matches emit in
-      // batch 0, outer null-rows in PAA's watermark follow-up batch
+      // batch 0, outer null-rows in PAA's watermark follow-up batch.
+      // Sentinel rows always pair with their same-timestamp twin, so
+      // user_id = -99 identifies every one of them; the null-safe coalesce
+      // keeps FULL OUTER's purchase-only rows (null click-side user_id).
       q.processAllAvailable()
-      val out = s.table(name).filter(col("user_id") =!= lit(SentinelUser))
+      val out = s.table(name)
+        .filter(coalesce(col("user_id"), lit(0L)) =!= lit(SentinelUser))
       val rows = out.collect() // attribution pairs, not the event stream
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
@@ -1147,6 +1159,22 @@ object PipelineQueries {
            ON p.user_id = c.user_id AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
          WHERE c.event_type = 'click'""",
+    "st_join_full" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+              p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+                c.ts AS click_ts, p.ts AS purchase_ts, p.value
+         FROM c FULL JOIN p
+           ON p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+    "st_join_full_et" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+              p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+                c.ts AS click_ts, p.ts AS purchase_ts, p.value
+         FROM c FULL JOIN p
+           ON p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
     "dd_incremental" ->
       """WITH corpus AS (
            SELECT md5(text) AS h FROM documents WHERE source <> 'src19'),

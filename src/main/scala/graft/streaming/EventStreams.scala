@@ -351,6 +351,20 @@ object EventStreams {
     clicks.join(purchases, attributionCond, "left_outer").select(joinOutput: _*)
   }
 
+  /** Batch face of the FULL OUTER variant: every click AND every purchase,
+    * matched or not — the two-sided reconciliation face (which clicks never
+    * converted, and which purchases arrived with no attributable click).
+    * user_id is the CLICK side's, so purchase-only rows carry it null. */
+  def intervalJoinFullBatch(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === lit("click"))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === lit("purchase"))
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").cast("double").as("value"))
+    clicks.join(purchases, attributionCond, "full_outer").select(joinOutput: _*)
+  }
+
   /** Streaming face: the SAME join over two live streams. The event-time
     * range condition plus watermarks on both sides is what lets Spark
     * bound the join state — a buffered click is discarded once the
