@@ -54,6 +54,12 @@ object GraftFunctions {
   def hyperplane_sig(vec: Column, nBits: Int, table: Int): Column =
     ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(vec), nBits, table))
 
+  def pq_encode(vec: Column, books: Array[Double], m: Int, k: Int, sub: Int): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), books, m, k, sub))
+
+  def adc_score(codes: Column, table: Column): Column =
+    ColumnBridge.column(AdcScore(ColumnBridge.expression(codes), ColumnBridge.expression(table)))
+
   private[functions] val registry: Seq[(String, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("rolling_hash",
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -425,27 +425,22 @@ object Similarity {
   }
 
   /** Encode the corpus to PQ codes: per subspace, the index of the nearest
-    * (L2) sub-centroid — a MAP-ONLY pass against broadcast codebook
-    * literals producing m small ints per vector (the 8-64x compression
-    * that lets an ANN shortlist scan live in memory at 100 TB). */
+    * (L2) sub-centroid — a MAP-ONLY pass producing m small ints per vector
+    * (the 8-64x compression that lets an ANN shortlist scan live in memory
+    * at 100 TB). Backed by the fused codegen expression
+    * [[graft.functions.PqEncode]]: the earlier composed form (16 chained
+    * `transform(slice → zip_with → aggregate)` projections) was
+    * bit-identical but evaluated interpreted and dominated the face. */
   def pqEncode(emb: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
     val m = books.length
+    val k = books(0).length
     val sub = books(0)(0).length
-    val withSlices = (0 until m).foldLeft(unitVectors(emb)) { (df, mi) =>
-      val bookLit = typedLit(books(mi).map(_.toSeq).toSeq)
-      df.withColumn(s"__d$mi",
-          transform(bookLit, c =>
-            aggregate(
-              zip_with(slice(col("v"), mi * sub + 1, sub), c,
-                (x, y) => (x - y) * (x - y)),
-              lit(0.0), (a, x) => a + x)))
-        .withColumn(s"__c$mi",
-          (array_position(col(s"__d$mi"), array_min(col(s"__d$mi"))) - 1)
-            .cast("int"))
-        .drop(s"__d$mi")
-    }
-    withSlices.select(col("vec_id"),
-      array((0 until m).map(mi => col(s"__c$mi")): _*).as("codes"))
+    val flat = new Array[Double](m * k * sub)
+    var i = 0
+    books.foreach(_.foreach(_.foreach { x => flat(i) = x; i += 1 }))
+    unitVectors(emb).select(col("vec_id"),
+      graft.functions.GraftFunctions.pq_encode(col("v"), flat, m, k, sub)
+        .as("codes"))
   }
 
   /** PQ ANN with asymmetric-distance (ADC) shortlist + exact rerank: each
@@ -484,10 +479,8 @@ object Similarity {
     val qDf = qTables.toDF("query_id", "qtable")
     val scored = codes.join(broadcast(qDf), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        aggregate(
-          zip_with(col("codes"), col("qtable"),
-            (c, t) => element_at(t, c + 1)),
-          lit(0.0), (a, x) => a + x).as("adc"))
+        graft.functions.GraftFunctions.adc_score(col("codes"), col("qtable"))
+          .as("adc"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
     val shortlist = scored.withColumn("r", row_number().over(w))
       .filter(col("r") <= rerank)
