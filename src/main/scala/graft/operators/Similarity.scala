@@ -500,6 +500,86 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** IVF-PQ: the two scale levers COMPOSED (the FAISS IndexIVFPQ posture).
+    * The coarse quantizer buckets the corpus into `nCentroids` inverted
+    * lists; every vector also carries its PQ codes. A query probes its
+    * `nProbe` nearest lists and ADC-scans ONLY those lists' codes — at
+    * 100 TB the scan touches (nProbe/nCentroids) × m bytes per corpus row
+    * — then the shortlist reranks with exact cosine. Vectors are PQ-coded
+    * directly (not as centroid residuals): the exact rerank absorbs the
+    * extra quantization error the residual trick would remove, for one
+    * less moving part. */
+  def topKIvfPq(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+      k: Int = 5, nCentroids: Int = 16, nProbe: Int = 8,
+      m: Int = 16, kSub: Int = 32, rerank: Int = 96): DataFrame = {
+    import spark.implicits._
+    val centroids = trainCentroids(emb, nCentroids)
+    val cLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val books = trainPqCodebooks(emb, m, kSub)
+    val sub = books(0)(0).length
+    val flat = new Array[Double](m * kSub * sub)
+    var fi = 0
+    books.foreach(_.foreach(_.foreach { x => flat(fi) = x; fi += 1 }))
+    // one map pass builds BOTH index sides: coarse list id + PQ codes
+    val encoded = withCid(
+      emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")),
+      "v", cLit)
+      .filter(col("cid") >= 0)
+      .withColumn("__n", l2Norm(col("v")))
+      .select(col("vec_id"), col("cid"),
+        graft.functions.GraftFunctions.pq_encode(
+          l2Normalize(col("v"), col("__n")), flat, m, kSub, sub).as("codes"))
+    // per-query: nProbe nearest coarse lists + the ADC table (driver-side,
+    // queries are a bounded set by contract)
+    val qRows = unitVectors(queries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes = qRows.toSeq.flatMap { case (qid, qv) =>
+      val order = centroids.zipWithIndex.map { case (c, ci) =>
+        (bestDot(qv, c), ci)
+      }.sortBy { case (s, ci) => (-s, ci) }.take(nProbe).map(_._2)
+      val table: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, mi) =>
+        book.map { c =>
+          var s = 0.0; var i = 0
+          while (i < sub) { s += qv(mi * sub + i) * c(i); i += 1 }
+          s
+        }.toSeq
+      }.toSeq
+      order.map(ci => (qid, ci, table))
+    }
+    val pDf = probes.toDF("query_id", "cid", "qtable")
+    val scored = encoded.join(broadcast(pDf), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.GraftFunctions.adc_score(col("codes"), col("qtable"))
+          .as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    val v = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val exact = shortlist
+      .join(v, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosine(col("v"), col("qv")).as("cos"))
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  /** Cosine of a query against a (unit-normalized) centroid, guarding
+    * zero norms — the driver-side probe-ordering helper. */
+  private def bestDot(q: Array[Double], c: Array[Double]): Double = {
+    var dot = 0.0; var nq = 0.0; var nc = 0.0; var i = 0
+    val n = math.min(q.length, c.length)
+    while (i < n) { dot += q(i) * c(i); nq += q(i) * q(i); nc += c(i) * c(i); i += 1 }
+    if (nq == 0.0 || nc == 0.0) 0.0 else dot / (math.sqrt(nq) * math.sqrt(nc))
+  }
+
   /** L2 norm of a double-array vector, folded in element order — the same
     * sequential accumulation every engine's list-sum uses, so the value is
     * bit-identical cross-engine. */

@@ -156,6 +156,13 @@ object PipelineQueries {
       Similarity.topKPq(s, e, e.filter(col("vec_id") < 8), k = 5)
     }),
 
+    // §2.8: IVF-PQ — both scale levers composed (probe a few inverted
+    // lists, ADC-scan only their codes, exact rerank)
+    "sim_topk_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKIvfPq(s, e, e.filter(col("vec_id") < 8), k = 5)
+    }),
+
     // §2.7: driver-verified ANN recall (CHECK faces — Bench skips *_check,
     // so the raw ANN faces above keep timing only the approximate path).
     // Same engine-own convention as the sketch *_check oracles: Spark
@@ -168,6 +175,7 @@ object PipelineQueries {
     "sim_topk_lsh_check" -> ((s, dir) => annRecallCheck(s, dir, "lsh")),
     "sim_topk_ivf_check" -> ((s, dir) => annRecallCheck(s, dir, "ivf")),
     "sim_topk_pq_check" -> ((s, dir) => annRecallCheck(s, dir, "pq")),
+    "sim_topk_ivfpq_check" -> ((s, dir) => annRecallCheck(s, dir, "ivfpq")),
 
     // §2.4 #64 streaming exact dedup (batch face here: same first-occurrence
     // semantics as the stateful stream; flatMapGroupsWithState spec in tests)
@@ -499,6 +507,7 @@ object PipelineQueries {
       case "lsh" => Similarity.topKLsh(e, q, k = k, nTables = 4,
         n = embCount(s, dir))
       case "pq" => Similarity.topKPq(s, e, q, k = k)
+      case "ivfpq" => Similarity.topKIvfPq(s, e, q, k = k)
       case _ => Similarity.topKIvf(s, e, q, k = k, nCentroids = 16, nProbe = 8)
     }
     val exact = Similarity.topKBruteForce(e, q, k = k)
@@ -702,6 +711,7 @@ object PipelineQueries {
     "sim_topk_lsh_check" -> annRecallOracleSql,
     "sim_topk_ivf_check" -> annRecallOracleSql,
     "sim_topk_pq_check" -> annRecallOracleSql,
+    "sim_topk_ivfpq_check" -> annRecallOracleSql,
     "st_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS doc_id
          FROM documents GROUP BY 1""",
