@@ -139,6 +139,86 @@ object Multimodal {
   def decodeMeta(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeMetaBlobs(spark, blobs(docs))
 
+  /** Deterministic REAL-PNG blob table derived from `documents` (dims from
+    * n_chars as in [[blobs]], solid fill colored by doc_id): the vision
+    * stand-in when a face needs payloads an actual codec can decode. */
+  def syntheticPngBlobs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val meta = docs.select(col("doc_id"),
+      (col("n_chars") % 64 + 1).cast("int").as("width"),
+      (col("n_chars") % 48 + 1).cast("int").as("height"))
+      .as[(Long, Int, Int)]
+    meta.mapPartitions { it =>
+      it.map { case (id, w, h) =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = ((id * 2654435761L) & 0xffffffL).toInt
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Blob(id, bos.toByteArray, "image/png", w, h)
+      }
+    }.toDF()
+  }
+
+  /** One resized blob: original and output geometry plus the re-encoded
+    * payload size (the payload itself stays an opaque binary column). */
+  final case class Resized(doc_id: Long, in_w: Int, in_h: Int,
+      out_w: Int, out_h: Int, out_bytes: Long, payload: Array[Byte])
+
+  /** Aspect-preserving fit of (w, h) into a maxDim box with INTEGER
+    * arithmetic — max(1, dim * maxDim / longest) — so the target geometry
+    * is reproducible by any engine doing integer division (the oracle
+    * mirrors it); no-op when the image already fits. */
+  def fitDims(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val longest = math.max(w, h)
+    if (longest <= maxDim) (w, h)
+    else (math.max(1, w * maxDim / longest), math.max(1, h * maxDim / longest))
+  }
+
+  /** REAL raster resize: decode, aspect-preserving bilinear scale into a
+    * `maxDim` box, re-encode PNG — the normalization pass a vision corpus
+    * runs before feature extraction, as a mapPartitions hop (one codec
+    * per partition, no shuffle). Undecodable payloads pass through
+    * untouched with their metadata dims (a corrupt image must not fail a
+    * 100 TB scan); already-fitting images re-encode without scaling. */
+  def resizeBlobs(spark: SparkSession, blobDf: DataFrame, maxDim: Int = 16): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[Blob] = blobDf.as[Blob]
+    ds.mapPartitions { it =>
+      // per-partition init point (codec handle would live here)
+      it.map { b =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.payload))
+          catch { case _: Exception => null }
+        if (img == null)
+          Resized(b.doc_id, b.width, b.height, b.width, b.height,
+            b.payload.length.toLong, b.payload)
+        else {
+          val (ow, oh) = fitDims(img.getWidth, img.getHeight, maxDim)
+          val out = new java.awt.image.BufferedImage(ow, oh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, ow, oh, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          val bytes = bos.toByteArray
+          Resized(b.doc_id, img.getWidth, img.getHeight, ow, oh,
+            bytes.length.toLong, bytes)
+        }
+      }
+    }.toDF()
+  }
+
   /** One sampled frame of a video-like blob. */
   final case class Frame(doc_id: Long, frame_idx: Long, ts_ms: Long,
       frame_bytes: Long, frame_hash: Long)

@@ -206,6 +206,18 @@ object PipelineQueries {
       Multimodal.sampleFrames(s, docs(s, dir))
         .select(col("doc_id"), col("frame_idx"), col("ts_ms"), col("frame_bytes"))),
 
+    // §2.8: real raster resize — generate true PNGs from doc metadata on a
+    // deterministic 1-in-20 sample (codec work is per-row CPU; the sample
+    // keeps the face bench-honest), bilinear-fit them into a 16px box, and
+    // oracle the integer-exact geometry (max(1, dim*16/longest)); raster
+    // CONTENT is spec-pinned on crafted images
+    "mm_resize" -> ((s, dir) => {
+      val sampled = docs(s, dir).filter(col("doc_id") % 20 === 0)
+      Multimodal.resizeBlobs(s, Multimodal.syntheticPngBlobs(s, sampled))
+        .select(col("doc_id"), col("in_w"), col("in_h"),
+          col("out_w"), col("out_h"))
+    }),
+
     // §2.4 #67 multimodal metadata stats — the SQL-expressible face of the
     // blob table (payload size, derived pixel geometry), oracle-checked
     "mm_meta_stats" -> ((s, dir) =>
@@ -877,6 +889,17 @@ object PipelineQueries {
                 cast(least((frame_idx + 1) * 256, len)
                      - least(frame_idx * 256, len) AS bigint) AS frame_bytes
          FROM f""",
+    "mm_resize" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  (n_chars % 64 + 1)::INT AS w, (n_chars % 48 + 1)::INT AS h
+           FROM documents WHERE doc_id % 20 = 0)
+         SELECT doc_id, w AS in_w, h AS in_h,
+                CASE WHEN greatest(w, h) <= 16 THEN w
+                     ELSE greatest(1, w * 16 // greatest(w, h)) END::INT AS out_w,
+                CASE WHEN greatest(w, h) <= 16 THEN h
+                     ELSE greatest(1, h * 16 // greatest(w, h)) END::INT AS out_h
+         FROM m""",
     "mm_meta_stats" ->
       """SELECT doc_id,
                 cast(octet_length(encode(text)) AS bigint) AS n_bytes,

@@ -125,6 +125,46 @@ class MultimodalSpec extends SparkSpec {
     assert(h1.distinct.length > 1, "distinct frame spans should hash differently")
   }
 
+  test("resize: real bilinear fit into the box, passthrough for corrupt, no-op when fits") {
+    def png(w: Int, h: Int, fill: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, fill(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val big = png(64, 32, (x, _) => if (x < 32) 0x000000 else 0xFFFFFF)
+    val small = png(8, 5, (_, _) => 0x808080)
+    val blobDf = Seq(
+      (1L, big, "image/png", 64, 32),
+      (2L, small, "image/png", 8, 5),
+      (3L, "not an image".getBytes("UTF-8"), "image/png", 9, 7)
+    ).toDF("doc_id", "payload", "format", "width", "height")
+    val out = Multimodal.resizeBlobs(spark, blobDf, maxDim = 16)
+      .orderBy("doc_id").collect()
+    // 64x32 fits to 16x8 (integer arithmetic), and the OUTPUT payload
+    // really is a 16x8 raster whose halves keep their tones
+    assert((out(0).getAs[Int]("out_w"), out(0).getAs[Int]("out_h")) == (16, 8))
+    val r1 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).getAs[Array[Byte]]("payload")))
+    assert(r1.getWidth == 16 && r1.getHeight == 8)
+    assert((r1.getRGB(2, 4) & 0xFF) < 64, "left half should stay dark")
+    assert((r1.getRGB(13, 4) & 0xFF) > 192, "right half should stay light")
+    // already fits: geometry unchanged, payload still decodable at 8x5
+    assert((out(1).getAs[Int]("out_w"), out(1).getAs[Int]("out_h")) == (8, 5))
+    val r2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1).getAs[Array[Byte]]("payload")))
+    assert(r2.getWidth == 8 && r2.getHeight == 5)
+    // corrupt: passthrough bytes + metadata dims, scan never fails
+    assert((out(2).getAs[Int]("out_w"), out(2).getAs[Int]("out_h")) == (9, 7))
+    assert(new String(out(2).getAs[Array[Byte]]("payload"), "UTF-8") == "not an image")
+    // fitDims integer contract pins the oracle arithmetic
+    assert(Multimodal.fitDims(64, 32, 16) == ((16, 8)))
+    assert(Multimodal.fitDims(3, 48, 16) == ((1, 16)))
+    assert(Multimodal.fitDims(10, 10, 16) == ((10, 10)))
+  }
+
   /** In-memory animated GIF: `fills(i)` paints frame i a solid color;
     * every frame carries a GraphicControlExtension delay of `delayCs`. */
   private def animatedGif(w: Int, h: Int, fills: Seq[Int], delayCs: Int): Array[Byte] = {
