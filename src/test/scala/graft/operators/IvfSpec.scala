@@ -101,6 +101,31 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ composes: recall >= 0.8 on clustered vectors, true rerank cosines") {
+    val k = 5
+    val want = corpusLocal.filter(_._1 % perCluster == 0).map { case (qid, qv) =>
+      qid -> corpusLocal.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosine(v, qv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+    }.toMap
+    val got = Similarity.topKIvfPq(spark, corpus, queries, k,
+        nCentroids = 8, nProbe = 3, m = 8, kSub = 8, rerank = 24)
+      .collect()
+    val byQ = got.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("vec_id")).toSet }
+    val recalls = want.map { case (q, ids) =>
+      byQ.getOrElse(q, Set.empty).intersect(ids).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean IVF-PQ recall $mean")
+    // rerank returns exact cosines, not ADC approximations
+    val byId = corpusLocal.toMap
+    got.take(10).foreach { r =>
+      val expect = cosine(byId(r.getAs[Long]("vec_id")), byId(r.getAs[Long]("query_id")))
+      assert(math.abs(r.getAs[Double]("cos") - expect) < 1e-12)
+    }
+  }
+
   test("zero-norm vectors never enter training or inverted lists") {
     val withZeros = (corpusLocal :+ (900L -> Array.fill(dim)(0f)) :+
       (901L -> Array.fill(dim)(0f))).toDF("vec_id", "embedding")
