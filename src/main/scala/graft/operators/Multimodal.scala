@@ -259,27 +259,32 @@ object Multimodal {
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(b.payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
-      val reader = readers.next()
-      reader.setInput(iis, false, false)
+      // close the stream on EVERY exit (early returns included): a
+      // default file-cached ImageInputStream left to GC finalization
+      // accumulates temp files/descriptors across a large executor scan
       try {
-        val n = reader.getNumImages(true)
-        if (n <= 0) return None
-        val out = scala.collection.mutable.ArrayBuffer.empty[Frame]
-        var tsMs = 0L
-        var i = 0
-        while (i < n) {
-          if (i % everyN == 0) {
-            val img = reader.read(i)
-            out += Frame(b.doc_id, i.toLong, tsMs,
-              4L * img.getWidth * img.getHeight, rasterHash(img))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        reader.setInput(iis, false, false)
+        try {
+          val n = reader.getNumImages(true)
+          if (n <= 0) return None
+          val out = scala.collection.mutable.ArrayBuffer.empty[Frame]
+          var tsMs = 0L
+          var i = 0
+          while (i < n) {
+            if (i % everyN == 0) {
+              val img = reader.read(i)
+              out += Frame(b.doc_id, i.toLong, tsMs,
+                4L * img.getWidth * img.getHeight, rasterHash(img))
+            }
+            tsMs += 10L * frameDelayCs(reader, i)
+            i += 1
           }
-          tsMs += 10L * frameDelayCs(reader, i)
-          i += 1
-        }
-        Some(out.toSeq)
-      } finally reader.dispose()
+          Some(out.toSeq)
+        } finally reader.dispose()
+      } finally iis.close()
     } catch { case _: Exception => None }
   }
 

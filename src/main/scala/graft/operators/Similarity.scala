@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -21,10 +20,14 @@ object Similarity {
     * to <= k rows per query before the shuffle) and the exchange moves only
     * q × partitions × k entries. A window over spark_partition_id does NOT
     * achieve this — the window itself shuffles every scored row first. */
-  private final class TopKAgg(k: Int)
+  private final class TopKAgg(k: Int, dedup: Boolean = false)
       extends org.apache.spark.sql.expressions.Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     private def insert(buf: Seq[Scored], s: Scored): Seq[Scored] = {
-      if (buf.size >= k && (buf.last.cos > s.cos ||
+      // dedup mode: a (query, vec) pair may arrive several times (LSH
+      // multi-table collisions) with an IDENTICAL score — keep one. A copy
+      // whose original was evicted is re-rejected by the threshold below.
+      if (dedup && buf.exists(_.vec_id == s.vec_id)) buf
+      else if (buf.size >= k && (buf.last.cos > s.cos ||
           (buf.last.cos == s.cos && buf.last.vec_id < s.vec_id))) buf
       else (buf :+ s).sortBy(x => (-x.cos, x.vec_id)).take(k)
     }
@@ -40,13 +43,34 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
   }
 
+  /** Partial top-k selection over a scored (query_id, vec_id, cos) set:
+    * each input partition reduces to <= k rows per query map-side (the
+    * TopKAgg buffer), so the ONLY shuffle moves q × partitions × k
+    * 3-column rows — never the scored set itself. A
+    * `row_number().over(Window.partitionBy(query_id))` would exchange
+    * every scored row first; this is the difference between a bounded
+    * selection and shuffling the whole candidate scan at 100 TB.
+    * Ordering and rank tie-break: (cos desc, vec_id asc), identical to
+    * the window form. `dedup` collapses repeated (query, vec) arrivals
+    * with identical scores (LSH multi-table/probe collisions) without a
+    * separate `distinct()` shuffle. */
+  private def selectTopK(scored: DataFrame, k: Int, dedup: Boolean = false): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("query_id"), col("vec_id"), col("cos")).as[Scored]
+      .groupByKey(_.query_id)
+      .agg(new TopKAgg(k, dedup).toColumn.name("topk"))
+      .flatMap { case (_, topk) =>
+        topk.zipWithIndex.map { case (s, i) => (s.query_id, s.vec_id, s.cos, i + 1) }
+      }
+      .toDF("query_id", "vec_id", "cos", "rank")
+  }
+
   /** Exact cosine top-k for each query vector. Scoring is a map-only pass
     * (queries broadcast); selection is the typed partial top-k aggregator
     * above, so the only shuffle carries k-bounded buffers per (query,
     * partition) — the corpus itself never moves. */
   def topKBruteForce(emb: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val corpus = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val q = queries.select(col("vec_id").as("query_id"),
@@ -54,13 +78,7 @@ object Similarity {
     val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         Dedup.cosine(col("v"), col("qv")).as("cos"))
-      .as[Scored]
-    scored.groupByKey(_.query_id)
-      .agg(new TopKAgg(k).toColumn.name("topk"))
-      .flatMap { case (_, topk) =>
-        topk.zipWithIndex.map { case (s, i) => (s.query_id, s.vec_id, s.cos, i + 1) }
-      }
-      .toDF("query_id", "vec_id", "cos", "rank")
+    selectTopK(scored, k)
   }
 
   /** LSH-bucketed ANN: corpus bucketed once per table by banded
@@ -103,10 +121,10 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         Dedup.cosine(col("v"), col("qv")).as("cos"))
-      .distinct() // a (query, vec) pair can collide in several tables/probes
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+    // dedup inside the partial aggregator: a (query, vec) pair colliding in
+    // several tables/probes scores identically, so the k-bounded buffer
+    // keeps one copy — no separate distinct() exchange of the candidate set
+    selectTopK(scored, k, dedup = true)
   }
 
   // ------------------------------------------------------------------
@@ -152,16 +170,20 @@ object Similarity {
     * callers' assignment guards so every stage agrees on placement. */
   private[operators] def bestCentroid(
       a: Array[Double], centroids: Array[Array[Double]]): Int = {
-    val na = { var s = 0.0; var i = 0; while (i < a.length) { s += a(i) * a(i); i += 1 }; s }
-    if (na == 0.0) return -1
+    val naFull = { var s = 0.0; var i = 0; while (i < a.length) { s += a(i) * a(i); i += 1 }; s }
+    if (naFull == 0.0) return -1
     var best = 0; var bestScore = Double.NegativeInfinity
     var c = 0
     while (c < centroids.length) {
       val b = centroids(c)
+      // fold ALL THREE sums over the same min length, exactly like
+      // CosineSim.compute — on a dim mismatch the driver-side assignment
+      // here and the distributed withCid assignment must agree, not
+      // silently diverge on a full-length vs truncated query norm
       val n = math.min(a.length, b.length)
-      var dot = 0.0; var nb = 0.0; var i = 0
-      while (i < n) { dot += a(i) * b(i); nb += b(i) * b(i); i += 1 }
-      val s = if (nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val s = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
       if (s > bestScore) { bestScore = s; best = c }
       c += 1
     }
@@ -333,9 +355,9 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         Dedup.cosine(col("v"), col("qv")).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+    // (query, vec) pairs are unique — each corpus vector lives in exactly
+    // one inverted list and probes carry distinct (query, cid) rows
+    selectTopK(scored, k)
   }
 
   /** Adds a nearest-centroid `cid` column: argmax of cosine against the
@@ -481,9 +503,11 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         graft.functions.GraftFunctions.adc_score(col("codes"), col("qtable"))
           .as("adc"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
-    val shortlist = scored.withColumn("r", row_number().over(w))
-      .filter(col("r") <= rerank)
+    // shortlist selection is the SAME partial top-k as brute force: each
+    // partition of the code scan reduces to <= rerank ADC rows per query
+    // map-side — the n × q scored set is never exchanged (a row_number
+    // window here would shuffle everything the m-bytes/row scan saved)
+    val shortlist = selectTopK(scored.withColumnRenamed("adc", "cos"), rerank)
       .select(col("query_id"), col("vec_id"))
     // exact rerank on the shortlist only
     val v = emb.select(col("vec_id"),
@@ -495,9 +519,7 @@ object Similarity {
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("vec_id"),
         Dedup.cosine(col("v"), col("qv")).as("cos"))
-    val w2 = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    exact.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+    selectTopK(exact, k)
   }
 
   /** IVF-PQ: the two scale levers COMPOSED (the FAISS IndexIVFPQ posture).
@@ -553,9 +575,9 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         graft.functions.GraftFunctions.adc_score(col("codes"), col("qtable"))
           .as("adc"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
-    val shortlist = scored.withColumn("r", row_number().over(w))
-      .filter(col("r") <= rerank)
+    // probed-list ADC rows reduce to <= rerank per query map-side — same
+    // partial-selection shape as flat PQ, on the already-bounded scan
+    val shortlist = selectTopK(scored.withColumnRenamed("adc", "cos"), rerank)
       .select(col("query_id"), col("vec_id"))
     val v = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -566,9 +588,7 @@ object Similarity {
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("vec_id"),
         Dedup.cosine(col("v"), col("qv")).as("cos"))
-    val w2 = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    exact.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+    selectTopK(exact, k)
   }
 
   /** Cosine of a query against a (unit-normalized) centroid, guarding

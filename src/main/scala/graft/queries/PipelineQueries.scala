@@ -501,8 +501,12 @@ object PipelineQueries {
     truth.select(lit(1L).as("__t"), lit(0L).as("__h"))
       .unionAll(hits.select(lit(0L).as("__t"), lit(1L).as("__h")))
       .agg(coalesce(sum(col("__t")), lit(0L)).cast("long").as("n_true_pairs"),
-        (coalesce(sum(col("__h")), lit(0L)).cast("double") /
-          greatest(coalesce(sum(col("__t")), lit(0L)), lit(1L)) >= 0.8)
+        // empty truth set ⇒ vacuously true — the DuckDB twin hard-codes
+        // (1.0 >= 0.8), so a corpus/SF with zero true pairs must not
+        // hash-mismatch on a spurious 0/1 = 0 "recall"
+        ((coalesce(sum(col("__t")), lit(0L)) === 0L) ||
+          (coalesce(sum(col("__h")), lit(0L)).cast("double") /
+            greatest(coalesce(sum(col("__t")), lit(0L)), lit(1L)) >= 0.8))
           .as("recall_ok"))
 
   /** Mean recall@k of an ANN family against the engine's own exact top-k,

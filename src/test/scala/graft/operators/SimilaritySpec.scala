@@ -138,6 +138,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ANN plans select top-k via partial aggregation, not a Window exchange") {
+    // The shortlist/selection stage must be the k-bounded TopKAgg partial
+    // aggregator: a row_number window would shuffle EVERY scored row (for
+    // flat PQ, the whole n × q ADC scan — exactly what the m-bytes/row
+    // code scan is supposed to avoid at 100 TB). Assert no Window node
+    // survives anywhere in any ANN face's optimized plan.
+    val faces = Seq(
+      "brute" -> Similarity.topKBruteForce(corpus, queries, 5),
+      "lsh" -> Similarity.topKLsh(corpus, queries, 5, nBits = 8, dim = dim),
+      "ivf" -> Similarity.topKIvf(spark, corpus, queries, 5),
+      "pq" -> Similarity.topKPq(spark, corpus, queries, 5, m = 8, kSub = 8, rerank = 24),
+      "ivfpq" -> Similarity.topKIvfPq(spark, corpus, queries, 5,
+        m = 8, kSub = 8, rerank = 24))
+    faces.foreach { case (name, df) =>
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.isEmpty, s"$name: Window node in plan — selection shuffles the scored set")
+      val aggs = df.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggs.nonEmpty, s"$name: expected the TopKAgg aggregation in the plan")
+    }
+  }
+
+  test("LSH in-aggregator dedup returns each (query, vec) pair at most once") {
+    // multi-table/probe collisions used to be collapsed by a distinct()
+    // exchange of the candidate set; the dedup now happens inside the
+    // k-bounded buffer — no duplicate pairs may survive to the output
+    val rows = Similarity.topKLsh(corpus, queries, 5, nBits = 4, dim = dim,
+      nTables = 4).collect()
+    val pairs = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+    assert(pairs.length == pairs.distinct.length,
+      s"duplicate (query, vec) pairs in LSH output")
+    // ranks stay dense 1..n per query
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"query $q ranks $ranks not dense")
+    }
+  }
+
   test("l2Normalize: unit norm after, zero vector untouched, norm bound once") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
