@@ -123,4 +123,50 @@ object Profiler {
             $minS AS min_str, $maxS AS max_str
           FROM $table"""
     }.mkString("\n        UNION ALL\n")
+
+  /** EXACT per-group percentiles by sort-based rank interpolation — the
+    * scale-safe replacement for Spark's `percentile` aggregate, whose
+    * buffer holds EVERY value of a group (3 `l_returnflag` groups × a
+    * 100×-scale corpus = billions of doubles in three aggregation
+    * buffers). Here the values are SORTED instead: one hash partition +
+    * external sort per group (spillable — memory stays bounded no matter
+    * the group size), `row_number`/`lead` stream over the sorted run, and
+    * the row sitting at each percentile's rank emits the interpolated
+    * value, reduced by a trivial map-side-combinable `max`.
+    *
+    * The interpolation replicates Spark's `Percentile.getPercentile`
+    * arithmetic term for term (pos = p·(n−1); lo = ⌊pos⌋; result =
+    * x_lo·(⌈pos⌉−pos) + x_hi·(pos−⌊pos⌋), doubles throughout) so results
+    * are bit-identical to the aggregate it replaces — and to DuckDB's
+    * `quantile_cont` on the oracle side. Nulls are ignored (as the
+    * aggregate does); a group with only nulls keeps its row with null
+    * percentiles. `ps` = (output column, fraction in [0,1]). */
+  def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(col(valueCol)).as("__n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val ranked = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .join(broadcast(counts), Seq(groupCol))
+      .withColumn("__rn", row_number().over(w).cast("double") - 1.0)
+      .withColumn("__nxt", lead(col("__v"), 1).over(w))
+    val aggs = ps.map { case (name, p) =>
+      val pos = lit(p) * (col("__n").cast("double") - 1.0)
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      max(when(col("__rn") === lo,
+        when(lo === hi, col("__v"))
+          .otherwise(col("__v") * (hi - pos) + col("__nxt") * (pos - lo))))
+        .as(name)
+    }
+    // left join back so all-null groups survive with null percentiles,
+    // exactly as the percentile aggregate would return them
+    counts.select(col(groupCol))
+      .join(ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*),
+        Seq(groupCol), "left")
+  }
 }

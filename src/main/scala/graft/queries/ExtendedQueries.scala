@@ -62,13 +62,13 @@ object ExtendedQueries {
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .agg(sum(dec2(col("l_quantity"))).cast("double"))),
 
-    // §2.4 #52: exact percentiles (sort-based, interpolated)
+    // §2.4 #52: exact percentiles — sort-based rank interpolation (one
+    // spillable sort per group, bounded memory), NOT the value-buffering
+    // `percentile` aggregate whose per-group buffer holds every value
     "q_percentiles" -> ((s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile(l_extendedprice, 0.5D)").as("p50"),
-          expr("percentile(l_extendedprice, 0.9D)").as("p90"))),
+      graft.operators.Profiler.exactPercentiles(
+        Tables.load(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9))),
 
     // §2.4 #53: deterministic content-hash sampling (the reproducible way
     // to subsample a 100 TB corpus — no RNG state, stable across runs and

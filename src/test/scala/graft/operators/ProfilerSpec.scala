@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types._
 
 class ProfilerSpec extends SparkSpec {
@@ -72,5 +73,45 @@ class ProfilerSpec extends SparkSpec {
     val r = Profiler.profile(df).collect()(0)
     assert(r.getAs[Double]("max_num") - r.getAs[Double]("min_num") == 86400000.0)
     assert(r.isNullAt(r.fieldIndex("sum_num"))) // summing timestamps is meaningless
+  }
+
+  test("exactPercentiles: interpolation on even/odd counts, nulls, no Percentile buffer") {
+    // odd count (5 values): p50 lands exactly on a value; p90 interpolates
+    // pos = 0.9*4 = 3.6 -> 40*(4-3.6) + 50*(3.6-3) = 46
+    // even count (4 values): p50 pos = 0.5*3 = 1.5 -> (20+30)/2 = 25;
+    // p90 pos = 2.7 -> 30*0.3 + 40*0.7 = 37
+    val df = Seq(
+      ("odd", Some(10.0)), ("odd", Some(20.0)), ("odd", Some(30.0)),
+      ("odd", Some(40.0)), ("odd", Some(50.0)),
+      ("even", Some(10.0)), ("even", Some(20.0)), ("even", Some(30.0)),
+      ("even", Some(40.0)),
+      ("allnull", None), ("allnull", None)).toDF("g", "v")
+    val out = Profiler.exactPercentiles(df, "g", "v",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("odd", "even", "allnull"))
+    assert(out("odd").getAs[Double]("p50") == 30.0)
+    assert(math.abs(out("odd").getAs[Double]("p90") - 46.0) < 1e-12)
+    assert(out("even").getAs[Double]("p50") == 25.0)
+    assert(math.abs(out("even").getAs[Double]("p90") - 37.0) < 1e-12)
+    assert(out("allnull").isNullAt(out("allnull").fieldIndex("p50")))
+    // matches Spark's own percentile aggregate bit-for-bit on real data
+    // (the oracle-compatibility contract), WITHOUT a Percentile buffer
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    val got = Profiler.exactPercentiles(li, "l_returnflag", "l_extendedprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5D)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9D)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == want, s"$got vs $want")
+    val plan = Profiler.exactPercentiles(li, "l_returnflag", "l_extendedprice",
+      Seq("p50" -> 0.5)).queryExecution.optimizedPlan
+    val percentiles = plan.collect { case p if p.expressions.exists(_.find {
+      case _: org.apache.spark.sql.catalyst.expressions.aggregate.Percentile => true
+      case _ => false
+    }.isDefined) => p }
+    assert(percentiles.isEmpty, "value-buffering Percentile aggregate in plan")
   }
 }
