@@ -66,9 +66,15 @@ object Dedup {
 
   /** Exact dedup by content hash: one shuffle on the 128-bit digest; at
     * 100 TB this is the only dedup that sees every byte, and it sees it in
-    * one map pass. Keeps the smallest doc_id per content group. */
+    * one map pass. Keeps the smallest doc_id per content group.
+    *
+    * `h` is the digest as 16 RAW BYTES (`unhex(md5(...))`) — the md5 hex
+    * STRING is 32 UTF8 chars, twice the bytes on the one exchange this
+    * operator performs at 100 TB. Faces that display the digest re-hex at
+    * output (`lower(hex(h))` == `md5(text)` exactly), which is
+    * output-sized work, not shuffle-sized. */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(col("text")).as("h"))
+    docs.groupBy(unhex(md5(col("text"))).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
   // ------------------------------------------------------------------
@@ -468,8 +474,8 @@ object Dedup {
     * and the per-increment shuffle disappears too). Returns the admitted
     * (doc_id, h) pairs. */
   def incremental(corpus: DataFrame, delta: DataFrame): DataFrame = {
-    val seen = corpus.select(md5(col("text")).as("h"))
-    delta.select(md5(col("text")).as("h"), col("doc_id"))
+    val seen = corpus.select(unhex(md5(col("text"))).as("h"))
+    delta.select(unhex(md5(col("text"))).as("h"), col("doc_id"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .join(seen, Seq("h"), "left_anti")
       .select(col("doc_id"), col("h"))
@@ -485,7 +491,7 @@ object Dedup {
     * location (bucketing metadata lives in the session catalog). */
   def writeSeenIndex(corpus: DataFrame, table: String, path: String,
       buckets: Int = 8): Unit =
-    corpus.select(md5(col("text")).as("h")).distinct()
+    corpus.select(unhex(md5(col("text"))).as("h")).distinct()
       .write.bucketBy(buckets, "h").sortBy("h")
       .option("path", path).mode("overwrite").saveAsTable(table)
 
@@ -498,7 +504,7 @@ object Dedup {
   def incrementalIndexed(spark: org.apache.spark.sql.SparkSession,
       table: String, delta: DataFrame): DataFrame = {
     val seen = spark.table(table)
-    delta.select(md5(col("text")).as("h"), col("doc_id"))
+    delta.select(unhex(md5(col("text"))).as("h"), col("doc_id"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .join(seen, Seq("h"), "left_anti")
       .select(col("doc_id"), col("h"))

@@ -96,12 +96,15 @@ object ExtendedQueries {
       val norm = docs.select(col("doc_id"), col("source"), col("n_chars"),
         graft.operators.TextOps.normalize(col("text")).as("norm"))
       val filtered = norm.filter(length(col("norm")) >= 50)
+      // dedup shuffles the 16-byte binary digest; the sample filter works
+      // on the re-hexed form (lower(hex(h)) == md5(norm)), so the sampled
+      // set — and the oracle — are unchanged
       val deduped = filtered
-        .groupBy(md5(col("norm")).as("h"))
+        .groupBy(unhex(md5(col("norm"))).as("h"))
         .agg(min(col("doc_id")).as("doc_id"),
           min_by(col("source"), col("doc_id")).as("source"),
           min_by(col("n_chars"), col("doc_id")).as("n_chars"))
-      val sampled = deduped.filter(substring(col("h"), 1, 1) < "c")
+      val sampled = deduped.filter(substring(lower(hex(col("h"))), 1, 1) < "c")
       sampled.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"))

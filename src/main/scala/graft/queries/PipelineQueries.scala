@@ -32,7 +32,11 @@ object PipelineQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.3 #36 exact dedup by content hash
-    "dd_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    // the operator shuffles 16-byte binary digests; the face re-hexes at
+    // output (lower(hex(h)) == md5(text) exactly) so the display/oracle
+    // form is unchanged while the exchange moves half the key bytes
+    "dd_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))
+      .select(lower(hex(col("h"))).as("h"), col("keep_id"), col("n_copies"))),
 
     // §2.3 #37 n-gram Jaccard near-dup pairs
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), 0.6)),
@@ -180,9 +184,9 @@ object PipelineQueries {
     // §2.4 #64 streaming exact dedup (batch face here: same first-occurrence
     // semantics as the stateful stream; flatMapGroupsWithState spec in tests)
     "st_dedup" -> ((s, dir) =>
-      docs(s, dir).groupBy(md5(col("text")).as("h"))
+      docs(s, dir).groupBy(unhex(md5(col("text"))).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("h"), col("doc_id"))),
+        .select(lower(hex(col("h"))).as("h"), col("doc_id"))),
 
     // §2.3 #43 language ID (rows-only + accuracy spec on planted texts)
     "txt_langid" -> ((s, dir) => TextOps.langId(docs(s, dir))),
@@ -394,6 +398,7 @@ object PipelineQueries {
         .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
       val burst = fresh.select((col("doc_id") + 20000L).as("doc_id"), col("text"))
       Dedup.incremental(corpus, fresh.unionByName(recrawl).unionByName(burst))
+        .select(col("doc_id"), lower(hex(col("h"))).as("h"))
     }),
 
     // §2.7 #116 SemDeDup: k-means-bucketed semantic dedup over the

@@ -225,6 +225,10 @@ class DedupSpec extends SparkSpec {
       val plan = admitted.queryExecution.executedPlan.toString
       val exchanges = "Exchange".r.findAllIn(plan).length
       assert(exchanges == 1, s"expected 1 exchange (delta side only):\n$plan")
+      // the digest column must survive the bucketed saveAsTable round-trip
+      // as 16 RAW BYTES — half the shuffle/index volume of the hex string
+      assert(spark.table("seen_idx").schema("h").dataType ==
+        org.apache.spark.sql.types.BinaryType)
       // closing the loop: append admitted digests, re-run → nothing admitted
       admitted.select(col("h"))
         .write.bucketBy(4, "h").sortBy("h")
