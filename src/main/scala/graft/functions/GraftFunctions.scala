@@ -60,6 +60,9 @@ object GraftFunctions {
   def adc_score(codes: Column, table: Column): Column =
     ColumnBridge.column(AdcScore(ColumnBridge.expression(codes), ColumnBridge.expression(table)))
 
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
+
   private[functions] val registry: Seq[(String, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("rolling_hash",
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

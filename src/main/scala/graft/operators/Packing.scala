@@ -25,11 +25,16 @@ object Packing {
     * global ORDER BY window — the tempting formulation — would serialize
     * the entire corpus through one partition.
     */
-  def packByTokens(docs: DataFrame, capacity: Long, shards: Int = 64): DataFrame = {
+  def packByTokens(docs: DataFrame, capacity: Long, shards: Int = 64,
+      tokenCount: Column = null): DataFrame = {
+    // `tokenCount` defaults to the whitespace proxy; pass the REAL subword
+    // count (e.g. size(Bpe encode) — see BpeSpec) and the packing runs on
+    // the token economics the model will actually see
+    val nTokens = Option(tokenCount).getOrElse(TextOps.wsTokenCount(col("text")))
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
     docs
       .select(col("doc_id"),
-        TextOps.wsTokenCount(col("text")).as("n_tokens"),
+        nTokens.as("n_tokens"),
         md5(col("text")).as("h"),
         // key-mod sharding (not Murmur3 `hash`): bit-identical in any engine
         pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
@@ -48,10 +53,12 @@ object Packing {
     * cumulative rule as [[packByTokens]]). The right-sizing step when
     * assembling a training mixture from unevenly sized sources. One
     * stratum-partitioned window, no global sort. */
-  def budgetTrim(docs: DataFrame, stratum: Column, budgetTokens: Long): DataFrame = {
+  def budgetTrim(docs: DataFrame, stratum: Column, budgetTokens: Long,
+      tokenCount: Column = null): DataFrame = {
     val w = Window.partitionBy(stratum).orderBy(md5(col("text")), col("doc_id"))
     docs
-      .withColumn("__nt", TextOps.wsTokenCount(col("text")))
+      .withColumn("__nt",
+        Option(tokenCount).getOrElse(TextOps.wsTokenCount(col("text"))))
       .withColumn("__cum", sum(col("__nt")).over(w))
       .filter(col("__cum") - col("__nt") < budgetTokens)
       .drop("__nt", "__cum")

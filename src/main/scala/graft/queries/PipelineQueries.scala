@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Bpe, Dedup, Multimodal, Similarity, TextOps}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -260,6 +260,41 @@ object PipelineQueries {
       val d = docs(s, dir)
       TextOps.lmScore(d, TextOps.charNgramCounts(d, n = 3, minCount = 2L))
         .select(col("doc_id"), col("n_grams"), col("n_oov"))
+    }),
+
+    // §2.9: REAL corpus-trained BPE subword tokenization — merges fit on
+    // the bounded word-frequency head (driver-side, the PQ-codebook
+    // posture), encode is a map-only codegen projection with the ranked
+    // merges riding the plan as a reference object. Token counts are
+    // engine-specific (no DuckDB BPE) → rows-only; the `_check` twin
+    // below certifies losslessness + count bounds against DuckDB's
+    // independent word accounting every round.
+    "txt_bpe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Bpe.tokenCounts(d, Bpe.train(d))
+    }),
+
+    // CHECK face: n_docs and total_words are computed INDEPENDENTLY by
+    // DuckDB (same \S+ pre-tokenization as txt_tokens' oracle-green
+    // ws_tokens); encode_ok asserts, per document, that the BPE tokens
+    // concatenate back to the text's non-whitespace characters exactly
+    // (losslessness) and that n_words <= n_tokens <= n_nonspace_chars —
+    // the DuckDB twin hard-codes TRUE, so any encode defect hash-fails.
+    "txt_bpe_check" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Bpe.train(d)
+      d.select(
+          graft.functions.GraftFunctions.bpe_encode(col("text"), merges).as("__toks"),
+          TextOps.wsTokenCount(col("text")).as("__w"),
+          regexp_replace(col("text"), "\\s+", "").as("__chars"))
+        .select(col("__w"),
+          ((array_join(col("__toks"), "") === col("__chars")) &&
+            (size(col("__toks")).cast("long") >= col("__w")) &&
+            (size(col("__toks")).cast("long") <= length(col("__chars")).cast("long")))
+            .as("__ok"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("__w")).cast("long").as("total_words"),
+          coalesce(bool_and(col("__ok")), lit(true)).as("encode_ok"))
     }),
 
     // §2.5: near-dup clustering — connected components over the exact
@@ -738,6 +773,15 @@ object PipelineQueries {
          FROM documents GROUP BY 1""",
     "txt_redact" ->
       s"""SELECT doc_id, ${TextOps.redactSql("text")} AS redacted
+         FROM documents""",
+    // BPE check: DuckDB independently recomputes the corpus word
+    // accounting (the same \S+ pre-tokenization as txt_tokens) and
+    // hard-codes encode_ok — Spark's side computes it for real
+    // (losslessness + count bounds), so a false there hash-fails the round
+    "txt_bpe_check" ->
+      """SELECT cast(count(*) AS bigint) AS n_docs,
+                cast(sum(len(regexp_extract_all(text, '\S+'))) AS bigint) AS total_words,
+                true AS encode_ok
          FROM documents""",
     "pipeline_decontaminate" ->
       """WITH toks AS (
