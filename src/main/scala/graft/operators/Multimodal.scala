@@ -340,4 +340,108 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  // ------------------------------------------------------------------
+  // Audio modality — WAV/PCM demux via javax.sound.sampled (JDK stdlib)
+  // ------------------------------------------------------------------
+
+  /** Decoded audio features: header-reported geometry plus a
+    * stride-sampled amplitude content hash. `duration_ms` is integer
+    * arithmetic (n_frames × 1000 / sample_rate, floor) so the value is
+    * reproducible by any engine. A stub row (sample_rate = 0, n_frames =
+    * payload length, hash over raw bytes) marks an undecodable payload —
+    * corrupt audio must not fail a 100 TB scan. */
+  final case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
+      bits: Long, n_frames: Long, duration_ms: Long, amp_hash: Long)
+
+  /** REAL WAV demux: container/format geometry from the RIFF header via
+    * `AudioSystem`, amplitude hash over the decoded PCM bytes on a
+    * deterministic stride capped at ~4096 samples (bounded CPU per row no
+    * matter the clip length). None on undecodable bytes. */
+  def decodeWav(b: Blob): Option[AudioMeta] = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b.payload))
+      try {
+        val f = ais.getFormat
+        val nFrames = ais.getFrameLength
+        val sr = f.getSampleRate.toLong
+        if (nFrames < 0 || sr <= 0) return None
+        val pcm = ais.readAllBytes()
+        val bytesPerSample = math.max(1, f.getSampleSizeInBits / 8)
+        val nSamples = pcm.length.toLong / bytesPerSample
+        val stride = math.max(1L, nSamples / 4096L)
+        var h = 1125899906842597L
+        var i = 0L
+        while (i < nSamples) {
+          // fold the full sample's bytes so quiet-vs-loud clips differ in
+          // more than their low-order byte
+          var j = 0
+          val base = i * bytesPerSample
+          while (j < bytesPerSample) {
+            h = h * 257L + (pcm((base + j).toInt) & 0xff)
+            j += 1
+          }
+          i += stride
+        }
+        Some(AudioMeta(b.doc_id, sr, f.getChannels.toLong,
+          f.getSampleSizeInBits.toLong, nFrames,
+          nFrames * 1000L / sr, h))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Dispatch with the corrupt-bytes-passthrough contract: real demux for
+    * WAV payloads, payload-derived stub otherwise. */
+  def decodeAudioAny(b: Blob): AudioMeta =
+    decodeWav(b).getOrElse(AudioMeta(b.doc_id, 0L, 0L, 0L,
+      b.payload.length.toLong, 0L, hashSpan(b.payload, 0, b.payload.length)))
+
+  /** Audio metadata extraction over an arbitrary blob table — the same
+    * mapPartitions shape as [[decodeMetaBlobs]] (per-partition decoder
+    * init, no shuffle introduced). */
+  def audioMetaBlobs(spark: SparkSession, blobDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[Blob] = blobDf.as[Blob]
+    ds.mapPartitions { it =>
+      // per-partition init point (codec handle would live here)
+      it.map(decodeAudioAny)
+    }.toDF()
+  }
+
+  /** Deterministic REAL-WAV blob table derived from `documents`: 16-bit
+    * little-endian PCM, geometry from doc metadata (sample rate cycles
+    * {8000, 16000, 32000} by doc_id, mono/stereo by doc_id parity, frame
+    * count from n_chars), samples a fixed integer function of (doc_id,
+    * index). The audio stand-in when a face needs payloads an actual
+    * demuxer can parse — the oracle mirrors the INTEGER geometry from the
+    * documents table while Spark must recover it by really decoding. */
+  def syntheticWavBlobs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val meta = docs.select(col("doc_id"),
+      (col("n_chars") % 256 + 64).cast("int").as("nf"))
+      .as[(Long, Int)]
+    meta.mapPartitions { it =>
+      it.map { case (id, nf) =>
+        val sr = Array(8000, 16000, 32000)((id % 3).toInt)
+        val channels = (id % 2).toInt + 1
+        val pcm = new Array[Byte](nf * 2 * channels)
+        var i = 0
+        while (i < nf * channels) {
+          val s = (((id * 31 + i * 17) % 65536) - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sr.toFloat, 16, channels, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nf.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Blob(id, bos.toByteArray, "audio/wav", 0, 0)
+      }
+    }.toDF()
+  }
 }

@@ -222,6 +222,20 @@ object PipelineQueries {
           col("out_w"), col("out_h"))
     }),
 
+    // §2.9: audio modality — REAL WAV demux (javax.sound.sampled) over
+    // deterministic generated PCM payloads on a 1-in-20 doc sample; the
+    // oracle mirrors the INTEGER geometry (rate/channels/frames/duration)
+    // from the documents table, while Spark must recover it by actually
+    // parsing the RIFF container — a generator or demux defect mismatches.
+    // The amplitude content hash is engine-specific → spec-pinned
+    // (MultimodalSpec), not part of the oracle face.
+    "mm_audio_meta" -> ((s, dir) => {
+      val sampled = docs(s, dir).filter(col("doc_id") % 20 === 0)
+      Multimodal.audioMetaBlobs(s, Multimodal.syntheticWavBlobs(s, sampled))
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_frames"), col("duration_ms"))
+    }),
+
     // §2.4 #67 multimodal metadata stats — the SQL-expressible face of the
     // blob table (payload size, derived pixel geometry), oracle-checked
     "mm_meta_stats" -> ((s, dir) =>
@@ -958,6 +972,21 @@ object PipelineQueries {
                 cast(octet_length(encode(text)) AS bigint) AS n_bytes,
                 cast((n_chars % 64 + 1) * (n_chars % 48 + 1) AS bigint) AS n_pixels
          FROM documents""",
+    // audio: the generator's integer geometry, recomputed independently —
+    // Spark's side recovers the same numbers by really demuxing the WAV
+    "mm_audio_meta" ->
+      """WITH m AS (
+           SELECT doc_id, (n_chars % 256 + 64)::BIGINT AS nf,
+                  CASE doc_id % 3 WHEN 0 THEN 8000
+                                  WHEN 1 THEN 16000
+                                  ELSE 32000 END::BIGINT AS sr
+           FROM documents WHERE doc_id % 20 = 0)
+         SELECT doc_id, sr AS sample_rate,
+                (doc_id % 2 + 1)::BIGINT AS channels,
+                16::BIGINT AS bits,
+                nf AS n_frames,
+                (nf * 1000 // sr)::BIGINT AS duration_ms
+         FROM m""",
     "dd_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),

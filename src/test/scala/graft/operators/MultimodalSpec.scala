@@ -238,4 +238,41 @@ class MultimodalSpec extends SparkSpec {
     val stubRows = out.filter(_.getAs[Long]("doc_id") == 2L)
     assert(stubRows.length == 1 && stubRows(0).getAs[Long]("frame_bytes") == 9L)
   }
+
+  test("audio: generated WAV demuxes to true geometry; corrupt bytes pass through") {
+    val docsDf = Seq(
+      (0L, 100L), (1L, 200L), (2L, 300L), (3L, 50L))
+      .toDF("doc_id", "n_chars")
+    val wavs = Multimodal.syntheticWavBlobs(spark, docsDf)
+    // payloads are real RIFF/WAVE containers
+    val payloads = wavs.orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(payloads.values.forall(p =>
+      new String(p.take(4), "US-ASCII") == "RIFF" &&
+        new String(p.slice(8, 12), "US-ASCII") == "WAVE"))
+    val out = Multimodal.audioMetaBlobs(spark, wavs).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // header-recovered geometry matches the generator's integer formulas
+    for ((id, nc) <- Seq(0L -> 100L, 1L -> 200L, 2L -> 300L, 3L -> 50L)) {
+      val r = out(id)
+      val sr = Seq(8000L, 16000L, 32000L)((id % 3).toInt)
+      val nf = nc % 256 + 64
+      assert(r.getAs[Long]("sample_rate") == sr)
+      assert(r.getAs[Long]("channels") == id % 2 + 1)
+      assert(r.getAs[Long]("bits") == 16L)
+      assert(r.getAs[Long]("n_frames") == nf)
+      assert(r.getAs[Long]("duration_ms") == nf * 1000L / sr)
+    }
+    // amplitude hash: deterministic across runs, different across clips
+    val again = Multimodal.audioMetaBlobs(spark, wavs).orderBy("doc_id").collect()
+      .map(_.getAs[Long]("amp_hash")).toSeq
+    assert(again == out.toSeq.sortBy(_._1).map(_._2.getAs[Long]("amp_hash")))
+    assert(again.distinct.length == again.length, "clips hash apart")
+    // corrupt payload: stub row, not a failure
+    val corrupt = Seq((9L, "definitely not audio".getBytes("UTF-8"), "audio/wav", 0, 0))
+      .toDF("doc_id", "payload", "format", "width", "height")
+    val stub = Multimodal.audioMetaBlobs(spark, corrupt).collect()(0)
+    assert(stub.getAs[Long]("sample_rate") == 0L &&
+      stub.getAs[Long]("n_frames") == 20L)
+  }
 }
