@@ -316,6 +316,32 @@ object PipelineQueries {
     "dd_cluster" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.ngramJaccard(docs(s, dir), 0.6))),
 
+    // §2.9: the SCALE-PATH clustering — CC over the MinHash-LSH candidate
+    // pairs instead of the exact shingle-join pairs (at 100 TB nobody
+    // generates the exact pair graph first; LSH banding is how the pair
+    // source is really produced). Clusters are engine-specific where LSH
+    // misses a pair → rows-only; the `_check` twin certifies >= 0.8
+    // cluster-pair recall vs the exact closure every round.
+    "dd_cluster_lsh" -> ((s, dir) =>
+      Dedup.connectedComponents(Dedup.minhashLsh(docs(s, dir), threshold = 0.6))),
+
+    // CHECK face (#124 pattern): truth = same-cluster doc pairs under the
+    // EXACT closure (count cross-checked by DuckDB's recursive-CTE CC),
+    // hits = those of them the LSH-pair closure also co-clusters;
+    // recall_ok engine-own, vacuously true on an empty truth set.
+    "dd_cluster_lsh_check" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def coPairs(cc: DataFrame): DataFrame =
+        cc.select(col("doc_id").as("da"), col("cluster_id"))
+          .join(cc.select(col("doc_id").as("db"), col("cluster_id")), "cluster_id")
+          .filter(col("da") < col("db"))
+          .select(col("da"), col("db"))
+      val truth = coPairs(Dedup.connectedComponents(Dedup.ngramJaccard(d, 0.6)))
+      val lsh = coPairs(Dedup.connectedComponents(
+        Dedup.minhashLsh(d, threshold = 0.6)))
+      pairRecallRow(truth, truth.join(lsh, Seq("da", "db"), "left_semi"))
+    }),
+
     // §2.5: benchmark decontamination — eval-set n-gram leakage check;
     // the benchmark side broadcasts, the corpus is never shuffled
     "pipeline_decontaminate" -> ((s, dir) => {
@@ -849,6 +875,47 @@ object PipelineQueries {
            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          FROM reach GROUP BY a""",
+    // LSH-clustering check: DuckDB independently counts the same-cluster
+    // doc pairs of the EXACT closure (C(k,2) per component = the a<b half
+    // of the transitive closure); recall_ok is Spark's own >= 0.8
+    // assertion against that truth, hard-coded true here (#124 pattern)
+    "dd_cluster_lsh_check" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+         sh0 AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
+           FROM toks),
+         sh AS (
+           SELECT doc_id, shingle FROM (
+             SELECT doc_id, shingle,
+                    count(*) OVER (PARTITION BY shingle) AS df
+             FROM sh0)
+           WHERE df <= 1000),
+         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (
+           SELECT da, db
+           FROM inter
+           JOIN szs sa ON da = sa.doc_id
+           JOIN szs sb ON db = sb.doc_id
+           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6),
+         edges AS (
+           SELECT da AS a, db AS b FROM pairs
+           UNION ALL SELECT db, da FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT cast(count(*) AS bigint) AS n_true_pairs,
+                true AS recall_ok
+         FROM reach WHERE a < b""",
     "pipeline_budget" ->
       """SELECT doc_id, source FROM (
            SELECT doc_id, source,

@@ -241,6 +241,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("LSH-pair clustering recovers >= 0.8 of exact-closure co-cluster pairs at test SF") {
+    val d = graft.Tables.load(spark, sf, "documents")
+    def coPairs(cc: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      cc.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+        .groupBy(_._2).values.flatMap { members =>
+          val ids = members.map(_._1).sorted
+          for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+        }.toSet
+    val truth = coPairs(Dedup.connectedComponents(Dedup.ngramJaccard(d, 0.6)))
+    val lsh = coPairs(Dedup.connectedComponents(Dedup.minhashLsh(d, threshold = 0.6)))
+    assert(truth.nonEmpty, "fixture has no exact near-dup clusters")
+    val recall = truth.intersect(lsh).size.toDouble / truth.size
+    assert(recall >= 0.8, s"cluster-pair recall $recall over ${truth.size} true pairs")
+  }
+
   test("semDedup groups planted near-dups, keeps exactly one survivor per group") {
     val dim = 16
     def vec(seed: Int): Array[Float] =
