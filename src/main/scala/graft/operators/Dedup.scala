@@ -487,11 +487,22 @@ object Dedup {
     * this is that index). One distinct-shuffle at build time; every daily
     * increment after that reads the index pre-partitioned.
     *
+    * Each row also carries the (h1, h2) xxhash64 pair of the same content —
+    * the STREAMING dedup's state key ([[graft.streaming.EventStreams
+    * .dedupStream]]) — so one persisted seen-set serves both postures: the
+    * batch increment anti-joins on `h`, and a restarted stream bootstraps
+    * its state from (h1, h2) ([[graft.streaming.EventStreams
+    * .dedupStreamIndexed]]). 16 extra bytes per row buys a crawl pipeline
+    * whose batch corpus and live stream share one dedup horizon.
+    *
     * `table` must be a saveAsTable-able identifier; `path` pins the data
     * location (bucketing metadata lives in the session catalog). */
   def writeSeenIndex(corpus: DataFrame, table: String, path: String,
       buckets: Int = 8): Unit =
-    corpus.select(unhex(md5(col("text"))).as("h")).distinct()
+    corpus.select(unhex(md5(col("text"))).as("h"),
+        xxhash64(col("text")).as("h1"),
+        xxhash64(lit(1), col("text")).as("h2"))
+      .distinct()
       .write.bucketBy(buckets, "h").sortBy("h")
       .option("path", path).mode("overwrite").saveAsTable(table)
 
@@ -499,15 +510,21 @@ object Dedup {
     * reads the corpus side pre-partitioned on `h` (NO exchange — the
     * bucketed scan IS the join layout, spec-asserted), so a daily
     * increment's cost is one shuffle of the (small) delta's digests and
-    * zero movement of corpus state. Admitted digests can be appended back
-    * into the index (same bucketing) to close the loop. */
+    * zero movement of corpus state. The output carries the full index row
+    * (h, h1, h2 — all three are functions of the same content, computed in
+    * the delta's one projection) so admitted digests append back into the
+    * index (same bucketing) to close the loop for BOTH dedup postures. */
   def incrementalIndexed(spark: org.apache.spark.sql.SparkSession,
       table: String, delta: DataFrame): DataFrame = {
     val seen = spark.table(table)
-    delta.select(unhex(md5(col("text"))).as("h"), col("doc_id"))
-      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-      .join(seen, Seq("h"), "left_anti")
-      .select(col("doc_id"), col("h"))
+    delta.select(unhex(md5(col("text"))).as("h"),
+        xxhash64(col("text")).as("h1"),
+        xxhash64(lit(1), col("text")).as("h2"),
+        col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"),
+        min(col("h1")).as("h1"), min(col("h2")).as("h2"))
+      .join(seen.select(col("h")), Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h"), col("h1"), col("h2"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

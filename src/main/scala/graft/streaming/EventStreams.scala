@@ -224,12 +224,38 @@ object EventStreams {
     * path (the earlier MessageDigest.getInstance per record was r3
     * VERDICT item 6) and a 16-byte shuffle key instead of 32 hex chars. */
   def dedupStream(spark: SparkSession, docs: Dataset[Doc],
-      ttl: Option[String] = None): Dataset[Doc] = {
+      ttl: Option[String] = None): Dataset[Doc] =
+    dedupStreamImpl(spark, docs, ttl, None)
+
+  /** [[dedupStream]] BOOTSTRAPPED from the persistent batch seen-index
+    * ([[graft.operators.Dedup.writeSeenIndex]]): the index's (h1, h2)
+    * xxhash pairs become the query's INITIAL state, so a stream started
+    * (or restarted with a fresh checkpoint) over an existing corpus admits
+    * exactly the index-absent documents — batch corpus and live delta
+    * share one dedup horizon instead of each posture keeping its own
+    * seen-set. The initial-state load is one scan of the digest index
+    * (bounded by distinct corpus content, the same bound the state store
+    * itself has); after bootstrap the query runs identically to
+    * [[dedupStream]]. */
+  def dedupStreamIndexed(spark: SparkSession, docs: Dataset[Doc],
+      indexTable: String, ttl: Option[String] = None): Dataset[Doc] = {
+    import spark.implicits._
+    val init = spark.table(indexTable)
+      .select(col("h1"), col("h2")).as[(Long, Long)]
+      .groupByKey(identity)
+      .mapValues(_ => true)
+    dedupStreamImpl(spark, docs, ttl, Some(init))
+  }
+
+  private def dedupStreamImpl(spark: SparkSession, docs: Dataset[Doc],
+      ttl: Option[String],
+      initial: Option[org.apache.spark.sql.KeyValueGroupedDataset[(Long, Long), Boolean]])
+      : Dataset[Doc] = {
     import spark.implicits._
     val timeoutConf =
       if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    docs
+    val grouped = docs
       // the lit(1) salt makes the second hash an independent function of
       // the same bytes (xxhash64 folds each argument into the state)
       .select(xxhash64(col("text")).as("h1"),
@@ -237,22 +263,25 @@ object EventStreams {
         col("doc_id"), col("text"))
       .as[HashedDoc]
       .groupByKey(d => (d.h1, d.h2))
-      .flatMapGroupsWithState[Boolean, Doc](
-        OutputMode.Append(), timeoutConf) {
-        (_: (Long, Long), it: Iterator[HashedDoc], state: GroupState[Boolean]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else if (state.exists) {
-            ttl.foreach(state.setTimeoutDuration) // seen again: refresh TTL
-            Iterator.empty
-          } else {
-            state.update(true)
-            ttl.foreach(state.setTimeoutDuration)
-            // first occurrence within the batch = smallest doc_id
-            var best: HashedDoc = null
-            it.foreach(d => if (best == null || d.doc_id < best.doc_id) best = d)
-            Iterator(Doc(best.doc_id, best.text))
-          }
+    val fn = (_: (Long, Long), it: Iterator[HashedDoc], state: GroupState[Boolean]) =>
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else if (state.exists) {
+        ttl.foreach(state.setTimeoutDuration) // seen again: refresh TTL
+        Iterator.empty
+      } else {
+        state.update(true)
+        ttl.foreach(state.setTimeoutDuration)
+        // first occurrence within the batch = smallest doc_id
+        var best: HashedDoc = null
+        it.foreach(d => if (best == null || d.doc_id < best.doc_id) best = d)
+        Iterator(Doc(best.doc_id, best.text))
       }
+    initial match {
+      case Some(init) => grouped.flatMapGroupsWithState[Boolean, Doc](
+        OutputMode.Append(), timeoutConf, init)(fn)
+      case None => grouped.flatMapGroupsWithState[Boolean, Doc](
+        OutputMode.Append(), timeoutConf)(fn)
+    }
   }
 
   final case class TsDoc(ts: Timestamp, doc_id: Long, text: String)

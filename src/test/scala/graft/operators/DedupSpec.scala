@@ -229,8 +229,10 @@ class DedupSpec extends SparkSpec {
       // as 16 RAW BYTES — half the shuffle/index volume of the hex string
       assert(spark.table("seen_idx").schema("h").dataType ==
         org.apache.spark.sql.types.BinaryType)
-      // closing the loop: append admitted digests, re-run → nothing admitted
-      admitted.select(col("h"))
+      // closing the loop: append admitted digests (full index row — md5
+      // key + the streaming posture's xxhash pair), re-run → nothing
+      // admitted
+      admitted.select(col("h"), col("h1"), col("h2"))
         .write.bucketBy(4, "h").sortBy("h")
         .option("path", s"$wh/seen_idx").mode("append").saveAsTable("seen_idx")
       assert(Dedup.incrementalIndexed(spark, "seen_idx", delta).isEmpty)

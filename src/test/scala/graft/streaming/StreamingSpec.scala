@@ -122,6 +122,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup bootstrapped from the batch seen-index: one shared seen-set") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text")
+    val wh = java.nio.file.Files.createTempDirectory("graft_seenidx_st_").toString
+    Dedup.writeSeenIndex(corpus, "seen_idx_st", s"$wh/seen_idx_st", buckets = 4)
+    val delta = Seq(
+      EventStreams.Doc(10L, "alpha doc"), // in the index → dropped
+      EventStreams.Doc(11L, "fresh doc"), // absent → admitted
+      EventStreams.Doc(12L, "fresh doc"), // in-stream dup → dropped
+      EventStreams.Doc(13L, "other doc")) // absent → admitted
+    try {
+      val mem = MemoryStream[EventStreams.Doc]
+      mem.addData(delta)
+      val q = EventStreams.dedupStreamIndexed(spark, mem.toDS(), "seen_idx_st")
+        .writeStream.format("memory").queryName("dedup_idx_out")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val admitted = spark.table("dedup_idx_out").collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+        // EXACTLY the index-absent contents, first occurrence wins
+        assert(admitted == Set((11L, "fresh doc"), (13L, "other doc")))
+        // cross-posture consistency: the batch increment over the same
+        // index admits the same contents
+        val batchAdmitted = Dedup.incrementalIndexed(spark, "seen_idx_st",
+          delta.toDF()).collect().map(_.getAs[Long]("doc_id")).toSet
+        assert(batchAdmitted == Set(11L, 13L))
+        // close the loop across the BOUNDARY: append the batch-admitted
+        // digests (the shared index row: h + the streaming h1/h2 pair)...
+        Dedup.incrementalIndexed(spark, "seen_idx_st", delta.toDF())
+          .select(col("h"), col("h1"), col("h2"))
+          .write.bucketBy(4, "h").sortBy("h")
+          .option("path", s"$wh/seen_idx_st").mode("append")
+          .saveAsTable("seen_idx_st")
+      } finally q.stop()
+      // ...then a RESTARTED stream (fresh checkpoint, state rebuilt from
+      // the index) over the same delta admits nothing: idempotence holds
+      // across the batch/stream boundary
+      val mem2 = MemoryStream[EventStreams.Doc]
+      mem2.addData(delta)
+      val q2 = EventStreams.dedupStreamIndexed(spark, mem2.toDS(), "seen_idx_st")
+        .writeStream.format("memory").queryName("dedup_idx_out2")
+        .outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        assert(spark.table("dedup_idx_out2").isEmpty,
+          "restarted stream re-admitted docs the index already holds")
+      } finally q2.stop()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS seen_idx_st")
+      Seq("dedup_idx_out", "dedup_idx_out2").foreach { v =>
+        try spark.catalog.dropTempView(v) catch { case _: Exception => }
+      }
+    }
+  }
+
   test("stream-static enrichment: totals update incrementally across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val nation = (0 until 25).map(i => (i, s"N$i")).toDF("n_nationkey", "n_name")
