@@ -35,7 +35,11 @@ object Packing {
     docs
       .select(col("doc_id"),
         nTokens.as("n_tokens"),
-        md5(col("text")).as("h"),
+        // ordering key as 16 raw bytes: unsigned binary order == the md5
+        // hex string's order (hex is nibble-monotone), so the DuckDB
+        // oracle's ORDER BY md5(text) sees the identical sequence while
+        // the window's exchange carries half the key bytes
+        unhex(md5(col("text"))).as("h"),
         // key-mod sharding (not Murmur3 `hash`): bit-identical in any engine
         pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
@@ -55,7 +59,10 @@ object Packing {
     * stratum-partitioned window, no global sort. */
   def budgetTrim(docs: DataFrame, stratum: Column, budgetTokens: Long,
       tokenCount: Column = null): DataFrame = {
-    val w = Window.partitionBy(stratum).orderBy(md5(col("text")), col("doc_id"))
+    // binary digest ordering: same sequence as ORDER BY md5 hex (see
+    // packByTokens), half the exchange key bytes
+    val w = Window.partitionBy(stratum)
+      .orderBy(unhex(md5(col("text"))), col("doc_id"))
     docs
       .withColumn("__nt",
         Option(tokenCount).getOrElse(TextOps.wsTokenCount(col("text"))))
@@ -82,7 +89,8 @@ object Packing {
     * thresholding — `q_sample_hash` — needs no sort at all).
     */
   def stratifiedSample(docs: DataFrame, stratum: Column, n: Int): DataFrame = {
-    val w = Window.partitionBy(stratum).orderBy(md5(col("text")), col("doc_id"))
+    val w = Window.partitionBy(stratum)
+      .orderBy(unhex(md5(col("text"))), col("doc_id"))
     docs
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= n)

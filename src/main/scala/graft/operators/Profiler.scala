@@ -140,7 +140,17 @@ object Profiler {
     * are bit-identical to the aggregate it replaces — and to DuckDB's
     * `quantile_cont` on the oracle side. Nulls are ignored (as the
     * aggregate does); a group with only nulls keeps its row with null
-    * percentiles. `ps` = (output column, fraction in [0,1]). */
+    * percentiles. `ps` = (output column, fraction in [0,1]).
+    *
+    * Parallelism profile: the window hash-partitions by GROUP, so each
+    * group's sort runs in one (spillable, disk-bounded) task — the right
+    * trade when groups are plentiful (work spreads across them) or
+    * moderate. For the few-huge-groups extreme (3 groups × 100 TB) the
+    * upgrade path is a range-partitioned global sort on (group, value)
+    * plus a per-partition count pass to turn partition offsets into
+    * global ranks — same interpolation arithmetic, sort spread across
+    * every core; the window form stays the default because its plan is
+    * declarative end-to-end and memory-safe at any group size. */
   def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
