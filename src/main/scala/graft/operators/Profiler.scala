@@ -179,4 +179,98 @@ object Profiler {
       .join(ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*),
         Seq(groupCol), "left")
   }
+
+  /** [[exactPercentiles]] for the FEW-HUGE-GROUPS extreme (3 groups ×
+    * 100 TB): the values range-partition on (group, value) so the sort
+    * spreads across EVERY core instead of one task per group, then a
+    * per-(partition, group) count pass turns partition offsets into
+    * global ranks and a second pass emits only the rows sitting at each
+    * percentile's rank — the driver ever holds partitions × groups count
+    * cells and |groups| × |ps| picked values, never data. Interpolation
+    * arithmetic is identical to [[exactPercentiles]] (and to Spark's
+    * `Percentile`), and equal values make tie placement irrelevant, so
+    * the two forms return bit-identical results (spec-asserted).
+    * `groupCol` must be string-typed here (it keys driver-side maps). */
+  def exactPercentilesRanged(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)], partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
+    val nPart = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val allGroups = df.select(col(groupCol).cast("string").as("g"))
+      .distinct().as[String].collect().sorted
+    val sorted = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .repartitionByRange(nPart, col("g"), col("v"))
+      .sortWithinPartitions(col("g"), col("v"))
+      .as[(String, Double)]
+      .persist()
+    try {
+      // pass 1: per-(partition, group) counts — partitions × groups cells
+      val counts: Array[(Int, String, Long)] =
+        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1L) }
+          m.iterator.map { case (g, c) => (pid, g, c) }
+        }.collect()
+      val totals: Map[String, Long] =
+        counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
+      val offsets: Map[(Int, String), Long] = {
+        val m = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+        counts.groupBy(_._2).foreach { case (g, cs) =>
+          var acc = 0L
+          cs.sortBy(_._1).foreach { case (pid, _, c) =>
+            m.put((pid, g), acc); acc += c
+          }
+        }
+        m.toMap
+      }
+      // 0-based global ranks each percentile needs: floor/ceil of p·(n−1)
+      val needed: Map[String, Set[Long]] = totals.map { case (g, n) =>
+        g -> ps.flatMap { case (_, p) =>
+          val pos = p * (n - 1)
+          Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+        }.toSet
+      }
+      val bcOff = spark.sparkContext.broadcast(offsets)
+      val bcNeed = spark.sparkContext.broadcast(needed)
+      // pass 2: walk each partition's sorted run, emit only target ranks
+      val picked: Array[(String, Long, Double)] =
+        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val off = bcOff.value
+          val need = bcNeed.value
+          val idx = scala.collection.mutable.HashMap.empty[String, Long]
+          it.flatMap { case (g, v) =>
+            val i = idx.getOrElse(g, off.getOrElse((pid, g), 0L))
+            idx.update(g, i + 1)
+            if (need.getOrElse(g, Set.empty).contains(i)) Some((g, i, v))
+            else None
+          }
+        }.collect()
+      val byRank: Map[(String, Long), Double] =
+        picked.map(t => (t._1, t._2) -> t._3).toMap
+      val rows: Seq[org.apache.spark.sql.Row] = allGroups.toSeq.map { g =>
+        val vals: Seq[Any] = totals.get(g) match {
+          case None => ps.map(_ => null) // all-null group: null percentiles
+          case Some(n) => ps.map { case (_, p) =>
+            val pos = p * (n - 1)
+            val lo = math.floor(pos).toLong
+            val hi = math.ceil(pos).toLong
+            if (lo == hi) byRank((g, lo))
+            else byRank((g, lo)) * (hi - pos) + byRank((g, hi)) * (pos - lo)
+          }
+        }
+        org.apache.spark.sql.Row.fromSeq(g +: vals)
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField(groupCol,
+          org.apache.spark.sql.types.StringType) +:
+        ps.map { case (name, _) => org.apache.spark.sql.types.StructField(
+          name, org.apache.spark.sql.types.DoubleType) })
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+    } finally { sorted.unpersist(); () }
+  }
 }

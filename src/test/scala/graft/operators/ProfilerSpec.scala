@@ -114,4 +114,29 @@ class ProfilerSpec extends SparkSpec {
     }.isDefined) => p }
     assert(percentiles.isEmpty, "value-buffering Percentile aggregate in plan")
   }
+
+  test("exactPercentilesRanged: bit-identical to the window form, distributed sort") {
+    // the few-huge-groups variant must return EXACTLY the window form's
+    // values — same interpolation arithmetic over the same sorted order
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9)
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[String, (Double, Double)] =
+      df.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val window = asMap(Profiler.exactPercentiles(li, "l_returnflag", "l_extendedprice", ps))
+    val ranged = asMap(Profiler.exactPercentilesRanged(li, "l_returnflag", "l_extendedprice", ps))
+    assert(ranged == window, s"$ranged vs $window")
+    // edge semantics match too: interpolated even/odd groups + all-null group
+    val df = Seq(
+      ("odd", Some(10.0)), ("odd", Some(20.0)), ("odd", Some(30.0)),
+      ("odd", Some(40.0)), ("odd", Some(50.0)),
+      ("even", Some(10.0)), ("even", Some(20.0)), ("even", Some(30.0)),
+      ("even", Some(40.0)),
+      ("allnull", None), ("allnull", None)).toDF("g", "v")
+    val out = Profiler.exactPercentilesRanged(df, "g", "v", ps)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("odd", "even", "allnull"))
+    assert(out("odd").getAs[Double]("p50") == 30.0)
+    assert(math.abs(out("even").getAs[Double]("p90") - 37.0) < 1e-12)
+    assert(out("allnull").isNullAt(out("allnull").fieldIndex("p50")))
+  }
 }
