@@ -30,6 +30,15 @@ object PipelineQueries {
   private def embCount(s: SparkSession, dir: String): Long =
     embCountCache.computeIfAbsent(dir, d => emb(s, d).count()).longValue()
 
+  /** Memoized BPE merges per sf dir (same immutable-testdata argument as
+    * [[embCountCache]]): txt_bpe and txt_bpe_check both need the trained
+    * merges, and re-running the word-count job + merge loop per face would
+    * be a pure repeat of deterministic work. */
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergesCache.computeIfAbsent(dir, d => Bpe.train(docs(s, d)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.3 #36 exact dedup by content hash
     // the operator shuffles 16-byte binary digests; the face re-hexes at
@@ -283,10 +292,8 @@ object PipelineQueries {
     // engine-specific (no DuckDB BPE) → rows-only; the `_check` twin
     // below certifies losslessness + count bounds against DuckDB's
     // independent word accounting every round.
-    "txt_bpe" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Bpe.tokenCounts(d, Bpe.train(d))
-    }),
+    "txt_bpe" -> ((s, dir) =>
+      Bpe.tokenCounts(docs(s, dir), bpeMerges(s, dir))),
 
     // CHECK face: n_docs and total_words are computed INDEPENDENTLY by
     // DuckDB (same \S+ pre-tokenization as txt_tokens' oracle-green
@@ -296,7 +303,7 @@ object PipelineQueries {
     // the DuckDB twin hard-codes TRUE, so any encode defect hash-fails.
     "txt_bpe_check" -> ((s, dir) => {
       val d = docs(s, dir)
-      val merges = Bpe.train(d)
+      val merges = bpeMerges(s, dir)
       d.select(
           graft.functions.GraftFunctions.bpe_encode(col("text"), merges).as("__toks"),
           TextOps.wsTokenCount(col("text")).as("__w"),
