@@ -441,9 +441,20 @@ object Similarity {
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
-    Array.tabulate(m) { mi =>
-      lloydL2(sample.map(_.slice(mi * sub, (mi + 1) * sub)), k, iters)
+    // the m sub-quantizer fits are INDEPENDENT k-means problems — run them
+    // on driver threads (deterministic: each subspace's arithmetic is
+    // self-contained, output order is by subspace index). At the default
+    // m=16 × k=32 × 10 iters the serial loop was the PQ faces' largest
+    // driver-side cost.
+    val out = new Array[Array[Array[Double]]](m)
+    val threads = (0 until m).map { mi =>
+      new Thread(() => {
+        out(mi) = lloydL2(sample.map(_.slice(mi * sub, (mi + 1) * sub)), k, iters)
+      })
     }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    out
   }
 
   /** Encode the corpus to PQ codes: per subspace, the index of the nearest
