@@ -63,6 +63,10 @@ object GraftFunctions {
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
 
+  def topk_select(entry: Column, k: Int, dedup: Boolean): Column =
+    ColumnBridge.column(
+      TopKSelect(ColumnBridge.expression(entry), k, dedup).toAggregateExpression())
+
   private[functions] val registry: Seq[(String, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("rolling_hash",
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -13,40 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  final case class Scored(query_id: Long, vec_id: Long, cos: Double)
-
-  /** Typed top-k aggregator: the buffer is a k-bounded sorted list, so the
-    * aggregation is PARTIAL on the map side (each input partition reduces
-    * to <= k rows per query before the shuffle) and the exchange moves only
-    * q × partitions × k entries. A window over spark_partition_id does NOT
-    * achieve this — the window itself shuffles every scored row first. */
-  private final class TopKAgg(k: Int, dedup: Boolean = false)
-      extends org.apache.spark.sql.expressions.Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-    private def insert(buf: Seq[Scored], s: Scored): Seq[Scored] = {
-      // dedup mode: a (query, vec) pair may arrive several times (LSH
-      // multi-table collisions) with an IDENTICAL score — keep one. A copy
-      // whose original was evicted is re-rejected by the threshold below.
-      if (dedup && buf.exists(_.vec_id == s.vec_id)) buf
-      else if (buf.size >= k && (buf.last.cos > s.cos ||
-          (buf.last.cos == s.cos && buf.last.vec_id < s.vec_id))) buf
-      else (buf :+ s).sortBy(x => (-x.cos, x.vec_id)).take(k)
-    }
-    override def zero: Seq[Scored] = Nil
-    override def reduce(buf: Seq[Scored], s: Scored): Seq[Scored] = insert(buf, s)
-    override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
-      b.foldLeft(a)(insert)
-    override def finish(buf: Seq[Scored]): Seq[Scored] =
-      buf.sortBy(x => (-x.cos, x.vec_id))
-    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Scored]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
-    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Scored]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
-  }
-
   /** Partial top-k selection over a scored (query_id, vec_id, cos) set:
     * each input partition reduces to <= k rows per query map-side (the
-    * TopKAgg buffer), so the ONLY shuffle moves q × partitions × k
-    * 3-column rows — never the scored set itself. A
+    * [[graft.functions.TopKSelect]] native aggregate — a plain JVM buffer
+    * object, two primitive reads + a bounded insert per scored row, no
+    * row↔object encoding), so the ONLY shuffle moves q × partitions × k
+    * entries as serialized buffers — never the scored set itself. A
     * `row_number().over(Window.partitionBy(query_id))` would exchange
     * every scored row first; this is the difference between a bounded
     * selection and shuffling the whole candidate scan at 100 TB.
@@ -54,17 +26,13 @@ object Similarity {
     * the window form. `dedup` collapses repeated (query, vec) arrivals
     * with identical scores (LSH multi-table/probe collisions) without a
     * separate `distinct()` shuffle. */
-  private def selectTopK(scored: DataFrame, k: Int, dedup: Boolean = false): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    scored.select(col("query_id"), col("vec_id"), col("cos")).as[Scored]
-      .groupByKey(_.query_id)
-      .agg(new TopKAgg(k, dedup).toColumn.name("topk"))
-      .flatMap { case (_, topk) =>
-        topk.zipWithIndex.map { case (s, i) => (s.query_id, s.vec_id, s.cos, i + 1) }
-      }
-      .toDF("query_id", "vec_id", "cos", "rank")
-  }
+  private def selectTopK(scored: DataFrame, k: Int, dedup: Boolean = false): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topk_select(
+        struct(col("vec_id"), col("cos")), k, dedup).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("__r", "__s")))
+      .select(col("query_id"), col("__s.vec_id").as("vec_id"),
+        col("__s.cos").as("cos"), (col("__r") + 1).as("rank"))
 
   /** Exact cosine top-k for each query vector. Scoring is a map-only pass
     * (queries broadcast); selection is the typed partial top-k aggregator

@@ -139,8 +139,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("ANN plans select top-k via partial aggregation, not a Window exchange") {
-    // The shortlist/selection stage must be the k-bounded TopKAgg partial
-    // aggregator: a row_number window would shuffle EVERY scored row (for
+    // The shortlist/selection stage must be the k-bounded TopKSelect
+    // partial aggregate: a row_number window would shuffle EVERY scored row (for
     // flat PQ, the whole n × q ADC scan — exactly what the m-bytes/row
     // code scan is supposed to avoid at 100 TB). Assert no Window node
     // survives anywhere in any ANN face's optimized plan.
@@ -159,7 +159,7 @@ class SimilaritySpec extends SparkSpec {
       val aggs = df.queryExecution.optimizedPlan.collect {
         case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
       }
-      assert(aggs.nonEmpty, s"$name: expected the TopKAgg aggregation in the plan")
+      assert(aggs.nonEmpty, s"$name: expected the TopKSelect aggregation in the plan")
     }
   }
 
