@@ -338,6 +338,27 @@ object Relational {
               > (SELECT 3 * sum(cast(round(o2.o_totalprice * 100) AS bigint))
                  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       """)
+    }),
+
+    // §2.9: window distribution/navigation family — ntile, percent_rank,
+    // cume_dist, first/last/nth_value. The order key includes the unique
+    // p_partkey so every function is deterministic, and percent_rank /
+    // cume_dist are exact small-integer divisions — bit-identical IEEE
+    // doubles in any engine. last/nth use an explicit full frame (the
+    // default RANGE frame stops at CURRENT ROW).
+    "q_window_dist" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "part")
+        .withColumn("tile4", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .withColumn("first_pk", first($"p_partkey").over(w))
+        .withColumn("last_pk", last($"p_partkey").over(wFull))
+        .withColumn("second_pk", nth_value($"p_partkey", 2).over(wFull))
+        .select($"p_brand", $"p_partkey", $"p_retailprice",
+          $"tile4", $"pct_rank", $"cume", $"first_pk", $"last_pk", $"second_pk")
     })
   )
 
@@ -508,6 +529,18 @@ object Relational {
                * (SELECT 2 * count(*) FROM orders o2
                   WHERE o2.o_custkey = o.o_custkey)
                > (SELECT 3 * sum(cast(round(o2.o_totalprice * 100) AS bigint))
-                  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"""
+                  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""",
+    "q_window_dist" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+                ntile(4) OVER w AS tile4,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume,
+                first_value(p_partkey) OVER w AS first_pk,
+                last_value(p_partkey) OVER wf AS last_pk,
+                nth_value(p_partkey, 2) OVER wf AS second_pk
+         FROM part
+         WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey),
+                wf AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
   )
 }
