@@ -642,4 +642,54 @@ object Dedup {
       .select(col("va"), col("vb"), cosine(col("a"), col("b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  // ------------------------------------------------------------------
+  // exact substring dedup (stride-window ExactSubstr)
+  // ------------------------------------------------------------------
+
+  /** Per-document duplicated-span accounting, the practical Spark
+    * re-expression of exact substring dedup (Lee et al. 2022's ExactSubstr,
+    * which suffix-arrays the whole corpus on one machine — not a 100 TB
+    * posture). Every document is cut into fixed `w`-char windows every
+    * `stride` chars; a window whose content occurs >= 2 times ANYWHERE in
+    * the corpus (other docs or a repeat within the same doc) is a
+    * duplicated span witness. Reported per doc: window count, duplicated
+    * window count, their exact fraction, and a flag at >= 20% (compared in
+    * integers so no float threshold edge can flip cross-engine).
+    *
+    * Scale shape: the window stream leaves the scan as (doc_id,
+    * xxhash64(window)) — 16 bytes/row, ~`1/stride` of corpus chars — and
+    * is shuffled ON THE HASH exactly once; the corpus-wide occurrence
+    * count rides that exchange as a count-over-hash-partition window (the
+    * per-h groups WindowExec buffers are occurrence lists, tiny), then one
+    * map-side-combinable groupBy(doc_id) folds the flags. No join of the
+    * window stream against a counts table (that shape shuffles the stream
+    * twice), no O(n²) pair space, nothing driver-side.
+    *
+    * The stride is the fidelity/volume lever: duplicated spans are
+    * detected when their window offsets align mod `stride`, so identical
+    * prefixes/suffixes of >= w+stride chars always witness, while a span
+    * duplicated at an unaligned offset needs stride=1 (full rolling-hash
+    * fidelity, `stride`x the shuffle — the 100 TB default stays 10). */
+  def substrDup(docs: DataFrame, w: Int = 40, stride: Int = 10): DataFrame = {
+    val wins = docs
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), floor((length(col("text")) - w) / stride).cast("int")),
+        i => substring(col("text"), lit(1) + i * stride, lit(w)))).as("win"))
+      .select(col("doc_id"), xxhash64(col("win")).as("h"))
+    val counted = wins
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
+    val per = counted.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_windows") === 0L, 0.0)
+          .otherwise(col("n_dup").cast("double") / col("n_windows").cast("double")))
+      .withColumn("flagged", col("n_windows") > 0L && col("n_dup") * 5L >= col("n_windows"))
+  }
 }

@@ -68,6 +68,15 @@ object PipelineQueries {
       pairRecallRow(truth, hits)
     }),
 
+    // exact substring dedup, stride-window form (Lee et al.'s ExactSubstr
+    // re-expressed for a distributed corpus): per-doc duplicated-span
+    // accounting over 40-char windows every 10 chars, corpus-wide
+    // occurrence counts on a single hash-partitioned exchange. FULL oracle:
+    // DuckDB regenerates the same windows from the raw text (the engine
+    // shuffles xxhash64(window); the oracle groups the window strings
+    // themselves — matching counts certify the hash carried no collision).
+    "dd_substr" -> ((s, dir) => Dedup.substrDup(docs(s, dir))),
+
     // §2.3 #39 SimHash near-dup (rows-only + spec). maxHamming=5/nBlocks=8:
     // the Manku-standard hamming<=3 assumes LONG documents, where an edit
     // moves few of the 64 majority votes — on this corpus's short docs
@@ -791,6 +800,27 @@ object PipelineQueries {
     "dd_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",
+    "dd_substr" ->
+      """WITH wins AS (
+           SELECT doc_id, substr(text, CAST(1 + i * 10 AS BIGINT), 40) AS win
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(
+                          0, CAST(floor((length(text) - 40) / 10) AS BIGINT))) AS i
+                 FROM documents WHERE length(text) >= 40)),
+         cnt AS (SELECT win, count(*) AS c FROM wins GROUP BY win),
+         per AS (
+           SELECT w.doc_id, count(*) AS n_windows,
+                  cast(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS bigint) AS n_dup
+           FROM wins w JOIN cnt c ON w.win = c.win
+           GROUP BY w.doc_id)
+         SELECT d.doc_id,
+                coalesce(p.n_windows, 0) AS n_windows,
+                coalesce(p.n_dup, 0) AS n_dup,
+                CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0.0
+                     ELSE coalesce(p.n_dup, 0) * 1.0 / p.n_windows END AS dup_frac,
+                (coalesce(p.n_windows, 0) > 0
+                 AND coalesce(p.n_dup, 0) * 5 >= p.n_windows) AS flagged
+         FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 8),

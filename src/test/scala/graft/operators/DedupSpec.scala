@@ -363,4 +363,41 @@ class DedupSpec extends SparkSpec {
       assert(orphans.isEmpty, "survivor_id pointing at a non-kept row")
     } finally { out.unpersist(); () }
   }
+
+  test("substrDup: window accounting, shared-prefix detection, short-doc zeroes") {
+    // 100-char docs, w=40/stride=10 → 7 windows each ((100-40)/10 + 1).
+    // All blocks are APERIODIC so only the planted duplications witness
+    // (a uniform or periodic block would silently self-duplicate windows).
+    val prefix = (('a' to 'z') ++ ('A' to 'X')).mkString // 50 chars, shared
+    val tail1 = "0123456789" + ('A' to 'Z').mkString + "!@#$%^&*()[]{}".take(14)
+    val tail2 = "zyxwvutsrqponmlkjihgfedcba" + "9876543210" + "%^&*()[]{}" + "<>?~"
+    val d1 = prefix + tail1                   // shares only the prefix with d2
+    val d2 = prefix + tail2
+    val d3 = ("z123456789" * 10)              // 10-char motif: every window = motif*4
+    val short = "tiny"                        // < w → zero windows
+    val docs = docsDF(Seq(1L -> d1, 2L -> d2, 3L -> d3, 4L -> short))
+    val out = Dedup.substrDup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // d1/d2 duplicate exactly the windows fully inside the shared 50-char
+    // prefix: offsets 0 and 10 ([0,40), [10,50)) — 2 of 7; frac 2/7 >= 0.2.
+    assert(out(1L) == ((7L, 2L, 2.0 / 7.0, true)))
+    assert(out(2L) == ((7L, 2L, 2.0 / 7.0, true)))
+    // d3's motif periodicity makes ALL its windows the identical motif*4
+    // string — within-doc repetition counts, as in ExactSubstr.
+    assert(out(3L) == ((7L, 7L, 1.0, true)))
+    assert(out(4L) == ((0L, 0L, 0.0, false)))
+  }
+
+  test("substrDup plan: window stream shuffles once on the hash, no self-join") {
+    val df = Dedup.substrDup(corpus)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // the occurrence count must ride a window over the hash partitioning,
+    // not a join of the window stream against a counts table
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 1, s"expected only the final doc_id left join, got ${joins.size}")
+  }
 }
