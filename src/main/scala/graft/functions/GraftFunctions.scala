@@ -67,6 +67,10 @@ object GraftFunctions {
     ColumnBridge.column(
       TopKSelect(ColumnBridge.expression(entry), k, dedup).toAggregateExpression())
 
+  def mg_freq_items(item: Column, k: Int): Column =
+    ColumnBridge.column(
+      MgFreqItems(ColumnBridge.expression(item), k).toAggregateExpression())
+
   private[functions] val registry: Seq[(String, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("rolling_hash",
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

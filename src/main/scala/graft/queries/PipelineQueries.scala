@@ -280,6 +280,25 @@ object PipelineQueries {
     "txt_ngram_freq" -> ((s, dir) =>
       TextOps.ngramFreq(docs(s, dir), n = 2, minCount = 10L)),
 
+    // Misra-Gries heavy hitters over the corpus token stream: k bounded
+    // counters per partition regardless of domain size, merge = counter
+    // sum + one trim — the exchange moves <= k counters/partition where
+    // the exact groupBy (txt_ngram_freq's shape) shuffles the whole keyed
+    // stream. FULL oracle: this corpus's vocabulary (31) fits k=64, so no
+    // trim ever fires and MG theory says the sketch IS the exact count
+    // (err_bound 0 proves it per run); FreqItemsSpec certifies the
+    // trim/merge regime and the n/(k+1) bound on planted overflows.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val sk = docs(s, dir)
+        .select(explode(split(lower(col("text")), " +")).as("tok"))
+        .agg(graft.functions.GraftFunctions.mg_freq_items(col("tok"), 64).as("sk"))
+      sk.select(posexplode(col("sk.items")).as(Seq("__r", "__e")),
+          col("sk.err_bound").as("err_bound"))
+        .filter(col("__r") < 20)
+        .select(col("__e.item").as("item"), col("__e.est").as("est"),
+          (col("__r") + 1).cast("long").as("rank"), col("err_bound"))
+    }),
+
     // §2.8: char-trigram LM counts — the model-building pass of the
     // CCNet-style statistical quality filter (oracle-exact counts)
     "txt_charlm" -> ((s, dir) =>
@@ -1006,6 +1025,16 @@ object PipelineQueries {
                 1.0 - len(list_distinct(string_split_regex(text, '\n'))) /
                       greatest(len(string_split_regex(text, '\n')), 1) AS dup_line_ratio
          FROM documents""",
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(lower(text), ' +')) AS tok
+           FROM documents),
+         counted AS (
+           SELECT tok AS item, count(*) AS est,
+                  row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+           FROM toks GROUP BY tok)
+         SELECT item, est, rank, CAST(0 AS BIGINT) AS err_bound
+         FROM counted WHERE rank <= 20""",
     "txt_ngram_freq" ->
       """WITH toks AS (
            SELECT string_split_regex(text, ' +') AS t FROM documents),
