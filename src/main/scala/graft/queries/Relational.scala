@@ -340,6 +340,23 @@ object Relational {
       """)
     }),
 
+    // §2.9: semi-structured JSON extraction — schema-on-read over the
+    // events.props JSON strings (from_json with an explicit schema, the
+    // idiomatic Spark shape: parse once in the projection, then plain
+    // columnar aggregation; integer-exact aggregates for the oracle).
+    "q_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .withColumn("k", from_json($"props",
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"k").as("sum_k"),
+          min($"k").as("min_k"),
+          max($"k").as("max_k"),
+          count(when($"k" >= 50, 1)).as("n_hi"))
+    }),
+
     // §2.9: window distribution/navigation family — ntile, percent_rank,
     // cume_dist, first/last/nth_value. The order key includes the unique
     // p_partkey so every function is deterministic, and percent_rank /
@@ -530,6 +547,14 @@ object Relational {
                   WHERE o2.o_custkey = o.o_custkey)
                > (SELECT 3 * sum(cast(round(o2.o_totalprice * 100) AS bigint))
                   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""",
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS bigint) AS sum_k,
+                min(cast(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                max(cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                cast(sum(CASE WHEN cast(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                              THEN 1 ELSE 0 END) AS bigint) AS n_hi
+         FROM events GROUP BY event_type""",
     "q_window_dist" ->
       """SELECT p_brand, p_partkey, p_retailprice,
                 ntile(4) OVER w AS tile4,
