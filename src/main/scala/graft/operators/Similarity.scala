@@ -49,6 +49,27 @@ object Similarity {
     selectTopK(scored, k)
   }
 
+  /** Streaming retrieval: query vectors arrive as a STREAM and are scored
+    * against the static corpus. Retrieval is stateless per query — a
+    * query's top-k is complete the moment its own rows are seen — so the
+    * right streaming posture is a per-micro-batch batch join (foreachBatch
+    * running the exact [[topKBruteForce]] plan on the batch's queries),
+    * NOT a stateful streaming aggregate: no state store, no watermark, and
+    * each appended result is final on commit. At scale the static side
+    * stays partition-resident across batches while only the trickle of new
+    * queries broadcasts — the same shape the batch operator already has.
+    * The returned query must be awaited/stopped by the caller; results
+    * land in `outPath` as appended parquet. */
+  def topKStreamToParquet(corpus: DataFrame, queryStream: DataFrame, k: Int,
+      outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        topKBruteForce(corpus, batch.toDF(), k)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** LSH-bucketed ANN: corpus bucketed once per table by banded
     * random-hyperplane signatures; each query probes, per table, its own
     * bucket plus all hamming-1 neighbor buckets (multi-probe). A corpus

@@ -464,6 +464,14 @@ object PipelineQueries {
     "st_sessionize_et" -> ((s, dir) => stSessionizeEt(s, dir)),
     "st_dedup_et" -> ((s, dir) => stDedupEt(s, dir)),
 
+    // streaming retrieval: query vectors replayed as a 4-micro-batch file
+    // stream (maxFilesPerTrigger=1), each batch scored against the static
+    // corpus by the exact batch brute-force plan inside foreachBatch —
+    // stateless, appended results final on commit. FULL oracle: identical
+    // to sim_topk_bruteforce by construction, and the oracle match proves
+    // the union of per-batch top-ks IS the batch answer.
+    "st_sim_topk" -> ((s, dir) => stSimTopk(s, dir)),
+
     // §2.7 #115 stream-stream interval join — batch face (oracle-exact)
     // and a file-source replay through the watermarked streaming join,
     // checked against the SAME oracle
@@ -590,6 +598,21 @@ object PipelineQueries {
     s.conf.set(key, n.toString)
     try body finally s.conf.set(key, old)
   }
+
+  private val bruteforceTopkOracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     list_cosine_similarity(c.v, q.qv) AS cos
+              FROM c, q WHERE c.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS rank
+              FROM scored)
+       SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5"""
 
   private val annRecallOracleSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -815,6 +838,30 @@ object PipelineQueries {
     }
   }
 
+  private def stSimTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_et_")
+    val qPath = root.resolve("queries").toString
+    val outPath = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    // 4 files → 4 micro-batches at maxFilesPerTrigger=1: the face really
+    // exercises multi-batch replay, not one big batch
+    e.filter(col("vec_id") < 8).repartition(4).write.mode("overwrite").parquet(qPath)
+    val qStream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(qPath)
+    val q = Similarity.topKStreamToParquet(e, qStream, k = 5, outPath, ckpt)
+    try {
+      q.processAllAvailable()
+      val out = s.read.parquet(outPath)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      q.stop()
+      deleteRecursively(root)
+    }
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -840,20 +887,10 @@ object PipelineQueries {
                 (coalesce(p.n_windows, 0) > 0
                  AND coalesce(p.n_dup, 0) * 5 >= p.n_windows) AS flagged
          FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
-    "sim_topk_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                    FROM embeddings WHERE vec_id < 8),
-              c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              scored AS (
-                SELECT q.query_id, c.vec_id,
-                       list_cosine_similarity(c.v, q.qv) AS cos
-                FROM c, q WHERE c.vec_id <> q.query_id),
-              ranked AS (
-                SELECT query_id, vec_id,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY cos DESC, vec_id) AS rank
-                FROM scored)
-         SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5""",
+    "sim_topk_bruteforce" -> bruteforceTopkOracleSql,
+    // the streaming face appends per-micro-batch results of the SAME
+    // brute-force plan, so the ranking oracle is identical
+    "st_sim_topk" -> bruteforceTopkOracleSql,
     // ANN recall check faces: DuckDB's side validates the exact ground
     // truth is well-formed (every query has >= k candidates with a defined
     // cosine — n_queries would drop below Spark's count otherwise) and

@@ -430,4 +430,40 @@ class StreamingSpec extends SparkSpec {
         s"outer join rows: ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming retrieval: multi-batch replay equals the batch top-k, stateless") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 8)
+    val batchAnswer = Similarity.topKBruteForce(e, queries, k = 5)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val root = java.nio.file.Files.createTempDirectory("graft_stsim_")
+    try {
+      val qPath = root.resolve("q").toString
+      val outPath = root.resolve("out").toString
+      queries.repartition(4).write.mode("overwrite").parquet(qPath)
+      val qStream = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(qPath)
+      val q = Similarity.topKStreamToParquet(
+        e, qStream, k = 5, outPath, root.resolve("ckpt").toString)
+      try {
+        q.processAllAvailable()
+        // really ran as several micro-batches, each a final append
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          "expected a multi-batch replay")
+        // retrieval must not build a state store: stateless foreachBatch
+        assert(q.lastProgress.stateOperators.isEmpty)
+        val got = spark.read.parquet(outPath)
+          .select(col("query_id"), col("vec_id"), col("rank"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(got == batchAnswer)
+      } finally q.stop()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
 }
