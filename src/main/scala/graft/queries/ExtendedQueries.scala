@@ -219,10 +219,69 @@ object ExtendedQueries {
             .cast("long").as("price_nulls"),
           min(col("l_shipdate")).as("ship_min"),
           max(col("l_shipdate")).as("ship_max"),
-          countDistinct(col("l_returnflag")).as("flag_card")))
+          countDistinct(col("l_returnflag")).as("flag_card"))),
+
+    // Deequ-style declarative data-quality expectations: all row-level
+    // rules fold into ONE shared aggregate scan; Unique adds one
+    // count-per-key aggregate, RefIntegrity one anti-join — exactly the
+    // plans their semantics force. The [1,30] quantity range is chosen to
+    // really VIOLATE on TPC-H data (quantities run to 50), so the face
+    // proves non-zero counting, not just all-green rows.
+    "q_expectations" -> ((s, dir) => {
+      import graft.operators.Expectations._
+      val li = Tables.load(s, dir, "lineitem")
+      check(li, Seq(
+        NotNull("l_orderkey"),
+        InRange("l_quantity", 1.0, 30.0),
+        InRange("l_discount", 0.0, 0.1),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        Satisfies("disc_price_positive", "l_extendedprice * (1 - l_discount) > 0"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        RefIntegrity("l_orderkey", Tables.load(s, dir, "orders"), "o_orderkey")))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_expectations" ->
+      """SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+           SELECT 'not_null(l_orderkey)' AS rule,
+                  cast(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS bigint)
+                    AS n_violations
+           FROM lineitem
+           UNION ALL
+           SELECT 'in_range(l_quantity,1.0,30.0)',
+                  cast(sum(CASE WHEN l_quantity IS NOT NULL
+                                 AND (l_quantity < 1.0 OR l_quantity > 30.0)
+                                THEN 1 ELSE 0 END) AS bigint)
+           FROM lineitem
+           UNION ALL
+           SELECT 'in_range(l_discount,0.0,0.1)',
+                  cast(sum(CASE WHEN l_discount IS NOT NULL
+                                 AND (l_discount < 0.0 OR l_discount > 0.1)
+                                THEN 1 ELSE 0 END) AS bigint)
+           FROM lineitem
+           UNION ALL
+           SELECT 'in_set(l_returnflag)',
+                  cast(sum(CASE WHEN l_returnflag IS NOT NULL
+                                 AND l_returnflag NOT IN ('A', 'N', 'R')
+                                THEN 1 ELSE 0 END) AS bigint)
+           FROM lineitem
+           UNION ALL
+           SELECT 'satisfies(disc_price_positive)',
+                  cast(sum(CASE WHEN coalesce(l_extendedprice * (1 - l_discount) > 0,
+                                              false)
+                                THEN 0 ELSE 1 END) AS bigint)
+           FROM lineitem
+           UNION ALL
+           SELECT 'unique(l_orderkey,l_linenumber)',
+                  cast(coalesce(sum(c - 1), 0) AS bigint)
+           FROM (SELECT count(*) AS c FROM lineitem
+                 GROUP BY l_orderkey, l_linenumber)
+           UNION ALL
+           SELECT 'ref_integrity(l_orderkey)', cast(count(*) AS bigint)
+           FROM lineitem WHERE l_orderkey IS NOT NULL
+             AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+         ) ORDER BY rule""",
     "q_asof_join" ->
       """WITH o AS (
            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
