@@ -340,6 +340,27 @@ object Relational {
       """)
     }),
 
+    // §2.9: batch MERGE/upsert — matched keys take the update's price,
+    // new keys insert, everything else carries over; exactly one
+    // full-outer shuffle join. Updates are every 10th order with an
+    // integer-exact +1000.00 price bump; every 1000th updates under a
+    // shifted key so inserts exercise the unmatched-update path.
+    "q_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val ord = Tables.load(s, dir, "orders")
+      val updates = ord.filter($"o_orderkey" % 10 === 0)
+        .select(
+          ($"o_orderkey" + when($"o_orderkey" % 1000 === 0, 10000000L).otherwise(0L))
+            .as("o_orderkey"),
+          (dec2($"o_totalprice") + lit(BigDecimal("1000.00"))).cast("double")
+            .as("o_totalprice"))
+      graft.operators.Upsert.upsert(
+          ord.select($"o_orderkey", $"o_totalprice", $"o_orderpriority"),
+          updates, keys = Seq("o_orderkey"))
+        .select($"o_orderkey", $"o_totalprice".cast("double").as("o_totalprice"),
+          $"o_orderpriority")
+    }),
+
     // §2.9: semi-structured JSON extraction — schema-on-read over the
     // events.props JSON strings (from_json with an explicit schema, the
     // idiomatic Spark shape: parse once in the projection, then plain
@@ -547,6 +568,19 @@ object Relational {
                   WHERE o2.o_custkey = o.o_custkey)
                > (SELECT 3 * sum(cast(round(o2.o_totalprice * 100) AS bigint))
                   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""",
+    "q_upsert" ->
+      """WITH upd AS (
+           SELECT o_orderkey
+                    + CASE WHEN o_orderkey % 1000 = 0 THEN 10000000 ELSE 0 END
+                    AS o_orderkey,
+                  cast(cast(o_totalprice AS decimal(18,2)) + 1000.00 AS double)
+                    AS o_totalprice
+           FROM orders WHERE o_orderkey % 10 = 0)
+         SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+                CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                     ELSE t.o_totalprice END AS o_totalprice,
+                t.o_orderpriority AS o_orderpriority
+         FROM orders t FULL OUTER JOIN upd u ON t.o_orderkey = u.o_orderkey""",
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
                 cast(sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS bigint) AS sum_k,
