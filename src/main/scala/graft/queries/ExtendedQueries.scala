@@ -221,6 +221,44 @@ object ExtendedQueries {
           max(col("l_shipdate")).as("ship_max"),
           countDistinct(col("l_returnflag")).as("flag_card"))),
 
+    // z-order layout round-trip: lineitem re-written z-clustered on
+    // (partkey, orderkey), then a 2-D box scan over the new layout — the
+    // answer is layout-independent (the oracle reads the raw table), while
+    // LayoutSpec separately proves the layout's pruning win on scan
+    // metrics. Box bounds derive from min/max by integer arithmetic
+    // mirrored exactly in the oracle ((span*45)//100).
+    "q_zorder_scan" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"),
+          col("l_returnflag"))
+      val root = java.nio.file.Files.createTempDirectory("graft_zorder_")
+      try {
+        val path = root.resolve("li").toString
+        graft.operators.Layout.writeZordered2(
+          li, "l_partkey", "l_orderkey", nFiles = 64, path)
+        val b = li.agg(min("l_partkey"), max("l_partkey"),
+          min("l_orderkey"), max("l_orderkey")).collect()(0)
+        def mid(lo: Long, hi: Long): (Long, Long) = {
+          val span = hi - lo
+          (lo + span * 45 / 100, lo + span * 55 / 100)
+        }
+        val (p1, p2) = mid(b.getLong(0), b.getLong(1))
+        val (o1, o2) = mid(b.getLong(2), b.getLong(3))
+        val out = s.read.parquet(path)
+          .filter(col("l_partkey").between(p1, p2) &&
+            col("l_orderkey").between(o1, o2))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("l_quantity"))).cast("double").as("qty"))
+        val rows = out.collect() // materialize before the temp dir dies
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }),
+
     // Deequ-style declarative data-quality expectations: all row-level
     // rules fold into ONE shared aggregate scan; Unique adds one
     // count-per-key aggregate, RefIntegrity one anti-join — exactly the
@@ -242,6 +280,18 @@ object ExtendedQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_zorder_scan" ->
+      """WITH b AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+                           min(l_orderkey) AS omin, max(l_orderkey) AS omax
+                    FROM lineitem)
+         SELECT l_returnflag, count(*) AS n,
+                cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS qty
+         FROM lineitem, b
+         WHERE l_partkey BETWEEN pmin + ((pmax - pmin) * 45) // 100
+                             AND pmin + ((pmax - pmin) * 55) // 100
+           AND l_orderkey BETWEEN omin + ((omax - omin) * 45) // 100
+                              AND omin + ((omax - omin) * 55) // 100
+         GROUP BY 1""",
     "q_expectations" ->
       """SELECT rule, n_violations, n_violations = 0 AS passed FROM (
            SELECT 'not_null(l_orderkey)' AS rule,
