@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Document fingerprint: 64-bit polynomial rolling hash over the UTF-8 bytes
@@ -71,6 +71,15 @@ object GraftFunctions {
     ColumnBridge.column(
       MgFreqItems(ColumnBridge.expression(item), k).toAggregateExpression())
 
+  /** Extract a literal Int argument of a SQL call (e.g. the `k` of
+    * `mg_freq_items(tok, 64)`) — aggregates parameterized at plan time
+    * can't take it from a column. */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   private[functions] val registry: Seq[(String, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("rolling_hash",
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -79,7 +88,23 @@ object GraftFunctions {
     ("cosine_sim",
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSim].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))),
+    // aggregate functions: the analyzer wraps a returned AggregateFunction
+    // in its AggregateExpression, same as the builtin registrations
+    ("mg_freq_items",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MgFreqItems].getName, "mg_freq_items"),
+      (exprs: Seq[Expression]) =>
+        MgFreqItems(exprs(0), litInt(exprs(1), "mg_freq_items k"))),
+    ("topk_select",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TopKSelect].getName, "topk_select"),
+      (exprs: Seq[Expression]) => TopKSelect(exprs(0),
+        litInt(exprs(1), "topk_select k"),
+        exprs.length > 2 && (exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, BooleanType) => b
+          case _ => false
+        }))))
 
   /** Make graft functions callable from `spark.sql` on an existing session
     * (SQL parity, SURVEY §4). */

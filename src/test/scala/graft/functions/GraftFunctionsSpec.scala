@@ -39,4 +39,27 @@ class GraftFunctionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
   }
+
+  test("aggregate functions are SQL-callable: mg_freq_items and topk_select") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    Seq("a", "b", "a", "c", "a", "b").toDF("tok").createOrReplaceTempView("toks")
+    val mg = spark.sql(
+      "SELECT sk.items AS items, sk.err_bound AS err FROM " +
+        "(SELECT mg_freq_items(tok, 8) AS sk FROM toks)")
+      .collect()(0)
+    val items = mg.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(items == Seq("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    assert(mg.getLong(1) == 0L)
+
+    Seq((1L, 0.9), (2L, 0.8), (3L, 0.99), (3L, 0.99)).toDF("vec_id", "cos")
+      .createOrReplaceTempView("scored")
+    val tk = spark.sql(
+      "SELECT topk_select(struct(vec_id, cos), 2, true) AS t FROM scored")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(tk == Seq((3L, 0.99), (1L, 0.9))) // dedup'd, (cos desc, id asc)
+  }
 }
