@@ -221,6 +221,22 @@ object ExtendedQueries {
           max(col("l_shipdate")).as("ship_max"),
           countDistinct(col("l_returnflag")).as("flag_card"))),
 
+    // SCD2 dimension build — the WRITE side of the as-of shape: each
+    // change becomes a version valid until the key's next change, via one
+    // key-shuffle + per-key lead(). Intervals emitted as exact epoch
+    // micros (timestamps compare bit-stably that way cross-engine).
+    "q_scd2" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").cast("double").as("value"))
+      graft.operators.Scd2.fromChangeLog(
+          ev, keys = Seq("user_id"), ts = "ts", tiebreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))
+    }),
+
     // z-order layout round-trip: lineitem re-written z-clustered on
     // (partkey, orderkey), then a 2-D box scan over the new layout — the
     // answer is layout-independent (the oracle reads the raw table), while
@@ -280,6 +296,13 @@ object ExtendedQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_scd2" ->
+      """SELECT user_id, event_id, value,
+                epoch_us(date_trunc('microseconds', ts)) AS valid_from_us,
+                epoch_us(date_trunc('microseconds', lead(ts) OVER w)) AS valid_to_us,
+                (lead(ts) OVER w IS NULL) AS is_current
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "q_zorder_scan" ->
       """WITH b AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
                            min(l_orderkey) AS omin, max(l_orderkey) AS omax

@@ -340,6 +340,21 @@ object Relational {
       """)
     }),
 
+    // §2.9: unpivot (melt) — the inverse of q_pivot: a wide per-flag
+    // aggregate melts to (id, metric, value) rows through Spark's native
+    // Expand (one pass, rows × metrics, no join).
+    "q_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(dec2($"l_quantity")).cast("double").as("sum_qty"),
+          sum(dec2($"l_extendedprice")).cast("double").as("sum_price"),
+          count(lit(1)).cast("double").as("n_items"))
+        .unpivot(Array($"l_returnflag"),
+          Array($"sum_qty", $"sum_price", $"n_items"), "metric", "value")
+    }),
+
     // §2.9: batch MERGE/upsert — matched keys take the update's price,
     // new keys insert, everything else carries over; exactly one
     // full-outer shuffle join. Updates are every 10th order with an
@@ -568,6 +583,18 @@ object Relational {
                   WHERE o2.o_custkey = o.o_custkey)
                > (SELECT 3 * sum(cast(round(o2.o_totalprice * 100) AS bigint))
                   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""",
+    "q_unpivot" ->
+      """WITH wide AS (
+           SELECT l_returnflag,
+                  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+                  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_price,
+                  cast(count(*) AS double) AS n_items
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+         UNION ALL
+         SELECT l_returnflag, 'sum_price', sum_price FROM wide
+         UNION ALL
+         SELECT l_returnflag, 'n_items', n_items FROM wide""",
     "q_upsert" ->
       """WITH upd AS (
            SELECT o_orderkey
