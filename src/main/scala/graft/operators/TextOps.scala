@@ -252,4 +252,22 @@ object TextOps {
       (lit(1.0) - size(array_distinct(col("__lines"))).cast("double") /
         greatest(size(col("__lines")), lit(1)).cast("double")).as("dup_line_ratio"))
   }
+
+  /** Overlapping character-window chunking — the split-for-embedding pass
+    * of a retrieval pipeline: chunks of `size` chars start every `stride`
+    * chars (overlap = size - stride) while the offset is inside the text,
+    * so every char belongs to ≥ 1 chunk and the tail chunk may run short.
+    * A pure map-side explode: output volume is size/stride × corpus
+    * chars, no shuffle at all — chunk rows flow straight into the
+    * embedding/upsert stage downstream. Empty texts produce no chunks. */
+  def chunk(docs: DataFrame, size: Int = 200, stride: Int = 150): DataFrame = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size")
+    docs
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), floor((length(col("text")) - 1) / stride).cast("int")),
+        i => substring(col("text"), lit(1) + i * stride, lit(size)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk"), length(col("col")).cast("long").as("n_chars"))
+  }
 }

@@ -280,6 +280,11 @@ object PipelineQueries {
     "txt_ngram_freq" -> ((s, dir) =>
       TextOps.ngramFreq(docs(s, dir), n = 2, minCount = 10L)),
 
+    // retrieval-pipeline chunking: overlapping 200-char windows every 150
+    // chars, map-only explode (no shuffle). FULL oracle regenerates the
+    // same windows in SQL.
+    "txt_chunk" -> ((s, dir) => TextOps.chunk(docs(s, dir))),
+
     // Misra-Gries heavy hitters over the corpus token stream: k bounded
     // counters per partition regardless of domain size, merge = counter
     // sum + one trim — the exchange moves <= k counters/partition where
@@ -1062,6 +1067,14 @@ object PipelineQueries {
                 1.0 - len(list_distinct(string_split_regex(text, '\n'))) /
                       greatest(len(string_split_regex(text, '\n')), 1) AS dup_line_ratio
          FROM documents""",
+    "txt_chunk" ->
+      """SELECT doc_id, i AS chunk_id,
+                substr(text, CAST(1 + i * 150 AS BIGINT), 200) AS chunk,
+                length(substr(text, CAST(1 + i * 150 AS BIGINT), 200)) AS n_chars
+         FROM (SELECT doc_id, text,
+                      unnest(generate_series(
+                        0, CAST(floor((length(text) - 1) / 150) AS BIGINT))) AS i
+               FROM documents WHERE length(text) >= 1)""",
     "q_heavy_hitters" ->
       """WITH toks AS (
            SELECT unnest(string_split_regex(lower(text), ' +')) AS tok

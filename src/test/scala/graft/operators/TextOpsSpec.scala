@@ -161,4 +161,23 @@ class TextOpsSpec extends SparkSpec {
       3L -> "body three",
       5L -> "standalone document"), s"got $out")
   }
+
+  test("chunk: full coverage with overlap, short tail, empty text excluded") {
+    import spark.implicits._
+    val text = ('a' to 'z').mkString * 20 // 520 chars
+    val docs = Seq(1L -> text, 2L -> "short", 3L -> "").toDF("doc_id", "text")
+    val rows = TextOps.chunk(docs, size = 200, stride = 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // offsets 0,150,300,450 → 4 chunks; tail = 520-450 = 70 chars
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_._4).toSeq == Seq(200L, 200L, 200L, 70L))
+    d1.foreach { case (_, id, chunk, _) =>
+      assert(chunk == text.slice(id.toInt * 150, id.toInt * 150 + 200))
+    }
+    // every char covered: stride-prefixes + full tail reconstruct the text
+    assert(d1.dropRight(1).map(_._3.take(150)).mkString + d1.last._3 == text)
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "short", 5L)))
+    assert(!rows.exists(_._1 == 3L))
+  }
 }
