@@ -658,28 +658,41 @@ object Dedup {
     * integers so no float threshold edge can flip cross-engine).
     *
     * Scale shape: the window stream leaves the scan as (doc_id,
-    * xxhash64(window)) — 16 bytes/row, ~`1/stride` of corpus chars — and
-    * is shuffled ON THE HASH exactly once; the corpus-wide occurrence
-    * count rides that exchange as a count-over-hash-partition window (the
-    * per-h groups WindowExec buffers are occurrence lists, tiny), then one
-    * map-side-combinable groupBy(doc_id) folds the flags. No join of the
-    * window stream against a counts table (that shape shuffles the stream
-    * twice), no O(n²) pair space, nothing driver-side.
+    * xxhash64(window)) — 16 bytes/row, ~`1/stride` of corpus chars. The
+    * corpus-wide occurrence count then joins back from a
+    * map-side-combined groupBy(h) whose output is ALREADY partitioned on
+    * h (the join adds only the stream-side exchange), and one
+    * map-side-combinable groupBy(doc_id) folds the flags. No O(n²) pair
+    * space, nothing driver-side. `useWindow = true` switches to a
+    * count-over-hash-partition window — ONE exchange of the stream and
+    * measured ~20% faster at test SF — but WindowExec buffers each h
+    * group whole, so a boilerplate window duplicated a billion times
+    * lands one giant spilling group on one task; the join form feeds the
+    * hot h through AQE's skew-split instead, which is why it is the
+    * 100 TB default.
     *
     * The stride is the fidelity/volume lever: duplicated spans are
     * detected when their window offsets align mod `stride`, so identical
     * prefixes/suffixes of >= w+stride chars always witness, while a span
     * duplicated at an unaligned offset needs stride=1 (full rolling-hash
     * fidelity, `stride`x the shuffle — the 100 TB default stays 10). */
-  def substrDup(docs: DataFrame, w: Int = 40, stride: Int = 10): DataFrame = {
+  def substrDup(docs: DataFrame, w: Int = 40, stride: Int = 10,
+      useWindow: Boolean = false): DataFrame = {
     val wins = docs
       .filter(length(col("text")) >= w)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), floor((length(col("text")) - w) / stride).cast("int")),
         i => substring(col("text"), lit(1) + i * stride, lit(w)))).as("win"))
       .select(col("doc_id"), xxhash64(col("win")).as("h"))
-    val counted = wins
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
+    val counted =
+      if (useWindow)
+        wins.withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
+      else {
+        // cnt's aggregate output is already hash-partitioned on h, so the
+        // join adds only the wins-side exchange
+        val cnt = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        wins.join(cnt, Seq("h"))
+      }
     val per = counted.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup"))

@@ -389,15 +389,19 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0.0, false)))
   }
 
-  test("substrDup plan: window stream shuffles once on the hash, no self-join") {
-    val df = Dedup.substrDup(corpus)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"))
-    // the occurrence count must ride a window over the hash partitioning,
-    // not a join of the window stream against a counts table
-    val joins = df.queryExecution.optimizedPlan.collect {
+  test("substrDup: both count forms agree; no cartesian anywhere") {
+    val byJoin = Dedup.substrDup(corpus).collect().map(_.toSeq).toSet
+    val byWindow = Dedup.substrDup(corpus, useWindow = true).collect().map(_.toSeq).toSet
+    assert(byJoin == byWindow)
+    for (useWindow <- Seq(true, false)) {
+      val plan = Dedup.substrDup(corpus, useWindow = useWindow)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"))
+    }
+    // the default (join) form: count join + final doc_id left join only
+    val joins = Dedup.substrDup(corpus).queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }
-    assert(joins.size == 1, s"expected only the final doc_id left join, got ${joins.size}")
+    assert(joins.size == 2, s"expected count join + doc_id left join, got ${joins.size}")
   }
 }
