@@ -29,11 +29,16 @@ object Audit {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        // execute THIS dataframe's own QueryExecution (foreach reuses it,
-        // unlike a noop write which builds a separate one) so AQE finalizes
-        // the plan we stringify
-        df.foreach(_ => ())
-        val plan = df.queryExecution.executedPlan.toString
+        // run THIS dataframe's own physical plan (df.foreach would execute
+        // the separate rddQueryExecution and leave this one unfinalized —
+        // its string then has no codegen markers and isFinalPlan=false),
+        // then stringify the AQE-final inner plan
+        df.queryExecution.executedPlan.execute().count()
+        val plan = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan.toString
+          case p => p.toString
+        }
         val flags = scala.collection.mutable.ArrayBuffer[String]()
         if (plan.contains("CartesianProduct")) flags += "CARTESIAN"
         if (plan.contains("BroadcastNestedLoopJoin")) flags += "BNLJ"
