@@ -211,6 +211,16 @@ object XlsxQueries {
       s.read.format("xlsx").load(out)
     }),
 
+    // the second spreadsheet container: same round-trip through the ods
+    // source (shared option surface / inference / NULL rules over the ODF
+    // container) — a user of either format gets the identical table back
+    "ods_write_roundtrip" -> ((s, dir) => {
+      val out = ensure(s, dir).resolve("customer_written_ods").toString
+      Tables.load(s, dir, "customer")
+        .write.format("ods").mode("overwrite").save(out)
+      s.read.format("ods").load(out)
+    }),
+
     // r6: the SQL catalog face — the closest Spark spelling to the
     // reference's `sheetreader('f.xlsx')` table function: a temp view
     // USING xlsx with options, queried through spark.sql.
@@ -339,6 +349,11 @@ object XlsxQueries {
                 l_extendedprice, l_returnflag, l_linestatus
          FROM lineitem""",
     "xlsx_write_roundtrip" ->
+      """SELECT cast(c_custkey AS double) AS c_custkey, c_name,
+                cast(c_nationkey AS double) AS c_nationkey,
+                c_acctbal, c_mktsegment
+         FROM customer""",
+    "ods_write_roundtrip" ->
       """SELECT cast(c_custkey AS double) AS c_custkey, c_name,
                 cast(c_nationkey AS double) AS c_nationkey,
                 c_acctbal, c_mktsegment

@@ -74,6 +74,13 @@ object XlsxSchema {
       if (seen > opts.skipRows) probe += cells
       probe.length < 2
     })
+    fromProbe(probe.toSeq, opts)
+  }
+
+  /** The rule core on already-probed post-skip rows — shared by the xlsx
+    * path above and the ods source (same option surface, same inference
+    * semantics over a different container format). */
+  def fromProbe(probe: Seq[Array[XCell]], opts: XlsxOptions): Resolved = {
     if (probe.isEmpty)
       throw new IllegalArgumentException("Sheet appears to be empty")
 
