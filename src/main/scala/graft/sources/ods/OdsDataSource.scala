@@ -164,6 +164,7 @@ final class OdsPartitionReader(fullSchema: StructType, required: StructType,
   private val queue = new java.util.concurrent.ArrayBlockingQueue[AnyRef](256)
   private val Done = new Object
   @volatile private var err: Throwable = null
+  @volatile private var closed = false
   private var row: InternalRow = null
   private var finished = false
 
@@ -187,10 +188,20 @@ final class OdsPartitionReader(fullSchema: StructType, required: StructType,
             }
             queue.put(new GenericInternalRow(values))
           }
-          true
+          !closed // stop parsing promptly once the reader is closed
         })
-    } catch { case t: Throwable => err = t }
-    finally queue.put(Done)
+    } catch { case t: Throwable => if (!closed) err = t }
+    finally {
+      // Done handshake must neither block forever (reader closed with a
+      // full queue → no consumer) nor get lost (consumer still draining):
+      // bounded offers until delivered or the reader is gone
+      var delivered = false
+      while (!delivered && !closed) {
+        try delivered = queue.offer(Done, 50,
+          java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch { case _: InterruptedException => delivered = closed }
+      }
+    }
   }, s"ods-feeder-$path")
   feeder.setDaemon(true)
   feeder.start()
@@ -207,7 +218,11 @@ final class OdsPartitionReader(fullSchema: StructType, required: StructType,
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = { finished = true; feeder.interrupt() }
+  override def close(): Unit = {
+    closed = true
+    finished = true
+    feeder.interrupt()
+  }
 }
 
 final class OdsWriteBuilder(path: String, schema: StructType, opts: XlsxOptions)

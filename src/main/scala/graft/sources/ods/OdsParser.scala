@@ -105,6 +105,7 @@ object OdsParser {
         var cellRepeat = 1L
         var cellValue: XCell = XCell.XNone
         var inCell = false
+        var inPara = false // only text:p content is cell text (not markup whitespace)
         var text: java.lang.StringBuilder = null
 
         def flushPendingEmpties(): Boolean = {
@@ -147,18 +148,28 @@ object OdsParser {
                       val day = LocalDate.parse(v.take(10)).toEpochDay
                       XCell.XDate((day - excelEpochDay).toDouble): XCell
                     }.getOrElse(XCell.XNone)
+                  case "string" =>
+                    // ODF allows the value in an attribute instead of the
+                    // text:p body; the body form falls through to XNone and
+                    // is collected below
+                    Option(attr(r, "string-value"))
+                      .map(v => XCell.XString(v): XCell).getOrElse(XCell.XNone)
                   case _ => XCell.XNone // string cells read their text:p body
                 }
                 text = new java.lang.StringBuilder()
               case "p" if inCell =>
+                inPara = true
                 if (text.length() > 0) text.append('\n') // multi-paragraph cell
               case _ => ()
             }
-            case XMLStreamConstants.CHARACTERS if inCell =>
+            case XMLStreamConstants.CHARACTERS if inPara =>
               text.append(r.getText)
             case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+              case "p" if inPara =>
+                inPara = false
               case "table-cell" | "covered-table-cell" if inCell =>
                 inCell = false
+                inPara = false
                 val v = cellValue match {
                   case XCell.XNone if text.length() > 0 =>
                     XCell.XString(text.toString)
