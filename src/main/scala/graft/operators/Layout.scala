@@ -50,6 +50,10 @@ object Layout {
     val r = df.agg(
       min(col(ca).cast("long")), max(col(ca).cast("long")),
       min(col(cb).cast("long")), max(col(cb).cast("long"))).collect()(0)
+    if (r.isNullAt(0)) { // empty input: nothing to cluster, write the schema
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val z = zkey2(
       norm16(col(ca), r.getLong(0), r.getLong(1)),
       norm16(col(cb), r.getLong(2), r.getLong(3)))
