@@ -285,6 +285,21 @@ object PipelineQueries {
     // same windows in SQL.
     "txt_chunk" -> ((s, dir) => TextOps.chunk(docs(s, dir))),
 
+    // retrieval-prep composition: length-filter → chunk → chunk-level
+    // exact dedup (each distinct chunk embeds once; the canonical copy is
+    // the lexicographically first (doc_id, chunk_id)). The chunk explode
+    // is map-only; dedup is one digest shuffle — the same posture as
+    // dd_exact, applied at the granularity retrieval actually stores.
+    "pipeline_chunks" -> ((s, dir) => {
+      val ch = TextOps.chunk(docs(s, dir).filter(length(col("text")) >= 100))
+      ch.groupBy(md5(col("chunk")).as("h"))
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("k"),
+          count(lit(1)).as("n_copies"),
+          min(col("n_chars")).as("n_chars"))
+        .select(col("h"), col("k.doc_id").as("doc_id"),
+          col("k.chunk_id").as("chunk_id"), col("n_chars"), col("n_copies"))
+    }),
+
     // Misra-Gries heavy hitters over the corpus token stream: k bounded
     // counters per partition regardless of domain size, merge = counter
     // sum + one trim — the exchange moves <= k counters/partition where
@@ -1075,6 +1090,21 @@ object PipelineQueries {
                       unnest(generate_series(
                         0, CAST(floor((length(text) - 1) / 150) AS BIGINT))) AS i
                FROM documents WHERE length(text) >= 1)""",
+    "pipeline_chunks" ->
+      """WITH ch AS (
+           SELECT doc_id, i AS chunk_id,
+                  substr(text, CAST(1 + i * 150 AS BIGINT), 200) AS chunk
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(
+                          0, CAST(floor((length(text) - 1) / 150) AS BIGINT))) AS i
+                 FROM documents WHERE length(text) >= 100))
+         SELECT h, doc_id, chunk_id, n_chars, n_copies FROM (
+           SELECT md5(chunk) AS h, doc_id, chunk_id,
+                  length(chunk) AS n_chars,
+                  count(*) OVER (PARTITION BY md5(chunk)) AS n_copies,
+                  row_number() OVER (PARTITION BY md5(chunk)
+                                     ORDER BY doc_id, chunk_id) AS rn
+           FROM ch) WHERE rn = 1""",
     "q_heavy_hitters" ->
       """WITH toks AS (
            SELECT unnest(string_split_regex(lower(text), ' +')) AS tok
