@@ -96,4 +96,30 @@ object Packing {
       .filter(col("__rk") <= n)
       .drop("__rk")
   }
+
+  /** Per-domain frequency capping: keep at most `cap` documents per
+    * stratum, the best-scoring first (score desc, doc_id asc — a total
+    * order, so the kept set is engine-exact). The over-represented-domain
+    * guard every crawl pipeline applies before training (a handful of
+    * boilerplate-heavy hosts would otherwise dominate the mixture).
+    *
+    * Scale shape: selection rides the native bounded top-k aggregate
+    * ([[graft.functions.TopKSelect]]) — each partition reduces a stratum
+    * to at most `cap` (score, id) entries BEFORE the exchange, so the one
+    * shuffle moves ≤ cap-sized buffers per (stratum, partition) instead of
+    * every row the way a rank window would (the window form shuffles and
+    * sorts the full 100 TB corpus; this moves ~cap × n_partitions rows per
+    * domain, and a hot domain's buffers merge associatively). Returns
+    * (stratum, rank, doc_id, score) in rank order per stratum.
+    */
+  def capPerStratum(docs: DataFrame, stratum: Column, cap: Int,
+      score: Column): DataFrame =
+    docs
+      .groupBy(stratum.as("stratum"))
+      .agg(graft.functions.GraftFunctions.topk_select(
+        struct(col("doc_id").as("vec_id"), score.cast("double").as("cos")),
+        cap, dedup = false).as("topk"))
+      .select(col("stratum"), posexplode(col("topk")).as(Seq("__r", "__s")))
+      .select(col("stratum"), (col("__r") + 1).as("rank"),
+        col("__s.vec_id").as("doc_id"), col("__s.cos").as("score"))
 }

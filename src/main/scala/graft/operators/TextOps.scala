@@ -270,4 +270,80 @@ object TextOps {
       .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
         col("col").as("chunk"), length(col("col")).cast("long").as("n_chars"))
   }
+
+  // ------------------------------------------------------------------
+  // Trained document classifier (unigram frequency profiles)
+  // ------------------------------------------------------------------
+
+  /** The langId tokenizer as a reusable piece: lowercased letter runs
+    * (plus the western-European accented range and apostrophes), empties
+    * dropped. The DuckDB mirror is
+    * `list_filter(string_split_regex(lower(text), '[^a-zäöüßéèêàâçñáíóú'']+'), x -> len(x) > 0)`. */
+  private def explodedLangTokens(docs: DataFrame, labelCol: String): DataFrame =
+    docs.select(col("doc_id"), col(labelCol).as("__label"),
+        explode(split(lower(col("text")), "[^a-zäöüßéèêàâçñáíóú']+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** Train a unigram frequency-profile classifier (the Cavnar–Trenkle /
+    * class-centroid posture): per (token, label) occurrence counts over
+    * the labeled training set, kept when the pair was seen >= `minCount`
+    * times, weighted by relative frequency within the label. Weights are
+    * integers — floor(c * 1e9 / total) computed through one IEEE double
+    * division both engines round identically — so downstream scoring is
+    * pure integer arithmetic with NO cross-engine float drift (a log-prob
+    * naive-Bayes sum would hang the argmax on libm's last ulp).
+    *
+    * Scale shape: one token-stream aggregate with map-side combine whose
+    * output is bounded by vocab × labels (unigram vocabularies plateau —
+    * the same argument as [[charNgramCounts]]), then a pivot to one row
+    * per token. The model is broadcast-sized by construction.
+    * Returns (tok, w_<label1>, w_<label2>, ...). */
+  def trainProfileModel(train: DataFrame, labels: Seq[String],
+      labelCol: String = "lang", minCount: Long = 3L): DataFrame = {
+    val toks = explodedLangTokens(train, labelCol)
+    val totals = toks.groupBy(col("__label"))
+      .agg(count(lit(1)).as("__tot"))
+    val counts = toks.groupBy(col("tok"), col("__label"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+    counts
+      .join(broadcast(totals), "__label")
+      .withColumn("__w",
+        floor(col("__c").cast("double") * lit(1.0e9) /
+          col("__tot").cast("double")).cast("long"))
+      .groupBy(col("tok"))
+      .pivot("__label", labels)
+      .agg(first(col("__w")))
+      .select(col("tok") +: labels.map(l =>
+        coalesce(col(s"`$l`"), lit(0L)).as(s"w_$l")): _*)
+  }
+
+  /** Score documents against a trained profile model: each in-vocab token
+    * occurrence adds its per-label weight; prediction = argmax with
+    * first-match-wins tie-break in `labels` order, or "und" when no token
+    * carried any evidence. Scoring is a broadcast join + one per-doc
+    * aggregate — classifying 100 TB costs one map pass and one doc-keyed
+    * shuffle of fixed-width score rows; the model never leaves the
+    * executors once shipped. */
+  def profileClassify(eval: DataFrame, model: DataFrame,
+      labels: Seq[String]): DataFrame = {
+    val toks = eval.select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-zäöüßéèêàâçñáíóú']+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val scored = toks
+      .join(broadcast(model), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(labels.map(l =>
+        sum(coalesce(col(s"w_$l"), lit(0L))).as(s"s_$l")).head,
+        labels.map(l =>
+          sum(coalesce(col(s"w_$l"), lit(0L))).as(s"s_$l")).tail: _*)
+    val best = greatest(labels.map(l => col(s"s_$l")): _*)
+    val pred = labels.foldRight(lit("und"): Column) { case (l, acc) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    eval.select(col("doc_id"), col("lang").as("lang_true"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(pred, lit("und")).as("lang_pred"), col("lang_true"))
+  }
 }

@@ -292,10 +292,35 @@ object ExtendedQueries {
         Satisfies("disc_price_positive", "l_extendedprice * (1 - l_discount) > 0"),
         Unique(Seq("l_orderkey", "l_linenumber")),
         RefIntegrity("l_orderkey", Tables.load(s, dir, "orders"), "o_orderkey")))
+    }),
+
+    // §2.8: range-containment join via binning — customers matched to
+    // every supplier whose acctbal band (±5) contains theirs. The naive
+    // ON v BETWEEN lo AND hi plan is a nested-loop scan; binning (width
+    // 16, a power of two so the bin division is IEEE-exact) makes it a
+    // plain equi join both sides shuffle-partition on
+    "q_range_join" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val supp = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal"),
+          (col("s_acctbal") - lit(5.0)).as("__lo"),
+          (col("s_acctbal") + lit(5.0)).as("__hi"))
+      graft.operators.RangeJoin
+        .binned(cust, "c_acctbal", supp, "__lo", "__hi", binWidth = 16.0)
+        .select(col("c_custkey"), col("s_suppkey"),
+          col("c_acctbal"), col("s_acctbal"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the binned equi join is output-identical to the naive theta join:
+    // band edges are the same IEEE adds, bin membership only routes
+    "q_range_join" ->
+      """SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal
+         FROM customer c JOIN supplier s
+           ON c.c_acctbal >= s.s_acctbal - 5
+          AND c.c_acctbal <= s.s_acctbal + 5""",
     "q_scd2" ->
       """SELECT user_id, event_id, value,
                 epoch_us(date_trunc('microseconds', ts)) AS valid_from_us,

@@ -212,6 +212,21 @@ object PipelineQueries {
     // §2.3 #44 quality scoring
     "txt_quality" -> ((s, dir) => TextOps.quality(docs(s, dir))),
 
+    // §2.8: TRAINED language classifier — unigram frequency profiles fit
+    // on the 90% doc_id-hash train split, argmax-scored on the held-out
+    // 10%. Integer weights end to end (floor of one shared IEEE division),
+    // so the whole train+predict pipeline is bit-exact cross-engine —
+    // the model-based filtering posture (fastText/CCNet) with the fit as
+    // one bounded aggregate and scoring as a broadcast-join map pass
+    "txt_classify" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val labels = Seq("de", "en", "es", "fr", "zh")
+      val model = TextOps.trainProfileModel(
+        d.filter(col("doc_id") % 10 =!= 0), labels)
+      TextOps.profileClassify(
+        d.filter(col("doc_id") % 10 === 0), model, labels)
+    }),
+
     // §2.3 #45 token counting
     "txt_tokens" -> ((s, dir) => TextOps.tokens(docs(s, dir))),
 
@@ -463,6 +478,17 @@ object PipelineQueries {
     "q_sample_stratified" -> ((s, dir) =>
       graft.operators.Packing.stratifiedSample(docs(s, dir), col("source"), n = 25)
         .select(col("doc_id"), col("source"))),
+
+    // §2.8: per-domain frequency capping — keep the `cap` best-scoring
+    // docs per source via the bounded top-k aggregate (map-side reduction;
+    // a rank window would shuffle the whole corpus). Score = n_chars
+    // (integer-valued double, bit-exact both engines)
+    "pipeline_domain_cap" -> ((s, dir) =>
+      graft.operators.Packing
+        .capPerStratum(docs(s, dir), col("source"), cap = 10,
+          col("n_chars").cast("double"))
+        .select(col("stratum").as("source"), col("rank"), col("doc_id"),
+          col("score").cast("long").as("n_chars"))),
 
     // §2.3 #48 windowed aggregation (batch face; streaming face in specs)
     "st_window_agg" -> ((s, dir) =>
@@ -1029,6 +1055,69 @@ object PipelineQueries {
          SELECT cast(count(*) AS bigint) AS n_true_pairs,
                 true AS recall_ok
          FROM reach WHERE a < b""",
+    // DuckDB refits the whole profile model: same tokenizer as txt_langid,
+    // same minCount=3 vocab cut, same floor(c*1e9/tot) integer weights —
+    // every arithmetic step is an integer op or one shared IEEE division,
+    // so train AND predict reproduce bit-exactly
+    "txt_classify" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(
+                    string_split_regex(lower(text), '[^a-zäöüßéèêàâçñáíóú'']+'),
+                    x -> len(x) > 0)) AS tok
+           FROM documents),
+         train AS (
+           SELECT t.doc_id, d.lang, t.tok
+           FROM toks t JOIN documents d USING (doc_id)
+           WHERE t.doc_id % 10 <> 0),
+         totals AS (SELECT lang, count(*) AS tot FROM train GROUP BY 1),
+         counts AS (
+           SELECT tok, lang, count(*) AS c FROM train
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         model AS (
+           SELECT c.tok, c.lang,
+                  CAST(floor(CAST(c.c AS DOUBLE) * 1e9 /
+                             CAST(t.tot AS DOUBLE)) AS BIGINT) AS w
+           FROM counts c JOIN totals t USING (lang)),
+         pm AS (
+           SELECT tok,
+                  coalesce(sum(CASE WHEN lang = 'de' THEN w END), 0) AS w_de,
+                  coalesce(sum(CASE WHEN lang = 'en' THEN w END), 0) AS w_en,
+                  coalesce(sum(CASE WHEN lang = 'es' THEN w END), 0) AS w_es,
+                  coalesce(sum(CASE WHEN lang = 'fr' THEN w END), 0) AS w_fr,
+                  coalesce(sum(CASE WHEN lang = 'zh' THEN w END), 0) AS w_zh
+           FROM model GROUP BY 1),
+         sc AS (
+           SELECT e.doc_id,
+                  sum(coalesce(pm.w_de, 0)) AS s_de,
+                  sum(coalesce(pm.w_en, 0)) AS s_en,
+                  sum(coalesce(pm.w_es, 0)) AS s_es,
+                  sum(coalesce(pm.w_fr, 0)) AS s_fr,
+                  sum(coalesce(pm.w_zh, 0)) AS s_zh
+           FROM (SELECT * FROM toks WHERE doc_id % 10 = 0) e
+           LEFT JOIN pm USING (tok)
+           GROUP BY 1)
+         SELECT d.doc_id,
+                CASE
+                  WHEN sc.doc_id IS NULL
+                    OR greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                  ELSE 'zh' END AS lang_pred,
+                d.lang AS lang_true
+         FROM documents d LEFT JOIN sc USING (doc_id)
+         WHERE d.doc_id % 10 = 0""",
+    // the top-k-aggregate selection equals a rank window exactly because
+    // (n_chars desc, doc_id asc) is a total order
+    "pipeline_domain_cap" ->
+      """SELECT source, rank, doc_id, n_chars FROM (
+           SELECT source, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS rank
+           FROM documents)
+         WHERE rank <= 10""",
     "pipeline_budget" ->
       """SELECT doc_id, source FROM (
            SELECT doc_id, source,

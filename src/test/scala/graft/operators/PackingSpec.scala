@@ -125,4 +125,32 @@ class PackingSpec extends SparkSpec {
     val all = Packing.stratifiedSample(docs, col("source"), n = 1000)
     assert(all.count() == 300)
   }
+
+  test("capPerStratum: equals the rank window, map-side bounded plan") {
+    val docs = (1 to 300).map { i =>
+      (i.toLong, s"src${i % 3}", "x" * (1 + (i * 7) % 40))
+    }.toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val capped = Packing.capPerStratum(docs, col("source"), cap = 5,
+      col("n_chars").cast("double"))
+    // window reference: (n_chars desc, doc_id asc) is a total order so the
+    // two selections must agree exactly, rank included
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val ref = docs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank").cast("long"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = capped
+      .select(col("stratum"), col("rank").cast("long"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref)
+    assert(got.size == 15)
+    // scale shape: selection is an aggregate (partial top-k buffers move),
+    // NOT a window over the full corpus
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
 }

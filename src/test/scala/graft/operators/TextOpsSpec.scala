@@ -180,4 +180,37 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "short", 5L)))
     assert(!rows.exists(_._1 == 3L))
   }
+
+  test("profile classifier: fits distinctive vocab, generalizes, OOV -> und") {
+    // train docs (doc_id % 10 != 0 convention is the face's, not the
+    // operator's): 4 docs per lang with distinctive vocab, each token
+    // appearing >= 3 times so the minCount=3 cut keeps it
+    val labels = Seq("de", "en")
+    val train = Seq(
+      (1L, "en", "the cat sat the dog ran the end"),
+      (2L, "en", "the fast cat and the slow dog and more"),
+      (3L, "en", "cat dog the and cat dog the and"),
+      (4L, "de", "der hund und die katze und der ball"),
+      (5L, "de", "die katze der hund die katze und"),
+      (6L, "de", "und der die hund katze und der die")
+    ).toDF("doc_id", "lang", "text")
+    val model = TextOps.trainProfileModel(train, labels, minCount = 3L)
+    val mrows = model.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // vocab cut: tokens under 3 occurrences per (token, label) are gone
+    assert(!mrows.contains("fast") && !mrows.contains("ball"))
+    assert(mrows.contains("the") && mrows.contains("und"))
+    // weight = floor(count * 1e9 / label total): "the" is en-only
+    assert(mrows("the")._1 == 0L && mrows("the")._2 > 0L)
+    val eval = Seq(
+      (10L, "en", "the cat and the dog"),       // en vocab
+      (11L, "de", "der hund und die katze"),    // de vocab
+      (12L, "fr", "zzz qqq www")                // fully OOV -> und
+    ).toDF("doc_id", "lang", "text")
+    val preds = TextOps.profileClassify(eval, model, labels)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(10L) == "en")
+    assert(preds(11L) == "de")
+    assert(preds(12L) == "und")
+  }
 }
