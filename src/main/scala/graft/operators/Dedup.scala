@@ -296,11 +296,13 @@ object Dedup {
     * pathological codegen; measured 60x slower. Rehash works in 31-bit
     * space ((h mod 2^31-1) * (2i+1) + i*99991) so ANSI arithmetic cannot
     * overflow. */
-  def minhashLsh(
-      docs: DataFrame,
-      bands: Int = 8,
-      rowsPerBand: Int = 4,
-      threshold: Double = 0.6): DataFrame = {
+  /** (doc_id, band, bh) LSH band keys: minhash signature (k = bands *
+    * rowsPerBand rehashes, min per hash) sliced into per-band hashes.
+    * The shared banding of [[minhashLsh]] (self-join dedup) and
+    * [[decontaminateFuzzy]] (cross-set) — identical keys, so a pair
+    * collides in one exactly when it collides in the other. */
+  private def bandedKeys(docs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
     val sh = explodedShingles(docs)
       .withColumn("h", pmod(xxhash64(col("shingle")), lit(2147483647L)))
@@ -309,19 +311,85 @@ object Dedup {
     val sig = sh.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(concat_ws(",",
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
               v => v.cast("string")))).as("bh")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  def minhashLsh(
+      docs: DataFrame,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    val banded = bandedKeys(docs, bands, rowsPerBand)
     val cand = banded.select(col("doc_id").as("da"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("db"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
     pairJaccard(docs, cand).filter(col("j") >= threshold)
+  }
+
+  /** Fuzzy benchmark decontamination: corpus documents within `threshold`
+    * word-3-gram Jaccard of ANY benchmark document, found through the SAME
+    * minhash banding as [[minhashLsh]] but across the two sets — the
+    * paraphrased/near-verbatim eval leakage the exact shingle-overlap
+    * check ([[decontaminate]]) misses.
+    *
+    * Scale shape mirrors the exact variant: the benchmark is small by
+    * nature, so its band keys broadcast and candidate generation is a
+    * map-side join over the corpus band stream — the 100 TB side is never
+    * shuffled for candidates, and only candidate pairs (bounded by real
+    * band collisions) enter the exact-Jaccard verify. Returns (doc_id,
+    * bench_id, j) with j >= threshold. */
+  def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
+      bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    // disjoint id space for the union'd exact verify; benchmark ids are
+    // small (eval sets), corpus ids must stay below the offset
+    val off = 1000000000000L
+    val cb = bandedKeys(corpus, bands, rowsPerBand)
+    val bb = bandedKeys(benchmark, bands, rowsPerBand)
+      .select(col("doc_id").as("bench_id"), col("band"), col("bh"))
+    val cand = cb.join(broadcast(bb), Seq("band", "bh"))
+      .select(col("doc_id").as("da"),
+        (col("bench_id") + lit(off)).as("db"))
+      .distinct()
+    val union = corpus.select(col("doc_id"), col("text"))
+      .unionByName(benchmark.select(
+        (col("doc_id") + lit(off)).as("doc_id"), col("text")))
+    pairJaccard(union, cand)
+      .filter(col("j") >= threshold)
+      .select(col("da").as("doc_id"), (col("db") - lit(off)).as("bench_id"),
+        col("j"))
+  }
+
+  /** EXACT cross-set Jaccard — the ground truth [[decontaminateFuzzy]] is
+    * checked against: every (corpus, bench) pair sharing >= 1 shingle
+    * (a pair with j > 0 necessarily does, so this candidate set is
+    * complete) with its exact word-3-gram Jaccard. Candidate generation
+    * broadcasts the benchmark shingles, so even the exact form never
+    * shuffles the corpus — but unlike the banded variant every shared
+    * boilerplate shingle generates a candidate, which is why the LSH form
+    * is the scale path. */
+  def crossPairJaccard(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val off = 1000000000000L
+    val cand = explodedShingles(corpus)
+      .join(broadcast(explodedShingles(benchmark)
+        .select((col("doc_id") + lit(off)).as("db"), col("shingle"))),
+        "shingle")
+      .select(col("doc_id").as("da"), col("db"))
+      .distinct()
+    val union = corpus.select(col("doc_id"), col("text"))
+      .unionByName(benchmark.select(
+        (col("doc_id") + lit(off)).as("doc_id"), col("text")))
+    pairJaccard(union, cand)
+      .select(col("da").as("doc_id"), (col("db") - lit(off)).as("bench_id"),
+        col("j"))
   }
 
   // ------------------------------------------------------------------

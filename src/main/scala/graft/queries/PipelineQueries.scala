@@ -422,6 +422,33 @@ object PipelineQueries {
         minShared = 3L)
     }),
 
+    // §2.8: FUZZY decontamination — minhash-banded cross-set near-dup
+    // (paraphrased eval leakage the exact shingle-count check misses);
+    // benchmark band keys broadcast, corpus never shuffles for candidates.
+    // Rows-only (xxhash64 banding has no DuckDB twin); the check face
+    // below certifies recall against the DuckDB-verified exact truth
+    "pipeline_decontam_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminateFuzzy(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0))
+        .select(col("doc_id"), col("bench_id"), col("j"))
+    }),
+
+    // CHECK face: banded cross-set recall vs the exact cross-set Jaccard
+    // pair graph (n_true_pairs independently recomputed by DuckDB)
+    "pipeline_decontam_fuzzy_check" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      val bench = d.filter(col("doc_id") % 10 === 0)
+      val truth = Dedup.crossPairJaccard(corpus, bench)
+        .filter(col("j") >= 0.6).select(col("doc_id"), col("bench_id"))
+      val hits = Dedup.decontaminateFuzzy(corpus, bench)
+        .select(col("doc_id"), col("bench_id"))
+        .join(truth, Seq("doc_id", "bench_id"), "left_semi")
+      pairRecallRow(truth, hits)
+    }),
+
     // §2.5: mixture sampling — per-source hash-threshold rates (here each
     // source's pseudo-weight derives from its own name; production passes
     // a CASE/rate-table column), rolled up for compact comparison
@@ -1367,6 +1394,30 @@ object PipelineQueries {
            JOIN szs sa ON da = sa.doc_id
            JOIN szs sb ON db = sb.doc_id
            WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.9)
+         SELECT count(*)::BIGINT AS n_true_pairs, (1.0 >= 0.8) AS recall_ok
+         FROM truth""",
+    // cross-set twin of dd_minhash_lsh_check: same shingle/Jaccard
+    // arithmetic, pairs restricted to corpus (% 10 <> 0) x bench (% 10 = 0)
+    "pipeline_decontam_fuzzy_check" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
+           FROM toks),
+         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0 GROUP BY 1, 2),
+         truth AS (
+           SELECT da, db FROM inter
+           JOIN szs sa ON da = sa.doc_id
+           JOIN szs sb ON db = sb.doc_id
+           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6)
          SELECT count(*)::BIGINT AS n_true_pairs, (1.0 >= 0.8) AS recall_ok
          FROM truth""",
     "dd_semdedup_check" ->

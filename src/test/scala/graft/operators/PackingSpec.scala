@@ -60,6 +60,26 @@ class PackingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("decontaminateFuzzy catches a paraphrased leak with its exact Jaccard") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val bench = Seq((1000L, base)).toDF("doc_id", "text")
+    val corpusDocs = Seq(
+      (1L, base + " phi"),     // near-verbatim: one appended word
+      (2L, "entirely different text about query engines and shuffles"),
+      (3L, "alpha beta gamma and nothing else in common")).toDF("doc_id", "text")
+    val got = Dedup.decontaminateFuzzy(corpusDocs, bench, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 1000L)), got.mkString(","))
+    // doc 1: 19 shingles (18 base + 1 new) vs 18 -> j = 18/19
+    assert(math.abs(got.head._3 - 18.0 / 19.0) < 1e-12)
+    // exact cross truth agrees (the check-face contract)
+    val truth = Dedup.crossPairJaccard(corpusDocs, bench)
+      .filter(col("j") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth == Set((1L, 1000L)))
+  }
+
   test("mixtureSample keeps a deterministic per-threshold fraction") {
     val docs = (1 to 2000).map(i => (i.toLong, s"document body $i")).toDF("doc_id", "text")
     val half = Packing.mixtureSample(docs, lit("8000")).count()
