@@ -34,4 +34,34 @@ object Upsert {
         else col(s"t.$c").as(c)
       }: _*)
   }
+
+  /** Version-guarded MERGE — the CDC-apply form: a matched row takes the
+    * update's values ONLY when the update's `version` tuple (compared
+    * lexicographically, e.g. (ts, event_id)) is >= the target's; stale
+    * or reordered updates lose. With a version tuple that totally orders
+    * a key's updates, the final state after ANY partition of the update
+    * stream into sequential merges is the per-key argmax — which is what
+    * makes this the right apply operator under out-of-order delivery
+    * (a spec proves 1-batch and N-batch replays agree). `updates` must
+    * be unique per key (pre-reduce each batch to its per-key max).
+    * Same one-full-outer-join scale shape as [[upsert]]; updates must
+    * carry all of target's columns. */
+  def upsertVersioned(target: DataFrame, updates: DataFrame,
+      keys: Seq[String], version: Seq[String]): DataFrame = {
+    require(version.nonEmpty, "need at least one version column")
+    val updCols = updates.columns.toSet
+    require(target.columns.forall(updCols.contains),
+      "versioned updates must carry every target column")
+    val t = target.withColumn("__tgt", lit(true)).as("t")
+    val u = updates.withColumn("__upd", lit(true)).as("u")
+    val cond = keys.map(k => col(s"t.$k") === col(s"u.$k")).reduce(_ && _)
+    val newer = struct(version.map(v => col(s"u.$v")): _*) >=
+      struct(version.map(v => col(s"t.$v")): _*)
+    val takeUpdate = col("__upd").isNotNull &&
+      (col("__tgt").isNull || newer)
+    t.join(u, cond, "full_outer")
+      .select(target.columns.map { c =>
+        when(takeUpdate, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)
+      }: _*)
+  }
 }

@@ -165,6 +165,34 @@ object ExtendedQueries {
           (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.05)
             .as("orders_ok"))),
 
+    // §2.8: PERSISTABLE mergeable sketches — HLL sketch per month
+    // partition, then a sketch UNION to the global estimate: the
+    // incremental-maintenance posture at 100 TB (daily partitions keep
+    // their sketch; the corpus-wide distinct count is a union over stored
+    // binaries, never a rescan). HLL register-max merge is associative and
+    // order-independent, so the estimate is deterministic; each engine
+    // checks ITS OWN estimate against ITS OWN exact count (DuckDB
+    // hard-codes the boolean, so a drifting sketch hash-fails the round)
+    "q_sketch_union" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val est = li
+        .groupBy(date_trunc("month", col("l_shipdate")).as("__m"))
+        .agg(hll_sketch_agg(col("l_orderkey")).as("__sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("v"))
+        .select(col("v").cast("double").as("v"), lit("est").as("k"))
+      val exact = li
+        .agg(countDistinct(col("l_orderkey")).as("v"))
+        .select(col("v").cast("double").as("v"), lit("exact").as("k"))
+      // tagged union, not a join: two 1-row frames joined would plan the
+      // cartesian the audit bans
+      est.unionByName(exact)
+        .agg(
+          max(when(col("k") === "exact", col("v"))).cast("long").as("n_exact"),
+          (abs(max(when(col("k") === "est", col("v"))) -
+            max(when(col("k") === "exact", col("v")))) <=
+            max(when(col("k") === "exact", col("v"))) * 0.05).as("sketch_ok"))
+    }),
+
     // §2.4 #68: approximate percentiles (mergeable quantile sketch) — what
     // replaces exact sort-based percentiles at 100 TB. BENCH face: sketch
     // only (array-percentile: one sketch pass total, not one sort per
@@ -447,6 +475,13 @@ object ExtendedQueries {
     // q_approx_distinct / q_approx_percentile (the bench faces) emit raw
     // engine-specific sketch values — deliberately NO oracle (rows-only
     // driver check); their accuracy oracles are the *_check faces.
+    // DuckDB's sketch-union twin checks its own approx path and hard-codes
+    // the boolean contract the Spark side must really earn
+    "q_sketch_union" ->
+      """SELECT count(DISTINCT l_orderkey)::BIGINT AS n_exact,
+                (abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+                   <= 0.05 * count(DISTINCT l_orderkey)) AS sketch_ok
+         FROM lineitem""",
     "q_approx_distinct_check" ->
       """SELECT l_returnflag,
                 count(DISTINCT l_orderkey) AS exact_orders,

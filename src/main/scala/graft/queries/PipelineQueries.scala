@@ -545,6 +545,11 @@ object PipelineQueries {
     // the union of per-batch top-ks IS the batch answer.
     "st_sim_topk" -> ((s, dir) => stSimTopk(s, dir)),
 
+    // §2.8: streaming CDC apply — version-guarded MERGE of each
+    // micro-batch into a parquet state table; final state = per-user
+    // latest event however the stream splits into batches (FULL oracle)
+    "st_upsert" -> ((s, dir) => stUpsert(s, dir)),
+
     // §2.7 #115 stream-stream interval join — batch face (oracle-exact)
     // and a file-source replay through the watermarked streaming join,
     // checked against the SAME oracle
@@ -935,6 +940,58 @@ object PipelineQueries {
     }
   }
 
+  /** Streaming CDC apply: the events stream replayed in `nBatches`
+    * micro-batches, each reduced to its per-user latest row and MERGEd
+    * into a parquet state table with the version guard
+    * ([[graft.operators.Upsert.upsertVersioned]] on (ts, event_id)) — so
+    * the final state is the per-user argmax regardless of how the stream
+    * was split into batches (the spec proves 1-batch == 3-batch). State
+    * versions alternate paths (never overwrite what a reader may still
+    * map); each batch costs one full-outer join against the current
+    * state, the steady-state warehouse-apply posture. */
+  private def stUpsert(s: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val evs = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("double").as("value"))
+    val root = java.nio.file.Files.createTempDirectory("graft_et_")
+    val srcPath = root.resolve("updates").toString
+    evs.repartition(nBatches).write.mode("overwrite").parquet(srcPath)
+    val stream = s.readStream.schema(evs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcPath)
+    @volatile var statePath: Option[String] = None
+    @volatile var ver = 0
+    val q = withStatePartitions(s, 8) {
+      stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch.groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("__m"))
+          .select(col("user_id"), col("__m.ts").as("ts"),
+            col("__m.event_id").as("event_id"), col("__m.value").as("value"))
+        val cur = statePath.map(p => s.read.parquet(p)).getOrElse(
+          s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            delta.schema))
+        val next = graft.operators.Upsert.upsertVersioned(
+          cur, delta, Seq("user_id"), Seq("ts", "event_id"))
+        ver += 1
+        val np = root.resolve(s"state_$ver").toString
+        next.write.mode("overwrite").parquet(np)
+        statePath = Some(np)
+        ()
+      }.option("checkpointLocation", root.resolve("ckpt").toString).start()
+    }
+    try {
+      q.processAllAvailable()
+      val out = s.read.parquet(statePath.get)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))
+      val rows = out.collect() // O(distinct users), the state itself
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      q.stop()
+      deleteRecursively(root)
+    }
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -977,6 +1034,19 @@ object PipelineQueries {
     "st_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS doc_id
          FROM documents GROUP BY 1""",
+    // ns-precision ties truncate to micros on the Spark side, so the
+    // oracle ranks by the truncated timestamp too (event_id breaks ties)
+    "st_upsert" ->
+      """SELECT user_id,
+                epoch_us(date_trunc('microseconds', ts)) AS ts_us,
+                event_id, value
+         FROM (SELECT user_id, ts, event_id, value,
+                      row_number() OVER (
+                        PARTITION BY user_id
+                        ORDER BY date_trunc('microseconds', ts) DESC,
+                                 event_id DESC) AS rk
+               FROM events)
+         WHERE rk = 1""",
     "txt_redact" ->
       s"""SELECT doc_id, ${TextOps.redactSql("text")} AS redacted
          FROM documents""",

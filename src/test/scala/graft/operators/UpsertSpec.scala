@@ -41,4 +41,32 @@ class UpsertSpec extends SparkSpec {
     }
     assert(joins == Seq("FULL OUTER"))
   }
+
+  test("upsertVersioned: stale updates lose; apply order cannot change the result") {
+    // state rows are (k, v1, v2, payload); version = (v1, v2)
+    val updates = Seq(
+      (1L, 3L, 1L, "newest-1"),
+      (1L, 2L, 9L, "stale-1"),
+      (2L, 5L, 2L, "newest-2"),
+      (2L, 5L, 1L, "older-2"),  // v1 ties, v2 decides
+      (3L, 1L, 1L, "only-3"))
+    val schema = Seq("k", "v1", "v2", "p")
+    val empty = Seq.empty[(Long, Long, Long, String)].toDF(schema: _*)
+    def reduce(batch: Seq[(Long, Long, Long, String)]) = {
+      import org.apache.spark.sql.functions._
+      batch.toDF(schema: _*).groupBy(col("k"))
+        .agg(max(struct(col("v1"), col("v2"), col("p"))).as("m"))
+        .select(col("k"), col("m.v1").as("v1"), col("m.v2").as("v2"),
+          col("m.p").as("p"))
+    }
+    def applyAll(batches: Seq[Seq[(Long, Long, Long, String)]]) =
+      batches.foldLeft(empty) { (state, b) =>
+        Upsert.upsertVersioned(state, reduce(b), Seq("k"), Seq("v1", "v2"))
+      }.collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    val expected = Set((1L, "newest-1"), (2L, "newest-2"), (3L, "only-3"))
+    // one batch, row-per-batch in order, and in REVERSE order all agree
+    assert(applyAll(Seq(updates)) == expected)
+    assert(applyAll(updates.map(Seq(_))) == expected)
+    assert(applyAll(updates.reverse.map(Seq(_))) == expected)
+  }
 }
