@@ -322,6 +322,43 @@ object ExtendedQueries {
         RefIntegrity("l_orderkey", Tables.load(s, dir, "orders"), "o_orderkey")))
     }),
 
+    // §2.8: runtime bloom-filter join pruning — the semi-join-reduction
+    // lever at 100 TB: a selective dimension filter materializes a bloom
+    // filter that the FACT scan applies before the shuffle, so rows that
+    // cannot join never leave the scan. Spark injects it only when the
+    // application side outweighs the scan threshold (10 GB default — real
+    // at scale); the face pins the thresholds so the test-SF plan is the
+    // 100 TB plan, and a spec asserts the BloomFilterMightContain probe.
+    // Result is filter-independent (FULL oracle)
+    "q_runtime_filter" -> ((s, dir) => {
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val old = keys.map(k => k -> s.conf.getOption(k)).toMap
+      try {
+        s.conf.set(keys(0), "0")
+        s.conf.set(keys(1), "-1") // shuffle join: the case runtime filters serve
+        s.conf.set(keys(2), "-1")
+        val orders = Tables.load(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val li = Tables.load(s, dir, "lineitem")
+        // force evaluation INSIDE the pinned-conf scope: the collected
+        // result is the face's output (aggregate-sized, 1 row)
+        val out = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // §2.8: range-containment join via binning — customers matched to
     // every supplier whose acctbal band (±5) contains theirs. The naive
     // ON v BETWEEN lo AND hi plan is a nested-loop scan; binning (width
@@ -342,6 +379,12 @@ object ExtendedQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_runtime_filter" ->
+      """SELECT count(*) AS n_lines,
+                cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4)))
+                     AS double) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'""",
     // the binned equi join is output-identical to the naive theta join:
     // band edges are the same IEEE adds, bin membership only routes
     "q_range_join" ->
