@@ -169,11 +169,22 @@ object ExtendedQueries {
     // partition, then a sketch UNION to the global estimate: the
     // incremental-maintenance posture at 100 TB (daily partitions keep
     // their sketch; the corpus-wide distinct count is a union over stored
-    // binaries, never a rescan). HLL register-max merge is associative and
+    // binaries, never a rescan). BENCH face is sketch-only (the exact
+    // rescan is precisely what the sketches exist to avoid — same split
+    // as q_approx_distinct); rows-only driver check, accuracy certified
+    // by the *_check twin below every round
+    "q_sketch_union" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).as("__m"))
+        .agg(hll_sketch_agg(col("l_orderkey")).as("__sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("__sk")))
+          .cast("long").as("n_est"))),
+
+    // CHECK face: HLL register-max merge is associative and
     // order-independent, so the estimate is deterministic; each engine
     // checks ITS OWN estimate against ITS OWN exact count (DuckDB
     // hard-codes the boolean, so a drifting sketch hash-fails the round)
-    "q_sketch_union" -> ((s, dir) => {
+    "q_sketch_union_check" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
       val est = li
         .groupBy(date_trunc("month", col("l_shipdate")).as("__m"))
@@ -520,7 +531,7 @@ object ExtendedQueries {
     // driver check); their accuracy oracles are the *_check faces.
     // DuckDB's sketch-union twin checks its own approx path and hard-codes
     // the boolean contract the Spark side must really earn
-    "q_sketch_union" ->
+    "q_sketch_union_check" ->
       """SELECT count(DISTINCT l_orderkey)::BIGINT AS n_exact,
                 (abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
                    <= 0.05 * count(DISTINCT l_orderkey)) AS sketch_ok
