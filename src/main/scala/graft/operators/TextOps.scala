@@ -293,29 +293,42 @@ object TextOps {
     * pure integer arithmetic with NO cross-engine float drift (a log-prob
     * naive-Bayes sum would hang the argmax on libm's last ulp).
     *
-    * Scale shape: one token-stream aggregate with map-side combine whose
+    * Scale shape: ONE token-stream aggregate with map-side combine whose
     * output is bounded by vocab × labels (unigram vocabularies plateau —
-    * the same argument as [[charNgramCounts]]), then a pivot to one row
-    * per token. The model is broadcast-sized by construction.
-    * Returns (tok, w_<label1>, w_<label2>, ...). */
+    * the same argument as [[charNgramCounts]]); per-label totals derive
+    * from those counts (every occurrence lands in some (token, label)
+    * group, so the unfiltered count table carries the exact totals) and
+    * the weight table finalizes driver-side — the bounded-model collect
+    * posture of the LM vocab and the PQ codebooks. The 100 TB corpus is
+    * scanned once. Returns (tok, w_<label1>, w_<label2>, ...). */
   def trainProfileModel(train: DataFrame, labels: Seq[String],
       labelCol: String = "lang", minCount: Long = 3L): DataFrame = {
-    val toks = explodedLangTokens(train, labelCol)
-    val totals = toks.groupBy(col("__label"))
-      .agg(count(lit(1)).as("__tot"))
-    val counts = toks.groupBy(col("tok"), col("__label"))
+    val counts0 = explodedLangTokens(train, labelCol)
+      .groupBy(col("tok"), col("__label"))
       .agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount)
-    counts
-      .join(broadcast(totals), "__label")
-      .withColumn("__w",
-        floor(col("__c").cast("double") * lit(1.0e9) /
-          col("__tot").cast("double")).cast("long"))
-      .groupBy(col("tok"))
-      .pivot("__label", labels)
-      .agg(first(col("__w")))
-      .select(col("tok") +: labels.map(l =>
-        coalesce(col(s"`$l`"), lit(0L)).as(s"w_$l")): _*)
+      .collect() // vocab x labels, bounded by construction
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val totals = counts0.groupMapReduce(_._2)(_._3)(_ + _)
+    val idx = labels.zipWithIndex.toMap
+    val rows = counts0
+      .filter { case (_, l, c) => c >= minCount && idx.contains(l) }
+      .groupBy(_._1).toSeq
+      .map { case (tok, entries) =>
+        val w = new Array[Long](labels.size)
+        entries.foreach { case (_, l, c) =>
+          // same op order as the SQL twin: (c * 1e9) / tot, then floor
+          w(idx(l)) = math.floor(c.toDouble * 1.0e9 / totals(l).toDouble).toLong
+        }
+        org.apache.spark.sql.Row.fromSeq(tok +: w.toSeq)
+      }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("tok",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+        labels.map(l => org.apache.spark.sql.types.StructField(s"w_$l",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    train.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
   /** Score documents against a trained profile model: each in-vocab token
