@@ -333,6 +333,38 @@ object ExtendedQueries {
         RefIntegrity("l_orderkey", Tables.load(s, dir, "orders"), "o_orderkey")))
     }),
 
+    // §2.8: second moments — stddev and Pearson correlation from
+    // DECIMAL-exact sums (shuffle-order-independent), finalized in double
+    // arithmetic written in the same op order as the oracle; sqrt is
+    // IEEE-correctly-rounded (unlike log), so the whole face is bit-exact
+    // cross-engine. One map-side-combinable aggregate pass
+    "q_corr" -> ((s, dir) => {
+      val d284 = DecimalType(28, 4)
+      val li = Tables.load(s, dir, "lineitem")
+      li.agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(d284)).as("sx"),
+        sum(col("l_extendedprice").cast(d284)).as("sy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(d284)).as("sxx"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(d284)).as("syy"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(d284)).as("sxy"))
+        .select(col("n").as("n_rows"),
+          col("n").cast("double").as("nd"),
+          col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
+          col("sxx").cast("double").as("sxx"),
+          col("syy").cast("double").as("syy"),
+          col("sxy").cast("double").as("sxy"))
+        .select(col("n_rows"),
+          (sqrt(col("nd") * col("sxx") - col("sx") * col("sx")) / col("nd"))
+            .as("q_std"),
+          (sqrt(col("nd") * col("syy") - col("sy") * col("sy")) / col("nd"))
+            .as("price_std"),
+          ((col("nd") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("nd") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("nd") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_q_price"))
+    }),
+
     // §2.8: runtime bloom-filter join pruning — the semi-join-reduction
     // lever at 100 TB: a selective dimension filter materializes a bloom
     // filter that the FACT scan applies before the shuffle, so rows that
@@ -390,6 +422,24 @@ object ExtendedQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // same decimal moments, same double op order; sqrt is correctly
+    // rounded by IEEE so every output bit matches
+    "q_corr" ->
+      """WITH a AS (
+           SELECT count(*) AS n, count(*)::DOUBLE AS nd,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+                  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+           FROM lineitem)
+         SELECT n AS n_rows,
+                sqrt(nd * sxx - sx * sx) / nd AS q_std,
+                sqrt(nd * syy - sy * sy) / nd AS price_std,
+                (nd * sxy - sx * sy) /
+                  (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+                  AS corr_q_price
+         FROM a""",
     "q_runtime_filter" ->
       """SELECT count(*) AS n_lines,
                 cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4)))
