@@ -35,6 +35,32 @@ object Upsert {
       }: _*)
   }
 
+  /** Snapshot diff — the regression check between two versions of a keyed
+    * table (yesterday's build vs today's): classify every key as `added`
+    * (only in `right`), `removed` (only in `left`), `changed` (both, any
+    * non-key column differs — null-safe compare) or `same`. ONE full-outer
+    * shuffle join on the key, the minimum the semantics force; the
+    * downstream rollup is aggregate-sized. Columns must match. */
+  def diff(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(left.columns.sameElements(right.columns),
+      "diff requires identical schemas")
+    val dataCols = left.columns.filterNot(keys.contains)
+    val l = left.withColumn("__l", lit(true)).as("l")
+    val r = right.withColumn("__r", lit(true)).as("r")
+    val cond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val anyChanged = dataCols
+      .map(c => !(col(s"l.$c") <=> col(s"r.$c")))
+      .foldLeft(lit(false))(_ || _)
+    l.join(r, cond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k)) :+
+          when(col("__l").isNull, lit("added"))
+            .when(col("__r").isNull, lit("removed"))
+            .when(anyChanged, lit("changed"))
+            .otherwise(lit("same")).as("diff_class"): _*)
+  }
+
   /** Version-guarded MERGE — the CDC-apply form: a matched row takes the
     * update's values ONLY when the update's `version` tuple (compared
     * lexicographically, e.g. (ts, event_id)) is >= the target's; stale

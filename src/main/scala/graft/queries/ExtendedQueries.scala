@@ -333,6 +333,37 @@ object ExtendedQueries {
         RefIntegrity("l_orderkey", Tables.load(s, dir, "orders"), "o_orderkey")))
     }),
 
+    // §2.8: equi-width histogram — integer-exact bucketing (floor of one
+    // IEEE division), count + decimal-summed mass per bucket; the
+    // distribution-profiling staple as one map-side-combinable pass
+    "q_histogram" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / lit(5000.0))
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double").as("mass"))),
+
+    // §2.8: snapshot diff — yesterday's table vs today's, every key
+    // classified added/removed/changed/same in ONE full-outer join. The
+    // "v2" snapshot derives deterministically from orders (drops, price
+    // changes, inserts by key mod), so DuckDB reconstructs it exactly
+    "q_table_diff" -> ((s, dir) => {
+      val v1 = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val v2 = v1.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 31 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(v1.filter(col("o_orderkey") % 53 === 0)
+          .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")))
+      graft.operators.Upsert.diff(v1, v2, Seq("o_orderkey"))
+        .groupBy(col("diff_class"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"))
+    }),
+
     // §2.8: second moments — stddev and Pearson correlation from
     // DECIMAL-exact sums (shuffle-order-independent), finalized in double
     // arithmetic written in the same op order as the oracle; sqrt is
@@ -422,6 +453,34 @@ object ExtendedQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+                count(*) AS n,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
+         FROM lineitem GROUP BY 1""",
+    "q_table_diff" ->
+      """WITH v1 AS (
+           SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+         v2 AS (
+           SELECT o_orderkey, o_custkey,
+                  CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS o_totalprice
+           FROM v1 WHERE o_orderkey % 97 <> 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+           FROM v1 WHERE o_orderkey % 53 = 0),
+         d AS (
+           SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS k,
+                  CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                       WHEN v2.o_orderkey IS NULL THEN 'removed'
+                       WHEN v1.o_custkey IS DISTINCT FROM v2.o_custkey
+                         OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+                         THEN 'changed'
+                       ELSE 'same' END AS diff_class
+           FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+         SELECT diff_class, count(*) AS n,
+                CAST(sum(k) AS BIGINT) AS key_sum
+         FROM d GROUP BY 1""",
     // same decimal moments, same double op order; sqrt is correctly
     // rounded by IEEE so every output bit matches
     "q_corr" ->

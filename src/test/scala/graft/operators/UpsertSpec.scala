@@ -42,6 +42,25 @@ class UpsertSpec extends SparkSpec {
     assert(joins == Seq("FULL OUTER"))
   }
 
+  test("diff classifies added/removed/changed/same with null-safe compares") {
+    val v1 = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
+      (4L, Some("d"))).toDF("k", "s")
+    val v2 = Seq(
+      (1L, Some("a")),                       // same
+      (2L, Some("B")),                       // changed
+      (3L, Some("c")),                       // changed (null -> value)
+      (5L, Some("e"))).toDF("k", "s")        // added; 4 removed
+    val got = Upsert.diff(v1, v2, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "same", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+    val joins = Upsert.diff(v1, v2, Seq("k")).queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.joinType.sql
+    }
+    assert(joins == Seq("FULL OUTER"))
+  }
+
   test("upsertVersioned: stale updates lose; apply order cannot change the result") {
     // state rows are (k, v1, v2, payload); version = (v1, v2)
     val updates = Seq(
