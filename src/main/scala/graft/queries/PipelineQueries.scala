@@ -942,13 +942,17 @@ object PipelineQueries {
 
   /** Streaming CDC apply: the events stream replayed in `nBatches`
     * micro-batches, each reduced to its per-user latest row and MERGEd
-    * into a parquet state table with the version guard
+    * into the state table with the version guard
     * ([[graft.operators.Upsert.upsertVersioned]] on (ts, event_id)) — so
     * the final state is the per-user argmax regardless of how the stream
-    * was split into batches (the spec proves 1-batch == 3-batch). State
-    * versions alternate paths (never overwrite what a reader may still
-    * map); each batch costs one full-outer join against the current
-    * state, the steady-state warehouse-apply posture. */
+    * was split into batches (the spec proves 1-batch == 3-batch).
+    *
+    * The state persists BUCKETED (+sorted) on the merge key — the
+    * seen-index posture applied to CDC: each batch's full-outer join
+    * reads the state pre-partitioned with NO exchange, so a batch's
+    * shuffle cost is the (small) delta only, never the accumulated state
+    * (UpsertSpec pins the one-exchange plan). Versions alternate table
+    * names — never overwrite what a reader may still map. */
   private def stUpsert(s: SparkSession, dir: String,
       nBatches: Int = 3): DataFrame = {
     val evs = Tables.load(s, dir, "events")
@@ -959,7 +963,8 @@ object PipelineQueries {
     evs.repartition(nBatches).write.mode("overwrite").parquet(srcPath)
     val stream = s.readStream.schema(evs.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcPath)
-    @volatile var statePath: Option[String] = None
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    def tbl(v: Int) = s"graft_st_upsert_${runId}_v$v"
     @volatile var ver = 0
     val q = withStatePartitions(s, 8) {
       stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
@@ -967,27 +972,28 @@ object PipelineQueries {
           .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("__m"))
           .select(col("user_id"), col("__m.ts").as("ts"),
             col("__m.event_id").as("event_id"), col("__m.value").as("value"))
-        val cur = statePath.map(p => s.read.parquet(p)).getOrElse(
+        val cur = if (ver > 0) s.table(tbl(ver)) else
           s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            delta.schema))
+            delta.schema)
         val next = graft.operators.Upsert.upsertVersioned(
           cur, delta, Seq("user_id"), Seq("ts", "event_id"))
         ver += 1
-        val np = root.resolve(s"state_$ver").toString
-        next.write.mode("overwrite").parquet(np)
-        statePath = Some(np)
+        next.write.bucketBy(8, "user_id").sortBy("user_id")
+          .option("path", root.resolve(s"state_$ver").toString)
+          .mode("overwrite").saveAsTable(tbl(ver))
         ()
       }.option("checkpointLocation", root.resolve("ckpt").toString).start()
     }
     try {
       q.processAllAvailable()
-      val out = s.read.parquet(statePath.get)
+      val out = s.table(tbl(ver))
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"), col("value"))
       val rows = out.collect() // O(distinct users), the state itself
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
       q.stop()
+      (1 to ver).foreach(v => s.sql(s"DROP TABLE IF EXISTS ${tbl(v)}"))
       deleteRecursively(root)
     }
   }

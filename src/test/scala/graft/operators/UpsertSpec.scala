@@ -61,6 +61,36 @@ class UpsertSpec extends SparkSpec {
     assert(joins == Seq("FULL OUTER"))
   }
 
+  test("upsertVersioned against a bucketed state: only the delta shuffles") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+    val state = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("k", "v", "p")
+    state.write.bucketBy(4, "k").sortBy("k")
+      .option("path", s"$wh/cdc_state").mode("overwrite")
+      .saveAsTable("cdc_state")
+    val delta = Seq((2L, 25L, "B"), (4L, 5L, "d")).toDF("k", "v", "p")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val next = Upsert.upsertVersioned(
+        spark.table("cdc_state"), delta, Seq("k"), Seq("v"))
+      val got = next.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+      // the CDC-at-scale point: the accumulated state reads pre-bucketed
+      // into the join — the only Exchange in the plan is the delta's
+      val plan = next.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 exchange (delta side only):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS cdc_state")
+    }
+  }
+
   test("upsertVersioned: stale updates lose; apply order cannot change the result") {
     // state rows are (k, v1, v2, payload); version = (v1, v2)
     val updates = Seq(
