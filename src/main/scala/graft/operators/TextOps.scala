@@ -90,6 +90,35 @@ object TextOps {
   def normalizeSql(colName: String): String =
     s"trim(regexp_replace(regexp_replace(lower($colName), '[.,;:!?]', '', 'g'), ' +', ' ', 'g'))"
 
+  /** Winnowing fingerprints (Schleimer et al., the MOSS selection): hash
+    * every char `k`-gram, slide a window of `w` consecutive gram hashes,
+    * keep each window's minimum — any shared substring of length >=
+    * k + w - 1 is GUARANTEED to share a fingerprint, with ~2/(w+1) of the
+    * grams selected. The standard local document sketch between
+    * whole-document hashing ([[fingerprint]]) and full window accounting
+    * ([[Dedup.substrDup]]).
+    *
+    * Selection compares hashes masked to 63 bits so Spark's signed Long
+    * order and the oracle's HUGEINT order agree. A pure projection +
+    * explode — fingerprinting 100 TB is map-only; the gram-hash array is
+    * bound to its own projection so each slice reads the materialized
+    * array (the minhash lesson: an inline re-expansion per window is
+    * pathological codegen). Returns distinct (doc_id, fp) rows. */
+  def winnow(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    val grams = docs
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"), transform(
+        sequence(lit(0), length(col("text")) - k),
+        p => graft.functions.GraftFunctions
+          .rolling_hash(col("text").substr(lit(1) + p, lit(k)))
+          .bitwiseAND(lit(Long.MaxValue))).as("__g"))
+    grams
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), size(col("__g")) - w),
+        j => array_min(slice(col("__g"), j + 1, lit(w)))))).as("fp"))
+  }
+
   /** 64-bit document fingerprint via the native rolling-hash expression. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

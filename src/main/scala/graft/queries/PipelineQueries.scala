@@ -233,6 +233,12 @@ object PipelineQueries {
     // §2.3 #46 rolling-hash fingerprint (native expression; rows-only + spec)
     "txt_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
 
+    // §2.8: winnowing fingerprints (MOSS selection) — every shared
+    // substring of length >= k+w-1 = 11 shares a fingerprint by
+    // construction; FULL oracle (DuckDB refolds every char-8-gram hash
+    // through HUGEINT arithmetic and reselects the window minima)
+    "txt_winnow" -> ((s, dir) => TextOps.winnow(docs(s, dir))),
+
     // §2.3 #47 multimodal decode plumbing (stub codec; rows-only + spec)
     "mm_decode_meta" -> ((s, dir) => Multimodal.decodeMeta(s, docs(s, dir))),
 
@@ -1528,6 +1534,30 @@ object PipelineQueries {
                 cast(sum(CASE WHEN m.gram IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_oov
          FROM grams g LEFT JOIN model m ON g.gram = m.gram
          GROUP BY 1""",
+    // txt_winnow: the same HUGEINT fold as txt_fingerprint, applied per
+    // char-8-gram (substr then encode, so multibyte stays char-aligned
+    // with Spark's substr), masked to 63 bits so signed/unsigned min
+    // agree, then the w=4 window minima reselected and deduped.
+    "txt_winnow" ->
+      """WITH gh AS (
+           SELECT doc_id,
+                  list_transform(generate_series(1, length(text) - 7),
+                    p -> list_reduce(
+                      list_prepend(1125899906842597::HUGEINT,
+                        list_transform(
+                          generate_series(1, octet_length(encode(substr(text, p, 8)))),
+                          i -> (16 * (instr('0123456789ABCDEF',
+                                  substr(hex(encode(substr(text, p, 8))), 2*i-1, 1)) - 1)
+                                + (instr('0123456789ABCDEF',
+                                  substr(hex(encode(substr(text, p, 8))), 2*i, 1)) - 1))::HUGEINT)),
+                      (acc, x) -> (acc * 257 + x) % 18446744073709551616::HUGEINT)
+                      % 9223372036854775808::HUGEINT) AS g
+           FROM documents WHERE length(text) >= 11)
+         SELECT doc_id,
+                unnest(list_distinct(
+                  list_transform(generate_series(1, len(g) - 3),
+                    j -> list_aggregate(g[j:j+3], 'min'))))::BIGINT AS fp
+         FROM gh""",
     // txt_fingerprint: DuckDB has no direct byte-fold, but the 64-bit
     // polynomial rolling hash is reproducible bit-for-bit by expanding the
     // UTF-8 bytes through hex() and folding with 128-bit HUGEINT arithmetic

@@ -181,6 +181,31 @@ class TextOpsSpec extends SparkSpec {
     assert(!rows.exists(_._1 == 3L))
   }
 
+  test("winnow: shared substrings >= k+w-1 guarantee a shared fingerprint") {
+    val shared = "zqxjvkwpfy distinctive shared span here"
+    val docs = Seq(
+      (1L, s"left padding text then $shared and a tail"),
+      (2L, s"completely other beginning $shared different end"),
+      (3L, "no overlap with the others at all in this one"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val fps = TextOps.winnow(docs, k = 8, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the winnowing guarantee: docs 1 and 2 share a >= 11-char substring
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    // selection density ~ 2/(w+1): far fewer fingerprints than grams
+    val len1 = s"left padding text then $shared and a tail".length
+    assert(byDoc(1L).size < len1 - 7)
+    // docs shorter than k+w-1 produce nothing
+    assert(!byDoc.contains(4L))
+    // masked selection domain: every fingerprint is non-negative
+    assert(fps.forall(_._2 >= 0))
+    // deterministic
+    val again = TextOps.winnow(docs, k = 8, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == fps.toSet)
+  }
+
   test("profile classifier: fits distinctive vocab, generalizes, OOV -> und") {
     // train docs (doc_id % 10 != 0 convention is the face's, not the
     // operator's): 4 docs per lang with distinctive vocab, each token
