@@ -239,6 +239,27 @@ object PipelineQueries {
     // through HUGEINT arithmetic and reselects the window minima)
     "txt_winnow" -> ((s, dir) => TextOps.winnow(docs(s, dir))),
 
+    // §2.8: winnow-based near-dup pairs — docs sharing >= 5 fingerprints
+    // (i.e. >= 5 selected 11-char spans in common). The rare dedup face
+    // with a FULL oracle: selection is deterministic on both engines, so
+    // DuckDB reproduces the whole pair graph. Hyper-frequent fingerprints
+    // (boilerplate) are df-capped to bound the self-join fan-out — the
+    // same lever as ngramJaccard's shingle-df cap, mirrored in SQL
+    "dd_winnow" -> ((s, dir) => {
+      val fps = TextOps.winnow(docs(s, dir))
+      val rare = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= 20)
+        .select(col("fp"))
+      val kept = fps.join(rare, "fp")
+      kept.select(col("fp"), col("doc_id").as("da"))
+        .join(kept.select(col("fp"), col("doc_id").as("db")), "fp")
+        .filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+    }),
+
     // §2.3 #47 multimodal decode plumbing (stub codec; rows-only + spec)
     "mm_decode_meta" -> ((s, dir) => Multimodal.decodeMeta(s, docs(s, dir))),
 
@@ -1558,6 +1579,35 @@ object PipelineQueries {
                   list_transform(generate_series(1, len(g) - 3),
                     j -> list_aggregate(g[j:j+3], 'min'))))::BIGINT AS fp
          FROM gh""",
+    // dd_winnow: the txt_winnow refold as a CTE, df-capped, self-joined
+    "dd_winnow" ->
+      """WITH gh AS (
+           SELECT doc_id,
+                  list_transform(generate_series(1, length(text) - 7),
+                    p -> list_reduce(
+                      list_prepend(1125899906842597::HUGEINT,
+                        list_transform(
+                          generate_series(1, octet_length(encode(substr(text, p, 8)))),
+                          i -> (16 * (instr('0123456789ABCDEF',
+                                  substr(hex(encode(substr(text, p, 8))), 2*i-1, 1)) - 1)
+                                + (instr('0123456789ABCDEF',
+                                  substr(hex(encode(substr(text, p, 8))), 2*i, 1)) - 1))::HUGEINT)),
+                      (acc, x) -> (acc * 257 + x) % 18446744073709551616::HUGEINT)
+                      % 9223372036854775808::HUGEINT) AS g
+           FROM documents WHERE length(text) >= 11),
+         fp AS (
+           SELECT doc_id,
+                  unnest(list_distinct(
+                    list_transform(generate_series(1, len(g) - 3),
+                      j -> list_aggregate(g[j:j+3], 'min'))))::BIGINT AS fp
+           FROM gh),
+         rare AS (
+           SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 20),
+         kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+         SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+         FROM kept a JOIN kept b USING (fp)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 5""",
     // txt_fingerprint: DuckDB has no direct byte-fold, but the 64-bit
     // polynomial rolling hash is reproducible bit-for-bit by expanding the
     // UTF-8 bytes through hex() and folding with 128-bit HUGEINT arithmetic
