@@ -246,12 +246,15 @@ object PipelineQueries {
     // (boilerplate) are df-capped to bound the self-join fan-out — the
     // same lever as ngramJaccard's shingle-df cap, mirrored in SQL
     "dd_winnow" -> ((s, dir) => {
-      val fps = TextOps.winnow(docs(s, dir))
-      val rare = fps.groupBy(col("fp"))
-        .agg(count(lit(1)).as("__df"))
+      // df-cap via a window over the fp shuffle (not a separate aggregate
+      // + join): both self-join sides are then the IDENTICAL subplan, so
+      // the exchange is computed once and reused — the naive three-way
+      // recomputation of the gram transform measured 9.0 s vs 3.0 s
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val kept = TextOps.winnow(docs(s, dir))
+        .withColumn("__df", count(lit(1)).over(w))
         .filter(col("__df") <= 20)
-        .select(col("fp"))
-      val kept = fps.join(rare, "fp")
+        .select(col("fp"), col("doc_id"))
       kept.select(col("fp"), col("doc_id").as("da"))
         .join(kept.select(col("fp"), col("doc_id").as("db")), "fp")
         .filter(col("da") < col("db"))
