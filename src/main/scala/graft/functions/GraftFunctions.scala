@@ -48,6 +48,9 @@ object GraftFunctions {
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
 
+  def winnow_fp(c: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFp(ColumnBridge.expression(c), k, w))
+
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

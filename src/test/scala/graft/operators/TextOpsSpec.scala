@@ -204,6 +204,15 @@ class TextOpsSpec extends SparkSpec {
     val again = TextOps.winnow(docs, k = 8, w = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == fps.toSet)
+    // the fused expression IS the composed form, bit for bit — including
+    // on real data with multibyte-safe boundaries
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val fused = TextOps.winnow(real, k = 8, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val composed = TextOps.winnowComposed(real, k = 8, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fused == composed && fused.nonEmpty)
   }
 
   test("profile classifier: fits distinctive vocab, generalizes, OOV -> und") {
