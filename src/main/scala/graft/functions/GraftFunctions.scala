@@ -107,7 +107,12 @@ object GraftFunctions {
         exprs.length > 2 && (exprs(2) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, BooleanType) => b
           case _ => false
-        }))))
+        }))),
+    ("winnow_fp",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WinnowFp].getName, "winnow_fp"),
+      (exprs: Seq[Expression]) => WinnowFp(exprs(0),
+        litInt(exprs(1), "winnow_fp k"), litInt(exprs(2), "winnow_fp w"))))
 
   /** Make graft functions callable from `spark.sql` on an existing session
     * (SQL parity, SURVEY §4). */

@@ -33,6 +33,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sqlVal == native)
   }
 
+  test("winnow_fp is SQL-callable and matches the Column API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val txt = "the quick brown fox jumps over the lazy dog"
+    val fromSql = spark.sql(s"SELECT winnow_fp('$txt', 8, 4) AS f")
+      .collect()(0).getSeq[Long](0)
+    val fromCol = Seq(Tuple1(txt)).toDF("t")
+      .select(GraftFunctions.winnow_fp(col("t"), 8, 4))
+      .collect()(0).getSeq[Long](0)
+    assert(fromSql == fromCol && fromSql.nonEmpty)
+  }
+
   test("GraftExtensions injects the same function set") {
     // the extensions class is instantiable and wires without error; actual
     // new-session injection is a deploy-time path (spark.sql.extensions)
