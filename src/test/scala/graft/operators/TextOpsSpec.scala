@@ -205,9 +205,15 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == fps.toSet)
     // the fused expression IS the composed form, bit for bit — including
-    // on real data with multibyte-safe boundaries
-    val real = spark.read.parquet(s"$sf/documents.parquet")
+    // on real data and on planted multibyte text (2- and 3-byte chars
+    // exercise the char-boundary index against substr's code-point math)
+    val multi = Seq(
+      (100L, "tschüß façade naïve 中文数据处理引擎测试 mixed ascii tail"),
+      (101L, "中文数据处理引擎测试 shared span here too for overlap"))
+      .toDF("doc_id", "text")
+    val realBase = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text")
+    val real = realBase.unionByName(multi)
     val fused = TextOps.winnow(real, k = 8, w = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val composed = TextOps.winnowComposed(real, k = 8, w = 4).collect()
