@@ -449,10 +449,123 @@ object ExtendedQueries {
         .binned(cust, "c_acctbal", supp, "__lo", "__hi", binWidth = 16.0)
         .select(col("c_custkey"), col("s_suppkey"),
           col("c_acctbal"), col("s_acctbal"))
+    }),
+
+    // §2.9: funnel analysis — the product-analytics staple over the event
+    // stream: how many users reached view, view→click, view→click→purchase
+    // in temporal order. ONE shuffle (the per-user min-ts aggregate; the
+    // final rollup is aggregate-sized), integer counts only — bit-exact.
+    // Step ordering uses <= so same-instant steps count as reached, the
+    // deterministic choice both engines share.
+    "q_funnel" -> ((s, dir) => {
+      val perUser = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      val f = perUser.agg(
+        count(lit(1)).cast("long").as("n_users"),
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_view"),
+        sum(when(col("t_view") <= col("t_click"), 1L).otherwise(0L))
+          .cast("long").as("n_view_click"),
+        sum(when(col("t_view") <= col("t_click") &&
+          col("t_click") <= col("t_buy"), 1L).otherwise(0L))
+          .cast("long").as("n_view_click_buy"))
+      f.select(
+        explode(array(
+          struct(lit(1L).as("step"), lit("all_users").as("name"),
+            col("n_users").as("n")),
+          struct(lit(2L).as("step"), lit("view").as("name"),
+            col("n_view").as("n")),
+          struct(lit(3L).as("step"), lit("view>click").as("name"),
+            col("n_view_click").as("n")),
+          struct(lit(4L).as("step"), lit("view>click>purchase").as("name"),
+            col("n_view_click_buy").as("n")))).as("r"))
+        .select(col("r.step").as("step"), col("r.name").as("name"),
+          col("r.n").as("n_users"))
+    }),
+
+    // §2.9: cohort retention — users bucketed by first-seen week, activity
+    // counted per (cohort_week, active_week). The second aggregate reuses
+    // the user partitioning of the first (cohort join is user-co-located
+    // after one exchange), so the event stream shuffles ONCE on user and
+    // once more at the aggregate-sized (cohort, week) rollup. date_trunc
+    // week is ISO-Monday in both engines; integer counts — bit-exact.
+    "q_cohort" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      val active = ev.distinct()
+      active.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), col("week"))
+        .agg(countDistinct(col("user_id")).cast("long").as("n_users"))
+        .select(col("cohort_week"), col("week"),
+          floor(datediff(col("week"), col("cohort_week")) / lit(7.0))
+            .cast("long").as("week_no"),
+          col("n_users"))
+    }),
+
+    // §2.9: event-transition counts (first-order Markov over the per-user
+    // event sequence) — per-user lead() over (ts, event_id) needs ONE
+    // shuffle on user; the (from, to) rollup is vocabulary-sized. The
+    // END sentinel keeps terminal events accounted. Integer counts —
+    // bit-exact.
+    "q_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1, "END").over(w).as("next_type"))
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH per_user AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+           FROM events GROUP BY user_id),
+         f AS (
+           SELECT count(*) AS n_users,
+                  sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+                  sum(CASE WHEN t_view <= t_click THEN 1 ELSE 0 END) AS n_view_click,
+                  sum(CASE WHEN t_view <= t_click AND t_click <= t_buy
+                           THEN 1 ELSE 0 END) AS n_view_click_buy
+           FROM per_user)
+         SELECT CAST(s.step AS BIGINT) AS step, s.name,
+                CAST(CASE s.step WHEN 1 THEN n_users WHEN 2 THEN n_view
+                     WHEN 3 THEN n_view_click ELSE n_view_click_buy
+                END AS BIGINT) AS n_users
+         FROM f, (VALUES (1, 'all_users'), (2, 'view'), (3, 'view>click'),
+                         (4, 'view>click>purchase')) s(step, name)""",
+    "q_cohort" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+           FROM events),
+         cohort AS (
+           SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+         active AS (SELECT DISTINCT user_id, week FROM ev)
+         SELECT c.cohort_week, a.week,
+                CAST(floor((a.week - c.cohort_week) / 7.0) AS BIGINT) AS week_no,
+                CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+         FROM active a JOIN cohort c ON a.user_id = c.user_id
+         GROUP BY 1, 2, 3""",
+    "q_transitions" ->
+      """SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT event_type,
+                      coalesce(lead(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id), 'END') AS next_type
+               FROM events) t
+         GROUP BY 1, 2""",
     "q_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
                 count(*) AS n,
