@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet table loaders for the driver-generated TPC-H-ish testdata.
   * One parquet file per table under the scale-factor directory.
@@ -22,6 +22,13 @@ object Tables {
     // rounds pre-1970 nanos the wrong way.
     if (name == "events" && df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
       df.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet reads as
+    // TIMESTAMP_NTZ, which unix_micros/watermarks reject. The session tz is
+    // pinned UTC everywhere (Verify/Bench/specs), so casting to TimestampType
+    // preserves the instant and the DuckDB oracle (which reads the same file
+    // naively) still agrees.
+    else if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == TimestampNTZType))
+      df.withColumn("ts", col("ts").cast("timestamp"))
     else df
   }
 

@@ -21,9 +21,18 @@ object Scd2 {
 
   def fromChangeLog(changes: DataFrame, keys: Seq[String], ts: String,
       tiebreak: Seq[String] = Nil): DataFrame = {
+    // Accept either timestamp flavor: parquet written with
+    // isAdjustedToUTC=false loads as TIMESTAMP_NTZ, and downstream
+    // consumers (unix_micros projections, watermarks) reject NTZ. Cast once
+    // at entry — sessions are pinned UTC, so the instant is preserved.
+    val log = changes.schema.fields.find(_.name == ts).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        changes.withColumn(ts, col(ts).cast("timestamp"))
+      case _ => changes
+    }
     val order: Seq[Column] = col(ts) +: tiebreak.map(col)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    changes
+    log
       .withColumn("valid_from", col(ts))
       .withColumn("valid_to", lead(col(ts), 1).over(w))
       .withColumn("is_current", lead(col(ts), 1).over(w).isNull)

@@ -78,8 +78,16 @@ object Upsert {
     val updCols = updates.columns.toSet
     require(target.columns.forall(updCols.contains),
       "versioned updates must carry every target column")
-    val t = target.withColumn("__tgt", lit(true)).as("t")
-    val u = updates.withColumn("__upd", lit(true)).as("u")
+    // Normalize TIMESTAMP_NTZ version/ts columns on both sides so (a) a
+    // mixed-flavor struct comparison can't fail analysis and (b) the merged
+    // output carries TimestampType for downstream unix_micros/watermarks.
+    // Sessions are pinned UTC, so the cast preserves the instant.
+    def deNtz(df: DataFrame): DataFrame =
+      df.schema.fields.filter(_.dataType ==
+          org.apache.spark.sql.types.TimestampNTZType)
+        .foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast("timestamp")))
+    val t = deNtz(target).withColumn("__tgt", lit(true)).as("t")
+    val u = deNtz(updates).withColumn("__upd", lit(true)).as("u")
     val cond = keys.map(k => col(s"t.$k") === col(s"u.$k")).reduce(_ && _)
     val newer = struct(version.map(v => col(s"u.$v")): _*) >=
       struct(version.map(v => col(s"t.$v")): _*)

@@ -488,21 +488,25 @@ object ExtendedQueries {
     }),
 
     // §2.9: cohort retention — users bucketed by first-seen week, activity
-    // counted per (cohort_week, active_week). The second aggregate reuses
-    // the user partitioning of the first (cohort join is user-co-located
-    // after one exchange), so the event stream shuffles ONCE on user and
-    // once more at the aggregate-sized (cohort, week) rollup. date_trunc
-    // week is ISO-Monday in both engines; integer counts — bit-exact.
+    // counted per (cohort_week, active_week). ONE shuffle on user_id: a
+    // single per-user aggregate computes both the cohort week (min) and
+    // the distinct active-week set (collect_set, map-side-combinable and
+    // bounded by calendar weeks in the data), replacing the r8
+    // distinct+join shape that exchanged the event stream twice. After
+    // explode, each user contributes each week at most once, so the rollup
+    // is a plain count. date_trunc week is ISO-Monday in both engines;
+    // integer counts — bit-exact.
     "q_cohort" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events")
+      val perUser = Tables.load(s, dir, "events")
         .select(col("user_id"),
           date_trunc("week", col("ts")).cast("date").as("week"))
-      val cohort = ev.groupBy(col("user_id"))
-        .agg(min(col("week")).as("cohort_week"))
-      val active = ev.distinct()
-      active.join(cohort, "user_id")
+        .groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"),
+          collect_set(col("week")).as("weeks"))
+      perUser
+        .select(col("cohort_week"), explode(col("weeks")).as("week"))
         .groupBy(col("cohort_week"), col("week"))
-        .agg(countDistinct(col("user_id")).cast("long").as("n_users"))
+        .agg(count(lit(1)).cast("long").as("n_users"))
         .select(col("cohort_week"), col("week"),
           floor(datediff(col("week"), col("cohort_week")) / lit(7.0))
             .cast("long").as("week_no"),
@@ -512,15 +516,18 @@ object ExtendedQueries {
     // §2.9: event-transition counts (first-order Markov over the per-user
     // event sequence) — per-user lead() over (ts, event_id) needs ONE
     // shuffle on user; the (from, to) rollup is vocabulary-sized. The
-    // END sentinel keeps terminal events accounted. Integer counts —
-    // bit-exact.
+    // END sentinel keeps terminal events accounted. coalesce (not lead's
+    // default arg) so a genuinely-NULL next event_type ALSO maps to END,
+    // matching the oracle's coalesce(lead(...), 'END') if the data ever
+    // grows NULL event types. Integer counts — bit-exact.
     "q_transitions" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       Tables.load(s, dir, "events")
         .select(col("user_id"), col("event_type"),
-          lead(col("event_type"), 1, "END").over(w).as("next_type"))
+          coalesce(lead(col("event_type"), 1).over(w), lit("END"))
+            .as("next_type"))
         .groupBy(col("event_type"), col("next_type"))
         .agg(count(lit(1)).cast("long").as("n"))
     })
@@ -556,7 +563,7 @@ object ExtendedQueries {
          active AS (SELECT DISTINCT user_id, week FROM ev)
          SELECT c.cohort_week, a.week,
                 CAST(floor((a.week - c.cohort_week) / 7.0) AS BIGINT) AS week_no,
-                CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+                CAST(count(*) AS BIGINT) AS n_users
          FROM active a JOIN cohort c ON a.user_id = c.user_id
          GROUP BY 1, 2, 3""",
     "q_transitions" ->

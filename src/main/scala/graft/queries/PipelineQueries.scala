@@ -681,6 +681,15 @@ object PipelineQueries {
   private def fileReplaySource(
       s: SparkSession, df: DataFrame,
       root: java.nio.file.Path, sub: String): DataFrame = {
+    // A physical-type drift (r8: events.ts became TIMESTAMP_NTZ) must fail
+    // HERE, at the face boundary, with a message naming the fix — not deep
+    // inside watermark analysis three operators later.
+    df.schema.fields.foreach { f =>
+      require(f.dataType != org.apache.spark.sql.types.TimestampNTZType,
+        s"replay column '${f.name}' is TIMESTAMP_NTZ — watermarks and " +
+          "unix_micros reject it; normalize upstream (Tables.load casts " +
+          "NTZ to TimestampType under the UTC-pinned session)")
+    }
     val path = root.resolve(sub).toString
     df.write.mode("overwrite").parquet(path)
     s.readStream.schema(df.schema).parquet(path)

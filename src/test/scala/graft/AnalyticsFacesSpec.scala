@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** Pins the three event-analytics faces added in the r8 snapshot commit
+  * (funnel, cohort retention, transitions) — previously oracle-green but
+  * spec-less. Each test builds a tiny hand-computable event log, so the
+  * null-comparison and plan-shape semantics are pinned independently of
+  * the driver data.
+  */
+class AnalyticsFacesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(h: Int, m: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  /** Events parquet written to a temp dir so the faces (which call
+    * Tables.load on a directory) can run against it. */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_analytics_").toString
+    val ev = Seq(
+      // u1: view → click → purchase (in order): counts at every step
+      (1L, t(1), 1L, "view", 0.0, "{}"),
+      (2L, t(2), 1L, "click", 0.0, "{}"),
+      (3L, t(3), 1L, "purchase", 0.0, "{}"),
+      // u2: click BEFORE view: reaches "view" but not "view>click"
+      (4L, t(1), 2L, "click", 0.0, "{}"),
+      (5L, t(2), 2L, "view", 0.0, "{}"),
+      // u3: view only, same-instant click (ties count via <=)
+      (6L, t(4), 3L, "view", 0.0, "{}"),
+      (7L, t(4), 3L, "click", 0.0, "{}"),
+      // u4: no view at all
+      (8L, t(5), 4L, "purchase", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("q_funnel: temporal step counts with <= tie semantics") {
+    val out = SparkEntry.queries("q_funnel")(spark, dir)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map(
+      "all_users" -> 4L, "view" -> 3L,
+      "view>click" -> 2L, // u1 (ordered) + u3 (same instant); NOT u2 (reversed)
+      "view>click>purchase" -> 1L))
+  }
+
+  test("q_transitions: END sentinel closes every user's sequence") {
+    val out = SparkEntry.queries("q_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("view", "click")) == 2L)   // u1, u3 (tie broken by event_id)
+    assert(out(("click", "purchase")) == 1L)
+    assert(out(("purchase", "END")) == 2L) // u1, u4 terminals
+    assert(out(("view", "END")) == 1L)     // u2 ends on view
+    assert(out.values.sum == 8L)           // every event contributes one edge
+  }
+
+  test("q_cohort: first-week cohorts, one shuffle of the event stream") {
+    // Spread users across two ISO weeks (2024-01-01 and 2024-01-08 are Mondays)
+    val d = java.nio.file.Files.createTempDirectory("graft_cohort_").toString
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-02 00:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-09 00:00:00"), 1L, "view", 0.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-10 00:00:00"), 1L, "view", 0.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-09 00:00:00"), 2L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val res = SparkEntry.queries("q_cohort")(spark, d)
+    val rows = res.collect()
+      .map(r => (r.getDate(0).toString, r.getDate(1).toString) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows == Map(
+      ("2024-01-01", "2024-01-01") -> ((0L, 1L)),  // u1 week 0
+      ("2024-01-01", "2024-01-08") -> ((1L, 1L)),  // u1 retained week 1
+      ("2024-01-08", "2024-01-08") -> ((0L, 1L)))) // u2's own cohort
+    // Scale shape: exactly two Exchanges — one on user_id for the fused
+    // (min, collect_set) aggregate, one for the vocabulary-sized rollup.
+    // The r8 distinct+join shape paid three.
+    // AQE's toString prints Final AND Initial plans — count only the final.
+    val plan = res.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 exchanges:\n$plan")
+  }
+}

@@ -46,7 +46,13 @@ def main() -> int:
             n_skip += 1
             continue
         try:
-            exp = con.execute(oracle[name]).df()
+            # .arrow() keeps DATE as date32 → datetime.date ("2024-01-01"),
+            # matching how pandas reads Spark's parquet dates; .df() would
+            # widen DATE to datetime64 ("2024-01-01 00:00:00") and fail the
+            # string compare on a purely representational difference (the
+            # driver's own compare treats them as equal — q_cohort r8).
+            exp = con.execute(oracle[name]).arrow().to_pandas(
+                date_as_object=True)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle SQL error: {e}")
             n_fail += 1
