@@ -51,6 +51,9 @@ object GraftFunctions {
   def winnow_fp(c: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFp(ColumnBridge.expression(c), k, w))
 
+  def stride_win_hashes(c: Column, w: Int, stride: Int): Column =
+    ColumnBridge.column(StrideWinHashes(ColumnBridge.expression(c), w, stride))
+
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -112,7 +115,13 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[WinnowFp].getName, "winnow_fp"),
       (exprs: Seq[Expression]) => WinnowFp(exprs(0),
-        litInt(exprs(1), "winnow_fp k"), litInt(exprs(2), "winnow_fp w"))))
+        litInt(exprs(1), "winnow_fp k"), litInt(exprs(2), "winnow_fp w"))),
+    ("stride_win_hashes",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[StrideWinHashes].getName, "stride_win_hashes"),
+      (exprs: Seq[Expression]) => StrideWinHashes(exprs(0),
+        litInt(exprs(1), "stride_win_hashes w"),
+        litInt(exprs(2), "stride_win_hashes stride"))))
 
   /** Make graft functions callable from `spark.sql` on an existing session
     * (SQL parity, SURVEY §4). */

@@ -28,6 +28,70 @@ case class WinnowFp(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Stride-window xxhash64 as ONE native pass — the fused form of
+  * `transform(sequence(0, (nc-w)/stride), i => xxhash64(substring(text,
+  * 1+i*stride, w)))` that [[graft.operators.Dedup.substrDup]] feeds its
+  * window stream from. The composed form re-seeks every window's UTF-8
+  * char boundary from the string START (`substring` is char-addressed), so
+  * a document pays O(len²/stride) byte scanning — the same bug class the
+  * char-gram extractor and [[WinnowFp]] fixed. Here the boundary index is
+  * built once and each window hashes its byte range in place via the exact
+  * XXH64 Spark's `xxhash64` uses (seed 42) — bit-identical output
+  * (spec-pinned on multibyte text), O(len) total.
+  */
+case class StrideWinHashes(child: Expression, w: Int, stride: Int)
+    extends UnaryExpression {
+  require(w > 0 && stride > 0, "window and stride must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    StrideWinHashes.compute(input.asInstanceOf[UTF8String], w, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StrideWinHashes.compute($c, $w, $stride)")
+
+  override protected def withNewChildInternal(newChild: Expression): StrideWinHashes =
+    copy(child = newChild)
+}
+
+object StrideWinHashes {
+  private val EMPTY = new GenericArrayData(new Array[Long](0))
+
+  /** Shared by interpreted eval and generated code. Texts shorter than `w`
+    * chars produce an empty array (callers filter or explode). */
+  def compute(s: UTF8String, w: Int, stride: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val starts = new Array[Int](n + 1)
+    var nc = 0
+    var off = 0
+    while (off < n) {
+      starts(nc) = off
+      val b = bytes(off) & 0xff
+      off += (if (b < 0x80) 1 else if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4)
+      nc += 1
+    }
+    starts(nc) = n
+    if (nc < w) return EMPTY
+    val nWins = (nc - w) / stride + 1
+    val out = new Array[Long](nWins)
+    var x = 0
+    var p = 0
+    while (x < nWins) {
+      val sb = starts(p)
+      // Spark's xxhash64(string) = XXH64(bytes, seed 42) over the UTF-8
+      // bytes; a char-substring's bytes are exactly this range.
+      out(x) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + sb,
+        starts(p + w) - sb, 42L)
+      p += stride
+      x += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object WinnowFp {
   private val EMPTY = new GenericArrayData(new Array[Long](0))
 

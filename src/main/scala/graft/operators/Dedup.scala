@@ -746,12 +746,16 @@ object Dedup {
     * fidelity, `stride`x the shuffle — the 100 TB default stays 10). */
   def substrDup(docs: DataFrame, w: Int = 40, stride: Int = 10,
       useWindow: Boolean = false): DataFrame = {
+    // Fused window hashing (functions.StrideWinHashes): the composed
+    // transform(substring)+xxhash64 form re-seeks each window's char
+    // boundary from the string start — O(len²/stride) per doc; the fused
+    // expression builds the boundary index once and hashes byte ranges in
+    // place (bit-identical XXH64 seed-42 output, spec-pinned).
     val wins = docs
       .filter(length(col("text")) >= w)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), floor((length(col("text")) - w) / stride).cast("int")),
-        i => substring(col("text"), lit(1) + i * stride, lit(w)))).as("win"))
-      .select(col("doc_id"), xxhash64(col("win")).as("h"))
+      .select(col("doc_id"), explode(
+        graft.functions.GraftFunctions.stride_win_hashes(
+          col("text"), w, stride)).as("h"))
     val counted =
       if (useWindow)
         wins.withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))

@@ -46,6 +46,39 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(fromSql == fromCol && fromSql.nonEmpty)
   }
 
+  test("stride_win_hashes: fused equals composed transform+substring+xxhash64," +
+      " multibyte included") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps running onward",
+      // multibyte: 2-, 3- and 4-byte UTF-8 chars shift the byte/char map
+      "héllo wörld — ünïcode tëxt 漢字かな混じりの文書です 🚀 and some trailing ascii tail",
+      "ααββγγδδ εεζζηηθθ ιικκλλμμ ννξξοοππ ρρσσττυυ",
+      "short", // < w chars → empty
+      "exactly-forty-characters-long-string-ok!") // == w → exactly 1 window
+    val df = texts.toDF("text")
+    val w = 40; val stride = 10
+    val fused = df.select(
+      GraftFunctions.stride_win_hashes(col("text"), w, stride).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    val composed = df
+      .filter(length(col("text")) >= w)
+      .select(transform(
+        sequence(lit(0), floor((length(col("text")) - w) / stride).cast("int")),
+        i => xxhash64(substring(col("text"), lit(1) + i * stride, lit(w)))).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    assert(fused.filter(_.nonEmpty).toSeq == composed.toSeq)
+    assert(fused(3).isEmpty)          // sub-window text
+    assert(fused(4).length == 1)      // exact-width text: one window
+    // SQL registration parity
+    GraftFunctions.register(spark)
+    val fromSql = spark.sql(
+      s"SELECT stride_win_hashes('${texts.head}', $w, $stride)")
+      .collect()(0).getSeq[Long](0)
+    assert(fromSql == fused(0))
+  }
+
   test("GraftExtensions injects the same function set") {
     // the extensions class is instantiable and wires without error; actual
     // new-session injection is a deploy-time path (spark.sql.extensions)
