@@ -89,9 +89,15 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Per-rep load provenance: r8's gate passed at 1.02 but load hit 1.91
+    // by rep 1 — a contended official run must self-identify PER REP, not
+    // just at the endpoints.
+    val repLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passes = (1 to reps).map { i =>
+      repLoads += loadavg()
       val p = timedPass()
-      System.err.println(f"[bench] rep $i/$reps total ${p.map(_._2).filter(_ >= 0).sum}%.1f s")
+      System.err.println(f"[bench] rep $i/$reps total ${p.map(_._2).filter(_ >= 0).sum}%.1f s" +
+        f" (loadavg at rep start ${repLoads.last}%.2f)")
       p
     }
     // per-query median across reps; a query counts only reps where it ran
@@ -109,11 +115,19 @@ object Bench {
     }
     val loadAfter = loadavg()
     def r2(v: Double): String = (math.rint(v * 100) / 100).toString
+    // min_rep_total: the least-contended rep's whole-suite time — on a
+    // noisy box the median can still be inflated (2 of 3 reps contended,
+    // r8's 120/103/100), while the min is the best available estimate of
+    // the uncontended cost. Trend reads should prefer it when rep_loads
+    // show contention.
+    val minRepTotal = if (repTotals.nonEmpty) repTotals.min else -1.0
     val provenance =
       s""""load":{"before":${r2(loadBefore)},"after":${r2(loadAfter)}},""" +
       s""""gate":{"threshold":${r2(gateThreshold)},"waits":$gateWaits,""" +
       s""""load_at_start":${r2(gateLoad)},"passed":$gatePassed},""" +
-      s""""rep_totals":[${repTotals.map(r2).mkString(",")}]"""
+      s""""rep_totals":[${repTotals.map(r2).mkString(",")}],""" +
+      s""""rep_loads":[${repLoads.map(r2).mkString(",")}],""" +
+      s""""min_rep_total":${r2(minRepTotal)}"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

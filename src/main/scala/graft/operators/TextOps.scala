@@ -398,4 +398,53 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(pred, lit("und")).as("lang_pred"), col("lang_true"))
   }
+
+  /** BM25 lexical retrieval scoring (k1=1.2, b=0.75), in an integer-exact
+    * form so Spark and the SQL oracle agree bit-for-bit (the txt_classify
+    * posture: floor division at a fixed scale instead of `ln`, whose last
+    * ulp differs across libm implementations):
+    *
+    *  - idf uses the Robertson odds WITHOUT the log:
+    *    idf_t = (2(N - df_t) + 1) / (2·df_t + 1) — same numerator/denominator
+    *    BM25's `ln((N-df+0.5)/(df+0.5))` wraps; monotone in df, so ranking
+    *    behavior is preserved while staying a ratio of exact integers.
+    *  - avgdl is floored to an integer (t div n), tf saturates at 255 (BM25
+    *    is nearly flat in tf past ~20 at k1=1.2; the cap also bounds every
+    *    intermediate product inside int64 — worst case
+    *    (2N+1)·22·255·avgdl·10⁹ stays < 2⁶³ for avgdl up to ~1600).
+    *  - with k1 = 6/5 and b = 3/4, the per-term score
+    *    idf · tf(k1+1) / (tf + k1(1-b+b·dl/avgdl)) multiplies out to
+    *    idf_num·22·tf·avgdl / (idf_den·(10·avgdl·tf + 3·avgdl + 9·dl)) —
+    *    a ratio of exact int64s, floored at scale 10⁹ per term and SUMMED
+    *    IN INTEGERS per doc (associative ⇒ shuffle-order-proof).
+    *
+    * Scale shape: the token stream is filtered to the query terms in the
+    * scan projection (map-side — the corpus-wide stream that reaches the
+    * only shuffle is |terms| tokens per matching doc, not the corpus);
+    * df and the (N, total-token) stats are aggregate-sized broadcasts;
+    * the final top-k plans as TakeOrderedAndProject (per-partition heads,
+    * no global sort). Scoring 100 TB is one map-side-combinable aggregate.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+    val stats = toks.agg(count(lit(1)).as("n"),
+      sum(size(col("toks")).cast("long")).as("t"))
+    val qa = array(terms.map(lit): _*)
+    val tf = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(filter(col("toks"), t => array_contains(qa, t))).as("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", expr("t div n"))
+      .withColumn("tfc", least(col("tf"), lit(255L)))
+      .withColumn("sterm", expr(
+        "((2*(n - df) + 1) * 22 * tfc * avgdl * cast(1000000000 as bigint)) div " +
+          "((2*df + 1) * (10*avgdl*tfc + 3*avgdl + 9*dl))"))
+      .groupBy(col("doc_id")).agg(sum(col("sterm")).cast("long").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
 }

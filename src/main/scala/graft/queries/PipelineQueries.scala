@@ -227,6 +227,14 @@ object PipelineQueries {
         d.filter(col("doc_id") % 10 === 0), model, labels)
     }),
 
+    // §2.10: BM25 lexical retrieval — integer-exact scoring (log-free odds
+    // idf, floor-scale-10⁹ per-term scores summed in integers; FULL oracle:
+    // DuckDB rebuilds the identical integer pipeline). Token stream is
+    // term-filtered in the scan projection; df/stats broadcast; top-k is
+    // TakeOrdered.
+    "txt_bm25" -> ((s, dir) =>
+      TextOps.bm25(docs(s, dir), Bm25Terms, k = 10)),
+
     // §2.3 #45 token counting
     "txt_tokens" -> ((s, dir) => TextOps.tokens(docs(s, dir))),
 
@@ -663,6 +671,10 @@ object PipelineQueries {
 
   /** Sentinel user for watermark-advancing events (filtered from output). */
   private val SentinelUser = -99L
+
+  /** Fixed BM25 query terms: real corpus vocabulary with spread document
+    * frequencies, shared verbatim by the face and the oracle. */
+  private val Bm25Terms = Seq("spark", "hash", "window", "stream")
 
   /** File-backed replay source: writes `df` to a fresh subdir of `root`
     * (a DISTRIBUTED write — the source table never collects to the
@@ -1306,6 +1318,26 @@ object PipelineQueries {
          FROM documents
          WHERE substr(md5(text), 1, 4) < substr(md5(source), 1, 4)
          GROUP BY 1""",
+    "txt_bm25" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         stats AS (SELECT count(*) AS n, sum(len(toks)) AS t FROM d),
+         m AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM d),
+         tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM m
+                WHERE tok IN ('spark','hash','window','stream')
+                GROUP BY 1, 2, 3),
+         df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         sc AS (SELECT f.doc_id,
+                  ((2*(s.n - df.df) + 1) * 22 * least(f.tf, 255) * (s.t // s.n)
+                    * 1000000000)
+                  // ((2*df.df + 1) *
+                      (10*(s.t // s.n)*least(f.tf, 255) + 3*(s.t // s.n) + 9*f.dl))
+                  AS sterm
+                FROM tf f JOIN df USING (tok) CROSS JOIN stats s)
+         SELECT doc_id, CAST(sum(sterm) AS BIGINT) AS score
+         FROM sc GROUP BY 1
+         ORDER BY score DESC, doc_id LIMIT 10""",
     "txt_repetition" ->
       """SELECT doc_id,
                 1.0 - len(list_distinct(string_split_regex(text, ' +'))) /

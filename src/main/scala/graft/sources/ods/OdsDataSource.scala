@@ -133,40 +133,39 @@ final class OdsScan(fullSchema: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new OdsPartitionReaderFactory(fullSchema, required, opts,
-      XlsxDataSource.captureConf())
+      XlsxDataSource.captureConf(), columnar = true)
 }
 
 final case class OdsInputPartition(path: String) extends InputPartition
 
 final class OdsPartitionReaderFactory(fullSchema: StructType,
-    required: StructType, opts: XlsxOptions, conf: XlsxDataSource.ConfProps)
+    required: StructType, opts: XlsxOptions, conf: XlsxDataSource.ConfProps,
+    /** Batch scans read columnar, matching the xlsx family default — Spark
+      * inserts codegen'd ColumnarToRow, the vectorized-parquet shape. The
+      * row reader stays for tests and any future row-path face. */
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new OdsPartitionReader(fullSchema, required, opts, conf,
       partition.asInstanceOf[OdsInputPartition].path)
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new OdsColumnarPartitionReader(fullSchema, required, opts, conf,
+      partition.asInstanceOf[OdsInputPartition].path)
 }
 
-/** Row-based reader over one file's target table: rows stream through the
-  * shared XCell→Catalyst conversion; ragged rows (wider than row 1) error
-  * exactly like the xlsx path; short rows NULL-pad. */
-final class OdsPartitionReader(fullSchema: StructType, required: StructType,
-    opts: XlsxOptions, conf: XlsxDataSource.ConfProps, path: String)
-    extends PartitionReader[InternalRow] {
-
-  private val resolved = OdsDataSource.resolve(path, opts, conf)
-  // required column → its position in the sheet (fullSchema order = sheet order)
-  private val colIdx: Array[Int] =
-    required.fields.map(f => fullSchema.fieldIndex(f.name))
-  private val colTypes: Array[DataType] = required.fields.map(_.dataType)
-
-  // bounded producer: the StAX callback runs on a feeder thread, rows queue
-  // to the reader (PartitionReader is pull-based; ODS parse is push-based)
+/** Bounded producer bridging the push-based StAX parse to the pull-based
+  * readers: a feeder thread queues post-skip rows (ragged-checked exactly
+  * like the xlsx path), the consumer drains. Shared by the row and
+  * columnar readers so the two paths cannot drift on parse semantics. */
+private[ods] final class OdsRowFeed(path: String, opts: XlsxOptions,
+    conf: XlsxDataSource.ConfProps, resolved: XlsxSchema.Resolved) {
   private val queue = new java.util.concurrent.ArrayBlockingQueue[AnyRef](256)
   private val Done = new Object
   @volatile private var err: Throwable = null
   @volatile private var closed = false
-  private var row: InternalRow = null
-  private var finished = false
 
   private val feeder = new Thread(() => {
     try {
@@ -179,14 +178,7 @@ final class OdsPartitionReader(fullSchema: StructType, required: StructType,
               throw new IllegalStateException(
                 s"Row $emitted has more columns than the first row. " +
                   s"Has: ${cells.length} Expected: ${resolved.baseWidth}")
-            val values = new Array[Any](colIdx.length)
-            var i = 0
-            while (i < colIdx.length) {
-              val c = if (colIdx(i) < cells.length) cells(colIdx(i)) else XCell.XNone
-              values(i) = XlsxPartitionReader.convert(c, colTypes(i), resolved.coerceToString)
-              i += 1
-            }
-            queue.put(new GenericInternalRow(values))
+            queue.put(cells)
           }
           !closed // stop parsing promptly once the reader is closed
         })
@@ -206,22 +198,114 @@ final class OdsPartitionReader(fullSchema: StructType, required: StructType,
   feeder.setDaemon(true)
   feeder.start()
 
+  /** Blocking take: null at end of stream (re-raising any feeder error).
+    * Callers must not take() again after null. */
+  def take(): Array[XCell] = queue.take() match {
+    case Done =>
+      if (err != null) throw err
+      null
+    case r => r.asInstanceOf[Array[XCell]]
+  }
+
+  def close(): Unit = {
+    closed = true
+    feeder.interrupt()
+  }
+}
+
+/** Row-based reader over one file's target table: rows stream through the
+  * shared XCell→Catalyst conversion; ragged rows (wider than row 1) error
+  * exactly like the xlsx path; short rows NULL-pad. */
+final class OdsPartitionReader(fullSchema: StructType, required: StructType,
+    opts: XlsxOptions, conf: XlsxDataSource.ConfProps, path: String)
+    extends PartitionReader[InternalRow] {
+
+  private val resolved = OdsDataSource.resolve(path, opts, conf)
+  // required column → its position in the sheet (fullSchema order = sheet order)
+  private val colIdx: Array[Int] =
+    required.fields.map(f => fullSchema.fieldIndex(f.name))
+  private val colTypes: Array[DataType] = required.fields.map(_.dataType)
+  private val feed = new OdsRowFeed(path, opts, conf, resolved)
+  private var row: InternalRow = null
+  private var finished = false
+
   override def next(): Boolean = {
     if (finished) return false
-    queue.take() match {
-      case Done =>
-        finished = true
-        if (err != null) throw err
-        false
-      case r => row = r.asInstanceOf[InternalRow]; true
+    val cells = feed.take()
+    if (cells == null) { finished = true; return false }
+    val values = new Array[Any](colIdx.length)
+    var i = 0
+    while (i < colIdx.length) {
+      val c = if (colIdx(i) < cells.length) cells(colIdx(i)) else XCell.XNone
+      values(i) = XlsxPartitionReader.convert(c, colTypes(i), resolved.coerceToString)
+      i += 1
     }
+    row = new GenericInternalRow(values)
+    true
   }
 
   override def get(): InternalRow = row
   override def close(): Unit = {
-    closed = true
     finished = true
-    feeder.interrupt()
+    feed.close()
+  }
+}
+
+/** Columnar twin: the same feed fills reused OnHeapColumnVectors through
+  * `XlsxPartitionReader.writeVector` (the family's shared cell→vector
+  * semantics), emitting one ColumnarBatch per
+  * [[graft.sources.xlsx.XlsxColumnarPartitionReader.SeqBatchRows]] rows —
+  * Spark reads it through codegen'd ColumnarToRow, the same plan shape as
+  * the xlsx batch path and the built-in vectorized parquet reader. */
+final class OdsColumnarPartitionReader(fullSchema: StructType,
+    required: StructType, opts: XlsxOptions, conf: XlsxDataSource.ConfProps,
+    path: String)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+  import graft.sources.xlsx.XlsxColumnarPartitionReader.SeqBatchRows
+
+  private val resolved = OdsDataSource.resolve(path, opts, conf)
+  private val colIdx: Array[Int] =
+    required.fields.map(f => fullSchema.fieldIndex(f.name))
+  private val colTypes: Array[DataType] = required.fields.map(_.dataType)
+  private val colCodes: Array[Int] = colTypes.map(XlsxPartitionReader.typeCode)
+  private val feed = new OdsRowFeed(path, opts, conf, resolved)
+  private var vectors: Array[OnHeapColumnVector] = _
+  private var current: ColumnarBatch = _
+  private var finished = false
+
+  override def next(): Boolean = {
+    if (finished) return false
+    if (vectors == null)
+      vectors = colTypes.map(dt => new OnHeapColumnVector(SeqBatchRows, dt))
+    else vectors.foreach(_.reset())
+    var out = 0
+    while (out < SeqBatchRows && !finished) {
+      val cells = feed.take()
+      if (cells == null) finished = true
+      else {
+        var i = 0
+        while (i < colIdx.length) {
+          val c = if (colIdx(i) < cells.length) cells(colIdx(i)) else XCell.XNone
+          XlsxPartitionReader.writeVector(vectors(i), out, c, colCodes(i),
+            resolved.coerceToString)
+          i += 1
+        }
+        out += 1
+      }
+    }
+    if (out == 0) false
+    else {
+      current = new ColumnarBatch(vectors.toArray[ColumnVector], out)
+      true
+    }
+  }
+
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = {
+    finished = true
+    feed.close()
   }
 }
 

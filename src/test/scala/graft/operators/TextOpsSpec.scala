@@ -253,4 +253,32 @@ class TextOpsSpec extends SparkSpec {
     assert(preds(11L) == "de")
     assert(preds(12L) == "und")
   }
+
+  test("bm25: hand-computed integer scores, rarity ordering, top-k plan") {
+    import org.apache.spark.sql.functions.col
+    // 4 docs, avgdl = (4+4+4+4) div 4 = 4. "rare" appears in 1 doc,
+    // "common" in 3 — the rare term must outscore the common one.
+    val docs = Seq(
+      (1L, "rare alpha beta gamma"),
+      (2L, "common alpha beta gamma"),
+      (3L, "common common beta gamma"),
+      (4L, "common alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25(docs, Seq("rare", "common"), k = 4)
+    val scores = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Hand-compute doc 1 ("rare", tf=1, dl=4, avg=4, N=4, df=1):
+    // idf = (2*(4-1)+1)/(2*1+1) = 7/3; sterm = 7*22*1*4*1e9 div
+    // (3*(10*4*1 + 3*4 + 9*4)) = 616e9 div (3*88) = 2333333333
+    assert(scores(1L) == 616000000000L / 264L)
+    // doc 3 ("common", tf=2, df=3): idf_num=2*(4-3)+1=3, idf_den=7;
+    // sterm = 3*22*2*4*1e9 div (7*(10*4*2+3*4+9*4)) = 528e9 div 896
+    assert(scores(3L) == 528000000000L / 896L)
+    // rare-term doc ranks first; same-score common docs tie-break by doc_id
+    val ranked = out.collect().map(_.getLong(0)).toSeq
+    assert(ranked.head == 1L)
+    assert(scores(2L) == scores(4L) && ranked.indexOf(2L) < ranked.indexOf(4L))
+    // top-k is a TakeOrdered (per-partition heads), never a global Sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
+  }
 }
