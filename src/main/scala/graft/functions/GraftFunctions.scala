@@ -77,6 +77,14 @@ object GraftFunctions {
     ColumnBridge.column(
       MgFreqItems(ColumnBridge.expression(item), k).toAggregateExpression())
 
+  def cms_merge(sketch: Column): Column =
+    ColumnBridge.column(
+      CmsMergeAgg(ColumnBridge.expression(sketch)).toAggregateExpression())
+
+  def cms_estimate(sketch: Column, item: Column): Column =
+    ColumnBridge.column(
+      CmsEstimate(ColumnBridge.expression(sketch), ColumnBridge.expression(item)))
+
   /** Extract a literal Int argument of a SQL call (e.g. the `k` of
     * `mg_freq_items(tok, 64)`) — aggregates parameterized at plan time
     * can't take it from a column. */
@@ -121,7 +129,15 @@ object GraftFunctions {
         classOf[StrideWinHashes].getName, "stride_win_hashes"),
       (exprs: Seq[Expression]) => StrideWinHashes(exprs(0),
         litInt(exprs(1), "stride_win_hashes w"),
-        litInt(exprs(2), "stride_win_hashes stride"))))
+        litInt(exprs(2), "stride_win_hashes stride"))),
+    ("cms_merge",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CmsMergeAgg].getName, "cms_merge"),
+      (exprs: Seq[Expression]) => CmsMergeAgg(exprs.head)),
+    ("cms_estimate",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CmsEstimate].getName, "cms_estimate"),
+      (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
 
   /** Make graft functions callable from `spark.sql` on an existing session
     * (SQL parity, SURVEY §4). */

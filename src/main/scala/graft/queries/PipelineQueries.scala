@@ -372,6 +372,55 @@ object PipelineQueries {
           (col("__r") + 1).cast("long").as("rank"), col("err_bound"))
     }),
 
+    // §2.10: Count-Min sketch frequencies — the persistable-sketch posture
+    // (q_sketch_union's HLL shape) for POINT frequencies: per-lang sketches
+    // from Spark's builtin count_min_sketch aggregate, one cell-wise-sum
+    // union over the sketch binaries (associative ⇒ deterministic), point
+    // lookups without a corpus rescan. rows-only; the _check twin
+    // certifies the CMS contract against DuckDB-recomputed exact counts.
+    "q_cms" -> ((s, dir) => {
+      val perLang = docs(s, dir)
+        .select(col("lang"), explode(split(lower(col("text")), " +")).as("tok"))
+        .groupBy(col("lang"))
+        .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("sk"))
+      perLang
+        .agg(graft.functions.GraftFunctions.cms_merge(col("sk")).as("sk"))
+        .select(explode(array(CmsItems.map(lit): _*)).as("item"), col("sk"))
+        .select(col("item"),
+          graft.functions.GraftFunctions.cms_estimate(col("sk"), col("item")).as("est"))
+    }),
+
+    // CHECK face: n_exact cross-checks DuckDB's exact count per item
+    // (hash-exact), and the booleans certify the CMS contract engine-side:
+    // estimates never undercount, and overcount stays within ceil(eps·T).
+    // DuckDB hard-codes the booleans, so a drifting sketch hash-fails.
+    "q_cms_check" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("lang"), explode(split(lower(col("text")), " +")).as("tok"))
+      val sk = toks.groupBy(col("lang"))
+        .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("sk"))
+        .agg(graft.functions.GraftFunctions.cms_merge(col("sk")).as("sk"))
+      val est = sk
+        .select(explode(array(CmsItems.map(lit): _*)).as("item"), col("sk"))
+        .select(col("item"),
+          graft.functions.GraftFunctions.cms_estimate(col("sk"), col("item")).as("est"))
+      val exact = toks.filter(col("tok").isin(CmsItems: _*))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+        .withColumnRenamed("tok", "item")
+      val total = toks.agg(count(lit(1)).as("t"))
+        .withColumn("__zero", pmod(col("t"), lit(1L)))
+      est.join(exact, Seq("item"), "left")
+        // column-derived zero key → BroadcastHashJoin (a literal key folds
+        // to `true` and degrades to the BNLJ the audit scans for)
+        .withColumn("__zero", pmod(length(col("item")).cast("long"), lit(1L)))
+        .join(broadcast(total), "__zero")
+        .select(col("item"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          (col("est") >= coalesce(col("n_exact"), lit(0L))).as("never_under"),
+          (col("est") <= coalesce(col("n_exact"), lit(0L)) +
+            ceil(col("t") * lit(0.001)).cast("long")).as("bound_ok"))
+    }),
+
     // §2.8: char-trigram LM counts — the model-building pass of the
     // CCNet-style statistical quality filter (oracle-exact counts)
     "txt_charlm" -> ((s, dir) =>
@@ -675,6 +724,11 @@ object PipelineQueries {
   /** Fixed BM25 query terms: real corpus vocabulary with spread document
     * frequencies, shared verbatim by the face and the oracle. */
   private val Bm25Terms = Seq("spark", "hash", "window", "stream")
+
+  /** CMS lookup items: frequent vocabulary + one guaranteed-absent probe
+    * (its exact count is 0, so `never_under`/`bound_ok` pin the absent
+    * path too). */
+  private val CmsItems = Seq("spark", "hash", "window", "stream", "zzz_absent")
 
   /** File-backed replay source: writes `df` to a fresh subdir of `root`
     * (a DISTRIBUTED write — the source table never collects to the
@@ -1318,6 +1372,19 @@ object PipelineQueries {
          FROM documents
          WHERE substr(md5(text), 1, 4) < substr(md5(source), 1, 4)
          GROUP BY 1""",
+    "q_cms_check" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(lower(text), ' +')) AS tok
+           FROM documents),
+         items(item) AS (VALUES ('spark'), ('hash'), ('window'), ('stream'),
+                                ('zzz_absent')),
+         exact AS (
+           SELECT i.item, count(t.tok) AS n_exact
+           FROM items i LEFT JOIN toks t ON t.tok = i.item
+           GROUP BY 1)
+         SELECT item, CAST(n_exact AS BIGINT) AS n_exact,
+                TRUE AS never_under, TRUE AS bound_ok
+         FROM exact""",
     "txt_bm25" ->
       """WITH d AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

@@ -79,6 +79,44 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(fromSql == fused(0))
   }
 
+  test("cms: merge of per-group sketches preserves the contract; estimates " +
+      "never undercount; absent item bounded; SQL-callable") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val toks = Seq.fill(50)("a") ++ Seq.fill(20)("b") ++ Seq.fill(5)("c")
+    // two groups with the same eps/conf/seed: the union must count both
+    val df = toks.zipWithIndex
+      .map { case (t, i) => (i % 2, t) }.toDF("g", "tok")
+    val merged = df.groupBy(col("g"))
+      .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("sk"))
+      .agg(GraftFunctions.cms_merge(col("sk")).as("sk"))
+    val est = merged
+      .select(explode(array(lit("a"), lit("b"), lit("c"), lit("nope"))).as("item"),
+        col("sk"))
+      .select(col("item"), GraftFunctions.cms_estimate(col("sk"), col("item")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eps = math.ceil(75 * 0.001).toLong
+    assert(est("a") >= 50L && est("a") <= 50L + eps)
+    assert(est("b") >= 20L && est("b") <= 20L + eps)
+    assert(est("c") >= 5L && est("c") <= 5L + eps)
+    assert(est("nope") >= 0L && est("nope") <= eps)
+    // single-sketch path equals the merged two-group path (union exactness
+    // of cell-wise sums, same seed)
+    val single = df
+      .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("sk"))
+      .select(GraftFunctions.cms_estimate(col("sk"), lit("a")).as("est"))
+      .collect()(0).getLong(0)
+    assert(single == est("a"))
+    // SQL registration
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("cms_toks")
+    val sqlEst = spark.sql(
+      """SELECT cms_estimate(cms_merge(sk), 'b') FROM
+         (SELECT count_min_sketch(tok, 0.001d, 0.99d, 42) AS sk
+          FROM cms_toks GROUP BY g)""").collect()(0).getLong(0)
+    assert(sqlEst == est("b"))
+  }
+
   test("GraftExtensions injects the same function set") {
     // the extensions class is instantiable and wires without error; actual
     // new-session injection is a deploy-time path (spark.sql.extensions)
