@@ -23,13 +23,16 @@ object Tables {
     if (name == "events" && df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
       df.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
     // TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet reads as
-    // TIMESTAMP_NTZ, which unix_micros/watermarks reject. The session tz is
-    // pinned UTC everywhere (Verify/Bench/specs), so casting to TimestampType
-    // preserves the instant and the DuckDB oracle (which reads the same file
-    // naively) still agrees.
-    else if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == TimestampNTZType))
-      df.withColumn("ts", col("ts").cast("timestamp"))
-    else df
+    // TIMESTAMP_NTZ, which unix_micros/watermarks reject — and a mixed
+    // NTZ/TimestampType surface (events.ts fixed, orders.o_orderdate not)
+    // leaves every cross-table comparison at the mercy of implicit
+    // coercion. Normalize EVERY NTZ column: the session tz is pinned UTC
+    // everywhere (Verify/Bench/specs), so the cast preserves the instant
+    // and the DuckDB oracle (which reads the same file naively) agrees.
+    else {
+      df.schema.fields.filter(_.dataType == TimestampNTZType)
+        .foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast("timestamp")))
+    }
   }
 
   /** Register every table as a temp view so the same queries run via

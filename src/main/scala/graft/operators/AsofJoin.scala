@@ -4,21 +4,31 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of join: for each left row, attach the most recent right row (by
-  * event time) with the same key and time <= left time. Spark has no native
-  * as-of join; the naive formulation (range join + per-left max) explodes
-  * into O(|L|·|R| per key) pairs.
+/** As-of join: for each left row, attach the nearest right row (by event
+  * time) with the same key — backward (most recent right time <= left, the
+  * default) or forward (earliest right time >= left), optionally bounded by
+  * a tolerance predicate (the pandas `merge_asof` surface). Spark has no
+  * native as-of join; the naive formulation (range join + per-left max)
+  * explodes into O(|L|·|R| per key) pairs.
   *
   * This implementation uses the union-sort trick: tag both sides, union,
   * and carry right-side values forward with `last(..., ignoreNulls)` over a
-  * (key, time)-ordered window. Cost = ONE shuffle on the key (the window),
-  * no pair blowup — at 100 TB this is a single sort-merge pass, the same
+  * (key, time)-ordered window (time-DESCENDING for the forward direction —
+  * the "most recently seen" right row in that order is the earliest one at
+  * or after the left time). Cost = ONE shuffle on the key (the window), no
+  * pair blowup — at 100 TB this is a single sort-merge pass, the same
   * shape databases use for ASOF JOIN.
   *
   * Ties: right rows sort before left rows at equal times (a right row
-  * exactly at the left time matches), and among equal right times the
-  * highest `rightSeq` wins — callers must pass a unique tiebreak column to
-  * make the join deterministic.
+  * exactly at the left time matches in BOTH directions), and among equal
+  * right times the highest `rightSeq` wins — callers must pass a unique
+  * tiebreak column to make the join deterministic.
+  *
+  * `tolerance`, when set, is a predicate (leftTime, rightTime) => boolean;
+  * a matched row failing it has its right values nulled — the match is
+  * "too stale" (backward) or "too far ahead" (forward). Expressed as a
+  * predicate so callers choose the arithmetic their time types need
+  * (timestamp intervals, date diffs, integer versions).
   */
 object AsofJoin {
 
@@ -30,15 +40,20 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       rightSeq: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String],
+      forward: Boolean = false,
+      tolerance: (Column, Column) => Column = null): DataFrame = {
 
     val leftCols = left.columns.toSeq
     // Right-side values travel as ONE struct: last(_, ignoreNulls) then
     // skips left rows (null struct) but still attaches the most recent
     // right ROW even when one of its value fields is genuinely NULL —
     // per-value carrying would fall back to a stale older row's value.
+    // The right TIME rides in the struct too (field "__rt") so the
+    // tolerance predicate can see which right row actually matched.
     val rvType = org.apache.spark.sql.types.StructType(
-      rightVals.map(v => right.schema(v).copy(name = v)))
+      rightVals.map(v => right.schema(v).copy(name = v)) :+
+        right.schema(rightTime).copy(name = "__rt"))
     val lTagged = left.select(
       (Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
         lit(null).cast("long").as("__seq"),
@@ -47,19 +62,27 @@ object AsofJoin {
     val rTagged = right.select(
       (Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
         col(rightSeq).cast("long").as("__seq"),
-        struct(rightVals.map(col): _*).as("__rv")) ++
+        struct(rightVals.map(col) :+ col(rightTime).as("__rt"): _*).as("__rv")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
+    val order =
+      if (forward) Seq(col("__t").desc, col("__side").asc, col("__seq").asc)
+      else Seq(col("__t").asc, col("__side").asc, col("__seq").asc)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"), col("__seq"))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val keepMatch =
+      if (tolerance == null) col("__rvlast").isNotNull
+      else col("__rvlast").isNotNull &&
+        tolerance(col("__t"), col("__rvlast").getField("__rt"))
     val carried = lTagged.unionByName(rTagged)
       .withColumn("__rvlast", last(col("__rv"), ignoreNulls = true).over(w))
       .select(
         (Seq(col("__side")) ++
           leftCols.map(col) ++
-          rightVals.map(v => col("__rvlast").getField(v).as(v))): _*)
+          rightVals.map(v =>
+            when(keepMatch, col("__rvlast").getField(v)).as(v))): _*)
 
     carried.filter(col("__side") === 1).drop("__side")
   }

@@ -33,6 +33,28 @@ object ExtendedQueries {
         .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_order"))
     }),
 
+    // §2.10: FORWARD as-of with tolerance (the pandas merge_asof surface):
+    // each event attaches the user's NEXT order at-or-after the event, but
+    // only if it lands within 30 days — otherwise the match nulls out.
+    // Same one-key-shuffle union-sort pass as the backward face, with the
+    // window ordered time-DESCENDING. Right side pre-aggregated unique per
+    // (key, time), so the tie-break can't matter cross-engine.
+    "q_asof_fwd" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val orders = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsofJoin.asof(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightSeq = "o_orderkey", rightVals = Seq("o_orderkey"),
+        forward = true,
+        tolerance = (lt, rt) => rt <= lt + expr("INTERVAL 30 DAYS"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("next_order"))
+    }),
+
     // §2.8: in-flight pipeline QA via the Observation API (CollectMetrics):
     // counters computed ON the rows as they stream through a filter — at
     // 100 TB this replaces a SECOND full scan for "how many docs did the
@@ -701,6 +723,18 @@ object ExtendedQueries {
          SELECT e.event_id, e.user_id, o.o_orderkey AS last_order
          FROM e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""",
+    "q_asof_fwd" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2),
+         e AS (
+           SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+           FROM events)
+         SELECT e.event_id, e.user_id,
+                CASE WHEN o.o_orderdate <= e.ts + INTERVAL 30 DAY
+                     THEN o.o_orderkey END AS next_order
+         FROM e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts""",
     "q_pivot" ->
       """SELECT l_linestatus,
                 cast(sum(CASE WHEN l_returnflag = 'A'

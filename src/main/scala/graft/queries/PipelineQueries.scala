@@ -624,6 +624,15 @@ object PipelineQueries {
     "st_sessionize_et" -> ((s, dir) => stSessionizeEt(s, dir)),
     "st_dedup_et" -> ((s, dir) => stDedupEt(s, dir)),
 
+    // §2.10: NATIVE session_window sessionization — the Spark-builtin twin
+    // of the custom state-op above (engine-merged session windows; batch
+    // and streaming share the code). Batch face FULL-oracle vs DuckDB's
+    // gap-islands; the _et face replays the same table through the
+    // watermarked streaming aggregate and must match the same oracle.
+    "st_session_native" -> ((s, dir) =>
+      EventStreams.sessionWindowAgg(Tables.load(s, dir, "events"))),
+    "st_session_native_et" -> ((s, dir) => stSessionNativeEt(s, dir)),
+
     // streaming retrieval: query vectors replayed as a 4-micro-batch file
     // stream (maxFilesPerTrigger=1), each batch scored against the static
     // corpus by the exact batch brute-force plan inside foreachBatch —
@@ -895,6 +904,38 @@ object PipelineQueries {
       val out = s.table(name).filter(col("user_id") =!= lit(SentinelUser))
         .select(col("user_id"), col("session_id"), col("n_events"),
           col("session_start"), col("session_end"))
+      val rows = out.collect() // O(users x sessions), not O(events)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+      deleteRecursively(root)
+    }
+  }
+
+  /** Native session_window replay: same sentinel + one-burst file-source
+    * machinery as stSessionizeEt, driving the BUILTIN session aggregate —
+    * append mode emits each merged session once the watermark passes its
+    * window end, which the +3h/+6h sentinels guarantee for every real
+    * session. */
+  private def stSessionNativeEt(s: SparkSession, dir: String): DataFrame = {
+    val evs = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+    val root = java.nio.file.Files.createTempDirectory("graft_et_")
+    val src = fileReplaySource(s, evs.unionByName(sentinelEvents(s, evs)),
+      root, "events")
+    val name = "st_session_native_et_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = withStatePartitions(s, 8) {
+      EventStreams.sessionWindowStream(src)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+    }
+    try {
+      q.processAllAvailable()
+      val out = s.table(name).filter(col("user_id") =!= lit(SentinelUser))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
       val rows = out.collect() // O(users x sessions), not O(events)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
@@ -1815,6 +1856,45 @@ object PipelineQueries {
                 count(*) AS n_events,
                 cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
          FROM events GROUP BY 1, 2""",
+    // session_window merges on window OVERLAP: a silence of EXACTLY the
+    // gap starts a new session (>= on the break, unlike the lag form's >),
+    // and session_end is last_ts + gap (the merged window's end)
+    "st_session_native" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events),
+         s AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         t AS (
+           SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+           FROM s)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                count(*) AS n_events
+         FROM t GROUP BY user_id, sid""",
+    "st_session_native_et" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events),
+         s AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         t AS (
+           SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+           FROM s)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                count(*) AS n_events
+         FROM t GROUP BY user_id, sid""",
     "st_sessionize" ->
       """WITH e AS (
            SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts

@@ -70,6 +70,31 @@ object EventStreams {
         max(col("ts")).as("session_end"))
   }
 
+  /** Native `session_window` aggregation — the Spark-BUILTIN twin of the
+    * custom flatMapGroupsWithState sessionizer above: the engine merges
+    * overlapping per-event [ts, ts+gap) windows itself, so batch and
+    * streaming share this exact code and the streaming state store holds
+    * one merged window per open session. Boundary semantics differ from
+    * sessionizeBatch by design: session_window merges on OVERLAP, so a
+    * silence of EXACTLY the gap starts a new session (strict <), while the
+    * lag-based form breaks only past it (>) — the oracle mirrors `>=` on
+    * the break. session_end here is last_ts + gap (the window end), not
+    * last_ts. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Streaming face: the watermark both bounds state and closes sessions
+    * (append mode emits a session once the watermark passes its end). */
+  def sessionWindowStream(events: DataFrame): DataFrame =
+    sessionWindowAgg(events.withWatermark("ts", "10 minutes"))
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sessionId: Long)

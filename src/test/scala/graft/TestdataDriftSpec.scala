@@ -27,13 +27,17 @@ class TestdataDriftSpec extends SparkSpec {
     assert(out.filter("gap_us < 0").count() == 0)
   }
 
-  test("every table loads and exposes no NTZ or raw-long timestamp columns") {
+  test("every table loads and exposes no NTZ timestamp column anywhere") {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     Tables.names.foreach { n =>
       val df = Tables.load(spark, sf, n)
+      df.schema.fields.foreach { f =>
+        assert(f.dataType != TimestampNTZType,
+          s"$n.${f.name} leaked TIMESTAMP_NTZ through Tables.load")
+      }
       df.schema.fields.filter(_.name == "ts").foreach { f =>
-        assert(f.dataType != TimestampNTZType && f.dataType != LongType,
-          s"$n.ts leaked physical type ${f.dataType} through Tables.load")
+        assert(f.dataType != LongType,
+          s"$n.ts leaked raw-long nanos through Tables.load")
       }
     }
   }

@@ -49,6 +49,41 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("note"))) // ...with its genuinely-null value
   }
 
+  test("forward asof picks earliest right row >= left time; tolerance nulls far matches") {
+    import org.apache.spark.sql.functions.expr
+    val left = Seq(
+      (1L, 10L, t("2024-01-01 12:00:00")), // next is r2 at 01-02
+      (2L, 10L, t("2024-01-02 00:00:00")), // exactly at r2 → matches (inclusive)
+      (3L, 10L, t("2024-01-05 00:00:00")), // nothing after → null
+      (4L, 20L, t("2024-01-01 00:00:00"))  // key 20 has no right rows
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, t("2024-01-01 00:00:00")),
+      (200L, 10L, t("2024-01-02 00:00:00"))
+    ).toDF("o_id", "o_key", "o_time")
+    val fwd = AsofJoin.asof(left, right, "user_id", "o_key", "ts", "o_time",
+      "o_id", Seq("o_id"), forward = true)
+      .select("event_id", "o_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(fwd == Map(1L -> 200L, 2L -> 200L, 3L -> -1L, 4L -> -1L))
+
+    // tolerance: only matches within 6 hours survive
+    val tol = AsofJoin.asof(left, right, "user_id", "o_key", "ts", "o_time",
+      "o_id", Seq("o_id"), forward = true,
+      tolerance = (lt, rt) => rt <= lt + expr("INTERVAL 6 HOURS"))
+      .select("event_id", "o_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(tol == Map(1L -> -1L, 2L -> 200L, 3L -> -1L, 4L -> -1L))
+
+    // backward with tolerance: event 12h after r1 fails a 6h bound
+    val btol = AsofJoin.asof(left, right, "user_id", "o_key", "ts", "o_time",
+      "o_id", Seq("o_id"),
+      tolerance = (lt, rt) => rt >= lt - expr("INTERVAL 6 HOURS"))
+      .select("event_id", "o_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(btol == Map(1L -> -1L, 2L -> 200L, 3L -> -1L, 4L -> -1L))
+  }
+
   test("asof is a single shuffle (window), no range-join blowup") {
     val left = Seq((1L, 10L, t("2024-01-01 00:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq((100L, 10L, t("2024-01-01 00:00:00"))).toDF("o_id", "o_key", "o_time")

@@ -23,8 +23,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    s = df.map(lambda v: str(v))
-    return s.sort_values(by=list(s.columns), kind="mergesort", ignore_index=True)
+    # Midnight timestamps stringify as dates: one engine may type a day
+    # bucket DATE while the other types it TIMESTAMP (q_time_bucket vs
+    # q_cohort) — the driver's compare treats the two as equal, so the
+    # replica must too.
+    def s(v):
+        r = str(v)
+        return r[:-9] if r.endswith(" 00:00:00") else r
+    out = df.map(s)
+    return out.sort_values(by=list(out.columns), kind="mergesort", ignore_index=True)
 
 
 def main() -> int:
