@@ -624,6 +624,13 @@ object PipelineQueries {
     "st_sessionize_et" -> ((s, dir) => stSessionizeEt(s, dir)),
     "st_dedup_et" -> ((s, dir) => stDedupEt(s, dir)),
 
+    // §2.10: NATIVE dropDuplicatesWithinWatermark — the Spark-builtin twin
+    // of the custom xxhash-state dedup stream: one admitted row per text
+    // key per watermark horizon, state evicted by the engine. Output is
+    // the admitted key SET (digests), which is deterministic even though
+    // WHICH duplicate row survives a single-burst batch is not.
+    "st_dedup_wm" -> ((s, dir) => stDedupWm(s, dir)),
+
     // §2.10: NATIVE session_window sessionization — the Spark-builtin twin
     // of the custom state-op above (engine-merged session windows; batch
     // and streaming share the code). Batch face FULL-oracle vs DuckDB's
@@ -1054,6 +1061,36 @@ object PipelineQueries {
       q.processAllAvailable()
       val out = s.table(name).select(col("doc_id"))
       val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+      deleteRecursively(root)
+    }
+  }
+
+  /** Builtin-API streaming dedup replay: dropDuplicatesWithinWatermark
+    * keeps one row per text within the watermark horizon with
+    * engine-managed state eviction. The surviving row per key is
+    * batch-arrival-nondeterministic, so the face emits only the admitted
+    * KEY set — exactly the corpus's distinct digests. */
+  private def stDedupWm(s: SparkSession, dir: String): DataFrame = {
+    val tsd = docs(s, dir)
+      .select(expr("timestamp_micros(1704067200000000 + doc_id * 60000000)").as("ts"),
+        col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_et_")
+    val src = fileReplaySource(s, tsd, root, "docs")
+    val name = "st_dedup_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = withStatePartitions(s, 8) {
+      src.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark("text")
+        .select(md5(col("text")).as("h"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+    }
+    try {
+      q.processAllAvailable()
+      val out = s.table(name).select(col("h"))
+      val rows = out.collect() // O(distinct texts)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
       q.stop()
@@ -1856,6 +1893,8 @@ object PipelineQueries {
                 count(*) AS n_events,
                 cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
          FROM events GROUP BY 1, 2""",
+    "st_dedup_wm" ->
+      """SELECT DISTINCT md5(text) AS h FROM documents""",
     // session_window merges on window OVERLAP: a silence of EXACTLY the
     // gap starts a new session (>= on the break, unlike the lag form's >),
     // and session_end is last_ts + gap (the merged window's end)
