@@ -1895,16 +1895,17 @@ object PipelineQueries {
          FROM events GROUP BY 1, 2""",
     "st_dedup_wm" ->
       """SELECT DISTINCT md5(text) AS h FROM documents""",
-    // session_window merges on window OVERLAP: a silence of EXACTLY the
-    // gap starts a new session (>= on the break, unlike the lag form's >),
-    // and session_end is last_ts + gap (the merged window's end)
+    // session_window coalesces TOUCHING [ts, ts+gap) windows: a silence of
+    // exactly the gap still merges, only a strictly-longer one splits
+    // (same > break as the lag form, spec-pinned); session_end is
+    // last_ts + gap (the merged window's end)
     "st_session_native" ->
       """WITH e AS (
            SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events),
          s AS (
            SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS brk
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
          t AS (
@@ -1922,7 +1923,7 @@ object PipelineQueries {
          s AS (
            SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS brk
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
          t AS (

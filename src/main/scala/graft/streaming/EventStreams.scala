@@ -74,12 +74,11 @@ object EventStreams {
     * custom flatMapGroupsWithState sessionizer above: the engine merges
     * overlapping per-event [ts, ts+gap) windows itself, so batch and
     * streaming share this exact code and the streaming state store holds
-    * one merged window per open session. Boundary semantics differ from
-    * sessionizeBatch by design: session_window merges on OVERLAP, so a
-    * silence of EXACTLY the gap starts a new session (strict <), while the
-    * lag-based form breaks only past it (>) — the oracle mirrors `>=` on
-    * the break. session_end here is last_ts + gap (the window end), not
-    * last_ts. */
+    * one merged window per open session. Boundary semantics match
+    * sessionizeBatch: touching [ts, ts+gap) windows COALESCE, so a silence
+    * of exactly the gap still merges and only a strictly-longer silence
+    * splits (`>` on the break, spec-pinned). session_end here is
+    * last_ts + gap (the merged window's end), not last_ts. */
   def sessionWindowAgg(events: DataFrame): DataFrame =
     events
       .groupBy(col("user_id"),

@@ -74,6 +74,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window: a silence of EXACTLY the gap still merges " +
+      "(inclusive boundary, like the lag form's >); end = last_ts + gap") {
+    val gapMin = (EventStreams.SessionGapSeconds / 60).toInt
+    val events = Seq(
+      // u1: 10-min gap merges; a silence of EXACTLY the gap ALSO merges
+      // (touching [t, t+gap) windows coalesce — inclusive boundary)
+      (1L, ts(0), 1L, "click", 1.0),
+      (2L, ts(10), 1L, "click", 1.0),
+      (3L, ts(10 + gapMin), 1L, "click", 1.0),
+      // u2: a silence one minute PAST the gap splits
+      (4L, ts(0), 2L, "click", 1.0),
+      (5L, ts(gapMin + 1), 2L, "click", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreams.sessionWindowAgg(events)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2.getTime))
+    assert(out.length == 3)
+    // u1: ONE merged session [0, 10+2gap) of 3 events
+    assert(out(0) == ((1L, ts(0), ts(10 + 2 * gapMin), 3L)))
+    // u2: split into two singleton sessions
+    assert(out(1) == ((2L, ts(0), ts(gapMin), 1L)))
+    assert(out(2) == ((2L, ts(gapMin + 1), ts(2 * gapMin + 1), 1L)))
+  }
+
+  test("native session_window stream (append) emits the batch closure once " +
+      "the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionWindowStream(events.toDF())
+      .writeStream.format("memory").queryName("snw").outputMode("append").start()
+    try {
+      events.addData(eventsLocal: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every session end, then fire the
+      // now-closable sessions
+      events.addData(EventStreams.Event(99L, ts(60 * 24), 9L, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("snw").filter(col("user_id") =!= 9L)
+      val batch = EventStreams.sessionWindowAgg(
+        eventsLocal.toDF().select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")))
+      assert(got.collect().toSet == batch.collect().toSet)
+      assert(got.count() == 3) // u1 two sessions + u2 one
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("snw")
+    }
+  }
+
   test("watermark drops late data once passed (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
