@@ -69,6 +69,10 @@ object GraftFunctions {
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
 
+  def lm_score(text: Column, model: Seq[(String, Long)], n: Int,
+      total: Double, v: Double): Column =
+    ColumnBridge.column(LmScore(ColumnBridge.expression(text), model, n, total, v))
+
   def topk_select(entry: Column, k: Int, dedup: Boolean): Column =
     ColumnBridge.column(
       TopKSelect(ColumnBridge.expression(entry), k, dedup).toAggregateExpression())

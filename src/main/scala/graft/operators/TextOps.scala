@@ -253,10 +253,31 @@ object TextOps {
     * is shuffle-order-dependent in its last ulps, so oracle faces expose
     * the integers and specs pin the score's ordering semantics. */
   def lmScore(docs: DataFrame, model: DataFrame, n: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
     // materialize the model ONCE: it is bounded by construction (see
     // charNgramCounts), and reusing the DataFrame lazily would recompute
-    // the full corpus aggregate for the stats pass AND the join build
+    // the full corpus aggregate for the stats pass AND the model build
+    val rows = model.select(col("gram"), col("cnt")).collect()
+    val (total, v) = (rows.iterator.map(_.getLong(1)).sum.toDouble,
+      rows.length.toDouble)
+    val pairs = rows.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq
+    // fused single-pass scoring (functions.LmScore): the model rides the
+    // plan as a reference object, each doc is scored in one code-point
+    // walk — no per-gram explode, no join probe, NO shuffle at all (the
+    // composed form paid an n-rows-per-char explode + a doc_id exchange).
+    // Char-order accumulation also makes the float score deterministic.
+    val scored = docs.select(col("doc_id"),
+      GraftFunctions.lm_score(col("text"), pairs, n, total, v).as("__r"))
+    scored.select(col("doc_id"),
+      col("__r.n_grams").as("n_grams"),
+      col("__r.n_oov").as("n_oov"),
+      col("__r.score").as("score"))
+  }
+
+  /** The r7-era explode + broadcast-join form, kept as the executable spec
+    * [[lmScore]]'s fusion is pinned against (identical n_grams/n_oov;
+    * score equal up to float summation order). */
+  def lmScoreComposed(docs: DataFrame, model: DataFrame, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
     val rows = model.select(col("gram"), col("cnt")).collect()
     val (total, v) = (rows.iterator.map(_.getLong(1)).sum.toDouble,
       rows.length.toDouble)

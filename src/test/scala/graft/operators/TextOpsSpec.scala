@@ -145,6 +145,34 @@ class TextOpsSpec extends SparkSpec {
     assert(tinyGrams.map(_.getString(0)).toSeq == Seq("ab"))
   }
 
+  test("fused lm_score equals the composed explode+join form: identical gram " +
+      "accounting on multibyte/short/empty text, score within float-sum tolerance") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "HÉLLO wörld 漢字かな and some 🚀 multibyte téxt"), // case + multibyte
+      (3L, "ab"),   // shorter than n: one whole-text gram
+      (4L, ""),     // empty: one empty gram
+      (5L, "zq"),   // short OOV
+      (6L, "the quick brown fox")
+    ).toDF("doc_id", "text")
+    val model = TextOps.charNgramCounts(docs, n = 3, minCount = 1L)
+    val fused = TextOps.lmScore(docs, model).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val composed = TextOps.lmScoreComposed(docs, model).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(fused.keySet == composed.keySet)
+    fused.foreach { case (id, (ng, noov, score)) =>
+      val (cg, coov, cscore) = composed(id)
+      assert(ng == cg && noov == coov, s"doc $id: ($ng,$noov) vs ($cg,$coov)")
+      // same per-gram terms, potentially different summation order
+      assert(math.abs(score - cscore) < 1e-9, s"doc $id: $score vs $cscore")
+    }
+    // the fused plan is shuffle-free: scoring is a pure projection
+    val plan = TextOps.lmScore(docs, model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected a map-only plan:\n$plan")
+  }
+
   test("lineDedup drops corpus-frequent lines, keeps order, blanks and unique docs") {
     val banner = "ACCEPT ALL COOKIES"
     val docs = Seq(
