@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, Resample}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -32,6 +32,14 @@ object ExtendedQueries {
         rightSeq = "o_orderkey", rightVals = Seq("o_orderkey"))
         .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_order"))
     }),
+
+    // §2.10: time-series resample + forward fill — irregular events to a
+    // dense per-user daily grid; gap days forward-fill the most recent
+    // value. One (key, day) aggregate + bounded day-span explode + one
+    // key window; deterministic cells (max_by(ts, event_id) last value,
+    // decimal day sums).
+    "q_resample" -> ((s, dir) =>
+      Resample.daily(Tables.load(s, dir, "events"))),
 
     // §2.10: FORWARD as-of with tolerance (the pandas merge_asof surface):
     // each event attaches the user's NEXT order at-or-after the event, but
@@ -723,6 +731,41 @@ object ExtendedQueries {
          SELECT e.event_id, e.user_id, o.o_orderkey AS last_order
          FROM e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""",
+    "q_resample" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+                          event_id, value FROM events),
+         obs AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                  count(*) AS n_events,
+                  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_sum
+           FROM e GROUP BY 1, 2),
+         last_ev AS (
+           SELECT user_id, day, value AS day_last FROM (
+             SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+                    row_number() OVER (PARTITION BY user_id,
+                        CAST(date_trunc('day', ts) AS DATE)
+                      ORDER BY ts DESC, event_id DESC) AS rn
+             FROM e) t WHERE rn = 1),
+         span AS (
+           SELECT user_id,
+                  CAST(unnest(generate_series(CAST(min_d AS TIMESTAMP),
+                    CAST(max_d AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+           FROM (SELECT user_id, min(day) AS min_d, max(day) AS max_d
+                 FROM obs GROUP BY 1)),
+         j AS (
+           SELECT s.user_id, s.day,
+                  coalesce(o.n_events, 0) AS n_events, o.day_sum, l.day_last,
+                  o.n_events IS NULL AS is_gap
+           FROM span s
+           LEFT JOIN obs o ON s.user_id = o.user_id AND s.day = o.day
+           LEFT JOIN last_ev l ON s.user_id = l.user_id AND s.day = l.day)
+         SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events, day_sum,
+                last_value(day_last IGNORE NULLS) OVER (PARTITION BY user_id
+                  ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS filled_value,
+                is_gap
+         FROM j""",
     "q_asof_fwd" ->
       """WITH o AS (
            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey

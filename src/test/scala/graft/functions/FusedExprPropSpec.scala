@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.TextOps
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style differential fuzz for the round-9 fused expressions:
+  * seeded generators produce adversarial text (multibyte runs, surrogate
+  * pairs, whitespace soup, empty/short strings) and the fused native pass
+  * must agree with the composed Column-API form it replaced — the same
+  * discipline the xlsx scanner differential fuzz applies to the parser.
+  * Deterministic (fixed seed) so failures reproduce.
+  */
+class FusedExprPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val textGen: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    // multibyte soup: 2/3-byte chars, combining marks, CJK
+    Gen.listOf(Gen.oneOf('a', ' ', 'é', 'ß', '€', '漢', 'か', 'Ω', '́'))
+      .map(_.mkString),
+    // supplementary-plane (surrogate pairs in UTF-16, 4-byte UTF-8)
+    Gen.listOf(Gen.oneOf("🚀", "𝔘", "a", " ", "b")).map(_.mkString),
+    Gen.const(""),
+    Gen.const(" "),
+    Gen.listOf(Gen.oneOf('x', 'y', '\n', '\t', ' ')).map(_.mkString),
+    // long-ish mixed text
+    Gen.listOfN(300, Gen.choose(0x20.toChar, 0x2FFF.toChar)).map(_.mkString))
+
+  private def sample(n: Int): Seq[String] = {
+    val seed = Seed(20260813L)
+    Iterator.iterate((seed, List.empty[String])) { case (s, acc) =>
+      val (v, next) = (textGen.pureApply(Gen.Parameters.default, s), s.next)
+      (next, v :: acc)
+    }.drop(n).next()._2
+  }
+
+  test("StrideWinHashes == composed transform+substring+xxhash64 on 200 fuzz texts") {
+    import org.apache.spark.sql.functions._
+    val texts = sample(200)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for ((w, stride) <- Seq((40, 10), (8, 3), (5, 5), (1, 1))) {
+      val fused = df.select(col("id"),
+        GraftFunctions.stride_win_hashes(col("text"), w, stride).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val composed = df
+        .filter(length(col("text")) >= w)
+        .select(col("id"), transform(
+          sequence(lit(0), floor((length(col("text")) - w) / stride).cast("int")),
+          i => xxhash64(substring(col("text"), lit(1) + i * stride, lit(w)))).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      composed.foreach { case (id, hs) =>
+        assert(fused(id) == hs, s"w=$w stride=$stride id=$id")
+      }
+      fused.filterNot(f => composed.contains(f._1)).foreach { case (id, hs) =>
+        assert(hs.isEmpty, s"sub-window text must give empty: w=$w id=$id")
+      }
+    }
+  }
+
+  test("fused LmScore == composed explode+join on 120 fuzz texts") {
+    val texts = sample(120)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = TextOps.charNgramCounts(docs, n = 3, minCount = 1L)
+    val fused = TextOps.lmScore(docs, model).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val composed = TextOps.lmScoreComposed(docs, model).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(fused.keySet == composed.keySet)
+    composed.foreach { case (id, (cg, coov, cscore)) =>
+      val (ng, noov, score) = fused(id)
+      assert(ng == cg && noov == coov,
+        s"doc $id '${texts(id.toInt)}': ($ng,$noov) vs ($cg,$coov)")
+      assert(math.abs(score - cscore) < 1e-9, s"doc $id: $score vs $cscore")
+    }
+  }
+}
