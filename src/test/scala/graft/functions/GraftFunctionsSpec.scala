@@ -117,6 +117,28 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sqlEst == est("b"))
   }
 
+  test("cms sketches persist: parquet round-trip then union gives the same estimates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (Seq.fill(40)("a") ++ Seq.fill(9)("b")).zipWithIndex
+      .map { case (t, i) => (i % 3, t) }.toDF("g", "tok")
+    val sketches = df.groupBy(col("g"))
+      .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("sk"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_").toString
+    // the incremental-maintenance posture: partitions persist their sketch
+    // binaries; a later job unions WITHOUT rescanning the source
+    sketches.write.mode("overwrite").parquet(dir)
+    def estimates(sk: org.apache.spark.sql.DataFrame) = sk
+      .agg(GraftFunctions.cms_merge(col("sk")).as("sk"))
+      .select(GraftFunctions.cms_estimate(col("sk"), lit("a")).as("ea"),
+        GraftFunctions.cms_estimate(col("sk"), lit("b")).as("eb"))
+      .collect()(0)
+    val live = estimates(sketches)
+    val persisted = estimates(spark.read.parquet(dir))
+    assert(live == persisted)
+    assert(persisted.getLong(0) >= 40L && persisted.getLong(1) >= 9L)
+  }
+
   test("GraftExtensions injects the same function set") {
     // the extensions class is instantiable and wires without error; actual
     // new-session injection is a deploy-time path (spark.sql.extensions)
