@@ -33,6 +33,30 @@ object ExtendedQueries {
         .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_order"))
     }),
 
+    // §2.10: trailing-window anomaly flags — per-user daily spend vs the
+    // trailing 7 OBSERVED days: a day is anomalous when today's total
+    // exceeds 2× the trailing mean. All arithmetic in integer CENTS
+    // (round(value·100) is one shared IEEE multiply+round) and the
+    // threshold compared as 7·today > 2·trail7 — no float mean can flip a
+    // boundary cross-engine. One (user, day) aggregate + one user window.
+    "q_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(round(col("value") * lit(100)).cast("long")).as("day_cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("trail7_cents", sum(col("day_cents")).over(w))
+        .withColumn("n_trail", count(col("day_cents")).over(w))
+        .filter(col("n_trail") >= 3)
+        .select(col("user_id"), col("day"), col("day_cents"),
+          col("trail7_cents"), col("n_trail"),
+          (col("day_cents") * col("n_trail") > col("trail7_cents") * 2L)
+            .as("flagged"))
+    }),
+
     // §2.10: time-series resample + forward fill — irregular events to a
     // dense per-user daily grid; gap days forward-fill the most recent
     // value. One (key, day) aggregate + bounded day-span explode + one
@@ -731,6 +755,24 @@ object ExtendedQueries {
          SELECT e.event_id, e.user_id, o.o_orderkey AS last_order
          FROM e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""",
+    "q_anomaly" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS day_cents
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT user_id, day, day_cents,
+                  sum(day_cents) OVER w AS trail7_cents,
+                  count(day_cents) OVER w AS n_trail
+           FROM daily
+           WINDOW w AS (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT user_id, day, day_cents,
+                CAST(trail7_cents AS BIGINT) AS trail7_cents,
+                CAST(n_trail AS BIGINT) AS n_trail,
+                day_cents * n_trail > trail7_cents * 2 AS flagged
+         FROM t WHERE n_trail >= 3""",
     "q_resample" ->
       """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
                           event_id, value FROM events),
