@@ -57,6 +57,29 @@ class AnalyticsFacesSpec extends SparkSpec {
     assert(out.values.sum == 8L)           // every event contributes one edge
   }
 
+  test("q_anomaly: integer-cents thresholds; exactly 2x the trailing mean " +
+      "is NOT flagged (strict >); warmup days below n_trail=3 excluded") {
+    val d = java.nio.file.Files.createTempDirectory("graft_anom_").toString
+    // u1: three 10.00 days; day 4 at 20.00 sits EXACTLY on 2× the trailing
+    // mean (2000·3 == 2·3000 — strict > keeps it unflagged); day 5 at
+    // 25.01 clears its trailing mean of {10,10,10,20} = 12.50 by more than
+    // 2× (2501·4 = 10004 > 2·5000) — flagged
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "buy", 10.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-02 01:00:00"), 1L, "buy", 10.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-03 01:00:00"), 1L, "buy", 10.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-04 01:00:00"), 1L, "buy", 20.0, "{}"),
+      (5L, Timestamp.valueOf("2024-01-05 01:00:00"), 1L, "buy", 25.01, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("q_anomaly")(spark, d).collect()
+      .map(r => r.getDate(1).toString -> ((r.getLong(2), r.getBoolean(5)))).toMap
+    // days 1-3 have < 3 trailing observations → excluded
+    assert(out.keySet == Set("2024-01-04", "2024-01-05"))
+    assert(out("2024-01-04") == ((2000L, false)))
+    assert(out("2024-01-05") == ((2501L, true)))
+  }
+
   test("q_cohort: first-week cohorts, one shuffle of the event stream") {
     // Spread users across two ISO weeks (2024-01-01 and 2024-01-08 are Mondays)
     val d = java.nio.file.Files.createTempDirectory("graft_cohort_").toString
