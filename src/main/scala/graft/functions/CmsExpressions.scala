@@ -4,9 +4,9 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.CountMinSketch
 
@@ -48,11 +48,15 @@ case class CmsMergeAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] {
+  extends TypedImperativeAggregate[Array[Byte]] with ExpectsInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
   override def dataType: DataType = BinaryType
+  // both functions are SQL-registered: a wrong-typed call must fail at
+  // analysis, not as an executor ClassCastException (AbstractDataType is
+  // private[sql], so the override type is inferred as Seq[DataType])
+  override def inputTypes = Seq(BinaryType)
 
   // buffer is the serialized form: merges are infrequent (one per input
   // sketch row), so re-parsing beats carrying a live object through the
@@ -95,8 +99,9 @@ case class CmsMergeAgg(
   * only (rows = number of looked-up items), so the per-call deserialize is
   * not on any hot path. */
 case class CmsEstimate(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
+  override def inputTypes = Seq(BinaryType, StringType)
 
   override protected def nullSafeEval(sketch: Any, item: Any): Any =
     CmsOps.estimate(sketch.asInstanceOf[Array[Byte]],

@@ -37,7 +37,12 @@ case class WinnowFp(child: Expression, k: Int, w: Int)
   * char-gram extractor and [[WinnowFp]] fixed. Here the boundary index is
   * built once and each window hashes its byte range in place via the exact
   * XXH64 Spark's `xxhash64` uses (seed 42) — bit-identical output
-  * (spec-pinned on multibyte text), O(len) total.
+  * (spec-pinned on multibyte text AND malformed UTF-8: the walk mirrors
+  * UTF8String.numBytesForFirstByte, invalid lead bytes advancing 1), O(len)
+  * total. One pinned divergence: a multibyte lead truncated at the buffer
+  * end makes UTF8String.substring overshoot numBytes and copy undefined
+  * trailing bytes — the fused walk clamps to the buffer instead (defined,
+  * deterministic; FusedExprPropSpec pins both behaviors).
   */
 case class StrideWinHashes(child: Expression, w: Int, stride: Int)
     extends UnaryExpression {
@@ -68,8 +73,11 @@ object StrideWinHashes {
     var off = 0
     while (off < n) {
       starts(nc) = off
-      val b = bytes(off) & 0xff
-      off += (if (b < 0x80) 1 else if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4)
+      // mirror UTF8String.numBytesForFirstByte exactly (invalid lead bytes
+      // advance 1) so char addressing agrees with Spark's `substring` on
+      // ARBITRARY byte content, not just valid UTF-8 — the bit-identical
+      // pin vs the composed form must hold on malformed text too
+      off += UTF8String.numBytesForFirstByte(bytes(off))
       nc += 1
     }
     starts(nc) = n
@@ -107,8 +115,8 @@ object WinnowFp {
     var off = 0
     while (off < n) {
       starts(nc) = off
-      val b = bytes(off) & 0xff
-      off += (if (b < 0x80) 1 else if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4)
+      // same numBytesForFirstByte mirror as StrideWinHashes (see above)
+      off += UTF8String.numBytesForFirstByte(bytes(off))
       nc += 1
     }
     starts(nc) = n

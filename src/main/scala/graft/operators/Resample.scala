@@ -25,14 +25,16 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Resample {
 
+  /** @param tiebreak column making same-instant events deterministic (the
+    *   AsofJoin rightSeq posture) — (ts, tiebreak) must be unique per key */
   def daily(events: DataFrame, key: String = "user_id", ts: String = "ts",
-      value: String = "value"): DataFrame = {
+      value: String = "value", tiebreak: String = "event_id"): DataFrame = {
     val obs = events
       .groupBy(col(key), date_trunc("day", col(ts)).cast("date").as("day"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col(value).cast(DecimalType(18, 4))).cast("double").as("day_sum"),
-        max_by(col(value), struct(col(ts), col("event_id"))).as("day_last"))
+        max_by(col(value), struct(col(ts), col(tiebreak))).as("day_last"))
     // span rides the (key, day) aggregate's partitioning: grouping by a
     // prefix of the keys re-exchanges only if AQE coalesced — one logical
     // key pass either way

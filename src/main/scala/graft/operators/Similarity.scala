@@ -591,6 +591,124 @@ object Similarity {
     selectTopK(exact, k)
   }
 
+  // ------------------------------------------------------------------
+  // Persisted IVF index — pay training + encoding ONCE, probe forever
+  // ------------------------------------------------------------------
+
+  /** Job-group tag set on every index-BUILD Spark job (training + encode
+    * + write). The probe path must never schedule a job in this group —
+    * IvfIndexSpec listens for it, turning "the probe retrains" into a red
+    * spec instead of a silent 100 TB anti-pattern. */
+  val BuildJobGroup = "graft.ann.index.build"
+
+  /** Build and persist the IVF index — the [[graft.operators.Dedup
+    * .writeSeenIndex]] posture applied to similarity. At 100 TB the corpus
+    * ENCODE is the expensive pass (one full scan + centroid assignment);
+    * it must be paid once at index-build time, not per query batch, which
+    * is exactly what every `sim_topk_{ivf,pq,ivfpq}` invocation was doing
+    * (the r9 VERDICT's top item).
+    *
+    * Layout: one row per corpus vector — (vec_id, cid, v, codes) —
+    * BUCKETED + sorted by `cid`, so (a) each inverted list is physically
+    * co-located (a probe's file reads are `nProbe` lists, not the corpus:
+    * Spark prunes buckets on the probe's `cid IN (...)` filter), and
+    * (b) any future list-keyed join reads the index pre-partitioned. Rows
+    * carry BOTH the full vector (the FAISS IndexIVFFlat posture — exact
+    * cosine within probed lists) and the PQ codes (the IndexIVFPQ posture
+    * — m-byte ADC scans); a columnar scan reads only the column its probe
+    * uses. Centroids and PQ codebooks land in a `<table>_meta` sidecar
+    * (nCentroids + m×kSub rows — driver-collectable at any corpus size).
+    *
+    * Determinism: training is the same hash-seeded Lloyd's the transient
+    * faces use, so an index rebuilt from the same corpus is bit-identical
+    * and a probe of the index equals the transient [[topKIvf]] exactly
+    * (spec-pinned). */
+  def writeIvfIndex(spark: SparkSession, emb: DataFrame, table: String,
+      path: String, nCentroids: Int = 16, m: Int = 16, kSub: Int = 32,
+      buckets: Int = 8): Unit = {
+    import spark.implicits._
+    spark.sparkContext.setJobGroup(BuildJobGroup,
+      s"IVF index build: $table", interruptOnCancel = false)
+    try {
+      val centroids = trainCentroids(emb, nCentroids)
+      val books = trainPqCodebooks(emb, m, kSub)
+      val sub = books(0)(0).length
+      val flat = new Array[Double](m * kSub * sub)
+      var fi = 0
+      books.foreach(_.foreach(_.foreach { x => flat(fi) = x; fi += 1 }))
+      // one map pass builds every index column: coarse list id, the raw
+      // vector, and the PQ codes of its unit form
+      val encoded = withCid(
+        emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v")),
+        "v", typedLit(centroids.map(_.toSeq).toSeq))
+        .filter(col("cid") >= 0)
+        .withColumn("__n", l2Norm(col("v")))
+        .select(col("vec_id"), col("cid"), col("v"),
+          graft.functions.GraftFunctions.pq_encode(
+            l2Normalize(col("v"), col("__n")), flat, m, kSub, sub).as("codes"))
+      encoded.write.bucketBy(buckets, "cid").sortBy("cid")
+        .option("path", path).mode("overwrite").saveAsTable(table)
+      val metaRows: Seq[(String, Int, Int, Seq[Double])] =
+        centroids.zipWithIndex.toSeq.map { case (c, i) =>
+          ("centroid", i, 0, c.toSeq)
+        } ++
+        books.zipWithIndex.toSeq.flatMap { case (book, mi) =>
+          book.zipWithIndex.toSeq.map { case (bc, ci) =>
+            ("book", mi, ci, bc.toSeq)
+          }
+        }
+      metaRows.toDF("kind", "i", "j", "v").coalesce(1)
+        .write.option("path", path + "_meta")
+        .mode("overwrite").saveAsTable(table + "_meta")
+    } finally spark.sparkContext.clearJobGroup()
+  }
+
+  /** Probe the persisted IVF index: NO training jobs, NO corpus encode —
+    * the API takes only the index table and the queries, so the probe
+    * path cannot retrain by construction. Per query: order the sidecar
+    * centroids by cosine driver-side (queries are a bounded set by
+    * contract, same as the PQ faces), scan ONLY the probed lists (the
+    * `cid IN (...)` filter bucket-prunes the index scan), broadcast-join
+    * the probes, exact-cosine within the lists, and partial-top-k select.
+    * EXACTLY ONE shuffle on the whole path — the k-bounded selectTopK
+    * exchange (spec-asserted); the index side never moves.
+    *
+    * With the same (nCentroids, nProbe) the result is row-identical to
+    * the transient [[topKIvf]] — same training, same assignment, same
+    * probe ordering and tie-breaks — minus its per-invocation training
+    * and encode jobs. */
+  def topKIvfIndexed(spark: SparkSession, table: String, queries: DataFrame,
+      k: Int = 5, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.table(table + "_meta")
+      .filter(col("kind") === "centroid")
+      .select(col("i"), col("v")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val qRows = queries.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), x => x.cast("double")).as("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes: Seq[(Long, Int, Seq[Double])] = qRows.toSeq.flatMap {
+      case (qid, qv) =>
+        centroids.zipWithIndex.map { case (c, ci) => (bestDot(qv, c), ci) }
+          .sortBy { case (s, ci) => (-s, ci) }.take(nProbe)
+          .map { case (_, ci) => (qid, ci, qv.toSeq) }
+    }
+    val pDf = probes.toDF("query_id", "cid", "qv")
+    val probedCids = probes.map(_._2).distinct.sorted
+    val scored = spark.table(table)
+      // driver-known probe set → IN-list on the bucket column: the scan
+      // reads only the probed lists' buckets (SelectedBucketsCount in the
+      // plan), not the corpus
+      .filter(col("cid").isin(probedCids.map(Int.box): _*))
+      .join(broadcast(pDf), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosine(col("v"), col("qv")).as("cos"))
+    selectTopK(scored, k)
+  }
+
   /** Cosine of a query against a (unit-normalized) centroid, guarding
     * zero norms — the driver-side probe-ordering helper. */
   private def bestDot(q: Array[Double], c: Array[Double]): Double = {

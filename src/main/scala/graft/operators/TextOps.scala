@@ -428,16 +428,25 @@ object TextOps {
     *  - idf uses the Robertson odds WITHOUT the log:
     *    idf_t = (2(N - df_t) + 1) / (2·df_t + 1) — same numerator/denominator
     *    BM25's `ln((N-df+0.5)/(df+0.5))` wraps; monotone in df, so ranking
-    *    behavior is preserved while staying a ratio of exact integers.
+    *    behavior is preserved while staying a ratio of exact integers. It is
+    *    floored at scale 10⁶ and CAPPED at 2²⁰ (terms rarer than ~1-in-500k
+    *    docs all count "maximally rare" — the Lucene-style idf saturation),
+    *    which bounds every per-term score at 2²⁰·2.2·10⁹ ≈ 2.3·10¹⁵
+    *    INDEPENDENT of corpus size: int64-safe per-doc sums for any
+    *    realistic query width (≤ ~4000 terms), any N, df, avgdl, dl.
     *  - avgdl is floored to an integer (t div n), tf saturates at 255 (BM25
-    *    is nearly flat in tf past ~20 at k1=1.2; the cap also bounds every
-    *    intermediate product inside int64 — worst case
-    *    (2N+1)·22·255·avgdl·10⁹ stays < 2⁶³ for avgdl up to ~1600).
+    *    is nearly flat in tf past ~20 at k1=1.2).
     *  - with k1 = 6/5 and b = 3/4, the per-term score
     *    idf · tf(k1+1) / (tf + k1(1-b+b·dl/avgdl)) multiplies out to
-    *    idf_num·22·tf·avgdl / (idf_den·(10·avgdl·tf + 3·avgdl + 9·dl)) —
-    *    a ratio of exact int64s, floored at scale 10⁹ per term and SUMMED
-    *    IN INTEGERS per doc (associative ⇒ shuffle-order-proof).
+    *    idfr·22·tf·avgdl·10³ / (10·avgdl·tf + 3·avgdl + 9·dl) — the one
+    *    product whose magnitude scales with avgdl runs in DECIMAL(38,0)
+    *    (exact to 10³⁸; DuckDB mirrors it in HUGEINT), floor-divided back
+    *    to an int64 per-term score at total scale 10⁹ and SUMMED IN
+    *    INTEGERS per doc (associative ⇒ shuffle-order-proof).
+    *  - bounds: the only int64 intermediate that grows with the corpus is
+    *    the idf numerator (2N+1)·10⁶, guarded at N ≤ 4·10¹² docs with an
+    *    explicit raise_error (past that, shard the corpus and merge
+    *    per-shard top-k) — the r9 ADVICE silent-wrap risk is closed.
     *
     * Scale shape: the token stream is filtered to the query terms in the
     * scan projection (map-side — the corpus-wide stream that reaches the
@@ -466,11 +475,18 @@ object TextOps {
       .withColumn("__zero", pmod(col("tf"), lit(1L)))
       .join(broadcast(stats.withColumn("__zero", pmod(col("n"), lit(1L)))),
         "__zero")
-      .withColumn("avgdl", expr("t div n"))
+      .withColumn("avgdl", expr(
+        "CASE WHEN n > 4000000000000 THEN raise_error(" +
+          "'bm25: corpus exceeds 4e12 docs - the int64 idf numerator " +
+          "(2N+1)*1e6 would wrap; shard the corpus and merge per-shard " +
+          "top-k') ELSE t div n END"))
       .withColumn("tfc", least(col("tf"), lit(255L)))
+      .withColumn("idfr", least(
+        expr("((2*(n - df) + 1) * cast(1000000 as bigint)) div (2*df + 1)"),
+        lit(1048576000000L)))
       .withColumn("sterm", expr(
-        "((2*(n - df) + 1) * 22 * tfc * avgdl * cast(1000000000 as bigint)) div " +
-          "((2*df + 1) * (10*avgdl*tfc + 3*avgdl + 9*dl))"))
+        "(cast(idfr as decimal(38,0)) * 22 * tfc * avgdl * 1000) div " +
+          "(10*avgdl*tfc + 3*avgdl + 9*dl)"))
       .groupBy(col("doc_id")).agg(sum(col("sterm")).cast("long").as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }

@@ -1474,10 +1474,10 @@ object PipelineQueries {
                 GROUP BY 1, 2, 3),
          df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
          sc AS (SELECT f.doc_id,
-                  ((2*(s.n - df.df) + 1) * 22 * least(f.tf, 255) * (s.t // s.n)
-                    * 1000000000)
-                  // ((2*df.df + 1) *
-                      (10*(s.t // s.n)*least(f.tf, 255) + 3*(s.t // s.n) + 9*f.dl))
+                  (CAST(least(((2*(s.n - df.df) + 1) * 1000000) // (2*df.df + 1),
+                              1048576000000) AS HUGEINT)
+                    * 22 * least(f.tf, 255) * (s.t // s.n) * 1000)
+                  // (10*(s.t // s.n)*least(f.tf, 255) + 3*(s.t // s.n) + 9*f.dl)
                   AS sterm
                 FROM tf f JOIN df USING (tok) CROSS JOIN stats s)
          SELECT doc_id, CAST(sum(sterm) AS BIGINT) AS score

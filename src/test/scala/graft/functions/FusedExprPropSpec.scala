@@ -60,6 +60,54 @@ class FusedExprPropSpec extends SparkSpec {
     }
   }
 
+  test("StrideWinHashes == composed on MALFORMED UTF-8 (invalid lead bytes)") {
+    import org.apache.spark.sql.functions._
+    // UTF8String can hold arbitrary bytes (binary→string cast is a reinterpret,
+    // not a validation); the fused boundary walk must mirror
+    // UTF8String.numBytesForFirstByte — invalid lead bytes advance 1 — or
+    // char addressing diverges from Spark's `substring` (r9 ADVICE).
+    val payloads: Seq[Array[Byte]] = Seq(
+      Array(0x80, 'a', 'b', 'c', 0xBF, 'd').map(_.toByte),          // continuation bytes in lead position
+      Array('a', 'b', 0xC3, 'd').map(_.toByte),                      // 2-byte lead swallowing an ASCII byte
+      Array(0xF5, 0xFF, 'x', 'y', 'z', 0xFE, 'w').map(_.toByte),     // invalid 0xF5-0xFF leads
+      Array(0xE2.toByte, 'a'.toByte, 'b'.toByte, 'c'.toByte),        // 3-byte lead over ASCII tail
+      Array(0xC0, 0xAF, 'q', 'r', 's').map(_.toByte),                // overlong-encoding lead pair
+      ("ok" + "é").getBytes("UTF-8") ++ Array(0x90.toByte, 'z'.toByte))
+    val df = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "raw")
+      .select(col("id"), col("raw").cast("string").as("text"))
+    for ((w, stride) <- Seq((3, 1), (2, 2), (4, 3))) {
+      val fused = df.select(col("id"),
+        GraftFunctions.stride_win_hashes(col("text"), w, stride).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val composed = df
+        .filter(length(col("text")) >= w)
+        .select(col("id"), transform(
+          sequence(lit(0), floor((length(col("text")) - w) / stride).cast("int")),
+          i => xxhash64(substring(col("text"), lit(1) + i * stride, lit(w)))).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      composed.foreach { case (id, hs) =>
+        assert(fused(id) == hs, s"malformed w=$w stride=$stride id=$id")
+      }
+    }
+    // A multibyte lead TRUNCATED at the buffer end is the one pinned
+    // divergence: UTF8String.substring's boundary walk overshoots numBytes
+    // there and Unsafe-copies past the array (undefined trailing bytes), so
+    // composed output is not well-defined. The fused walk clamps the final
+    // char boundary to the buffer — pin that its output is DEFINED and
+    // stable (same value on repeated evaluation) rather than bit-matching UB.
+    val trunc = Seq((0L, Array('a', 'b', 0xC3).map(_.toByte)))
+      .toDF("id", "raw")
+      .select(col("id"), col("raw").cast("string").as("text"))
+    val t1 = trunc.select(
+      GraftFunctions.stride_win_hashes(col("text"), 3, 1).as("hs"))
+      .collect().head.getSeq[Long](0)
+    val t2 = trunc.select(
+      GraftFunctions.stride_win_hashes(col("text"), 3, 1).as("hs"))
+      .collect().head.getSeq[Long](0)
+    assert(t1.length == 1 && t1 == t2)
+  }
+
   test("fused LmScore == composed explode+join on 120 fuzz texts") {
     val texts = sample(120)
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

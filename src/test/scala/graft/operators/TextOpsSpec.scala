@@ -295,12 +295,14 @@ class TextOpsSpec extends SparkSpec {
     val out = TextOps.bm25(docs, Seq("rare", "common"), k = 4)
     val scores = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // Hand-compute doc 1 ("rare", tf=1, dl=4, avg=4, N=4, df=1):
-    // idf = (2*(4-1)+1)/(2*1+1) = 7/3; sterm = 7*22*1*4*1e9 div
-    // (3*(10*4*1 + 3*4 + 9*4)) = 616e9 div (3*88) = 2333333333
-    assert(scores(1L) == 616000000000L / 264L)
-    // doc 3 ("common", tf=2, df=3): idf_num=2*(4-3)+1=3, idf_den=7;
-    // sterm = 3*22*2*4*1e9 div (7*(10*4*2+3*4+9*4)) = 528e9 div 896
-    assert(scores(3L) == 528000000000L / 896L)
+    // idfr = (2*(4-1)+1)*1e6 div (2*1+1) = 7e6 div 3 = 2333333 (under the
+    // 2^20*1e6 cap); sterm = 2333333*22*1*4*1000 div (10*4*1+3*4+9*4)
+    //                      = 2333333*88000 div 88 = 2333333000
+    assert(scores(1L) == 2333333000L)
+    // doc 3 ("common", tf=2, df=3): idfr = 3e6 div 7 = 428571;
+    // sterm = 428571*22*2*4*1000 div (10*4*2+3*4+9*4)
+    //       = 75428496000 div 128 = 589285125
+    assert(scores(3L) == 589285125L)
     // rare-term doc ranks first; same-score common docs tie-break by doc_id
     val ranked = out.collect().map(_.getLong(0)).toSeq
     assert(ranked.head == 1L)

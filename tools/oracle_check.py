@@ -26,11 +26,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # Midnight timestamps stringify as dates: one engine may type a day
     # bucket DATE while the other types it TIMESTAMP (q_time_bucket vs
     # q_cohort) — the driver's compare treats the two as equal, so the
-    # replica must too.
-    def s(v):
+    # replica must too. Applied ONLY to datetime-typed columns: a string
+    # column legitimately ending in " 00:00:00" must still compare exactly.
+    def s_dt(v):
         r = str(v)
         return r[:-9] if r.endswith(" 00:00:00") else r
-    out = df.map(s)
+    out = pd.DataFrame(index=df.index)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            out[c] = df[c].map(s_dt)
+        else:
+            out[c] = df[c].map(str)
     return out.sort_values(by=list(out.columns), kind="mergesort", ignore_index=True)
 
 
