@@ -39,6 +39,21 @@ object PipelineQueries {
   private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
     bpeMergesCache.computeIfAbsent(dir, d => Bpe.train(docs(s, d)))
 
+  /** Memoized persisted IVF index per sf dir: the index is built ONCE
+    * (training + corpus encode + bucketed write — the expensive pass a
+    * production pipeline pays at ingest time) and every probe face/rep
+    * after that reads it. Returns the catalog table name. */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfIndexTable(s: SparkSession, dir: String): String =
+    ivfIndexCache.computeIfAbsent(dir, { d =>
+      val tbl = "graft_ivf_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_idx_").resolve("t").toString
+      Similarity.writeIvfIndex(s, emb(s, d), tbl, path, nCentroids = 16)
+      tbl
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.3 #36 exact dedup by content hash
     // the operator shuffles 16-byte binary digests; the face re-hexes at
@@ -185,6 +200,18 @@ object PipelineQueries {
       Similarity.topKIvfPq(s, e, e.filter(col("vec_id") < 8), k = 5)
     }),
 
+    // §2.11: PERSISTED-index IVF probe — the r9 VERDICT's top item. The
+    // index (inverted lists bucketed by cid + PQ codes + centroid/codebook
+    // sidecar) is built once per sf dir (memoized, the ingest-time cost);
+    // the face itself is the PROBE: zero training jobs, zero corpus
+    // encode, one shuffle (spec-pinned by IvfIndexSpec). Same
+    // (nCentroids=16, nProbe=8) as sim_topk_ivf, so rows are identical to
+    // the transient face by construction — and certified >= 0.8 recall
+    // each round by the check twin below.
+    "sim_topk_ivf_indexed" -> ((s, dir) =>
+      Similarity.topKIvfIndexed(s, ivfIndexTable(s, dir),
+        emb(s, dir).filter(col("vec_id") < 8), k = 5, nProbe = 8)),
+
     // §2.7: driver-verified ANN recall (CHECK faces — Bench skips *_check,
     // so the raw ANN faces above keep timing only the approximate path).
     // Same engine-own convention as the sketch *_check oracles: Spark
@@ -198,6 +225,8 @@ object PipelineQueries {
     "sim_topk_ivf_check" -> ((s, dir) => annRecallCheck(s, dir, "ivf")),
     "sim_topk_pq_check" -> ((s, dir) => annRecallCheck(s, dir, "pq")),
     "sim_topk_ivfpq_check" -> ((s, dir) => annRecallCheck(s, dir, "ivfpq")),
+    "sim_topk_ivf_indexed_check" -> ((s, dir) =>
+      annRecallCheck(s, dir, "ivf_indexed")),
 
     // §2.4 #64 streaming exact dedup (batch face here: same first-occurrence
     // semantics as the stateful stream; flatMapGroupsWithState spec in tests)
@@ -861,6 +890,8 @@ object PipelineQueries {
         n = embCount(s, dir))
       case "pq" => Similarity.topKPq(s, e, q, k = k)
       case "ivfpq" => Similarity.topKIvfPq(s, e, q, k = k)
+      case "ivf_indexed" =>
+        Similarity.topKIvfIndexed(s, ivfIndexTable(s, dir), q, k = k, nProbe = 8)
       case _ => Similarity.topKIvf(s, e, q, k = k, nCentroids = 16, nProbe = 8)
     }
     val exact = Similarity.topKBruteForce(e, q, k = k)
@@ -1220,6 +1251,7 @@ object PipelineQueries {
     "sim_topk_ivf_check" -> annRecallOracleSql,
     "sim_topk_pq_check" -> annRecallOracleSql,
     "sim_topk_ivfpq_check" -> annRecallOracleSql,
+    "sim_topk_ivf_indexed_check" -> annRecallOracleSql,
     "st_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS doc_id
          FROM documents GROUP BY 1""",
