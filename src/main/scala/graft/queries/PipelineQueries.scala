@@ -54,6 +54,37 @@ object PipelineQueries {
       tbl
     })
 
+  /** Memoized persisted MinHash band index over the STANDING corpus (all
+    * sources but src19 — the same split dd_incremental uses), for the
+    * incremental near-dup faces. Built once per sf dir. */
+  private val bandIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bandIndexTable(s: SparkSession, dir: String): String =
+    bandIndexCache.computeIfAbsent(dir, { d =>
+      val tbl = "graft_band_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_band_idx_").resolve("t").toString
+      Dedup.writeBandIndex(
+        docs(s, d).filter(col("source") =!= lit("src19")), tbl, path)
+      tbl
+    })
+
+  /** The incremental near-dup faces' daily delta: the fresh source, an
+    * EXACT recrawl of src0 under new ids, and a PARAPHRASED recrawl of
+    * src1 (three appended words — high but non-1.0 Jaccard, the case the
+    * exact digest increment admits and only the fuzzy index rejects).
+    * Shared verbatim by the face and the check twin's truth/oracle. */
+  private def minhashDelta(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.filter(col("source") === lit("src19"))
+      .select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("source") === lit("src0"))
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("source") === lit("src1"))
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          concat(col("text"), lit(" updated appendix note")).as("text")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.3 #36 exact dedup by content hash
     // the operator shuffles 16-byte binary digests; the face re-hexes at
@@ -727,6 +758,40 @@ object PipelineQueries {
       val burst = fresh.select((col("doc_id") + 20000L).as("doc_id"), col("text"))
       Dedup.incremental(corpus, fresh.unionByName(recrawl).unionByName(burst))
         .select(col("doc_id"), lower(hex(col("h"))).as("h"))
+    }),
+
+    // §2.11: incremental NEAR-dup against the persisted band index — the
+    // dd_incremental posture for fuzzy duplicates (r9 VERDICT #2). The
+    // standing corpus's band keys + signatures persist bucketed on
+    // (band, bh); the delta candidate-joins the index pre-partitioned
+    // (three delta-sized exchanges, zero above the index scan —
+    // DedupSpec-pinned) and signature agreement estimates Jaccard with no
+    // corpus re-read. Rows-only (xxhash signatures have no DuckDB twin);
+    // the check twin certifies rejection recall vs the exact cross-set
+    // truth each round.
+    "dd_minhash_incremental" -> ((s, dir) =>
+      Dedup.minhashIncremental(s, bandIndexTable(s, dir), minhashDelta(s, dir))
+        .select(col("doc_id")).distinct()),
+
+    // CHECK: every delta doc with an exact word-3-gram Jaccard >= 0.8
+    // partner in the standing corpus should be REJECTED by the index
+    // probe. n_true_docs is recomputed independently by DuckDB
+    // (hash-compared); the >= 0.8 recall boolean is engine-own, on the
+    // deterministic signature estimator.
+    "dd_minhash_incremental_check" -> ((s, dir) => {
+      val corpus = docs(s, dir).filter(col("source") =!= lit("src19"))
+      val delta = minhashDelta(s, dir)
+      val truth = Dedup.crossPairJaccard(corpus, delta)
+        .filter(col("j") >= 0.8)
+        .select(col("bench_id").as("doc_id")).distinct()
+      val admitted = Dedup
+        .minhashIncremental(s, bandIndexTable(s, dir), delta)
+        .select(col("doc_id")).distinct()
+      val rejected = delta.select(col("doc_id"))
+        .join(admitted, Seq("doc_id"), "left_anti")
+      val hits = truth.join(rejected, Seq("doc_id"), "left_semi")
+      pairRecallRow(truth, hits)
+        .withColumnRenamed("n_true_pairs", "n_true_docs")
     }),
 
     // §2.7 #116 SemDeDup: k-means-bucketed semantic dedup over the
@@ -1743,6 +1808,39 @@ object PipelineQueries {
            JOIN szs sb ON db = sb.doc_id
            WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6)
          SELECT count(*)::BIGINT AS n_true_pairs, (1.0 >= 0.8) AS recall_ok
+         FROM truth""",
+    "dd_minhash_incremental_check" ->
+      """WITH delta AS (
+           SELECT doc_id, text FROM documents WHERE source = 'src19'
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE source = 'src0'
+           UNION ALL
+           SELECT doc_id + 20000, text || ' updated appendix note'
+           FROM documents WHERE source = 'src1'),
+         bothsides AS (
+           SELECT doc_id, text, 0 AS side FROM documents WHERE source <> 'src19'
+           UNION ALL SELECT doc_id, text, 1 FROM delta),
+         toks AS (
+           SELECT doc_id, side, string_split_regex(lower(text), ' +') AS t
+           FROM bothsides),
+         sh AS (
+           SELECT doc_id, side, unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
+           FROM toks),
+         szs AS (SELECT doc_id, side, count(*) AS sz FROM sh GROUP BY 1, 2),
+         inter AS (
+           SELECT a.doc_id AS ca, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.side = 0 AND b.side = 1 GROUP BY 1, 2),
+         truth AS (
+           SELECT DISTINCT db FROM inter
+           JOIN szs sa ON ca = sa.doc_id AND sa.side = 0
+           JOIN szs sb ON db = sb.doc_id AND sb.side = 1
+           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.8)
+         SELECT count(*)::BIGINT AS n_true_docs, (1.0 >= 0.8) AS recall_ok
          FROM truth""",
     "dd_semdedup_check" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

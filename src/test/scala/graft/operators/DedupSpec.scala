@@ -243,6 +243,60 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("persisted band index: near-dup increment rejects fuzzy recrawls, " +
+      "delta-only exchanges, idempotent append-back") {
+    val standing = docsDF(Seq(
+      1L -> base,
+      2L -> "completely different content about spark shuffles and partitions and codegen",
+      3L -> "yet another unrelated document mentioning catalyst optimizer rules and pushdown"))
+    val delta = docsDF(Seq(
+      11L -> base,                              // exact recrawl → est j = 1 → rejected
+      12L -> base.replace("lazy", "sleepy"),    // paraphrased recrawl → rejected
+      13L -> "fresh story about bucketed joins and sort merge exchanges in the planner",
+      14L -> "orthogonal text on watermark semantics and stateful stream sessionization"))
+    val wh = java.nio.file.Files.createTempDirectory("graft_bandidx_").toString
+    Dedup.writeBandIndex(standing, "band_idx", s"$wh/band_idx", buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val admitted = Dedup.minhashIncremental(spark, "band_idx", delta)
+      val got = admitted.select("doc_id").distinct().collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(13L, 14L), s"admitted $got")
+      // the whole point: every exchange is DELTA-sized — the index side of
+      // the candidate join reads pre-bucketed on (band, bh), no exchange
+      // above its scan, and the delta's signature aggregate is computed
+      // once (ReusedExchange on the admission side)
+      val plan = admitted.queryExecution.executedPlan.toString
+      val idxSide = plan.split("\n").filter(_.contains("band_idx"))
+      assert(idxSide.nonEmpty, plan)
+      // a ReusedExchange node's suffix echoes its target's description, so
+      // count real Exchange LINES only
+      val exchanges = plan.split("\n").count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+      assert(exchanges == 3, s"expected 3 delta-sided exchanges:\n$plan")
+      assert(plan.contains("ReusedExchange"),
+        s"delta signature subtree should be computed once:\n$plan")
+      // no exchange keyed on the index's own output: the only (band, bh)
+      // partitioning is the delta side of the join
+      assert(plan.split("\n").count(l =>
+        l.contains("Exchange hashpartitioning(band") &&
+          !l.contains("ReusedExchange")) == 1, plan)
+      // close the loop: append admitted band rows, re-run → nothing admitted
+      // (a re-arriving admitted doc is now a j=1 near-dup of its own entry)
+      admitted.select(col("doc_id"), col("band"), col("bh"), col("sig"))
+        .write.bucketBy(4, "band", "bh").sortBy("band", "bh")
+        .option("path", s"$wh/band_idx").mode("append").saveAsTable("band_idx")
+      assert(Dedup.minhashIncremental(spark, "band_idx", delta).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS band_idx")
+    }
+  }
+
   test("LSH-pair clustering recovers >= 0.8 of exact-closure co-cluster pairs at test SF") {
     val d = graft.Tables.load(spark, sf, "documents")
     def coPairs(cc: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
