@@ -840,35 +840,50 @@ object PipelineQueries {
     * path too). */
   private val CmsItems = Seq("spark", "hash", "window", "stream", "zzz_absent")
 
-  /** File-backed replay source: writes `df` to a fresh subdir of `root`
-    * (a DISTRIBUTED write — the source table never collects to the
-    * driver) and opens the same path as a file-streaming source. This
-    * replaces the r6 MemoryStream harness, whose driver-side collect
-    * scaled with the source table.
+  /** One distributed payload write per DISTINCT (sf dir, variant) per JVM
+    * — r10 change: each replay face used to write its OWN temp copy of the
+    * same projected events/documents table, ~15-20 s of the r9 bench total
+    * spent on fixture setup rather than query time. Payloads are immutable
+    * once written (the testdata never changes within a session), so faces
+    * and bench reps share them; every face still keeps its own streaming
+    * source instance, checkpoint and sink. `df` is by-name: only the first
+    * caller per key evaluates (and pays) the write. */
+  private val replayPayloadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def replayPayloadPath(s: SparkSession, key: String,
+      df: => DataFrame): String =
+    replayPayloadCache.computeIfAbsent(key, { _ =>
+      val d = df
+      // A physical-type drift (r8: events.ts became TIMESTAMP_NTZ) must
+      // fail HERE, at the face boundary, with a message naming the fix —
+      // not deep inside watermark analysis three operators later.
+      d.schema.fields.foreach { f =>
+        require(f.dataType != org.apache.spark.sql.types.TimestampNTZType,
+          s"replay column '${f.name}' is TIMESTAMP_NTZ — watermarks and " +
+            "unix_micros reject it; normalize upstream (Tables.load casts " +
+            "NTZ to TimestampType under the UTC-pinned session)")
+      }
+      val path = java.nio.file.Files.createTempDirectory("graft_et_")
+        .resolve("data").toString
+      d.write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** File-backed replay source over the shared payload ([[replayPayloadPath]]):
+    * a DISTRIBUTED write — the source table never collects to the driver.
     *
     * Watermark-advancing SENTINEL rows ride in the same initial write:
     * during the first micro-batch the watermark is still epoch 0, so
     * nothing is late-dropped regardless of arrival order; the batch's end
     * advances the watermark past every real event's horizon at once, and
     * processAllAvailable keeps running (cheap, empty) micro-batches while
-    * that advance leaves timeouts or evictions due. One write + one PAA
-    * round — each extra micro-batch costs ~0.5-1 s of fixed state-commit
-    * and planning overhead, so the replay runs exactly two. */
-  private def fileReplaySource(
-      s: SparkSession, df: DataFrame,
-      root: java.nio.file.Path, sub: String): DataFrame = {
-    // A physical-type drift (r8: events.ts became TIMESTAMP_NTZ) must fail
-    // HERE, at the face boundary, with a message naming the fix — not deep
-    // inside watermark analysis three operators later.
-    df.schema.fields.foreach { f =>
-      require(f.dataType != org.apache.spark.sql.types.TimestampNTZType,
-        s"replay column '${f.name}' is TIMESTAMP_NTZ — watermarks and " +
-          "unix_micros reject it; normalize upstream (Tables.load casts " +
-          "NTZ to TimestampType under the UTC-pinned session)")
-    }
-    val path = root.resolve(sub).toString
-    df.write.mode("overwrite").parquet(path)
-    s.readStream.schema(df.schema).parquet(path)
+    * that advance leaves timeouts or evictions due. One (shared) write +
+    * one PAA round — each extra micro-batch costs ~0.5-1 s of fixed
+    * state-commit and planning overhead, so the replay runs exactly two. */
+  private def fileReplaySource(s: SparkSession, key: String,
+      df: => DataFrame): DataFrame = {
+    val path = replayPayloadPath(s, key, df)
+    s.readStream.schema(s.read.parquet(path).schema).parquet(path)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = try {
@@ -984,18 +999,26 @@ object PipelineQueries {
       SentinelUser, "sentinel", 0.0)).toDF()
   }
 
-  private def stSessionizeEt(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val evs = Tables.load(s, dir, "events")
+  /** The replay faces' shared events projection (one payload per variant,
+    * see [[replayPayloadPath]]). */
+  private def replayEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value").cast("double").as("value"))
-    val root = java.nio.file.Files.createTempDirectory("graft_et_")
+
+  private def eventsWithSentinels(s: SparkSession, dir: String): DataFrame = {
+    val evs = replayEvents(s, dir)
+    evs.unionByName(sentinelEvents(s, evs))
+  }
+
+  private def stSessionizeEt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // sentinels ride in the initial write (watermark is epoch 0 during
     // batch 0, so co-arrival drops nothing); their +3h/+6h timestamps move
     // the watermark past every session's last+gap at the batch boundary
     // and PAA's follow-up batch fires the now-due timeouts
-    val src = fileReplaySource(s, evs.unionByName(sentinelEvents(s, evs)),
-      root, "events")
+    val src = fileReplaySource(s, s"$dir|events+sentinels",
+      eventsWithSentinels(s, dir))
     val name = "st_sessionize_et_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val q = withStatePartitions(s, 8) {
@@ -1012,7 +1035,6 @@ object PipelineQueries {
     } finally {
       q.stop()
       s.catalog.dropTempView(name)
-      deleteRecursively(root)
     }
   }
 
@@ -1022,12 +1044,8 @@ object PipelineQueries {
     * window end, which the +3h/+6h sentinels guarantee for every real
     * session. */
   private def stSessionNativeEt(s: SparkSession, dir: String): DataFrame = {
-    val evs = Tables.load(s, dir, "events")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value").cast("double").as("value"))
-    val root = java.nio.file.Files.createTempDirectory("graft_et_")
-    val src = fileReplaySource(s, evs.unionByName(sentinelEvents(s, evs)),
-      root, "events")
+    val src = fileReplaySource(s, s"$dir|events+sentinels",
+      eventsWithSentinels(s, dir))
     val name = "st_session_native_et_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val q = withStatePartitions(s, 8) {
@@ -1044,7 +1062,6 @@ object PipelineQueries {
     } finally {
       q.stop()
       s.catalog.dropTempView(name)
-      deleteRecursively(root)
     }
   }
 
@@ -1055,17 +1072,15 @@ object PipelineQueries {
     * split-one-stream shape a Kafka-backed deployment would use. */
   private def stJoinEtFace(
       s: SparkSession, dir: String, joinType: String): DataFrame = {
-    val evs = Tables.load(s, dir, "events")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value").cast("double").as("value"))
-    val root = java.nio.file.Files.createTempDirectory("graft_et_")
     // outer: null rows for unconverted clicks emit only once the GLOBAL
     // watermark (min across both streams) proves no purchase can match —
     // sentinel events pass BOTH sides' filters, advancing each stream
-    val payload =
-      if (joinType == "inner") evs
-      else evs.unionByName(sentinelEvents(s, evs))
-    val src = fileReplaySource(s, payload, root, "events")
+    val src =
+      if (joinType == "inner")
+        fileReplaySource(s, s"$dir|events", replayEvents(s, dir))
+      else
+        fileReplaySource(s, s"$dir|events+sentinels",
+          eventsWithSentinels(s, dir))
     def side(kind: String) = src.filter(
       col("event_type").isin(kind, "sentinel"))
     val clicks = side("click")
@@ -1099,7 +1114,6 @@ object PipelineQueries {
     } finally {
       q.stop()
       s.catalog.dropTempView(name)
-      deleteRecursively(root)
     }
   }
 
@@ -1110,12 +1124,8 @@ object PipelineQueries {
     stJoinEtFace(s, dir, "left_outer")
 
   private def stEnrichEt(s: SparkSession, dir: String): DataFrame = {
-    val evs = Tables.load(s, dir, "events")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value").cast("double").as("value"))
     val nation = Tables.load(s, dir, "nation")
-    val root = java.nio.file.Files.createTempDirectory("graft_et_")
-    val src = fileReplaySource(s, evs, root, "events")
+    val src = fileReplaySource(s, s"$dir|events", replayEvents(s, dir))
     val name = "st_enrich_et_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // complete mode: the unwatermarked aggregate re-emits all |dim| rows
     // per batch — O(25) state, no sentinels needed
@@ -1131,7 +1141,6 @@ object PipelineQueries {
     } finally {
       q.stop()
       s.catalog.dropTempView(name)
-      deleteRecursively(root)
     }
   }
 
@@ -1140,11 +1149,9 @@ object PipelineQueries {
     // synthesize an event clock from doc_id (60 s per id): dupes of a text
     // re-admit when their id gap exceeds ttl/60s — mirrored exactly by the
     // oracle's lag() window
-    val tsd = docs(s, dir)
+    val src = fileReplaySource(s, s"$dir|docs_ts", docs(s, dir)
       .select(expr("timestamp_micros(1704067200000000 + doc_id * 60000000)").as("ts"),
-        col("doc_id"), col("text"))
-    val root = java.nio.file.Files.createTempDirectory("graft_et_")
-    val src = fileReplaySource(s, tsd, root, "docs")
+        col("doc_id"), col("text")))
     val name = "st_dedup_et_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = withStatePartitions(s, 8) {
       EventStreams.dedupStreamEventTime(s, src.as[EventStreams.TsDoc],
@@ -1161,7 +1168,6 @@ object PipelineQueries {
     } finally {
       q.stop()
       s.catalog.dropTempView(name)
-      deleteRecursively(root)
     }
   }
 
@@ -1171,11 +1177,9 @@ object PipelineQueries {
     * batch-arrival-nondeterministic, so the face emits only the admitted
     * KEY set — exactly the corpus's distinct digests. */
   private def stDedupWm(s: SparkSession, dir: String): DataFrame = {
-    val tsd = docs(s, dir)
+    val src = fileReplaySource(s, s"$dir|docs_ts", docs(s, dir)
       .select(expr("timestamp_micros(1704067200000000 + doc_id * 60000000)").as("ts"),
-        col("doc_id"), col("text"))
-    val root = java.nio.file.Files.createTempDirectory("graft_et_")
-    val src = fileReplaySource(s, tsd, root, "docs")
+        col("doc_id"), col("text")))
     val name = "st_dedup_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = withStatePartitions(s, 8) {
       src.withWatermark("ts", "30 minutes")
@@ -1191,19 +1195,20 @@ object PipelineQueries {
     } finally {
       q.stop()
       s.catalog.dropTempView(name)
-      deleteRecursively(root)
     }
   }
 
   private def stSimTopk(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val root = java.nio.file.Files.createTempDirectory("graft_et_")
-    val qPath = root.resolve("queries").toString
     val outPath = root.resolve("out").toString
     val ckpt = root.resolve("ckpt").toString
     // 4 files → 4 micro-batches at maxFilesPerTrigger=1: the face really
-    // exercises multi-batch replay, not one big batch
-    e.filter(col("vec_id") < 8).repartition(4).write.mode("overwrite").parquet(qPath)
+    // exercises multi-batch replay, not one big batch. The query payload
+    // is shared; the append-mode OUTPUT and checkpoint stay per-invocation
+    // (reusing an append sink would accumulate rows across reps).
+    val qPath = replayPayloadPath(s, s"$dir|queries4",
+      e.filter(col("vec_id") < 8).repartition(4))
     val qStream = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(qPath)
     val q = Similarity.topKStreamToParquet(e, qStream, k = 5, outPath, ckpt)
@@ -1238,8 +1243,8 @@ object PipelineQueries {
       .select(col("user_id"), col("ts"), col("event_id"),
         col("value").cast("double").as("value"))
     val root = java.nio.file.Files.createTempDirectory("graft_et_")
-    val srcPath = root.resolve("updates").toString
-    evs.repartition(nBatches).write.mode("overwrite").parquet(srcPath)
+    val srcPath = replayPayloadPath(s, s"$dir|cdc_updates_$nBatches",
+      evs.repartition(nBatches))
     val stream = s.readStream.schema(evs.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcPath)
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
