@@ -69,6 +69,21 @@ object PipelineQueries {
       tbl
     })
 
+  /** The big-domain heavy-hitters stream: unigrams plus bigrams of the
+    * lowercased token stream — one natural n-gram accounting pass whose
+    * bigram tail overflows k=64 counters while the unigram head stays
+    * genuinely heavy. Shared verbatim by the face, the check twin and
+    * (re-derived) the DuckDB oracle. */
+  private def hhGramStream(s: SparkSession, dir: String): DataFrame = {
+    val w = docs(s, dir).select(split(lower(col("text")), " +").as("w"))
+    val uni = w.select(explode(col("w")).as("it"))
+    val bi = w.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat(element_at(col("w"), i), lit(" "),
+          element_at(col("w"), i + 1)))).as("it"))
+    uni.unionByName(bi)
+  }
+
   /** Memoized fitted char-trigram LM per sf dir (the bpeMerges argument):
     * the model is one corpus aggregate, bounded by construction; fitting
     * it once lets txt_lm_score measure SCORING — the map-only pass a
@@ -442,6 +457,53 @@ object PipelineQueries {
         .filter(col("__r") < 20)
         .select(col("__e.item").as("item"), col("__e.est").as("est"),
           (col("__r") + 1).cast("long").as("rank"), col("err_bound"))
+    }),
+
+    // §2.11: Misra-Gries OUTSIDE the provably-exact regime (r9 VERDICT #5):
+    // q_heavy_hitters' 31-word vocabulary never fills k=64 counters, so its
+    // err_bound is always 0 and the mergeable-undercount contract was only
+    // spec-tested. This face streams the combined 1-gram + 2-gram token
+    // stream (947 distinct at sf0.01 — trims fire constantly, err_bound>0)
+    // whose unigram head still holds real heavy hitters (30 items above
+    // n/65). est values depend on merge order once trims fire → rows-only;
+    // the _check twin certifies the full MG contract each round.
+    "q_heavy_hitters_big" -> ((s, dir) => {
+      val sk = hhGramStream(s, dir)
+        .agg(graft.functions.GraftFunctions.mg_freq_items(col("it"), 64).as("sk"))
+      sk.select(posexplode(col("sk.items")).as(Seq("__r", "__e")),
+          col("sk.err_bound").as("err_bound"))
+        .filter(col("__r") < 20)
+        .select(col("__e.item").as("item"), col("__e.est").as("est"),
+          (col("__r") + 1).cast("long").as("rank"), col("err_bound"))
+    }),
+
+    // CHECK: the Misra-Gries contract on the trimming domain, certified
+    // against the engine's own exact counts with the above-threshold count
+    // cross-checked by DuckDB: err_bound really went positive, every item
+    // with exact count > n/(k+1) is present (integer compare c*65 > n),
+    // no reported est overcounts, and every undercount is <= err_bound.
+    "q_heavy_hitters_big_check" -> ((s, dir) => {
+      val grams = hhGramStream(s, dir)
+      val meta = grams
+        .agg(graft.functions.GraftFunctions.mg_freq_items(col("it"), 64).as("sk"),
+          count(lit(1)).as("n"))
+        .select(col("sk.items").as("items"), col("sk.err_bound").as("err_bound"),
+          col("n"), pmod(col("n"), lit(1L)).as("__zero"))
+      val exact = grams.groupBy(col("it")).agg(count(lit(1)).as("c"))
+        .withColumn("__zero", pmod(col("c"), lit(1L)))
+      exact.join(broadcast(meta), "__zero")
+        .withColumn("est", try_element_at(
+          filter(col("items"), x => x.getField("item") === col("it")), lit(1))
+          .getField("est"))
+        .agg(
+          sum(when(col("c") * 65 > col("n"), 1L).otherwise(0L))
+            .cast("long").as("n_above"),
+          (min(col("err_bound")) > 0L).as("err_positive"),
+          bool_and(!(col("c") * 65 > col("n")) || col("est").isNotNull)
+            .as("presence_ok"),
+          bool_and(col("est").isNull || col("est") <= col("c")).as("never_over"),
+          bool_and(col("est").isNull || col("c") - col("est") <= col("err_bound"))
+            .as("undercount_ok"))
     }),
 
     // §2.10: Count-Min sketch frequencies — the persistable-sketch posture
@@ -1638,6 +1700,21 @@ object PipelineQueries {
            FROM toks GROUP BY tok)
          SELECT item, est, rank, CAST(0 AS BIGINT) AS err_bound
          FROM counted WHERE rank <= 20""",
+    "q_heavy_hitters_big_check" ->
+      """WITH w AS (
+           SELECT string_split_regex(lower(text), ' +') AS w FROM documents),
+         g AS (
+           SELECT unnest(w) AS it FROM w
+           UNION ALL
+           SELECT unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i + 1]))
+           FROM w WHERE len(w) >= 2),
+         c AS (SELECT it, count(*) AS c FROM g GROUP BY 1),
+         s AS (SELECT sum(c)::BIGINT AS n FROM c)
+         SELECT (SELECT count(*) FROM c, s WHERE c.c * 65 > s.n)::BIGINT
+                  AS n_above,
+                TRUE AS err_positive, TRUE AS presence_ok,
+                TRUE AS never_over, TRUE AS undercount_ok""",
     "txt_ngram_freq" ->
       """WITH toks AS (
            SELECT string_split_regex(text, ' +') AS t FROM documents),
