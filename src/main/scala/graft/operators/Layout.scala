@@ -33,30 +33,63 @@ object Layout {
   def zkey2(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
-  /** Scale an integral column into [0, 65535] over [lo, hi] (integer
+  /** Bits each dimension keeps in an N-way interleave: 16 for 2-3 dims,
+    * then shrinking so the code stays inside the 63 non-sign bits (a set
+    * sign bit would invert long ordering and scramble the range
+    * partition). */
+  def bitsPerDim(n: Int): Int = math.min(16, 63 / n)
+
+  /** N-way Morton code (r10, the 100 TB layout usually interleaves 3-4
+    * columns — date × key × geography): bit j of cols(i) lands at position
+    * j·n + i. n=2 rides the fast shift-or-mask spread (bit-identical
+    * placement); general n uses the per-bit shift-or chain — all codegen'd
+    * bitwise Column arithmetic, no UDF, write-time only. */
+  def zkeyN(cols: Seq[Column]): Column = {
+    val n = cols.length
+    require(n >= 2 && n <= 6, s"zkeyN interleaves 2-6 columns, got $n")
+    if (n == 2) zkey2(cols(0), cols(1))
+    else {
+      val bits = bitsPerDim(n)
+      cols.zipWithIndex.map { case (c, i) =>
+        (0 until bits).map { j =>
+          shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * n + i)
+        }.reduce(_.bitwiseOR(_))
+      }.reduce(_.bitwiseOR(_))
+    }
+  }
+
+  /** Scale an integral column into [0, 2^bits - 1] over [lo, hi] (integer
     * arithmetic; degenerate ranges collapse to 0). */
-  private def norm16(c: Column, lo: Long, hi: Long): Column =
+  private def normBits(c: Column, lo: Long, hi: Long, bits: Int): Column =
     if (hi <= lo) lit(0L)
     // Column./ is double division; the products here stay well inside
     // double's exact-integer range, so floor+cast restores exact longs
-    else floor((c.cast("long") - lo) * 65535L / (hi - lo)).cast("long")
+    else floor((c.cast("long") - lo) * ((1L << bits) - 1) / (hi - lo)).cast("long")
 
   /** Write `df` z-clustered on two integral columns into `nFiles` parquet
+    * files — the 2-D spelling of [[writeZorderedN]]. */
+  def writeZordered2(df: DataFrame, ca: String, cb: String,
+      nFiles: Int, path: String): Unit =
+    writeZorderedN(df, Seq(ca, cb), nFiles, path)
+
+  /** Write `df` z-clustered on N integral columns into `nFiles` parquet
     * files: one stats aggregate for the normalization bounds, then
     * range-partition + sort on the Morton code. Every output file covers a
-    * compact z-region, so min/max stats are tight in BOTH dimensions. */
-  def writeZordered2(df: DataFrame, ca: String, cb: String,
+    * compact z-region, so min/max stats are tight in EVERY clustered
+    * dimension. */
+  def writeZorderedN(df: DataFrame, cs: Seq[String],
       nFiles: Int, path: String): Unit = {
-    val r = df.agg(
-      min(col(ca).cast("long")), max(col(ca).cast("long")),
-      min(col(cb).cast("long")), max(col(cb).cast("long"))).collect()(0)
+    val bits = bitsPerDim(cs.length)
+    val aggs = cs.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     if (r.isNullAt(0)) { // empty input: nothing to cluster, write the schema
       df.write.mode("overwrite").parquet(path)
       return
     }
-    val z = zkey2(
-      norm16(col(ca), r.getLong(0), r.getLong(1)),
-      norm16(col(cb), r.getLong(2), r.getLong(3)))
+    val z = zkeyN(cs.zipWithIndex.map { case (c, i) =>
+      normBits(col(c), r.getLong(2 * i), r.getLong(2 * i + 1), bits)
+    })
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -32,6 +32,35 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zkeyN equals the reference N-way interleave (and zkey2 at n=2)") {
+    // reference: bit j of value i lands at j*n + i
+    def refN(vals: Seq[Long], n: Int, bits: Int): Long =
+      vals.zipWithIndex.map { case (v, i) =>
+        (0 until bits).map(j => ((v >> j) & 1L) << (j * n + i)).reduce(_ | _)
+      }.reduce(_ | _)
+    val triples = for (a <- 0 to 12; b <- 0 to 12; c <- 0 to 12)
+      yield (a.toLong * 1619L % 65536L, b.toLong * 2749L % 65536L,
+        c.toLong * 4093L % 65536L)
+    val got3 = triples.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.zkeyN(Seq(col("a"), col("b"), col("c"))).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    triples.foreach { case (a, b, c) =>
+      assert(got3((a, b, c)) == refN(Seq(a, b, c), 3, Layout.bitsPerDim(3)))
+    }
+    // n=2 rides the mask spread — must equal the same reference placement
+    val pairs = (0 to 40).map(i => (i.toLong * 1619L % 65536L, i.toLong * 2749L % 65536L))
+    val got2 = pairs.toDF("a", "b")
+      .select(Layout.zkeyN(Seq(col("a"), col("b"))).as("z"))
+      .collect().map(_.getLong(0))
+    pairs.zip(got2).foreach { case ((a, b), z) =>
+      assert(z == refN(Seq(a, b), 2, 16))
+    }
+    // n=4: 15 bits per dim keeps the code under the sign bit
+    assert(Layout.bitsPerDim(4) == 15)
+  }
+
   private def findScans(plan: SparkPlan): Seq[FileSourceScanExec] = plan match {
     case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
     case s: FileSourceScanExec => Seq(s)
@@ -84,6 +113,57 @@ class LayoutSpec extends SparkSpec {
       // granularity drift can't flake the spec
       assert(zRows * 2 < linRows,
         s"z layout scanned $zRows rows, linear scanned $linRows — no pruning win")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  test("3-D box predicate prunes the 3-way z layout, not the single sort") {
+    // the 100 TB layout story: date × key × geography — here
+    // partkey × orderkey × suppkey. The single-column control is tight in
+    // partkey only; a 3-D box over the z layout reads only intersecting
+    // z-tiles.
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_suppkey"),
+        col("l_quantity"))
+    val root = java.nio.file.Files.createTempDirectory("graft_zorder3_")
+    try {
+      val zPath = root.resolve("z3").toString
+      val linPath = root.resolve("linear").toString
+      // grid resolution divides across dimensions (bits/dim =
+      // log2(nFiles)/n): 3 dims at 256 files leave ~2.7 bits per dim
+      // (simulated only 1.08x at a 10% box); 512 files restore enough
+      // per-dim resolution for a decisive win — the documented trade when
+      // widening the clustering key set
+      Layout.writeZorderedN(li,
+        Seq("l_partkey", "l_orderkey", "l_suppkey"), nFiles = 512, zPath)
+      li.repartitionByRange(512, col("l_partkey"))
+        .sortWithinPartitions(col("l_partkey"))
+        .write.mode("overwrite").parquet(linPath)
+      val b = li.agg(min("l_partkey"), max("l_partkey"),
+        min("l_orderkey"), max("l_orderkey"),
+        min("l_suppkey"), max("l_suppkey")).collect()(0)
+      def mid(lo: Long, hi: Long, pct: Int): (Long, Long) = {
+        val span = hi - lo
+        (lo + span * (50 - pct / 2) / 100, lo + span * (50 + pct / 2) / 100)
+      }
+      // 20%^3 box ≈ 0.8% of the data; simulated 3516 vs 12187 rows (3.47x)
+      // — assert the conservative 2x
+      val (p1, p2) = mid(b.getLong(0), b.getLong(1), 20)
+      val (o1, o2) = mid(b.getLong(2), b.getLong(3), 20)
+      val (s1, s2) = mid(b.getLong(4), b.getLong(5), 20)
+      def box(path: String): DataFrame =
+        spark.read.parquet(path).filter(
+          col("l_partkey").between(p1, p2) &&
+            col("l_orderkey").between(o1, o2) &&
+            col("l_suppkey").between(s1, s2))
+      assert(box(zPath).count() == box(linPath).count())
+      val zRows = scannedRows(box(zPath))
+      val linRows = scannedRows(box(linPath))
+      assert(zRows * 2 < linRows,
+        s"3-D z layout scanned $zRows rows, linear scanned $linRows")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
