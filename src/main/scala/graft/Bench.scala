@@ -23,6 +23,29 @@ object Bench {
       java.nio.charset.StandardCharsets.UTF_8).split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  private val osBean = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+  /** EXTERNAL busy cores right now: (system CPU − this JVM's CPU) × cores,
+    * averaged over `windowMs`. This is the r9 VERDICT's "self-load
+    * calibration": 1-min loadavg at a rep start mostly remembers OUR OWN
+    * previous rep (it decays over minutes), so it cannot distinguish a
+    * noisy neighbor from the bench itself — the instantaneous system-minus-
+    * process difference can. -1 when the MXBean has no reading yet. */
+  private def extCores(windowMs: Int): Double = {
+    val n = Runtime.getRuntime.availableProcessors
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val t0 = System.nanoTime()
+    while ((System.nanoTime() - t0) / 1e6 < windowMs) {
+      val sys = osBean.getCpuLoad
+      val proc = osBean.getProcessCpuLoad
+      if (sys >= 0 && proc >= 0) samples += math.max(0.0, (sys - proc) * n)
+      Thread.sleep(200)
+    }
+    if (samples.isEmpty) -1.0 else samples.sum / samples.size
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -91,13 +114,52 @@ object Bench {
     }
     // Per-rep load provenance: r8's gate passed at 1.02 but load hit 1.91
     // by rep 1 — a contended official run must self-identify PER REP, not
-    // just at the endpoints.
+    // just at the endpoints. r10: the gate also re-checks BETWEEN reps on
+    // EXTERNAL cpu (extCores — self-load disentangled: loadavg at rep 1+
+    // start mostly remembers our own rep 0), waiting up to 6×15 s for the
+    // box to quiet so at least the min-ext rep is demonstrably
+    // uncontended; a during-rep sampler records the mean external load
+    // each rep actually ran under.
     val repLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val repExtStart = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val repExtMean = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val repGateWaits = scala.collection.mutable.ArrayBuffer.empty[Int]
     val passes = (1 to reps).map { i =>
+      var w = 0
+      var ext = extCores(2000)
+      while (ext > gateThreshold && w < 6) {
+        System.err.println(f"[bench] rep $i gate: external load $ext%.2f cores > " +
+          f"$gateThreshold%.1f — waiting 15 s (${w + 1}/6)")
+        Thread.sleep(15000)
+        ext = extCores(2000)
+        w += 1
+      }
       repLoads += loadavg()
-      val p = timedPass()
+      repExtStart += ext
+      repGateWaits += w
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Double]
+      @volatile var sampling = true
+      val sampler = new Thread(() => {
+        while (sampling) {
+          val s = osBean.getCpuLoad
+          val p = osBean.getProcessCpuLoad
+          if (s >= 0 && p >= 0)
+            acc.synchronized {
+              acc += math.max(0.0,
+                (s - p) * Runtime.getRuntime.availableProcessors)
+            }
+          Thread.sleep(500)
+        }
+      })
+      sampler.setDaemon(true)
+      sampler.start()
+      val p = try timedPass() finally { sampling = false; sampler.join(1000) }
+      repExtMean += acc.synchronized {
+        if (acc.isEmpty) -1.0 else acc.sum / acc.size
+      }
       System.err.println(f"[bench] rep $i/$reps total ${p.map(_._2).filter(_ >= 0).sum}%.1f s" +
-        f" (loadavg at rep start ${repLoads.last}%.2f)")
+        f" (loadavg ${repLoads.last}%.2f, ext-start ${repExtStart.last}%.2f, " +
+        f"ext-mean ${repExtMean.last}%.2f cores)")
       p
     }
     // per-query median across reps; a query counts only reps where it ran
@@ -127,6 +189,9 @@ object Bench {
       s""""load_at_start":${r2(gateLoad)},"passed":$gatePassed},""" +
       s""""rep_totals":[${repTotals.map(r2).mkString(",")}],""" +
       s""""rep_loads":[${repLoads.map(r2).mkString(",")}],""" +
+      s""""rep_ext_start":[${repExtStart.map(r2).mkString(",")}],""" +
+      s""""rep_ext_mean":[${repExtMean.map(r2).mkString(",")}],""" +
+      s""""rep_gate_waits":[${repGateWaits.mkString(",")}],""" +
       s""""min_rep_total":${r2(minRepTotal)}"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

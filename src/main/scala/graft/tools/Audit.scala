@@ -6,7 +6,14 @@ import org.apache.spark.sql.SparkSession
 /** Scale-smell audit over every SparkEntry query: flags plan shapes that
   * break at 100 TB — cartesian products, nested-loop joins, and broadcast
   * exchanges built from SF-scaled tables (anything but nation/region).
-  * `runMain graft.tools.Audit [sfDir]`.
+  * `runMain graft.tools.Audit [sfDir] [outJson]`.
+  *
+  * With `outJson` the audit also lands as a per-round ARTIFACT
+  * (`AUDIT_r{N}.json`, committed next to CORRECTNESS): per face the total
+  * Exchange mentions (the metric reported since r3 — includes broadcast),
+  * the real shuffle-exchange line count, codegen span count and flags —
+  * so a plan regression diffs as a red row instead of needing a by-hand
+  * re-run (r9 VERDICT #8).
   */
 object Audit {
   private val fixedSizeTables = Set("nation", "region")
@@ -16,6 +23,7 @@ object Audit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val outJson = if (args.length > 1) Some(args(1)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,6 +34,7 @@ object Audit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val rows = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -53,10 +62,31 @@ object Audit {
         // codegen stages appear as "*(n)" markers in the final plan string
         val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
         val exch = "Exchange".r.findAllIn(plan).size
+        // real data-movement exchanges: shuffle lines, excluding the
+        // ReusedExchange echo of its target's description
+        val shuffle = plan.split("\n").count(l =>
+          (l.contains("Exchange hashpartitioning") ||
+            l.contains("Exchange rangepartitioning") ||
+            l.contains("Exchange SinglePartition")) &&
+            !l.contains("ReusedExchange"))
         println(f"$name%-24s exch=$exch%-3d codegenSpans=$wsc%-3d ${flags.mkString(" ")}")
+        rows(name) = s"""{"exch": $exch, "shuffle": $shuffle, """ +
+          s""""codegen_spans": $wsc, "flags": [${flags.map(f => "\"" + f + "\"").mkString(", ")}], "err": null}"""
       } catch {
-        case e: Throwable => println(f"$name%-24s ERROR ${e.getMessage.take(80)}")
+        case e: Throwable =>
+          println(f"$name%-24s ERROR ${e.getMessage.take(80)}")
+          val msg = Option(e.getMessage).getOrElse("").take(200)
+            .replace("\\", "\\\\").replace("\"", "\\\"")
+            .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+          rows(name) = s"""{"exch": null, "shuffle": null, """ +
+            s""""codegen_spans": null, "flags": [], "err": "$msg"}"""
       }
+    }
+    outJson.foreach { p =>
+      val json = rows.map { case (k, v) => s"""  "$k": $v""" }
+        .mkString("{\n", ",\n", "\n}\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
+      println(s"audit written to $p")
     }
     spark.stop()
   }
