@@ -29,6 +29,60 @@ object XCell {
 
 final case class SheetInfo(name: String, target: String)
 
+/** UTF-16 → UTF-8 transcoding stream (r10): workbooks with a UTF-16 BOM
+  * (never produced by Excel, but legal XML) used to fall back to the StAX
+  * row path — correct, but off the byte scanner AND off the columnar batch
+  * builder. Transcoding the inflated entry on the fly lets UTF-16 sheets
+  * ride the exact same scanner/columnar pipeline as UTF-8 ones: the
+  * scanner matches tags bytewise and never consults the XML prolog's
+  * declared encoding, so the transcoded bytes are indistinguishable from a
+  * native UTF-8 workbook. A truncated trailing surrogate pair is held back
+  * across chunk boundaries so supplementary-plane text survives intact.
+  */
+private[xlsx] final class Utf16ToUtf8Stream(in: InputStream)
+    extends InputStream {
+  // UTF_16 consumes the BOM (and defaults to BE without one, per XML rules)
+  private val reader =
+    new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_16)
+  private val cbuf = new Array[Char](8192)
+  private var carry: Int = -1 // held-back high surrogate at a chunk edge
+  private var bbuf: Array[Byte] = Array.emptyByteArray
+  private var pos = 0
+
+  private def fill(): Boolean = {
+    var off = 0
+    if (carry >= 0) { cbuf(0) = carry.toChar; off = 1; carry = -1 }
+    val n = reader.read(cbuf, off, cbuf.length - off)
+    if (n < 0 && off == 0) return false
+    var len = off + math.max(n, 0)
+    // a lone trailing high surrogate may pair with the next chunk's first
+    // char — encoding it now would emit a replacement character
+    if (n >= 0 && len > 0 && Character.isHighSurrogate(cbuf(len - 1))) {
+      carry = cbuf(len - 1); len -= 1
+      if (len == 0) return fill()
+    }
+    bbuf = new String(cbuf, 0, len)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    pos = 0
+    bbuf.length > 0 || fill()
+  }
+
+  override def read(): Int =
+    if (pos < bbuf.length || fill()) { val b = bbuf(pos) & 0xff; pos += 1; b }
+    else -1
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (len == 0) return 0
+    if (pos >= bbuf.length && !fill()) return -1
+    val n = math.min(len, bbuf.length - pos)
+    System.arraycopy(bbuf, pos, b, off, n)
+    pos += n
+    n
+  }
+
+  override def close(): Unit = reader.close()
+}
+
 /** Streaming XLSX (zip + SpreadsheetML) puller built on JDK ZipInputStream +
   * StAX. One pass per needed zip entry; only the shared-strings table is held
   * in memory (sized by the file, not the dataset — same tradeoff as the
@@ -87,8 +141,10 @@ object XlsxParser {
             val utf16 = (b0 == 0xFE && b1 == 0xFF) || (b0 == 0xFF && b1 == 0xFE)
             if (b1 != -1) in.unread(b1)
             if (b0 != -1) in.unread(b0)
-            if (utf16) sharedStringsStax(xif.createXMLStreamReader(in))
-            else SharedStringsScanner.parse(in, maxSharedStringsBytes).toArray
+            // UTF-16 transcodes on the fly and rides the SAME byte scanner
+            // (r10 — the StAX shared-strings fallback is now fuzz-only)
+            val src: InputStream = if (utf16) new Utf16ToUtf8Stream(in) else in
+            SharedStringsScanner.parse(src, maxSharedStringsBytes).toArray
           } finally closeAll()
       }
 
@@ -220,13 +276,15 @@ object XlsxParser {
       *
       * Hot path is the byte-level [[SheetScanner]]; `threads >= 2` engages
       * the chunked [[ParallelSheetScanner]] (the reference's `threads` knob:
-      * one big workbook parsed by N cores); workbooks with a UTF-16 BOM
-      * (never produced by Excel, but legal XML) fall back to the StAX
-      * [[RowIterator]], which handles any declared encoding.
+      * one big workbook parsed by N cores); UTF-16 workbooks transcode on
+      * the fly ([[Utf16ToUtf8Stream]]) and ride the same scanners.
       */
     /** Open `path` and sniff the encoding BOM once: Left(an iterator for
-      * the missing-entry / UTF-16 StAX fallback), Right(the positioned
-      * byte stream + closer) when the byte scanners can run. The single
+      * the missing-entry StAX fallback), Right(the positioned byte stream
+      * + closer) for the byte scanners. A UTF-16 BOM no longer falls back
+      * to StAX (r10): the entry transcodes to UTF-8 on the fly and rides
+      * the same scanner + columnar pipeline — the scanner matches tags
+      * bytewise and ignores the prolog's declared encoding. The single
       * copy of this dispatch — rowIterator and convertingRowIterator both
       * ride it. */
     private def openSniffed(path: String): Either[CellRowIterator, (InputStream, () => Unit)] =
@@ -238,9 +296,7 @@ object XlsxParser {
           val utf16 = (b0 == 0xFE && b1 == 0xFF) || (b0 == 0xFF && b1 == 0xFE)
           if (b1 != -1) in.unread(b1)
           if (b0 != -1) in.unread(b0)
-          if (utf16)
-            Left(new RowIterator(Some((xif.createXMLStreamReader(in), closeAll)),
-              sharedStrings, dateStyles))
+          if (utf16) Right((new Utf16ToUtf8Stream(in), closeAll))
           else Right((in, closeAll))
       }
 

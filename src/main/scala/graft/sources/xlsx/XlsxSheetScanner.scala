@@ -29,7 +29,8 @@ trait CellRowIterator extends Iterator[(Long, Array[XCell])] with AutoCloseable
   * the property-roundtrip and edge-case specs in XlsxSourceSpec run through
   * this scanner. Assumes an ASCII-compatible encoding (UTF-8 in practice —
   * multi-byte text passes through untouched and is decoded at String
-  * construction); workbooks with a UTF-16 BOM fall back to StAX upstream.
+  * construction); workbooks with a UTF-16 BOM transcode to UTF-8 upstream
+  * (Utf16ToUtf8Stream) and ride this same scanner.
   */
 final class SheetScanner(
     in: InputStream,

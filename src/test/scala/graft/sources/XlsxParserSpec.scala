@@ -293,24 +293,30 @@ class XlsxParserSpec extends AnyFunSuite {
     }
   }
 
-  test("UTF-16 encoded worksheet falls back to the StAX reader") {
+  test("UTF-16 encoded worksheet transcodes onto the byte scanner") {
+    // multibyte + supplementary-plane content pins the transcoder's
+    // surrogate handling; the 9000-char run forces chunk boundaries inside
+    // the text so the trailing-surrogate carry really executes
+    val long = "héllo🚀" * 1500
     val sheetUtf16 =
-      """<?xml version="1.0" encoding="UTF-16"?>
+      s"""<?xml version="1.0" encoding="UTF-16"?>
         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
-        |<row r="1"><c r="A1"><v>9.25</v></c><c r="B1" t="inlineStr"><is><t>wide</t></is></c></row>
+        |<row r="1"><c r="A1"><v>9.25</v></c><c r="B1" t="inlineStr"><is><t>wide 漢字 🚀</t></is></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="inlineStr"><is><t>$long</t></is></c></row>
         |</sheetData></worksheet>""".stripMargin
     val bos = new ByteArrayOutputStream()
     val z = new ZipOutputStream(bos, StandardCharsets.UTF_8)
     Seq("xl/workbook.xml" -> workbookXml.getBytes(StandardCharsets.UTF_8),
         "xl/_rels/workbook.xml.rels" -> relsXml.getBytes(StandardCharsets.UTF_8),
-        // UTF_16 charset emits the BOM that routes to the fallback
+        // UTF_16 charset emits the BOM that routes to the transcoder
         "xl/worksheets/sheet1.xml" -> sheetUtf16.getBytes(StandardCharsets.UTF_16))
       .foreach { case (name, content) =>
         z.putNextEntry(new ZipEntry(name)); z.write(content); z.closeEntry()
       }
     z.close()
-    val r = rows(bos.toByteArray)(0)
-    assert(r(0) == XCell.XNumber(9.25))
-    assert(r(1) == XCell.XString("wide"))
+    val got = rows(bos.toByteArray)
+    assert(got(0)(0) == XCell.XNumber(9.25))
+    assert(got(0)(1) == XCell.XString("wide 漢字 🚀"))
+    assert(got(1)(1) == XCell.XString(long))
   }
 }

@@ -242,6 +242,42 @@ class XlsxSourceSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("UTF-16 workbook reads columnar with identical values (r10 parity)") {
+    // hand-built zip: the worksheet entry is UTF-16 with BOM — it must
+    // transcode onto the same byte-scanner + ColumnarBatch path as UTF-8
+    // workbooks (it used to take the StAX row fallback)
+    val wb =
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    val rels =
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>"""
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-16"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c><c r="B1" t="inlineStr"><is><t>v</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>漢字🚀</t></is></c><c r="B2"><v>1.5</v></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>plain</t></is></c><c r="B3"><v>-2.25</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val f = Files.createTempFile("graft_utf16_", ".xlsx")
+    val z = new java.util.zip.ZipOutputStream(new FileOutputStream(f.toFile))
+    Seq(
+      "xl/workbook.xml" -> wb.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      "xl/_rels/workbook.xml.rels" ->
+        rels.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      "xl/worksheets/sheet1.xml" ->
+        sheet.getBytes(java.nio.charset.StandardCharsets.UTF_16))
+      .foreach { case (name, content) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(name))
+        z.write(content); z.closeEntry()
+      }
+    z.close()
+    val df = spark.read.format("xlsx").load(f.toString)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"UTF-16 workbook must ride the columnar path:\n$plan")
+    val rows2 = df.collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._2)
+    assert(rows2.toSeq == Seq(("plain", -2.25), ("漢字🚀", 1.5)))
+  }
+
   test("column pruning reaches the reader (pruned schema)") {
     val p = one(Some(Seq("a", "b", "c")), Seq(Seq("x", 1.0, true)))
     val df = spark.read.format("xlsx").load(p).select("b")
