@@ -664,6 +664,117 @@ object Similarity {
     } finally spark.sparkContext.clearJobGroup()
   }
 
+  /** Sidecar read-back: (centroids, PQ codebooks) — bounded rows, the only
+    * driver-side state a probe or append ever holds. */
+  private def readIndexMeta(spark: SparkSession, table: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val rows = spark.table(table + "_meta")
+      .select(col("kind"), col("i"), col("j"), col("v")).collect()
+    val centroids = rows.filter(_.getString(0) == "centroid")
+      .map(r => (r.getInt(1), r.getSeq[Double](3).toArray))
+      .sortBy(_._1).map(_._2)
+    val bookRows = rows.filter(_.getString(0) == "book")
+    val m = bookRows.map(_.getInt(1)).max + 1
+    val k = bookRows.map(_.getInt(2)).max + 1
+    val books = Array.ofDim[Array[Double]](m, k)
+    bookRows.foreach { r =>
+      books(r.getInt(1))(r.getInt(2)) = r.getSeq[Double](3).toArray
+    }
+    (centroids, books)
+  }
+
+  /** Append a DELTA of vectors to a persisted IVF index WITHOUT
+    * retraining — the [[graft.operators.Dedup.incrementalIndexed]]
+    * append-back posture for similarity: the sidecar's existing centroids
+    * assign the delta's list ids and its codebooks encode the delta's PQ
+    * codes in ONE map pass (no Lloyd's, no codebook fits — nothing runs in
+    * [[BuildJobGroup]]), and the rows append in the index's own bucketing,
+    * so probes see the union immediately with unchanged plan shape. The
+    * standard IVF trade rides along: appended vectors quantize against the
+    * ORIGINAL codebooks, so a drifting distribution eventually wants a
+    * rebuild — the rebuild stays a deliberate, paid-once event instead of
+    * a per-query tax. */
+  def appendIvfIndex(spark: SparkSession, emb: DataFrame, table: String,
+      buckets: Int = 8): Unit = {
+    val (centroids, books) = readIndexMeta(spark, table)
+    val m = books.length
+    val kSub = books(0).length
+    val sub = books(0)(0).length
+    val flat = new Array[Double](m * kSub * sub)
+    var fi = 0
+    books.foreach(_.foreach(_.foreach { x => flat(fi) = x; fi += 1 }))
+    val path = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+      .find(_.getString(0) == "Location").map(_.getString(1))
+      .getOrElse(throw new IllegalStateException(s"no location for $table"))
+    withCid(
+      emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")),
+      "v", typedLit(centroids.map(_.toSeq).toSeq))
+      .filter(col("cid") >= 0)
+      .withColumn("__n", l2Norm(col("v")))
+      .select(col("vec_id"), col("cid"), col("v"),
+        graft.functions.GraftFunctions.pq_encode(
+          l2Normalize(col("v"), col("__n")), flat, m, kSub, sub).as("codes"))
+      .write.bucketBy(buckets, "cid").sortBy("cid")
+      .option("path", path).mode("append").saveAsTable(table)
+  }
+
+  /** ADC probe of the persisted index — the IVFPQ posture over the SAME
+    * layout [[topKIvfIndexed]] exact-probes: the probed lists' CODES
+    * column is ADC-scanned (m bytes per row at scale; the columnar scan
+    * never touches `v` on this pass), the per-partition shortlist reduces
+    * map-side to `rerank` rows per query, and the exact rerank re-opens
+    * ONLY the probed buckets' vector column filtered by the broadcast
+    * shortlist. Zero training jobs by construction (same no-corpus API);
+    * two k-bounded shuffles total — the shortlist and final top-k
+    * selections. With equal settings the result is row-identical to the
+    * transient [[topKIvfPq]] (same training, encode, probe order and
+    * rerank arithmetic). */
+  def topKIvfPqIndexed(spark: SparkSession, table: String,
+      queries: DataFrame, k: Int = 5, nProbe: Int = 8,
+      rerank: Int = 96): DataFrame = {
+    import spark.implicits._
+    val (centroids, books) = readIndexMeta(spark, table)
+    val sub = books(0)(0).length
+    val qRows = unitVectors(queries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes = qRows.toSeq.flatMap { case (qid, qv) =>
+      val order = centroids.zipWithIndex.map { case (c, ci) =>
+        (bestDot(qv, c), ci)
+      }.sortBy { case (s, ci) => (-s, ci) }.take(nProbe).map(_._2)
+      val tab: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, mi) =>
+        book.map { c =>
+          var s = 0.0; var i = 0
+          while (i < sub) { s += qv(mi * sub + i) * c(i); i += 1 }
+          s
+        }.toSeq
+      }.toSeq
+      order.map(ci => (qid, ci, tab))
+    }
+    val pDf = probes.toDF("query_id", "cid", "qtable")
+    val probedCids = probes.map(_._2).distinct.sorted
+    val probed = spark.table(table)
+      .filter(col("cid").isin(probedCids.map(Int.box): _*))
+    val scored = probed.select(col("vec_id"), col("cid"), col("codes"))
+      .join(broadcast(pDf), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.GraftFunctions.adc_score(col("codes"), col("qtable"))
+          .as("cos"))
+    val shortlist = selectTopK(scored, rerank)
+      .select(col("query_id"), col("vec_id"))
+    // exact rerank: shortlist rows live in probed lists by construction,
+    // so the vector read is the probed buckets' `v` column only
+    val q = queries.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val exact = probed.select(col("vec_id"), col("v"))
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosine(col("v"), col("qv")).as("cos"))
+    selectTopK(exact, k)
+  }
+
   /** Probe the persisted IVF index: NO training jobs, NO corpus encode —
     * the API takes only the index table and the queries, so the probe
     * path cannot retrain by construction. Per query: order the sidecar

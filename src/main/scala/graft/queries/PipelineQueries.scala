@@ -270,6 +270,15 @@ object PipelineQueries {
       Similarity.topKIvfIndexed(s, ivfIndexTable(s, dir),
         emb(s, dir).filter(col("vec_id") < 8), k = 5, nProbe = 8)),
 
+    // §2.11: ADC probe of the SAME persisted index — the IVFPQ posture
+    // with zero training jobs: probed lists' codes column ADC-scanned
+    // (m bytes/row at scale), exact rerank re-opens only the probed
+    // buckets' vectors under the broadcast shortlist. Row-identical to
+    // sim_topk_ivfpq by construction; recall certified by the check twin.
+    "sim_topk_ivfpq_indexed" -> ((s, dir) =>
+      Similarity.topKIvfPqIndexed(s, ivfIndexTable(s, dir),
+        emb(s, dir).filter(col("vec_id") < 8), k = 5, nProbe = 8)),
+
     // §2.7: driver-verified ANN recall (CHECK faces — Bench skips *_check,
     // so the raw ANN faces above keep timing only the approximate path).
     // Same engine-own convention as the sketch *_check oracles: Spark
@@ -285,6 +294,8 @@ object PipelineQueries {
     "sim_topk_ivfpq_check" -> ((s, dir) => annRecallCheck(s, dir, "ivfpq")),
     "sim_topk_ivf_indexed_check" -> ((s, dir) =>
       annRecallCheck(s, dir, "ivf_indexed")),
+    "sim_topk_ivfpq_indexed_check" -> ((s, dir) =>
+      annRecallCheck(s, dir, "ivfpq_indexed")),
 
     // §2.4 #64 streaming exact dedup (batch face here: same first-occurrence
     // semantics as the stateful stream; flatMapGroupsWithState spec in tests)
@@ -1047,6 +1058,8 @@ object PipelineQueries {
       case "ivfpq" => Similarity.topKIvfPq(s, e, q, k = k)
       case "ivf_indexed" =>
         Similarity.topKIvfIndexed(s, ivfIndexTable(s, dir), q, k = k, nProbe = 8)
+      case "ivfpq_indexed" =>
+        Similarity.topKIvfPqIndexed(s, ivfIndexTable(s, dir), q, k = k, nProbe = 8)
       case _ => Similarity.topKIvf(s, e, q, k = k, nCentroids = 16, nProbe = 8)
     }
     val exact = Similarity.topKBruteForce(e, q, k = k)
@@ -1397,6 +1410,7 @@ object PipelineQueries {
     "sim_topk_pq_check" -> annRecallOracleSql,
     "sim_topk_ivfpq_check" -> annRecallOracleSql,
     "sim_topk_ivf_indexed_check" -> annRecallOracleSql,
+    "sim_topk_ivfpq_indexed_check" -> annRecallOracleSql,
     "st_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS doc_id
          FROM documents GROUP BY 1""",

@@ -135,6 +135,62 @@ class IvfIndexSpec extends SparkSpec {
     } finally drop("ivf_idx_prune")
   }
 
+  test("ADC probe returns exactly the transient topKIvfPq rows") {
+    val tbl = "ivf_idx_adc"
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_spec_")
+      .resolve("t").toString
+    // codebook/centroid params matching the transient call below
+    Similarity.writeIvfIndex(spark, corpus, tbl, dir,
+      nCentroids = 8, m = 8, kSub = 8, buckets = 8)
+    try {
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"))
+      val indexed = Similarity.topKIvfPqIndexed(spark, tbl, queries,
+          k = 5, nProbe = 3, rerank = 24).collect()
+        .map(r => key(r) -> ((r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
+        .toMap
+      val transient0 = Similarity.topKIvfPq(spark, corpus, queries,
+          k = 5, nCentroids = 8, nProbe = 3, m = 8, kSub = 8, rerank = 24)
+        .collect()
+        .map(r => key(r) -> ((r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
+        .toMap
+      assert(indexed == transient0,
+        s"indexed ${indexed.size} rows vs transient ${transient0.size}")
+      assert(indexed.nonEmpty)
+    } finally drop(tbl)
+  }
+
+  test("append encodes a delta with the SIDECAR models — no training jobs") {
+    val tbl = "ivf_idx_append"
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_spec_")
+      .resolve("t").toString
+    // build from the first half only; append the second half later
+    val half = corpusLocal.filter(_._1 < (nClusters * perCluster) / 2)
+    val rest = corpusLocal.filterNot(_._1 < (nClusters * perCluster) / 2)
+    Similarity.writeIvfIndex(spark, half.toDF("vec_id", "embedding"), tbl, dir,
+      nCentroids = 8, m = 8, kSub = 8, buckets = 8)
+    try {
+      val sc = spark.sparkContext
+      val buildBefore = sc.statusTracker
+        .getJobIdsForGroup(Similarity.BuildJobGroup).toSet
+      Similarity.appendIvfIndex(spark, rest.toDF("vec_id", "embedding"), tbl)
+      // the append ran encode-only: nothing landed in the build group
+      assert(sc.statusTracker.getJobIdsForGroup(Similarity.BuildJobGroup)
+        .toSet == buildBefore, "append must not retrain")
+      // the index now holds every vector once
+      assert(spark.table(tbl).count() == corpusLocal.size)
+      // and a probe can now return appended vectors: query a vector from
+      // the appended half — its same-cluster neighbors are appended too
+      val qid = rest.head._1
+      val oneQ = corpusLocal.filter(_._1 == qid).toDF("vec_id", "embedding")
+      val got = Similarity.topKIvfIndexed(spark, tbl, oneQ, k = 5, nProbe = 2)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      assert(got.nonEmpty &&
+        got.exists(id => rest.exists(_._1 == id)),
+        s"probe after append should reach appended vectors, got $got")
+    } finally drop(tbl)
+  }
+
   test("index schema carries both probe postures: vectors AND pq codes") {
     val tbl = buildIndex("ivf_idx_schema")
     try {
