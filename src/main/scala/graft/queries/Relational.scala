@@ -229,6 +229,62 @@ object Relational {
           ($"o_orderkey" % 7).as("m7"))
     }),
 
+    // §2.12: array higher-order functions — transform/filter/aggregate/
+    // sort/distinct/slice over an integer array derived from the token
+    // stream, all integer-exact (the cross-engine lambda-surface parity
+    // face; array-valued outputs are folded to integer sums because the
+    // driver compare stringifies arrays engine-specifically)
+    "q_array_funcs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          transform(split(lower($"text"), " +"), w => length(w)).as("lens"))
+        .select($"doc_id",
+          size($"lens").as("n"),
+          array_max($"lens").as("max_len"),
+          array_min($"lens").as("min_len"),
+          aggregate($"lens", lit(0L), (a, x) => a + x).as("sum_len"),
+          size(array_distinct($"lens")).as("n_distinct"),
+          size(filter($"lens", x => x > 4)).as("n_long"),
+          aggregate(slice(sort_array($"lens"), 1, 3), lit(0L), (a, x) => a + x)
+            .as("sum_smallest3"),
+          exists($"lens", x => x === 1).as("has_single"))
+    }),
+
+    // §2.12: ordered string aggregation (LISTAGG WITHIN GROUP — the
+    // reporting staple): per market segment, the first 5 customer names in
+    // key order, pipe-joined. Explicit ORDER BY makes the concatenation
+    // deterministic cross-engine.
+    "q_string_agg" -> ((s, dir) => {
+      import s.implicits._
+      val top5 = Tables.load(s, dir, "customer")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"c_mktsegment").orderBy($"c_custkey")))
+        .filter($"rn" <= 5)
+      top5.groupBy($"c_mktsegment")
+        .agg(expr("listagg(c_name, '|') within group (order by c_custkey)")
+            .as("names"),
+          count(lit(1)).as("n"))
+    }),
+
+    // §2.12: argmin/argmax + bitwise aggregates — min_by/max_by keyed by
+    // the UNIQUE o_orderkey (ties impossible ⇒ deterministic), bit
+    // AND/OR/XOR folds over the key set (associative+commutative integer
+    // ops, shuffle-order-proof)
+    "q_argminmax" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(
+          min_by($"o_orderdate", $"o_orderkey").as("first_date"),
+          max_by($"o_orderdate", $"o_orderkey").as("last_date"),
+          min($"o_orderkey").as("min_key"),
+          bit_and($"o_orderkey").as("key_and"),
+          bit_or($"o_orderkey").as("key_or"),
+          bit_xor($"o_orderkey").as("key_xor"))
+    }),
+
     // §2.2 #30: having / post-aggregation filter
     "q_having" -> ((s, dir) => {
       import s.implicits._
@@ -534,6 +590,41 @@ object Relational {
                 o_totalprice * o_totalprice AS p2,
                 o_orderkey % 7 AS m7
          FROM orders WHERE o_orderkey % 100 = 0""",
+    "q_array_funcs" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_transform(string_split_regex(lower(text), ' +'),
+                                 w -> length(w)) AS lens
+           FROM documents)
+         SELECT doc_id,
+                len(lens) AS n,
+                list_max(lens) AS max_len,
+                list_min(lens) AS min_len,
+                CAST(list_sum(lens) AS BIGINT) AS sum_len,
+                len(list_distinct(lens)) AS n_distinct,
+                len(list_filter(lens, x -> x > 4)) AS n_long,
+                CAST(list_sum(list_sort(lens)[1:3]) AS BIGINT) AS sum_smallest3,
+                list_contains(lens, 1) AS has_single
+         FROM t""",
+    "q_string_agg" ->
+      """WITH t AS (
+           SELECT c_mktsegment, c_name, c_custkey,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_custkey) AS rn
+           FROM customer)
+         SELECT c_mktsegment,
+                string_agg(c_name, '|' ORDER BY c_custkey) AS names,
+                count(*) AS n
+         FROM t WHERE rn <= 5 GROUP BY 1""",
+    "q_argminmax" ->
+      """SELECT o_custkey,
+                arg_min(o_orderdate, o_orderkey) AS first_date,
+                arg_max(o_orderdate, o_orderkey) AS last_date,
+                min(o_orderkey) AS min_key,
+                bit_and(o_orderkey) AS key_and,
+                bit_or(o_orderkey) AS key_or,
+                bit_xor(o_orderkey) AS key_xor
+         FROM orders GROUP BY 1""",
     "q_string_funcs" ->
       """SELECT c_custkey, upper(c_name) AS name_upper,
                 substr(c_name, 1, 8) AS name_prefix,
