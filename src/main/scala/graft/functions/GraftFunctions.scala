@@ -43,10 +43,48 @@ object RollingHash {
   }
 }
 
+/** Unicode NFC canonicalization — the pre-dedup normalization pass: a
+  * combining-mark sequence (e + U+0301) and its precomposed char (é) hash
+  * DIFFERENTLY, so exact/minhash dedup silently misses visually-identical
+  * text unless the corpus canonicalizes first. Spark ships no normalizer
+  * builtin; this native codegen expression keeps the pass inside
+  * WholeStageCodegen, and DuckDB's `nfc_normalize` is the cross-engine
+  * oracle twin. Already-normalized text (the overwhelming case — ASCII is
+  * trivially NFC) returns the input object unchanged, no allocation. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
+object NfcNormalize {
+  /** Shared by interpreted eval and generated code. */
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** Column wrappers for graft's native expressions. */
 object GraftFunctions {
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+
+  def nfc_normalize(c: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
 
   def winnow_fp(c: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFp(ColumnBridge.expression(c), k, w))
@@ -141,7 +179,11 @@ object GraftFunctions {
     ("cms_estimate",
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CmsEstimate].getName, "cms_estimate"),
-      (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))),
+    ("nfc_normalize",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
 
   /** Make graft functions callable from `spark.sql` on an existing session
     * (SQL parity, SURVEY §4). */

@@ -140,6 +140,22 @@ object ExtendedQueries {
         .select(col("doc_id"),
           graft.operators.TextOps.normalize(col("text")).as("norm"))),
 
+    // §2.12: Unicode NFC canonicalization — combining-mark sequences and
+    // their precomposed chars hash differently, so dedup misses
+    // visually-identical text without this pass. Native codegen expression
+    // (Spark has no normalizer builtin); DuckDB's nfc_normalize is the
+    // full cross-engine oracle; md5 of the normalized form pins content
+    // equality even where the corpus is already NFC.
+    "txt_nfc" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          length(graft.functions.GraftFunctions.nfc_normalize(col("text")))
+            .as("nfc_len"),
+          (graft.functions.GraftFunctions.nfc_normalize(col("text"))
+            =!= col("text")).as("changed"),
+          md5(graft.functions.GraftFunctions.nfc_normalize(col("text")))
+            .as("h"))),
+
     // §2.4 #56: the whole corpus pipeline composed end-to-end — normalize,
     // quality-filter, exact-dedup on the canonical form, deterministic
     // subsample, per-source accounting. One map pass + one shuffle for the
@@ -842,6 +858,12 @@ object ExtendedQueries {
          GROUP BY 1""",
     "txt_normalize" ->
       s"""SELECT doc_id, ${graft.operators.TextOps.normalizeSql("text")} AS norm
+         FROM documents""",
+    "txt_nfc" ->
+      """SELECT doc_id,
+                length(nfc_normalize(text)) AS nfc_len,
+                nfc_normalize(text) <> text AS changed,
+                md5(nfc_normalize(text)) AS h
          FROM documents""",
     "pipeline_corpus" ->
       s"""WITH norm AS (

@@ -14,6 +14,39 @@ class GraftFunctionsSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
   }
 
+  test("nfc_normalize: combining marks compose, idempotent, SQL-callable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val decomposed = "café résumé" // e + COMBINING ACUTE
+    val composed = "café résumé"                      // precomposed é
+    val df = Seq(
+      (1L, decomposed),
+      (2L, composed),
+      (3L, "plain ascii"),
+      (4L, "漢字 🚀 å")).toDF("id", "t") // a + COMBINING RING → å
+    val out = df.select(col("id"),
+      GraftFunctions.nfc_normalize(col("t")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the un-normalized form really changes; both forms land on the same
+    // canonical string — the dedup-miss this pass exists to close
+    assert(out(1L) == composed && out(2L) == composed)
+    assert(out(3L) == "plain ascii")
+    assert(out(4L) == "漢字 🚀 \u00e5")
+    // idempotent: normalizing the normalized form is the identity
+    val twice = df.select(GraftFunctions.nfc_normalize(
+      GraftFunctions.nfc_normalize(col("t"))).as("n"))
+      .collect().map(_.getString(0)).toSet
+    assert(twice == out.values.toSet)
+    // SQL face agrees
+    df.createOrReplaceTempView("nfc_t")
+    try {
+      val viaSql = spark.sql("SELECT nfc_normalize(t) AS n FROM nfc_t")
+        .collect().map(_.getString(0)).toSet
+      assert(viaSql == out.values.toSet)
+    } finally spark.catalog.dropTempView("nfc_t")
+  }
+
   test("cosine_sim matches the composed higher-order-function form exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -191,6 +191,37 @@ class IvfIndexSpec extends SparkSpec {
     } finally drop(tbl)
   }
 
+  test("streamed probes of the persisted index equal the batch probe") {
+    // the st_sim_topk posture pointed at the index: each micro-batch's
+    // queries probe via the same batch plan inside foreachBatch — no state
+    // store, zero training, and the union of batch outputs must equal one
+    // batch probe of all queries
+    val tbl = buildIndex("ivf_idx_stream")
+    val root = java.nio.file.Files.createTempDirectory("ivf_idx_stream_")
+    try {
+      val qPath = root.resolve("q").toString
+      val outPath = root.resolve("out").toString
+      queries.repartition(2).write.mode("overwrite").parquet(qPath)
+      val qStream = spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "1").parquet(qPath)
+      val q = qStream.writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Similarity.topKIvfIndexed(spark, tbl, batch.toDF(), k = 5, nProbe = 2)
+            .write.mode("append").parquet(outPath)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.read.parquet(outPath).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"))).toSet
+      val batch = Similarity.topKIvfIndexed(spark, tbl, queries, k = 5, nProbe = 2)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally drop("ivf_idx_stream")
+  }
+
   test("index schema carries both probe postures: vectors AND pq codes") {
     val tbl = buildIndex("ivf_idx_schema")
     try {
