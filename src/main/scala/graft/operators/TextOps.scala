@@ -479,10 +479,20 @@ object TextOps {
     // a literal key folds to `true` and degrades to the BNLJ the audit
     // scans for; a 1-row BNLJ is harmless, but keeping the plan BHJ-only
     // keeps the zero-BNLJ invariant trivially checkable
-    tf.join(broadcast(dfs), "tok")
-      .withColumn("__zero", pmod(col("tf"), lit(1L)))
-      .join(broadcast(stats.withColumn("__zero", pmod(col("n"), lit(1L)))),
-        "__zero")
+    bm25ScoreAndSelect(
+      tf.join(broadcast(dfs), "tok")
+        .withColumn("__zero", pmod(col("tf"), lit(1L)))
+        .join(broadcast(stats.withColumn("__zero", pmod(col("n"), lit(1L)))),
+          "__zero"),
+      k)
+  }
+
+  /** The shared BM25 scoring tail: input rows carry (doc_id, dl, tf, df,
+    * n, t) however they were produced — the transient tokenize-and-count
+    * path or the persisted inverted index — so both spell the identical
+    * integer arithmetic and return bit-identical scores. */
+  private def bm25ScoreAndSelect(perTerm: DataFrame, k: Int): DataFrame =
+    perTerm
       .withColumn("avgdl", expr(
         "CASE WHEN n > 4000000000000 THEN raise_error(" +
           "'bm25: corpus exceeds 4e12 docs - the int64 idf numerator " +
@@ -497,5 +507,49 @@ object TextOps {
           "(10*avgdl*tfc + 3*avgdl + 9*dl)"))
       .groupBy(col("doc_id")).agg(sum(col("sterm")).cast("long").as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(k)
+
+  /** Persist the corpus's INVERTED INDEX — the seen-index posture for
+    * lexical retrieval, completing the persisted trilogy (dedup digests,
+    * ANN lists, text postings). One full tokenize + count pass at build
+    * time produces posting rows (tok, doc_id, dl, tf, df — df denormalized
+    * so a probe needs no second table) BUCKETED + sorted by token, plus a
+    * one-row stats sidecar (N docs, total tokens). A query then reads ONLY
+    * its terms' postings: `tok IN (...)` bucket-prunes the scan, and the
+    * corpus text is never touched again. */
+  def writeTextIndex(docs: DataFrame, table: String, path: String,
+      buckets: Int = 8): Unit = {
+    val toks = docs.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+    val tf = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(dfs, "tok")
+      .select(col("tok"), col("doc_id"), col("dl"), col("tf"), col("df"))
+      .write.bucketBy(buckets, "tok").sortBy("tok")
+      .option("path", path).mode("overwrite").saveAsTable(table)
+    toks.agg(count(lit(1)).as("n"),
+        sum(size(col("toks")).cast("long")).as("t"))
+      .coalesce(1).write.option("path", path + "_meta")
+      .mode("overwrite").saveAsTable(table + "_meta")
+  }
+
+  /** BM25 against the persisted inverted index: per-query cost is the
+    * queried terms' postings (bucket-pruned scan) + one doc-keyed
+    * aggregate + a TakeOrdered — no tokenization, no corpus scan, no df
+    * recount. Bit-identical scores to [[bm25]] on the same corpus (the
+    * scoring tail is shared code). */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      terms: Seq[String], k: Int = 10): DataFrame = {
+    val stats = spark.table(table + "_meta")
+    val post = spark.table(table)
+      .filter(col("tok").isin(terms: _*))
+      .withColumn("__zero", pmod(col("tf"), lit(1L)))
+    bm25ScoreAndSelect(
+      post.join(broadcast(stats.withColumn("__zero", pmod(col("n"), lit(1L)))),
+        "__zero"),
+      k)
   }
 }

@@ -84,6 +84,21 @@ object PipelineQueries {
     uni.unionByName(bi)
   }
 
+  /** Memoized persisted inverted text index per sf dir — the lexical
+    * member of the persisted-index trilogy. Built once (full tokenize +
+    * count, the ingest-time cost); every BM25 probe after that reads only
+    * its terms' postings. */
+  private val textIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def textIndexTable(s: SparkSession, dir: String): String =
+    textIndexCache.computeIfAbsent(dir, { d =>
+      val tbl = "graft_text_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_text_idx_").resolve("t").toString
+      TextOps.writeTextIndex(docs(s, d), tbl, path)
+      tbl
+    })
+
   /** Memoized fitted char-trigram LM per sf dir (the bpeMerges argument):
     * the model is one corpus aggregate, bounded by construction; fitting
     * it once lets txt_lm_score measure SCORING — the map-only pass a
@@ -332,6 +347,14 @@ object PipelineQueries {
     // TakeOrdered.
     "txt_bm25" -> ((s, dir) =>
       TextOps.bm25(docs(s, dir), Bm25Terms, k = 10)),
+
+    // §2.12: BM25 against the PERSISTED inverted index — per-query cost is
+    // the queried terms' postings (bucket-pruned), one doc aggregate and a
+    // TakeOrdered: no tokenization, no corpus scan, no df recount. Shares
+    // the scoring tail with txt_bm25 ⇒ bit-identical scores, so the SAME
+    // full DuckDB oracle applies.
+    "txt_bm25_indexed" -> ((s, dir) =>
+      TextOps.bm25Indexed(s, textIndexTable(s, dir), Bm25Terms, k = 10)),
 
     // §2.3 #45 token counting
     "txt_tokens" -> ((s, dir) => TextOps.tokens(docs(s, dir))),
@@ -920,6 +943,30 @@ object PipelineQueries {
   /** Fixed BM25 query terms: real corpus vocabulary with spread document
     * frequencies, shared verbatim by the face and the oracle. */
   private val Bm25Terms = Seq("spark", "hash", "window", "stream")
+
+  /** ONE oracle for both BM25 faces — the transient tokenize-and-count
+    * path and the persisted inverted index share the scoring tail, so
+    * their scores are bit-identical by construction. */
+  private val Bm25OracleSql: String =
+    """WITH d AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         stats AS (SELECT count(*) AS n, sum(len(toks)) AS t FROM d),
+         m AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM d),
+         tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM m
+                WHERE tok IN ('spark','hash','window','stream')
+                GROUP BY 1, 2, 3),
+         df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         sc AS (SELECT f.doc_id,
+                  (CAST(least(((2*(s.n - df.df) + 1) * 1000000) // (2*df.df + 1),
+                              1048576000000) AS HUGEINT)
+                    * 22 * least(f.tf, 255) * (s.t // s.n) * 1000)
+                  // (10*(s.t // s.n)*least(f.tf, 255) + 3*(s.t // s.n) + 9*f.dl)
+                  AS sterm
+                FROM tf f JOIN df USING (tok) CROSS JOIN stats s)
+         SELECT doc_id, CAST(sum(sterm) AS BIGINT) AS score
+         FROM sc GROUP BY 1
+         ORDER BY score DESC, doc_id LIMIT 10"""
 
   /** CMS lookup items: frequent vocabulary + one guaranteed-absent probe
     * (its exact count is 0, so `never_under`/`bound_ok` pin the absent
@@ -1654,26 +1701,8 @@ object PipelineQueries {
          SELECT item, CAST(n_exact AS BIGINT) AS n_exact,
                 TRUE AS never_under, TRUE AS bound_ok
          FROM exact""",
-    "txt_bm25" ->
-      """WITH d AS (
-           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-           FROM documents),
-         stats AS (SELECT count(*) AS n, sum(len(toks)) AS t FROM d),
-         m AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM d),
-         tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM m
-                WHERE tok IN ('spark','hash','window','stream')
-                GROUP BY 1, 2, 3),
-         df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-         sc AS (SELECT f.doc_id,
-                  (CAST(least(((2*(s.n - df.df) + 1) * 1000000) // (2*df.df + 1),
-                              1048576000000) AS HUGEINT)
-                    * 22 * least(f.tf, 255) * (s.t // s.n) * 1000)
-                  // (10*(s.t // s.n)*least(f.tf, 255) + 3*(s.t // s.n) + 9*f.dl)
-                  AS sterm
-                FROM tf f JOIN df USING (tok) CROSS JOIN stats s)
-         SELECT doc_id, CAST(sum(sterm) AS BIGINT) AS score
-         FROM sc GROUP BY 1
-         ORDER BY score DESC, doc_id LIMIT 10""",
+    "txt_bm25" -> Bm25OracleSql,
+    "txt_bm25_indexed" -> Bm25OracleSql,
     "txt_repetition" ->
       """SELECT doc_id,
                 1.0 - len(list_distinct(string_split_regex(text, ' +'))) /

@@ -311,4 +311,45 @@ class TextOpsSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
   }
+
+  test("bm25 over the persisted inverted index: bit-identical scores, " +
+      "bucket-pruned postings scan, no corpus access") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "rare alpha beta gamma"),
+      (2L, "common alpha beta gamma"),
+      (3L, "common common beta gamma"),
+      (4L, "common alpha beta gamma"),
+      (5L, "unrelated tokens entirely here")
+    ).toDF("doc_id", "text")
+    val wh = java.nio.file.Files.createTempDirectory("graft_textidx_").toString
+    TextOps.writeTextIndex(docs, "text_idx", s"$wh/text_idx", buckets = 8)
+    try {
+      val terms = Seq("rare", "common")
+      val transient0 = TextOps.bm25(docs, terms, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val dfI = TextOps.bm25Indexed(spark, "text_idx", terms, k = 5)
+      val indexed = dfI.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // the scoring tail is shared code: scores AND order identical
+      assert(indexed == transient0 && indexed.nonEmpty)
+      // plan: bucket-pruned postings scan (tok IN terms), TakeOrdered
+      // top-k, and no scan of anything but the index
+      val plan = dfI.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"postings scan should bucket-prune:\n$plan")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"2 terms over 8 buckets must prune: $sel")
+      val scans = "FileScan parquet [^\\s]*".r.findAllIn(plan).toSeq
+      assert(scans.nonEmpty && scans.forall(_.contains("text_idx")), scans.toString)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS text_idx")
+      spark.sql("DROP TABLE IF EXISTS text_idx_meta")
+    }
+  }
 }
