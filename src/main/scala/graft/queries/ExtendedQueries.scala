@@ -15,7 +15,57 @@ object ExtendedQueries {
 
   private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+  /** Memoized BUCKETED orders/customer tables per sf dir — the
+    * pre-partitioned layout repeated joins amortize their shuffles
+    * through. Built once (the ingest-time cost); the co-located join face
+    * reads both sides pre-bucketed on the join key. */
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketedCache.computeIfAbsent(dir, { d =>
+      val hex = java.lang.Integer.toHexString(d.hashCode)
+      val ot = s"graft_bkt_orders_$hex"
+      val ct = s"graft_bkt_customer_$hex"
+      val root = java.nio.file.Files.createTempDirectory("graft_bkt_")
+      Tables.load(s, d, "orders")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", root.resolve("o").toString)
+        .mode("overwrite").saveAsTable(ot)
+      Tables.load(s, d, "customer")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", root.resolve("c").toString)
+        .mode("overwrite").saveAsTable(ct)
+      (ot, ct)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.12: salted skew join as a DRIVER-VERIFIED face (the operator was
+    // spec-verified only, #61): every doc joins its source's stats through
+    // the salted layout — one hot key's rows spread over 8 salts — and the
+    // result must equal the plain join (the oracle IS the plain join; only
+    // the shuffle layout differs). share_pct is an integer floor division.
+    "q_skew_join" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val dim = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src"),
+          sum(col("n_chars")).cast("long").as("src_chars"))
+      graft.operators.SkewJoin
+        .saltedInnerJoin(d, dim, key = "source", saltBy = "doc_id", salts = 8)
+        .select(col("doc_id"), col("source"), col("n_src"),
+          expr("(n_chars * 100) div src_chars").as("share_pct"))
+    }),
+
+    // §2.12: bucketed co-located join as a DRIVER-VERIFIED face (#62 was
+    // spec-verified only): both sides read pre-bucketed on the join key —
+    // the repeated-join posture — and the answer equals the plain join.
+    "q_bucketed_join" -> ((s, dir) => {
+      val (ot, ct) = bucketedTables(s, dir)
+      s.table(ct).join(s.table(ot), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+    }),
     // §2.4 #50: as-of join (union-sort, one shuffle — no range-join blowup).
     // Latest order (by orderdate) per user at each event's time. Orders are
     // deduped to one per (custkey, date) so tie semantics are deterministic
@@ -859,6 +909,20 @@ object ExtendedQueries {
     "txt_normalize" ->
       s"""SELECT doc_id, ${graft.operators.TextOps.normalizeSql("text")} AS norm
          FROM documents""",
+    "q_skew_join" ->
+      """WITH dim AS (
+           SELECT source, count(*) AS n_src,
+                  CAST(sum(n_chars) AS BIGINT) AS src_chars
+           FROM documents GROUP BY 1)
+         SELECT doc_id, source, n_src,
+                (n_chars * 100) // src_chars AS share_pct
+         FROM documents JOIN dim USING (source)""",
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+                  AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1""",
     "txt_nfc" ->
       """SELECT doc_id,
                 length(nfc_normalize(text)) AS nfc_len,

@@ -221,6 +221,36 @@ object XlsxQueries {
       s.read.format("ods").load(out)
     }),
 
+    // §2.12: streaming xlsx ingestion as a DRIVER-VERIFIED face (the
+    // MicroBatchStream was spec-verified only, #71): customer written as
+    // 3 xlsx files once per sf dir, tailed by readStream at
+    // maxFilesPerTrigger=1 (3 real micro-batches), appended to a memory
+    // sink — the streamed union must equal the batch table through the
+    // same inference/NULL/type rules the batch scan applies.
+    "st_xlsx_ingest" -> ((s, dir) => {
+      val src = ensure(s, dir).resolve("customer_stream_src")
+      XlsxQueries.synchronized {
+        if (!java.nio.file.Files.exists(src))
+          Tables.load(s, dir, "customer").repartition(3)
+            .write.format("xlsx").mode("overwrite").save(src.toString)
+      }
+      val name = "st_xlsx_ingest_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("xlsx")
+        .option("maxFilesPerTrigger", "1").load(src.toString)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val out = s.table(name)
+        val rows = out.collect() // the ingested table itself
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+      }
+    }),
+
     // r6: the SQL catalog face — the closest Spark spelling to the
     // reference's `sheetreader('f.xlsx')` table function: a temp view
     // USING xlsx with options, queried through spark.sql.
@@ -349,6 +379,11 @@ object XlsxQueries {
                 l_extendedprice, l_returnflag, l_linestatus
          FROM lineitem""",
     "xlsx_write_roundtrip" ->
+      """SELECT cast(c_custkey AS double) AS c_custkey, c_name,
+                cast(c_nationkey AS double) AS c_nationkey,
+                c_acctbal, c_mktsegment
+         FROM customer""",
+    "st_xlsx_ingest" ->
       """SELECT cast(c_custkey AS double) AS c_custkey, c_name,
                 cast(c_nationkey AS double) AS c_nationkey,
                 c_acctbal, c_mktsegment
