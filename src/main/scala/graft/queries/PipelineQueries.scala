@@ -84,6 +84,21 @@ object PipelineQueries {
     uni.unionByName(bi)
   }
 
+  /** Memoized persisted SEEN index (exact-dedup digests + streaming hash
+    * pairs) over the standing corpus, for the index-bootstrapped streaming
+    * dedup face. */
+  private val seenIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def seenIndexTable(s: SparkSession, dir: String): String =
+    seenIndexCache.computeIfAbsent(dir, { d =>
+      val tbl = "graft_seen_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_seen_idx_").resolve("t").toString
+      Dedup.writeSeenIndex(
+        docs(s, d).filter(col("source") =!= lit("src19")), tbl, path)
+      tbl
+    })
+
   /** Memoized persisted inverted text index per sf dir — the lexical
     * member of the persisted-index trilogy. Built once (full tokenize +
     * count, the ingest-time cost); every BM25 probe after that reads only
@@ -901,6 +916,43 @@ object PipelineQueries {
       val hits = truth.join(rejected, Seq("doc_id"), "left_semi")
       pairRecallRow(truth, hits)
         .withColumnRenamed("n_true_pairs", "n_true_docs")
+    }),
+
+    // §2.12: INDEX-BOOTSTRAPPED streaming dedup as a DRIVER-VERIFIED face
+    // (#153 was spec-verified only): the persisted seen index's (h1, h2)
+    // pairs load as the stream's INITIAL state, so the replayed delta
+    // admits exactly the index-absent texts — batch corpus and live
+    // stream share ONE dedup horizon. The admitted TEXT SET is
+    // deterministic (which copy of an intra-delta dup wins is
+    // arrival-order-dependent), so the face emits distinct admitted
+    // digests, which DuckDB recomputes exactly.
+    "st_dedup_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val delta = d.filter(col("source") === lit("src19"))
+        .select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("source") === lit("src0"))
+          .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("source") === lit("src19"))
+          .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+      val idx = seenIndexTable(s, dir)
+      val src = fileReplaySource(s, s"$dir|dedup_delta", delta)
+      val name = "st_dedup_indexed_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = withStatePartitions(s, 8) {
+        EventStreams.dedupStreamIndexed(s, src.as[EventStreams.Doc], idx)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+      }
+      try {
+        q.processAllAvailable()
+        val out = s.table(name).select(md5(col("text")).as("h")).distinct()
+        val rows = out.collect() // O(admitted distinct texts)
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+      }
     }),
 
     // §2.7 #116 SemDeDup: k-means-bucketed semantic dedup over the
@@ -1947,6 +1999,16 @@ object PipelineQueries {
            WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6)
          SELECT count(*)::BIGINT AS n_true_pairs, (1.0 >= 0.8) AS recall_ok
          FROM truth""",
+    "st_dedup_indexed" ->
+      """WITH delta AS (
+           SELECT text FROM documents WHERE source = 'src19'
+           UNION ALL SELECT text FROM documents WHERE source = 'src0'
+           UNION ALL SELECT text FROM documents WHERE source = 'src19'),
+         corp AS (
+           SELECT DISTINCT md5(text) AS h FROM documents
+           WHERE source <> 'src19')
+         SELECT DISTINCT md5(text) AS h FROM delta
+         WHERE md5(text) NOT IN (SELECT h FROM corp)""",
     "dd_minhash_incremental_check" ->
       """WITH delta AS (
            SELECT doc_id, text FROM documents WHERE source = 'src19'

@@ -229,6 +229,45 @@ object Relational {
           ($"o_orderkey" % 7).as("m7"))
     }),
 
+    // §2.12: TPC-H Q19 shape — DISJUNCTIVE predicate (OR of conjunctive
+    // brand/size/quantity bands) over a fact⋈dim join: the pushdown case
+    // the conjunctive faces never exercise (Catalyst must keep the OR
+    // intact, split the common l_partkey/p_partkey conjuncts, and push
+    // per-side residuals)
+    "q19_disjunctive" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "part"), $"l_partkey" === $"p_partkey")
+        .filter(
+          ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
+            $"l_quantity".between(1, 11)) ||
+          ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
+            $"l_quantity".between(10, 20)) ||
+          ($"p_brand" === "Brand#34" && $"p_size".between(1, 15) &&
+            $"l_quantity".between(20, 30)))
+        .agg(count(lit(1)).as("n"),
+          sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+            .cast("double").as("revenue"))
+    }),
+
+    // §2.12: TPC-H Q10 shape — returned-item revenue per customer across
+    // a 4-way join, top 20. Ordering runs on the EXACT decimal sum (a
+    // double sort could flip near-ties cross-engine); the output casts to
+    // double after selection.
+    "q10_returned_items" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem").filter($"l_returnflag" === "R")
+        .join(Tables.load(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.load(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(Tables.load(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"n_name")
+        .agg(sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("__rev"))
+        .orderBy($"__rev".desc, $"c_custkey")
+        .limit(20)
+        .select($"c_custkey", $"c_name", $"n_name",
+          $"__rev".cast("double").as("revenue"))
+    }),
+
     // §2.12: array higher-order functions — transform/filter/aggregate/
     // sort/distinct/slice over an integer array derived from the token
     // stream, all integer-exact (the cross-engine lambda-surface parity
@@ -590,6 +629,30 @@ object Relational {
                 o_totalprice * o_totalprice AS p2,
                 o_orderkey % 7 AS m7
          FROM orders WHERE o_orderkey % 100 = 0""",
+    "q19_disjunctive" ->
+      """SELECT count(*) AS n,
+                cast(sum(cast(l_extendedprice * (1 - l_discount)
+                              AS decimal(18,4))) AS double) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
+    "q10_returned_items" ->
+      """WITH agg AS (
+           SELECT c_custkey, c_name, n_name,
+                  sum(cast(l_extendedprice * (1 - l_discount)
+                           AS decimal(18,4))) AS rev_d
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE l_returnflag = 'R'
+           GROUP BY 1, 2, 3)
+         SELECT c_custkey, c_name, n_name, cast(rev_d AS double) AS revenue
+         FROM agg ORDER BY rev_d DESC, c_custkey LIMIT 20""",
     "q_array_funcs" ->
       """WITH t AS (
            SELECT doc_id,
