@@ -650,6 +650,24 @@ object ExtendedQueries {
             .as("next_type"))
         .groupBy(col("event_type"), col("next_type"))
         .agg(count(lit(1)).cast("long").as("n"))
+    }),
+
+    // §2.12: deterministic weighted PageRank over the event-transition
+    // graph (which event type is central in user journeys) — 5 fixed
+    // power iterations, EVERY quantity an int64 at scale 10⁹ and every
+    // division an integral floor, so the ranks are bit-identical across
+    // engines and partitionings (float PageRank cannot promise that —
+    // summation order). The END sentinel is the graph's dangling sink.
+    "q_pagerank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val edges = Tables.load(s, dir, "events")
+        .select(col("event_type").as("src"),
+          coalesce(lead(col("event_type"), 1).over(w), lit("END")).as("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).cast("long").as("w"))
+      graft.operators.Graph.pageRankInt(edges, iters = 5)
     })
   )
 
@@ -693,6 +711,49 @@ object ExtendedQueries {
                         ORDER BY ts, event_id), 'END') AS next_type
                FROM events) t
          GROUP BY 1, 2""",
+    "q_pagerank" ->
+      """WITH e AS (
+           SELECT event_type AS src, next_type AS dst,
+                  CAST(count(*) AS BIGINT) AS w
+           FROM (SELECT event_type,
+                        coalesce(lead(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id), 'END') AS next_type
+                 FROM events) t
+           GROUP BY 1, 2),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         wdeg AS (SELECT src, sum(w) AS wdeg FROM e GROUP BY 1),
+         r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+         r1 AS (SELECT n.node, 150000000 + (coalesce(s.c, 0) * 85) // 100 AS rank
+                FROM nodes n LEFT JOIN (
+                  SELECT e.dst, sum((r.rank * e.w) // d.wdeg) AS c
+                  FROM e JOIN r0 r ON e.src = r.node
+                  JOIN wdeg d ON e.src = d.src GROUP BY 1) s
+                ON n.node = s.dst),
+         r2 AS (SELECT n.node, 150000000 + (coalesce(s.c, 0) * 85) // 100 AS rank
+                FROM nodes n LEFT JOIN (
+                  SELECT e.dst, sum((r.rank * e.w) // d.wdeg) AS c
+                  FROM e JOIN r1 r ON e.src = r.node
+                  JOIN wdeg d ON e.src = d.src GROUP BY 1) s
+                ON n.node = s.dst),
+         r3 AS (SELECT n.node, 150000000 + (coalesce(s.c, 0) * 85) // 100 AS rank
+                FROM nodes n LEFT JOIN (
+                  SELECT e.dst, sum((r.rank * e.w) // d.wdeg) AS c
+                  FROM e JOIN r2 r ON e.src = r.node
+                  JOIN wdeg d ON e.src = d.src GROUP BY 1) s
+                ON n.node = s.dst),
+         r4 AS (SELECT n.node, 150000000 + (coalesce(s.c, 0) * 85) // 100 AS rank
+                FROM nodes n LEFT JOIN (
+                  SELECT e.dst, sum((r.rank * e.w) // d.wdeg) AS c
+                  FROM e JOIN r3 r ON e.src = r.node
+                  JOIN wdeg d ON e.src = d.src GROUP BY 1) s
+                ON n.node = s.dst),
+         r5 AS (SELECT n.node, 150000000 + (coalesce(s.c, 0) * 85) // 100 AS rank
+                FROM nodes n LEFT JOIN (
+                  SELECT e.dst, sum((r.rank * e.w) // d.wdeg) AS c
+                  FROM e JOIN r4 r ON e.src = r.node
+                  JOIN wdeg d ON e.src = d.src GROUP BY 1) s
+                ON n.node = s.dst)
+         SELECT node, rank FROM r5""",
     "q_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
                 count(*) AS n,

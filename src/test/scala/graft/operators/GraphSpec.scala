@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Integer-exact weighted PageRank: hand-computed iterations, weight
+  * semantics, and the determinism the integer arithmetic buys. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRankInt matches hand-computed iterations (dangling sink included)") {
+    // A→B, A→C (split evenly), B→A; C dangles (rank leaks — documented).
+    // scale=1000 keeps the hand arithmetic readable.
+    val edges = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "A", 1L))
+      .toDF("src", "dst", "w")
+    def ranks(iters: Int): Map[String, Long] =
+      Graph.pageRankInt(edges, iters = iters, scale = 1000L).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // iter 1: contrib A→B = A→C = (1000·1) div 2 = 500; B→A = 1000
+    //   A = 150 + (1000·85) div 100 = 1000; B = C = 150 + (500·85) div 100 = 575
+    assert(ranks(1) == Map("A" -> 1000L, "B" -> 575L, "C" -> 575L))
+    // iter 2: A→B = A→C = 500 again; B→A = (575·1) div 1 = 575
+    //   A = 150 + (575·85) div 100 = 638; B = C = 575
+    assert(ranks(2) == Map("A" -> 638L, "B" -> 575L, "C" -> 575L))
+  }
+
+  test("weights bias contributions exactly") {
+    // A splits 3:1 between B and C — contributions floor-divide by wdeg=4
+    val edges = Seq(("A", "B", 3L), ("A", "C", 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRankInt(edges, iters = 1, scale = 1000L).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // contrib B = (1000·3) div 4 = 750 → 150 + 637 = 787
+    // contrib C = (1000·1) div 4 = 250 → 150 + 212 = 362
+    assert(r("B") == 787L && r("C") == 362L)
+    // A has no in-edges: base rank only
+    assert(r("A") == 150L)
+  }
+
+  test("ranks are identical across partitionings (integer determinism)") {
+    val edges = (1L to 200L).map { i =>
+      (s"n${i % 23}", s"n${(i * 7) % 23}", (i % 5) + 1)
+    }.toDF("src", "dst", "w")
+    val a = Graph.pageRankInt(edges.repartition(1), iters = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRankInt(edges.repartition(13), iters = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b && a.nonEmpty)
+  }
+}
