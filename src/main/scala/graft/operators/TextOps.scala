@@ -515,7 +515,14 @@ object TextOps {
     * so a probe needs no second table) BUCKETED + sorted by token, plus a
     * one-row stats sidecar (N docs, total tokens). A query then reads ONLY
     * its terms' postings: `tok IN (...)` bucket-prunes the scan, and the
-    * corpus text is never touched again. */
+    * corpus text is never touched again.
+    *
+    * Append posture: denormalized df makes APPENDS invalid (new docs
+    * change every existing posting's df) — growing corpora either rebuild
+    * on a cadence (df drifts slowly; BM25 ranking is log-ish in df so
+    * staleness degrades gracefully) or normalize df into a per-token side
+    * table maintained per increment, trading one more bucketed join per
+    * probe. The deliberate-rebuild trade, same as the PQ codebook story. */
   def writeTextIndex(docs: DataFrame, table: String, path: String,
       buckets: Int = 8): Unit = {
     val toks = docs.select(col("doc_id"),

@@ -38,7 +38,63 @@ object ExtendedQueries {
       (ot, ct)
     })
 
+  /** Memoized layout fixtures for the schema-evolution and
+    * partition-pruning faces: two orders snapshots with drifted schemas,
+    * and events written hive-partitioned by event_type. Written once per
+    * sf dir. */
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def layoutDirs(s: SparkSession, dir: String): (String, String) =
+    layoutCache.computeIfAbsent(dir, { d =>
+      val root = java.nio.file.Files.createTempDirectory("graft_layout_")
+      val evo = root.resolve("evolved").toString
+      val part = root.resolve("partitioned").toString
+      val o = Tables.load(s, d, "orders")
+      // v1: the original 3-column schema; v2 adds a derived column — the
+      // live-pipeline reality (a field added mid-corpus)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$evo/v1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$evo/v2")
+      Tables.load(s, d, "events")
+        .withColumn("value", col("value").cast("double"))
+        .write.partitionBy("event_type").mode("overwrite").parquet(part)
+      (evo, part)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.12: schema evolution — two parquet snapshots with drifted
+    // schemas (v2 adds a column) read as ONE table via mergeSchema;
+    // missing fields null-fill. DuckDB twin: read_parquet
+    // union_by_name=true over the same files.
+    "q_schema_evolution" -> ((s, dir) => {
+      val (evo, _) = layoutDirs(s, dir)
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$evo/v1", s"$evo/v2")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_v1"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+    }),
+
+    // §2.12: hive-style partition pruning — the OTHER half of the layout
+    // story next to z-order's min/max stats: events written
+    // partitionBy(event_type), a filtered read shows PartitionFilters in
+    // the plan (LayoutSpec pins that) and the answer matches the plain
+    // table. Directory-encoded columns rebuild through the scan.
+    "q_partition_prune" -> ((s, dir) => {
+      val (_, part) = layoutDirs(s, dir)
+      s.read.parquet(part)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total"))
+    }),
+
     // §2.12: salted skew join as a DRIVER-VERIFIED face (the operator was
     // spec-verified only, #61): every doc joins its source's stats through
     // the salted layout — one hot key's rows spread over 8 salts — and the
@@ -970,6 +1026,25 @@ object ExtendedQueries {
     "txt_normalize" ->
       s"""SELECT doc_id, ${graft.operators.TextOps.normalizeSql("text")} AS norm
          FROM documents""",
+    "q_schema_evolution" ->
+      """WITH unioned AS (
+           SELECT o_orderkey, o_custkey, o_totalprice,
+                  CAST(NULL AS VARCHAR) AS o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 1)
+         SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_v1,
+                cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+                  AS total
+         FROM unioned GROUP BY 1""",
+    "q_partition_prune" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS decimal(18,4))) AS double) AS total
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY 1""",
     "q_skew_join" ->
       """WITH dim AS (
            SELECT source, count(*) AS n_src,

@@ -120,6 +120,32 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hive partition pruning: filtered reads scan only matching partitions") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity"))
+    val root = java.nio.file.Files.createTempDirectory("graft_hivepart_")
+    try {
+      val p = root.resolve("byflag").toString
+      li.write.partitionBy("l_returnflag").mode("overwrite").parquet(p)
+      val df = spark.read.parquet(p).filter(col("l_returnflag") === "R")
+      val total = df.count()
+      assert(total == li.filter(col("l_returnflag") === "R").count())
+      // the filter must land in PartitionFilters (directory pruning), not
+      // as a post-scan predicate over all partitions
+      val scans = findScans(df.queryExecution.executedPlan)
+      assert(scans.nonEmpty)
+      assert(scans.forall(_.partitionFilters.exists(
+        _.toString.contains("l_returnflag"))),
+        scans.map(_.partitionFilters).toString)
+      // and the scan reads only the matching partition's rows
+      assert(scannedRows(df) == total)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("3-D box predicate prunes the 3-way z layout, not the single sort") {
     // the 100 TB layout story: date × key × geography — here
     // partkey × orderkey × suppkey. The single-column control is tight in
