@@ -31,22 +31,36 @@ object Graph {
     * allowed (weights add through wdeg and the contribution sum). */
   def pageRankInt(edges: DataFrame, iters: Int = 5,
       scale: Long = 1000000000L): DataFrame = {
+    // edges (and the derived wdeg/nodes) are read EVERY iteration: persist
+    // them once or the upstream edge aggregation recomputes k times (the
+    // connectedComponents discipline — measured 2.6 s → sub-second on the
+    // transition-graph face). Each sweep localCheckpoints so the plan stays
+    // k-bounded instead of a k-deep join tree re-deriving from the source.
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-    val wdeg = e.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
-    val ew = e.join(wdeg, "src")
-    var ranks = nodes.withColumn("rank", lit(scale))
-    (1 to iters).foreach { _ =>
-      val contrib = ew.join(ranks, col("src") === col("node"))
-        .select(col("dst"), expr("(rank * w) div wdeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
-      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(scale * 15L / 100L) +
-            expr("(coalesce(in_sum, cast(0 as bigint)) * 85) div 100"))
-            .as("rank"))
-    }
-    ranks
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wdeg = e.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+      val ew = e.join(wdeg, "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var ranks = nodes.withColumn("rank", lit(scale))
+      (1 to iters).foreach { _ =>
+        val contrib = ew.join(ranks, col("src") === col("node"))
+          .select(col("dst"), expr("(rank * w) div wdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+        ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(scale * 15L / 100L) +
+              expr("(coalesce(in_sum, cast(0 as bigint)) * 85) div 100"))
+              .as("rank"))
+          .localCheckpoint(eager = true)
+      }
+      val out = ranks
+      nodes.unpersist()
+      ew.unpersist()
+      out
+    } finally { e.unpersist(); () }
   }
 }
