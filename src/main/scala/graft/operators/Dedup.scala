@@ -636,27 +636,47 @@ object Dedup {
     * [[minhashLsh]]'s batch job. Recall vs the exact cross-set truth is
     * certified per round by the dd_minhash_incremental_check face.
     *
-    * Plan shape (spec-pinned with broadcast/AQE off): THREE delta-sized
-    * exchanges — the signature aggregate (computed once, reused by both
-    * the probe and the admission side), the band-key partitioning into
-    * the index join, and the flagged-id distinct — and ZERO exchanges
-    * above the index scan. */
+    * INTRA-delta near-dups are resolved too (the [[incrementalIndexed]]
+    * groupBy-h analogue for the fuzzy case): among index-survivors, a doc
+    * whose band bucket holds a SMALLER-id survivor with estimated
+    * Jaccard >= threshold is rejected — min-id-wins, the same survivor
+    * convention the exact family uses (greedy per pair: near-dup is not
+    * transitive, so a chain keeps its pairwise-distinct representatives).
+    * Without this, two new near-dup docs arriving in one delta would both
+    * be admitted and the append-back loop would index both forever, where
+    * the batch [[minhashLsh]] over the same corpus collapses them.
+    *
+    * Plan shape (spec-pinned with broadcast/AQE off): every exchange is
+    * DELTA-sized — the signature aggregate (computed once, reused across
+    * the probe, the intra-delta self-join and the admission side), the
+    * band-key partitionings, and the flagged-id distincts — and ZERO
+    * exchanges above the index scan. */
   def minhashIncremental(spark: org.apache.spark.sql.SparkSession,
       table: String, delta: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.6): DataFrame = {
     val k = bands * rowsPerBand
     val needed = math.ceil(threshold * k).toInt
+    def estMatches(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x)
     val dk = bandedKeysSig(delta, bands, rowsPerBand)
     val idx = spark.table(table)
     val flagged = dk
       .join(idx.select(col("band"), col("bh"), col("sig").as("isig")),
         Seq("band", "bh"))
-      .filter(aggregate(
-        zip_with(col("sig"), col("isig"),
-          (a, b) => when(a === b, 1).otherwise(0)),
-        lit(0), (acc, x) => acc + x) >= needed)
+      .filter(estMatches(col("sig"), col("isig")) >= needed)
       .select(col("doc_id")).distinct()
-    dk.join(flagged, Seq("doc_id"), "left_anti")
+    val survivors = dk.join(flagged, Seq("doc_id"), "left_anti")
+    val intraRejected = survivors
+      .select(col("doc_id").as("da"), col("band"), col("bh"),
+        col("sig").as("siga"))
+      .join(survivors.select(col("doc_id").as("db"), col("band"), col("bh"),
+        col("sig").as("sigb")), Seq("band", "bh"))
+      .filter(col("da") > col("db") &&
+        estMatches(col("siga"), col("sigb")) >= needed)
+      .select(col("da").as("doc_id")).distinct()
+    survivors.join(intraRejected, Seq("doc_id"), "left_anti")
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

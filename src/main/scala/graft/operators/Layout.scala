@@ -58,13 +58,19 @@ object Layout {
     }
   }
 
-  /** Scale an integral column into [0, 2^bits - 1] over [lo, hi] (integer
-    * arithmetic; degenerate ranges collapse to 0). */
+  /** Scale an integral column into [0, 2^bits - 1] over [lo, hi]
+    * (degenerate ranges collapse to 0). The arithmetic runs in DOUBLE end
+    * to end: an int64 multiply (c-lo)·maxVal overflows once the range
+    * exceeds ~2^47 (epoch-microsecond timestamps — the headline
+    * date-dimension use case — span ~2^51), which under ANSI mode kills
+    * the write job. Doubles never overflow here; for ranges past 2^53 the
+    * mantissa rounds the BUCKETING (layout quality, never answers) by a
+    * relative 1e-16 — deterministic, and bit-identical to the old integer
+    * path wherever that path was exact. */
   private def normBits(c: Column, lo: Long, hi: Long, bits: Int): Column =
     if (hi <= lo) lit(0L)
-    // Column./ is double division; the products here stay well inside
-    // double's exact-integer range, so floor+cast restores exact longs
-    else floor((c.cast("long") - lo) * ((1L << bits) - 1) / (hi - lo)).cast("long")
+    else floor((c.cast("double") - lit(lo.toDouble)) *
+      ((1L << bits) - 1).toDouble / (hi.toDouble - lo.toDouble)).cast("long")
 
   /** Write `df` z-clustered on two integral columns into `nFiles` parquet
     * files — the 2-D spelling of [[writeZorderedN]]. */

@@ -627,6 +627,11 @@ object Similarity {
       path: String, nCentroids: Int = 16, m: Int = 16, kSub: Int = 32,
       buckets: Int = 8): Unit = {
     import spark.implicits._
+    // save the caller's job group/description so the finally RESTORES
+    // rather than clobbers it (clearJobGroup would untag every job the
+    // caller schedules after the build)
+    val prevGroup = spark.sparkContext.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = spark.sparkContext.getLocalProperty("spark.job.description")
     spark.sparkContext.setJobGroup(BuildJobGroup,
       s"IVF index build: $table", interruptOnCancel = false)
     try {
@@ -661,7 +666,10 @@ object Similarity {
       metaRows.toDF("kind", "i", "j", "v").coalesce(1)
         .write.option("path", path + "_meta")
         .mode("overwrite").saveAsTable(table + "_meta")
-    } finally spark.sparkContext.clearJobGroup()
+    } finally {
+      spark.sparkContext.setLocalProperty("spark.jobGroup.id", prevGroup)
+      spark.sparkContext.setLocalProperty("spark.job.description", prevDesc)
+    }
   }
 
   /** Sidecar read-back: (centroids, PQ codebooks) — bounded rows, the only
@@ -706,9 +714,15 @@ object Similarity {
     val path = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
       .find(_.getString(0) == "Location").map(_.getString(1))
       .getOrElse(throw new IllegalStateException(s"no location for $table"))
+    // idempotence: a retried/repeated append must not double-insert — a
+    // duplicated vec_id would occupy two of a probe's k slots with the
+    // same neighbor and silently push a true one out. The anti-join reads
+    // only the index's id column; the delta (small by posture) shuffles.
     withCid(
       emb.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v")),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .join(spark.table(table).select(col("vec_id")),
+          Seq("vec_id"), "left_anti"),
       "v", typedLit(centroids.map(_.toSeq).toSeq))
       .filter(col("cid") >= 0)
       .withColumn("__n", l2Norm(col("v")))

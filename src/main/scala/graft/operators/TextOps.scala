@@ -525,22 +525,28 @@ object TextOps {
     * probe. The deliberate-rebuild trade, same as the PQ codebook story. */
   def writeTextIndex(docs: DataFrame, table: String, path: String,
       buckets: Int = 8): Unit = {
+    // the postings write and the stats sidecar both consume the tokenized
+    // projection — persist it so build time really is ONE tokenize pass
+    // (the regex scan is the dominant ingest cost at scale)
     val toks = docs.select(col("doc_id"),
       regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
-    val tf = toks
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), col("dl"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    tf.join(dfs, "tok")
-      .select(col("tok"), col("doc_id"), col("dl"), col("tf"), col("df"))
-      .write.bucketBy(buckets, "tok").sortBy("tok")
-      .option("path", path).mode("overwrite").saveAsTable(table)
-    toks.agg(count(lit(1)).as("n"),
-        sum(size(col("toks")).cast("long")).as("t"))
-      .coalesce(1).write.option("path", path + "_meta")
-      .mode("overwrite").saveAsTable(table + "_meta")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tf = toks
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("dl"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(dfs, "tok")
+        .select(col("tok"), col("doc_id"), col("dl"), col("tf"), col("df"))
+        .write.bucketBy(buckets, "tok").sortBy("tok")
+        .option("path", path).mode("overwrite").saveAsTable(table)
+      toks.agg(count(lit(1)).as("n"),
+          sum(size(col("toks")).cast("long")).as("t"))
+        .coalesce(1).write.option("path", path + "_meta")
+        .mode("overwrite").saveAsTable(table + "_meta")
+    } finally { toks.unpersist(); () }
   }
 
   /** BM25 against the persisted inverted index: per-query cost is the

@@ -75,9 +75,14 @@ object Audit {
       } catch {
         case e: Throwable =>
           println(f"$name%-24s ERROR ${e.getMessage.take(80)}")
-          val msg = Option(e.getMessage).getOrElse("").take(200)
-            .replace("\\", "\\\\").replace("\"", "\\\"")
-            .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+          // escape EVERY control char (not just \n\r\t) — a stray ANSI
+          // escape in an exception message must not unparse the artifact
+          val msg = Option(e.getMessage).getOrElse("").take(200).flatMap {
+            case '\\' => "\\\\"
+            case '"' => "\\\""
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          }
           rows(name) = s"""{"exch": null, "shuffle": null, """ +
             s""""codegen_spans": null, "flags": [], "err": "$msg"}"""
       }

@@ -253,7 +253,10 @@ class DedupSpec extends SparkSpec {
       11L -> base,                              // exact recrawl → est j = 1 → rejected
       12L -> base.replace("lazy", "sleepy"),    // paraphrased recrawl → rejected
       13L -> "fresh story about bucketed joins and sort merge exchanges in the planner",
-      14L -> "orthogonal text on watermark semantics and stateful stream sessionization"))
+      14L -> "orthogonal text on watermark semantics and stateful stream sessionization",
+      // INTRA-delta near-dup of 13: new relative to the index, but the
+      // smaller-id survivor wins — only 13 may be admitted
+      15L -> "fresh story about bucketed joins and sort merge exchanges in the planner today"))
     val wh = java.nio.file.Files.createTempDirectory("graft_bandidx_").toString
     Dedup.writeBandIndex(standing, "band_idx", s"$wh/band_idx", buckets = 4)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -273,17 +276,22 @@ class DedupSpec extends SparkSpec {
       val idxSide = plan.split("\n").filter(_.contains("band_idx"))
       assert(idxSide.nonEmpty, plan)
       // a ReusedExchange node's suffix echoes its target's description, so
-      // count real Exchange LINES only
+      // count real Exchange LINES only. Five delta-sized exchanges: the
+      // signature aggregate (computed once — reused by the probe, the
+      // intra-delta self-join and the admission side), band keys into the
+      // index join, flagged-id distinct, band keys into the intra-delta
+      // self-join (one exchange, reused for both sides), intra-rejected
+      // distinct.
       val exchanges = plan.split("\n").count(l =>
         l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
-      assert(exchanges == 3, s"expected 3 delta-sided exchanges:\n$plan")
+      assert(exchanges == 5, s"expected 5 delta-sided exchanges:\n$plan")
       assert(plan.contains("ReusedExchange"),
         s"delta signature subtree should be computed once:\n$plan")
       // no exchange keyed on the index's own output: the only (band, bh)
-      // partitioning is the delta side of the join
+      // partitionings are the delta sides of the index join and self-join
       assert(plan.split("\n").count(l =>
         l.contains("Exchange hashpartitioning(band") &&
-          !l.contains("ReusedExchange")) == 1, plan)
+          !l.contains("ReusedExchange")) == 2, plan)
       // close the loop: append admitted band rows, re-run → nothing admitted
       // (a re-arriving admitted doc is now a j=1 near-dup of its own entry)
       admitted.select(col("doc_id"), col("band"), col("bh"), col("sig"))

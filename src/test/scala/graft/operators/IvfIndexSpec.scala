@@ -179,6 +179,11 @@ class IvfIndexSpec extends SparkSpec {
         .toSet == buildBefore, "append must not retrain")
       // the index now holds every vector once
       assert(spark.table(tbl).count() == corpusLocal.size)
+      // idempotence: a RETRIED append must not double-insert (a duplicated
+      // vec_id would fill two of a probe's k slots with the same neighbor)
+      Similarity.appendIvfIndex(spark, rest.toDF("vec_id", "embedding"), tbl)
+      assert(spark.table(tbl).count() == corpusLocal.size,
+        "repeated append double-inserted")
       // and a probe can now return appended vectors: query a vector from
       // the appended half — its same-cluster neighbors are appended too
       val qid = rest.head._1
