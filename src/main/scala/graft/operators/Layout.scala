@@ -78,6 +78,27 @@ object Layout {
       nFiles: Int, path: String): Unit =
     writeZorderedN(df, Seq(ca, cb), nFiles, path)
 
+  /** Compact a fragmented parquet directory into ~`targetBytes` files —
+    * the small-files maintenance pass every long-lived 100 TB table needs
+    * (each tiny file costs a task, an open, a footer parse; metadata
+    * pressure grows with file COUNT, not bytes). Sizing reads the
+    * directory listing only; the data moves through `coalesce` — partition
+    * CONCATENATION, no shuffle, per-file row order preserved — so
+    * compaction costs one read+write pass and nothing else. Returns the
+    * target file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, in: String,
+      out: String, targetBytes: Long): Int = {
+    val fs = new org.apache.hadoop.fs.Path(in)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(in))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(in).coalesce(n)
+      .write.mode("overwrite").parquet(out)
+    n
+  }
+
   /** Write `df` z-clustered on N integral columns into `nFiles` parquet
     * files: one stats aggregate for the normalization bounds, then
     * range-partition + sort on the Morton code. Every output file covers a

@@ -65,6 +65,22 @@ object ExtendedQueries {
       (evo, part)
     })
 
+  /** Memoized compaction fixture: orders fragmented into 64 tiny files,
+    * then compacted — the small-files maintenance pass. Returns the
+    * compacted path. */
+  private val compactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def compactedOrders(s: SparkSession, dir: String): String =
+    compactCache.computeIfAbsent(dir, { d =>
+      val root = java.nio.file.Files.createTempDirectory("graft_compact_")
+      val frag = root.resolve("frag").toString
+      val out = root.resolve("compacted").toString
+      Tables.load(s, d, "orders").repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      graft.operators.Layout.compact(s, frag, out, targetBytes = 512L << 20)
+      out
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.12: schema evolution — two parquet snapshots with drifted
     // schemas (v2 adds a column) read as ONE table via mergeSchema;
@@ -93,6 +109,39 @@ object ExtendedQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total"))
+    }),
+
+    // §2.12: small-file compaction — 64 fragment files coalesce (no
+    // shuffle, order-preserving concatenation) into size-targeted files;
+    // the face aggregates over the COMPACTED copy, so the oracle (plain
+    // orders SQL) proves compaction is content-preserving. File-count
+    // mechanics are LayoutSpec's pin.
+    "q_compact" -> ((s, dir) =>
+      s.read.parquet(compactedOrders(s, dir))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))),
+
+    // §2.12: IQR outlier fences — the classic data-cleaning pass: per
+    // group, q1/q3 via the scale-safe exact percentiles (#147 machinery,
+    // bit-identical to quantile_cont), fences at 1.5×IQR, rows counted
+    // against them. Fence arithmetic is the same IEEE ops on the same
+    // doubles both engines produced, so boundary rows can't flip.
+    "q_outliers" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val fences = graft.operators.Profiler.exactPercentiles(
+        li, "l_returnflag", "l_extendedprice",
+        Seq("q1" -> 0.25, "q3" -> 0.75))
+        .select(col("l_returnflag"),
+          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      li.join(broadcast(fences), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L))
+            .cast("long").as("n_low"),
+          sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+            .cast("long").as("n_high"))
     }),
 
     // §2.12: salted skew join as a DRIVER-VERIFIED face (the operator was
@@ -1026,6 +1075,28 @@ object ExtendedQueries {
     "txt_normalize" ->
       s"""SELECT doc_id, ${graft.operators.TextOps.normalizeSql("text")} AS norm
          FROM documents""",
+    "q_compact" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+                  AS total
+         FROM orders GROUP BY 1""",
+    "q_outliers" ->
+      """WITH f AS (
+           SELECT l_returnflag,
+                  quantile_cont(l_extendedprice, 0.25) AS q1,
+                  quantile_cont(l_extendedprice, 0.75) AS q3
+           FROM lineitem GROUP BY 1),
+         fn AS (SELECT l_returnflag,
+                       q1 - (q3 - q1) * 1.5 AS lo,
+                       q3 + (q3 - q1) * 1.5 AS hi
+                FROM f)
+         SELECT l.l_returnflag, count(*) AS n,
+                CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_low,
+                CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_high
+         FROM lineitem l JOIN fn USING (l_returnflag)
+         GROUP BY 1""",
     "q_schema_evolution" ->
       """WITH unioned AS (
            SELECT o_orderkey, o_custkey, o_totalprice,
