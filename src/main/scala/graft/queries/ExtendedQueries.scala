@@ -773,8 +773,51 @@ object ExtendedQueries {
         .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).cast("long").as("w"))
       graft.operators.Graph.pageRankInt(edges, iters = 5)
-    })
+    }),
+
+    // §2.13: bounded-round frontier BFS — shortest hop counts from the
+    // smallest user over the co-activity graph (users touching the same
+    // event type within 60 s), reported as a hops histogram. The graph is
+    // DERIVED relationally (one window pass), the traversal is the Pregel
+    // posture (per-round frontier⋈edges + visited anti-join — a recursive
+    // UNION ALL closure would materialize path multiplicity), and hop
+    // integers are partitioning-proof. Gap compares in exact microseconds:
+    // both engines floor nanos→micros BEFORE subtracting, so a boundary
+    // pair can't flip.
+    "q_bfs_reach" -> ((s, dir) => {
+      val e0 = coActivityEdges(s, dir)
+      val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+      val src = Tables.load(s, dir, "events").agg(min(col("user_id")).as("node"))
+      graft.operators.Graph.bfsHops(edges, src, maxHops = 8)
+        .groupBy(col("hops")).agg(count(lit(1)).as("n_users"))
+    }),
+
+    // §2.13: exact triangle/wedge census over the same co-activity graph —
+    // the canonical-orientation (a<b<c) two-join enumeration plus the
+    // degree-aggregate wedge count, all int64 (global clustering numerator
+    // 3·triangles comes with it for free).
+    "q_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangleStats(coActivityEdges(s, dir)))
   )
+
+  /** Canonical undirected co-activity edges: users adjacent on the same
+    * event_type timeline within 60 s, as (a < b) pairs — the shared edge
+    * derivation for the BFS and triangle faces. */
+  private def coActivityEdges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        lag(col("user_id"), 1).over(w).as("prev_user"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .as("gap_us"))
+      .filter(col("prev_user").isNotNull && col("prev_user") =!= col("user_id") &&
+        col("gap_us") <= 60000000L)
+      .select(least(col("user_id"), col("prev_user")).as("a"),
+        greatest(col("user_id"), col("prev_user")).as("b"))
+      .distinct()
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_funnel" ->
@@ -1219,6 +1262,57 @@ object ExtendedQueries {
                 cast(day(o_orderdate) AS bigint) AS d,
                 cast(quarter(o_orderdate) AS bigint) AS q,
                 strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
-         FROM orders"""
+         FROM orders""",
+    "q_bfs_reach" ->
+      """WITH RECURSIVE seq AS (
+           SELECT event_type, user_id,
+                  lag(user_id) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS prev_user,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS gap_us
+           FROM events),
+         e0 AS (
+           SELECT DISTINCT least(user_id, prev_user) AS a,
+                           greatest(user_id, prev_user) AS b
+           FROM seq WHERE prev_user IS NOT NULL AND prev_user <> user_id
+             AND gap_us <= 60000000),
+         edges AS (SELECT a AS src, b AS dst FROM e0
+                   UNION ALL SELECT b, a FROM e0),
+         bfs AS (
+           SELECT (SELECT min(user_id) FROM events) AS node, 0 AS d
+           UNION
+           SELECT e.dst AS node, bfs.d + 1 AS d
+           FROM bfs JOIN edges e ON e.src = bfs.node
+           WHERE bfs.d < 8
+         )
+         SELECT CAST(d AS INTEGER) AS hops, CAST(count(*) AS BIGINT) AS n_users
+         FROM (SELECT node, min(d) AS d FROM bfs GROUP BY node) t
+         GROUP BY d""",
+    "q_triangles" ->
+      """WITH seq AS (
+           SELECT event_type, user_id,
+                  lag(user_id) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS prev_user,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS gap_us
+           FROM events),
+         e0 AS (
+           SELECT DISTINCT least(user_id, prev_user) AS a,
+                           greatest(user_id, prev_user) AS b
+           FROM seq WHERE prev_user IS NOT NULL AND prev_user <> user_id
+             AND gap_us <= 60000000),
+         deg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) t
+           GROUP BY node),
+         tri AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
+                      JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+                CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+                n_triangles,
+                CAST(n_triangles * 3 AS BIGINT) AS n_closed
+         FROM deg, tri GROUP BY n_triangles"""
   )
 }

@@ -507,6 +507,77 @@ object Relational {
         .withColumn("second_pk", nth_value($"p_partkey", 2).over(wFull))
         .select($"p_brand", $"p_partkey", $"p_retailprice",
           $"tile4", $"pct_rank", $"cume", $"first_pk", $"last_pk", $"second_pk")
+    }),
+
+    // §2.13: recursive CTE (WITH RECURSIVE → Catalyst UnionLoop) — the
+    // iterative-query surface in ONE declarative statement instead of a
+    // driver-side loop: walk the implicit part hierarchy (parent =
+    // p_partkey DIV 10) from the roots and aggregate per depth. The
+    // recursion depth is data-bounded (4 levels at every SF), far under
+    // spark.sql.cteRecursionLevelLimit; each iteration is one hash join,
+    // so the plan scales exactly like the bounded-round graph sweeps.
+    "q_recursive_cte" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        WITH RECURSIVE chain AS (
+          SELECT p_partkey AS id, 0 AS depth FROM part WHERE p_partkey < 10
+          UNION ALL
+          SELECT p.p_partkey AS id, c.depth + 1 AS depth
+          FROM part p JOIN chain c ON p.p_partkey DIV 10 = c.id
+          WHERE p.p_partkey >= 10
+        )
+        SELECT depth, count(*) AS n_parts,
+               cast(sum(id) AS bigint) AS sum_id
+        FROM chain GROUP BY depth
+      """)
+    }),
+
+    // §2.13: TPC-H Q21 shape — the double-correlated EXISTS + NOT EXISTS
+    // on the SAME table: suppliers whose returned ('R') line is the only
+    // returned line in a multi-supplier finished order. Expressed with
+    // left-semi + left-anti joins (exactly what Catalyst decorrelates
+    // EXISTS subqueries into), so the plan is two shuffled semi/anti hash
+    // joins on l_orderkey — no per-row subquery re-execution.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val l1 = li.filter($"l_returnflag" === "R")
+        .join(Tables.load(s, dir, "orders").filter($"o_orderstatus" === "F"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"l_suppkey")
+      val l2 = li.select($"l_orderkey".as("k2"), $"l_suppkey".as("s2"))
+      val l3 = li.filter($"l_returnflag" === "R")
+        .select($"l_orderkey".as("k3"), $"l_suppkey".as("s3"))
+      l1.join(l2, $"l_orderkey" === $"k2" && $"l_suppkey" =!= $"s2", "left_semi")
+        .join(l3, $"l_orderkey" === $"k3" && $"l_suppkey" =!= $"s3", "left_anti")
+        .join(Tables.load(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(20)
+    }),
+
+    // §2.13: TPC-H Q22 shape — scalar aggregate subquery feeding the
+    // outer filter + NOT EXISTS anti join, grouped on a string suffix.
+    // The above-average comparison is DECIMAL-EXACT (bal·n > sum as
+    // decimals — a double average could flip a boundary customer across
+    // engines); the one-row aggregate broadcasts, the anti join runs on
+    // the urgent-order keys only.
+    "q22_idle_customers" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+      val stats = cust.filter($"c_acctbal" > 0.0)
+        .agg(sum(dec2($"c_acctbal")).as("bal_sum"),
+          count(lit(1)).as("bal_n"))
+      val urgent = Tables.load(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey")
+      cust.join(broadcast(stats))
+        .filter(dec2($"c_acctbal") * $"bal_n" > $"bal_sum")
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy(expr("substring(c_name, length(c_name), 1)").as("cgroup"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec2($"c_acctbal")).cast("double").as("totacctbal"))
     })
   )
 
@@ -781,6 +852,46 @@ object Relational {
          FROM part
          WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey),
                 wf AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "q_recursive_cte" ->
+      """WITH RECURSIVE chain AS (
+           SELECT p_partkey AS id, 0 AS depth FROM part WHERE p_partkey < 10
+           UNION ALL
+           SELECT p.p_partkey AS id, c.depth + 1 AS depth
+           FROM part p JOIN chain c ON p.p_partkey // 10 = c.id
+           WHERE p.p_partkey >= 10
+         )
+         SELECT CAST(depth AS INTEGER) AS depth,
+                CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(sum(id) AS BIGINT) AS sum_id
+         FROM chain GROUP BY depth""",
+    "q21_waiting_supplier" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM supplier
+         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+    "q22_idle_customers" ->
+      """WITH stats AS (
+           SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
+                  count(*) AS bal_n
+           FROM customer WHERE c_acctbal > 0.0)
+         SELECT substr(c_name, length(c_name), 1) AS cgroup,
+                CAST(count(*) AS BIGINT) AS numcust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer, stats
+         WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_n > bal_sum
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY 1"""
   )
 }

@@ -45,4 +45,48 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a == b && a.nonEmpty)
   }
+
+  test("bfsHops: hand-checked distances, early stop, hop bound") {
+    // path 1-2-3-4-5 plus a chord 1-3 and an isolated node 9
+    val undirected = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
+    val edges = (undirected ++ undirected.map(e => (e._2, e._1)))
+      .toDF("src", "dst")
+    val src = Seq(1L).toDF("node")
+    def dist(maxHops: Int): Map[Long, Int] =
+      Graph.bfsHops(edges, src, maxHops).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // chord 1-3 makes d(3)=1, d(4)=2, d(5)=3; node 9 unreachable
+    assert(dist(8) == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3))
+    // the hop bound truncates the traversal, not the earlier levels
+    assert(dist(2) == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("bfsHops distances are partitioning-invariant") {
+    val undirected = (1L to 120L).map(i => (i % 31, (i * 11) % 31))
+      .filter(e => e._1 != e._2)
+    val edges = (undirected ++ undirected.map(e => (e._2, e._1)))
+      .toDF("src", "dst")
+    val src = Seq(1L).toDF("node")
+    val a = Graph.bfsHops(edges.repartition(1), src, 6).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Graph.bfsHops(edges.repartition(13), src, 6).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b && a.size > 1)
+  }
+
+  test("triangleStats: hand-counted triangles and wedges") {
+    // K4 on {1,2,3,4}: 4 triangles, 12 wedges, 6 edges; plus a pendant 4-5
+    // adding 3 wedges (deg(4)=4 → 6 wedges vs 3 in K4) and no triangle.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val r = Graph.triangleStats(edges).collect()(0)
+    assert(r.getLong(0) == 7L)   // n_edges
+    assert(r.getLong(1) == 15L)  // wedges: 3+3+3+6+0
+    assert(r.getLong(2) == 4L)   // triangles
+    assert(r.getLong(3) == 12L)  // closed wedge endpoints
+    // plan hygiene: the 1-row stats join must not be a nested loop
+    val plan = Graph.triangleStats(edges).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
 }
