@@ -86,4 +86,68 @@ object AsofJoin {
 
     carried.filter(col("__side") === 1).drop("__side")
   }
+
+  /** NEAREST as-of: attach whichever same-key right row is closer in time,
+    * looking BOTH directions (pandas `merge_asof(direction='nearest')`).
+    * Ties — equal distance before and after — keep the backward match,
+    * matching pandas.
+    *
+    * Fused, not composed: the tagged union is built ONCE and carried twice
+    * (an ascending window for the backward candidate, a descending one for
+    * the forward candidate). Both windows partition on the same key, so
+    * Catalyst plans ONE exchange with two sorts — not the two full
+    * shuffles a backward-asof ⋈ forward-asof composition would pay.
+    *
+    * `distance` maps (leftTime, rightTime) to an orderable distance; the
+    * default is the absolute microsecond gap, which both engines compute
+    * by flooring to micros first (exact cross-engine compares). */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightSeq: String,
+      rightVals: Seq[String],
+      distance: (Column, Column) => Column =
+        (lt, rt) => abs(unix_micros(lt) - unix_micros(rt))): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(v => right.schema(v).copy(name = v)) :+
+        right.schema(rightTime).copy(name = "__rt"))
+    val lTagged = left.select(
+      (Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast("long").as("__seq"),
+        lit(null).cast(rvType).as("__rv")) ++
+        leftCols.map(col)): _*)
+    val rTagged = right.select(
+      (Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+        col(rightSeq).cast("long").as("__seq"),
+        struct(rightVals.map(col) :+ col(rightTime).as("__rt"): _*).as("__rv")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+
+    val wB = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__seq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").desc, col("__side").asc, col("__seq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val db = distance(col("__t"), col("__b").getField("__rt"))
+    val df = distance(col("__t"), col("__f").getField("__rt"))
+    val pick = when(col("__b").isNull, col("__f"))
+      .when(col("__f").isNull, col("__b"))
+      .when(db <= df, col("__b"))
+      .otherwise(col("__f"))
+    lTagged.unionByName(rTagged)
+      .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wB))
+      .withColumn("__f", last(col("__rv"), ignoreNulls = true).over(wF))
+      .withColumn("__pick", pick)
+      .filter(col("__side") === 1)
+      .select(
+        (leftCols.map(col) ++
+          rightVals.map(v => col("__pick").getField(v).as(v))): _*)
+  }
 }

@@ -565,4 +565,42 @@ object TextOps {
         "__zero"),
       k)
   }
+
+  /** Per-document top-k TF-IDF keywords, integer-exact cross-engine (the
+    * bm25 idf posture: capped Robertson odds floored at scale 10⁶ instead
+    * of `ln`, whose last ulp differs across libm builds):
+    *
+    *   score(d, t) = min(tf, 2²⁰) · min(((2(N−df)+1)·10⁶) div (2df+1), 2²⁰·10⁶)
+    *
+    * Both factors saturate, so the product stays ≤ 2⁴⁰·10⁶ ≈ 1.1·10¹⁸ —
+    * int64-safe independent of corpus size and document length. Ubiquitous
+    * terms (df = N) floor to idf 0 and rank behind everything, which is
+    * exactly TF-IDF's point; ties break on the token string, so the top-k
+    * per document is fully deterministic.
+    *
+    * Scale shape: one token-keyed shuffle for df, one doc-keyed window for
+    * the top-k — the df side is vocabulary-sized (aggregate), never a
+    * corpus re-scan; N broadcasts as a 1-row stats frame on a derived key
+    * (BHJ, not BNLJ). */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+    val stats = toks.agg(count(lit(1)).as("n"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    tf.join(dfs, "tok")
+      .withColumn("__zero", pmod(col("tf"), lit(1L)))
+      .join(broadcast(stats.withColumn("__zero", pmod(col("n"), lit(1L)))),
+        "__zero")
+      .withColumn("idfr", least(
+        expr("((2*(n - df) + 1) * cast(1000000 as bigint)) div (2*df + 1)"),
+        lit(1048576000000L)))
+      .withColumn("score", expr("least(tf, cast(1048576 as bigint)) * idfr"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("score"))
+  }
 }

@@ -242,6 +242,26 @@ object ExtendedQueries {
           col("o_orderkey").as("next_order"))
     }),
 
+    // §2.13: NEAREST as-of — each event attaches the user's closest order
+    // in EITHER direction (pandas merge_asof direction='nearest'; ties
+    // keep the backward match). Fused into one key-shuffle: the tagged
+    // union carries twice (ascending + descending windows) under a single
+    // exchange, instead of composing two full as-of passes. Distances
+    // compare in exact microseconds, floored identically on both engines.
+    "q_asof_nearest" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val orders = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsofJoin.asofNearest(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightSeq = "o_orderkey", rightVals = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("near_order"))
+    }),
+
     // §2.8: in-flight pipeline QA via the Observation API (CollectMetrics):
     // counters computed ON the rows as they stream through a filter — at
     // 100 TB this replaces a SECOND full scan for "how many docs did the
@@ -798,8 +818,72 @@ object ExtendedQueries {
     // degree-aggregate wedge count, all int64 (global clustering numerator
     // 3·triangles comes with it for free).
     "q_triangles" -> ((s, dir) =>
-      graft.operators.Graph.triangleStats(coActivityEdges(s, dir)))
+      graft.operators.Graph.triangleStats(coActivityEdges(s, dir))),
+
+    // §2.13: BATCH sessionization — the lag/cumsum form of the streaming
+    // session faces, run corpus-wide: a strictly-greater-than-30-min
+    // silence splits (the same `>` boundary semantics the session_window
+    // faces pin), session ids are per-user running sums, and the rollup
+    // reports sessions/events/longest-session per user. One user-keyed
+    // window + two map-side-combinable aggregates; gaps compare in exact
+    // microseconds.
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wSeq)))
+        .withColumn("brk",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum(col("brk")).over(wRun))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_ev"))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_no")).as("n_sessions"),
+          sum(col("n_ev")).as("n_events"),
+          max(col("n_ev")).as("max_session_events"))
+    }),
+
+    // §2.13: incremental aggregate maintenance — the materialized-rollup
+    // posture: the pre-split history lives as a PERSISTED month-level
+    // rollup (written once; at 100 TB that history is never re-scanned),
+    // the face aggregates only the DELTA and merges partial states
+    // (sum/count are mergeable), and the oracle recomputes the full
+    // GROUP BY from raw orders — proving state + delta ≡ recompute.
+    // Decimal partials keep the merge exact under any shuffle order.
+    "q_incr_agg" -> ((s, dir) => {
+      val state = s.read.parquet(revenueRollup(s, dir))
+      val delta = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1997-07-01 00:00:00")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(sum(dec2(col("o_totalprice"))).as("price_sum"),
+          count(lit(1)).as("n"))
+      state.unionByName(delta)
+        .groupBy(col("month"))
+        .agg(sum(col("n")).cast("long").as("n_orders"),
+          sum(col("price_sum")).cast("double").as("total_price"))
+    })
   )
+
+  /** Memoized month-level revenue rollup of the PRE-SPLIT order history —
+    * the persisted aggregate state the incremental-maintenance face merges
+    * delta partials into. Written once per sf dir. */
+  private val rollupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def revenueRollup(s: SparkSession, dir: String): String =
+    rollupCache.computeIfAbsent(dir, { d =>
+      val out = java.nio.file.Files.createTempDirectory("graft_rollup_")
+        .resolve("state").toString
+      Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") < "1997-07-01 00:00:00")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(sum(dec2(col("o_totalprice"))).as("price_sum"),
+          count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
 
   /** Canonical undirected co-activity edges: users adjacent on the same
     * event_type timeline within 60 s, as (a < b) pairs — the shared edge
@@ -1095,6 +1179,28 @@ object ExtendedQueries {
                      THEN o.o_orderkey END AS next_order
          FROM e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts""",
+    "q_asof_nearest" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2),
+         e AS (
+           SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+           FROM events),
+         b AS (
+           SELECT e.event_id, o.o_orderkey AS bk, o.o_orderdate AS bt
+           FROM e ASOF LEFT JOIN o
+             ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts),
+         f AS (
+           SELECT e.event_id, o.o_orderkey AS fk, o.o_orderdate AS ft
+           FROM e ASOF LEFT JOIN o
+             ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts)
+         SELECT e.event_id, e.user_id,
+                CASE WHEN bk IS NULL THEN fk
+                     WHEN fk IS NULL THEN bk
+                     WHEN epoch_us(e.ts) - epoch_us(bt)
+                          <= epoch_us(ft) - epoch_us(e.ts) THEN bk
+                     ELSE fk END AS near_order
+         FROM e JOIN b USING (event_id) JOIN f USING (event_id)""",
     "q_pivot" ->
       """SELECT l_linestatus,
                 cast(sum(CASE WHEN l_returnflag = 'A'
@@ -1313,6 +1419,33 @@ object ExtendedQueries {
                 CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
                 n_triangles,
                 CAST(n_triangles * 3 AS BIGINT) AS n_closed
-         FROM deg, tri GROUP BY n_triangles"""
+         FROM deg, tri GROUP BY n_triangles""",
+    "q_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS gap_us
+           FROM events),
+         s AS (
+           SELECT user_id, event_id,
+                  sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_no
+           FROM g),
+         per_session AS (
+           SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_ev
+           FROM s GROUP BY 1, 2)
+         SELECT user_id,
+                CAST(max(session_no) AS BIGINT) AS n_sessions,
+                CAST(sum(n_ev) AS BIGINT) AS n_events,
+                CAST(max(n_ev) AS BIGINT) AS max_session_events
+         FROM per_session GROUP BY user_id""",
+    "q_incr_agg" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_price
+         FROM orders GROUP BY 1"""
   )
 }

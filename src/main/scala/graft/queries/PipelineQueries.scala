@@ -371,6 +371,13 @@ object PipelineQueries {
     "txt_bm25_indexed" -> ((s, dir) =>
       TextOps.bm25Indexed(s, textIndexTable(s, dir), Bm25Terms, k = 10)),
 
+    // §2.13: per-doc top-3 TF-IDF keywords — keyword extraction with the
+    // bm25 integer-idf posture (capped Robertson odds, scale 10⁶) so both
+    // engines rank bit-identically; saturated factors keep every score
+    // int64-safe at any corpus size. One vocab-keyed shuffle + one
+    // doc-keyed window.
+    "txt_tfidf" -> ((s, dir) => TextOps.tfidfTopTerms(docs(s, dir), k = 3)),
+
     // §2.3 #45 token counting
     "txt_tokens" -> ((s, dir) => TextOps.tokens(docs(s, dir))),
 
@@ -2218,6 +2225,25 @@ object PipelineQueries {
                 cast(len(regexp_extract_all(text, '\S+')) AS bigint) AS ws_tokens,
                 cast(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]')) AS bigint) AS bpe_tokens
          FROM documents""",
+    "txt_tfidf" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         stats AS (SELECT count(*) AS n FROM d),
+         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM d) m
+                GROUP BY 1, 2),
+         dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         sc AS (SELECT tf.doc_id, tf.tok,
+                  least(tf.tf, 1048576)
+                    * least(((2*(s.n - dfs.df) + 1) * 1000000) // (2*dfs.df + 1),
+                            1048576000000) AS score
+                FROM tf JOIN dfs USING (tok) CROSS JOIN stats s),
+         rk AS (SELECT doc_id, tok, CAST(score AS BIGINT) AS score,
+                  CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, tok) AS INTEGER) AS rank
+                FROM sc)
+         SELECT doc_id, rank, tok, score FROM rk WHERE rank <= 3""",
     "st_window_agg" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,
                 count(*) AS n_events,

@@ -92,4 +92,41 @@ class AsofJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.toLowerCase.contains("broadcastnestedloop"))
   }
+
+  test("nearest asof: closer side wins, exact ties keep backward, one-sided falls through") {
+    val left = Seq(
+      (1L, 10L, t("2024-01-02 00:00:00")), // 1d after r1, 2d before r2 → r1
+      (2L, 10L, t("2024-01-03 12:00:00")), // 2.5d after r1, 0.5d before r2 → r2
+      (3L, 10L, t("2024-01-02 12:00:00")), // exactly midway → backward (r1)
+      (4L, 10L, t("2023-12-01 00:00:00")), // before all rights → forward r1
+      (5L, 10L, t("2024-05-01 00:00:00")), // after all rights → backward r2
+      (6L, 20L, t("2024-01-01 00:00:00"))  // keyless → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, t("2024-01-01 00:00:00")),
+      (200L, 10L, t("2024-01-04 00:00:00"))
+    ).toDF("o_id", "o_key", "o_time")
+
+    val out = AsofJoin.asofNearest(left, right,
+      leftKey = "user_id", rightKey = "o_key",
+      leftTime = "ts", rightTime = "o_time",
+      rightSeq = "o_id", rightVals = Seq("o_id"))
+      .select("event_id", "o_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    assert(out == Map(1L -> 100L, 2L -> 200L, 3L -> 100L,
+      4L -> 100L, 5L -> 200L, 6L -> -1L))
+  }
+
+  test("nearest asof fuses both directions under ONE exchange") {
+    val left = Seq((1L, 10L, t("2024-01-01 00:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, 10L, t("2024-01-01 00:00:00"))).toDF("o_id", "o_key", "o_time")
+    val plan = AsofJoin.asofNearest(left, right, "user_id", "o_key", "ts",
+      "o_time", "o_id", Seq("o_id")).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.toLowerCase.contains("broadcastnestedloop"))
+    // both window passes share the key partitioning: exactly one exchange
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"expected exactly 1 Exchange in:\n$plan")
+  }
 }
