@@ -861,4 +861,31 @@ object Dedup {
           .otherwise(col("n_dup").cast("double") / col("n_windows").cast("double")))
       .withColumn("flagged", col("n_windows") > 0L && col("n_dup") * 5L >= col("n_windows"))
   }
+
+  /** Edit-distance VERIFICATION of candidate pairs — the classic second
+    * stage of a candidate-generate → verify dedup pipeline (Jaccard is
+    * set-based and order-blind; Levenshtein catches reorderings and
+    * rewrites it conflates). Each candidate pair scores the exact edit
+    * distance between the documents' normalized prefixes
+    * (lowercased, [a-z0-9 ] only — byte = char on both engines — first
+    * `prefixLen` chars: the distance is Θ(prefixLen²) per pair, so the
+    * prefix bound is what makes the verify affordable; pairs whose prefix
+    * distance exceeds `maxDist` are dropped.
+    *
+    * Candidates are pluggable: the oracle face feeds the exact shared-
+    * shingle pairs (cross-engine-neutral), a 100 TB pipeline feeds
+    * [[minhashLsh]]/[[simhashPairs]] output — the verify code is the same
+    * candidate-sized join either way; the corpus never crosses itself. */
+  def editDistVerify(docs: DataFrame, pairs: DataFrame,
+      prefixLen: Int = 80, maxDist: Int = 40): DataFrame = {
+    val norm = docs.select(col("doc_id"),
+      substring(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        1, prefixLen).as("p"))
+    pairs.select(col("da"), col("db"))
+      .join(norm.select(col("doc_id").as("da"), col("p").as("pa")), "da")
+      .join(norm.select(col("doc_id").as("db"), col("p").as("pb")), "db")
+      .select(col("da"), col("db"),
+        levenshtein(col("pa"), col("pb")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

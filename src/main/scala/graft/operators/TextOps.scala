@@ -566,6 +566,53 @@ object TextOps {
       k)
   }
 
+  /** Incremental MAINTENANCE of the persisted inverted index: fold a
+    * delta of NEW documents into an existing index WITHOUT re-tokenizing
+    * the indexed corpus. The denormalized df makes naive appends invalid
+    * (every term's df changes when any doc arrives) — but df is
+    * recoverable from the index itself: per-doc posting rows (tok, doc_id,
+    * dl, tf) are df-independent, so the merge is
+    *
+    *   postings' = old postings ∪ tokenize(delta)   — delta tokenize only
+    *   df'       = count per tok OVER postings'     — posting-sized rows
+    *
+    * i.e. the only full pass runs over index ROWS (16-ish bytes each, the
+    * thing bucketed storage scans fast), never over historical TEXT (the
+    * thing that costs at 100 TB). The stats sidecar merges additively.
+    * Writes `newTable` in the same bucketed-by-token layout, so probes are
+    * indistinguishable from a from-scratch build — and score-identical, as
+    * the merged-index face certifies against the full-corpus oracle. */
+  def mergeTextIndex(spark: org.apache.spark.sql.SparkSession,
+      oldTable: String, deltaDocs: DataFrame, newTable: String,
+      path: String, buckets: Int = 8): Unit = {
+    val toks = deltaDocs.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deltaTf = toks
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("dl"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val merged = spark.table(oldTable)
+        .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
+        .unionByName(deltaTf.select(col("tok"), col("doc_id"), col("dl"),
+          col("tf")))
+      val dfs = merged.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      merged.join(dfs, "tok")
+        .select(col("tok"), col("doc_id"), col("dl"), col("tf"), col("df"))
+        .write.bucketBy(buckets, "tok").sortBy("tok")
+        .option("path", path).mode("overwrite").saveAsTable(newTable)
+      val deltaStats = toks.agg(count(lit(1)).as("n"),
+        sum(size(col("toks")).cast("long")).as("t"))
+      spark.table(oldTable + "_meta")
+        .unionByName(deltaStats)
+        .agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
+        .coalesce(1).write.option("path", path + "_meta")
+        .mode("overwrite").saveAsTable(newTable + "_meta")
+    } finally { toks.unpersist(); () }
+  }
+
   /** Per-document top-k TF-IDF keywords, integer-exact cross-engine (the
     * bm25 idf posture: capped Robertson odds floored at scale 10⁶ instead
     * of `ln`, whose last ulp differs across libm builds):

@@ -114,6 +114,25 @@ object PipelineQueries {
       tbl
     })
 
+  /** Memoized MERGED text index per sf dir: base index over 80% of the
+    * corpus (doc_id % 5 != 0), then the remaining 20% folds in through
+    * [[TextOps.mergeTextIndex]] — historical text is never re-tokenized.
+    * Probing this index must score bit-identically to the full-corpus
+    * index, which is exactly what the face's full oracle certifies. */
+  private val mergedTextIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mergedTextIndexTable(s: SparkSession, dir: String): String =
+    mergedTextIndexCache.computeIfAbsent(dir, { d =>
+      val tbl = "graft_text_idxm_" + java.lang.Integer.toHexString(d.hashCode)
+      val root = java.nio.file.Files.createTempDirectory("graft_text_idxm_")
+      TextOps.writeTextIndex(docs(s, d).filter(col("doc_id") % 5 =!= 0),
+        tbl + "_base", root.resolve("base").toString)
+      TextOps.mergeTextIndex(s, tbl + "_base",
+        docs(s, d).filter(col("doc_id") % 5 === 0),
+        tbl, root.resolve("merged").toString)
+      tbl
+    })
+
   /** Memoized fitted char-trigram LM per sf dir (the bpeMerges argument):
     * the model is one corpus aggregate, bounded by construction; fitting
     * it once lets txt_lm_score measure SCORING — the map-only pass a
@@ -152,6 +171,18 @@ object PipelineQueries {
 
     // §2.3 #37 n-gram Jaccard near-dup pairs
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), 0.6)),
+
+    // §2.13: edit-distance verification of candidate pairs — the verify
+    // stage Jaccard can't provide (set-based ⇒ order-blind): exact
+    // Levenshtein over normalized 80-char prefixes, Θ(prefix²) per pair,
+    // touching candidates only. The face feeds the exact shared-shingle
+    // candidates so DuckDB reproduces the WHOLE pipeline (its levenshtein
+    // is the same unit-cost DP); the scale path feeds LSH pairs into the
+    // identical verify join.
+    "dd_editdist" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.editDistVerify(d, Dedup.ngramJaccard(d, 0.3))
+    }),
 
     // §2.3 #38 MinHash+LSH banded near-dup (rows-only + spec)
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
@@ -370,6 +401,15 @@ object PipelineQueries {
     // full DuckDB oracle applies.
     "txt_bm25_indexed" -> ((s, dir) =>
       TextOps.bm25Indexed(s, textIndexTable(s, dir), Bm25Terms, k = 10)),
+
+    // §2.13: probe of the INCREMENTALLY MAINTAINED index — base index on
+    // 80% of the corpus, the rest folded in by mergeTextIndex (per-doc
+    // posting rows are df-independent, so df recounts over index ROWS,
+    // never historical text). Same full-corpus DuckDB oracle as txt_bm25:
+    // a merged index that scores differently from a from-scratch build is
+    // a red row.
+    "txt_bm25_index_merged" -> ((s, dir) =>
+      TextOps.bm25Indexed(s, mergedTextIndexTable(s, dir), Bm25Terms, k = 10)),
 
     // §2.13: per-doc top-3 TF-IDF keywords — keyword extraction with the
     // bm25 integer-idf posture (capped Robertson odds, scale 10⁶) so both
@@ -1762,6 +1802,7 @@ object PipelineQueries {
          FROM exact""",
     "txt_bm25" -> Bm25OracleSql,
     "txt_bm25_indexed" -> Bm25OracleSql,
+    "txt_bm25_index_merged" -> Bm25OracleSql,
     "txt_repetition" ->
       """SELECT doc_id,
                 1.0 - len(list_distinct(string_split_regex(text, ' +'))) /
@@ -1929,6 +1970,42 @@ object PipelineQueries {
          JOIN szs sa ON da = sa.doc_id
          JOIN szs sb ON db = sb.doc_id
          WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6""",
+    "dd_editdist" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+         sh0 AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
+           FROM toks),
+         sh AS (
+           SELECT doc_id, shingle FROM (
+             SELECT doc_id, shingle,
+                    count(*) OVER (PARTITION BY shingle) AS df
+             FROM sh0)
+           WHERE df <= 1000),
+         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         cand AS (
+           SELECT da, db FROM inter
+           JOIN szs sa ON da = sa.doc_id
+           JOIN szs sb ON db = sb.doc_id
+           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.3),
+         norm AS (
+           SELECT doc_id,
+                  substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                         1, 80) AS p
+           FROM documents)
+         SELECT da, db, CAST(levenshtein(na.p, nb.p) AS INTEGER) AS dist
+         FROM cand
+         JOIN norm na ON da = na.doc_id
+         JOIN norm nb ON db = nb.doc_id
+         WHERE levenshtein(na.p, nb.p) <= 40""",
     // near-dup recall checks: DuckDB independently computes the SAME
     // ground-truth pair count (uncapped Jaccard / exact cosine) and reports
     // its own exact-method recall (1 by construction); a Spark miscount of

@@ -578,6 +578,64 @@ object Relational {
         .groupBy(expr("substring(c_name, length(c_name), 1)").as("cgroup"))
         .agg(count(lit(1)).as("numcust"),
           sum(dec2($"c_acctbal")).cast("double").as("totacctbal"))
+    }),
+
+    // §2.13: TPC-H Q15 shape — aggregate, then select the rows attaining
+    // the aggregate's MAX (the "create view revenue" query). The max is a
+    // 1-row broadcast on a derived pmod key (BHJ, not BNLJ) and the
+    // equality compares DECIMALS — a double max could miss the argmax row
+    // cross-engine by one ulp.
+    "q15_top_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val rev = Tables.load(s, dir, "lineitem")
+        .filter($"l_shipdate" >= "1997-01-01 00:00:00" &&
+          $"l_shipdate" < "1997-04-01 00:00:00")
+        .groupBy($"l_suppkey")
+        .agg(sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("total_rev"))
+      val mx = rev.agg(max($"total_rev").as("mx"))
+        .withColumn("__k", expr("pmod(cast(mx as bigint), 1)"))
+      rev.withColumn("__k", expr("pmod(cast(total_rev as bigint), 1)"))
+        .join(broadcast(mx), "__k")
+        .filter($"total_rev" === $"mx")
+        .join(Tables.load(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name",
+          $"total_rev".cast("double").as("total_revenue"))
+    }),
+
+    // §2.13: TPC-H Q20 shape — nested grouped aggregation against a
+    // correlated per-group total: suppliers carrying more than a fifth
+    // of some part's shipped quantity. Decorrelates to two aggregates over
+    // the same scan joined on the part key; the comparison is 5·sq > tq
+    // in DECIMALS (boundary-exact), the supplier filter a semi join.
+    "q20_dominant_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val perSupp = li.groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum(dec2($"l_quantity")).as("sq"))
+      val perPart = li.groupBy($"l_partkey")
+        .agg(sum(dec2($"l_quantity")).as("tq"))
+      val dominant = perSupp.join(perPart, "l_partkey")
+        .filter($"sq" * 5 > $"tq")
+        .select($"l_suppkey").distinct()
+      Tables.load(s, dir, "supplier")
+        .join(dominant, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name")
+    }),
+
+    // §2.13: EXCEPT ALL / INTERSECT ALL — the MULTISET set ops (plain
+    // EXCEPT/INTERSECT dedup; the ALL forms subtract multiplicities),
+    // folded to per-op row/key counts so the compare is order-free.
+    "q_multiset_ops" -> ((s, dir) => {
+      import s.implicits._
+      val all = Tables.load(s, dir, "lineitem").select($"l_orderkey")
+      val ret = Tables.load(s, dir, "lineitem")
+        .filter($"l_returnflag" === "R").select($"l_orderkey")
+      val ea = all.exceptAll(ret).withColumn("op", lit("except_all"))
+      val ia = all.intersectAll(ret).withColumn("op", lit("intersect_all"))
+      ea.unionByName(ia).groupBy($"op")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_keys"))
     })
   )
 
@@ -892,6 +950,45 @@ object Relational {
            AND NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  sum(cast(l_extendedprice * (1 - l_discount)
+                           AS decimal(18,4))) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+    "q20_dominant_supplier" ->
+      """WITH per_supp AS (
+           SELECT l_partkey, l_suppkey,
+                  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+           FROM lineitem GROUP BY 1, 2),
+         per_part AS (
+           SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+           FROM lineitem GROUP BY 1)
+         SELECT s_suppkey, s_name
+         FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM per_supp JOIN per_part USING (l_partkey)
+           WHERE sq * 5 > tq)""",
+    "q_multiset_ops" ->
+      """WITH ea AS (
+           SELECT l_orderkey FROM lineitem
+           EXCEPT ALL
+           SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+         ia AS (
+           SELECT l_orderkey FROM lineitem
+           INTERSECT ALL
+           SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+         SELECT op, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys
+         FROM (SELECT 'except_all' AS op, l_orderkey FROM ea
+               UNION ALL
+               SELECT 'intersect_all' AS op, l_orderkey FROM ia) t
+         GROUP BY op"""
   )
 }
