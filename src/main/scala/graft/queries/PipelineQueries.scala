@@ -704,6 +704,26 @@ object PipelineQueries {
     "dd_cluster" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.ngramJaccard(docs(s, dir), 0.6))),
 
+    // §2.13: the KEEP DECISION — near-dup clustering is only half the
+    // dedup story; this face completes it: one survivor per cluster by an
+    // explicit policy (longest doc, ties to the smallest id), singletons
+    // surviving as their own cluster. The policy key is a single int64
+    // (n_chars·10⁶ − doc_id) so the argmax is exact on both engines —
+    // a float "quality" argmax could flip ties cross-engine. One argmax
+    // aggregate over the cluster map; DuckDB replays clustering + arg_max.
+    "dd_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Dedup.connectedComponents(Dedup.ngramJaccard(d, 0.6))
+      d.select(col("doc_id"), col("n_chars"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("pri", col("n_chars").cast("long") * 1000000L - col("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(max_by(col("doc_id"), col("pri")).as("keep_id"),
+          count(lit(1)).as("n_docs"),
+          max(col("n_chars").cast("long")).as("kept_chars"))
+    }),
+
     // §2.9: the SCALE-PATH clustering — CC over the MinHash-LSH candidate
     // pairs instead of the exact shingle-join pairs (at 100 TB nobody
     // generates the exact pair graph first; LSH banding is how the pair
@@ -1637,6 +1657,51 @@ object PipelineQueries {
            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          FROM reach GROUP BY a""",
+    "dd_keep_best" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+         sh0 AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
+           FROM toks),
+         sh AS (
+           SELECT doc_id, shingle FROM (
+             SELECT doc_id, shingle,
+                    count(*) OVER (PARTITION BY shingle) AS df
+             FROM sh0)
+           WHERE df <= 1000),
+         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (
+           SELECT da, db
+           FROM inter
+           JOIN szs sa ON da = sa.doc_id
+           JOIN szs sb ON db = sb.doc_id
+           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6),
+         edges AS (
+           SELECT da AS a, db AS b FROM pairs
+           UNION ALL SELECT db, da FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         , cc AS (
+           SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           FROM reach GROUP BY a)
+         SELECT coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+                arg_max(d.doc_id,
+                        CAST(d.n_chars AS BIGINT) * 1000000 - d.doc_id)
+                  AS keep_id,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(max(d.n_chars) AS BIGINT) AS kept_chars
+         FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+         GROUP BY 1""",
     // LSH-clustering check: DuckDB independently counts the same-cluster
     // doc pairs of the EXACT closure (C(k,2) per component = the a<b half
     // of the transitive closure); recall_ok is Spark's own >= 0.8

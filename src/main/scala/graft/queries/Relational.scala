@@ -623,6 +623,21 @@ object Relational {
         .select($"s_suppkey", $"s_name")
     }),
 
+    // §2.13: SLIDING (hopping) windows — every event lands in BOTH 2-hour
+    // windows that cover it (hop 1 h), through Spark's native
+    // window(ts, "2 hours", "1 hour") Expand (map-side fan-out, then one
+    // grouped aggregate — never a range join). DuckDB mirrors by
+    // unnesting the two covering window starts. Value sums in decimals.
+    "q_hopping_window" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec4($"value")).cast("double").as("total_value"))
+        .select($"window.start".as("ws"), $"event_type",
+          $"n_events", $"total_value")
+    }),
+
     // §2.13: EXCEPT ALL / INTERSECT ALL — the MULTISET set ops (plain
     // EXCEPT/INTERSECT dedup; the ALL forms subtract multiplicities),
     // folded to per-op row/key counts so the compare is order-free.
@@ -975,6 +990,15 @@ object Relational {
          WHERE s_suppkey IN (
            SELECT l_suppkey FROM per_supp JOIN per_part USING (l_partkey)
            WHERE sq * 5 > tq)""",
+    "q_hopping_window" ->
+      """WITH w AS (
+           SELECT unnest([date_trunc('hour', ts),
+                          date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+                  event_type, value
+           FROM events)
+         SELECT ws, event_type, count(*) AS n_events,
+                cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
+         FROM w GROUP BY 1, 2""",
     "q_multiset_ops" ->
       """WITH ea AS (
            SELECT l_orderkey FROM lineitem
