@@ -638,6 +638,24 @@ object Relational {
           $"n_events", $"total_value")
     }),
 
+    // §2.13: NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM) — plain
+    // `=` drops every NULL-keyed row from a join silently; the null-safe
+    // form matches NULL to NULL, which aggregation-to-aggregation
+    // reconciliation over a nullable key genuinely needs. The key is made
+    // nullable deterministically (nullif(k % 10, 7)), so the NULL group
+    // must survive the join on both engines.
+    "q_nullsafe_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .select(expr("nullif(cast(get_json_object(props, '$.k') as bigint) % 10, 7)")
+          .as("k"), $"event_type")
+      val a = e.groupBy($"k").agg(count(lit(1)).as("n_all"))
+      val b = e.filter($"event_type" === "click")
+        .groupBy($"k".as("kb")).agg(count(lit(1)).as("n_click"))
+      a.join(b, $"k" <=> $"kb", "left")
+        .select($"k", $"n_all", $"n_click")
+    }),
+
     // §2.13: EXCEPT ALL / INTERSECT ALL — the MULTISET set ops (plain
     // EXCEPT/INTERSECT dedup; the ALL forms subtract multiplicities),
     // folded to per-op row/key counts so the compare is order-free.
@@ -990,6 +1008,17 @@ object Relational {
          WHERE s_suppkey IN (
            SELECT l_suppkey FROM per_supp JOIN per_part USING (l_partkey)
            WHERE sq * 5 > tq)""",
+    "q_nullsafe_join" ->
+      """WITH e AS (
+           SELECT nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10,
+                         7) AS k,
+                  event_type
+           FROM events),
+         a AS (SELECT k, CAST(count(*) AS BIGINT) AS n_all FROM e GROUP BY 1),
+         b AS (SELECT k, CAST(count(*) AS BIGINT) AS n_click
+               FROM e WHERE event_type = 'click' GROUP BY 1)
+         SELECT a.k, a.n_all, b.n_click
+         FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k""",
     "q_hopping_window" ->
       """WITH w AS (
            SELECT unnest([date_trunc('hour', ts),
