@@ -569,10 +569,14 @@ object Relational {
       val stats = cust.filter($"c_acctbal" > 0.0)
         .agg(sum(dec2($"c_acctbal")).as("bal_sum"),
           count(lit(1)).as("bal_n"))
+        .withColumn("__k", expr("pmod(bal_n, 1)"))
       val urgent = Tables.load(s, dir, "orders")
         .filter($"o_orderpriority" === "1-URGENT")
         .select($"o_custkey")
-      cust.join(broadcast(stats))
+      // 1-row stats frame joins on a DERIVED zero key — a keyless cross
+      // join degrades to the BNLJ the audit flags
+      cust.withColumn("__k", expr("pmod(cast(c_custkey as bigint), 1)"))
+        .join(broadcast(stats), "__k")
         .filter(dec2($"c_acctbal") * $"bal_n" > $"bal_sum")
         .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
         .groupBy(expr("substring(c_name, length(c_name), 1)").as("cgroup"))
@@ -636,6 +640,47 @@ object Relational {
           sum(dec4($"value")).cast("double").as("total_value"))
         .select($"window.start".as("ws"), $"event_type",
           $"n_events", $"total_value")
+    }),
+
+    // §2.13: TPC-H Q4 shape — EXISTS over the fact table folded into a
+    // per-priority count: the order-priority checking query (semi join +
+    // group), with the date range pushed to the orders scan.
+    "q04_order_priority" -> ((s, dir) => {
+      import s.implicits._
+      val ord = Tables.load(s, dir, "orders")
+        .filter($"o_orderdate" >= "1997-01-01 00:00:00" &&
+          $"o_orderdate" < "1997-04-01 00:00:00")
+      val big = Tables.load(s, dir, "lineitem").filter($"l_quantity" > 45)
+      ord.join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // §2.13: TPC-H Q18 shape — the large-volume-customer query: a grouped
+    // HAVING subquery gates the fact table (semi join on the qualifying
+    // order keys), then the surviving orders re-aggregate across a 3-way
+    // join. The HAVING threshold and the re-aggregated quantity both sum
+    // as DECIMALS; ordering runs on the exact decimal total price with a
+    // key tiebreak.
+    "q18_large_orders" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val bigKeys = li.groupBy($"l_orderkey")
+        .agg(sum(dec2($"l_quantity")).as("__q"))
+        .filter($"__q" > 230)
+        .select($"l_orderkey".as("bk"))
+      Tables.load(s, dir, "orders")
+        .join(bigKeys, $"o_orderkey" === $"bk", "left_semi")
+        .join(Tables.load(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(li, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+          $"o_totalprice")
+        .agg(sum(dec2($"l_quantity")).as("__sumq"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+        .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+          $"o_totalprice".cast("double").as("total_price"),
+          $"__sumq".cast("double").as("sum_qty"))
     }),
 
     // §2.13: NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM) — plain
@@ -1008,6 +1053,30 @@ object Relational {
          WHERE s_suppkey IN (
            SELECT l_suppkey FROM per_supp JOIN per_part USING (l_partkey)
            WHERE sq * 5 > tq)""",
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders
+         WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+         GROUP BY 1""",
+    "q18_large_orders" ->
+      """WITH bk AS (
+           SELECT l_orderkey
+           FROM lineitem GROUP BY 1
+           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 230),
+         agg AS (
+           SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sumq
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_orderkey IN (SELECT l_orderkey FROM bk)
+           GROUP BY 1, 2, 3, 4, 5)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                CAST(o_totalprice AS DOUBLE) AS total_price,
+                CAST(sumq AS DOUBLE) AS sum_qty
+         FROM agg ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "q_nullsafe_join" ->
       """WITH e AS (
            SELECT nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10,
