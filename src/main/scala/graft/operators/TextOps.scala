@@ -585,8 +585,14 @@ object TextOps {
   def mergeTextIndex(spark: org.apache.spark.sql.SparkSession,
       oldTable: String, deltaDocs: DataFrame, newTable: String,
       path: String, buckets: Int = 8): Unit = {
-    val toks = deltaDocs.select(col("doc_id"),
-      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+    // retry-idempotence (the appendIvfIndex posture): a re-submitted delta
+    // anti-joins the already-indexed doc ids, so a doc can never hold two
+    // posting sets — double-counted df would silently shift every score
+    val indexedIds = spark.table(oldTable).select(col("doc_id")).distinct()
+    val toks = deltaDocs
+      .join(indexedIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val deltaTf = toks

@@ -352,4 +352,46 @@ class TextOpsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS text_idx_meta")
     }
   }
+
+  test("mergeTextIndex: merged probe == full-corpus probe; re-merging the " +
+      "same delta is a no-op (retry idempotence)") {
+    import org.apache.spark.sql.functions.col
+    val base = Seq(
+      (1L, "rare alpha beta gamma"),
+      (2L, "common alpha beta gamma"),
+      (3L, "common common beta gamma")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (4L, "common alpha beta gamma"),
+      (5L, "unrelated tokens entirely here")
+    ).toDF("doc_id", "text")
+    val full = base.unionByName(delta)
+    val wh = java.nio.file.Files.createTempDirectory("graft_textidxm_").toString
+    TextOps.writeTextIndex(base, "tm_base", s"$wh/base", buckets = 4)
+    TextOps.mergeTextIndex(spark, "tm_base", delta, "tm_merged",
+      s"$wh/merged", buckets = 4)
+    try {
+      val terms = Seq("rare", "common")
+      val fromFull = TextOps.bm25(full, terms, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val fromMerged = TextOps.bm25Indexed(spark, "tm_merged", terms, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(fromMerged == fromFull && fromMerged.nonEmpty)
+      // stats sidecar merged additively
+      val meta = spark.table("tm_merged_meta").collect()(0)
+      assert(meta.getLong(0) == 5L) // n docs
+      // a RETRIED delta (doc 4/5 already indexed) must change nothing:
+      // double-held postings would shift df and silently corrupt scores
+      val before = spark.table("tm_merged").count()
+      TextOps.mergeTextIndex(spark, "tm_merged", delta, "tm_retry",
+        s"$wh/retry", buckets = 4)
+      assert(spark.table("tm_retry").count() == before)
+      assert(spark.table("tm_retry_meta").collect()(0).getLong(0) == 5L)
+    } finally {
+      Seq("tm_base", "tm_merged", "tm_retry").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_meta")
+      }
+    }
+  }
 }
