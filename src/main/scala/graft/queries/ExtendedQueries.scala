@@ -846,6 +846,29 @@ object ExtendedQueries {
           max(col("n_ev")).as("max_session_events"))
     }),
 
+    // §2.13: gaps-and-islands — longest consecutive-active-day streak per
+    // user: the row_number-difference trick (day − rn is constant within
+    // a consecutive run) keeps the whole computation in ONE user-keyed
+    // window + two aggregates; a self-join formulation would be quadratic
+    // in active days. All date/integer arithmetic — no cross-engine
+    // boundary to flip.
+    "q_streaks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val days = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+      days
+        .withColumn("island", date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("len")).cast("long").as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"))
+    }),
+
     // §2.13: incremental aggregate maintenance — the materialized-rollup
     // posture: the pre-split history lives as a PERSISTED month-level
     // rollup (written once; at 100 TB that history is never re-scanned),
@@ -1441,6 +1464,23 @@ object ExtendedQueries {
                 CAST(sum(n_ev) AS BIGINT) AS n_events,
                 CAST(max(n_ev) AS BIGINT) AS max_session_events
          FROM per_session GROUP BY user_id""",
+    "q_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+           FROM events),
+         isl AS (
+           SELECT user_id, day,
+                  day - CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY day) AS INTEGER) AS island
+           FROM days),
+         per_island AS (
+           SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+           FROM isl GROUP BY 1, 2)
+         SELECT user_id,
+                CAST(sum(len) AS BIGINT) AS n_active_days,
+                CAST(count(*) AS BIGINT) AS n_streaks,
+                CAST(max(len) AS BIGINT) AS longest_streak
+         FROM per_island GROUP BY user_id""",
     "q_incr_agg" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                 CAST(count(*) AS BIGINT) AS n_orders,
