@@ -105,6 +105,37 @@ object Graph {
     } finally { e.unpersist(); () }
   }
 
+  /** Bounded-round single-source shortest paths (Bellman-Ford sweeps) with
+    * INTEGER edge weights: after k rounds every node holds the exact
+    * minimum cost over paths of ≤ k edges — the same bounded-rounds
+    * contract as [[pageRankInt]] (k sweeps, never to-convergence), so an
+    * oracle replays it as k unrolled min-join CTEs and matches bit-for-bit
+    * (min over int64 is partitioning-proof; float costs are not).
+    *
+    * Each sweep is ONE dist⋈edges equi-join plus one min-aggregate; the
+    * dist table is node-sized, localCheckpointed per round so the plan
+    * stays k-bounded. Negative weights are rejected (they make "shortest
+    * within k hops" diverge from "shortest"). */
+  def ssspInt(edges: DataFrame, source: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+      expr("CASE WHEN w < 0 THEN raise_error(" +
+        "'ssspInt: negative edge weight - bounded-round minima would not " +
+        "be shortest paths') ELSE cast(w as bigint) END").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var dist = source.select(col("node")).distinct()
+        .withColumn("cost", lit(0L)).localCheckpoint(eager = true)
+      (1 to rounds).foreach { _ =>
+        val relaxed = dist.join(e, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+        dist = dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+          .localCheckpoint(eager = true)
+      }
+      dist
+    } finally { e.unpersist(); () }
+  }
+
   /** Exact triangle / wedge counts over an UNDIRECTED graph given as
     * canonical edges (a < b, deduplicated). One row:
     * (n_edges, n_wedges, n_triangles, n_closed = 3·triangles — the global

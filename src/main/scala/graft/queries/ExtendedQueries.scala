@@ -820,6 +820,22 @@ object ExtendedQueries {
     "q_triangles" -> ((s, dir) =>
       graft.operators.Graph.triangleStats(coActivityEdges(s, dir))),
 
+    // §2.13: bounded-round SSSP (Bellman-Ford sweeps) — integer-weighted
+    // shortest paths from the smallest user over the co-activity graph,
+    // weights = the pair's fastest observed interaction (min gap seconds
+    // + 1, strictly positive ints). After 6 sweeps every node holds the
+    // exact minimum over ≤6-edge paths; the oracle replays the SAME six
+    // min-join sweeps as unrolled CTEs (the pageRankInt discipline), so
+    // costs match bit-for-bit under any partitioning.
+    "q_shortest_paths" -> ((s, dir) => {
+      val e0 = coActivityWeightedEdges(s, dir)
+      val edges = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val src = Tables.load(s, dir, "events").agg(min(col("user_id")).as("node"))
+      graft.operators.Graph.ssspInt(edges, src, rounds = 6)
+        .select(col("node").as("user_id"), col("cost"))
+    }),
+
     // §2.13: BATCH sessionization — the lag/cumsum form of the streaming
     // session faces, run corpus-wide: a strictly-greater-than-30-min
     // silence splits (the same `>` boundary semantics the session_window
@@ -924,6 +940,27 @@ object ExtendedQueries {
       .select(least(col("user_id"), col("prev_user")).as("a"),
         greatest(col("user_id"), col("prev_user")).as("b"))
       .distinct()
+  }
+
+  /** Weighted variant of [[coActivityEdges]]: per canonical pair, the
+    * FASTEST observed interaction as an integer weight
+    * (min(gap_us) div 10⁶ + 1 — strictly positive, exact). */
+  private def coActivityWeightedEdges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        lag(col("user_id"), 1).over(w).as("prev_user"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .as("gap_us"))
+      .filter(col("prev_user").isNotNull && col("prev_user") =!= col("user_id") &&
+        col("gap_us") <= 60000000L)
+      .select(least(col("user_id"), col("prev_user")).as("a"),
+        greatest(col("user_id"), col("prev_user")).as("b"), col("gap_us"))
+      .groupBy(col("a"), col("b"))
+      // `div`, not `/`: Column `/` on longs is DOUBLE division
+      .agg(expr("min(gap_us) div 1000000").as("__g"))
+      .select(col("a"), col("b"), (col("__g") + 1L).as("w"))
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1464,6 +1501,50 @@ object ExtendedQueries {
                 CAST(sum(n_ev) AS BIGINT) AS n_events,
                 CAST(max(n_ev) AS BIGINT) AS max_session_events
          FROM per_session GROUP BY user_id""",
+    "q_shortest_paths" ->
+      """WITH seq AS (
+           SELECT event_type, user_id,
+                  lag(user_id) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS prev_user,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS gap_us
+           FROM events),
+         e0 AS (
+           SELECT least(user_id, prev_user) AS a,
+                  greatest(user_id, prev_user) AS b,
+                  min(gap_us) // 1000000 + 1 AS w
+           FROM seq WHERE prev_user IS NOT NULL AND prev_user <> user_id
+             AND gap_us <= 60000000
+           GROUP BY 1, 2),
+         ed AS (SELECT a AS src, b AS dst, w FROM e0
+                UNION ALL SELECT b, a, w FROM e0),
+         d0 AS (SELECT (SELECT min(user_id) FROM events) AS node,
+                       CAST(0 AS BIGINT) AS cost),
+         d1 AS (SELECT node, min(cost) AS cost FROM (
+                  SELECT * FROM d0 UNION ALL
+                  SELECT e.dst, d.cost + e.w FROM d0 d JOIN ed e ON d.node = e.src)
+                GROUP BY 1),
+         d2 AS (SELECT node, min(cost) AS cost FROM (
+                  SELECT * FROM d1 UNION ALL
+                  SELECT e.dst, d.cost + e.w FROM d1 d JOIN ed e ON d.node = e.src)
+                GROUP BY 1),
+         d3 AS (SELECT node, min(cost) AS cost FROM (
+                  SELECT * FROM d2 UNION ALL
+                  SELECT e.dst, d.cost + e.w FROM d2 d JOIN ed e ON d.node = e.src)
+                GROUP BY 1),
+         d4 AS (SELECT node, min(cost) AS cost FROM (
+                  SELECT * FROM d3 UNION ALL
+                  SELECT e.dst, d.cost + e.w FROM d3 d JOIN ed e ON d.node = e.src)
+                GROUP BY 1),
+         d5 AS (SELECT node, min(cost) AS cost FROM (
+                  SELECT * FROM d4 UNION ALL
+                  SELECT e.dst, d.cost + e.w FROM d4 d JOIN ed e ON d.node = e.src)
+                GROUP BY 1),
+         d6 AS (SELECT node, min(cost) AS cost FROM (
+                  SELECT * FROM d5 UNION ALL
+                  SELECT e.dst, d.cost + e.w FROM d5 d JOIN ed e ON d.node = e.src)
+                GROUP BY 1)
+         SELECT node AS user_id, CAST(cost AS BIGINT) AS cost FROM d6""",
     "q_streaks" ->
       """WITH days AS (
            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day

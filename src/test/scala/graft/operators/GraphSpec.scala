@@ -74,6 +74,37 @@ class GraphSpec extends SparkSpec {
     assert(a == b && a.size > 1)
   }
 
+  test("ssspInt: hand-checked costs, hop-bounded relaxation, negative reject") {
+    // 1 -10-> 2 -10-> 3, plus a direct heavy 1 -25-> 3: the 2-hop path
+    // (20) must win once rounds >= 2; with rounds = 1 only direct edges.
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 25L))
+      .toDF("src", "dst", "w")
+    val src = Seq(1L).toDF("node")
+    def costs(rounds: Int): Map[Long, Long] =
+      Graph.ssspInt(edges, src, rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(costs(1) == Map(1L -> 0L, 2L -> 10L, 3L -> 25L))
+    assert(costs(2) == Map(1L -> 0L, 2L -> 10L, 3L -> 20L))
+    val neg = Seq((1L, 2L, -1L)).toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      Graph.ssspInt(neg, src, 1).collect()
+    }
+    assert(ex.getMessage.contains("negative edge weight") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative edge weight")))
+  }
+
+  test("ssspInt costs are partitioning-invariant") {
+    val edges = (1L to 150L).map(i =>
+      ((i % 29), ((i * 13) % 29), (i % 7) + 1)).filter(e => e._1 != e._2)
+      .toDF("src", "dst", "w")
+    val src = Seq(1L).toDF("node")
+    val a = Graph.ssspInt(edges.repartition(1), src, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.ssspInt(edges.repartition(13), src, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b && a.size > 1)
+  }
+
   test("triangleStats: hand-counted triangles and wedges") {
     // K4 on {1,2,3,4}: 4 triangles, 12 wedges, 6 edges; plus a pendant 4-5
     // adding 3 wedges (deg(4)=4 → 6 wedges vs 3 in K4) and no triangle.
