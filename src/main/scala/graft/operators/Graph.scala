@@ -149,27 +149,28 @@ object Graph {
     * by (degree, id) to cap it harder, which changes only the join keys,
     * not the counts. */
   def triangleStats(canonEdges: DataFrame): DataFrame = {
-    val e = canonEdges.select(col("a"), col("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.b") === col("e2.a"))
-        .join(e.as("e3"),
-          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-        .agg(count(lit(1)).as("n_triangles"))
-      val deg = e.select(col("a").as("node"))
-        .unionByName(e.select(col("b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).cast("long").as("deg"))
-      val wedges = deg.agg(
-        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
-        (sum(col("deg")) / 2L).cast("long").as("n_edges"))
-      // 1-row ⋈ 1-row on a DERIVED key: a literal key would constant-fold
-      // to `true` and degrade to a nested-loop join (the Audit flag).
-      wedges.withColumn("__k", expr("pmod(n_wedges, 1)"))
-        .join(broadcast(tri.withColumn("__k", expr("pmod(n_triangles, 1)"))),
-          "__k")
-        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-          (col("n_triangles") * 3L).as("n_closed"))
-    } finally { e.unpersist(); () }
+    // eager localCheckpoint, NOT persist-then-unpersist: the result is
+    // returned lazily, so a finally-unpersist would release the cache
+    // before any consumer executes and the edge derivation would recompute
+    // for each of the four self-join/degree subtrees
+    val e = canonEdges.select(col("a"), col("b")).localCheckpoint(eager = true)
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("deg"))
+    val wedges = deg.agg(
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
+      (sum(col("deg")) / 2L).cast("long").as("n_edges"))
+    // 1-row ⋈ 1-row on a DERIVED key: a literal key would constant-fold
+    // to `true` and degrade to a nested-loop join (the Audit flag).
+    wedges.withColumn("__k", expr("pmod(n_wedges, 1)"))
+      .join(broadcast(tri.withColumn("__k", expr("pmod(n_triangles, 1)"))),
+        "__k")
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        (col("n_triangles") * 3L).as("n_closed"))
   }
 }

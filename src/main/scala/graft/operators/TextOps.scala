@@ -532,11 +532,7 @@ object TextOps {
       regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val tf = toks
-        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-          explode(col("toks")).as("tok"))
-        .groupBy(col("doc_id"), col("dl"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
+      val tf = postingRows(toks)
       val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       tf.join(dfs, "tok")
         .select(col("tok"), col("doc_id"), col("dl"), col("tf"), col("df"))
@@ -547,6 +543,26 @@ object TextOps {
         .coalesce(1).write.option("path", path + "_meta")
         .mode("overwrite").saveAsTable(table + "_meta")
     } finally { toks.unpersist(); () }
+  }
+
+  /** Per-doc posting rows (doc_id, dl, tok, tf) from a tokenized
+    * projection. A doc whose text yields NO tokens still emits one
+    * PRESENCE row (tok = "", dl = 0, tf = 0): "" can never come out of
+    * the [a-z0-9]+ extractor, probes filter `tok IN (terms)` so it is
+    * never scored, and its existence is what lets an incremental merge
+    * recognize the doc as already indexed — without it a retried delta
+    * re-counts token-less docs into the stats sidecar and silently
+    * shifts avgdl (and so every score). */
+  private def postingRows(toks: DataFrame): DataFrame = {
+    val real = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val empty = toks.filter(size(col("toks")) === 0)
+      .select(col("doc_id"), lit(0L).as("dl"), lit("").as("tok"),
+        lit(0L).as("tf"))
+    real.unionByName(empty)
   }
 
   /** BM25 against the persisted inverted index: per-query cost is the
@@ -587,23 +603,25 @@ object TextOps {
       path: String, buckets: Int = 8): Unit = {
     // retry-idempotence (the appendIvfIndex posture): a re-submitted delta
     // anti-joins the already-indexed doc ids, so a doc can never hold two
-    // posting sets — double-counted df would silently shift every score
+    // posting sets — double-counted df would silently shift every score.
+    // Token-less docs are covered too: they hold a presence row
+    // ([[postingRows]]), so the anti-join sees them.
     val indexedIds = spark.table(oldTable).select(col("doc_id")).distinct()
     val toks = deltaDocs
       .join(indexedIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the merged posting stream feeds BOTH the df recount and the join
+    // side of the final write — persist it or the old index (the
+    // 100 TB-scale component this function exists to avoid re-reading)
+    // scans twice
+    val merged = spark.table(oldTable)
+      .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
+      .unionByName(postingRows(toks)
+        .select(col("tok"), col("doc_id"), col("dl"), col("tf")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val deltaTf = toks
-        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-          explode(col("toks")).as("tok"))
-        .groupBy(col("doc_id"), col("dl"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-      val merged = spark.table(oldTable)
-        .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
-        .unionByName(deltaTf.select(col("tok"), col("doc_id"), col("dl"),
-          col("tf")))
       val dfs = merged.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       merged.join(dfs, "tok")
         .select(col("tok"), col("doc_id"), col("dl"), col("tf"), col("df"))
@@ -616,7 +634,7 @@ object TextOps {
         .agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
         .coalesce(1).write.option("path", path + "_meta")
         .mode("overwrite").saveAsTable(newTable + "_meta")
-    } finally { toks.unpersist(); () }
+    } finally { toks.unpersist(); merged.unpersist(); () }
   }
 
   /** Per-document top-k TF-IDF keywords, integer-exact cross-engine (the
@@ -649,7 +667,10 @@ object TextOps {
       .join(broadcast(stats.withColumn("__zero", pmod(col("n"), lit(1L)))),
         "__zero")
       .withColumn("idfr", least(
-        expr("((2*(n - df) + 1) * cast(1000000 as bigint)) div (2*df + 1)"),
+        expr("CASE WHEN n > 4000000000000 THEN raise_error(" +
+          "'tfidfTopTerms: corpus exceeds 4e12 docs - the int64 idf " +
+          "numerator (2N+1)*1e6 would wrap; shard the corpus') ELSE " +
+          "((2*(n - df) + 1) * cast(1000000 as bigint)) div (2*df + 1) END"),
         lit(1048576000000L)))
       .withColumn("score", expr("least(tf, cast(1048576 as bigint)) * idfr"))
       .withColumn("rank", row_number().over(w))

@@ -924,28 +924,12 @@ object ExtendedQueries {
       out
     })
 
-  /** Canonical undirected co-activity edges: users adjacent on the same
-    * event_type timeline within 60 s, as (a < b) pairs — the shared edge
-    * derivation for the BFS and triangle faces. */
-  private def coActivityEdges(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    Tables.load(s, dir, "events")
-      .select(col("user_id"),
-        lag(col("user_id"), 1).over(w).as("prev_user"),
-        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
-          .as("gap_us"))
-      .filter(col("prev_user").isNotNull && col("prev_user") =!= col("user_id") &&
-        col("gap_us") <= 60000000L)
-      .select(least(col("user_id"), col("prev_user")).as("a"),
-        greatest(col("user_id"), col("prev_user")).as("b"))
-      .distinct()
-  }
-
-  /** Weighted variant of [[coActivityEdges]]: per canonical pair, the
-    * FASTEST observed interaction as an integer weight
-    * (min(gap_us) div 10⁶ + 1 — strictly positive, exact). */
-  private def coActivityWeightedEdges(s: SparkSession, dir: String): DataFrame = {
+  /** Shared base of the co-activity graph faces: one (a < b, gap_us) row
+    * per adjacent same-event_type user pair within 60 s. The gap bound,
+    * tie-break ordering and self-pair filter live HERE only, so the
+    * BFS/triangle faces and the weighted SSSP face can never
+    * desynchronize. */
+  private def coActivityPairStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
     Tables.load(s, dir, "events")
@@ -957,11 +941,22 @@ object ExtendedQueries {
         col("gap_us") <= 60000000L)
       .select(least(col("user_id"), col("prev_user")).as("a"),
         greatest(col("user_id"), col("prev_user")).as("b"), col("gap_us"))
+  }
+
+  /** Canonical undirected co-activity edges (a < b, deduplicated) — the
+    * BFS and triangle faces' edge set. */
+  private def coActivityEdges(s: SparkSession, dir: String): DataFrame =
+    coActivityPairStream(s, dir).select(col("a"), col("b")).distinct()
+
+  /** Weighted variant: per canonical pair, the FASTEST observed
+    * interaction as an integer weight (min(gap_us) div 10⁶ + 1 —
+    * strictly positive, exact). */
+  private def coActivityWeightedEdges(s: SparkSession, dir: String): DataFrame =
+    coActivityPairStream(s, dir)
       .groupBy(col("a"), col("b"))
       // `div`, not `/`: Column `/` on longs is DOUBLE division
       .agg(expr("min(gap_us) div 1000000").as("__g"))
       .select(col("a"), col("b"), (col("__g") + 1L).as("w"))
-  }
 
   def oracleSql: Map[String, String] = Map(
     "q_funnel" ->

@@ -707,21 +707,27 @@ object PipelineQueries {
     // §2.13: the KEEP DECISION — near-dup clustering is only half the
     // dedup story; this face completes it: one survivor per cluster by an
     // explicit policy (longest doc, ties to the smallest id), singletons
-    // surviving as their own cluster. The policy key is a single int64
-    // (n_chars·10⁶ − doc_id) so the argmax is exact on both engines —
-    // a float "quality" argmax could flip ties cross-engine. One argmax
-    // aggregate over the cluster map; DuckDB replays clustering + arg_max.
+    // surviving as their own cluster. The policy runs as TWO exact
+    // integer aggregates — max length per cluster, then min doc_id among
+    // the docs attaining it — rather than a packed n_chars·C − doc_id
+    // key, which silently mis-ranks once doc_id ≥ C (at 100 TB ids far
+    // exceed any fixed C) and can't be caught by the oracle because it
+    // would mirror the same wrap. Both stages are lexicographically
+    // deterministic on both engines.
     "dd_keep_best" -> ((s, dir) => {
       val d = docs(s, dir)
       val clusters = Dedup.connectedComponents(Dedup.ngramJaccard(d, 0.6))
-      d.select(col("doc_id"), col("n_chars"))
+      val withC = d.select(col("doc_id"), col("n_chars").cast("long").as("nc"))
         .join(clusters, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-        .withColumn("pri", col("n_chars").cast("long") * 1000000L - col("doc_id"))
+      val per = withC.groupBy(col("cluster_id"))
+        .agg(max(col("nc")).as("kept_chars"), count(lit(1)).as("n_docs"))
+      withC.join(per, "cluster_id")
+        .filter(col("nc") === col("kept_chars"))
         .groupBy(col("cluster_id"))
-        .agg(max_by(col("doc_id"), col("pri")).as("keep_id"),
-          count(lit(1)).as("n_docs"),
-          max(col("n_chars").cast("long")).as("kept_chars"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          max(col("n_docs")).as("n_docs"),
+          max(col("kept_chars")).as("kept_chars"))
     }),
 
     // §2.9: the SCALE-PATH clustering — CC over the MinHash-LSH candidate
@@ -1693,14 +1699,21 @@ object PipelineQueries {
            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          , cc AS (
            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-           FROM reach GROUP BY a)
-         SELECT coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
-                arg_max(d.doc_id,
-                        CAST(d.n_chars AS BIGINT) * 1000000 - d.doc_id)
-                  AS keep_id,
-                CAST(count(*) AS BIGINT) AS n_docs,
-                CAST(max(d.n_chars) AS BIGINT) AS kept_chars
-         FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+           FROM reach GROUP BY a),
+         withc AS (
+           SELECT coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+                  d.doc_id, CAST(d.n_chars AS BIGINT) AS nc
+           FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+         per AS (
+           SELECT cluster_id, max(nc) AS kept_chars,
+                  CAST(count(*) AS BIGINT) AS n_docs
+           FROM withc GROUP BY 1)
+         SELECT w.cluster_id,
+                min(w.doc_id) AS keep_id,
+                max(p.n_docs) AS n_docs,
+                max(p.kept_chars) AS kept_chars
+         FROM withc w JOIN per p USING (cluster_id)
+         WHERE w.nc = p.kept_chars
          GROUP BY 1""",
     // LSH-clustering check: DuckDB independently counts the same-cluster
     // doc pairs of the EXACT closure (C(k,2) per component = the a<b half

@@ -363,7 +363,8 @@ class TextOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val delta = Seq(
       (4L, "common alpha beta gamma"),
-      (5L, "unrelated tokens entirely here")
+      (5L, "unrelated tokens entirely here"),
+      (6L, "!!! ???")  // tokenizes to NOTHING — presence-row path
     ).toDF("doc_id", "text")
     val full = base.unionByName(delta)
     val wh = java.nio.file.Files.createTempDirectory("graft_textidxm_").toString
@@ -377,16 +378,18 @@ class TextOpsSpec extends SparkSpec {
       val fromMerged = TextOps.bm25Indexed(spark, "tm_merged", terms, k = 5)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(fromMerged == fromFull && fromMerged.nonEmpty)
-      // stats sidecar merged additively
+      // stats sidecar merged additively — INCLUDING the token-less doc
+      // (writeTextIndex counts every doc in n; merge must agree)
       val meta = spark.table("tm_merged_meta").collect()(0)
-      assert(meta.getLong(0) == 5L) // n docs
-      // a RETRIED delta (doc 4/5 already indexed) must change nothing:
-      // double-held postings would shift df and silently corrupt scores
+      assert(meta.getLong(0) == 6L) // n docs
+      // a RETRIED delta (docs 4/5/6 already indexed — doc 6 only via its
+      // presence row) must change nothing: double-held postings would
+      // shift df, a re-counted token-less doc would shift avgdl
       val before = spark.table("tm_merged").count()
       TextOps.mergeTextIndex(spark, "tm_merged", delta, "tm_retry",
         s"$wh/retry", buckets = 4)
       assert(spark.table("tm_retry").count() == before)
-      assert(spark.table("tm_retry_meta").collect()(0).getLong(0) == 5L)
+      assert(spark.table("tm_retry_meta").collect()(0).getLong(0) == 6L)
     } finally {
       Seq("tm_base", "tm_merged", "tm_retry").foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
