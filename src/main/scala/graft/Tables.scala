@@ -35,6 +35,27 @@ object Tables {
     }
   }
 
+  /** Cheap content fingerprint of an sf dir: (path, length, mtime) of every
+    * file under it, folded into one 64-bit hex string. Per-JVM memoization
+    * keys append it so a REGENERATED testdata dir (same path, new bytes —
+    * e.g. a harness re-run within one session) invalidates cached persisted
+    * state instead of silently merging stale fixtures against fresh oracle
+    * recomputes. Cost: a directory listing, no file reads. */
+  def fingerprint(sfDir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Seq.empty)
+          .flatMap(walk)
+      else Seq(f)
+    var h = 1125899906842597L
+    walk(new java.io.File(sfDir)).foreach { f =>
+      val s = f.getPath + ":" + f.length + ":" + f.lastModified
+      var i = 0
+      while (i < s.length) { h = h * 31 + s.charAt(i); i += 1 }
+    }
+    java.lang.Long.toHexString(h)
+  }
+
   /** Register every table as a temp view so the same queries run via
     * `spark.sql` (SQL parity with the reference's DuckDB surface). */
   def registerViews(spark: SparkSession, sfDir: String): Unit =

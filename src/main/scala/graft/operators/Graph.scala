@@ -162,9 +162,12 @@ object Graph {
     val deg = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).cast("long").as("deg"))
+    // coalesce: on an empty edge set sum() is NULL, which would NULL the
+    // derived __k and drop the single census row through the equi-join;
+    // `div`, not `/` — Column `/` is double division, inexact past 2^53
     val wedges = deg.agg(
-      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
-      (sum(col("deg")) / 2L).cast("long").as("n_edges"))
+      coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"),
+      coalesce(expr("sum(deg) div 2"), lit(0L)).cast("long").as("n_edges"))
     // 1-row ⋈ 1-row on a DERIVED key: a literal key would constant-fold
     // to `true` and degrade to a nested-loop join (the Audit flag).
     wedges.withColumn("__k", expr("pmod(n_wedges, 1)"))

@@ -601,14 +601,23 @@ object TextOps {
   def mergeTextIndex(spark: org.apache.spark.sql.SparkSession,
       oldTable: String, deltaDocs: DataFrame, newTable: String,
       path: String, buckets: Int = 8): Unit = {
-    // retry-idempotence (the appendIvfIndex posture): a re-submitted delta
-    // anti-joins the already-indexed doc ids, so a doc can never hold two
-    // posting sets — double-counted df would silently shift every score.
+    // CONTRACT: the delta is NEW DOCS ONLY. Retry-idempotence (the
+    // appendIvfIndex posture): a re-submitted delta anti-joins the
+    // already-indexed doc ids, so a doc can never hold two posting sets —
+    // double-counted df would silently shift every score. The flip side:
+    // a delta row carrying NEW text for an already-indexed id is
+    // indistinguishable from a retry and is dropped — document UPDATES
+    // must go through a delete+reindex path, not this merge. The observe()
+    // metrics below (n_delta vs n_admitted on the "merge_text_index"
+    // observation) make a dropped update DETECTABLE from a
+    // QueryExecutionListener instead of silently absorbed.
     // Token-less docs are covered too: they hold a presence row
     // ([[postingRows]]), so the anti-join sees them.
     val indexedIds = spark.table(oldTable).select(col("doc_id")).distinct()
     val toks = deltaDocs
+      .observe("merge_text_index_delta", count(lit(1)).as("n_delta"))
       .join(indexedIds, Seq("doc_id"), "left_anti")
+      .observe("merge_text_index", count(lit(1)).as("n_admitted"))
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -635,6 +644,74 @@ object TextOps {
         .coalesce(1).write.option("path", path + "_meta")
         .mode("overwrite").saveAsTable(newTable + "_meta")
     } finally { toks.unpersist(); merged.unpersist(); () }
+  }
+
+  /** Append a delta of NEW documents to a text index as a SEGMENT — the
+    * Lucene-style alternative to [[mergeTextIndex]]'s full rewrite: the
+    * write is O(delta) bytes (delta posting rows + a 1-row additive stats
+    * sidecar), the base tables are NEVER touched. The trick that makes a
+    * df-free segment probeable: df is recoverable from posting rows alone
+    * (df(tok) = count of rows carrying tok), and a probe only ever needs
+    * df for its OWN terms — so [[bm25SegmentsProbe]] recounts df from the
+    * already-bucket-pruned union instead of any materialized column.
+    * Segments accumulate until a periodic [[mergeTextIndex]] compaction
+    * (the deliberate LSM trade: probes pay one extra union + a
+    * pruned-rows df aggregate per query; appends cost delta-only I/O).
+    *
+    * Same NEW-DOCS-ONLY contract as [[mergeTextIndex]]: a re-submitted
+    * delta anti-joins the union of already-indexed doc ids (index rows,
+    * not historical text), so a retry produces an EMPTY segment, never a
+    * double-counted doc. */
+  def appendTextIndexSegment(spark: org.apache.spark.sql.SparkSession,
+      baseTables: Seq[String], deltaDocs: DataFrame, segTable: String,
+      segPath: String, buckets: Int = 8): Unit = {
+    val indexedIds = baseTables
+      .map(t => spark.table(t).select(col("doc_id")))
+      .reduce(_.unionByName(_)).distinct()
+    val toks = deltaDocs
+      .join(indexedIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      postingRows(toks)
+        .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
+        .write.bucketBy(buckets, "tok").sortBy("tok")
+        .option("path", segPath).mode("overwrite").saveAsTable(segTable)
+      toks.agg(count(lit(1)).as("n"),
+          sum(size(col("toks")).cast("long")).as("t"))
+        .coalesce(1).write.option("path", segPath + "_meta")
+        .mode("overwrite").saveAsTable(segTable + "_meta")
+    } finally { toks.unpersist(); () }
+  }
+
+  /** BM25 over a SEGMENTED index (base + any number of segments): union
+    * the segments' posting rows — each side's scan is still
+    * `tok IN (terms)` bucket-pruned — recount df per term from the pruned
+    * union (exact: the pruned union holds EVERY posting of the queried
+    * terms), and sum the additive stats sidecars. Shares the scoring tail
+    * with [[bm25]] ⇒ bit-identical to a from-scratch index over the same
+    * corpus; per-query cost stays terms-postings-sized, independent of
+    * corpus size. Base tables built by [[writeTextIndex]] carry a
+    * materialized df column; it is simply not selected here. */
+  def bm25SegmentsProbe(spark: org.apache.spark.sql.SparkSession,
+      tables: Seq[String], terms: Seq[String], k: Int = 10): DataFrame = {
+    val post = tables
+      .map(t => spark.table(t)
+        .select(col("tok"), col("doc_id"), col("dl"), col("tf")))
+      .reduce(_.unionByName(_))
+      .filter(col("tok").isin(terms: _*))
+    val dfs = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = tables
+      .map(t => spark.table(t + "_meta"))
+      .reduce(_.unionByName(_))
+      .agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
+    bm25ScoreAndSelect(
+      post.join(broadcast(dfs), "tok")
+        .withColumn("__zero", pmod(col("tf"), lit(1L)))
+        .join(broadcast(stats.withColumn("__zero", pmod(col("n"), lit(1L)))),
+          "__zero"),
+      k)
   }
 
   /** Per-document top-k TF-IDF keywords, integer-exact cross-engine (the

@@ -15,6 +15,15 @@ object ExtendedQueries {
 
   private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+
+  /** Memoize keyed on dir PLUS a cheap data fingerprint
+    * ([[Tables.fingerprint]]): a regenerated testdata dir within one JVM
+    * session rebuilds the fixture instead of serving stale persisted state
+    * against a fresh oracle recompute (r10 ADVICE). */
+  private def memo[V](cache: java.util.concurrent.ConcurrentHashMap[String, V],
+      dir: String)(f: String => V): V =
+    cache.computeIfAbsent(dir + "@" + Tables.fingerprint(dir), _ => f(dir))
+
   /** Memoized BUCKETED orders/customer tables per sf dir — the
     * pre-partitioned layout repeated joins amortize their shuffles
     * through. Built once (the ingest-time cost); the co-located join face
@@ -22,7 +31,7 @@ object ExtendedQueries {
   private val bucketedCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private def bucketedTables(s: SparkSession, dir: String): (String, String) =
-    bucketedCache.computeIfAbsent(dir, { d =>
+    memo(bucketedCache, dir) { d =>
       val hex = java.lang.Integer.toHexString(d.hashCode)
       val ot = s"graft_bkt_orders_$hex"
       val ct = s"graft_bkt_customer_$hex"
@@ -36,7 +45,7 @@ object ExtendedQueries {
         .option("path", root.resolve("c").toString)
         .mode("overwrite").saveAsTable(ct)
       (ot, ct)
-    })
+    }
 
   /** Memoized layout fixtures for the schema-evolution and
     * partition-pruning faces: two orders snapshots with drifted schemas,
@@ -45,7 +54,7 @@ object ExtendedQueries {
   private val layoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private def layoutDirs(s: SparkSession, dir: String): (String, String) =
-    layoutCache.computeIfAbsent(dir, { d =>
+    memo(layoutCache, dir) { d =>
       val root = java.nio.file.Files.createTempDirectory("graft_layout_")
       val evo = root.resolve("evolved").toString
       val part = root.resolve("partitioned").toString
@@ -63,7 +72,7 @@ object ExtendedQueries {
         .withColumn("value", col("value").cast("double"))
         .write.partitionBy("event_type").mode("overwrite").parquet(part)
       (evo, part)
-    })
+    }
 
   /** Memoized compaction fixture: orders fragmented into 64 tiny files,
     * then compacted — the small-files maintenance pass. Returns the
@@ -71,7 +80,7 @@ object ExtendedQueries {
   private val compactCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def compactedOrders(s: SparkSession, dir: String): String =
-    compactCache.computeIfAbsent(dir, { d =>
+    memo(compactCache, dir) { d =>
       val root = java.nio.file.Files.createTempDirectory("graft_compact_")
       val frag = root.resolve("frag").toString
       val out = root.resolve("compacted").toString
@@ -79,7 +88,7 @@ object ExtendedQueries {
         .write.mode("overwrite").parquet(frag)
       graft.operators.Layout.compact(s, frag, out, targetBytes = 512L << 20)
       out
-    })
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.12: schema evolution — two parquet snapshots with drifted
@@ -912,7 +921,7 @@ object ExtendedQueries {
   private val rollupCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def revenueRollup(s: SparkSession, dir: String): String =
-    rollupCache.computeIfAbsent(dir, { d =>
+    memo(rollupCache, dir) { d =>
       val out = java.nio.file.Files.createTempDirectory("graft_rollup_")
         .resolve("state").toString
       Tables.load(s, d, "orders")
@@ -922,7 +931,7 @@ object ExtendedQueries {
           count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(out)
       out
-    })
+    }
 
   /** Shared base of the co-activity graph faces: one (a < b, gap_us) row
     * per adjacent same-event_type user pair within 60 s. The gap bound,
@@ -943,20 +952,41 @@ object ExtendedQueries {
         greatest(col("user_id"), col("prev_user")).as("b"), col("gap_us"))
   }
 
+  /** Memoized per-pair aggregate of the co-activity stream, persisted once
+    * per sf dir: (a < b, min_gap_us). BFS, triangles and SSSP each start
+    * from this table, so the window-derived edge build (the expensive
+    * event scan) runs ONCE instead of once per graph face — the graph
+    * faces then measure TRAVERSAL, not derivation (r10 VERDICT item 6).
+    * At 100 TB this is exactly the posture you'd take: derive the edge
+    * list in the ingest pass, persist it, run every graph algorithm
+    * against the persisted table. */
+  private val coActCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def coActivityPairsPath(s: SparkSession, dir: String): String =
+    memo(coActCache, dir) { d =>
+      val out = java.nio.file.Files.createTempDirectory("graft_coact_")
+        .resolve("pairs").toString
+      coActivityPairStream(s, d)
+        .groupBy(col("a"), col("b"))
+        .agg(min(col("gap_us")).as("min_gap_us"))
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+
   /** Canonical undirected co-activity edges (a < b, deduplicated) — the
-    * BFS and triangle faces' edge set. */
+    * BFS and triangle faces' edge set (the per-pair aggregate subsumes
+    * distinct). */
   private def coActivityEdges(s: SparkSession, dir: String): DataFrame =
-    coActivityPairStream(s, dir).select(col("a"), col("b")).distinct()
+    s.read.parquet(coActivityPairsPath(s, dir)).select(col("a"), col("b"))
 
   /** Weighted variant: per canonical pair, the FASTEST observed
     * interaction as an integer weight (min(gap_us) div 10⁶ + 1 —
     * strictly positive, exact). */
   private def coActivityWeightedEdges(s: SparkSession, dir: String): DataFrame =
-    coActivityPairStream(s, dir)
-      .groupBy(col("a"), col("b"))
+    s.read.parquet(coActivityPairsPath(s, dir))
       // `div`, not `/`: Column `/` on longs is DOUBLE division
-      .agg(expr("min(gap_us) div 1000000").as("__g"))
-      .select(col("a"), col("b"), (col("__g") + 1L).as("w"))
+      .select(col("a"), col("b"),
+        (expr("min_gap_us div 1000000") + 1L).as("w"))
 
   def oracleSql: Map[String, String] = Map(
     "q_funnel" ->
@@ -1040,7 +1070,7 @@ object ExtendedQueries {
                   FROM e JOIN r4 r ON e.src = r.node
                   JOIN wdeg d ON e.src = d.src GROUP BY 1) s
                 ON n.node = s.dst)
-         SELECT node, rank FROM r5""",
+         SELECT node, CAST(rank AS BIGINT) AS rank FROM r5""",
     "q_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
                 count(*) AS n,

@@ -706,14 +706,310 @@ object Relational {
     // folded to per-op row/key counts so the compare is order-free.
     "q_multiset_ops" -> ((s, dir) => {
       import s.implicits._
-      val all = Tables.load(s, dir, "lineitem").select($"l_orderkey")
-      val ret = Tables.load(s, dir, "lineitem")
-        .filter($"l_returnflag" === "R").select($"l_orderkey")
-      val ea = all.exceptAll(ret).withColumn("op", lit("except_all"))
-      val ia = all.intersectAll(ret).withColumn("op", lit("intersect_all"))
-      ea.unionByName(ia).groupBy($"op")
-        .agg(count(lit(1)).as("n_rows"),
-          countDistinct($"l_orderkey").as("n_keys"))
+      // EXCEPT ALL / INTERSECT ALL as MULTIPLICITY ARITHMETIC: because the
+      // R side is a filter of the same stream, per-key (n_all, n_ret)
+      // determines both ops — except_all multiplicity = n_all − n_ret,
+      // intersect_all = min(n_all, n_ret) — so ONE key-shuffle aggregate
+      // replaces exceptAll + intersectAll (each a full-row shuffle) plus a
+      // countDistinct Expand: 3 lineitem-sized exchanges → 1 (the second
+      // groupBy moves only per-key count rows). Same oracle rows.
+      val g = Tables.load(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_all"),
+          sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("n_ret"))
+      g.select(explode(array(
+          struct(lit("except_all").as("op"),
+            ($"n_all" - $"n_ret").as("m"),
+            when($"n_all" > $"n_ret", 1L).otherwise(0L).as("k")),
+          struct(lit("intersect_all").as("op"),
+            least($"n_all", $"n_ret").as("m"),
+            when($"n_ret" > 0L, 1L).otherwise(0L).as("k")))).as("x"))
+        .groupBy($"x.op".as("op"))
+        .agg(sum($"x.m").cast("long").as("n_rows"),
+          sum($"x.k").cast("long").as("n_keys"))
+    }),
+
+    // §2.14: TPC-H Q2 shape — the MIN-COST SUPPLIER query: a correlated
+    // min subquery over a 4-way join (part ⋈ offers ⋈ supplier ⋈ nation ⋈
+    // region), decorrelated to a per-part min aggregate joined back on
+    // (part, cost). The testdata has no partsupp table, so the offer cost
+    // is derived: per (partkey, suppkey) the MINIMUM observed extended
+    // price in lineitem, as an exact DECIMAL so the min and the equality
+    // join back are boundary-exact. Ordering totalizes through
+    // (s_acctbal DESC, s_name, p_partkey) — (s_name, p_partkey) is unique
+    // per row, so the LIMIT cut is deterministic.
+    "q02_min_cost" -> ((s, dir) => {
+      import s.implicits._
+      val cost = Tables.load(s, dir, "lineitem")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min(dec2($"l_extendedprice")).as("cost"))
+      val supp = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.load(s, dir, "region")
+          .filter($"r_name" === "ASIA")), $"n_regionkey" === $"r_regionkey")
+      val offers = cost
+        .join(Tables.load(s, dir, "part")
+          .filter($"p_size" <= 15 && $"p_type" === "STANDARD"),
+          $"l_partkey" === $"p_partkey")
+        .join(supp, $"l_suppkey" === $"s_suppkey")
+      val minCost = offers.groupBy($"p_partkey".as("mk"))
+        .agg(min($"cost").as("mc"))
+      offers.join(minCost, $"p_partkey" === $"mk" && $"cost" === $"mc")
+        .orderBy($"s_acctbal".desc, $"s_name", $"p_partkey")
+        .limit(20)
+        .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey",
+          $"cost".cast("double").as("min_cost"))
+    }),
+
+    // §2.14: TPC-H Q7 shape — the VOLUME SHIPPING query: bidirectional
+    // trade flow between two nations (customer side and supplier side each
+    // resolve a nation through their own dimension copy), revenue by
+    // (supp_nation, cust_nation, year). The two 25-row nation copies ride
+    // broadcast; the OR of the two directions stays one filter, not a
+    // union of two five-way joins.
+    "q07_volume_shipping" -> ((s, dir) => {
+      import s.implicits._
+      val n1 = Tables.load(s, dir, "nation")
+        .select($"n_nationkey".as("ck"), $"n_name".as("cust_nation"))
+      val n2 = Tables.load(s, dir, "nation")
+        .select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+      Tables.load(s, dir, "lineitem")
+        .filter($"l_shipdate" >= "1996-01-01 00:00:00" &&
+          $"l_shipdate" < "1998-01-01 00:00:00")
+        .join(Tables.load(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.load(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(Tables.load(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(n1), $"c_nationkey" === $"ck")
+        .join(broadcast(n2), $"s_nationkey" === $"sk")
+        .filter(($"cust_nation" === "NATION_1" && $"supp_nation" === "NATION_2") ||
+          ($"cust_nation" === "NATION_2" && $"supp_nation" === "NATION_1"))
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("long").as("l_year"))
+        .agg(sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount")))
+          .cast("double").as("revenue"))
+    }),
+
+    // §2.14: TPC-H Q8 shape — the MARKET SHARE query: within one region's
+    // market for one part type, the share of revenue supplied by one
+    // nation, per order year. The share ratio is emitted as its exact
+    // numerator/denominator pair (both decimal sums cast to double at the
+    // boundary) — a cross-engine decimal DIVISION would hang the compare
+    // on rounding-rule differences, the two sums cannot.
+    "q08_market_share" -> ((s, dir) => {
+      import s.implicits._
+      val custNation = Tables.load(s, dir, "nation")
+        .join(broadcast(Tables.load(s, dir, "region")
+          .filter($"r_name" === "AMERICA")), $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey".as("ck"))
+      val suppNation = Tables.load(s, dir, "nation")
+        .select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+      Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "part").filter($"p_type" === "ECONOMY"),
+          $"l_partkey" === $"p_partkey")
+        .join(Tables.load(s, dir, "orders")
+          .filter($"o_orderdate" >= "1996-01-01 00:00:00" &&
+            $"o_orderdate" < "1998-01-01 00:00:00"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(Tables.load(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(custNation), $"c_nationkey" === $"ck")
+        .join(Tables.load(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(suppNation), $"s_nationkey" === $"sk")
+        .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+        .agg(
+          sum(when($"supp_nation" === "NATION_6",
+            dec4($"l_extendedprice" * (lit(1) - $"l_discount")))
+            .otherwise(dec4(lit(0.0)))).cast("double").as("mkt_num"),
+          sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount")))
+            .cast("double").as("mkt_den"))
+    }),
+
+    // §2.14: TPC-H Q9 shape — the PRODUCT TYPE PROFIT query: profit =
+    // revenue − cost per (supplier nation, order year) over a 5-way join,
+    // part selection by substring. With no partsupp, cost proxies as 10%
+    // of retail price × quantity; the whole per-row amount computes in
+    // DOUBLE (bit-identical IEEE on both engines) and is cast to DECIMAL
+    // BEFORE the sum, so the aggregate is shuffle-order-proof.
+    "q09_product_profit" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "part").filter($"p_name".contains("gear")),
+          $"l_partkey" === $"p_partkey")
+        .join(Tables.load(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          $"s_nationkey" === $"n_nationkey")
+        .join(Tables.load(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"n_name".as("nation"),
+          year($"o_orderdate").cast("long").as("o_year"))
+        .agg(sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount") -
+          $"p_retailprice" * $"l_quantity" * lit(0.1)))
+          .cast("double").as("sum_profit"))
+    }),
+
+    // §2.14: TPC-H Q11 shape — the IMPORTANT STOCK query: per-part value
+    // held by one nation's suppliers, kept where the group value exceeds a
+    // fraction of the GLOBAL total (group HAVING vs global scalar). The
+    // global total rides a 1-row broadcast on a pmod-derived key (a
+    // literal key would constant-fold to a nested-loop join), and the
+    // threshold compares value·1000 > total in exact decimals — no
+    // fraction, no float boundary.
+    "q11_important_parts" -> ((s, dir) => {
+      import s.implicits._
+      val vals = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "supplier")
+          .join(broadcast(Tables.load(s, dir, "nation")
+            .filter($"n_name" === "NATION_3")), $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey"),
+          $"l_suppkey" === $"s_suppkey")
+        .groupBy($"l_partkey")
+        .agg(sum(dec2($"l_extendedprice")).as("value"))
+      val tot = vals.agg(sum($"value").as("total"))
+        .withColumn("__k", expr("pmod(cast(total as bigint), 1)"))
+      vals.withColumn("__k", expr("pmod(l_partkey, 1)"))
+        .join(broadcast(tot), "__k")
+        .filter($"value" * 1000 > $"total")
+        .select($"l_partkey", $"value".cast("double").as("value"))
+    }),
+
+    // §2.14: TPC-H Q12 shape — the SHIPPING CHANNELS query: two-channel
+    // CASE counts. The testdata has no shipmode/commitdate, so the channel
+    // derives from the line number parity and the lateness predicate is
+    // shipped ≥ 60 days after ordering — same shape: one fact join, one
+    // group, two conditional counts per group.
+    "q12_ship_channels" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .filter($"l_shipdate" >= "1997-01-01 00:00:00" &&
+          $"l_shipdate" < "1998-01-01 00:00:00")
+        .join(Tables.load(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .filter($"l_shipdate" >= $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .groupBy(when($"l_linenumber" % 2 === 0, "EVEN").otherwise("ODD")
+          .as("channel"))
+        .agg(
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).cast("long").as("high_line_count"),
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).cast("long").as("low_line_count"))
+    }),
+
+    // §2.14: TPC-H Q13 shape — the CUSTOMER ORDER-COUNT DISTRIBUTION: a
+    // LEFT join whose per-customer count(o_orderkey) keeps zero-order
+    // customers (count of the null-extended column is 0, count(*) would
+    // be 1 — the classic Q13 trap), re-grouped into a histogram of
+    // customers per order count.
+    "q13_order_distribution" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders")
+          .filter($"o_orderpriority" =!= "4-NOT SPECIFIED"),
+          $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // §2.14: TPC-H Q16 shape — the PARTS/SUPPLIER RELATIONSHIP query:
+    // distinct (part, supplier) pairs from the fact table, part-attribute
+    // NOT-filters plus a size IN-list, suppliers NOT IN a derived
+    // exclusion set (negative balance — the "complaints" stand-in) as an
+    // anti join, then supplier counts per (brand, type, size) via
+    // two-level aggregation (distinct-then-count — no countDistinct
+    // Expand over the wide group key).
+    "q16_parts_suppliers" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .select($"l_partkey", $"l_suppkey")
+        .join(Tables.load(s, dir, "part")
+          .filter($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO" &&
+            $"p_size".isin(1, 4, 9, 14, 19, 24, 29, 34)),
+          $"l_partkey" === $"p_partkey")
+        .join(Tables.load(s, dir, "supplier")
+          .filter($"s_acctbal" < 0).select($"s_suppkey".as("xk")),
+          $"l_suppkey" === $"xk", "left_anti")
+        .select($"p_brand", $"p_type", $"p_size".cast("long").as("p_size"),
+          $"l_suppkey")
+        .distinct()
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(count(lit(1)).as("supplier_cnt"))
+    }),
+
+    // §2.14: MAP-typed column surface — per user, pivot the event stream
+    // into MAPS (event_type → count, event_type → value cents) and drive
+    // the map higher-order family: map_filter (hot types), map_keys +
+    // array_sort (canonical listing), map_zip_with (per-type integer
+    // average), aggregate over map_values (folds). Output flattens to
+    // scalars both engines compute exactly; all per-type division is
+    // integral on POSITIVE operands (events.value > 0 — Spark `div`
+    // truncates toward zero while DuckDB `//` floors, so a negative
+    // operand would diverge). The maps build from ONE user-keyed
+    // aggregate; every map op after that is map-side.
+    "q_map_funcs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("cast(floor(value * 100) as bigint)")).as("cents"))
+        .groupBy($"user_id")
+        .agg(
+          map_from_entries(collect_list(struct($"event_type", $"cnt")))
+            .as("cm"),
+          map_from_entries(collect_list(struct($"event_type", $"cents")))
+            .as("vm"))
+        .select($"user_id",
+          size($"cm").cast("long").as("n_types"),
+          expr("cast(size(map_filter(cm, (k, v) -> v >= 5)) as bigint)")
+            .as("n_big"),
+          expr("array_join(array_sort(map_keys(" +
+            "map_filter(cm, (k, v) -> v >= 5))), ',')").as("big_types"),
+          expr("aggregate(map_values(cm), cast(0 as bigint), " +
+            "(a, x) -> a + x)").as("n_events"),
+          expr("aggregate(map_values(map_zip_with(vm, cm, " +
+            "(k, v, c) -> v div c)), cast(0 as bigint), (a, x) -> a + x)")
+            .as("avg_cents_sum"))
+    }),
+
+    // §2.14: LATERAL explode-join — the semi-structured fan-out DuckDB
+    // users spell as unnest: positions materialize through posexplode
+    // (map-side Generate, no shuffle until the final aggregate), the
+    // exploded tokens join a BROADCAST literal dimension, and the
+    // aggregate keys on the parent row. Spark's split(" ") regex equals
+    // DuckDB's string_split(' ') byte-for-byte (empty runs included), so
+    // positions agree; the oracle mirrors with a zipped unnest +
+    // generate_subscripts.
+    "q_explode_join" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(("join", 1L), ("hash", 2L), ("scan", 3L),
+        ("filter", 4L), ("merge", 5L), ("vector", 6L)).toDF("tok", "w")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .withColumnRenamed("col", "tok")
+        .filter($"pos" < 8)
+        .join(broadcast(dim), "tok")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          sum($"w").cast("long").as("w_sum"),
+          min($"pos").cast("long").as("min_pos"))
+    }),
+
+    // §2.14: grouped limit — the per-group top-k pattern a DuckDB migrant
+    // writes as `QUALIFY row_number() <= k`, spelled through spark.sql
+    // (Spark has no QUALIFY clause; the subquery-filter form is the
+    // canonical translation and plans identically: one key-partitioned
+    // window, rank short-circuited by the filter). The ordering totalizes
+    // via (o_totalprice DESC, o_orderkey), so the kept rows are unique;
+    // RelationalPlanSpec pins row-identity against the native
+    // per-partition top-k aggregate path.
+    "q_group_limit" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("glim_orders")
+      Tables.load(s, dir, "customer").createOrReplaceTempView("glim_customer")
+      s.sql("""
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+          SELECT c_mktsegment, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          FROM glim_orders JOIN glim_customer ON o_custkey = c_custkey) t
+        WHERE rn <= 3""")
     })
   )
 
@@ -1111,6 +1407,154 @@ object Relational {
          FROM (SELECT 'except_all' AS op, l_orderkey FROM ea
                UNION ALL
                SELECT 'intersect_all' AS op, l_orderkey FROM ia) t
-         GROUP BY op"""
+         GROUP BY op""",
+    "q02_min_cost" ->
+      """WITH cost AS (
+           SELECT l_partkey, l_suppkey,
+                  min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+           FROM lineitem GROUP BY 1, 2),
+         offers AS (
+           SELECT p_partkey, s_acctbal, s_name, n_name, cost
+           FROM cost
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA' AND p_size <= 15 AND p_type = 'STANDARD')
+         SELECT s_acctbal, s_name, n_name, p_partkey,
+                CAST(cost AS DOUBLE) AS min_cost
+         FROM offers o
+         WHERE cost = (SELECT min(cost) FROM offers i
+                       WHERE i.p_partkey = o.p_partkey)
+         ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 20""",
+    "q07_volume_shipping" ->
+      """SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+           AND l_shipdate < timestamp '1998-01-01 00:00:00'
+           AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         GROUP BY 1, 2, 3""",
+    "q08_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(sum(CASE WHEN n2.n_name = 'NATION_6'
+                  THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))
+                  ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) AS mkt_num,
+                CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS mkt_den
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+           AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+           AND o_orderdate < timestamp '1998-01-01 00:00:00'
+         GROUP BY 1""",
+    "q09_product_profit" ->
+      """SELECT n_name AS nation,
+                CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(sum(CAST(l_extendedprice*(1-l_discount)
+                  - p_retailprice*l_quantity*0.1 AS DECIMAL(18,4)))
+                  AS DOUBLE) AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%gear%'
+         GROUP BY 1, 2""",
+    "q11_important_parts" ->
+      """WITH vals AS (
+           SELECT l_partkey,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_3'
+           GROUP BY 1)
+         SELECT l_partkey, CAST(value AS DOUBLE) AS value
+         FROM vals
+         WHERE value * 1000 > (SELECT sum(value) FROM vals)""",
+    "q12_ship_channels" ->
+      """SELECT CASE WHEN l_linenumber % 2 = 0 THEN 'EVEN' ELSE 'ODD' END
+                  AS channel,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+           AND l_shipdate < timestamp '1998-01-01 00:00:00'
+           AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+         GROUP BY 1""",
+    "q13_order_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+               FROM customer
+               LEFT JOIN orders ON c_custkey = o_custkey
+                 AND o_orderpriority <> '4-NOT SPECIFIED'
+               GROUP BY c_custkey) c
+         GROUP BY c_count""",
+    "q16_parts_suppliers" ->
+      """SELECT p_brand, p_type, p_size,
+                CAST(count(*) AS BIGINT) AS supplier_cnt
+         FROM (SELECT DISTINCT p_brand, p_type,
+                      CAST(p_size AS BIGINT) AS p_size, l_suppkey
+               FROM lineitem
+               JOIN part ON l_partkey = p_partkey
+               WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+                 AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+                 AND l_suppkey NOT IN (
+                   SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) t
+         GROUP BY 1, 2, 3""",
+    "q_map_funcs" ->
+      """WITH per AS (
+           SELECT user_id, event_type,
+                  CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM events GROUP BY 1, 2)
+         SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_types,
+                CAST(sum(CASE WHEN cnt >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_big,
+                coalesce(string_agg(CASE WHEN cnt >= 5 THEN event_type END,
+                  ',' ORDER BY event_type), '') AS big_types,
+                CAST(sum(cnt) AS BIGINT) AS n_events,
+                CAST(sum(cents // cnt) AS BIGINT) AS avg_cents_sum
+         FROM per GROUP BY user_id""",
+    "q_explode_join" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+           FROM documents),
+         dim AS (SELECT * FROM (VALUES ('join', 1), ('hash', 2), ('scan', 3),
+                  ('filter', 4), ('merge', 5), ('vector', 6)) v(tok, w))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                CAST(sum(w) AS BIGINT) AS w_sum,
+                CAST(min(pos) AS BIGINT) AS min_pos
+         FROM t JOIN dim USING (tok)
+         WHERE pos < 8
+         GROUP BY doc_id""",
+    "q_group_limit" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice,
+                CAST(row_number() OVER (PARTITION BY c_mktsegment
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         QUALIFY rn <= 3"""
   )
 }

@@ -125,8 +125,12 @@ class AsofJoinSpec extends SparkSpec {
       "o_time", "o_id", Seq("o_id")).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.toLowerCase.contains("broadcastnestedloop"))
-    // both window passes share the key partitioning: exactly one exchange
-    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1,
-      s"expected exactly 1 Exchange in:\n$plan")
+    // both window passes share the key partitioning: exactly one SHUFFLE.
+    // Match the shuffle operator specifically — a bare "Exchange" count
+    // also hits BroadcastExchange/ReusedExchange, so a benign planner
+    // change (e.g. exchange reuse) would flip it without a real regression.
+    assert(plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"expected exactly 1 shuffle Exchange in:\n$plan")
   }
 }

@@ -397,4 +397,65 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("appendTextIndexSegment: O(delta) write — base files byte-identical " +
+      "after append, segment holds delta docs only; probe == full corpus; " +
+      "retried delta appends an EMPTY segment") {
+    import org.apache.spark.sql.functions.col
+    val base = Seq(
+      (1L, "rare alpha beta gamma"),
+      (2L, "common alpha beta gamma"),
+      (3L, "common common beta gamma")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (4L, "common alpha beta gamma"),
+      (5L, "unrelated tokens entirely here"),
+      (6L, "!!! ???")  // tokenizes to NOTHING — presence-row path
+    ).toDF("doc_id", "text")
+    val full = base.unionByName(delta)
+    val wh = java.nio.file.Files.createTempDirectory("graft_textseg_").toString
+    TextOps.writeTextIndex(base, "ts_base", s"$wh/base", buckets = 4)
+    def listing(p: String): Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p)).map(f => (f.getPath, f.length, f.lastModified))
+    }
+    val baseBefore = listing(s"$wh/base")
+    TextOps.appendTextIndexSegment(spark, Seq("ts_base"), delta, "ts_s1",
+      s"$wh/s1", buckets = 4)
+    try {
+      // the append's write cost is the DELTA: base dir byte-identical
+      // (same files, same sizes, same mtimes — nothing rewritten), and
+      // the segment holds exactly the delta's doc ids
+      assert(listing(s"$wh/base") == baseBefore)
+      val segIds = spark.table("ts_s1").select(col("doc_id"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      assert(segIds == Set(4L, 5L, 6L))
+      assert(spark.table("ts_s1_meta").collect()(0).getLong(0) == 3L)
+      // probe over base+segment == transient full-corpus scores
+      val terms = Seq("rare", "common")
+      val fromFull = TextOps.bm25(full, terms, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val fromSeg = TextOps.bm25SegmentsProbe(spark,
+        Seq("ts_base", "ts_s1"), terms, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(fromSeg == fromFull && fromSeg.nonEmpty)
+      // retry: the same delta anti-joins away entirely (doc 6 via its
+      // presence row) — empty segment, zero-count meta, probe unchanged
+      TextOps.appendTextIndexSegment(spark, Seq("ts_base", "ts_s1"), delta,
+        "ts_s2", s"$wh/s2", buckets = 4)
+      assert(spark.table("ts_s2").count() == 0L)
+      assert(spark.table("ts_s2_meta").collect()(0).getLong(0) == 0L)
+      val withRetry = TextOps.bm25SegmentsProbe(spark,
+        Seq("ts_base", "ts_s1", "ts_s2"), terms, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(withRetry == fromFull)
+    } finally {
+      Seq("ts_base", "ts_s1", "ts_s2").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_meta")
+      }
+    }
+  }
 }

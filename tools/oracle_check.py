@@ -21,6 +21,48 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def kind(s: pd.Series) -> str:
+    """Canonical dtype class for the driver's hash compare.
+
+    The driver hashes typed values, so DuckDB's DECIMAL(38,0) (sum(BIGINT)
+    promotion) vs Spark's int64 is a hash MISMATCH even when every value is
+    identical (q_pagerank r10). String canon can't see it; this can. DATE vs
+    midnight-TIMESTAMP stays equivalent (driver rule), and int widths fold.
+    """
+    import datetime
+    import decimal
+    dt = s.dtype
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datelike"
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    nn = s.dropna()
+    if len(nn) == 0:
+        return "empty"
+    v = nn.iloc[0]
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, datetime.datetime):
+        return "datelike"
+    if isinstance(v, datetime.date):
+        return "datelike"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, str):
+        return "str"
+    return type(v).__name__
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # Midnight timestamps stringify as dates: one engine may type a day
@@ -73,6 +115,15 @@ def main() -> int:
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL  {name}: columns {list(g.columns)} != {list(e.columns)}")
+            n_fail += 1
+            continue
+        gk = {c: kind(got[c]) for c in got.columns}
+        ek = {c: kind(exp[c]) for c in exp.columns}
+        bad_kinds = [(c, gk[c], ek[c]) for c in sorted(got.columns)
+                     if gk[c] != ek[c] and "empty" not in (gk[c], ek[c])]
+        if bad_kinds:
+            print(f"FAIL  {name}: dtype class mismatch (driver hashes typed "
+                  f"values): {bad_kinds}")
             n_fail += 1
             continue
         if len(g) != len(e):
