@@ -59,7 +59,7 @@ object ParseBench {
     }
     val t1 = run(1)
     println(f"best: ${totalCells / t1 / 1e6}%.2f M cells/s single-core")
-    Seq(2, 4, 8).foreach { th =>
+    Seq(2, 4, 8, 16).foreach { th =>
       val t = run(th)
       println(f"best: ${totalCells / t / 1e6}%.2f M cells/s at $th workers " +
         f"(${t1 / t}%.2fx vs single)")
