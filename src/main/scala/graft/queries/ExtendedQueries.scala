@@ -393,6 +393,32 @@ object ExtendedQueries {
           quarter(col("o_orderdate")).cast("long").as("q"),
           date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"))),
 
+    // §2.14: INTERVAL / calendar arithmetic — the month-granular family
+    // q_date_funcs' day arithmetic doesn't cover: elapsed-month index
+    // (spelled as explicit year/month integer arithmetic — Spark's
+    // months_between is a FRACTIONAL double under a 31-day convention
+    // with no DuckDB twin, so the exact spelling is the portable one),
+    // add_months (both engines clamp a day-of-month overflow to the
+    // month's last day), last_day, month rollover via date_trunc +
+    // add_months, and exact microseconds-into-month. Calendar edges ride
+    // the engines' shared proleptic Gregorian calendar; everything
+    // compares as strings or int64.
+    "q_interval_funcs" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          ((year(col("o_orderdate")) - lit(1995)) * 12 +
+            (month(col("o_orderdate")) - lit(1))).cast("long")
+            .as("months_since"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd")
+            .as("plus3m"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_end"),
+          date_format(add_months(date_trunc("month", col("o_orderdate")), 1),
+            "yyyy-MM-dd").as("next_month"),
+          (unix_micros(col("o_orderdate")) -
+            unix_micros(date_trunc("month", col("o_orderdate"))))
+            .as("us_into_month"))),
+
     // §2.4 #60: approximate distinct counts (HyperLogLog++) — the sketch
     // that replaces exact countDistinct at 100 TB (mergeable, fixed-size
     // state, no huge shuffle of distinct values). This is the BENCH face:
@@ -1453,6 +1479,18 @@ object ExtendedQueries {
                 cast(day(o_orderdate) AS bigint) AS d,
                 cast(quarter(o_orderdate) AS bigint) AS q,
                 strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
+         FROM orders""",
+    "q_interval_funcs" ->
+      """SELECT o_orderkey,
+                CAST((year(o_orderdate) - 1995) * 12
+                  + (month(o_orderdate) - 1) AS BIGINT) AS months_since,
+                strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+                strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+                strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH,
+                  '%Y-%m-%d') AS next_month,
+                CAST(epoch_us(o_orderdate)
+                  - epoch_us(date_trunc('month', o_orderdate)) AS BIGINT)
+                  AS us_into_month
          FROM orders""",
     "q_bfs_reach" ->
       """WITH RECURSIVE seq AS (

@@ -993,6 +993,15 @@ object PipelineQueries {
       EventStreams.intervalJoinFullBatch(Tables.load(s, dir, "events"))),
     "st_join_full_et" -> ((s, dir) => stJoinEtFace(s, dir, "full_outer")),
 
+    // §2.14 LEFT SEMI stream-stream join — the fourth join mode: clicks
+    // that converted at least once, WITHOUT pair multiplicity (a click
+    // with 3 in-window purchases emits once where the inner join emits
+    // 3 rows). Output is click-sided; purchases contribute existence
+    // only. Oracle: EXISTS over the same interval predicate.
+    "st_join_semi" -> ((s, dir) =>
+      EventStreams.intervalJoinSemiBatch(Tables.load(s, dir, "events"))),
+    "st_join_semi_et" -> ((s, dir) => stJoinEtFace(s, dir, "left_semi")),
+
     // §2.8: stream-static enrichment — the THIRD streaming join mode
     // (stream-stream and dedup/sessionize state ops are #115/#107). Batch
     // face + a file-replay face through the SAME function in complete
@@ -1397,7 +1406,10 @@ object PipelineQueries {
     // watermark (min across both streams) proves no purchase can match —
     // sentinel events pass BOTH sides' filters, advancing each stream
     val src =
-      if (joinType == "inner")
+      // semi emits matched clicks as soon as the match arrives (inner-like
+      // emission) — only the OUTER modes need watermark sentinels to prove
+      // a negative before their null rows can emit
+      if (joinType == "inner" || joinType == "left_semi")
         fileReplaySource(s, s"$dir|events", replayEvents(s, dir))
       else
         fileReplaySource(s, s"$dir|events+sentinels",
@@ -2571,6 +2583,21 @@ object PipelineQueries {
            ON p.user_id = c.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+    "st_join_semi" ->
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts
+         FROM events c
+         WHERE c.event_type = 'click' AND EXISTS (
+           SELECT 1 FROM events p
+           WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)""",
+    // semi replay: matched clicks emit on first match — same oracle
+    "st_join_semi_et" ->
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts
+         FROM events c
+         WHERE c.event_type = 'click' AND EXISTS (
+           SELECT 1 FROM events p
+           WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)""",
     "st_join_outer" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
                 c.ts AS click_ts, p.ts AS purchase_ts, p.value

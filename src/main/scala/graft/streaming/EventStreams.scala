@@ -404,6 +404,22 @@ object EventStreams {
     clicks.join(purchases, attributionCond, "left_outer").select(joinOutput: _*)
   }
 
+  /** Batch face of the LEFT SEMI variant: clicks that converted at least
+    * once — the existence question without pair multiplicity (a click
+    * with 3 in-window purchases emits ONCE where the inner join emits 3
+    * rows). At scale this is the cheaper attribution read: output is
+    * click-sided and purchase rows contribute existence only, never
+    * fan-out. */
+  def intervalJoinSemiBatch(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === lit("click"))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === lit("purchase"))
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    clicks.join(purchases, attributionCond, "left_semi")
+      .select(col("click_id"), col("user_id"), col("click_ts"))
+  }
+
   /** Batch face of the FULL OUTER variant: every click AND every purchase,
     * matched or not — the two-sided reconciliation face (which clicks never
     * converted, and which purchases arrived with no attributable click).
@@ -432,11 +448,17 @@ object EventStreams {
     * arrive — which is why the outer face NEEDS the watermark semantics,
     * not just state cleanup. */
   def intervalJoinStream(clicks: DataFrame, purchases: DataFrame,
-      watermark: String = "1 hour", joinType: String = "inner"): DataFrame =
-    clicks.withWatermark("click_ts", watermark)
+      watermark: String = "1 hour", joinType: String = "inner"): DataFrame = {
+    val j = clicks.withWatermark("click_ts", watermark)
       .join(purchases.withWatermark("purchase_ts", watermark),
         attributionCond, joinType)
-      .select(joinOutput: _*)
+    // left_semi output is click-sided by definition (a matched click emits
+    // once, as soon as its first match arrives; state cleanup rides the
+    // same watermark bounds as the other modes)
+    if (joinType == "left_semi")
+      j.select(col("click_id"), col("user_id"), col("click_ts"))
+    else j.select(joinOutput: _*)
+  }
 
   // ------------------------------------------------------------------
   // stream-static enrichment (the third streaming join mode)

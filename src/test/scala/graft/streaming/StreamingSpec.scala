@@ -448,6 +448,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-semi stream join emits a matched click exactly ONCE even when " +
+    "multiple purchases match across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (1L, ts(0), 1L, "click", 0.0), // matches p10 AND p11 → ONE semi row
+      (2L, ts(40), 1L, "click", 0.0), // matches p12 (t50)
+      (3L, ts(10), 2L, "click", 0.0), // no purchase in window
+      (10L, ts(10), 1L, "purchase", 9.5),
+      (11L, ts(20), 1L, "purchase", 3.25),
+      (12L, ts(50), 1L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val expected = EventStreams.intervalJoinSemiBatch(events).collect()
+      .map(_.getAs[Long]("click_id")).toSet
+    assert(expected == Set(1L, 2L), s"batch semi sanity: $expected")
+
+    val memC = MemoryStream[EventStreams.Click]
+    val memP = MemoryStream[EventStreams.Purchase]
+    val q = EventStreams.intervalJoinStream(memC.toDF(), memP.toDF(),
+      joinType = "left_semi")
+      .writeStream.format("memory").queryName("st_join_semi_out")
+      .outputMode("append").start()
+    try {
+      // click 1 buffered first; its two candidate purchases arrive in
+      // SEPARATE batches — the second match must not re-emit the click
+      memC.addData(EventStreams.Click(1L, 1L, ts(0)),
+        EventStreams.Click(3L, 2L, ts(10)))
+      q.processAllAvailable()
+      memP.addData(EventStreams.Purchase(10L, 1L, ts(10), 9.5))
+      q.processAllAvailable()
+      memP.addData(EventStreams.Purchase(11L, 1L, ts(20), 3.25),
+        EventStreams.Purchase(12L, 1L, ts(50), 1.0))
+      memC.addData(EventStreams.Click(2L, 1L, ts(40)))
+      q.processAllAvailable()
+      val got = spark.table("st_join_semi_out").collect()
+        .map(_.getAs[Long]("click_id"))
+      assert(got.toSet == expected, s"semi join diverged: ${got.toSeq}")
+      assert(got.length == expected.size,
+        s"duplicate semi emissions: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("left-outer stream join emits a null-extended row for an unconverted " +
     "click once the watermark proves no match can arrive") {
     implicit val sqlCtx = spark.sqlContext
