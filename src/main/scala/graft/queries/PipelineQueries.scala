@@ -466,6 +466,52 @@ object PipelineQueries {
     "txt_bm25_segments" -> ((s, dir) =>
       TextOps.bm25SegmentsProbe(s, segTextIndexTables(s, dir), Bm25Terms, k = 10)),
 
+    // §2.14: HYBRID RETRIEVAL — reciprocal-rank fusion of the lexical and
+    // semantic retrievers over the same corpus (doc_id ≡ vec_id):
+    // rrf(d) = Σ_r 10⁹ div (60 + rank_r(d)), absent-from-list sides
+    // contribute 0. Every quantity is int64: BM25 scores are already
+    // integer-exact, and the semantic list ranks by the INT8-QUANTIZED
+    // dot product (quantizeInt8 is floor(+0.5) bit-exact cross-engine;
+    // |q|,|c| ≤ 127, dim 64 ⇒ idot ≤ 127²·64 ≈ 1.03e6 — double-exact in
+    // DuckDB's list_dot_product too) — a float-cosine rank-20 list would
+    // hang the hash compare on cross-engine ulp at the deep-rank ties.
+    // Plan shape: the query vector broadcasts on a derived key, the
+    // corpus streams map-side into a TakeOrdered top-20; the fusion join
+    // touches 20+20 rows. The two retrievers never rescan each other.
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextOps.bm25(docs(s, dir), Bm25Terms, k = 20)
+        // 20-row frame: the single-partition rank window is k-bounded
+        .withColumn("lrank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id").as("ldoc"), col("lrank"))
+      val d = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val m = d.select(col("vec_id"), col("v"),
+        array_max(transform(col("v"), x => abs(x))).as("mx"))
+      val qz = m.select(col("vec_id"),
+        graft.operators.Similarity.quantizeInt8(col("v"), col("mx")).as("ql"))
+      val qv = qz.filter(col("vec_id") === 0L).select(col("ql").as("qq"))
+        .withColumn("__zero",
+          pmod(aggregate(col("qq"), lit(0L), (a, x) => a + abs(x)), lit(1L)))
+      val sem = qz.filter(col("vec_id") =!= 0L)
+        .withColumn("__zero", pmod(col("vec_id"), lit(1L)))
+        .join(broadcast(qv), "__zero")
+        .select(col("vec_id"),
+          aggregate(zip_with(col("ql"), col("qq"), (a, b) => a * b),
+            lit(0L), (a, x) => a + x).as("idot"))
+        .orderBy(col("idot").desc, col("vec_id")).limit(20)
+        .withColumn("srank", row_number().over(
+          Window.orderBy(col("idot").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("sdoc"), col("srank"))
+      lex.join(sem, col("ldoc") === col("sdoc"), "full_outer")
+        .select(coalesce(col("ldoc"), col("sdoc")).as("doc_id"),
+          (coalesce(expr("1000000000 div (60 + lrank)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + srank)"), lit(0L))).as("rrf"),
+          col("lrank").as("lex_rank"), col("srank").as("sem_rank"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    }),
+
     // §2.13: per-doc top-3 TF-IDF keywords — keyword extraction with the
     // bm25 integer-idf posture (capped Robertson odds, scale 10⁶) so both
     // engines rank bit-identically; saturated factors keep every score
@@ -1955,6 +2001,52 @@ object PipelineQueries {
     "txt_bm25_indexed" -> Bm25OracleSql,
     "txt_bm25_index_merged" -> Bm25OracleSql,
     "txt_bm25_segments" -> Bm25OracleSql,
+    "sim_hybrid_rrf" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         stats AS (SELECT count(*) AS n, sum(len(toks)) AS t FROM d),
+         m AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM d),
+         tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM m
+                WHERE tok IN ('spark','hash','window','stream')
+                GROUP BY 1, 2, 3),
+         df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         sc AS (SELECT f.doc_id,
+                  (CAST(least(((2*(s.n - df.df) + 1) * 1000000) // (2*df.df + 1),
+                              1048576000000) AS HUGEINT)
+                    * 22 * least(f.tf, 255) * (s.t // s.n) * 1000)
+                  // (10*(s.t // s.n)*least(f.tf, 255) + 3*(s.t // s.n) + 9*f.dl)
+                  AS sterm
+                FROM tf f JOIN df USING (tok) CROSS JOIN stats s),
+         lex AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                     AS BIGINT) AS lrank
+                 FROM (SELECT doc_id, CAST(sum(sterm) AS BIGINT) AS score
+                       FROM sc GROUP BY 1
+                       ORDER BY score DESC, doc_id LIMIT 20)),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         mq AS (SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+         qz AS (SELECT vec_id,
+                  list_transform(v, x -> CASE WHEN mx > 0
+                    THEN CAST(floor(x*127.0/mx + 0.5) AS BIGINT)
+                    ELSE 0 END) AS ql
+                FROM mq),
+         sem AS (SELECT vec_id AS doc_id,
+                   CAST(row_number() OVER (ORDER BY idot DESC, vec_id)
+                     AS BIGINT) AS srank
+                 FROM (SELECT c.vec_id,
+                         CAST(list_dot_product(c.ql, q.ql) AS BIGINT) AS idot
+                       FROM qz c, (SELECT ql FROM qz WHERE vec_id = 0) q
+                       WHERE c.vec_id <> 0
+                       ORDER BY idot DESC, c.vec_id LIMIT 20)),
+         fused AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                     coalesce(1000000000 // (60 + l.lrank), 0)
+                       + coalesce(1000000000 // (60 + s.srank), 0) AS rrf,
+                     l.lrank AS lex_rank, s.srank AS sem_rank
+                   FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id)
+         SELECT doc_id, CAST(rrf AS BIGINT) AS rrf, lex_rank, sem_rank
+         FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""",
     "txt_repetition" ->
       """SELECT doc_id,
                 1.0 - len(list_distinct(string_split_regex(text, ' +'))) /
