@@ -938,6 +938,50 @@ object ExtendedQueries {
         .groupBy(col("month"))
         .agg(sum(col("n")).cast("long").as("n_orders"),
           sum(col("price_sum")).cast("double").as("total_price"))
+    }),
+
+    // §2.14: RETRACTION-AWARE incremental view maintenance — q_incr_agg
+    // handles append-only deltas; real CDC feeds carry UPDATES and
+    // DELETES too. The change stream (same v1→v2 transformation as
+    // q_table_diff: %97 deleted, %31 repriced, %53 re-inserted under new
+    // keys) compiles to SIGNED partials — an update retracts the old row
+    // (−1, −price) and inserts the new, a delete retracts — and the
+    // persisted full-history rollup merges them exactly like the
+    // append-only face: sum/count are abelian-group aggregates, so
+    // retraction is just a negative partial. The oracle recomputes the
+    // v2 rollup from scratch, proving state ⊕ signed-delta ≡ recompute.
+    // Decimal partials keep every merge exact under any shuffle order; a
+    // group whose count nets to zero leaves the view (the retraction
+    // semantics a MAX/MIN aggregate could NOT support without a rescan —
+    // that's the documented boundary of the signed-partial technique).
+    "q_incr_agg_cdc" -> ((s, dir) => {
+      val state = s.read.parquet(fullRollup(s, dir))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      val month = date_trunc("month", col("o_orderdate")).cast("date")
+      val k = col("o_orderkey")
+      val del = o.filter(k % 97 === 0)
+        .select(month.as("month"), lit(-1L).as("sgn"),
+          col("o_totalprice").as("p"))
+      val updOld = o.filter(k % 31 === 0 && k % 97 =!= 0)
+        .select(month.as("month"), lit(-1L).as("sgn"),
+          col("o_totalprice").as("p"))
+      val updNew = o.filter(k % 31 === 0 && k % 97 =!= 0)
+        .select(month.as("month"), lit(1L).as("sgn"),
+          (col("o_totalprice") + 1.0).as("p"))
+      val ins = o.filter(k % 53 === 0)
+        .select(month.as("month"), lit(1L).as("sgn"),
+          col("o_totalprice").as("p"))
+      val partials = del.unionByName(updOld).unionByName(updNew)
+        .unionByName(ins)
+        .groupBy(col("month"))
+        .agg(sum(dec2(col("p")) * col("sgn")).as("price_sum"),
+          sum(col("sgn")).as("n"))
+      state.unionByName(partials)
+        .groupBy(col("month"))
+        .agg(sum(col("n")).cast("long").as("n_orders"),
+          sum(col("price_sum")).cast("double").as("total_price"))
+        .filter(col("n_orders") > 0)
     })
   )
 
@@ -952,6 +996,22 @@ object ExtendedQueries {
         .resolve("state").toString
       Tables.load(s, d, "orders")
         .filter(col("o_orderdate") < "1997-07-01 00:00:00")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(sum(dec2(col("o_totalprice"))).as("price_sum"),
+          count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+
+  /** Memoized FULL-history month rollup (the retraction face's persisted
+    * state — every order, no date split). Written once per sf dir. */
+  private val fullRollupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fullRollup(s: SparkSession, dir: String): String =
+    memo(fullRollupCache, dir) { d =>
+      val out = java.nio.file.Files.createTempDirectory("graft_rollup_full_")
+        .resolve("state").toString
+      Tables.load(s, d, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
         .agg(sum(dec2(col("o_totalprice"))).as("price_sum"),
           count(lit(1)).as("n"))
@@ -1630,6 +1690,23 @@ object ExtendedQueries {
                 CAST(count(*) AS BIGINT) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                   AS total_price
-         FROM orders GROUP BY 1"""
+         FROM orders GROUP BY 1""",
+    "q_incr_agg_cdc" ->
+      """WITH v1 AS (
+           SELECT o_orderkey, o_totalprice, o_orderdate FROM orders),
+         v2 AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS o_totalprice,
+                  o_orderdate
+           FROM v1 WHERE o_orderkey % 97 <> 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_totalprice, o_orderdate
+           FROM v1 WHERE o_orderkey % 53 = 0)
+         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_price
+         FROM v2 GROUP BY 1"""
   )
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Pins the plan shapes the r11 replans bought, so a regression diffs as
+  * a red spec instead of a slow bench line:
+  *
+  *  - q_multiset_ops: ONE lineitem-sized key shuffle (multiplicity
+  *    arithmetic) instead of exceptAll + intersectAll + countDistinct —
+  *    at most 2 shuffle exchanges total (the second moves per-key counts).
+  *  - dd_keep_best: the cluster map comes from the PERSISTED bucketed
+  *    table, not a per-invocation shingle-join + connected-components
+  *    rebuild — the plan must scan the cluster-map table and must NOT
+  *    re-derive near-dup pairs (no shingle explode anywhere).
+  */
+class QueryPlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // let AQE settle; inspect the final adaptive plan
+    // the adaptive dump repeats every operator under "== Initial Plan ==" —
+    // counting across both sections double-counts exchanges
+    df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+  }
+
+  private def shuffles(plan: String): Int =
+    plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+
+  test("q_multiset_ops plans as multiplicity arithmetic: <= 2 shuffles, " +
+      "no exceptAll/intersectAll full-row exchanges, no Expand") {
+    val plan = finalPlan(SparkEntry.queries("q_multiset_ops")(spark, dir))
+    assert(shuffles(plan) <= 2, s"expected <=2 shuffle exchanges in:\n$plan")
+    assert(!plan.contains("Expand"), s"countDistinct Expand crept back:\n$plan")
+  }
+
+  test("dd_keep_best reads the persisted cluster map — no shingle-join " +
+      "rebuild in the plan") {
+    val plan = finalPlan(SparkEntry.queries("dd_keep_best")(spark, dir))
+    // the policy joins the bucketed cluster-map table...
+    assert(plan.contains("graft_cluster_map_"),
+      s"expected a cluster-map table scan in:\n$plan")
+    // ...and never re-derives pairs: the ngramJaccard build explodes
+    // shingle arrays, which plans as Generate — absent from a pure join
+    assert(!plan.contains("Generate"),
+      s"per-invocation pair rebuild crept back:\n$plan")
+  }
+}
