@@ -917,6 +917,53 @@ object PipelineQueries {
         .budgetTrim(docs(s, dir), col("source"), budgetTokens = 600L)
         .select(col("doc_id"), col("source"))),
 
+    // §2.14: the FULL training-corpus preparation chain in one face —
+    // near-dup keep-best survivors (persisted cluster map; longest doc,
+    // ties to smallest id) → eval split held out → exact n-gram
+    // decontamination of the survivors against the eval set → an
+    // INTEGER-EXACT quality gate (n_tokens ≥ 5, punct·10 < chars —
+    // cross-multiplied counts, no float ratio at the boundary) → per-source
+    // token budget fill → per-source rollup. Each stage is an operator the
+    // suite certifies individually; this face certifies the COMPOSITION
+    // end-to-end against one DuckDB replay, the "could a reference user
+    // run their whole pipeline" answer in a single query. Scale shape: the
+    // corpus flows through semi/anti joins keyed on doc_id (no text
+    // movement until the final source-window), the eval side broadcasts,
+    // and the cluster map is the persisted index.
+    "pipeline_train_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = s.table(clusterMapTable(s, dir))
+      val withC = d.select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val per = withC.groupBy(col("cluster_id")).agg(max(col("nc")).as("kc"))
+      val keepIds = withC.join(per, "cluster_id")
+        .filter(col("nc") === col("kc"))
+        .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val survivors = d.join(keepIds, Seq("doc_id"), "left_semi")
+      val corpus = survivors.filter(col("doc_id") % 10 =!= 0)
+      val bench = d.filter(col("doc_id") % 10 === 0)
+      val leaked = Dedup.decontaminate(corpus, bench)
+        .select(col("doc_id")).distinct()
+      val clean = corpus.join(leaked, Seq("doc_id"), "left_anti")
+      val gated = clean
+        .withColumn("__nt", TextOps.wsTokenCount(col("text")))
+        .withColumn("__np",
+          size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+            .cast("long"))
+        .filter(col("__nt") >= 5L && col("__np") * 10L < length(col("text")))
+      graft.operators.Packing
+        .budgetTrim(gated, col("source"), budgetTokens = 600L,
+          tokenCount = col("__nt"))
+        .groupBy(col("source"))
+        // budgetTrim drops its internal token column; the rollup recounts
+        // (map-side, same regexp) rather than widening the trim contract
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.wsTokenCount(col("text"))).cast("long").as("n_tokens"),
+          sum(length(col("text")).cast("long")).cast("long").as("n_chars"))
+    }),
+
     // §2.5: int8 scalar quantization of the embedding corpus (4x storage
     // for ANN sharding); compact per-vector checksums keep the compare
     // schema scalar while still pinning every quantized component
@@ -1938,6 +1985,79 @@ object PipelineQueries {
                                      ORDER BY n_chars DESC, doc_id) AS rank
            FROM documents)
          WHERE rank <= 10""",
+    "pipeline_train_corpus" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+         sh0 AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
+           FROM toks),
+         sh AS (
+           SELECT doc_id, shingle FROM (
+             SELECT doc_id, shingle,
+                    count(*) OVER (PARTITION BY shingle) AS df
+             FROM sh0)
+           WHERE df <= 1000),
+         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (
+           SELECT da, db
+           FROM inter
+           JOIN szs sa ON da = sa.doc_id
+           JOIN szs sb ON db = sb.doc_id
+           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6),
+         edges AS (
+           SELECT da AS a, db AS b FROM pairs
+           UNION ALL SELECT db, da FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         cc AS (
+           SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           FROM reach GROUP BY a),
+         withc AS (
+           SELECT coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+                  d.doc_id, CAST(d.n_chars AS BIGINT) AS nc
+           FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+         per AS (SELECT cluster_id, max(nc) AS kc FROM withc GROUP BY 1),
+         keep AS (
+           SELECT min(w.doc_id) AS doc_id
+           FROM withc w JOIN per p USING (cluster_id)
+           WHERE w.nc = p.kc GROUP BY w.cluster_id),
+         corpus AS (
+           SELECT d.* FROM documents d JOIN keep USING (doc_id)
+           WHERE d.doc_id % 10 <> 0),
+         leak AS (
+           SELECT DISTINCT doc_id FROM (
+             SELECT c.doc_id, b.bench_id
+             FROM (SELECT s.doc_id, s.shingle FROM sh0 s
+                   JOIN corpus USING (doc_id)) c
+             JOIN (SELECT doc_id AS bench_id, shingle FROM sh0
+                   WHERE doc_id % 10 = 0) b USING (shingle)
+             GROUP BY 1, 2 HAVING count(*) >= 3)),
+         gated AS (
+           SELECT *, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt
+           FROM corpus
+           WHERE doc_id NOT IN (SELECT doc_id FROM leak)
+             AND len(regexp_extract_all(text, '\S+')) >= 5
+             AND len(regexp_extract_all(text, '[.,;:!?]')) * 10 < length(text)),
+         trimmed AS (
+           SELECT * FROM (
+             SELECT *, sum(nt) OVER (PARTITION BY source
+               ORDER BY md5(text), doc_id) AS cum
+             FROM gated)
+           WHERE cum - nt < 600)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS n_tokens,
+                CAST(sum(length(text)) AS BIGINT) AS n_chars
+         FROM trimmed GROUP BY 1""",
     "pipeline_budget" ->
       """SELECT doc_id, source FROM (
            SELECT doc_id, source,

@@ -740,18 +740,26 @@ object Relational {
     // per row, so the LIMIT cut is deterministic.
     "q02_min_cost" -> ((s, dir) => {
       import s.implicits._
-      val cost = Tables.load(s, dir, "lineitem")
-        .groupBy($"l_partkey", $"l_suppkey")
-        .agg(min(dec2($"l_extendedprice")).as("cost"))
+      // dimension filters apply BEFORE the per-(part, supplier) cost
+      // aggregate — min over the filtered subset equals filtering the
+      // per-key mins (the keys are the join keys), and the fact aggregate
+      // then runs over ~1/10th the rows. At 100 TB this ordering is the
+      // difference between aggregating the corpus and aggregating the
+      // selection.
       val supp = Tables.load(s, dir, "supplier")
         .join(broadcast(Tables.load(s, dir, "nation")),
           $"s_nationkey" === $"n_nationkey")
         .join(broadcast(Tables.load(s, dir, "region")
           .filter($"r_name" === "ASIA")), $"n_regionkey" === $"r_regionkey")
-      val offers = cost
-        .join(Tables.load(s, dir, "part")
-          .filter($"p_size" <= 15 && $"p_type" === "STANDARD"),
-          $"l_partkey" === $"p_partkey")
+      val pf = Tables.load(s, dir, "part")
+        .filter($"p_size" <= 15 && $"p_type" === "STANDARD")
+      val offers = Tables.load(s, dir, "lineitem")
+        .join(pf.select($"p_partkey"), $"l_partkey" === $"p_partkey", "left_semi")
+        .join(supp.select($"s_suppkey".as("__sk")), $"l_suppkey" === $"__sk",
+          "left_semi")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min(dec2($"l_extendedprice")).as("cost"))
+        .join(pf, $"l_partkey" === $"p_partkey")
         .join(supp, $"l_suppkey" === $"s_suppkey")
       val minCost = offers.groupBy($"p_partkey".as("mk"))
         .agg(min($"cost").as("mc"))
@@ -990,6 +998,31 @@ object Relational {
         .agg(count(lit(1)).as("n_hits"),
           sum($"w").cast("long").as("w_sum"),
           min($"pos").cast("long").as("min_pos"))
+    }),
+
+    // §2.14: positional (zip) join — DuckDB's POSITIONAL JOIN aligns two
+    // relations row-by-row; the Spark translation that stays DETERMINISTIC
+    // under partitioning is rank-by-explicit-order on each side joined on
+    // the rank (monotonically_increasing_id is partition-dependent and
+    // silently misaligns — the trap this face documents). Here: the top-N
+    // and bottom-N order prices zipped per rank into a spread ladder; both
+    // orderings totalize through the key tiebreak, and the rank windows
+    // run over N-row limits, not the table.
+    "q_positional_join" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.load(s, dir, "orders")
+      val hi = o.orderBy($"o_totalprice".desc, $"o_orderkey").limit(100)
+        .withColumn("rn", row_number().over(
+          Window.orderBy($"o_totalprice".desc, $"o_orderkey")).cast("long"))
+        .select($"rn", $"o_orderkey".as("hi_key"), $"o_totalprice".as("hi"))
+      val lo = o.orderBy($"o_totalprice".asc, $"o_orderkey").limit(100)
+        .withColumn("rn", row_number().over(
+          Window.orderBy($"o_totalprice".asc, $"o_orderkey")).cast("long"))
+        .select($"rn", $"o_orderkey".as("lo_key"), $"o_totalprice".as("lo"))
+      hi.join(lo, "rn")
+        .select($"rn", $"hi_key", $"lo_key",
+          (dec2($"hi") - dec2($"lo")).cast("double").as("spread"))
     }),
 
     // §2.14: grouped limit — the per-group top-k pattern a DuckDB migrant
@@ -1555,6 +1588,21 @@ object Relational {
                 CAST(row_number() OVER (PARTITION BY c_mktsegment
                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
          FROM orders JOIN customer ON o_custkey = c_custkey
-         QUALIFY rn <= 3"""
+         QUALIFY rn <= 3""",
+    "q_positional_join" ->
+      """WITH hi AS (
+           SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC,
+                    o_orderkey) AS BIGINT) AS rn,
+                  o_orderkey AS hi_key, o_totalprice AS hi
+           FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100),
+         lo AS (
+           SELECT CAST(row_number() OVER (ORDER BY o_totalprice ASC,
+                    o_orderkey) AS BIGINT) AS rn,
+                  o_orderkey AS lo_key, o_totalprice AS lo
+           FROM orders ORDER BY o_totalprice ASC, o_orderkey LIMIT 100)
+         SELECT rn, hi_key, lo_key,
+                CAST(CAST(hi AS DECIMAL(18,2)) - CAST(lo AS DECIMAL(18,2))
+                  AS DOUBLE) AS spread
+         FROM hi JOIN lo USING (rn)"""
   )
 }
