@@ -447,6 +447,24 @@ object Dedup {
     * verify), never lose a pair. */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
       nBlocks: Int = 4): DataFrame = {
+    val keyed = simhashKeys(docs, maxHamming, nBlocks)
+    keyed.select(col("doc_id").as("da"), col("sh").as("sha"), col("tbl"), col("key"))
+      .join(keyed.select(col("doc_id").as("db"), col("sh").as("shb"), col("tbl"), col("key")),
+        Seq("tbl", "key"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Per-doc pigeonhole rows (doc_id, sh, tbl, key): the signature's 64
+    * bits split into near-equal blocks, every (nBlocks − maxHamming)-block
+    * combination hashed to a table key. Shared by the batch pair join and
+    * the persisted index, so the key derivation can never desynchronize
+    * between them. */
+  private def simhashKeys(docs: DataFrame, maxHamming: Int,
+      nBlocks: Int): DataFrame = {
     require(nBlocks > maxHamming && nBlocks <= 16,
       s"need maxHamming < nBlocks <= 16 for the pigeonhole guarantee, " +
         s"got maxHamming=$maxHamming nBlocks=$nBlocks")
@@ -461,20 +479,59 @@ object Dedup {
     }
     val withBlocks = sh.select(col("doc_id") +: col("sh") +: blockCols: _*)
     val combos = (0 until nBlocks).combinations(m).toSeq
-    val keyed = withBlocks.select(col("doc_id"), col("sh"),
+    withBlocks.select(col("doc_id"), col("sh"),
       explode(array(combos.zipWithIndex.map { case (combo, ci) =>
         struct(lit(ci).as("tbl"),
           xxhash64(combo.map(j => col(s"__b$j")): _*).as("key"))
       }: _*)).as("tk"))
-      .select(col("doc_id"), col("sh"), col("tk.tbl").as("tbl"), col("tk.key").as("key"))
-    keyed.select(col("doc_id").as("da"), col("sh").as("sha"), col("tbl"), col("key"))
-      .join(keyed.select(col("doc_id").as("db"), col("sh").as("shb"), col("tbl"), col("key")),
+      .select(col("doc_id"), col("sh"), col("tk.tbl").as("tbl"),
+        col("tk.key").as("key"))
+  }
+
+  /** Persist the SimHash pigeonhole index — the fourth member of the
+    * persisted near-dup family (exact digests, MinHash bands, text
+    * postings, now simhash combination keys): one row per (doc_id, tbl,
+    * key) with the full 64-bit signature riding along, bucketed by
+    * (tbl, key) so delta probes join pre-partitioned. Row count is
+    * C(nBlocks, nBlocks − maxHamming) per doc (56 at the 8/5 defaults);
+    * rows are 4 longs. */
+  def writeSimhashIndex(corpus: DataFrame, table: String, path: String,
+      maxHamming: Int = 5, nBlocks: Int = 8, buckets: Int = 8): Unit =
+    simhashKeys(corpus, maxHamming, nBlocks)
+      .write.bucketBy(buckets, "tbl", "key").sortBy("tbl", "key")
+      .option("path", path).mode("overwrite").saveAsTable(table)
+
+  /** Incremental near-dup admission against the persisted simhash index —
+    * [[minhashIncremental]]'s posture with one important difference: the
+    * verification is EXACT, not an estimator. The full signature rides in
+    * every index row, so a pigeonhole collision checks
+    * bit_count(sh XOR index_sh) <= maxHamming — by the pigeonhole
+    * guarantee every true <= maxHamming pair collides in some table, so
+    * rejection recall vs the simhash criterion is 1.0 by construction
+    * (what remains probabilistic is simhash's own fidelity to text
+    * similarity, certified by the check face). Intra-delta near-dups
+    * resolve min-id-wins, the family's survivor convention. Returns
+    * admitted keyed rows, append-ready in the index's own bucketing. */
+  def simhashIncremental(spark: org.apache.spark.sql.SparkSession,
+      table: String, delta: DataFrame, maxHamming: Int = 5,
+      nBlocks: Int = 8): DataFrame = {
+    val dk = simhashKeys(delta, maxHamming, nBlocks)
+    val idx = spark.table(table)
+    val flagged = dk
+      .join(idx.select(col("tbl"), col("key"), col("sh").as("ish")),
         Seq("tbl", "key"))
-      .filter(col("da") < col("db"))
-      .select(col("da"), col("db"),
-        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .filter(bit_count(col("sh").bitwiseXOR(col("ish"))) <= maxHamming)
+      .select(col("doc_id")).distinct()
+    val survivors = dk.join(flagged, Seq("doc_id"), "left_anti")
+    val intraRejected = survivors
+      .select(col("doc_id").as("da"), col("tbl"), col("key"),
+        col("sh").as("sha"))
+      .join(survivors.select(col("doc_id").as("db"), col("tbl"), col("key"),
+        col("sh").as("shb")), Seq("tbl", "key"))
+      .filter(col("da") > col("db") &&
+        bit_count(col("sha").bitwiseXOR(col("shb"))) <= maxHamming)
+      .select(col("da").as("doc_id")).distinct()
+    survivors.join(intraRejected, Seq("doc_id"), "left_anti")
   }
 
   // ------------------------------------------------------------------

@@ -191,6 +191,21 @@ object PipelineQueries {
       tbl
     }
 
+  /** Memoized persisted SIMHASH pigeonhole index over the standing corpus
+    * (same split as the band index) — the fourth member of the persisted
+    * near-dup family. Built once per sf dir. */
+  private val simhashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def simhashIndexTable(s: SparkSession, dir: String): String =
+    memo(simhashIndexCache, dir) { d =>
+      val tbl = "graft_simhash_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_simhash_idx_").resolve("t").toString
+      Dedup.writeSimhashIndex(
+        docs(s, d).filter(col("source") =!= lit("src19")), tbl, path)
+      tbl
+    }
+
   /** The incremental near-dup faces' daily delta: the fresh source, an
     * EXACT recrawl of src0 under new ids, and a PARAPHRASED recrawl of
     * src1 (three appended words — high but non-1.0 Jaccard, the case the
@@ -1132,6 +1147,38 @@ object PipelineQueries {
     "dd_minhash_incremental" -> ((s, dir) =>
       Dedup.minhashIncremental(s, bandIndexTable(s, dir), minhashDelta(s, dir))
         .select(col("doc_id")).distinct()),
+
+    // §2.14: incremental near-dup against the persisted SIMHASH index —
+    // the pigeonhole family's delta path (minhashIncremental's posture
+    // with EXACT hamming verification: the full signature rides in every
+    // index row, so rejection recall vs the simhash criterion is 1.0 by
+    // construction; what remains probabilistic is simhash's fidelity to
+    // text similarity, which the check twin certifies). Rows-only
+    // (xxhash signatures have no DuckDB twin).
+    "dd_simhash_incremental" -> ((s, dir) =>
+      Dedup.simhashIncremental(s, simhashIndexTable(s, dir),
+        minhashDelta(s, dir))
+        .select(col("doc_id")).distinct()),
+
+    // CHECK: delta docs with an exact word-3-gram Jaccard >= 0.9 partner
+    // in the standing corpus should be REJECTED by the simhash probe
+    // (hamming <= 5 at 8 blocks). n_true_docs recomputed independently by
+    // DuckDB; the recall boolean is engine-own.
+    "dd_simhash_incremental_check" -> ((s, dir) => {
+      val corpus = docs(s, dir).filter(col("source") =!= lit("src19"))
+      val delta = minhashDelta(s, dir)
+      val truth = Dedup.crossPairJaccard(corpus, delta)
+        .filter(col("j") >= 0.9)
+        .select(col("bench_id").as("doc_id")).distinct()
+      val admitted = Dedup
+        .simhashIncremental(s, simhashIndexTable(s, dir), delta)
+        .select(col("doc_id")).distinct()
+      val rejected = delta.select(col("doc_id"))
+        .join(admitted, Seq("doc_id"), "left_anti")
+      val hits = truth.join(rejected, Seq("doc_id"), "left_semi")
+      pairRecallRow(truth, hits)
+        .withColumnRenamed("n_true_pairs", "n_true_docs")
+    }),
 
     // CHECK: every delta doc with an exact word-3-gram Jaccard >= 0.8
     // partner in the standing corpus should be REJECTED by the index
@@ -2457,6 +2504,39 @@ object PipelineQueries {
            WHERE source <> 'src19')
          SELECT DISTINCT md5(text) AS h FROM delta
          WHERE md5(text) NOT IN (SELECT h FROM corp)""",
+    "dd_simhash_incremental_check" ->
+      """WITH delta AS (
+           SELECT doc_id, text FROM documents WHERE source = 'src19'
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE source = 'src0'
+           UNION ALL
+           SELECT doc_id + 20000, text || ' updated appendix note'
+           FROM documents WHERE source = 'src1'),
+         bothsides AS (
+           SELECT doc_id, text, 0 AS side FROM documents WHERE source <> 'src19'
+           UNION ALL SELECT doc_id, text, 1 FROM delta),
+         toks AS (
+           SELECT doc_id, side, string_split_regex(lower(text), ' +') AS t
+           FROM bothsides),
+         sh AS (
+           SELECT doc_id, side, unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
+           FROM toks),
+         szs AS (SELECT doc_id, side, count(*) AS sz FROM sh GROUP BY 1, 2),
+         inter AS (
+           SELECT a.doc_id AS ca, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.side = 0 AND b.side = 1 GROUP BY 1, 2),
+         truth AS (
+           SELECT DISTINCT db FROM inter
+           JOIN szs sa ON ca = sa.doc_id AND sa.side = 0
+           JOIN szs sb ON db = sb.doc_id AND sb.side = 1
+           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.9)
+         SELECT count(*)::BIGINT AS n_true_docs, (1.0 >= 0.8) AS recall_ok
+         FROM truth""",
     "dd_minhash_incremental_check" ->
       """WITH delta AS (
            SELECT doc_id, text FROM documents WHERE source = 'src19'

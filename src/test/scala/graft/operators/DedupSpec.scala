@@ -305,6 +305,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("persisted simhash index: increment rejects recrawls by EXACT " +
+      "hamming, intra-delta min-id-wins, idempotent append-back") {
+    val standing = docsDF(Seq(
+      1L -> base,
+      2L -> "completely different content about spark shuffles and partitions and codegen",
+      3L -> "yet another unrelated document mentioning catalyst optimizer rules and pushdown"))
+    val delta = docsDF(Seq(
+      11L -> base,                              // exact recrawl → hamming 0 → rejected
+      // APPENDED token (not a swap): on a short doc a swapped token flips
+      // many signature bits, an appended one barely moves the majority
+      // votes — this is the near-identical-multiset case simhash catches
+      12L -> (base + " indeed"),
+      13L -> "fresh story about bucketed joins and sort merge exchanges in the planner",
+      14L -> "orthogonal text on watermark semantics and stateful stream sessionization",
+      // INTRA-delta near-dup of 13: only the smaller id may be admitted
+      15L -> "fresh story about bucketed joins and sort merge exchanges in the planner today"))
+    val wh = java.nio.file.Files.createTempDirectory("graft_shidx_").toString
+    Dedup.writeSimhashIndex(standing, "sh_idx", s"$wh/sh_idx", buckets = 4)
+    try {
+      val admitted = Dedup.simhashIncremental(spark, "sh_idx", delta)
+      val got = admitted.select("doc_id").distinct().collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(13L, 14L), s"admitted $got")
+      // append-back loop: a re-arriving admitted doc collides with its own
+      // entry at hamming 0 → the retried delta admits nothing
+      admitted.select(col("doc_id"), col("sh"), col("tbl"), col("key"))
+        .write.bucketBy(4, "tbl", "key").sortBy("tbl", "key")
+        .option("path", s"$wh/sh_idx").mode("append").saveAsTable("sh_idx")
+      assert(Dedup.simhashIncremental(spark, "sh_idx", delta).isEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sh_idx")
+    }
+  }
+
   test("LSH-pair clustering recovers >= 0.8 of exact-closure co-cluster pairs at test SF") {
     val d = graft.Tables.load(spark, sf, "documents")
     def coPairs(cc: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
