@@ -925,6 +925,35 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).cast("long").as("kept_chars"))),
 
+    // §2.14: TEMPERATURE-weighted mixture — the multilingual sampling
+    // trick (rate_s ∝ n_s^α, here α = 1/2): big sources downweight, small
+    // sources upweight, keeping a corpus from being swamped by its largest
+    // crawl. The per-source rate derives from the corpus itself (one
+    // aggregate), renders to the 4-hex-digit threshold mixtureSample
+    // already consumes, and every arithmetic step is cross-engine exact:
+    // sqrt is correctly-rounded IEEE, the normalize is ONE double
+    // division, ×65536 is a power of two, floor is exact. The 1-row total
+    // broadcasts on a derived pmod key; the sample itself stays a map-only
+    // filter.
+    "pipeline_mixture_temp" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(sqrt(col("n").cast("double"))).as("z"))
+        .withColumn("__k", expr("pmod(cast(z as bigint), 1)"))
+      val rates = counts
+        .withColumn("__k", expr("pmod(n, 1)"))
+        .join(broadcast(tot), "__k")
+        .select(col("source").as("rsource"),
+          lpad(lower(hex(floor(sqrt(col("n").cast("double")) / col("z") *
+            lit(65536.0)).cast("long"))), 4, "0").as("th"))
+      graft.operators.Packing
+        .mixtureSample(d.join(broadcast(rates),
+          col("source") === col("rsource")), col("th"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("kept_chars"))
+    }),
+
     // §2.5: per-source token budget trimming — right-size uneven sources
     // when assembling a mixture (hash-ordered fill to 600 tokens/source)
     "pipeline_budget" -> ((s, dir) =>
@@ -2150,6 +2179,20 @@ object PipelineQueries {
                 cast(sum(n_chars) AS bigint) AS kept_chars
          FROM documents
          WHERE substr(md5(text), 1, 4) < substr(md5(source), 1, 4)
+         GROUP BY 1""",
+    "pipeline_mixture_temp" ->
+      """WITH c AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1),
+         z AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS z FROM c),
+         r AS (SELECT source,
+                 lower(lpad(to_hex(CAST(floor(sqrt(CAST(n AS DOUBLE)) / z
+                   * 65536.0) AS BIGINT)), 4, '0')) AS th
+               FROM c CROSS JOIN z)
+         SELECT d.source, count(*) AS n_kept,
+                CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         FROM documents d JOIN r ON d.source = r.source
+         WHERE substr(md5(text), 1, 4) < th
          GROUP BY 1""",
     "q_cms_check" ->
       """WITH toks AS (
