@@ -132,6 +132,40 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥
+    * threshold — the quote/inclusion detector Jaccard near-dup MISSES by
+    * construction (a short doc fully embedded in a long one has tiny
+    * union-normalized similarity but containment 1.0; symmetric dedup
+    * keeps both copies of the quoted text). Same shingle-join skeleton as
+    * [[ngramJaccard]] — one equi-join on shingle, per-pair counts, sizes
+    * joined back — so the scale posture (DF cap against hot-shingle skew,
+    * never O(n²)) is inherited; only the denominator changes. Emits both
+    * metrics so callers can split "contained" from "mutually similar". */
+  def ngramContainment(docs: DataFrame, threshold: Double = 0.9,
+      maxShingleDf: Long = 1000L): DataFrame = {
+    val all = explodedShingles(docs)
+    val sh =
+      if (maxShingleDf <= 0) all
+      else all
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+        .filter(col("__df") <= maxShingleDf)
+        .drop("__df")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc_id").as("da"), col("shingle"))
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), "db")
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") /
+          least(col("sza"), col("szb")).cast("double")).as("c"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double")).as("j"))
+      .filter(col("c") >= threshold)
+  }
+
   /** Connected components over a near-dup pair graph: every document gets
     * the MINIMUM doc_id reachable through pairs as its cluster id — the
     * step that turns pairwise near-dup output into dedup groups (keep one
@@ -446,8 +480,16 @@ object Dedup {
     * collisions can only ADD candidates (removed by the exact-hamming
     * verify), never lose a pair. */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
-      nBlocks: Int = 4): DataFrame = {
-    val keyed = simhashKeys(docs, maxHamming, nBlocks)
+      nBlocks: Int = 4): DataFrame =
+    pigeonholePairs(simhashDocs(docs), maxHamming, nBlocks)
+
+  /** Verified near-dup pairs from an arbitrary 64-bit signature frame
+    * (doc_id, sh) — the Manku multi-table block join with exact
+    * bit_count(xor) verification, shared by text SimHash and perceptual
+    * image hashes (any 64-bit locality signature rides the same plan). */
+  def pigeonholePairs(sigs: DataFrame, maxHamming: Int,
+      nBlocks: Int): DataFrame = {
+    val keyed = pigeonholeKeys(sigs, maxHamming, nBlocks)
     keyed.select(col("doc_id").as("da"), col("sh").as("sha"), col("tbl"), col("key"))
       .join(keyed.select(col("doc_id").as("db"), col("sh").as("shb"), col("tbl"), col("key")),
         Seq("tbl", "key"))
@@ -458,12 +500,17 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Per-doc pigeonhole rows (doc_id, sh, tbl, key): the signature's 64
-    * bits split into near-equal blocks, every (nBlocks − maxHamming)-block
-    * combination hashed to a table key. Shared by the batch pair join and
-    * the persisted index, so the key derivation can never desynchronize
-    * between them. */
+  /** Per-doc pigeonhole rows (doc_id, sh, tbl, key) from the text SimHash
+    * signature. Shared by the batch pair join and the persisted index, so
+    * the key derivation can never desynchronize between them. */
   private def simhashKeys(docs: DataFrame, maxHamming: Int,
+      nBlocks: Int): DataFrame =
+    pigeonholeKeys(simhashDocs(docs), maxHamming, nBlocks)
+
+  /** Pigeonhole rows from an arbitrary (doc_id, sh) 64-bit signature
+    * frame: the signature's 64 bits split into near-equal blocks, every
+    * (nBlocks − maxHamming)-block combination hashed to a table key. */
+  def pigeonholeKeys(sh: DataFrame, maxHamming: Int,
       nBlocks: Int): DataFrame = {
     require(nBlocks > maxHamming && nBlocks <= 16,
       s"need maxHamming < nBlocks <= 16 for the pigeonhole guarantee, " +
@@ -472,7 +519,6 @@ object Dedup {
     // near-equal block widths covering all 64 bits
     val widths = Array.tabulate(nBlocks)(j => 64 / nBlocks + (if (j < 64 % nBlocks) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
-    val sh = simhashDocs(docs)
     val blockCols = (0 until nBlocks).map { j =>
       call_function("shiftright", col("sh"), lit(starts(j)))
         .bitwiseAND((1L << widths(j)) - 1L).as(s"__b$j")
@@ -515,6 +561,9 @@ object Dedup {
   def simhashIncremental(spark: org.apache.spark.sql.SparkSession,
       table: String, delta: DataFrame, maxHamming: Int = 5,
       nBlocks: Int = 8): DataFrame = {
+    // dk repeats across branches; exchange reuse computes the keyed
+    // subtree once (same argument as minhashIncremental — don't
+    // localCheckpoint, it erases partitioning and adds exchanges).
     val dk = simhashKeys(delta, maxHamming, nBlocks)
     val idx = spark.table(table)
     val flagged = dk
@@ -717,6 +766,11 @@ object Dedup {
         b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, x) => acc + x)
+    // dk feeds the index join, the survivor anti-join and both sides of
+    // the intra-delta self-join — but do NOT materialize it: the banded
+    // keys end in a hash-partitioned aggregate, and Catalyst's exchange
+    // reuse already computes that subtree once (a localCheckpoint erases
+    // the partitioning and costs 4 extra exchanges — spec-pinned at 5).
     val dk = bandedKeysSig(delta, bands, rowsPerBand)
     val idx = spark.table(table)
     val flagged = dk

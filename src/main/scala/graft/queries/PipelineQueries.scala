@@ -233,6 +233,14 @@ object PipelineQueries {
     // §2.3 #37 n-gram Jaccard near-dup pairs
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), 0.6)),
 
+    // asymmetric n-gram CONTAINMENT pairs — the quote/inclusion detector
+    // union-normalized Jaccard misses by construction (a short doc fully
+    // embedded in a long one: containment 1.0, Jaccard tiny). Same
+    // shingle-join skeleton and FULL oracle; both metrics emitted so the
+    // contained-but-not-similar split is visible in the output
+    "dd_containment" -> ((s, dir) =>
+      Dedup.ngramContainment(docs(s, dir), 0.9)),
+
     // §2.13: edit-distance verification of candidate pairs — the verify
     // stage Jaccard can't provide (set-based ⇒ order-blind): exact
     // Levenshtein over normalized 80-char prefixes, Θ(prefix²) per pair,
@@ -604,6 +612,41 @@ object PipelineQueries {
       Multimodal.audioMetaBlobs(s, Multimodal.syntheticWavBlobs(s, sampled))
         .select(col("doc_id"), col("sample_rate"), col("channels"),
           col("bits"), col("n_frames"), col("duration_ms"))
+    }),
+
+    // perceptual image near-dup: REAL PNG decode → 64-bit dHash → the
+    // SAME Manku pigeonhole machinery as text SimHash (shared
+    // Dedup.pigeonholePairs — one banded equi-join, never O(n²); at scale
+    // the join shuffles 4-long signature rows, not pixels). The variant
+    // corpus plants true near-dups by construction (shared gradient per
+    // id-group, 3×3 local edit per member — re-encoded through an actual
+    // codec, so the signature survives a real decode round-trip).
+    // Rows-only (DuckDB has no image codec); the check face below
+    // cross-verifies the ground-truth pair count.
+    "mm_phash_neardup" -> ((s, dir) =>
+      Multimodal.phashNearDup(s,
+        Multimodal.syntheticVariantPngBlobs(s, docs(s, dir)),
+        maxHamming = 5, nBlocks = 8)),
+
+    // CHECK face: dHash coverage of the constructed same-group pair graph
+    // (n_true_pairs is pure doc_id arithmetic — DuckDB-verified without a
+    // codec; the recall boolean is engine-own, same convention as
+    // dd_simhash_check).
+    "mm_phash_neardup_check" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ids = d.filter(col("doc_id") < 400L).select(col("doc_id"))
+      // `div`, not `/`: Column `/` is double division (repo discipline)
+      val truth = ids.select(expr("doc_id div 4").as("g"),
+        col("doc_id").as("da"))
+        .join(ids.select(expr("doc_id div 4").as("g"),
+          col("doc_id").as("db")), Seq("g"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db"))
+      val hits = Multimodal.phashNearDup(s,
+        Multimodal.syntheticVariantPngBlobs(s, d), maxHamming = 5, nBlocks = 8)
+        .select(col("da"), col("db"))
+        .join(truth, Seq("da", "db"), "left_semi")
+      pairRecallRow(truth, hits)
     }),
 
     // §2.4 #67 multimodal metadata stats — the SQL-expressible face of the
@@ -1022,6 +1065,39 @@ object PipelineQueries {
         (col("mx") / lit(127.0)).as("scale"),
         aggregate(col("ql"), lit(0L), (a, x) => a + x).as("q_sum"),
         aggregate(col("ql"), lit(0L), (a, x) => a + abs(x)).as("q_abs_sum"))
+    }),
+
+    // random-projection (Johnson–Lindenstrauss) compression of the
+    // int8-quantized corpus: 64 dims → 16 via a FIXED ±1 sign matrix whose
+    // entries derive from pure integer arithmetic — every projected
+    // component is an exact int64 both engines compute bit-identically
+    // (float JL matrices have no cross-engine twin). The signs are plan
+    // literals (a 64×16 constant broadcasts inside the codegen'd
+    // projection — no join, no shuffle; the whole face is map-only), and
+    // the output pins per-vector sum / |sum| / energy, so all 16
+    // components are constrained. At 100 TB this is the 4× on top of 4×:
+    // int8 quantization then k/d projection before ANN sharding.
+    "emb_rp" -> ((s, dir) => {
+      val d = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val m = d.select(col("vec_id"), col("v"),
+        array_max(transform(col("v"), x => abs(x))).as("mx"))
+      val q = m.select(col("vec_id"),
+        graft.operators.Similarity.quantizeInt8(col("v"), col("mx")).as("ql"))
+      def sign(i: Int, j: Int): Long =
+        if ((((i.toLong * 2654435761L + j.toLong * 40503L) >> 16) & 1L) == 0L) 1L
+        else -1L
+      val projCols = (0 until 16).map { j =>
+        val signs = array((0 until 64).map(i => lit(sign(i, j))): _*)
+        aggregate(zip_with(col("ql"), signs, (x, s0) => x * s0),
+          lit(0L), (a, x) => a + x).as(s"__p$j")
+      }
+      val p = q.select(col("vec_id") +: projCols: _*)
+      p.select(col("vec_id"),
+        (0 until 16).map(j => col(s"__p$j")).reduce(_ + _).as("p_sum"),
+        (0 until 16).map(j => abs(col(s"__p$j"))).reduce(_ + _).as("p_abs_sum"),
+        (0 until 16).map(j => col(s"__p$j") * col(s"__p$j")).reduce(_ + _)
+          .as("p_energy"))
     }),
 
     // §2.5: L2 normalization — the step before any cosine machinery;
@@ -2174,6 +2250,32 @@ object PipelineQueries {
                 cast(coalesce(list_sum(ql), 0) AS bigint) AS q_sum,
                 cast(coalesce(list_sum(list_transform(ql, x -> abs(x))), 0) AS bigint) AS q_abs_sum
          FROM q""",
+    // the ±1 sign matrix is the SAME integer formula both engines compute:
+    // sign(i,j) = +1 iff ((i·2654435761 + j·40503) >> 16) bit 0 is even —
+    // nonneg operands, so DuckDB's // 65536 equals Spark's >> 16 exactly
+    "emb_rp" ->
+      """WITH d AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         m AS (
+           SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) AS mx FROM d),
+         q AS (
+           SELECT vec_id, list_transform(v, x -> CASE WHEN mx > 0
+                    THEN CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)
+                    ELSE 0 END) AS ql
+           FROM m),
+         p AS (
+           SELECT vec_id,
+                  list_transform(range(0, 16), j ->
+                    list_sum(list_transform(range(0, 64), i ->
+                      ql[i + 1] * (CASE WHEN ((i * 2654435761 + j * 40503)
+                        // 65536) % 2 = 0 THEN 1 ELSE -1 END)))) AS pr
+           FROM q)
+         SELECT vec_id,
+                CAST(list_sum(pr) AS BIGINT) AS p_sum,
+                CAST(list_sum(list_transform(pr, x -> abs(x))) AS BIGINT) AS p_abs_sum,
+                CAST(list_sum(list_transform(pr, x -> x * x)) AS BIGINT) AS p_energy
+         FROM p""",
     "pipeline_mixture" ->
       """SELECT source, count(*) AS n_kept,
                 cast(sum(n_chars) AS bigint) AS kept_chars
@@ -2424,6 +2526,36 @@ object PipelineQueries {
          JOIN szs sa ON da = sa.doc_id
          JOIN szs sb ON db = sb.doc_id
          WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6""",
+    // same shingle/DF-cap CTEs as dd_ngram_jaccard; only the denominator
+    // changes (least of the two sizes — containment, not union)
+    "dd_containment" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+         sh0 AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
+           FROM toks),
+         sh AS (
+           SELECT doc_id, shingle FROM (
+             SELECT doc_id, shingle,
+                    count(*) OVER (PARTITION BY shingle) AS df
+             FROM sh0)
+           WHERE df <= 1000),
+         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT da, db,
+                cast(i AS double) / cast(least(sa.sz, sb.sz) AS double) AS c,
+                cast(i AS double) / cast(sa.sz + sb.sz - i AS double) AS j
+         FROM inter
+         JOIN szs sa ON da = sa.doc_id
+         JOIN szs sb ON db = sb.doc_id
+         WHERE cast(i AS double) / cast(least(sa.sz, sb.sz) AS double) >= 0.9""",
     "dd_editdist" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
@@ -2511,6 +2643,18 @@ object PipelineQueries {
            JOIN szs sa ON da = sa.doc_id
            JOIN szs sb ON db = sb.doc_id
            WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.9)
+         SELECT count(*)::BIGINT AS n_true_pairs, (1.0 >= 0.8) AS recall_ok
+         FROM truth""",
+    // ground truth for the perceptual-hash face is pure doc_id arithmetic
+    // (the variant generator plants near-dups per doc_id div 4 group) —
+    // fully DuckDB-verifiable with no image codec; recall boolean
+    // engine-own, same convention as the other near-dup checks
+    "mm_phash_neardup_check" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+         truth AS (
+           SELECT a.doc_id AS da, b.doc_id AS db
+           FROM ids a JOIN ids b
+             ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id)
          SELECT count(*)::BIGINT AS n_true_pairs, (1.0 >= 0.8) AS recall_ok
          FROM truth""",
     // cross-set twin of dd_minhash_lsh_check: same shingle/Jaccard

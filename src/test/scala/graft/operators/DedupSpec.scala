@@ -42,6 +42,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L || a == 5L || b == 5L })
   }
 
+  test("containment catches a quoted short doc that Jaccard misses") {
+    // doc 8 is doc 7's first third verbatim: containment 1.0, Jaccard low
+    val long = base + " and then it recounts the entire history of the " +
+      "garden in long winding sentences about seasons weather soil and light"
+    val short = long.split(" ").take(12).mkString(" ")
+    val c = docsDF(Seq(7L -> long, 8L -> short,
+      9L -> "wholly unrelated text about broadcast joins and bucketed tables"))
+    val contained = Dedup.ngramContainment(c, 0.9).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(contained == Set((7L, 8L)))
+    // the symmetric detector at its production threshold does NOT see it
+    val jac = Dedup.ngramJaccard(c, 0.6).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(!jac.contains((7L, 8L)))
+    // emitted metrics agree with the asymmetry: c = 1.0, j well below
+    val row = Dedup.ngramContainment(c, 0.9).collect()
+      .find(r => r.getAs[Long]("da") == 7L).get
+    assert(row.getAs[Double]("c") == 1.0)
+    assert(row.getAs[Double]("j") < 0.6)
+  }
+
   test("minhash LSH recall >= 0.9 vs exact ngram Jaccard, no cartesian join") {
     val lsh = Dedup.minhashLsh(corpus, bands = 8, rowsPerBand = 4, threshold = 0.5)
     val exact = Dedup.ngramJaccard(corpus, 0.5).collect()
