@@ -221,6 +221,29 @@ object ExtendedQueries {
             .as("flagged"))
     }),
 
+    // trailing dyadic EWMA smoothing per user stream: α = 1/2 over the
+    // last ≤ 8 events, emitted as the exact integer fraction
+    // num/den = (Σ cents_i · 2^(i-1)) / (2^m − 1) with the newest event
+    // weighted 2^(m−1) — a float-recursive EWMA has no cross-engine twin
+    // (accumulation order + underflow), a bounded dyadic one is pure
+    // int64 arithmetic both engines compute bit-identically. One user
+    // window, deterministic (ts, event_id) order; the trailing list is
+    // ≤ 8 longs per row, so the window state is bounded at any scale.
+    "q_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-7, 0)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * lit(100)).cast("long").as("cents"))
+        .withColumn("l", collect_list(col("cents")).over(w))
+        .select(col("event_id"), col("user_id"), col("cents"),
+          expr("aggregate(zip_with(l, sequence(1, size(l)), " +
+            "(x, i) -> x * shiftleft(CAST(1 AS BIGINT), i - 1)), " +
+            "CAST(0 AS BIGINT), (a, x) -> a + x)").as("ewma_num"),
+          expr("shiftleft(CAST(1 AS BIGINT), size(l)) - 1").as("ewma_den"))
+    }),
+
     // §2.10: time-series resample + forward fill — irregular events to a
     // dense per-user daily grid; gap days forward-fill the most recent
     // value. One (key, day) aggregate + bounded day-span explode + one
@@ -444,6 +467,26 @@ object ExtendedQueries {
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.05)
             .as("orders_ok"))),
+
+    // EXACT distinct at scale without the sketch's error bar AND without
+    // countDistinct's per-value Expand+reshuffle: the bitmap-index trick
+    // (Doris/ClickHouse bitmap aggregates) on Spark primitives — bucket
+    // the key space into 64-wide ranges, OR per-bucket bit masks (the
+    // partial aggregate collapses duplicate keys map-side, so the shuffle
+    // moves ≤ one long per occupied 64-key range, however many duplicate
+    // rows exist), then popcount-sum the masks. Mergeable like a sketch
+    // (bit_or is associative), exact like countDistinct. The oracle
+    // computes the same counts via DuckDB's own count(DISTINCT) — an
+    // INDEPENDENT method certifying the bitmap path end-to-end.
+    "q_bitmap_distinct" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), expr("l_orderkey div 64").as("bucket"))
+        .agg(expr(
+          "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 64 AS INT)))")
+          .as("mask"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n_buckets"),
+          sum(expr("bit_count(mask)")).cast("long").as("n_distinct"))),
 
     // §2.8: PERSISTABLE mergeable sketches — HLL sketch per month
     // partition, then a sketch UNION to the global estimate: the
@@ -676,6 +719,45 @@ object ExtendedQueries {
             .as("corr_q_price"))
     }),
 
+    // Exact OLS regression per group — slope/intercept/R² of price vs
+    // quantity from the SAME decimal-exact-sums discipline as q_corr:
+    // the five moments accumulate as DECIMAL(28,4) (shuffle-order-
+    // independent), finalize in double arithmetic written in the same op
+    // order as the oracle (one division per output; sqrt-free), so the
+    // whole face is bit-exact cross-engine. ONE map-side-combinable
+    // aggregate pass — the 100 TB regression is a groupBy, not MLlib.
+    "q_regression" -> ((s, dir) => {
+      val d284 = DecimalType(28, 4)
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(d284)).as("sx"),
+          sum(col("l_extendedprice").cast(d284)).as("sy"),
+          sum((col("l_quantity") * col("l_quantity")).cast(d284)).as("sxx"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast(d284))
+            .as("syy"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast(d284))
+            .as("sxy"))
+        .select(col("l_returnflag"), col("n").as("n_rows"),
+          col("n").cast("double").as("nd"),
+          col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
+          col("sxx").cast("double").as("sxx"),
+          col("syy").cast("double").as("syy"),
+          col("sxy").cast("double").as("sxy"))
+        .withColumn("slope",
+          (col("nd") * col("sxy") - col("sx") * col("sy")) /
+            (col("nd") * col("sxx") - col("sx") * col("sx")))
+        .select(col("l_returnflag"), col("n_rows"), col("slope"),
+          ((col("sy") - col("slope") * col("sx")) / col("nd"))
+            .as("intercept"),
+          (((col("nd") * col("sxy") - col("sx") * col("sy")) *
+            (col("nd") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("nd") * col("sxx") - col("sx") * col("sx")) *
+              (col("nd") * col("syy") - col("sy") * col("sy"))))
+            .as("r2"))
+    }),
+
     // §2.8: runtime bloom-filter join pruning — the semi-join-reduction
     // lever at 100 TB: a selective dimension filter materializes a bloom
     // filter that the FACT scan applies before the shuffle, so rows that
@@ -812,6 +894,30 @@ object ExtendedQueries {
         .agg(count(lit(1)).cast("long").as("n"))
     }),
 
+    // Event-SEQUENCE pattern matching (the MATCH_RECOGNIZE / CEP shape as
+    // a batch face): each user's journey renders to a compact one-char-
+    // per-event string in deterministic (ts, event_id) order, and the
+    // funnel pattern view→click*→purchase counts as leftmost
+    // non-overlapping regex matches — identical greedy semantics in
+    // Spark's Java regex and DuckDB's RE2 for this alternation-free
+    // pattern. ONE user-keyed shuffle; per-user state is one char per
+    // event (journeys, not raw rows), the standard CEP state bound —
+    // sessionize first if a single key's history outgrows an executor.
+    "q_seq_pattern" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          array_join(
+            transform(
+              array_sort(collect_list(
+                struct(col("ts"), col("event_id"), col("ch")))),
+              x => x.getField("ch")), "").as("seq"))
+        .select(col("user_id"), col("n_events"),
+          expr("CAST(size(regexp_extract_all(seq, 'vc*p', 0)) AS BIGINT)")
+            .as("n_funnels"))),
+
     // §2.12: deterministic weighted PageRank over the event-transition
     // graph (which event type is central in user journeys) — 5 fixed
     // power iterations, EVERY quantity an int64 at scale 10⁹ and every
@@ -870,6 +976,16 @@ object ExtendedQueries {
       graft.operators.Graph.ssspInt(edges, src, rounds = 6)
         .select(col("node").as("user_id"), col("cost"))
     }),
+
+    // k-CORE decomposition (bounded-round peeling) over the same
+    // co-activity graph — the graph-pruning primitive the suite lacked:
+    // who remains after everyone with < 3 stable interactions (and the
+    // edges they carried) is iteratively removed. 3 fixed peels, each a
+    // degree aggregate + two node-id equi-joins; the oracle unrolls the
+    // SAME 3 rounds as CTEs (ssspInt discipline), int64 throughout.
+    "q_kcore" -> ((s, dir) =>
+      graft.operators.Graph.kcore(coActivityEdges(s, dir), k = 3, rounds = 3)
+        .select(col("node").as("user_id"), col("deg"))),
 
     // §2.13: BATCH sessionization — the lag/cumsum form of the streaming
     // session faces, run corpus-wide: a strictly-greater-than-30-min
@@ -1203,6 +1319,48 @@ object ExtendedQueries {
                   (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
                   AS corr_q_price
          FROM a""",
+    // INDEPENDENT method on the oracle side: DuckDB's count(DISTINCT)
+    // certifies the engine's bitmap OR/popcount path end-to-end
+    "q_bitmap_distinct" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_orderkey // 64) AS BIGINT) AS n_buckets,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+         FROM lineitem GROUP BY 1""",
+    // q_corr's decimal moments per group; slope binds in its own CTE so
+    // intercept consumes the ALREADY-ROUNDED double exactly as Spark's
+    // withColumn does — one division per output, same op order
+    "q_regression" ->
+      """WITH a AS (
+           SELECT l_returnflag, count(*) AS n, count(*)::DOUBLE AS nd,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+                  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY 1),
+         b AS (
+           SELECT l_returnflag, n, nd, sx, sy, sxx, syy, sxy,
+                  (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope
+           FROM a)
+         SELECT l_returnflag, n AS n_rows, slope,
+                (sy - slope * sx) / nd AS intercept,
+                ((nd * sxy - sx * sy) * (nd * sxy - sx * sy)) /
+                  ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS r2
+         FROM b""",
+    // ordered string_agg reproduces the journey string; RE2's leftmost
+    // non-overlapping matching == Java regex for this pattern
+    "q_seq_pattern" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id,
+                  substring(event_type, 1, 1) AS ch
+           FROM events),
+         g AS (
+           SELECT user_id, count(*) AS n_events,
+                  string_agg(ch, '' ORDER BY ts, event_id) AS seq
+           FROM e GROUP BY 1)
+         SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+                CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnels
+         FROM g""",
     "q_runtime_filter" ->
       """SELECT count(*) AS n_lines,
                 cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4)))
@@ -1303,6 +1461,21 @@ object ExtendedQueries {
                 CAST(n_trail AS BIGINT) AS n_trail,
                 day_cents * n_trail > trail7_cents * 2 AS flagged
          FROM t WHERE n_trail >= 3""",
+    // exact dyadic weights: newest of the ≤ 8-event trail gets 2^(m-1),
+    // denominator 2^m − 1 — pure int64 both engines
+    "q_ewma" ->
+      """WITH e AS (
+           SELECT event_id, user_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  list(CAST(round(value * 100) AS BIGINT)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+           FROM events)
+         SELECT event_id, user_id, cents,
+                CAST(list_sum(list_transform(generate_series(1, len(l)),
+                  i -> l[i] * (1::BIGINT << (i - 1)))) AS BIGINT) AS ewma_num,
+                (1::BIGINT << len(l)) - 1 AS ewma_den
+         FROM e""",
     "q_resample" ->
       """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
                           event_id, value FROM events),
@@ -1668,6 +1841,41 @@ object ExtendedQueries {
                   SELECT e.dst, d.cost + e.w FROM d5 d JOIN ed e ON d.node = e.src)
                 GROUP BY 1)
          SELECT node AS user_id, CAST(cost AS BIGINT) AS cost FROM d6""",
+    // same 3 peeling rounds unrolled (ssspInt discipline)
+    "q_kcore" ->
+      """WITH seq AS (
+           SELECT event_type, user_id,
+                  lag(user_id) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS prev_user,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS gap_us
+           FROM events),
+         e0 AS (
+           SELECT DISTINCT least(user_id, prev_user) AS a,
+                           greatest(user_id, prev_user) AS b
+           FROM seq WHERE prev_user IS NOT NULL AND prev_user <> user_id
+             AND gap_us <= 60000000),
+         d1 AS (SELECT node, count(*) AS deg FROM (
+                  SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) t
+                GROUP BY 1),
+         k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+         e1 AS (SELECT e0.a, e0.b FROM e0
+                JOIN k1 x ON e0.a = x.node JOIN k1 y ON e0.b = y.node),
+         d2 AS (SELECT node, count(*) AS deg FROM (
+                  SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) t
+                GROUP BY 1),
+         k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+         e2 AS (SELECT e1.a, e1.b FROM e1
+                JOIN k2 x ON e1.a = x.node JOIN k2 y ON e1.b = y.node),
+         d3 AS (SELECT node, count(*) AS deg FROM (
+                  SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) t
+                GROUP BY 1),
+         k3 AS (SELECT node FROM d3 WHERE deg >= 3),
+         e3 AS (SELECT e2.a, e2.b FROM e2
+                JOIN k3 x ON e2.a = x.node JOIN k3 y ON e2.b = y.node)
+         SELECT node AS user_id, CAST(count(*) AS BIGINT) AS deg FROM (
+           SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) t
+         GROUP BY 1""",
     "q_streaks" ->
       """WITH days AS (
            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
