@@ -176,4 +176,32 @@ object Graph {
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
         (col("n_triangles") * 3L).as("n_closed"))
   }
+
+  /** Bounded-round k-core peeling: repeatedly drop nodes of degree < k
+    * (with the edges they carry) for a FIXED number of rounds — the same
+    * bounded-iteration posture as [[ssspInt]]/[[pageRankInt]]: at 100 TB
+    * you run R peels (each one degree-aggregate + two semi-join-shaped
+    * edge filters, all equi-joins on node ids), not to-convergence, and
+    * the oracle replays the SAME R rounds as unrolled CTEs so both
+    * engines agree bit-for-bit. After R rounds the survivors are a
+    * superset of the true k-core, equal once any round removes nothing
+    * (most real graphs peel in a handful of rounds — the face's
+    * co-activity graph is stable after 3). Per-round localCheckpoint
+    * keeps the plan R-bounded instead of an R-deep join tree.
+    *
+    * `canonEdges`: canonical undirected (a, b) with a < b, deduplicated.
+    * Returns surviving (node, deg) — degree within the peeled subgraph. */
+  def kcore(canonEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var e = canonEdges.select(col("a"), col("b")).localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select(col("node"))
+      e = e.join(keep.select(col("node").as("a")), "a")
+        .join(keep.select(col("node").as("b")), "b")
+        .select(col("a"), col("b")).localCheckpoint(eager = true)
+    }
+    degrees(e).select(col("node"), col("deg").cast("long").as("deg"))
+  }
 }

@@ -107,4 +107,21 @@ class AnalyticsFacesSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 2, s"expected 2 exchanges:\n$plan")
   }
+
+  test("q_seq_pattern: journey strings in (ts, event_id) order; funnel " +
+      "regex counts leftmost non-overlapping matches") {
+    val out = SparkEntry.queries("q_seq_pattern")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // u1 "vcp" → 1 funnel; u2 "cv" (click BEFORE view) → 0; u3 "vc"
+    // (same-instant tie broken by event_id: view first) → 0; u4 "p" → 0
+    assert(out == Map(1L -> ((3L, 1L)), 2L -> ((2L, 0L)),
+      3L -> ((2L, 0L)), 4L -> ((1L, 0L))))
+    // leftmost non-overlapping semantics on a journey with a shared
+    // boundary: "vcp|vp" counts 2 — the second match starts after the
+    // first ends, not inside it
+    val n = spark.range(1)
+      .select(expr("size(regexp_extract_all('vcpvpvv', 'vc*p', 0))"))
+      .head().getInt(0)
+    assert(n == 2)
+  }
 }

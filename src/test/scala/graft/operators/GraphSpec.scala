@@ -120,4 +120,20 @@ class GraphSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"))
   }
+
+  test("kcore: bounded-round peeling cascades one hop per round") {
+    // triangle 1-2-3 with a tail 3-4-5: 2-core peeling removes 5 (deg 1)
+    // in round 1, which drops 4 to deg 1 — discovered only in round 2
+    // (the bounded-round contract); the triangle is the stable 2-core.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    def core(rounds: Int): Map[Long, Long] =
+      Graph.kcore(edges, k = 2, rounds = rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core(1) == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    assert(core(2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(core(3) == core(2)) // converged: extra rounds are no-ops
+    // k above the max degree empties the graph without error
+    assert(Graph.kcore(edges, k = 5, rounds = 2).collect().isEmpty)
+  }
 }
