@@ -124,6 +124,27 @@ object Bench {
     val repExtStart = scala.collection.mutable.ArrayBuffer.empty[Double]
     val repExtMean = scala.collection.mutable.ArrayBuffer.empty[Double]
     val repGateWaits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // CPU speed calibration: a fixed single-thread splitmix64 loop timed
+    // before each rep. Cross-ROUND totals moved 115→157 s (1.27× on every
+    // face uniformly, external load ~0.1 cores) — a host-level speed
+    // change the load gauges cannot see. cpu_ref_ms gives every history
+    // line an absolute machine-speed anchor: face_time / (cpu_ref_ms /
+    // nominal) is comparable across rounds even when the box changes.
+    def cpuProbeMs(): Double = {
+      var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0
+      val t0 = System.nanoTime()
+      while (i < (1 << 26)) {
+        x += 0x9E3779B97F4A7C15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        acc ^= z ^ (z >>> 31)
+        i += 1
+      }
+      if (acc == 42L) System.err.println("") // keep the loop live
+      (System.nanoTime() - t0) / 1e6
+    }
+    val repCpuMs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passes = (1 to reps).map { i =>
       var w = 0
       var ext = extCores(2000)
@@ -137,6 +158,7 @@ object Bench {
       repLoads += loadavg()
       repExtStart += ext
       repGateWaits += w
+      repCpuMs += cpuProbeMs()
       val acc = scala.collection.mutable.ArrayBuffer.empty[Double]
       @volatile var sampling = true
       val sampler = new Thread(() => {
@@ -192,6 +214,7 @@ object Bench {
       s""""rep_ext_start":[${repExtStart.map(r2).mkString(",")}],""" +
       s""""rep_ext_mean":[${repExtMean.map(r2).mkString(",")}],""" +
       s""""rep_gate_waits":[${repGateWaits.mkString(",")}],""" +
+      s""""rep_cpu_ms":[${repCpuMs.map(r2).mkString(",")}],""" +
       s""""min_rep_total":${r2(minRepTotal)}"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

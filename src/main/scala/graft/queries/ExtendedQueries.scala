@@ -244,6 +244,27 @@ object ExtendedQueries {
           expr("shiftleft(CAST(1 AS BIGINT), size(l)) - 1").as("ewma_den"))
     }),
 
+    // Trailing ROLLING MEDIAN — the robust counterpart of q_ewma: the
+    // median of the last ≤ 7 events per user stream, emitted in
+    // HALF-CENTS (med2 = lower middle + upper middle of the sorted
+    // trail — 2×middle when the count is odd) so even-count
+    // interpolation never leaves int64. Window state is ≤ 7 longs per
+    // row; sort_array of ≤ 7 elements is O(1) per row inside codegen.
+    "q_rolling_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * lit(100)).cast("long").as("cents"))
+        .withColumn("l", sort_array(collect_list(col("cents")).over(w)))
+        .select(col("event_id"), col("user_id"), col("cents"),
+          size(col("l")).cast("long").as("n_win"),
+          (element_at(col("l"), expr("CAST((size(l) + 1) div 2 AS INT)")) +
+            element_at(col("l"), expr("CAST(size(l) div 2 + 1 AS INT)")))
+            .as("med2"))
+    }),
+
     // §2.10: time-series resample + forward fill — irregular events to a
     // dense per-user daily grid; gap days forward-fill the most recent
     // value. One (key, day) aggregate + bounded day-span explode + one
@@ -685,6 +706,30 @@ object ExtendedQueries {
         .groupBy(col("diff_class"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_orderkey")).cast("long").as("key_sum"))
+    }),
+
+    // ORDER-INDEPENDENT TABLE CHECKSUM — the migration-validation
+    // primitive a reference user switching engines runs first: every row
+    // renders to a canonical string (ints as digits, dates as ISO,
+    // doubles pre-scaled to integer cents — never raw float rendering,
+    // which engines format differently), digests to the first 32 bits of
+    // its md5, and the digests SUM per group — addition commutes, so any
+    // partitioning/row order yields the same checksum, and the sum of
+    // ≤2³²-1 digests over 2⁶³ headroom never overflows until ~2³¹ rows
+    // PER GROUP ... at 100 TB split groups finer or sum as DECIMAL(38,0).
+    // Map-side combinable; one exchange of 3 partial rows.
+    "q_table_checksum" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val rowStr = concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      li.select(col("l_returnflag"),
+          conv(substring(md5(rowStr), 1, 8), 16, 10).cast("long").as("d"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("d")).cast("long").as("checksum"))
     }),
 
     // §2.8: second moments — stddev and Pearson correlation from
@@ -1319,6 +1364,22 @@ object ExtendedQueries {
                   (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
                   AS corr_q_price
          FROM a""",
+    // same canonical row rendering; the hex digits of md5 fold to the
+    // same 32-bit int via instr arithmetic (lowercase hex both engines)
+    "q_table_checksum" ->
+      """WITH r AS (
+           SELECT l_returnflag,
+                  md5(concat_ws('|', l_orderkey, l_partkey, l_suppkey,
+                    l_linenumber, l_returnflag, l_linestatus,
+                    strftime(l_shipdate, '%Y-%m-%d'),
+                    CAST(round(l_extendedprice * 100) AS BIGINT))) AS h
+           FROM lineitem)
+         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(list_reduce(list_prepend(0::BIGINT,
+                  list_transform(generate_series(1, 8),
+                    i -> (instr('0123456789abcdef', substr(h, i, 1)) - 1)::BIGINT)),
+                  (acc, x) -> acc * 16 + x)) AS BIGINT) AS checksum
+         FROM r GROUP BY 1""",
     // INDEPENDENT method on the oracle side: DuckDB's count(DISTINCT)
     // certifies the engine's bitmap OR/popcount path end-to-end
     "q_bitmap_distinct" ->
@@ -1475,6 +1536,20 @@ object ExtendedQueries {
                 CAST(list_sum(list_transform(generate_series(1, len(l)),
                   i -> l[i] * (1::BIGINT << (i - 1)))) AS BIGINT) AS ewma_num,
                 (1::BIGINT << len(l)) - 1 AS ewma_den
+         FROM e""",
+    // same sorted-trail list; lower+upper middle keeps even-count
+    // interpolation in int64 (half-cents)
+    "q_rolling_median" ->
+      """WITH e AS (
+           SELECT event_id, user_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  list_sort(list(CAST(round(value * 100) AS BIGINT)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS l
+           FROM events)
+         SELECT event_id, user_id, cents,
+                CAST(len(l) AS BIGINT) AS n_win,
+                CAST(l[(len(l) + 1) // 2] + l[len(l) // 2 + 1] AS BIGINT) AS med2
          FROM e""",
     "q_resample" ->
       """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,

@@ -1119,6 +1119,30 @@ object PipelineQueries {
     "pipeline_pack" -> ((s, dir) =>
       graft.operators.Packing.packByTokens(docs(s, dir), capacity = 512L, shards = 16)),
 
+    // Deterministic GLOBAL SHUFFLE for training epochs — the op between
+    // curation and tokenization: an epoch-seeded affine scatter key gives
+    // every doc a pseudo-random but REPRODUCIBLE position, shard = key
+    // mod nShards routes it to its output file, pos = rank within shard
+    // orders the read. No engine RNG (rand() is partitioning-dependent;
+    // this is pure int64 arithmetic, so the same corpus + seed yields the
+    // same epoch order on any cluster — and in DuckDB). ONE shard-keyed
+    // exchange + per-shard rank windows; at 100 TB nShards rises to
+    // thousands (parallelism = shards) and the output writes bucketed.
+    // Key collisions don't break determinism: the rank tie-breaks by
+    // doc_id.
+    "pipeline_shard_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .select(col("doc_id"),
+          ((col("doc_id") * lit(2654435761L) + lit(40503L)) % lit(4000037L))
+            .as("skey"))
+        .withColumn("shard", (col("skey") % 8).cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id")))
+          .cast("long"))
+        .select(col("doc_id"), col("shard"), col("skey"), col("pos"))
+    }),
+
     // §2.5: exact-N per-source stratified sample by content-hash rank
     "q_sample_stratified" -> ((s, dir) =>
       graft.operators.Packing.stratifiedSample(docs(s, dir), col("source"), n = 25)
@@ -2450,6 +2474,16 @@ object PipelineQueries {
          SELECT doc_id, cast(shard AS bigint) AS shard, n_tokens,
                 cast(floor((cum - n_tokens) / 512.0) AS bigint) AS bin
          FROM c""",
+    // same affine scatter key, pure int64 — positive operands so % == pmod
+    "pipeline_shard_shuffle" ->
+      """WITH k AS (
+           SELECT doc_id,
+                  (doc_id * 2654435761 + 40503) % 4000037 AS skey
+           FROM documents)
+         SELECT doc_id, CAST(skey % 8 AS INTEGER) AS shard, skey,
+                CAST(row_number() OVER (PARTITION BY skey % 8
+                  ORDER BY skey, doc_id) AS BIGINT) AS pos
+         FROM k""",
     "q_sample_stratified" ->
       """SELECT doc_id, source FROM (
            SELECT doc_id, source,
