@@ -221,6 +221,40 @@ object XlsxQueries {
       s.read.format("ods").load(out)
     }),
 
+    // The reference's users also read plain CSV/JSON through DuckDB's
+    // native scanners (README premise: any format in, full SQL over it).
+    // These faces close the same loop on Spark's built-in sources: write
+    // the table out, read it back, let the ORACLE (raw parquet values)
+    // certify fidelity end-to-end. CSV doubles survive because Spark
+    // writes shortest round-trip representations; ints re-infer narrower
+    // (the driver's dtype canon folds int widths). Distributed both
+    // directions — one file per partition, no driver funnel.
+    "csv_write_roundtrip" -> ((s, dir) => {
+      val out = ensure(s, dir).resolve("customer_written_csv").toString
+      Tables.load(s, dir, "customer")
+        .write.format("csv").option("header", "true").mode("overwrite").save(out)
+      s.read.format("csv").option("header", "true")
+        .option("inferSchema", "true").load(out)
+    }),
+
+    "json_write_roundtrip" -> ((s, dir) => {
+      val out = ensure(s, dir).resolve("customer_written_json").toString
+      Tables.load(s, dir, "customer")
+        .write.format("json").mode("overwrite").save(out)
+      s.read.format("json").load(out)
+        // JSON re-infers alphabetical column order; project back to the
+        // table's declared order so schema compare sees the same shape
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+    }),
+
+    "orc_write_roundtrip" -> ((s, dir) => {
+      val out = ensure(s, dir).resolve("customer_written_orc").toString
+      Tables.load(s, dir, "customer")
+        .write.format("orc").mode("overwrite").save(out)
+      s.read.format("orc").load(out)
+    }),
+
     // §2.12: streaming xlsx ingestion as a DRIVER-VERIFIED face (the
     // MicroBatchStream was spec-verified only, #71): customer written as
     // 3 xlsx files once per sf dir, tailed by readStream at
@@ -392,6 +426,17 @@ object XlsxQueries {
       """SELECT cast(c_custkey AS double) AS c_custkey, c_name,
                 cast(c_nationkey AS double) AS c_nationkey,
                 c_acctbal, c_mktsegment
+         FROM customer""",
+    // typed sources round-trip values exactly; the oracle is the raw
+    // parquet table, so a green row certifies write+read fidelity
+    "csv_write_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer""",
+    "json_write_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer""",
+    "orc_write_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM customer"""
   )
 }
