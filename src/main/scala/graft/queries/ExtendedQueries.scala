@@ -939,6 +939,49 @@ object ExtendedQueries {
         .agg(count(lit(1)).cast("long").as("n"))
     }),
 
+    // LAST-TOUCH ATTRIBUTION — the marketing-analytics close of the
+    // funnel family: each purchase credits the most recent preceding
+    // touch (view/click/signup) in the user's stream, carried forward by
+    // an IGNORE-NULLS last() window (the forward-fill primitive, also in
+    // DuckDB); purchases with no prior touch credit DIRECT. Revenue in
+    // exact cents; one user-keyed shuffle + a vocabulary-sized rollup.
+    "q_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("touch",
+          last(when(col("event_type").isin("view", "click", "signup"),
+            col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("DIRECT")).as("credited"))
+        .agg(count(lit(1)).cast("long").as("n_purchases"),
+          sum(col("cents")).cast("long").as("revenue_cents"))
+    }),
+
+    // RATIO-TO-REPORT — share-of-total within a group: per-nation balance
+    // cents against the region total, the two-level aggregate every BI
+    // layer asks for. Sums stay exact int64; the ONE double division
+    // happens last in the same op order both engines. The share window
+    // runs over the 25 aggregated rows, never the base table.
+    "q_share_of_total" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_name"))
+        .agg(sum(round(col("c_acctbal") * 100).cast("long"))
+          .cast("long").as("cents"))
+        .select(col("n_regionkey").cast("long").as("n_regionkey"),
+          col("n_name"), col("cents"),
+          (col("cents").cast("double") /
+            sum(col("cents")).over(Window.partitionBy(col("n_regionkey")))
+              .cast("double")).as("share"))
+    }),
+
     // Event-SEQUENCE pattern matching (the MATCH_RECOGNIZE / CEP shape as
     // a batch face): each user's journey renders to a compact one-char-
     // per-event string in deterministic (ts, event_id) order, and the
@@ -1408,6 +1451,33 @@ object ExtendedQueries {
                 ((nd * sxy - sx * sy) * (nd * sxy - sx * sy)) /
                   ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS r2
          FROM b""",
+    // same IGNORE-NULLS carry-forward window
+    "q_attribution" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  last_value(CASE WHEN event_type IN ('view','click','signup')
+                             THEN event_type END IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+           FROM events)
+         SELECT coalesce(touch, 'DIRECT') AS credited,
+                CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(sum(cents) AS BIGINT) AS revenue_cents
+         FROM e WHERE event_type = 'purchase' GROUP BY 1""",
+    // exact cents; the one double division is last, same op order
+    "q_share_of_total" ->
+      """WITH a AS (
+           SELECT n_regionkey, n_name,
+                  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2)
+         SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, n_name, cents,
+                CAST(cents AS DOUBLE) /
+                  CAST(sum(cents) OVER (PARTITION BY n_regionkey) AS DOUBLE)
+                  AS share
+         FROM a""",
     // ordered string_agg reproduces the journey string; RE2's leftmost
     // non-overlapping matching == Java regex for this pattern
     "q_seq_pattern" ->

@@ -108,6 +108,15 @@ class AnalyticsFacesSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 exchanges:\n$plan")
   }
 
+  test("q_attribution: last preceding touch wins; touchless purchases " +
+      "credit DIRECT") {
+    val out = SparkEntry.queries("q_attribution")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // u1's purchase follows view then click → click credited; u4's
+    // purchase has no prior touch in its stream → DIRECT
+    assert(out == Map("click" -> ((1L, 0L)), "DIRECT" -> ((1L, 0L))))
+  }
+
   test("q_seq_pattern: journey strings in (ts, event_id) order; funnel " +
       "regex counts leftmost non-overlapping matches") {
     val out = SparkEntry.queries("q_seq_pattern")(spark, dir)
