@@ -409,6 +409,53 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Chromaprint-style energy-delta fingerprint over REALLY-DECODED PCM:
+    * 16 equal sample windows, E_w = Σ|s| (int64), bit w set iff
+    * E_w > E_{w−1}. Pure integer arithmetic end-to-end, so an oracle can
+    * recompute the fingerprint from a generator's closed form while
+    * Spark must recover it through an actual RIFF demux — a green row
+    * certifies the DECODE path, not just the header walk ([[decodeWav]]'s
+    * amp_hash stays engine-own; this is the cross-engine-exact audio
+    * CONTENT signature, the audio analogue of the image dHash). fp = −1
+    * marks an undecodable/non-16-bit payload (scan-survival contract). */
+  final case class AudioFp(doc_id: Long, n_samples: Long, fp: Long)
+
+  def audioFingerprint(b: Blob): AudioFp = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b.payload))
+      try {
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 || f.isBigEndian)
+          return AudioFp(b.doc_id, 0L, -1L)
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        if (n == 0) return AudioFp(b.doc_id, 0L, -1L)
+        val e = new Array[Long](16)
+        var i = 0
+        while (i < n) {
+          val s = (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)
+          e(((i.toLong * 16L) / n).toInt) += math.abs(s)
+          i += 1
+        }
+        var fp = 0L
+        var w = 1
+        while (w < 16) {
+          if (e(w) > e(w - 1)) fp |= (1L << w)
+          w += 1
+        }
+        AudioFp(b.doc_id, n.toLong, fp)
+      } finally ais.close()
+    } catch { case _: Exception => AudioFp(b.doc_id, 0L, -1L) }
+  }
+
+  /** Fingerprints over a blob table — same mapPartitions shape as
+    * [[audioMetaBlobs]] (per-partition decoder init, no shuffle). */
+  def audioFingerprintBlobs(spark: SparkSession, blobDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    blobDf.as[Blob].mapPartitions(_.map(audioFingerprint)).toDF()
+  }
+
   /** Deterministic REAL-WAV blob table derived from `documents`: 16-bit
     * little-endian PCM, geometry from doc metadata (sample rate cycles
     * {8000, 16000, 32000} by doc_id, mono/stereo by doc_id parity, frame

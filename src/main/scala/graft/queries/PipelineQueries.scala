@@ -614,6 +614,20 @@ object PipelineQueries {
           col("bits"), col("n_frames"), col("duration_ms"))
     }),
 
+    // audio CONTENT fingerprint, cross-engine exact: Spark REALLY demuxes
+    // the RIFF container and folds the decoded PCM into 16 energy-delta
+    // bits (chromaprint shape); the oracle recomputes the same bits from
+    // the generator's closed form — a green row certifies the decode
+    // path sample-for-sample, where mm_audio_meta's amp_hash is
+    // engine-own. Map-only, no shuffle; at scale the fingerprint joins
+    // like any 64-bit locality signature (pigeonholePairs-ready).
+    "mm_audio_fp" -> ((s, dir) => {
+      val sampled = docs(s, dir).filter(col("doc_id") % 20 === 0)
+      Multimodal.audioFingerprintBlobs(
+        s, Multimodal.syntheticWavBlobs(s, sampled))
+        .select(col("doc_id"), col("n_samples"), col("fp"))
+    }),
+
     // perceptual image near-dup: REAL PNG decode → 64-bit dHash → the
     // SAME Manku pigeonhole machinery as text SimHash (shared
     // Dedup.pigeonholePairs — one banded equi-join, never O(n²); at scale
@@ -2533,6 +2547,35 @@ object PipelineQueries {
                 nf AS n_frames,
                 (nf * 1000 // sr)::BIGINT AS duration_ms
          FROM m""",
+    // audio fingerprint: the same 16 energy-delta bits from the
+    // generator's closed form s(i) = ((doc_id·31 + i·17) % 65536) − 32768
+    // over interleaved sample index i — Spark recovers them by decoding
+    "mm_audio_fp" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  ((n_chars % 256 + 64) * (doc_id % 2 + 1))::BIGINT AS n
+           FROM documents WHERE doc_id % 20 = 0),
+         s AS (
+           SELECT doc_id, n,
+                  unnest(generate_series(0, n - 1)) AS i
+           FROM m),
+         sw AS (
+           SELECT doc_id, n,
+                  abs(((doc_id * 31 + i * 17) % 65536) - 32768) AS a,
+                  (i * 16) // n AS w
+           FROM s),
+         e AS (
+           SELECT doc_id, n, w, sum(a) AS ew
+           FROM sw GROUP BY 1, 2, 3),
+         d AS (
+           SELECT doc_id, n, w, ew,
+                  lag(ew) OVER (PARTITION BY doc_id ORDER BY w) AS pw
+           FROM e)
+         SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_samples,
+                CAST(sum(CASE WHEN pw IS NOT NULL AND ew > pw
+                         THEN 1::BIGINT << CAST(w AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS fp
+         FROM d GROUP BY doc_id""",
     "dd_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),

@@ -239,6 +239,31 @@ class MultimodalSpec extends SparkSpec {
     assert(stubRows.length == 1 && stubRows(0).getAs[Long]("frame_bytes") == 9L)
   }
 
+  test("audio fingerprint: decoded energy-delta bits match the " +
+      "generator's closed form; corrupt bytes yield the -1 stub") {
+    val docsDf = Seq((0L, 100L), (1L, 200L), (2L, 300L), (3L, 50L))
+      .toDF("doc_id", "n_chars")
+    val wavs = Multimodal.syntheticWavBlobs(spark, docsDf)
+    val out = Multimodal.audioFingerprintBlobs(spark, wavs)
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_samples"), r.getAs[Long]("fp")))).toMap
+    // closed-form replay: s(i) = ((id·31 + i·17) % 65536) − 32768 over
+    // the interleaved sample index — the decode must recover it exactly
+    for ((id, nc) <- Seq(0L -> 100L, 1L -> 200L, 2L -> 300L, 3L -> 50L)) {
+      val n = ((nc % 256 + 64) * (id % 2 + 1)).toInt
+      val e = new Array[Long](16)
+      for (i <- 0 until n)
+        e(((i.toLong * 16L) / n).toInt) +=
+          math.abs(((id * 31 + i * 17) % 65536) - 32768)
+      val fp = (1 until 16).map(w => if (e(w) > e(w - 1)) 1L << w else 0L).sum
+      assert(out(id) == ((n.toLong, fp)), s"doc $id")
+    }
+    val bad = Multimodal.audioFingerprint(
+      Multimodal.Blob(9L, "not audio".getBytes("UTF-8"), "audio/wav", 0, 0))
+    assert(bad.n_samples == 0L && bad.fp == -1L)
+  }
+
   test("audio: generated WAV demuxes to true geometry; corrupt bytes pass through") {
     val docsDf = Seq(
       (0L, 100L), (1L, 200L), (2L, 300L), (3L, 50L))
