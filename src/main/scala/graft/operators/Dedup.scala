@@ -141,6 +141,67 @@ object Dedup {
     * joined back — so the scale posture (DF cap against hot-shingle skew,
     * never O(n²)) is inherited; only the denominator changes. Emits both
     * metrics so callers can split "contained" from "mutually similar". */
+  /** DELTA-SIDED exact Jaccard pairs: every ≥ threshold pair touching at
+    * least one doc in `deltaIds`, with semantics IDENTICAL to
+    * [[ngramJaccard]] over the full corpus (same full-corpus DF cap, same
+    * sizes, same j arithmetic) — the pair source for
+    * [[incrementalCluster]]. The probe side explodes only the DELTA
+    * docs' shingles; the index side is the standing corpus's shingle
+    * set, which at 100 TB is the persisted bucketed shingle index (the
+    * minhashIncremental posture — here derived inline at test SF). A
+    * delta-delta pair matches from both probes, so one orientation is
+    * kept; delta-standing pairs match once. */
+  def ngramJaccardDelta(all: DataFrame, deltaIds: DataFrame,
+      threshold: Double = 0.6, maxShingleDf: Long = 1000L): DataFrame = {
+    val allSh = explodedShingles(all)
+    val sh =
+      if (maxShingleDf <= 0) allSh
+      else allSh
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+        .filter(col("__df") <= maxShingleDf)
+        .drop("__df")
+    val flagged = sh
+      .join(deltaIds.select(col("doc_id"), lit(true).as("__d")),
+        Seq("doc_id"), "left")
+      .withColumn("__d", coalesce(col("__d"), lit(false)))
+    val sizes = flagged.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val probe = flagged.filter(col("__d"))
+      .select(col("doc_id").as("dp"), col("shingle"))
+    val index = flagged
+      .select(col("doc_id").as("dx"), col("shingle"), col("__d").as("xd"))
+    val inter = probe.join(index, "shingle")
+      .filter(col("dp") =!= col("dx"))
+      .filter(!col("xd") || col("dp") < col("dx"))
+      .select(least(col("dp"), col("dx")).as("da"),
+        greatest(col("dp"), col("dx")).as("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), "db")
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double")).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
+  /** INCREMENTAL near-dup clustering — IVM for the persisted cluster
+    * map: merge a delta's pair stream into the standing clustering
+    * WITHOUT re-deriving the standing pair graph. The old closure
+    * re-enters as STAR EDGES (doc_id — cluster_id): connectivity-
+    * equivalent to the standing pair graph but already contracted to
+    * ≤ one edge per clustered doc, so the CC input is |map| + |delta
+    * pairs| rows however large the historical graph was. Labels are
+    * min-id on both paths, and stars preserve every old component, so
+    * the result is BIT-IDENTICAL to a full recompute over (standing ∪
+    * delta) pairs — the face's oracle replays exactly that from
+    * scratch. */
+  def incrementalCluster(clusterMap: DataFrame, deltaPairs: DataFrame): DataFrame = {
+    val stars = clusterMap.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("da"), col("cluster_id").as("db"))
+    connectedComponents(
+      stars.unionByName(deltaPairs.select(col("da"), col("db"))))
+  }
+
   def ngramContainment(docs: DataFrame, threshold: Double = 0.9,
       maxShingleDf: Long = 1000L): DataFrame = {
     val all = explodedShingles(docs)

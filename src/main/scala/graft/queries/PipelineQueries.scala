@@ -191,6 +191,28 @@ object PipelineQueries {
       tbl
     }
 
+  /** Memoized persisted cluster map of the STANDING corpus only (docs
+    * with doc_id % 5 != 0) — yesterday's clustering for the incremental
+    * face. The shingle DF cap stays FULL-corpus (the df stats sidecar is
+    * corpus-wide state the indexing policy consults at build time), so
+    * the incremental merge and a from-scratch recompute see identical
+    * pair sets. */
+  private val standingClusterMapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def standingClusterMapTable(s: SparkSession, dir: String): String =
+    memo(standingClusterMapCache, dir) { d =>
+      val tbl = "graft_standing_cluster_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_standing_cluster_").resolve("t").toString
+      val standingPairs = Dedup.ngramJaccard(docs(s, d), 0.6)
+        .filter(col("da") % 5 =!= 0 && col("db") % 5 =!= 0)
+      Dedup.connectedComponents(standingPairs)
+        .write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", path).mode("overwrite").saveAsTable(tbl)
+      tbl
+    }
+
   /** Memoized persisted SIMHASH pigeonhole index over the standing corpus
     * (same split as the band index) — the fourth member of the persisted
     * near-dup family. Built once per sf dir. */
@@ -876,6 +898,21 @@ object PipelineQueries {
     // ngram-Jaccard pair graph (pairs → dedup groups; survivor = min id)
     "dd_cluster" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.ngramJaccard(docs(s, dir), 0.6))),
+
+    // INCREMENTAL clustering — IVM for the cluster map: the delta (every
+    // 5th doc) merges into the persisted standing clustering via star
+    // edges + delta-sided pairs; NOTHING of the standing pair graph is
+    // re-derived (the probe explodes delta shingles only; the CC input
+    // is |map| + |delta pairs| rows). The ORACLE recomputes the full
+    // closure from scratch — a green row proves incremental ≡ rebuild,
+    // the IVM contract, bit-for-bit in min-id labels.
+    "dd_cluster_incremental" -> ((s, dir) => {
+      val all = docs(s, dir)
+      val delta = all.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      Dedup.incrementalCluster(
+        s.table(standingClusterMapTable(s, dir)),
+        Dedup.ngramJaccardDelta(all, delta))
+    }),
 
     // §2.13: the KEEP DECISION — near-dup clustering is only half the
     // dedup story; this face completes it: one survivor per cluster by an
@@ -1984,6 +2021,44 @@ object PipelineQueries {
          GROUP BY 1, 2
          HAVING count(*) >= 3""",
     "dd_cluster" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+         sh0 AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
+           FROM toks),
+         sh AS (
+           SELECT doc_id, shingle FROM (
+             SELECT doc_id, shingle,
+                    count(*) OVER (PARTITION BY shingle) AS df
+             FROM sh0)
+           WHERE df <= 1000),
+         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (
+           SELECT da, db
+           FROM inter
+           JOIN szs sa ON da = sa.doc_id
+           JOIN szs sb ON db = sb.doc_id
+           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6),
+         edges AS (
+           SELECT da AS a, db AS b FROM pairs
+           UNION ALL SELECT db, da FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a""",
+    // the IVM contract: the incremental merge must equal this
+    // FROM-SCRATCH closure over the full corpus, bit-for-bit
+    "dd_cluster_incremental" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
          sh0 AS (

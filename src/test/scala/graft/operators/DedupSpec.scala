@@ -521,4 +521,27 @@ class DedupSpec extends SparkSpec {
     }
     assert(joins.size == 2, s"expected count join + doc_id left join, got ${joins.size}")
   }
+
+  test("incremental clustering: a bridging delta merges two standing " +
+      "clusters to the exact full-recompute labels") {
+    val sA = "alpha beta gamma delta epsilon zeta eta theta"
+    val sB = "one two three four five six seven eight"
+    val standing = docsDF(Seq(
+      1L -> sA, 2L -> sA.replace("zeta", "zzz"),
+      3L -> sB, 4L -> sB.replace("six", "sixx")))
+    // doc 5 bridges clusters {1,2} and {3,4}; doc 6 is a delta-delta
+    // near-dup of 5 (exercises the both-delta orientation filter)
+    val bridge = "alpha beta gamma delta epsilon zeta one two three four five six"
+    val delta = docsDF(Seq(5L -> bridge, 6L -> bridge.replace("four", "fourx")))
+    val all = standing.unionByName(delta)
+    val oldMap = Dedup.connectedComponents(Dedup.ngramJaccard(standing, 0.3))
+    val inc = Dedup.incrementalCluster(oldMap,
+        Dedup.ngramJaccardDelta(all, delta.select("doc_id"), 0.3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(Dedup.ngramJaccard(all, 0.3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"incremental $inc != full recompute $full")
+    // the bridge really merged: everything labels to the global min
+    assert(inc.values.toSet == Set(1L) && inc.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
 }
