@@ -1218,6 +1218,13 @@ object PipelineQueries {
     "st_sessionize" -> ((s, dir) =>
       EventStreams.sessionizeBatch(Tables.load(s, dir, "events"))),
 
+    // carry-forward attribution: batch face here (per-purchase credited
+    // rows); the flatMapGroupsWithState twin — one string of state per
+    // live user — is asserted batch-equal across multi-batch splits in
+    // StreamingSpec (the smallest stateful shape in the family)
+    "st_attribution" -> ((s, dir) =>
+      EventStreams.attributionBatch(Tables.load(s, dir, "events"))),
+
     // §2.6 #88/#89 EVENT-TIME streaming faces, driven end-to-end: the
     // table is replayed through a FILE streaming source in one burst (the
     // 100 TB reprocessing posture — fast replay of history through the
@@ -3168,6 +3175,19 @@ object PipelineQueries {
          SELECT user_id, session_id, count(*) AS n_events,
                 min(ts) AS session_start, max(ts) AS session_end
          FROM t GROUP BY 1, 2""",
+    // per-purchase credited rows — the q_attribution CTE before rollup
+    "st_attribution" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  last_value(CASE WHEN event_type IN ('view','click','signup')
+                             THEN event_type END IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+           FROM events)
+         SELECT user_id, event_id,
+                coalesce(touch, 'DIRECT') AS credited, cents
+         FROM e WHERE event_type = 'purchase'""",
     // the full-history replay's CLOSED sessions are exactly the batch
     // closure — same oracle as st_sessionize
     "st_sessionize_et" ->

@@ -251,6 +251,62 @@ object EventStreams {
       ttl: Option[String] = None): Dataset[Doc] =
     dedupStreamImpl(spark, docs, ttl, None)
 
+  // ------------------------------------------------------------------
+  // Last-touch attribution — the CARRY-FORWARD state shape
+  // ------------------------------------------------------------------
+
+  final case class AttribOut(user_id: Long, event_id: Long,
+      credited: String, cents: Long)
+
+  private val TouchTypes = Set("view", "click", "signup")
+
+  /** Batch truth: per-purchase credited touch via an IGNORE-NULLS
+    * carry-forward window (the q_attribution plan before its rollup). */
+  def attributionBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Long.MinValue, 0)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("touch",
+        last(when(col("event_type").isin(TouchTypes.toSeq.map(lit): _*),
+          col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("touch"), lit("DIRECT")).as("credited"), col("cents"))
+  }
+
+  /** Streaming face: per-user carry-forward state via
+    * flatMapGroupsWithState — the SMALLEST stateful shape (one string per
+    * live user, vs sessionize's 4-field record or dedup's per-content
+    * bit), and the one every attribution/enrich-with-history pipeline
+    * needs. Purchases emit immediately with the credited touch; state is
+    * O(users), independent of stream length. Within-batch events process
+    * in (ts, event_id) order (the sessionizeStream discipline); the
+    * carry across batches is exactly the state. */
+  def attributionStream(spark: SparkSession,
+      events: Dataset[Event]): Dataset[AttribOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, AttribOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[String]) =>
+          var touch = state.getOption.getOrElse("")
+          val out = scala.collection.mutable.ArrayBuffer[AttribOut]()
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            if (TouchTypes(e.event_type)) touch = e.event_type
+            else if (e.event_type == "purchase")
+              out += AttribOut(userId, e.event_id,
+                if (touch.isEmpty) "DIRECT" else touch,
+                math.round(e.value * 100))
+          }
+          state.update(touch)
+          out.iterator
+      }
+  }
+
   /** [[dedupStream]] BOOTSTRAPPED from the persistent batch seen-index
     * ([[graft.operators.Dedup.writeSeenIndex]]): the index's (h1, h2)
     * xxhash pairs become the query's INITIAL state, so a stream started

@@ -27,6 +27,45 @@ class StreamingSpec extends SparkSpec {
     EventStreams.Event(6L, ts(55), 2L, "click", 6.0),
     EventStreams.Event(7L, ts(65), 2L, "click", 7.0))
 
+  test("streaming attribution carries the last touch across batches " +
+      "and equals the batch face") {
+    // purchases interleave with touches; the batch split below puts the
+    // crediting touch and its purchase in DIFFERENT micro-batches, so a
+    // pass requires the state really carrying forward
+    val evs = Seq(
+      EventStreams.Event(1L, ts(0), 1L, "view", 1.0),
+      EventStreams.Event(2L, ts(5), 1L, "click", 2.0),
+      EventStreams.Event(3L, ts(10), 1L, "purchase", 10.5), // click credits
+      EventStreams.Event(4L, ts(15), 2L, "purchase", 3.0),  // no touch: DIRECT
+      EventStreams.Event(5L, ts(20), 1L, "signup", 0.0),
+      // batch boundary here
+      EventStreams.Event(6L, ts(25), 1L, "purchase", 7.25), // signup from batch 1
+      EventStreams.Event(7L, ts(30), 2L, "view", 0.0),
+      EventStreams.Event(8L, ts(35), 2L, "purchase", 1.0))  // view credits
+    val batch = EventStreams.attributionBatch(evs.toDF())
+      .collect().map(_.toString).sorted.toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.attributionStream(spark, mem.toDS())
+      .toDF("user_id", "event_id", "credited", "cents")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(5): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out").collect().map(_.toString).sorted
+      assert(streamed.toSeq == batch, s"streamed $streamed != batch $batch")
+      // the cross-batch carry specifically: purchase 6 credits batch 1's
+      // signup, not DIRECT
+      val p6 = spark.table("attr_out").filter(col("event_id") === 6L)
+        .head().getAs[String]("credited")
+      assert(p6 == "signup")
+    } finally q.stop()
+  }
+
   test("streaming windowed agg equals batch windowed agg") {
     val batch = EventStreams.windowAgg(eventsLocal.toDF())
       .collect().map(_.toString).sorted
