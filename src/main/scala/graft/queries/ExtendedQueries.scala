@@ -708,6 +708,36 @@ object ExtendedQueries {
           sum(col("o_orderkey")).cast("long").as("key_sum"))
     }),
 
+    // TRIMMED MEAN — the robust aggregate between mean (q_profile) and
+    // median (q_percentiles): drop the extreme n div 20 rows off each end
+    // of the deterministic (cents, orderkey, linenumber) order, average
+    // the rest. Rank windows pin the EXACT row-drop semantics; sums stay
+    // int64 cents with ONE final double division in matched op order. At
+    // 100 TB the same trim computes the two boundary VALUES by
+    // range-partitioned rank (the exactPercentilesRange posture) and
+    // trims by value + per-value rank cap instead of a 3-partition
+    // window sort — this face pins the semantics that path must honor.
+    "q_trimmed_mean" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+        .filter(col("rn") > expr("n div 20") &&
+          col("rn") <= col("n") - expr("n div 20"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .select(col("l_returnflag"), col("n_kept"), col("sum_cents"),
+          (col("sum_cents").cast("double") / col("n_kept").cast("double"))
+            .as("trimmed_mean_cents"))
+    }),
+
     // ORDER-INDEPENDENT TABLE CHECKSUM — the migration-validation
     // primitive a reference user switching engines runs first: every row
     // renders to a canonical string (ints as digits, dates as ISO,
@@ -1407,6 +1437,24 @@ object ExtendedQueries {
                   (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
                   AS corr_q_price
          FROM a""",
+    // same rank-drop arithmetic; integer division mirrors `div`
+    "q_trimmed_mean" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                             l_orderkey, l_linenumber) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT l_returnflag,
+                CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS trimmed_mean_cents
+         FROM b
+         WHERE rn > n // 20 AND rn <= n - n // 20
+         GROUP BY 1""",
     // same canonical row rendering; the hex digits of md5 fold to the
     // same 32-bit int via instr arithmetic (lowercase hex both engines)
     "q_table_checksum" ->

@@ -388,6 +388,22 @@ object Relational {
       """)
     }),
 
+    // GROUP BY ALL — the DuckDB-originated sugar a migrating user types
+    // on day one; Spark adopted it in 3.4, so the SAME statement runs on
+    // both engines (the oracle uses the sugar too). Plans identically to
+    // the explicit GROUP BY (analysis-time rewrite).
+    "q_group_by_all" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               cast(sum(cast(l_extendedprice * (1 - l_discount)
+                 AS decimal(18,4))) AS double) AS revenue
+        FROM lineitem
+        GROUP BY ALL
+      """)
+    }),
+
     // §2.8: lead/lag navigation — per-user inter-event gaps (the
     // sessionization primitive expressed as a window). Gaps stay in exact
     // microsecond longs: a seconds division would round differently across
@@ -1252,6 +1268,14 @@ object Relational {
                 cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS total_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
+    // the same sugar, verbatim — DuckDB invented it
+    "q_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus,
+                count(*) AS n,
+                cast(sum(cast(l_extendedprice * (1 - l_discount)
+                  AS decimal(18,4))) AS double) AS revenue
+         FROM lineitem
+         GROUP BY ALL""",
     "q_window_lag" ->
       """SELECT user_id, event_id,
                 lag(event_id) OVER w AS prev_id,
