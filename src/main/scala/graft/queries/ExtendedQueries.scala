@@ -708,6 +708,38 @@ object ExtendedQueries {
           sum(col("o_orderkey")).cast("long").as("key_sum"))
     }),
 
+    // YEAR-OVER-YEAR — the BI staple: monthly revenue joined to itself
+    // twelve months back. The prior-year lookup is an equi-JOIN on
+    // add_months (robust to missing months, unlike lag(12) which slips
+    // when a month is absent); both sides are the already-aggregated
+    // ~80-row month table, so the join broadcasts. Cents exact; the
+    // difference stays integer, NULL where no prior year exists.
+    "q_yoy" -> ((s, dir) => {
+      val m = Tables.load(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .cast("long").as("cents"))
+      val prev = m.select(add_months(col("month"), 12).as("month"),
+        col("cents").as("prev_year_cents"))
+      m.join(prev, Seq("month"), "left")
+        .select(col("month"), col("cents"), col("prev_year_cents"),
+          (col("cents") - col("prev_year_cents")).as("yoy_diff_cents"))
+    }),
+
+    // TRY-prefixed error-tolerant functions — the migration surface for
+    // dirty data: try_cast swallows malformed casts to NULL (both
+    // engines), try_divide NULLs a zero denominator instead of raising.
+    // Map-only, codegen'd, no UDF.
+    "q_try_funcs" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("try_cast(o_orderpriority AS INT)").as("prio_bad"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
+            .as("prio"),
+          expr("try_divide(CAST(round(o_totalprice * 100) AS BIGINT), " +
+            "o_custkey % 3)").as("ratio"))),
+
     // TRIMMED MEAN — the robust aggregate between mean (q_profile) and
     // median (q_percentiles): drop the extreme n div 20 rows off each end
     // of the deterministic (cents, orderkey, linenumber) order, average
@@ -1437,6 +1469,27 @@ object ExtendedQueries {
                   (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
                   AS corr_q_price
          FROM a""",
+    // month-start + 12-month interval arithmetic is exact on both sides
+    "q_yoy" ->
+      """WITH m AS (
+           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM orders GROUP BY 1)
+         SELECT a.month, a.cents,
+                b.cents AS prev_year_cents,
+                a.cents - b.cents AS yoy_diff_cents
+         FROM m a LEFT JOIN m b
+           ON a.month = CAST(b.month + INTERVAL 12 MONTH AS DATE)""",
+    // TRY semantics spelled out: malformed cast -> NULL, zero
+    // denominator -> NULL (DuckDB TRY_CAST + NULLIF reproduce them)
+    "q_try_funcs" ->
+      """SELECT o_orderkey,
+                TRY_CAST(o_orderpriority AS INTEGER) AS prio_bad,
+                TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio,
+                CAST(round(o_totalprice * 100) AS BIGINT) /
+                  nullif(o_custkey % 3, 0) AS ratio
+         FROM orders""",
     // same rank-drop arithmetic; integer division mirrors `div`
     "q_trimmed_mean" ->
       """WITH b AS (
