@@ -108,6 +108,28 @@ class AnalyticsFacesSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 exchanges:\n$plan")
   }
 
+  test("q_ewma dyadic weights and q_rolling_median half-cent medians " +
+      "match hand arithmetic") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ewma_").toString
+    Seq(
+      (1L, t(1), 1L, "buy", 1.0, "{}"),
+      (2L, t(2), 1L, "buy", 2.0, "{}"),
+      (3L, t(3), 1L, "buy", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    // EWMA: trail [100], [100,200], [100,200,300]; weight 2^(i-1) puts
+    // 2^(m-1) on the newest; den = 2^m - 1
+    val ew = SparkEntry.queries("q_ewma")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(ew == Map(1L -> ((100L, 1L)), 2L -> ((500L, 3L)),
+      3L -> ((1700L, 7L))))
+    // rolling median in half-cents: singleton doubles the middle; the
+    // even trail sums the two middles
+    val rm = SparkEntry.queries("q_rolling_median")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(rm == Map(1L -> 200L, 2L -> 300L, 3L -> 400L))
+  }
+
   test("q_attribution: last preceding touch wins; touchless purchases " +
       "credit DIRECT") {
     val out = SparkEntry.queries("q_attribution")(spark, dir)
