@@ -344,6 +344,35 @@ object ExtendedQueries {
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .agg(sum(dec2(col("l_quantity"))).cast("double"))),
 
+    // MULTI-AGGREGATE pivot — each pivot value fans out to (count, qty)
+    // column PAIRS; still ONE pass / one exchange (the pivot compiles to
+    // conditional aggregates). Named aggs give deterministic A_n/A_qty
+    // column names the oracle mirrors with FILTER columns.
+    "q_pivot_multi" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("qty"))),
+
+    // Aggregate FILTER clause + the boolean/conditional aggregate family
+    // through spark.sql — the other day-one migration sugar (DuckDB and
+    // Spark both speak FILTER (WHERE ...) and count_if/bool_and/bool_or).
+    // All conditions integer/boolean-exact; one map-side-combinable pass.
+    "q_agg_filters" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+               count_if(l_discount > 0.05) AS n_discounted,
+               bool_and(l_extendedprice > 0) AS all_positive,
+               bool_or(l_quantity >= 50) AS any_max_qty,
+               CAST(sum(DISTINCT l_linenumber) AS BIGINT) AS linenum_sum
+        FROM lineitem
+        GROUP BY l_returnflag
+      """)
+    }),
+
     // §2.4 #52: exact percentiles — sort-based rank interpolation (one
     // spillable sort per group, bounded memory), NOT the value-buffering
     // `percentile` aggregate whose per-group buffer holds every value
@@ -1799,6 +1828,28 @@ object ExtendedQueries {
                      THEN cast(l_quantity AS decimal(18,2)) END) AS double) AS "N",
                 cast(sum(CASE WHEN l_returnflag = 'R'
                      THEN cast(l_quantity AS decimal(18,2)) END) AS double) AS "R"
+         FROM lineitem GROUP BY 1""",
+    // FILTER columns mirror Spark's pivot naming: <value>_<agg alias>
+    "q_pivot_multi" ->
+      """SELECT l_linestatus,
+                CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS "A_n",
+                cast(sum(cast(l_quantity AS decimal(18,2)))
+                  FILTER (WHERE l_returnflag = 'A') AS double) AS "A_qty",
+                CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT) AS "N_n",
+                cast(sum(cast(l_quantity AS decimal(18,2)))
+                  FILTER (WHERE l_returnflag = 'N') AS double) AS "N_qty",
+                CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS "R_n",
+                cast(sum(cast(l_quantity AS decimal(18,2)))
+                  FILTER (WHERE l_returnflag = 'R') AS double) AS "R_qty"
+         FROM lineitem GROUP BY 1""",
+    // the same FILTER/count_if/bool_* statement shape, near-verbatim
+    "q_agg_filters" ->
+      """SELECT l_returnflag,
+                CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+                CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+                bool_and(l_extendedprice > 0) AS all_positive,
+                bool_or(l_quantity >= 50) AS any_max_qty,
+                CAST(sum(DISTINCT l_linenumber) AS BIGINT) AS linenum_sum
          FROM lineitem GROUP BY 1""",
     "q_percentiles" ->
       """SELECT l_returnflag,
