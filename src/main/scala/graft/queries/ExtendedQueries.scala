@@ -649,6 +649,37 @@ object ExtendedQueries {
           col("is_current"))
     }),
 
+    // POINT-IN-TIME join — the warehouse query SCD2 exists to serve:
+    // each purchase looks up the profile VERSION valid at its timestamp
+    // ([valid_from, valid_to) containment; purchases before any version
+    // attach NULL). Spark-first this is the backward as-of on
+    // valid_from — version disjointness makes containment and
+    // latest-start-≤-ts equivalent, and the as-of machinery already
+    // plans ONE keyed exchange (no interval theta-join); the oracle
+    // spells out the interval predicate, so the green row PROVES the
+    // equivalence. Equal-ts fact/version: the version sorts first
+    // (vf ≤ ts inclusive), matching the oracle's ≤.
+    "q_pit_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val dim = graft.operators.Scd2.fromChangeLog(
+          ev.filter(col("event_type") =!= "purchase")
+            .select(col("user_id"), col("ts"), col("event_id"),
+              round(col("value") * 100).cast("long").as("profile_cents")),
+          keys = Seq("user_id"), ts = "ts", tiebreak = Seq("event_id"))
+        .select(col("user_id"), col("valid_from"),
+          col("event_id").as("version_id"), col("profile_cents"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("purchase_cents"))
+      AsofJoin.asof(facts, dim,
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "valid_from",
+          rightSeq = "version_id",
+          rightVals = Seq("version_id", "profile_cents"))
+        .select(col("event_id"), col("user_id"), col("purchase_cents"),
+          col("version_id"), col("profile_cents"))
+    }),
+
     // z-order layout round-trip: lineitem re-written z-clustered on
     // (partkey, orderkey), then a 2-D box scan over the new layout — the
     // answer is layout-independent (the oracle reads the raw table), while
@@ -1642,6 +1673,23 @@ object ExtendedQueries {
                 (lead(ts) OVER w IS NULL) AS is_current
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    // the interval-containment spelling; NULL vto = open version
+    "q_pit_join" ->
+      """WITH ch AS (
+           SELECT user_id, date_trunc('microseconds', ts) AS vf, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS profile_cents,
+                  lead(date_trunc('microseconds', ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS vto
+           FROM events WHERE event_type <> 'purchase'),
+         f AS (
+           SELECT user_id, date_trunc('microseconds', ts) AS fts, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS purchase_cents
+           FROM events WHERE event_type = 'purchase')
+         SELECT f.event_id, f.user_id, f.purchase_cents,
+                ch.event_id AS version_id, ch.profile_cents
+         FROM f LEFT JOIN ch
+           ON f.user_id = ch.user_id AND ch.vf <= f.fts
+              AND (ch.vto IS NULL OR f.fts < ch.vto)""",
     "q_zorder_scan" ->
       """WITH b AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
                            min(l_orderkey) AS omin, max(l_orderkey) AS omax
