@@ -388,6 +388,46 @@ object Relational {
       """)
     }),
 
+    // The NOT IN / NOT EXISTS NULL trap, pinned as data: the same
+    // "orders with no matching high-balance customer" question asked
+    // both ways over a subquery that CONTAINS a NULL key. Standard SQL
+    // (both engines): NOT IN returns UNKNOWN for every probe once the
+    // list holds a NULL → zero rows; NOT EXISTS ignores the NULL row →
+    // the real answer. The face emits both counts so the migration trap
+    // is a verified fact, not a footnote.
+    "q_not_in_nulls" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        WITH keys AS (
+          SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+          FROM customer WHERE c_acctbal < 0 OR c_acctbal > 9000
+        )
+        SELECT
+          (SELECT count(*) FROM orders
+           WHERE o_custkey NOT IN (SELECT k FROM keys)) AS not_in_n,
+          (SELECT count(*) FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = o.o_custkey))
+            AS not_exists_n
+      """)
+    }),
+
+    // RELATIONAL DIVISION — "users who did ALL five event types": the
+    // classic ÷ operator compiles to one distinct-pair aggregate +
+    // HAVING count = |divisor| (no N-way self-join). The divisor count
+    // derives from the data on both sides, so the face survives schema
+    // growth.
+    "q_rel_division" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT user_id,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events
+        GROUP BY user_id
+        HAVING count(DISTINCT event_type) =
+               (SELECT count(DISTINCT event_type) FROM events)
+      """)
+    }),
+
     // GROUP BY ALL — the DuckDB-originated sugar a migrating user types
     // on day one; Spark adopted it in 3.4, so the SAME statement runs on
     // both engines (the oracle uses the sugar too). Plans identically to
@@ -1268,6 +1308,24 @@ object Relational {
                 cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS total_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
+    // identical statement — standard three-valued logic on both engines
+    "q_not_in_nulls" ->
+      """WITH keys AS (
+           SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+           FROM customer WHERE c_acctbal < 0 OR c_acctbal > 9000)
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_custkey NOT IN (SELECT k FROM keys)) AS not_in_n,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = o.o_custkey))
+             AS not_exists_n""",
+    "q_rel_division" ->
+      """SELECT user_id,
+                CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+         FROM events
+         GROUP BY user_id
+         HAVING count(DISTINCT event_type) =
+                (SELECT count(DISTINCT event_type) FROM events)""",
     // the same sugar, verbatim — DuckDB invented it
     "q_group_by_all" ->
       """SELECT l_returnflag, l_linestatus,
