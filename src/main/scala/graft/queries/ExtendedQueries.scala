@@ -768,6 +768,25 @@ object ExtendedQueries {
           sum(col("o_orderkey")).cast("long").as("key_sum"))
     }),
 
+    // ZERO-FILLED DATE SPINE — the other calendar primitive next to
+    // q_resample's per-user forward fill: a generated day sequence
+    // spanning [min, max] LEFT-joins the daily rollup so silent days
+    // appear as explicit zeros (what every dashboard needs before a
+    // moving average). The spine generates from ONE min/max row
+    // (sequence + explode — no calendar table to maintain), broadcasts
+    // onto the day-keyed aggregate; counts exact.
+    "q_date_spine" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(date_trunc("day", col("ts")).cast("date").as("day"))
+      val daily = ev.groupBy(col("day"))
+        .agg(count(lit(1)).cast("long").as("n_events"))
+      val spine = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+    }),
+
     // YEAR-OVER-YEAR — the BI staple: monthly revenue joined to itself
     // twelve months back. The prior-year lookup is an equi-JOIN on
     // add_months (robust to missing months, unlike lag(12) which slips
@@ -1529,6 +1548,20 @@ object ExtendedQueries {
                   (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
                   AS corr_q_price
          FROM a""",
+    // generate_series spans the same [min, max] day range
+    "q_date_spine" ->
+      """WITH d AS (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+         daily AS (
+           SELECT day, CAST(count(*) AS BIGINT) AS n_events
+           FROM d GROUP BY 1),
+         spine AS (
+           SELECT unnest(generate_series(
+             (SELECT min(day) FROM d), (SELECT max(day) FROM d),
+             INTERVAL 1 DAY)) AS day)
+         SELECT CAST(spine.day AS DATE) AS day,
+                coalesce(daily.n_events, 0) AS n_events
+         FROM spine LEFT JOIN daily ON CAST(spine.day AS DATE) = daily.day""",
     // month-start + 12-month interval arithmetic is exact on both sides
     "q_yoy" ->
       """WITH m AS (
