@@ -47,4 +47,21 @@ class QueryPlanSpec extends SparkSpec {
     assert(!plan.contains("Generate"),
       s"per-invocation pair rebuild crept back:\n$plan")
   }
+
+  test("q_bitmap_distinct: exact distinct with NO Expand and map-side " +
+      "mask combine (2 shuffles: bucket masks, then per-group popcounts)") {
+    val plan = finalPlan(SparkEntry.queries("q_bitmap_distinct")(spark, dir))
+    assert(!plan.contains("Expand"),
+      s"countDistinct's Expand defeats the bitmap path:\n$plan")
+    assert(shuffles(plan) <= 2, s"expected <=2 shuffles in:\n$plan")
+  }
+
+  test("q_pit_join rides the as-of machinery: ONE keyed shuffle, no " +
+      "interval theta-join artifacts") {
+    val plan = finalPlan(SparkEntry.queries("q_pit_join")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.toLowerCase.contains("broadcastnestedloop"),
+      s"interval containment degraded to a theta join:\n$plan")
+    assert(shuffles(plan) == 1, s"expected exactly 1 shuffle in:\n$plan")
+  }
 }
