@@ -819,6 +819,24 @@ object ExtendedQueries {
           expr("try_divide(CAST(round(o_totalprice * 100) AS BIGINT), " +
             "o_custkey % 3)").as("ratio"))),
 
+    // EMPIRICAL CDF at fixed probe points — the percentile INVERSE
+    // (q_percentiles answers "value at p"; this answers "p at value"),
+    // the calibration primitive. One conditional-count pass: each probe
+    // is a count_if, exact int64, with the single fraction division
+    // last in matched op order. Probes ride the plan as literals.
+    "q_ecdf" -> ((s, dir) => {
+      val probes = Seq(10000L, 25000L, 50000L, 75000L, 90000L) // cents·100
+      val li = Tables.load(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val aggs = count(lit(1)).cast("long").as("n") +:
+        probes.map(p => sum(when(col("cents") <= p * 100L, 1L).otherwise(0L))
+          .cast("long").as(s"n_le_$p"))
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(col("n") +: probes.map(p =>
+          (col(s"n_le_$p").cast("double") / col("n").cast("double"))
+            .as(s"p_le_$p")): _*)
+    }),
+
     // TRIMMED MEAN — the robust aggregate between mean (q_profile) and
     // median (q_percentiles): drop the extreme n div 20 rows off each end
     // of the deterministic (cents, orderkey, linenumber) order, average
@@ -1583,6 +1601,26 @@ object ExtendedQueries {
                 CAST(round(o_totalprice * 100) AS BIGINT) /
                   nullif(o_custkey % 3, 0) AS ratio
          FROM orders""",
+    // same conditional counts; thresholds in cents·100 = dollars·10000
+    "q_ecdf" ->
+      """WITH c AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+         a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN cents <= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS a10,
+                  CAST(sum(CASE WHEN cents <= 2500000 THEN 1 ELSE 0 END) AS BIGINT) AS a25,
+                  CAST(sum(CASE WHEN cents <= 5000000 THEN 1 ELSE 0 END) AS BIGINT) AS a50,
+                  CAST(sum(CASE WHEN cents <= 7500000 THEN 1 ELSE 0 END) AS BIGINT) AS a75,
+                  CAST(sum(CASE WHEN cents <= 9000000 THEN 1 ELSE 0 END) AS BIGINT) AS a90
+           FROM c)
+         SELECT n,
+                CAST(a10 AS DOUBLE) / CAST(n AS DOUBLE) AS p_le_10000,
+                CAST(a25 AS DOUBLE) / CAST(n AS DOUBLE) AS p_le_25000,
+                CAST(a50 AS DOUBLE) / CAST(n AS DOUBLE) AS p_le_50000,
+                CAST(a75 AS DOUBLE) / CAST(n AS DOUBLE) AS p_le_75000,
+                CAST(a90 AS DOUBLE) / CAST(n AS DOUBLE) AS p_le_90000
+         FROM a""",
     // same rank-drop arithmetic; integer division mirrors `div`
     "q_trimmed_mean" ->
       """WITH b AS (

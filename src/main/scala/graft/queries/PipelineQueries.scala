@@ -711,6 +711,20 @@ object PipelineQueries {
     "txt_ngram_freq" -> ((s, dir) =>
       TextOps.ngramFreq(docs(s, dir), n = 2, minCount = 10L)),
 
+    // CORPUS-DRIVEN STOPWORD LIST — the auto-stopword generator a
+    // quality pipeline runs before TF-IDF/BM25 tuning: top 20 tokens by
+    // DOCUMENT frequency (distinct (doc, tok) — occurrence counts
+    // overweight repetitive docs), deterministic (df DESC, tok) cut so
+    // the LIMIT is stable. TakeOrdered top-k, never a full sort.
+    "txt_stopwords" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+        .distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df"))
+        .orderBy(col("df").desc, col("tok"))
+        .limit(20)),
+
     // retrieval-pipeline chunking: overlapping 200-char windows every 150
     // chars, map-only explode (no shuffle). FULL oracle regenerates the
     // same windows in SQL.
@@ -2543,6 +2557,15 @@ object PipelineQueries {
            FROM toks WHERE len(t) >= 2)
          SELECT ngram, count(*) AS n_occurrences
          FROM grams GROUP BY 1 HAVING count(*) >= 10""",
+    "txt_stopwords" ->
+      """WITH t AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+             FROM documents))
+         SELECT tok, CAST(count(*) AS BIGINT) AS df
+         FROM t GROUP BY 1
+         ORDER BY df DESC, tok LIMIT 20""",
     "txt_line_dedup" ->
       """WITH lines AS (
            SELECT doc_id,
