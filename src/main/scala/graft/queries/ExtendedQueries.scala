@@ -344,6 +344,37 @@ object ExtendedQueries {
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .agg(sum(dec2(col("l_quantity"))).cast("double"))),
 
+    // DISTINCT ON — the Postgres/DuckDB idiom for "one deterministic row
+    // per key" (here: each user's latest event by (ts, event_id)). Spark
+    // spells it row_number = 1; DuckDB's oracle uses its native
+    // DISTINCT ON with a matching ORDER BY, so the green row certifies
+    // the two spellings agree including the tie-break.
+    "q_distinct_on" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+    }),
+
+    // the SQL PIVOT clause spelling (Spark has had it since 2.4) — the
+    // q_pivot DataFrame face's statement-level twin; the oracle uses
+    // conditional aggregates (DuckDB's PIVOT syntax differs, the VALUES
+    // are what must match)
+    "q_pivot_sql" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT * FROM (
+          SELECT l_linestatus, l_returnflag,
+                 CAST(l_quantity AS DECIMAL(18,2)) AS qty
+          FROM lineitem)
+        PIVOT (CAST(sum(qty) AS DOUBLE) FOR l_returnflag IN ('A', 'N', 'R'))
+      """)
+    }),
+
     // MULTI-AGGREGATE pivot — each pivot value fans out to (count, qty)
     // column PAIRS; still ONE pass / one exchange (the pivot compiles to
     // conditional aggregates). Named aggs give deterministic A_n/A_qty
@@ -1940,6 +1971,24 @@ object ExtendedQueries {
                      ELSE fk END AS near_order
          FROM e JOIN b USING (event_id) JOIN f USING (event_id)""",
     "q_pivot" ->
+      """SELECT l_linestatus,
+                cast(sum(CASE WHEN l_returnflag = 'A'
+                     THEN cast(l_quantity AS decimal(18,2)) END) AS double) AS "A",
+                cast(sum(CASE WHEN l_returnflag = 'N'
+                     THEN cast(l_quantity AS decimal(18,2)) END) AS double) AS "N",
+                cast(sum(CASE WHEN l_returnflag = 'R'
+                     THEN cast(l_quantity AS decimal(18,2)) END) AS double) AS "R"
+         FROM lineitem GROUP BY 1""",
+    // native DISTINCT ON with the same total order
+    "q_distinct_on" ->
+      """SELECT DISTINCT ON (user_id)
+                user_id, event_id, event_type,
+                CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events
+         ORDER BY user_id, ts DESC, event_id DESC""",
+    // the VALUES are the contract; DuckDB reproduces them with
+    // conditional aggregates
+    "q_pivot_sql" ->
       """SELECT l_linestatus,
                 cast(sum(CASE WHEN l_returnflag = 'A'
                      THEN cast(l_quantity AS decimal(18,2)) END) AS double) AS "A",
