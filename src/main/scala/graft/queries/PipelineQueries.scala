@@ -711,6 +711,38 @@ object PipelineQueries {
     "txt_ngram_freq" -> ((s, dir) =>
       TextOps.ngramFreq(docs(s, dir), n = 2, minCount = 10L)),
 
+    // PER-SOURCE DEDUP REPORT — the observability rollup every curation
+    // run ships: docs / distinct contents / removed per source, with the
+    // removal rate as an exact integer pair (rate_pct_x100 = basis
+    // points — no float formatting to disagree over). One digest
+    // aggregate + one source rollup; survivors keep min doc_id per
+    // content (the dd_exact policy).
+    "pipeline_dedup_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      val surv = d.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      d.join(surv, Seq("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+            .cast("long").as("n_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          (col("n_docs") - col("n_kept")).as("n_removed"),
+          expr("(n_docs - n_kept) * 10000 div n_docs").as("removed_bp"))
+    }),
+
+    // DOC-LENGTH HISTOGRAM per source — the other standard corpus-report
+    // panel: 500-char buckets, exact counts, min/max within bucket. One
+    // map-side-combinable aggregate.
+    "txt_length_hist" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"),
+          expr("n_chars div 500").cast("long").as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"))),
+
     // CORPUS-DRIVEN STOPWORD LIST — the auto-stopword generator a
     // quality pipeline runs before TF-IDF/BM25 tuning: top 20 tokens by
     // DOCUMENT frequency (distinct (doc, tok) — occurrence counts
@@ -2557,6 +2589,28 @@ object PipelineQueries {
            FROM toks WHERE len(t) >= 2)
          SELECT ngram, count(*) AS n_occurrences
          FROM grams GROUP BY 1 HAVING count(*) >= 10""",
+    // same digest grouping; basis points via integer division
+    "pipeline_dedup_report" ->
+      """WITH d AS (
+           SELECT doc_id, source, md5(text) AS h FROM documents),
+         surv AS (
+           SELECT h, min(doc_id) AS keep_id FROM d GROUP BY 1)
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+                CAST(count(*) - sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_removed,
+                CAST((count(*) - sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END))
+                  * 10000 // count(*) AS BIGINT) AS removed_bp
+         FROM d JOIN surv USING (h)
+         GROUP BY 1""",
+    "txt_length_hist" ->
+      """SELECT source, n_chars // 500 AS bucket,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(min(n_chars) AS BIGINT) AS min_chars,
+                CAST(max(n_chars) AS BIGINT) AS max_chars
+         FROM documents GROUP BY 1, 2""",
     "txt_stopwords" ->
       """WITH t AS (
            SELECT DISTINCT doc_id, tok FROM (
