@@ -346,6 +346,23 @@ object Relational {
           concat($"c_mktsegment", lit("/"), $"c_name").as("seg_name"))
     }),
 
+    // The SECOND string tier a migrating user hits within the hour:
+    // split_part / reverse / lpad / translate / repeat / position — all
+    // ASCII-deterministic over customer. split_part and strpos/instr
+    // carry the same 1-based conventions on both engines.
+    "q_string_funcs2" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .select(
+          $"c_custkey",
+          expr("split_part(c_name, '#', 2)").as("name_num"),
+          reverse($"c_mktsegment").as("seg_rev"),
+          lpad($"c_mktsegment", 12, "*").as("seg_pad"),
+          translate($"c_mktsegment", "AEIOU", "aeiou").as("seg_tr"),
+          expr("repeat(substring(c_mktsegment, 1, 2), 3)").as("seg_rep"),
+          expr("CAST(instr(c_name, '#') AS BIGINT)").as("hash_pos"))
+    }),
+
     // §2.2 #32: date/time bucketing on the events stream table
     "q_time_bucket" -> ((s, dir) => {
       import s.implicits._
@@ -1286,6 +1303,15 @@ object Relational {
                 length(c_name) AS name_len,
                 c_mktsegment || '/' || c_name AS seg_name
          FROM customer WHERE c_name LIKE '%1%'""",
+    "q_string_funcs2" ->
+      """SELECT c_custkey,
+                split_part(c_name, '#', 2) AS name_num,
+                reverse(c_mktsegment) AS seg_rev,
+                lpad(c_mktsegment, 12, '*') AS seg_pad,
+                translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+                repeat(substring(c_mktsegment, 1, 2), 3) AS seg_rep,
+                CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos
+         FROM customer""",
     "q_time_bucket" ->
       """SELECT date_trunc('day', ts) AS day, event_type,
                 count(*) AS n_events,
