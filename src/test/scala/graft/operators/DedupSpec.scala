@@ -544,4 +544,39 @@ class DedupSpec extends SparkSpec {
     // the bridge really merged: everything labels to the global min
     assert(inc.values.toSet == Set(1L) && inc.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
+
+  test("randomized: delta-sided pairs == full pairs touching delta, and " +
+      "incremental clustering == full recompute (5 seeded corpora)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+        "eta", "theta", "iota", "kappa")
+      // 12 docs of 6-10 tokens from a 10-token vocab: dense enough that
+      // shingles collide and clusters form, random enough to explore
+      // orientations (delta-delta, delta-standing, standing-standing)
+      val docs12 = (1L to 12L).map { id =>
+        id -> Seq.fill(6 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val all = docsDF(docs12)
+      val deltaIds = docs12.map(_._1).filter(_ % 3 == 0)
+      val delta = all.filter(col("doc_id").isin(deltaIds: _*))
+      val standing = all.filter(!col("doc_id").isin(deltaIds: _*))
+      val t = 0.3
+      def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+      val fullPairs = Dedup.ngramJaccard(all, t)
+      val expected = pairSet(fullPairs.filter(
+        col("da").isin(deltaIds: _*) || col("db").isin(deltaIds: _*)))
+      val got = pairSet(Dedup.ngramJaccardDelta(all, delta.select("doc_id"), t))
+      assert(got == expected, s"seed $seed: delta pairs $got != $expected")
+      val inc = Dedup.incrementalCluster(
+          Dedup.connectedComponents(Dedup.ngramJaccard(standing, t)),
+          Dedup.ngramJaccardDelta(all, delta.select("doc_id"), t))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Dedup.connectedComponents(fullPairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc == full, s"seed $seed: incremental $inc != full $full")
+    }
+  }
 }
