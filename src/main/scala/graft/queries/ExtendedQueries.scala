@@ -850,6 +850,61 @@ object ExtendedQueries {
           expr("try_divide(CAST(round(o_totalprice * 100) AS BIGINT), " +
             "o_custkey % 3)").as("ratio"))),
 
+    // MODE with pinned tie semantics — the built-in mode() aggregates
+    // break ties arbitrarily on BOTH engines, so the face spells out the
+    // deterministic rule (highest count, then smallest value) as a
+    // count aggregate + one row_number cut; the window runs over the
+    // value-count rows, never the base table.
+    "q_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_quantity")).cast("long").as("qty"))
+        .groupBy(col("l_returnflag"), col("qty"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      counts.withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("n").desc, col("qty"))))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("qty").as("mode_qty"), col("n"))
+    }),
+
+    // THIRD AND FOURTH MOMENTS — skewness and excess kurtosis from the
+    // q_corr discipline: Σx..Σx⁴ as DECIMAL (shuffle-order-independent;
+    // qty ≤ 50 keeps x⁴ sums far inside DECIMAL(28,4)), finalized in
+    // double with the SAME op order both engines — population formulas
+    // spelled out (built-in skewness/kurtosis differ in bias correction
+    // across engines, so the moments are the contract). sqrt and pow are
+    // IEEE-exact for these operands.
+    "q_moments" -> ((s, dir) => {
+      val d284 = DecimalType(28, 4)
+      val q = col("l_quantity")
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(q.cast(d284)).as("s1"),
+          sum((q * q).cast(d284)).as("s2"),
+          sum((q * q * q).cast(d284)).as("s3"),
+          sum((q * q * q * q).cast(d284)).as("s4"))
+        .select(col("l_returnflag"), col("n").as("n_rows"),
+          col("n").cast("double").as("nd"),
+          col("s1").cast("double").as("s1"), col("s2").cast("double").as("s2"),
+          col("s3").cast("double").as("s3"), col("s4").cast("double").as("s4"))
+        .withColumn("m", col("s1") / col("nd"))
+        .withColumn("v",
+          col("s2") / col("nd") - col("m") * col("m"))
+        .select(col("l_returnflag"), col("n_rows"),
+          col("m").as("mean_qty"), col("v").as("var_qty"),
+          ((col("s3") / col("nd") - lit(3.0) * col("m") * col("v")
+            - col("m") * col("m") * col("m")) /
+            (col("v") * sqrt(col("v")))).as("skew_qty"),
+          ((col("s4") / col("nd")
+            - lit(4.0) * col("m") * (col("s3") / col("nd"))
+            + lit(6.0) * col("m") * col("m") * (col("s2") / col("nd"))
+            - lit(3.0) * col("m") * col("m") * col("m") * col("m")) /
+            (col("v") * col("v")) - lit(3.0)).as("kurt_qty"))
+    }),
+
     // EMPIRICAL CDF at fixed probe points — the percentile INVERSE
     // (q_percentiles answers "value at p"; this answers "p at value"),
     // the calibration primitive. One conditional-count pass: each probe
@@ -1632,6 +1687,40 @@ object ExtendedQueries {
                 CAST(round(o_totalprice * 100) AS BIGINT) /
                   nullif(o_custkey % 3, 0) AS ratio
          FROM orders""",
+    // same pinned tie rule (count DESC, value ASC)
+    "q_mode" ->
+      """WITH c AS (
+           SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1, 2),
+         r AS (
+           SELECT l_returnflag, qty, n,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY n DESC, qty) AS rn
+           FROM c)
+         SELECT l_returnflag, qty AS mode_qty, n FROM r WHERE rn = 1""",
+    // same decimal moments, same double op order (population formulas)
+    "q_moments" ->
+      """WITH a AS (
+           SELECT l_returnflag, count(*) AS n, count(*)::DOUBLE AS nd,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s2,
+                  CAST(sum(CAST(l_quantity * l_quantity * l_quantity
+                    AS DECIMAL(28,4))) AS DOUBLE) AS s3,
+                  CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                    AS DECIMAL(28,4))) AS DOUBLE) AS s4
+           FROM lineitem GROUP BY 1),
+         b AS (
+           SELECT l_returnflag, n, nd, s1, s2, s3, s4,
+                  s1 / nd AS m,
+                  s2 / nd - (s1 / nd) * (s1 / nd) AS v
+           FROM a)
+         SELECT l_returnflag, n AS n_rows,
+                m AS mean_qty, v AS var_qty,
+                (s3 / nd - 3.0 * m * v - m * m * m) / (v * sqrt(v)) AS skew_qty,
+                (s4 / nd - 4.0 * m * (s3 / nd) + 6.0 * m * m * (s2 / nd)
+                  - 3.0 * m * m * m * m) / (v * v) - 3.0 AS kurt_qty
+         FROM b""",
     // same conditional counts; thresholds in cents·100 = dollars·10000
     "q_ecdf" ->
       """WITH c AS (
