@@ -850,6 +850,33 @@ object ExtendedQueries {
           expr("try_divide(CAST(round(o_totalprice * 100) AS BIGINT), " +
             "o_custkey % 3)").as("ratio"))),
 
+    // GINI COEFFICIENT — the inequality metric over price mass, from
+    // pure RANK ARITHMETIC: G = (2·Σ rn·x − (n+1)·Σx) / (n·Σx) over the
+    // deterministic (cents, orderkey, linenumber) order. Both moment
+    // sums accumulate as DECIMAL(38,0) (rn·cents crosses int64 past
+    // ~sf1) and the single division happens on doubles last, matched op
+    // order. Per-group rank windows — same scale posture note as
+    // q_trimmed_mean.
+    "q_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d380 = DecimalType(38, 0)
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cents").cast(d380)).as("s0"),
+          sum((col("rn") * col("cents")).cast(d380)).as("s1"))
+        .select(col("l_returnflag"), col("n").as("n_rows"),
+          col("s0").cast("long").as("sum_cents"),
+          ((lit(2).cast(d380) * col("s1")
+            - (col("n") + 1).cast(d380) * col("s0")).cast("double") /
+            (col("n").cast(d380) * col("s0")).cast("double")).as("gini"))
+    }),
+
     // MODE with pinned tie semantics — the built-in mode() aggregates
     // break ties arbitrarily on BOTH engines, so the face spells out the
     // deterministic rule (highest count, then smallest value) as a
@@ -1687,6 +1714,26 @@ object ExtendedQueries {
                 CAST(round(o_totalprice * 100) AS BIGINT) /
                   nullif(o_custkey % 3, 0) AS ratio
          FROM orders""",
+    // same rank arithmetic; HUGEINT plays DECIMAL(38,0), double division
+    // last
+    "q_gini" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                  CAST(row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                             l_orderkey, l_linenumber) AS BIGINT) AS rn
+           FROM lineitem),
+         a AS (
+           SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                  sum(CAST(cents AS HUGEINT)) AS s0,
+                  sum(CAST(rn AS HUGEINT) * CAST(cents AS HUGEINT)) AS s1
+           FROM b GROUP BY 1)
+         SELECT l_returnflag, n AS n_rows,
+                CAST(s0 AS BIGINT) AS sum_cents,
+                CAST(2::HUGEINT * s1 - (n + 1)::HUGEINT * s0 AS DOUBLE) /
+                  CAST(n::HUGEINT * s0 AS DOUBLE) AS gini
+         FROM a""",
     // same pinned tie rule (count DESC, value ASC)
     "q_mode" ->
       """WITH c AS (
