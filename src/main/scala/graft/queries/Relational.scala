@@ -405,6 +405,47 @@ object Relational {
       """)
     }),
 
+    // LIMIT/OFFSET pagination over a TOTAL order — the API-backend
+    // staple; OFFSET landed in Spark 3.4, so the statement runs verbatim
+    // on both engines. The (o_orderdate, o_orderkey) order is total, so
+    // page 3 is the same 20 rows everywhere.
+    "q_pagination" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        ORDER BY o_orderdate, o_orderkey
+        LIMIT 20 OFFSET 40
+      """)
+    }),
+
+    // NULL ORDERING pinned explicitly — the silent migration gotcha:
+    // Spark defaults to NULLS FIRST on ASC, DuckDB to NULLS LAST, so any
+    // unannotated ORDER BY over a nullable key silently reorders between
+    // engines. The face takes the defaults OFF the table: both
+    // directions annotated, positions emitted as row numbers, nullable
+    // key derived so the data genuinely exercises it.
+    "q_null_ordering" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        WITH k AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                      ELSE o_orderkey % 100 END AS nk
+          FROM orders WHERE o_orderkey <= 500
+        )
+        SELECT o_orderkey, nk,
+               CAST(row_number() OVER
+                 (ORDER BY nk ASC NULLS FIRST, o_orderkey) AS BIGINT)
+                 AS pos_nulls_first,
+               CAST(row_number() OVER
+                 (ORDER BY nk ASC NULLS LAST, o_orderkey) AS BIGINT)
+                 AS pos_nulls_last
+        FROM k
+      """)
+    }),
+
     // The NOT IN / NOT EXISTS NULL trap, pinned as data: the same
     // "orders with no matching high-balance customer" question asked
     // both ways over a subquery that CONTAINS a NULL key. Standard SQL
@@ -1334,6 +1375,28 @@ object Relational {
                 cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS total_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
+    // verbatim statement; the order is total so the page is stable
+    "q_pagination" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders
+         ORDER BY o_orderdate, o_orderkey
+         LIMIT 20 OFFSET 40""",
+    // identical annotations — the defaults differ, the annotations agree
+    "q_null_ordering" ->
+      """WITH k AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                       ELSE o_orderkey % 100 END AS nk
+           FROM orders WHERE o_orderkey <= 500)
+         SELECT o_orderkey, nk,
+                CAST(row_number() OVER
+                  (ORDER BY nk ASC NULLS FIRST, o_orderkey) AS BIGINT)
+                  AS pos_nulls_first,
+                CAST(row_number() OVER
+                  (ORDER BY nk ASC NULLS LAST, o_orderkey) AS BIGINT)
+                  AS pos_nulls_last
+         FROM k""",
     // identical statement — standard three-valued logic on both engines
     "q_not_in_nulls" ->
       """WITH keys AS (
