@@ -1636,7 +1636,7 @@ object ExtendedQueries {
     "q_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
                 count(*) AS n,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS mass
          FROM lineitem GROUP BY 1""",
     "q_table_diff" ->
       """WITH v1 AS (
@@ -1666,11 +1666,11 @@ object ExtendedQueries {
     "q_corr" ->
       """WITH a AS (
            SELECT count(*) AS n, count(*)::DOUBLE AS nd,
-                  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
-                  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
-                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
-                  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
-                  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS sx,
+                  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS sxx,
+                  CAST(CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS syy,
+                  CAST(CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS sxy
            FROM lineitem)
          SELECT n AS n_rows,
                 sqrt(nd * sxx - sx * sx) / nd AS q_std,
@@ -1750,12 +1750,12 @@ object ExtendedQueries {
     "q_moments" ->
       """WITH a AS (
            SELECT l_returnflag, count(*) AS n, count(*)::DOUBLE AS nd,
-                  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s1,
-                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s2,
-                  CAST(sum(CAST(l_quantity * l_quantity * l_quantity
-                    AS DECIMAL(28,4))) AS DOUBLE) AS s3,
-                  CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity
-                    AS DECIMAL(28,4))) AS DOUBLE) AS s4
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS s1,
+                  CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS s2,
+                  CAST(CAST(sum(CAST(l_quantity * l_quantity * l_quantity
+                    AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS s3,
+                  CAST(CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                    AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS s4
            FROM lineitem GROUP BY 1),
          b AS (
            SELECT l_returnflag, n, nd, s1, s2, s3, s4,
@@ -1835,11 +1835,11 @@ object ExtendedQueries {
     "q_regression" ->
       """WITH a AS (
            SELECT l_returnflag, count(*) AS n, count(*)::DOUBLE AS nd,
-                  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
-                  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
-                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
-                  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
-                  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS sx,
+                  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS sxx,
+                  CAST(CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS syy,
+                  CAST(CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS sxy
            FROM lineitem GROUP BY 1),
          b AS (
            SELECT l_returnflag, n, nd, sx, sy, sxx, syy, sxy,
@@ -1893,8 +1893,7 @@ object ExtendedQueries {
          FROM g""",
     "q_runtime_filter" ->
       """SELECT count(*) AS n_lines,
-                cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4)))
-                     AS double) AS revenue
+                CAST(CAST(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS STRING) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT'""",
     // the binned equi join is output-identical to the naive theta join:
@@ -1933,7 +1932,7 @@ object ExtendedQueries {
                            min(l_orderkey) AS omin, max(l_orderkey) AS omax
                     FROM lineitem)
          SELECT l_returnflag, count(*) AS n,
-                cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS qty
+                CAST(CAST(sum(cast(l_quantity AS decimal(18,2))) AS STRING) AS DOUBLE) AS qty
          FROM lineitem, b
          WHERE l_partkey BETWEEN pmin + ((pmax - pmin) * 45) // 100
                              AND pmin + ((pmax - pmin) * 55) // 100
@@ -2043,7 +2042,7 @@ object ExtendedQueries {
          obs AS (
            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
                   count(*) AS n_events,
-                  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_sum
+                  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS day_sum
            FROM e GROUP BY 1, 2),
          last_ev AS (
            SELECT user_id, day, value AS day_last FROM (
@@ -2108,12 +2107,12 @@ object ExtendedQueries {
          FROM e JOIN b USING (event_id) JOIN f USING (event_id)""",
     "q_pivot" ->
       """SELECT l_linestatus,
-                cast(sum(CASE WHEN l_returnflag = 'A'
-                     THEN cast(l_quantity AS decimal(18,2)) END) AS double) AS "A",
-                cast(sum(CASE WHEN l_returnflag = 'N'
-                     THEN cast(l_quantity AS decimal(18,2)) END) AS double) AS "N",
-                cast(sum(CASE WHEN l_returnflag = 'R'
-                     THEN cast(l_quantity AS decimal(18,2)) END) AS double) AS "R"
+                CAST(CAST(sum(CASE WHEN l_returnflag = 'A'
+                     THEN cast(l_quantity AS decimal(18,2)) END) AS STRING) AS DOUBLE) AS "A",
+                CAST(CAST(sum(CASE WHEN l_returnflag = 'N'
+                     THEN cast(l_quantity AS decimal(18,2)) END) AS STRING) AS DOUBLE) AS "N",
+                CAST(CAST(sum(CASE WHEN l_returnflag = 'R'
+                     THEN cast(l_quantity AS decimal(18,2)) END) AS STRING) AS DOUBLE) AS "R"
          FROM lineitem GROUP BY 1""",
     // native DISTINCT ON with the same total order
     "q_distinct_on" ->
@@ -2126,25 +2125,25 @@ object ExtendedQueries {
     // conditional aggregates
     "q_pivot_sql" ->
       """SELECT l_linestatus,
-                cast(sum(CASE WHEN l_returnflag = 'A'
-                     THEN cast(l_quantity AS decimal(18,2)) END) AS double) AS "A",
-                cast(sum(CASE WHEN l_returnflag = 'N'
-                     THEN cast(l_quantity AS decimal(18,2)) END) AS double) AS "N",
-                cast(sum(CASE WHEN l_returnflag = 'R'
-                     THEN cast(l_quantity AS decimal(18,2)) END) AS double) AS "R"
+                CAST(CAST(sum(CASE WHEN l_returnflag = 'A'
+                     THEN cast(l_quantity AS decimal(18,2)) END) AS STRING) AS DOUBLE) AS "A",
+                CAST(CAST(sum(CASE WHEN l_returnflag = 'N'
+                     THEN cast(l_quantity AS decimal(18,2)) END) AS STRING) AS DOUBLE) AS "N",
+                CAST(CAST(sum(CASE WHEN l_returnflag = 'R'
+                     THEN cast(l_quantity AS decimal(18,2)) END) AS STRING) AS DOUBLE) AS "R"
          FROM lineitem GROUP BY 1""",
     // FILTER columns mirror Spark's pivot naming: <value>_<agg alias>
     "q_pivot_multi" ->
       """SELECT l_linestatus,
                 CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS "A_n",
-                cast(sum(cast(l_quantity AS decimal(18,2)))
-                  FILTER (WHERE l_returnflag = 'A') AS double) AS "A_qty",
+                CAST(CAST(sum(cast(l_quantity AS decimal(18,2)))
+                  FILTER (WHERE l_returnflag = 'A') AS STRING) AS DOUBLE) AS "A_qty",
                 CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT) AS "N_n",
-                cast(sum(cast(l_quantity AS decimal(18,2)))
-                  FILTER (WHERE l_returnflag = 'N') AS double) AS "N_qty",
+                CAST(CAST(sum(cast(l_quantity AS decimal(18,2)))
+                  FILTER (WHERE l_returnflag = 'N') AS STRING) AS DOUBLE) AS "N_qty",
                 CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS "R_n",
-                cast(sum(cast(l_quantity AS decimal(18,2)))
-                  FILTER (WHERE l_returnflag = 'R') AS double) AS "R_qty"
+                CAST(CAST(sum(cast(l_quantity AS decimal(18,2)))
+                  FILTER (WHERE l_returnflag = 'R') AS STRING) AS DOUBLE) AS "R_qty"
          FROM lineitem GROUP BY 1""",
     // the same FILTER/count_if/bool_* statement shape, near-verbatim
     "q_agg_filters" ->
@@ -2171,7 +2170,7 @@ object ExtendedQueries {
          FROM documents""",
     "q_compact" ->
       """SELECT o_orderstatus, count(*) AS n,
-                cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+                CAST(CAST(sum(cast(o_totalprice AS decimal(18,2))) AS STRING) AS DOUBLE)
                   AS total
          FROM orders GROUP BY 1""",
     "q_outliers" ->
@@ -2202,12 +2201,12 @@ object ExtendedQueries {
          SELECT o_orderpriority, count(*) AS n,
                 CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
                      AS BIGINT) AS n_v1,
-                cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+                CAST(CAST(sum(cast(o_totalprice AS decimal(18,2))) AS STRING) AS DOUBLE)
                   AS total
          FROM unioned GROUP BY 1""",
     "q_partition_prune" ->
       """SELECT event_type, count(*) AS n,
-                cast(sum(cast(value AS decimal(18,4))) AS double) AS total
+                CAST(CAST(sum(cast(value AS decimal(18,4))) AS STRING) AS DOUBLE) AS total
          FROM events WHERE event_type IN ('click', 'purchase')
          GROUP BY 1""",
     "q_skew_join" ->
@@ -2220,7 +2219,7 @@ object ExtendedQueries {
          FROM documents JOIN dim USING (source)""",
     "q_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-                cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+                CAST(CAST(sum(cast(o_totalprice AS decimal(18,2))) AS STRING) AS DOUBLE)
                   AS revenue
          FROM customer JOIN orders ON c_custkey = o_custkey
          GROUP BY 1""",
@@ -2247,14 +2246,14 @@ object ExtendedQueries {
          FROM samp GROUP BY 1""",
     "q_window_range" ->
       """SELECT event_id,
-                cast(sum(cast(value AS decimal(18,4))) OVER (
+                CAST(CAST(sum(cast(value AS decimal(18,4))) OVER (
                   PARTITION BY user_id
                   ORDER BY epoch_us(date_trunc('microseconds', ts))
-                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS double) AS hr_sum
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE) AS hr_sum
          FROM events""",
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-                cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS qty
+                CAST(CAST(sum(cast(l_quantity AS decimal(18,2))) AS STRING) AS DOUBLE) AS qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "q_observe" ->
       """SELECT count(*) AS n_in,
@@ -2300,7 +2299,7 @@ object ExtendedQueries {
       """SELECT count(*) AS n_rows,
                 min(l_extendedprice) AS price_min,
                 max(l_extendedprice) AS price_max,
-                cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / count(*) AS price_mean,
+                CAST(CAST(sum(cast(l_extendedprice AS decimal(18,2))) AS STRING) AS DOUBLE) / count(*) AS price_mean,
                 cast(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS bigint) AS price_nulls,
                 min(l_shipdate) AS ship_min,
                 max(l_shipdate) AS ship_max,
@@ -2497,7 +2496,7 @@ object ExtendedQueries {
     "q_incr_agg" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                 CAST(count(*) AS BIGINT) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
                   AS total_price
          FROM orders GROUP BY 1""",
     "q_incr_agg_cdc" ->
@@ -2514,7 +2513,7 @@ object ExtendedQueries {
            FROM v1 WHERE o_orderkey % 53 = 0)
          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                 CAST(count(*) AS BIGINT) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
                   AS total_price
          FROM v2 GROUP BY 1"""
   )

@@ -3126,12 +3126,12 @@ object PipelineQueries {
            FROM hx)""",
     "st_enrich" ->
       """SELECT n_name, count(*) AS n_events,
-                cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
+                CAST(CAST(sum(cast(value AS decimal(18,4))) AS STRING) AS DOUBLE) AS total_value
          FROM events JOIN nation ON (user_id % 25) = n_nationkey
          GROUP BY 1""",
     "st_enrich_et" ->
       """SELECT n_name, count(*) AS n_events,
-                cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
+                CAST(CAST(sum(cast(value AS decimal(18,4))) AS STRING) AS DOUBLE) AS total_value
          FROM events JOIN nation ON (user_id % 25) = n_nationkey
          GROUP BY 1""",
     "txt_langid" ->
@@ -3191,7 +3191,7 @@ object PipelineQueries {
     "st_window_agg" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,
                 count(*) AS n_events,
-                cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
+                CAST(CAST(sum(cast(value AS decimal(18,4))) AS STRING) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
     "st_dedup_wm" ->
       """SELECT DISTINCT md5(text) AS h FROM documents""",

@@ -399,7 +399,7 @@ object Relational {
       s.sql("""
         SELECT n_name,
                count(*) AS n_customers,
-               cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS total_acctbal
+               CAST(CAST(sum(cast(c_acctbal AS decimal(18,2))) AS STRING) AS DOUBLE) AS total_acctbal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
       """)
@@ -495,8 +495,8 @@ object Relational {
       s.sql("""
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,
-               cast(sum(cast(l_extendedprice * (1 - l_discount)
-                 AS decimal(18,4))) AS double) AS revenue
+               CAST(CAST(sum(cast(l_extendedprice * (1 - l_discount)
+                 AS decimal(18,4))) AS STRING) AS DOUBLE) AS revenue
         FROM lineitem
         GROUP BY ALL
       """)
@@ -524,7 +524,7 @@ object Relational {
         SELECT l_returnflag, l_linestatus,
                cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS bigint) AS gid,
                count(*) AS n,
-               cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS qty
+               CAST(CAST(sum(cast(l_quantity AS decimal(18,2))) AS STRING) AS DOUBLE) AS qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
       """)
@@ -1163,22 +1163,22 @@ object Relational {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
-         cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
-         cast(sum(cast(l_extendedprice*(1.0-l_discount) AS decimal(18,4))) AS double) AS sum_disc_price,
-         cast(sum(cast(l_quantity AS decimal(18,2))) AS double)/count(*) AS avg_qty,
+         CAST(CAST(sum(cast(l_quantity AS decimal(18,2))) AS STRING) AS DOUBLE) AS sum_qty,
+         CAST(CAST(sum(cast(l_extendedprice AS decimal(18,2))) AS STRING) AS DOUBLE) AS sum_base_price,
+         CAST(CAST(sum(cast(l_extendedprice*(1.0-l_discount) AS decimal(18,4))) AS STRING) AS DOUBLE) AS sum_disc_price,
+         CAST(CAST(sum(cast(l_quantity AS decimal(18,2))) AS STRING) AS DOUBLE)/count(*) AS avg_qty,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
     "q06_filter_revenue" ->
-      """SELECT cast(sum(cast(l_extendedprice*l_discount AS decimal(18,4))) AS double) AS revenue
+      """SELECT CAST(CAST(sum(cast(l_extendedprice*l_discount AS decimal(18,4))) AS STRING) AS DOUBLE) AS revenue
          FROM lineitem
          WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
            AND l_shipdate < timestamp '1997-01-01 00:00:00'
            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
     "q03_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate,
-         cast(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS double) AS revenue
+         CAST(CAST(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS STRING) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -1189,7 +1189,7 @@ object Relational {
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q05_local_supplier" ->
       """SELECT n_name,
-         cast(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS double) AS revenue
+         CAST(CAST(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS STRING) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -1202,10 +1202,10 @@ object Relational {
          GROUP BY n_name""",
     "q14_promo_share" ->
       """SELECT
-         cast(sum(CASE WHEN p_type = 'PROMO'
+         CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
              THEN cast(l_extendedprice*(1-l_discount) AS decimal(18,4))
-             ELSE cast(0.0 AS decimal(18,4)) END) AS double) AS promo_revenue,
-         cast(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS double) AS total_revenue
+             ELSE cast(0.0 AS decimal(18,4)) END) AS STRING) AS DOUBLE) AS promo_revenue,
+         CAST(CAST(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,4))) AS STRING) AS DOUBLE) AS total_revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
            AND l_shipdate < timestamp '1997-04-01 00:00:00'""",
@@ -1213,7 +1213,7 @@ object Relational {
       """WITH per_part AS (
            SELECT l_partkey AS pk, sum(cast(l_quantity AS decimal(18,2))) AS s, count(*) AS c
            FROM lineitem GROUP BY l_partkey)
-         SELECT cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS total_price, count(*) AS n_items
+         SELECT CAST(CAST(sum(cast(l_extendedprice AS decimal(18,2))) AS STRING) AS DOUBLE) AS total_price, count(*) AS n_items
          FROM lineitem JOIN per_part ON l_partkey = pk
          WHERE l_quantity * c * 5 < cast(s AS double)""",
     "q_outer_join" ->
@@ -1227,7 +1227,7 @@ object Relational {
          WHERE EXISTS (SELECT 1 FROM lineitem
                        WHERE l_orderkey = o_orderkey AND l_quantity >= 48)""",
     "q_anti_join" ->
-      """SELECT count(*) AS n_orders, cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
+      """SELECT count(*) AS n_orders, CAST(CAST(sum(cast(o_totalprice AS decimal(18,2))) AS STRING) AS DOUBLE) AS total
          FROM orders
          WHERE NOT EXISTS (SELECT 1 FROM lineitem
                            WHERE l_orderkey = o_orderkey AND l_quantity >= 48)""",
@@ -1247,9 +1247,9 @@ object Relational {
            FROM part) t WHERE rn <= 3""",
     "q_window_running" ->
       """SELECT user_id, event_id,
-                cast(sum(cast(value AS decimal(18,4)))
+                CAST(CAST(sum(cast(value AS decimal(18,4)))
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS running_value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE) AS running_value
          FROM events""",
     "q_union" ->
       """SELECT bucket, count(*) AS n FROM (
@@ -1259,7 +1259,7 @@ object Relational {
          GROUP BY bucket""",
     "q_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
-                cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS spend
+                CAST(CAST(sum(cast(o_totalprice AS decimal(18,2))) AS STRING) AS DOUBLE) AS spend
          FROM orders GROUP BY o_custkey HAVING count(*) >= 3""",
     "q_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderdate < '1994-01-01'
@@ -1281,8 +1281,8 @@ object Relational {
          FROM orders WHERE o_orderkey % 100 = 0""",
     "q19_disjunctive" ->
       """SELECT count(*) AS n,
-                cast(sum(cast(l_extendedprice * (1 - l_discount)
-                              AS decimal(18,4))) AS double) AS revenue
+                CAST(CAST(sum(cast(l_extendedprice * (1 - l_discount)
+                              AS decimal(18,4))) AS STRING) AS DOUBLE) AS revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
                 AND l_quantity BETWEEN 1 AND 11)
@@ -1356,7 +1356,7 @@ object Relational {
     "q_time_bucket" ->
       """SELECT date_trunc('day', ts) AS day, event_type,
                 count(*) AS n_events,
-                cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
+                CAST(CAST(sum(cast(value AS decimal(18,4))) AS STRING) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
     "q_null_handling" ->
       """SELECT coalesce(o_orderpriority, 'NO-BIG-ORDER') AS priority,
@@ -1368,11 +1368,11 @@ object Relational {
          GROUP BY 1""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-                cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS qty
+                CAST(CAST(sum(cast(l_quantity AS decimal(18,2))) AS STRING) AS DOUBLE) AS qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q_sql_api" ->
       """SELECT n_name, count(*) AS n_customers,
-                cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS total_acctbal
+                CAST(CAST(sum(cast(c_acctbal AS decimal(18,2))) AS STRING) AS DOUBLE) AS total_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
     // verbatim statement; the order is total so the page is stable
@@ -1419,8 +1419,8 @@ object Relational {
     "q_group_by_all" ->
       """SELECT l_returnflag, l_linestatus,
                 count(*) AS n,
-                cast(sum(cast(l_extendedprice * (1 - l_discount)
-                  AS decimal(18,4))) AS double) AS revenue
+                CAST(CAST(sum(cast(l_extendedprice * (1 - l_discount)
+                  AS decimal(18,4))) AS STRING) AS DOUBLE) AS revenue
          FROM lineitem
          GROUP BY ALL""",
     "q_window_lag" ->
@@ -1434,7 +1434,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
                 cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS bigint) AS gid,
                 count(*) AS n,
-                cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS qty
+                CAST(CAST(sum(cast(l_quantity AS decimal(18,2))) AS STRING) AS DOUBLE) AS qty
          FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, cast(o_totalprice AS double) AS price
@@ -1447,8 +1447,8 @@ object Relational {
     "q_unpivot" ->
       """WITH wide AS (
            SELECT l_returnflag,
-                  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
-                  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_price,
+                  CAST(CAST(sum(cast(l_quantity AS decimal(18,2))) AS STRING) AS DOUBLE) AS sum_qty,
+                  CAST(CAST(sum(cast(l_extendedprice AS decimal(18,2))) AS STRING) AS DOUBLE) AS sum_price,
                   cast(count(*) AS double) AS n_items
            FROM lineitem GROUP BY 1)
          SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
@@ -1522,7 +1522,7 @@ object Relational {
            FROM customer WHERE c_acctbal > 0.0)
          SELECT substr(c_name, length(c_name), 1) AS cgroup,
                 CAST(count(*) AS BIGINT) AS numcust,
-                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+                CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS totacctbal
          FROM customer, stats
          WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_n > bal_sum
            AND NOT EXISTS (SELECT 1 FROM orders
@@ -1595,7 +1595,7 @@ object Relational {
                   event_type, value
            FROM events)
          SELECT ws, event_type, count(*) AS n_events,
-                cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
+                CAST(CAST(sum(cast(value AS decimal(18,4))) AS STRING) AS DOUBLE) AS total_value
          FROM w GROUP BY 1, 2""",
     "q_multiset_ops" ->
       """WITH ea AS (
@@ -1634,8 +1634,7 @@ object Relational {
     "q07_volume_shipping" ->
       """SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
-                CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
-                  AS DOUBLE) AS revenue
+                CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -1649,11 +1648,10 @@ object Relational {
          GROUP BY 1, 2, 3""",
     "q08_market_share" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                CAST(sum(CASE WHEN n2.n_name = 'NATION_6'
+                CAST(CAST(sum(CASE WHEN n2.n_name = 'NATION_6'
                   THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))
-                  ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) AS mkt_num,
-                CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
-                  AS DOUBLE) AS mkt_den
+                  ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS STRING) AS DOUBLE) AS mkt_num,
+                CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS mkt_den
          FROM lineitem
          JOIN part ON l_partkey = p_partkey
          JOIN orders ON l_orderkey = o_orderkey
@@ -1669,9 +1667,8 @@ object Relational {
     "q09_product_profit" ->
       """SELECT n_name AS nation,
                 CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                CAST(sum(CAST(l_extendedprice*(1-l_discount)
-                  - p_retailprice*l_quantity*0.1 AS DECIMAL(18,4)))
-                  AS DOUBLE) AS sum_profit
+                CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount)
+                  - p_retailprice*l_quantity*0.1 AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_profit
          FROM lineitem
          JOIN part ON l_partkey = p_partkey
          JOIN supplier ON l_suppkey = s_suppkey

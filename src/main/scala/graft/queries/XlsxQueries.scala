@@ -401,7 +401,7 @@ object XlsxQueries {
     "xlsx_multifile" -> nationOracle,
     "xlsx_join_parquet" ->
       """SELECT n_name, count(*) AS n_customers,
-                cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS total_acctbal
+                CAST(CAST(sum(cast(c_acctbal AS decimal(18,2))) AS STRING) AS DOUBLE) AS total_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY 1""",
     "xlsx_ingest_lineitem" ->
