@@ -1034,6 +1034,56 @@ object Dedup {
       .withColumn("flagged", col("n_windows") > 0L && col("n_dup") * 5L >= col("n_windows"))
   }
 
+  /** Persisted WINDOW-HASH COUNT index for substring dedup — the sixth
+    * member of the persisted-index family (exact digests, MinHash bands,
+    * SimHash keys, text postings, cluster map): (h, c) occurrence counts
+    * over the standing corpus's stride windows, bucketed by h so delta
+    * probes join pre-partitioned. Counts are ADDITIVE (the incr_agg
+    * posture), so a delta merges without touching historical text. */
+  def writeSubstrIndex(corpus: DataFrame, table: String, path: String,
+      w: Int = 40, stride: Int = 10, buckets: Int = 8): Unit =
+    corpus.filter(length(col("text")) >= w)
+      .select(explode(graft.functions.GraftFunctions.stride_win_hashes(
+        col("text"), w, stride)).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .write.bucketBy(buckets, "h").sortBy("h")
+      .option("path", path).mode("overwrite").saveAsTable(table)
+
+  /** INCREMENTAL substring dedup: per-DELTA-doc duplicated-span
+    * accounting where a window is duplicated iff its CORPUS-WIDE count
+    * (standing index + the delta's own contributions) is ≥ 2 — exactly
+    * what a from-scratch [[substrDup]] over (standing ∪ delta) reports
+    * for the delta docs, which is what the face's oracle recomputes.
+    * Cost is delta-sided: the delta's windows hash and aggregate once,
+    * the index contributes ONE bucketed probe of the delta's hash set,
+    * and historical TEXT is never re-read. */
+  def substrIncremental(spark: org.apache.spark.sql.SparkSession,
+      table: String, delta: DataFrame, w: Int = 40,
+      stride: Int = 10): DataFrame = {
+    val wins = delta
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"), explode(
+        graft.functions.GraftFunctions.stride_win_hashes(
+          col("text"), w, stride)).as("h"))
+    val deltaCnt = wins.groupBy(col("h")).agg(count(lit(1)).as("dc"))
+    val merged = deltaCnt
+      .join(spark.table(table), Seq("h"), "left")
+      .select(col("h"), (col("dc") + coalesce(col("c"), lit(0L))).as("c"))
+    val per = wins.join(merged, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    delta.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_windows") === 0L, 0.0)
+          .otherwise(col("n_dup").cast("double") / col("n_windows").cast("double")))
+      .withColumn("flagged",
+        col("n_windows") > 0L && col("n_dup") * 5L >= col("n_windows"))
+  }
+
   /** Edit-distance VERIFICATION of candidate pairs — the classic second
     * stage of a candidate-generate → verify dedup pipeline (Jaccard is
     * set-based and order-blind; Levenshtein catches reorderings and

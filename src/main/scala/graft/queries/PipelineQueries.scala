@@ -213,6 +213,21 @@ object PipelineQueries {
       tbl
     }
 
+  /** Memoized persisted substring window-hash count index over the
+    * STANDING corpus (docs with doc_id % 5 != 0) — additive counts, so
+    * the incremental face merges a delta without re-reading history. */
+  private val substrIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def substrIndexTable(s: SparkSession, dir: String): String =
+    memo(substrIndexCache, dir) { d =>
+      val tbl = "graft_substr_index_" + java.lang.Integer.toHexString(d.hashCode)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_substr_index_").resolve("t").toString
+      Dedup.writeSubstrIndex(
+        docs(s, d).filter(col("doc_id") % 5 =!= 0), tbl, path)
+      tbl
+    }
+
   /** Memoized persisted SIMHASH pigeonhole index over the standing corpus
     * (same split as the band index) — the fourth member of the persisted
     * near-dup family. Built once per sf dir. */
@@ -301,6 +316,17 @@ object PipelineQueries {
     // shuffles xxhash64(window); the oracle groups the window strings
     // themselves — matching counts certify the hash carried no collision).
     "dd_substr" -> ((s, dir) => Dedup.substrDup(docs(s, dir))),
+
+    // INCREMENTAL substring dedup — the sixth persisted-index member:
+    // the delta's windows probe the standing corpus's ADDITIVE (h, c)
+    // count index; a window is duplicated iff its corpus-wide count
+    // (index + the delta's own contributions) is ≥ 2. Historical text is
+    // never re-read; the ORACLE recomputes from-scratch counts over the
+    // full corpus and reports the delta docs — green row = incremental ≡
+    // rebuild, the same IVM contract as dd_cluster_incremental.
+    "dd_substr_incremental" -> ((s, dir) =>
+      Dedup.substrIncremental(s, substrIndexTable(s, dir),
+        docs(s, dir).filter(col("doc_id") % 5 === 0))),
 
     // §2.3 #39 SimHash near-dup (rows-only + spec). maxHamming=5/nBlocks=8:
     // the Manku-standard hamming<=3 assumes LONG documents, where an edit
@@ -2013,6 +2039,30 @@ object PipelineQueries {
                 (coalesce(p.n_windows, 0) > 0
                  AND coalesce(p.n_dup, 0) * 5 >= p.n_windows) AS flagged
          FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
+    // the IVM contract: counts recomputed from scratch over the FULL
+    // corpus, output restricted to the delta docs
+    "dd_substr_incremental" ->
+      """WITH wins AS (
+           SELECT doc_id, substr(text, CAST(1 + i * 10 AS BIGINT), 40) AS win
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(
+                          0, CAST(floor((length(text) - 40) / 10) AS BIGINT))) AS i
+                 FROM documents WHERE length(text) >= 40)),
+         cnt AS (SELECT win, count(*) AS c FROM wins GROUP BY win),
+         per AS (
+           SELECT w.doc_id, count(*) AS n_windows,
+                  cast(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS bigint) AS n_dup
+           FROM wins w JOIN cnt c ON w.win = c.win
+           GROUP BY w.doc_id)
+         SELECT d.doc_id,
+                coalesce(p.n_windows, 0) AS n_windows,
+                coalesce(p.n_dup, 0) AS n_dup,
+                CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0.0
+                     ELSE coalesce(p.n_dup, 0) * 1.0 / p.n_windows END AS dup_frac,
+                (coalesce(p.n_windows, 0) > 0
+                 AND coalesce(p.n_dup, 0) * 5 >= p.n_windows) AS flagged
+         FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+         WHERE d.doc_id % 5 = 0""",
     "sim_topk_bruteforce" -> bruteforceTopkOracleSql,
     // the streaming face appends per-micro-batch results of the SAME
     // brute-force plan, so the ranking oracle is identical
