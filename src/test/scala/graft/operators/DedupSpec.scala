@@ -545,6 +545,37 @@ class DedupSpec extends SparkSpec {
     assert(inc.values.toSet == Set(1L) && inc.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("randomized: incremental substring dedup == full recompute on the " +
+      "delta docs (3 seeded corpora)") {
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again with plenty of padding text to clear the window width"
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      // shared substrings across docs so window counts genuinely cross 2
+      val corpus9 = (1L to 9L).map { id =>
+        val extra = Seq.fill(2 + rnd.nextInt(3))(
+          base.substring(rnd.nextInt(20), 60 + rnd.nextInt(50))).mkString(" ")
+        id -> (base + " " + extra)
+      }
+      val all = docsDF(corpus9)
+      val delta = all.filter(col("doc_id") % 3 === 0)
+      val standing = all.filter(col("doc_id") % 3 =!= 0)
+      val tbl = s"test_substr_idx_$seed"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_substr_spec_").resolve("t").toString
+      Dedup.writeSubstrIndex(standing, tbl, path)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup"),
+            r.getAs[Boolean]("flagged")))).toMap
+      val inc = rows(Dedup.substrIncremental(spark, tbl, delta))
+      val full = rows(Dedup.substrDup(all))
+        .filter { case (id, _) => id % 3 == 0 }
+      assert(inc == full, s"seed $seed: incremental $inc != full $full")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("randomized: delta-sided pairs == full pairs touching delta, and " +
       "incremental clustering == full recompute (5 seeded corpora)") {
     for (seed <- 1 to 5) {
