@@ -850,6 +850,55 @@ object ExtendedQueries {
           expr("try_divide(CAST(round(o_totalprice * 100) AS BIGINT), " +
             "o_custkey % 3)").as("ratio"))),
 
+    // ABC / PARETO CLASSIFICATION — the inventory-analytics staple:
+    // parts ranked by revenue, classified A while the running share is
+    // ≤ 80% of total, B to 95%, C after. All comparisons are integer
+    // cross-multiplications (cum·100 ≤ total·80) over exact cents — no
+    // float share can flip a boundary part. The rank window runs over
+    // the AGGREGATED part rows (≈ corpus/30), with the same
+    // range-partition scale note as q_trimmed_mean.
+    "q_abc_analysis" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .cast("long").as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per
+        .withColumn("cum", sum(col("cents")).over(w))
+        .withColumn("total", sum(col("cents")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .withColumn("cls",
+          when(col("cum") * 100 <= col("total") * 80, "A")
+            .when(col("cum") * 100 <= col("total") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).cast("long").as("n_parts"),
+          sum(col("cents")).cast("long").as("revenue_cents"))
+    }),
+
+    // MARKET-BASKET PAIR MINING — pairwise frequent-itemset support
+    // counting, the association-rules entry point: parts co-occurring in
+    // the same order, counted across orders, kept at support ≥ 5. The
+    // pair space generates per-ORDER (baskets average a handful of
+    // lines, so the equi-join on orderkey explodes ~k² per basket, never
+    // corpus²) — the shingle-join skeleton applied to baskets. DISTINCT
+    // per (order, part) first: multiplicity within one basket must not
+    // inflate support.
+    "q_basket_pairs" -> ((s, dir) => {
+      val b = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      b.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(b.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          "l_orderkey")
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).cast("long").as("support"))
+        .filter(col("support") >= 5)
+    }),
+
     // GINI COEFFICIENT — the inequality metric over price mass, from
     // pure RANK ARITHMETIC: G = (2·Σ rn·x − (n+1)·Σx) / (n·Σx) over the
     // deterministic (cents, orderkey, linenumber) order. Both moment
@@ -1714,6 +1763,36 @@ object ExtendedQueries {
                 CAST(round(o_totalprice * 100) AS BIGINT) /
                   nullif(o_custkey % 3, 0) AS ratio
          FROM orders""",
+    // same integer cross-multiplied thresholds
+    "q_abc_analysis" ->
+      """WITH per AS (
+           SELECT l_partkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM lineitem GROUP BY 1),
+         r AS (
+           SELECT l_partkey, cents,
+                  CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                  CAST(sum(cents) OVER () AS BIGINT) AS total
+           FROM per),
+         c AS (
+           SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                       WHEN cum * 100 <= total * 95 THEN 'B'
+                       ELSE 'C' END AS cls, cents
+           FROM r)
+         SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(sum(cents) AS BIGINT) AS revenue_cents
+         FROM c GROUP BY 1""",
+    // same per-basket pair generation, distinct first
+    "q_basket_pairs" ->
+      """WITH b AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS pa, c.l_partkey AS pb,
+                CAST(count(*) AS BIGINT) AS support
+         FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+         WHERE a.l_partkey < c.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 5""",
     // same rank arithmetic; HUGEINT plays DECIMAL(38,0), double division
     // last
     "q_gini" ->
