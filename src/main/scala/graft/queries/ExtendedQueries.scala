@@ -899,6 +899,71 @@ object ExtendedQueries {
         .filter(col("support") >= 5)
     }),
 
+    // ASSOCIATION RULES over the mined pairs — confidence and lift from
+    // EXACT counts: conf(a→b) = sup(ab)/sup(a), lift = conf·N/sup(b),
+    // each a single double division of exact int64 counts in matched op
+    // order. Completes q_basket_pairs into the full
+    // support/confidence/lift triple every rules miner reports.
+    "q_basket_rules" -> ((s, dir) => {
+      val b = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val itemSup = b.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).cast("long").as("sup"))
+      val nOrders = b.select(col("l_orderkey")).distinct().count()
+      val pairs = b.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(b.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          "l_orderkey")
+        .filter(col("pa") =!= col("pb")) // both directions: a→b and b→a
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).cast("long").as("sup_ab"))
+        .filter(col("sup_ab") >= 5)
+      pairs
+        .join(itemSup.select(col("l_partkey").as("pa"),
+          col("sup").as("sup_a")), "pa")
+        .join(itemSup.select(col("l_partkey").as("pb"),
+          col("sup").as("sup_b")), "pb")
+        .select(col("pa"), col("pb"), col("sup_ab"), col("sup_a"),
+          col("sup_b"),
+          (col("sup_ab").cast("double") / col("sup_a").cast("double"))
+            .as("confidence"),
+          ((col("sup_ab") * lit(nOrders)).cast("double") /
+            (col("sup_a") * col("sup_b")).cast("double")).as("lift"))
+    }),
+
+    // RFM SEGMENTATION — recency/frequency/monetary terciles per
+    // customer, the marketing staple: r = days since last order (exact
+    // date diff), f = order count, m = cents; each scored 1-3 by ntile
+    // over a deterministic total order and concatenated to the segment
+    // code. The tercile windows run over the aggregated customer rows.
+    "q_rfm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).cast("long").as("f_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .cast("long").as("m_cents"))
+      // 1-row max-date frame joins on a DERIVED key (a literal key would
+      // constant-fold to `true` and degrade to a nested-loop join)
+      val maxDate = Tables.load(s, dir, "orders")
+        .agg(max(col("o_orderdate")).as("mx"))
+        .withColumn("__k", expr("pmod(datediff(mx, mx), 1)"))
+      per.withColumn("__k", expr("pmod(f_orders, 1)"))
+        .join(broadcast(maxDate), "__k").drop("__k")
+        .withColumn("r_days",
+          datediff(col("mx"), col("last_order")).cast("long"))
+        .withColumn("r_score", ntile(3).over(
+          Window.orderBy(col("r_days"), col("o_custkey"))))
+        .withColumn("f_score", ntile(3).over(
+          Window.orderBy(col("f_orders").desc, col("o_custkey"))))
+        .withColumn("m_score", ntile(3).over(
+          Window.orderBy(col("m_cents").desc, col("o_custkey"))))
+        .select(col("o_custkey"), col("r_days"), col("f_orders"),
+          col("m_cents"),
+          concat(col("r_score"), col("f_score"), col("m_score"))
+            .as("segment"))
+    }),
+
     // GINI COEFFICIENT — the inequality metric over price mass, from
     // pure RANK ARITHMETIC: G = (2·Σ rn·x − (n+1)·Σx) / (n·Σx) over the
     // deterministic (cents, orderkey, linenumber) order. Both moment
@@ -1763,6 +1828,48 @@ object ExtendedQueries {
                 CAST(round(o_totalprice * 100) AS BIGINT) /
                   nullif(o_custkey % 3, 0) AS ratio
          FROM orders""",
+    // same exact-count ratios, single divisions in matched order
+    "q_basket_rules" ->
+      """WITH b AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         isup AS (
+           SELECT l_partkey, CAST(count(*) AS BIGINT) AS sup
+           FROM b GROUP BY 1),
+         n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+         pr AS (
+           SELECT a.l_partkey AS pa, c.l_partkey AS pb,
+                  CAST(count(*) AS BIGINT) AS sup_ab
+           FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+           WHERE a.l_partkey <> c.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT pa, pb, sup_ab,
+                sa.sup AS sup_a, sb.sup AS sup_b,
+                CAST(sup_ab AS DOUBLE) / CAST(sa.sup AS DOUBLE) AS confidence,
+                CAST(sup_ab * n.n_orders AS DOUBLE) /
+                  CAST(sa.sup * sb.sup AS DOUBLE) AS lift
+         FROM pr
+         JOIN isup sa ON pr.pa = sa.l_partkey
+         JOIN isup sb ON pr.pb = sb.l_partkey
+         CROSS JOIN n""",
+    // same tercile windows over the aggregated customer rows
+    "q_rfm" ->
+      """WITH per AS (
+           SELECT o_custkey, max(o_orderdate) AS last_order,
+                  CAST(count(*) AS BIGINT) AS f_orders,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS m_cents
+           FROM orders GROUP BY 1),
+         mx AS (SELECT max(o_orderdate) AS mx FROM orders)
+         SELECT o_custkey,
+                CAST(date_diff('day', last_order, mx) AS BIGINT) AS r_days,
+                f_orders, m_cents,
+                CAST(ntile(3) OVER (ORDER BY date_diff('day', last_order, mx),
+                       o_custkey) AS VARCHAR) ||
+                CAST(ntile(3) OVER (ORDER BY f_orders DESC, o_custkey)
+                       AS VARCHAR) ||
+                CAST(ntile(3) OVER (ORDER BY m_cents DESC, o_custkey)
+                       AS VARCHAR) AS segment
+         FROM per CROSS JOIN mx""",
     // same integer cross-multiplied thresholds
     "q_abc_analysis" ->
       """WITH per AS (
