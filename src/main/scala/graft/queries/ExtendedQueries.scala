@@ -1306,6 +1306,53 @@ object ExtendedQueries {
           col("n_users"))
     }),
 
+    // COHORT LTV — the revenue side of the retention story: per
+    // (cohort_week, week-age) purchase cents, plus the CUMULATIVE
+    // lifetime value each cohort has produced by that age. One user-min
+    // join (broadcast-sized after aggregation), one rollup, one
+    // cohort-keyed window over the rollup rows. Exact cents throughout.
+    "q_cohort_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+      val firstWeek = ev
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val rolled = rev.join(firstWeek, "user_id")
+        .groupBy(col("cohort_week"),
+          expr("CAST(datediff(week, cohort_week) div 7 AS BIGINT)")
+            .as("week_no"))
+        .agg(sum(col("cents")).cast("long").as("cents"))
+      rolled.withColumn("cum_cents",
+        sum(col("cents")).over(Window.partitionBy(col("cohort_week"))
+          .orderBy(col("week_no"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+    }),
+
+    // NEW vs RETURNING — the daily acquisition split every product
+    // dashboard leads with: each event day per user classifies as the
+    // user's FIRST day or a return; one user-min aggregate + one
+    // broadcast-back join + a day rollup, all exact counts.
+    "q_new_vs_returning" -> ((s, dir) => {
+      val days = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+      val firstDay = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      days.join(firstDay, "user_id")
+        .groupBy(col("day"))
+        .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .cast("long").as("n_new"),
+          sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+            .cast("long").as("n_returning"))
+    }),
+
     // §2.9: event-transition counts (first-order Markov over the per-user
     // event sequence) — per-user lead() over (ts, event_id) needs ONE
     // shuffle on user; the (from, to) rollup is vocabulary-sized. The
@@ -1828,6 +1875,41 @@ object ExtendedQueries {
                 CAST(round(o_totalprice * 100) AS BIGINT) /
                   nullif(o_custkey % 3, 0) AS ratio
          FROM orders""",
+    // same week conventions as q_cohort; cumulative over rollup rows
+    "q_cohort_ltv" ->
+      """WITH fw AS (
+           SELECT user_id,
+                  min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+           FROM events GROUP BY 1),
+         rev AS (
+           SELECT e.user_id, CAST(date_trunc('week', e.ts) AS DATE) AS week,
+                  CAST(round(e.value * 100) AS BIGINT) AS cents
+           FROM events e WHERE e.event_type = 'purchase'),
+         rolled AS (
+           SELECT fw.cohort_week,
+                  CAST(date_diff('day', fw.cohort_week, rev.week) // 7
+                    AS BIGINT) AS week_no,
+                  CAST(sum(rev.cents) AS BIGINT) AS cents
+           FROM rev JOIN fw ON rev.user_id = fw.user_id
+           GROUP BY 1, 2)
+         SELECT cohort_week, week_no, cents,
+                CAST(sum(cents) OVER (PARTITION BY cohort_week
+                  ORDER BY week_no ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS cum_cents
+         FROM rolled""",
+    "q_new_vs_returning" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', ts) AS DATE) AS day
+           FROM events),
+         fd AS (SELECT user_id, min(day) AS first_day FROM days GROUP BY 1)
+         SELECT day,
+                CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+                CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returning
+         FROM days JOIN fd USING (user_id)
+         GROUP BY 1""",
     // same exact-count ratios, single divisions in matched order
     "q_basket_rules" ->
       """WITH b AS (
