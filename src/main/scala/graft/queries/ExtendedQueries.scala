@@ -1334,6 +1334,35 @@ object ExtendedQueries {
           .cast("long"))
     }),
 
+    // DAU/MAU STICKINESS — the growth metric: per day, distinct daily
+    // actives over distinct trailing-30-day actives. Exact path: each
+    // (user, active-day) pair projects onto the ≤ 30 calendar days it
+    // keeps the user "monthly active" for (a bounded explode — 30×
+    // user-days, NOT user-days²), then one distinct + count per day. At
+    // 100 TB the trailing distinct runs as mergeable HLL sketches per
+    // day unioned over the window (the q_sketch_union posture); this
+    // face pins the exact semantics that path approximates.
+    "q_dau_mau" -> ((s, dir) => {
+      val ud = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+      val dau = ud.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).cast("long").as("dau"))
+      val mau = ud
+        .select(col("user_id"), explode(expr(
+          "sequence(day, date_add(day, 29), interval 1 day)")).as("day"))
+        .distinct()
+        .groupBy(col("day"))
+        .agg(count(lit(1)).cast("long").as("mau30"))
+      // only days that actually occur in the data (the spine face covers
+      // zero-fill; here the join prunes the 29-day tail past max(day))
+      dau.join(mau, "day")
+        .select(col("day"), col("dau"), col("mau30"),
+          (col("dau").cast("double") / col("mau30").cast("double"))
+            .as("stickiness"))
+    }),
+
     // NEW vs RETURNING — the daily acquisition split every product
     // dashboard leads with: each event day per user classifies as the
     // user's FIRST day or a return; one user-min aggregate + one
@@ -1897,6 +1926,28 @@ object ExtendedQueries {
                   ORDER BY week_no ROWS UNBOUNDED PRECEDING) AS BIGINT)
                   AS cum_cents
          FROM rolled""",
+    // same bounded 30-day projection; inner join prunes the tail
+    "q_dau_mau" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', ts) AS DATE) AS day
+           FROM events),
+         dau AS (
+           SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+           FROM ud GROUP BY 1),
+         proj AS (
+           SELECT DISTINCT user_id, CAST(d AS DATE) AS day
+           FROM (SELECT user_id,
+                        unnest(generate_series(day, day + INTERVAL 29 DAY,
+                          INTERVAL 1 DAY)) AS d
+                 FROM ud)),
+         mau AS (
+           SELECT day, CAST(count(*) AS BIGINT) AS mau30
+           FROM proj GROUP BY 1)
+         SELECT dau.day, dau.dau, mau.mau30,
+                CAST(dau.dau AS DOUBLE) / CAST(mau.mau30 AS DOUBLE)
+                  AS stickiness
+         FROM dau JOIN mau ON dau.day = mau.day""",
     "q_new_vs_returning" ->
       """WITH days AS (
            SELECT DISTINCT user_id,
