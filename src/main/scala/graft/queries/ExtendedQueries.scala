@@ -1334,6 +1334,28 @@ object ExtendedQueries {
           .cast("long"))
     }),
 
+    // SKYLINE / PARETO FRONTIER — the textbook dominance operator:
+    // parts not STRICTLY dominated on (minimize price, maximize size) —
+    // A dominates B iff A.price < B.price AND A.size > B.size. The naive
+    // spelling is an O(n²) theta self-join (a cartesian the audit would
+    // flag); one RANGE-frame window replaces it: ordered by price, a
+    // part survives iff no strictly-cheaper part has a strictly larger
+    // size — max(size) over RANGE (…, 1 PRECEDING) ≤ own size. Exact
+    // cents; the window runs over the part dimension, range-partition
+    // at catalog scale (q_trimmed_mean posture).
+    "q_skyline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("long").as("p_size"),
+          round(col("p_retailprice") * 100).cast("long").as("cents"))
+      val w = Window.orderBy(col("cents"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      p.withColumn("best_cheaper", max(col("p_size")).over(w))
+        .filter(col("best_cheaper").isNull ||
+          col("best_cheaper") <= col("p_size"))
+        .select(col("p_partkey"), col("p_size"), col("cents"))
+    }),
+
     // DAU/MAU STICKINESS — the growth metric: per day, distinct daily
     // actives over distinct trailing-30-day actives. Exact path: each
     // (user, active-day) pair projects onto the ≤ 30 calendar days it
@@ -1926,6 +1948,20 @@ object ExtendedQueries {
                   ORDER BY week_no ROWS UNBOUNDED PRECEDING) AS BIGINT)
                   AS cum_cents
          FROM rolled""",
+    // same strict-dominance window; RANGE excludes the own price group
+    "q_skyline" ->
+      """WITH p AS (
+           SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+           FROM part),
+         s AS (
+           SELECT p_partkey, p_size, cents,
+                  max(p_size) OVER (ORDER BY cents
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS best_cheaper
+           FROM p)
+         SELECT p_partkey, p_size, cents FROM s
+         WHERE best_cheaper IS NULL OR best_cheaper <= p_size""",
     // same bounded 30-day projection; inner join prunes the tail
     "q_dau_mau" ->
       """WITH ud AS (
