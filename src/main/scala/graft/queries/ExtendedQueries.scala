@@ -1334,6 +1334,40 @@ object ExtendedQueries {
           .cast("long"))
     }),
 
+    // PEAK CONCURRENCY — the sweep-line operator over session intervals
+    // (ops capacity planning: how many sessions were ever live at once).
+    // Sessions derive exactly as q_sessionize (same 30-min strict-gap
+    // rule); each [start, end] CLOSED interval emits +1/−1 endpoint
+    // deltas, +1 sorting BEFORE −1 at equal micros (closed-interval
+    // touch counts as overlap), and the running sum's max is the peak.
+    // The sweep window runs over 2×sessions endpoint rows; everything
+    // int64 micros.
+    "q_max_concurrency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = wSeq.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val sessions = Tables.load(s, dir, "events")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wSeq)))
+        .withColumn("brk",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum(col("brk")).over(wRun))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us"))
+      val deltas = sessions
+        .select(col("s_us").as("us"), lit(1L).as("d"))
+        .unionByName(sessions.select(col("e_us").as("us"), lit(-1L).as("d")))
+      val wSweep = Window.orderBy(col("us"), col("d").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("live", sum(col("d")).over(wSweep))
+        .agg(max(col("live")).cast("long").as("peak_concurrency"),
+          count(lit(1)).cast("long").as("n_endpoints"))
+    }),
+
     // SKYLINE / PARETO FRONTIER — the textbook dominance operator:
     // parts not STRICTLY dominated on (minimize price, maximize size) —
     // A dominates B iff A.price < B.price AND A.size > B.size. The naive
@@ -1948,6 +1982,37 @@ object ExtendedQueries {
                   ORDER BY week_no ROWS UNBOUNDED PRECEDING) AS BIGINT)
                   AS cum_cents
          FROM rolled""",
+    // same sessions, same +1-before-−1 sweep order; the peak is
+    // tie-order-independent (maxima land at the end of +1 runs)
+    "q_max_concurrency" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id
+           FROM events),
+         s AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000 THEN 1 ELSE 0 END AS brk
+           FROM e),
+         t AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM s),
+         sess AS (
+           SELECT user_id, sid, min(epoch_us(ts)) AS s_us,
+                  max(epoch_us(ts)) AS e_us
+           FROM t GROUP BY 1, 2),
+         d AS (
+           SELECT s_us AS us, 1 AS delta FROM sess
+           UNION ALL SELECT e_us, -1 FROM sess),
+         r AS (
+           SELECT sum(delta) OVER (ORDER BY us, delta DESC
+             ROWS UNBOUNDED PRECEDING) AS live
+           FROM d)
+         SELECT CAST(max(live) AS BIGINT) AS peak_concurrency,
+                CAST(count(*) AS BIGINT) AS n_endpoints
+         FROM r""",
     // same strict-dominance window; RANGE excludes the own price group
     "q_skyline" ->
       """WITH p AS (
