@@ -1334,6 +1334,23 @@ object ExtendedQueries {
           .cast("long"))
     }),
 
+    // ACTIVITY HEATMAP — the (weekday × hour) grid behind every usage
+    // dashboard. Weekday derives from pure epoch-day arithmetic,
+    // (days_since_epoch + 3) % 7 with Monday = 0, because the built-in
+    // dow functions DISAGREE across engines (Spark's dayofweek is
+    // Sunday=1, DuckDB's dayofweek Sunday=0) — the same
+    // defaults-off-the-table move as q_null_ordering. Exact counts +
+    // cents, one map-side-combinable aggregate.
+    "q_activity_heatmap" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(
+          expr("pmod(datediff(CAST(ts AS DATE), DATE '1970-01-01') + 3, 7)")
+            .cast("long").as("dow_mon0"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(round(col("value") * 100).cast("long")).cast("long")
+            .as("cents"))),
+
     // PEAK CONCURRENCY — the sweep-line operator over session intervals
     // (ops capacity planning: how many sessions were ever live at once).
     // Sessions derive exactly as q_sessionize (same 30-min strict-gap
@@ -1982,6 +1999,15 @@ object ExtendedQueries {
                   ORDER BY week_no ROWS UNBOUNDED PRECEDING) AS BIGINT)
                   AS cum_cents
          FROM rolled""",
+    // same epoch-day arithmetic, Monday = 0 on both engines
+    "q_activity_heatmap" ->
+      """SELECT CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  + 3) % 7 AS BIGINT) AS dow_mon0,
+                CAST(hour(ts) AS BIGINT) AS hr,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM events GROUP BY 1, 2""",
     // same sessions, same +1-before-−1 sweep order; the peak is
     // tie-order-independent (maxima land at the end of +1 runs)
     "q_max_concurrency" ->
