@@ -1334,6 +1334,38 @@ object ExtendedQueries {
           .cast("long"))
     }),
 
+    // TIME-TO-CONVERT — the latency distribution between funnel ends:
+    // per user, first view to first LATER purchase, in exact micros;
+    // the median reports as lower+upper middle of the sorted latencies
+    // (the q_rolling_median half-sum trick — even counts never leave
+    // int64). The distribution window runs over one row per converted
+    // user, not the event stream.
+    "q_conversion_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("v_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      val lags = purchases.join(firstView, "user_id")
+        .filter(col("p_us") >= col("v_us"))
+        .groupBy(col("user_id"))
+        .agg((min(col("p_us")) - max(col("v_us"))).as("lag_us"))
+      lags
+        .withColumn("l", collect_list(col("lag_us")).over(
+          Window.orderBy(col("lag_us"), col("user_id"))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        .agg(count(lit(1)).cast("long").as("n_converted"),
+          min(col("lag_us")).cast("long").as("min_lag_us"),
+          max(col("lag_us")).cast("long").as("max_lag_us"),
+          first(expr(
+            "element_at(l, CAST((size(l) + 1) div 2 AS INT)) + " +
+              "element_at(l, CAST(size(l) div 2 + 1 AS INT))"))
+            .cast("long").as("med2_lag_us"))
+    }),
+
     // ACTIVITY HEATMAP — the (weekday × hour) grid behind every usage
     // dashboard. Weekday derives from pure epoch-day arithmetic,
     // (days_since_epoch + 3) % 7 with Monday = 0, because the built-in
@@ -1999,6 +2031,27 @@ object ExtendedQueries {
                   ORDER BY week_no ROWS UNBOUNDED PRECEDING) AS BIGINT)
                   AS cum_cents
          FROM rolled""",
+    // same first-view → first-later-purchase lags; half-sum median
+    "q_conversion_lag" ->
+      """WITH fv AS (
+           SELECT user_id,
+                  min(epoch_us(date_trunc('microseconds', ts))) AS v_us
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         p AS (
+           SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS p_us
+           FROM events WHERE event_type = 'purchase'),
+         lags AS (
+           SELECT p.user_id, min(p.p_us) - max(fv.v_us) AS lag_us
+           FROM p JOIN fv ON p.user_id = fv.user_id
+           WHERE p.p_us >= fv.v_us
+           GROUP BY 1),
+         srt AS (SELECT list(lag_us ORDER BY lag_us, user_id) AS l FROM lags)
+         SELECT CAST((SELECT count(*) FROM lags) AS BIGINT) AS n_converted,
+                CAST((SELECT min(lag_us) FROM lags) AS BIGINT) AS min_lag_us,
+                CAST((SELECT max(lag_us) FROM lags) AS BIGINT) AS max_lag_us,
+                CAST(l[(len(l) + 1) // 2] + l[len(l) // 2 + 1] AS BIGINT)
+                  AS med2_lag_us
+         FROM srt""",
     // same epoch-day arithmetic, Monday = 0 on both engines
     "q_activity_heatmap" ->
       """SELECT CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
