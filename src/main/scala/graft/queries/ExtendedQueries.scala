@@ -1334,6 +1334,42 @@ object ExtendedQueries {
           .cast("long"))
     }),
 
+    // CART ABANDONMENT — the funnel at SESSION grain (q_funnel counts
+    // users; operations wants per-session outcomes): sessions derive by
+    // the q_sessionize 30-min strict-gap rule, each session flags
+    // view/click/purchase presence, and the daily rollup reports
+    // engaged and abandoned (viewed, never purchased) counts — all
+    // exact int64.
+    "q_cart_abandonment" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = wSeq.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wSeq)))
+        .withColumn("brk",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum(col("brk")).over(wRun))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(date_trunc("day", min(col("ts"))).cast("date").as("day"),
+          max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("v"),
+          max(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("p"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("v")).cast("long").as("n_viewed"),
+          sum(col("v") * col("c")).cast("long").as("n_engaged"),
+          sum(col("p")).cast("long").as("n_purchased"),
+          sum(col("v") * (lit(1L) - col("p"))).cast("long")
+            .as("n_abandoned"))
+    }),
+
     // TIME-TO-CONVERT — the latency distribution between funnel ends:
     // per user, first view to first LATER purchase, in exact micros;
     // the median reports as lower+upper middle of the sorted latencies
@@ -2031,6 +2067,37 @@ object ExtendedQueries {
                   ORDER BY week_no ROWS UNBOUNDED PRECEDING) AS BIGINT)
                   AS cum_cents
          FROM rolled""",
+    // same session rule, same presence flags
+    "q_cart_abandonment" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+                  event_type
+           FROM events),
+         s AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000 THEN 1 ELSE 0 END AS brk
+           FROM e),
+         t AS (
+           SELECT user_id, ts, event_type,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM s),
+         sess AS (
+           SELECT user_id, sid,
+                  CAST(date_trunc('day', min(ts)) AS DATE) AS day,
+                  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+                  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+           FROM t GROUP BY 1, 2)
+         SELECT day,
+                CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(sum(v) AS BIGINT) AS n_viewed,
+                CAST(sum(v * c) AS BIGINT) AS n_engaged,
+                CAST(sum(p) AS BIGINT) AS n_purchased,
+                CAST(sum(v * (1 - p)) AS BIGINT) AS n_abandoned
+         FROM sess GROUP BY 1""",
     // same first-view → first-later-purchase lags; half-sum median
     "q_conversion_lag" ->
       """WITH fv AS (
