@@ -132,15 +132,6 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
-  /** Asymmetric n-gram CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥
-    * threshold — the quote/inclusion detector Jaccard near-dup MISSES by
-    * construction (a short doc fully embedded in a long one has tiny
-    * union-normalized similarity but containment 1.0; symmetric dedup
-    * keeps both copies of the quoted text). Same shingle-join skeleton as
-    * [[ngramJaccard]] — one equi-join on shingle, per-pair counts, sizes
-    * joined back — so the scale posture (DF cap against hot-shingle skew,
-    * never O(n²)) is inherited; only the denominator changes. Emits both
-    * metrics so callers can split "contained" from "mutually similar". */
   /** DELTA-SIDED exact Jaccard pairs: every ≥ threshold pair touching at
     * least one doc in `deltaIds`, with semantics IDENTICAL to
     * [[ngramJaccard]] over the full corpus (same full-corpus DF cap, same
@@ -202,6 +193,15 @@ object Dedup {
       stars.unionByName(deltaPairs.select(col("da"), col("db"))))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥
+    * threshold — the quote/inclusion detector Jaccard near-dup MISSES by
+    * construction (a short doc fully embedded in a long one has tiny
+    * union-normalized similarity but containment 1.0; symmetric dedup
+    * keeps both copies of the quoted text). Same shingle-join skeleton as
+    * [[ngramJaccard]] — one equi-join on shingle, per-pair counts, sizes
+    * joined back — so the scale posture (DF cap against hot-shingle skew,
+    * never O(n²)) is inherited; only the denominator changes. Emits both
+    * metrics so callers can split "contained" from "mutually similar". */
   def ngramContainment(docs: DataFrame, threshold: Double = 0.9,
       maxShingleDf: Long = 1000L): DataFrame = {
     val all = explodedShingles(docs)

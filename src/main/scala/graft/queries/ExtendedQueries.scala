@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsofJoin, Resample}
+import graft.operators.{AsofJoin, Ranked, Resample}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -854,22 +854,22 @@ object ExtendedQueries {
     // parts ranked by revenue, classified A while the running share is
     // ≤ 80% of total, B to 95%, C after. All comparisons are integer
     // cross-multiplications (cum·100 ≤ total·80) over exact cents — no
-    // float share can flip a boundary part. The rank window runs over
-    // the AGGREGATED part rows (≈ corpus/30), with the same
-    // range-partition scale note as q_trimmed_mean.
+    // float share can flip a boundary part. The running sum rides the
+    // distributed prefix sum ([[Ranked.withGlobalRunningSum]]) over the
+    // AGGREGATED part rows (≈ corpus/30), and the total comes from a
+    // 1-row broadcast instead of a whole-table window frame — no
+    // unpartitioned window touches part-proportional rows (r12).
     "q_abc_analysis" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val per = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
           .cast("long").as("cents"))
-      val w = Window.orderBy(col("cents").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      per
-        .withColumn("cum", sum(col("cents")).over(w))
-        .withColumn("total", sum(col("cents")).over(
-          Window.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
+      val total = per.agg(sum(col("cents")).cast("long").as("total"))
+        .withColumn("__k", expr("pmod(total, 1)"))
+      Ranked.withGlobalRunningSum(per, "cum", col("cents"),
+          Seq(col("cents").desc, col("l_partkey").asc))
+        .withColumn("__k", expr("pmod(cents, 1)"))
+        .join(broadcast(total), "__k").drop("__k")
         .withColumn("cls",
           when(col("cum") * 100 <= col("total") * 80, "A")
             .when(col("cum") * 100 <= col("total") * 95, "B")
@@ -909,7 +909,13 @@ object ExtendedQueries {
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val itemSup = b.groupBy(col("l_partkey"))
         .agg(count(lit(1)).cast("long").as("sup"))
-      val nOrders = b.select(col("l_orderkey")).distinct().count()
+      // N = distinct orders, as a 1-row broadcast joined on a DERIVED key
+      // (the q_rfm pattern) — a driver-side .count() here would run a
+      // full Spark job at face-CONSTRUCTION time and again per
+      // invocation (r11 ADVICE)
+      val nOrders = b.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+        .withColumn("__k", expr("pmod(n_orders, 1)"))
       val pairs = b.select(col("l_orderkey"), col("l_partkey").as("pa"))
         .join(b.select(col("l_orderkey"), col("l_partkey").as("pb")),
           "l_orderkey")
@@ -922,21 +928,27 @@ object ExtendedQueries {
           col("sup").as("sup_a")), "pa")
         .join(itemSup.select(col("l_partkey").as("pb"),
           col("sup").as("sup_b")), "pb")
+        .withColumn("__k", expr("pmod(sup_ab, 1)"))
+        .join(broadcast(nOrders), "__k").drop("__k")
         .select(col("pa"), col("pb"), col("sup_ab"), col("sup_a"),
           col("sup_b"),
           (col("sup_ab").cast("double") / col("sup_a").cast("double"))
             .as("confidence"),
-          ((col("sup_ab") * lit(nOrders)).cast("double") /
+          ((col("sup_ab") * col("n_orders")).cast("double") /
             (col("sup_a") * col("sup_b")).cast("double")).as("lift"))
     }),
 
     // RFM SEGMENTATION — recency/frequency/monetary terciles per
     // customer, the marketing staple: r = days since last order (exact
-    // date diff), f = order count, m = cents; each scored 1-3 by ntile
-    // over a deterministic total order and concatenated to the segment
-    // code. The tercile windows run over the aggregated customer rows.
+    // date diff), f = order count, m = cents; each scored 1-3 and
+    // concatenated to the segment code. r11 spelled the scores as three
+    // global ntile(3) windows; r12 derives each from a range-partitioned
+    // global rank ([[Ranked.withGlobalRowNumber]]) compared against
+    // ntile's exact cut ranks — sizes n/3, first (n mod 3) tiles one
+    // bigger — so the integer outputs are bit-identical (spec-pinned)
+    // with no unpartitioned window over customer-proportional rows (the
+    // r11 VERDICT #1 fix).
     "q_rfm" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val per = Tables.load(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate")).as("last_order"),
@@ -948,20 +960,30 @@ object ExtendedQueries {
       val maxDate = Tables.load(s, dir, "orders")
         .agg(max(col("o_orderdate")).as("mx"))
         .withColumn("__k", expr("pmod(datediff(mx, mx), 1)"))
-      per.withColumn("__k", expr("pmod(f_orders, 1)"))
+      val base = per.withColumn("__k", expr("pmod(f_orders, 1)"))
         .join(broadcast(maxDate), "__k").drop("__k")
         .withColumn("r_days",
           datediff(col("mx"), col("last_order")).cast("long"))
-        .withColumn("r_score", ntile(3).over(
-          Window.orderBy(col("r_days"), col("o_custkey"))))
-        .withColumn("f_score", ntile(3).over(
-          Window.orderBy(col("f_orders").desc, col("o_custkey"))))
-        .withColumn("m_score", ntile(3).over(
-          Window.orderBy(col("m_cents").desc, col("o_custkey"))))
+      val ranked = Ranked.withGlobalRowNumber(
+        Ranked.withGlobalRowNumber(
+          Ranked.withGlobalRowNumber(base, "__rn_r",
+            Seq(col("r_days").asc, col("o_custkey").asc)),
+          "__rn_f", Seq(col("f_orders").desc, col("o_custkey").asc)),
+        "__rn_m", Seq(col("m_cents").desc, col("o_custkey").asc))
+      val nCust = per.agg(count(lit(1)).as("n_cust"))
+        .withColumn("__k", expr("pmod(n_cust, 1)"))
+      // ntile(3) cut ranks: tile sizes n div 3, the first n mod 3 tiles
+      // get the extra row — rank <= q1 → 1, <= q2 → 2, else 3
+      def tile(rn: org.apache.spark.sql.Column) =
+        when(rn <= expr("n_cust div 3 + CAST(n_cust % 3 >= 1 AS BIGINT)"), 1)
+          .when(rn <= expr("2 * (n_cust div 3) + least(n_cust % 3, 2)"), 2)
+          .otherwise(3)
+      ranked.withColumn("__k", expr("pmod(f_orders, 1)"))
+        .join(broadcast(nCust), "__k").drop("__k")
         .select(col("o_custkey"), col("r_days"), col("f_orders"),
           col("m_cents"),
-          concat(col("r_score"), col("f_score"), col("m_score"))
-            .as("segment"))
+          concat(tile(col("__rn_r")), tile(col("__rn_f")),
+            tile(col("__rn_m"))).as("segment"))
     }),
 
     // GINI COEFFICIENT — the inequality metric over price mass, from
@@ -969,17 +991,17 @@ object ExtendedQueries {
     // deterministic (cents, orderkey, linenumber) order. Both moment
     // sums accumulate as DECIMAL(38,0) (rn·cents crosses int64 past
     // ~sf1) and the single division happens on doubles last, matched op
-    // order. Per-group rank windows — same scale posture note as
-    // q_trimmed_mean.
+    // order. Since r12 the per-group ranks run the range-partitioned
+    // path ([[Ranked.withGroupRowNumber]], bit-identical to the window
+    // spelling — RankedSpec) instead of a 3-partition window sort.
     "q_gini" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val d380 = DecimalType(38, 0)
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
-      Tables.load(s, dir, "lineitem")
+      val base = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"))
-        .withColumn("rn", row_number().over(w).cast("long"))
+      Ranked.withGroupRowNumber(base, "rn", "l_returnflag",
+          Seq(col("cents").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("long").as("n"),
           sum(col("cents").cast(d380)).as("s0"),
@@ -1067,23 +1089,20 @@ object ExtendedQueries {
     // TRIMMED MEAN — the robust aggregate between mean (q_profile) and
     // median (q_percentiles): drop the extreme n div 20 rows off each end
     // of the deterministic (cents, orderkey, linenumber) order, average
-    // the rest. Rank windows pin the EXACT row-drop semantics; sums stay
-    // int64 cents with ONE final double division in matched op order. At
-    // 100 TB the same trim computes the two boundary VALUES by
-    // range-partitioned rank (the exactPercentilesRange posture) and
-    // trims by value + per-value rank cap instead of a 3-partition
-    // window sort — this face pins the semantics that path must honor.
+    // the rest. Per-group ranks pin the EXACT row-drop semantics; sums
+    // stay int64 cents with ONE final double division in matched op
+    // order. Since r12 the ranks actually RUN the range-partitioned path
+    // ([[Ranked.withGroupRowNumber]] — global rank minus group prefix
+    // offset, every core sorting its own range slice) instead of a
+    // 3-partition window sort; RankedSpec pins bit-identity against the
+    // window spelling (the r11 VERDICT #2 item).
     "q_trimmed_mean" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val base = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"))
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
-      base
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n",
-          count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      Ranked.withGroupRowNumber(base, "rn", "l_returnflag",
+          Seq(col("cents").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc), countOut = "n")
         .filter(col("rn") > expr("n div 20") &&
           col("rn") <= col("n") - expr("n div 20"))
         .groupBy(col("l_returnflag"))
@@ -1374,10 +1393,13 @@ object ExtendedQueries {
     // per user, first view to first LATER purchase, in exact micros;
     // the median reports as lower+upper middle of the sorted latencies
     // (the q_rolling_median half-sum trick — even counts never leave
-    // int64). The distribution window runs over one row per converted
-    // user, not the event stream.
+    // int64). r11 collected the whole distribution into one array inside
+    // an unpartitioned window; r12 rides [[Ranked.withGlobalRowNumber]]:
+    // range-partitioned global ranks pick EXACTLY the two middle rows, so
+    // no task ever holds more than its range slice (the r11 VERDICT #1
+    // fix). Odd counts hit one row matching both target ranks — its lag
+    // contributes twice, same as l[lo]+l[hi] with lo==hi.
     "q_conversion_lag" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val ev = Tables.load(s, dir, "events")
       val firstView = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id"))
@@ -1388,18 +1410,26 @@ object ExtendedQueries {
         .filter(col("p_us") >= col("v_us"))
         .groupBy(col("user_id"))
         .agg((min(col("p_us")) - max(col("v_us"))).as("lag_us"))
-      lags
-        .withColumn("l", collect_list(col("lag_us")).over(
-          Window.orderBy(col("lag_us"), col("user_id"))
-            .rowsBetween(Window.unboundedPreceding,
-              Window.unboundedFollowing)))
+      val stats = lags
         .agg(count(lit(1)).cast("long").as("n_converted"),
           min(col("lag_us")).cast("long").as("min_lag_us"),
-          max(col("lag_us")).cast("long").as("max_lag_us"),
-          first(expr(
-            "element_at(l, CAST((size(l) + 1) div 2 AS INT)) + " +
-              "element_at(l, CAST(size(l) div 2 + 1 AS INT))"))
-            .cast("long").as("med2_lag_us"))
+          max(col("lag_us")).cast("long").as("max_lag_us"))
+        .withColumn("__k", expr("pmod(n_converted, 1)"))
+      val med = Ranked.withGlobalRowNumber(lags, "grn",
+          Seq(col("lag_us").asc, col("user_id").asc))
+        .withColumn("__k", expr("pmod(grn, 1)"))
+        .join(broadcast(stats.select(col("__k"), col("n_converted"))), "__k")
+        .filter(col("grn") === expr("(n_converted + 1) div 2") ||
+          col("grn") === expr("n_converted div 2 + 1"))
+        .agg(sum(
+          when(col("grn") === expr("(n_converted + 1) div 2"), col("lag_us"))
+            .otherwise(0L) +
+          when(col("grn") === expr("n_converted div 2 + 1"), col("lag_us"))
+            .otherwise(0L)).cast("long").as("med2_lag_us"))
+        .withColumn("__k", expr("pmod(coalesce(med2_lag_us, 0), 1)"))
+      stats.join(broadcast(med), "__k").drop("__k")
+        .select(col("n_converted"), col("min_lag_us"), col("max_lag_us"),
+          col("med2_lag_us"))
     }),
 
     // ACTIVITY HEATMAP — the (weekday × hour) grid behind every usage
@@ -1425,8 +1455,13 @@ object ExtendedQueries {
     // rule); each [start, end] CLOSED interval emits +1/−1 endpoint
     // deltas, +1 sorting BEFORE −1 at equal micros (closed-interval
     // touch counts as overlap), and the running sum's max is the peak.
-    // The sweep window runs over 2×sessions endpoint rows; everything
-    // int64 micros.
+    // r11 ran the sweep in ONE unpartitioned window over 2×sessions
+    // endpoint rows; r12 rides [[Ranked.withGlobalRunningSum]] — the
+    // classic two-pass distributed prefix sum (range-partition by time,
+    // per-partition partials, broadcast offsets), so every core sweeps
+    // its own time slice (the r11 VERDICT #1 fix). The peak is
+    // tie-order-independent: equal (us, d) rows carry equal deltas, so
+    // maxima land at the end of same-sign runs regardless of tie order.
     "q_max_concurrency" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val wSeq = Window.partitionBy(col("user_id"))
@@ -1446,9 +1481,8 @@ object ExtendedQueries {
       val deltas = sessions
         .select(col("s_us").as("us"), lit(1L).as("d"))
         .unionByName(sessions.select(col("e_us").as("us"), lit(-1L).as("d")))
-      val wSweep = Window.orderBy(col("us"), col("d").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      deltas.withColumn("live", sum(col("d")).over(wSweep))
+      Ranked.withGlobalRunningSum(deltas, "live", col("d"),
+          Seq(col("us").asc, col("d").desc))
         .agg(max(col("live")).cast("long").as("peak_concurrency"),
           count(lit(1)).cast("long").as("n_endpoints"))
     }),
@@ -1459,17 +1493,17 @@ object ExtendedQueries {
     // spelling is an O(n²) theta self-join (a cartesian the audit would
     // flag); one RANGE-frame window replaces it: ordered by price, a
     // part survives iff no strictly-cheaper part has a strictly larger
-    // size — max(size) over RANGE (…, 1 PRECEDING) ≤ own size. Exact
-    // cents; the window runs over the part dimension, range-partition
-    // at catalog scale (q_trimmed_mean posture).
+    // size — max(size) over all STRICTLY smaller prices ≤ own size.
+    // Exact cents; since r12 the strict-preceding max runs distributed
+    // ([[Ranked.withStrictPrecedingMax]]: per-range-slice RANGE-frame
+    // max + broadcast prefix maxima of earlier slices) instead of one
+    // unpartitioned RANGE window over the whole part catalog.
     "q_skyline" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val p = Tables.load(s, dir, "part")
         .select(col("p_partkey"), col("p_size").cast("long").as("p_size"),
           round(col("p_retailprice") * 100).cast("long").as("cents"))
-      val w = Window.orderBy(col("cents"))
-        .rangeBetween(Window.unboundedPreceding, -1)
-      p.withColumn("best_cheaper", max(col("p_size")).over(w))
+      Ranked.withStrictPrecedingMax(p, "best_cheaper", col("p_size"),
+          col("cents"))
         .filter(col("best_cheaper").isNull ||
           col("best_cheaper") <= col("p_size"))
         .select(col("p_partkey"), col("p_size"), col("cents"))

@@ -425,25 +425,24 @@ object Relational {
     // unannotated ORDER BY over a nullable key silently reorders between
     // engines. The face takes the defaults OFF the table: both
     // directions annotated, positions emitted as row numbers, nullable
-    // key derived so the data genuinely exercises it.
+    // key derived so the data genuinely exercises it. Since r12 the
+    // positions ride [[graft.operators.Ranked.withGlobalRowNumber]] —
+    // the range partitioner carries the same NULLS FIRST/LAST SortOrder
+    // as the per-slice window, so the global ranks honor the annotated
+    // ordering with no unpartitioned window.
     "q_null_ordering" -> ((s, dir) => {
-      Tables.registerViews(s, dir)
-      s.sql("""
-        WITH k AS (
-          SELECT o_orderkey,
-                 CASE WHEN o_orderkey % 7 = 0 THEN NULL
-                      ELSE o_orderkey % 100 END AS nk
-          FROM orders WHERE o_orderkey <= 500
-        )
-        SELECT o_orderkey, nk,
-               CAST(row_number() OVER
-                 (ORDER BY nk ASC NULLS FIRST, o_orderkey) AS BIGINT)
-                 AS pos_nulls_first,
-               CAST(row_number() OVER
-                 (ORDER BY nk ASC NULLS LAST, o_orderkey) AS BIGINT)
-                 AS pos_nulls_last
-        FROM k
-      """)
+      val k = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+            .otherwise(col("o_orderkey") % 100).as("nk"))
+      graft.operators.Ranked.withGlobalRowNumber(
+        graft.operators.Ranked.withGlobalRowNumber(k, "pos_nulls_first",
+          Seq(col("nk").asc_nulls_first, col("o_orderkey").asc)),
+        "pos_nulls_last",
+        Seq(col("nk").asc_nulls_last, col("o_orderkey").asc))
+        .select(col("o_orderkey"), col("nk"), col("pos_nulls_first"),
+          col("pos_nulls_last"))
     }),
 
     // The NOT IN / NOT EXISTS NULL trap, pinned as data: the same
@@ -1157,7 +1156,68 @@ object Relational {
                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
           FROM glim_orders JOIN glim_customer ON o_custkey = c_custkey) t
         WHERE rn <= 3""")
-    })
+    }),
+
+    // §2.14: regexp surface — extraction (first match / capture group),
+    // boolean match, and match counting, the most common string verbs in
+    // data cleaning after split (r11 VERDICT "What's missing" #1). The
+    // patterns stay in the character-class/quantifier subset Java regex
+    // (Spark) and RE2 (DuckDB) interpret identically; no-match extraction
+    // returns '' on both engines. Map-only — one codegen'd projection.
+    "q_regexp_funcs" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "[A-Za-z]+", 0).as("first_word"),
+          regexp_extract(col("text"), "([A-Za-z]+) ([A-Za-z]+)", 2)
+            .as("second_word"),
+          col("text").rlike("[0-9]").as("has_digit"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_numbers"))),
+
+    // §2.14: correlated LATERAL subquery in FROM — the greatest-n-per-
+    // group idiom a DuckDB migrant writes as `, LATERAL (SELECT ...
+    // WHERE inner.k = outer.k ORDER BY ... LIMIT n)` (r11 VERDICT
+    // "What's missing" #2). Spark 4 parses and DECORRELATES it: the
+    // per-nation ORDER BY/LIMIT plans as one key-partitioned window with
+    // a rank filter — no per-outer-row re-execution, same plan as
+    // q_group_limit's QUALIFY translation. Dimension-keyed at any SF.
+    "q_lateral_subquery" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT n_name, t.c_custkey, t.c_acctbal
+        FROM nation, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      """)
+    }),
+
+    // §2.14: TABLESAMPLE translation — DuckDB's `USING SAMPLE 10%` (and
+    // Spark's own TABLESAMPLE) are engine-seeded and NONDETERMINISTIC, so
+    // the migration-safe spelling both engines agree on is a key-hash
+    // threshold: md5 of the row key, first 8 hex digits as an integer,
+    // mod 100 against the sample percent (r11 VERDICT "What's missing"
+    // #3). Deterministic across engines, runs, AND cluster layouts —
+    // which no native TABLESAMPLE guarantees — and the predicate pushes
+    // into the scan as a codegen'd filter.
+    "q_tablesample" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(expr("pmod(CAST(conv(substring(md5(CAST(o_orderkey AS " +
+          "STRING)), 1, 8), 16, 10) AS BIGINT), 100) < 10"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))),
+
+    // §2.14: SELECT * EXCLUDE / REPLACE — DuckDB-only projection sugar
+    // with no Spark twin (r11 VERDICT "What's missing" #4). The
+    // translation a migrating user needs: EXCLUDE (c) = `.drop("c")`,
+    // REPLACE (e AS c) = `.withColumn("c", e)` — position-preserving on
+    // both engines. The oracle runs the literal EXCLUDE/REPLACE spelling
+    // so the equivalence is pinned cross-engine, not just documented.
+    "q_select_exclude" -> ((s, dir) =>
+      Tables.load(s, dir, "customer")
+        .drop("c_name")
+        .withColumn("c_acctbal",
+          round(col("c_acctbal") * 100).cast("long")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1771,6 +1831,40 @@ object Relational {
          SELECT rn, hi_key, lo_key,
                 CAST(CAST(hi AS DECIMAL(18,2)) - CAST(lo AS DECIMAL(18,2))
                   AS DOUBLE) AS spread
-         FROM hi JOIN lo USING (rn)"""
+         FROM hi JOIN lo USING (rn)""",
+    "q_regexp_funcs" ->
+      """SELECT doc_id,
+                regexp_extract(text, '[A-Za-z]+', 0) AS first_word,
+                regexp_extract(text, '([A-Za-z]+) ([A-Za-z]+)', 2)
+                  AS second_word,
+                regexp_matches(text, '[0-9]') AS has_digit,
+                CAST(len(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT)
+                  AS n_numbers
+         FROM documents""",
+    "q_lateral_subquery" ->
+      """SELECT n_name, t.c_custkey, t.c_acctbal
+         FROM nation, LATERAL (
+           SELECT c_custkey, c_acctbal FROM customer
+           WHERE c_nationkey = n_nationkey
+           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""",
+    // the same first-8-hex-digits-of-md5 integer as Spark's conv(); DuckDB
+    // spells hex parsing via the q_table_checksum list_reduce idiom
+    "q_tablesample" ->
+      """WITH h AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  md5(CAST(o_orderkey AS VARCHAR)) AS hh
+           FROM orders)
+         SELECT o_orderkey, o_orderstatus, cents
+         FROM h
+         WHERE list_reduce(list_prepend(0::BIGINT,
+                 list_transform(generate_series(1, 8),
+                   i -> (instr('0123456789abcdef', substr(hh, i, 1)) - 1)::BIGINT)),
+                 (acc, x) -> acc * 16 + x) % 100 < 10""",
+    // the literal DuckDB-only sugar — the Spark face is its translation
+    "q_select_exclude" ->
+      """SELECT * EXCLUDE (c_name)
+                  REPLACE (CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal)
+         FROM customer"""
   )
 }

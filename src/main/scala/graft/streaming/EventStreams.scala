@@ -300,7 +300,12 @@ object EventStreams {
             else if (e.event_type == "purchase")
               out += AttribOut(userId, e.event_id,
                 if (touch.isEmpty) "DIRECT" else touch,
-                math.round(e.value * 100))
+                // HALF_UP (away from zero), matching Spark/DuckDB round()
+                // in the batch face — Scala's math.round rounds half
+                // TOWARD +∞, which diverges on negative exact half cents
+                // (refund value −0.125 → −12, batch says −13) (r11 ADVICE)
+                BigDecimal(e.value * 100)
+                  .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
           }
           state.update(touch)
           out.iterator

@@ -43,14 +43,16 @@ object Audit {
         // its string then has no codegen markers and isFinalPlan=false),
         // then stringify the AQE-final inner plan
         df.queryExecution.executedPlan.execute().count()
-        val plan = df.queryExecution.executedPlan match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            a.executedPlan.toString
-          case p => p.toString
-        }
+        val planTree = PlanChecks.finalPlan(df)
+        val plan = planTree.toString
         val flags = scala.collection.mutable.ArrayBuffer[String]()
         if (plan.contains("CartesianProduct")) flags += "CARTESIAN"
         if (plan.contains("BroadcastNestedLoopJoin")) flags += "BNLJ"
+        // r11 VERDICT #1: an unpartitioned Window whose input is not
+        // aggregate-sized sorts the whole input in ONE task — fine at
+        // sf0.1, a straggler/OOM at 100×
+        val gw = PlanChecks.globalWindowsOverRaw(planTree)
+        if (gw > 0) flags += s"GLOBALWINDOW($gw)"
         // a broadcast subtree whose scan reads an SF-scaled parquet
         val broadcastBlocks = plan.split("BroadcastExchange").drop(1)
         val broadcastScaled = scaledTables.filter(t =>

@@ -28,21 +28,24 @@ class RegistrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracleSql entries with no query: $orphans")
   }
 
-  test("the oracle-less (rows-only) set is the known engine-own family") {
+  test("the oracle-less (rows-only) set is EXACTLY the frozen engine-own list") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // every rows-only face must look like a sketch/signature/index face
-    // with a *_check twin or be one of the known engine-own estimators —
-    // a NEW rows-only face should be a conscious decision, not a typo
-    val known = rowsOnly.filter { k =>
-      k.startsWith("dd_") || k.startsWith("sim_") || k.startsWith("txt_bpe") ||
-        k.startsWith("q_approx") || k.startsWith("q_sketch") ||
-        k.startsWith("q_cms") || k.startsWith("q_heavy_hitters") ||
-        // perceptual-hash pairs and fuzzy decontam are engine-own
-        // estimators with DuckDB-verified _check twins
-        k == "mm_phash_neardup" || k == "pipeline_decontam_fuzzy"
-    }
-    val surprises = rowsOnly -- known
-    assert(surprises.isEmpty,
-      s"unexpected faces without oracles (typo or missing SQL?): $surprises")
+    // FROZEN enumeration, not family prefixes: a future dd_*/sim_* face
+    // whose oracle key is misspelled is exactly the failure mode this
+    // spec guards against, and a prefix allowlist would wave it through
+    // (r11 ADVICE). Adding a new engine-own face is a conscious edit of
+    // this set — each member must carry an oracle-green *_check twin.
+    val frozen = Set(
+      "dd_minhash_lsh", "dd_simhash", "dd_embed_neardup", "dd_semdedup",
+      "dd_cluster_lsh", "dd_minhash_incremental", "dd_simhash_incremental",
+      "sim_topk_lsh", "sim_topk_ivf", "sim_topk_pq", "sim_topk_ivfpq",
+      "sim_topk_ivf_indexed", "sim_topk_ivfpq_indexed",
+      "txt_bpe", "q_approx_distinct", "q_approx_percentile",
+      "q_sketch_union", "q_cms", "q_heavy_hitters_big",
+      "mm_phash_neardup", "pipeline_decontam_fuzzy")
+    assert(rowsOnly == frozen,
+      s"rows-only drift — new without oracle (typo or missing SQL?): " +
+        s"${rowsOnly -- frozen}; frozen but now has an oracle (prune the " +
+        s"set): ${frozen -- rowsOnly}")
   }
 }
