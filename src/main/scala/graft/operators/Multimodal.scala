@@ -564,6 +564,68 @@ object Multimodal {
       maxHamming: Int = 5, nBlocks: Int = 8): DataFrame =
     Dedup.pigeonholePairs(dHashBlobs(spark, blobDf), maxHamming, nBlocks)
 
+  /** Per-image features for the composed multimodal pipeline, from ONE
+    * real decode: the 64-bit dHash (candidate generation), the full
+    * luminance raster as an int array (exact near-dup VERIFICATION), and
+    * its total. PNG decode is LOSSLESS, so for a generated corpus these
+    * values equal the generator's closed form — which is how the
+    * `pipeline_mm_corpus` oracle certifies the decode sample-for-sample
+    * (the mm_audio_fp discipline). At 100 TB the raster column would be
+    * a bounded thumbnail; here sources are 32×24 so the full raster IS
+    * the thumbnail. */
+  final case class ImgFeat(doc_id: Long, sh: Long, pix: Array[Int],
+      lum_sum: Long)
+
+  def decodeFeatures(spark: SparkSession, blobDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    blobDf.as[Blob].mapPartitions { it =>
+      // per-partition init point (codec handle would live here)
+      it.flatMap { b =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.payload))
+          catch { case _: Exception => null }
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val pix = new Array[Int](w * h)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y) & 0xff
+              pix(y * w + x) = v
+              sum += v
+              x += 1
+            }
+            y += 1
+          }
+          Some(ImgFeat(b.doc_id, dHash(img), pix, sum))
+        }
+      }
+    }.toDF()
+  }
+
+  /** Exact masked-pixel VERIFY over pigeonhole candidates: joins each
+    * (da, db) pair to its rasters and keeps pairs whose L1 distance —
+    * ignoring pixels that are 255 in EITHER raster, i.e. the planted
+    * local edits — is at most `maxMaskedL1`. Pure higher-order-function
+    * arithmetic (zip_with + aggregate), no UDF; the join ships
+    * candidate-count × raster-length ints, never re-decodes. This is the
+    * LSH-candidates → exact-verify shape every near-dup family here uses
+    * (dd_minhash_lsh → edit-distance verify, simhash → exact hamming). */
+  def verifyNearDupPairs(cands: DataFrame, feats: DataFrame,
+      maxMaskedL1: Long): DataFrame =
+    cands
+      .join(feats.select(col("doc_id").as("da"), col("pix").as("__pa")), "da")
+      .join(feats.select(col("doc_id").as("db"), col("pix").as("__pb")), "db")
+      .withColumn("masked_l1", aggregate(
+        zip_with(col("__pa"), col("__pb"),
+          (a, b) => when(a === 255 || b === 255, lit(0)).otherwise(abs(a - b))),
+        lit(0L), (acc, x) => acc + x))
+      .filter(col("masked_l1") <= maxMaskedL1)
+      .drop("__pa", "__pb")
+
   /** REAL-PNG near-dup test corpus derived from `documents`: docs with
     * doc_id < maxDocId render 32×24 rasters; every group of `groupSize`
     * consecutive ids shares one gradient pattern (direction/phase from a

@@ -651,7 +651,8 @@ object Similarity {
         .withColumn("__n", l2Norm(col("v")))
         .select(col("vec_id"), col("cid"), col("v"),
           graft.functions.GraftFunctions.pq_encode(
-            l2Normalize(col("v"), col("__n")), flat, m, kSub, sub).as("codes"))
+            l2Normalize(col("v"), col("__n")), flat, m, kSub, sub).as("codes"),
+          lit(0L).as("gen"))
       encoded.write.bucketBy(buckets, "cid").sortBy("cid")
         .option("path", path).mode("overwrite").saveAsTable(table)
       val metaRows: Seq[(String, Int, Int, Seq[Double])] =
@@ -701,9 +702,12 @@ object Similarity {
     * standard IVF trade rides along: appended vectors quantize against the
     * ORIGINAL codebooks, so a drifting distribution eventually wants a
     * rebuild — the rebuild stays a deliberate, paid-once event instead of
-    * a per-query tax. */
+    * a per-query tax. Every append RETURNS the post-append [[IvfDrift]]
+    * (appended fraction in basis points) so callers can gate that event
+    * on a measured number ([[rebuildIvfIndexIfDrifted]]) instead of
+    * guessing (r11 VERDICT #7). */
   def appendIvfIndex(spark: SparkSession, emb: DataFrame, table: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 8): IvfDrift = {
     val (centroids, books) = readIndexMeta(spark, table)
     val m = books.length
     val kSub = books(0).length
@@ -728,9 +732,52 @@ object Similarity {
       .withColumn("__n", l2Norm(col("v")))
       .select(col("vec_id"), col("cid"), col("v"),
         graft.functions.GraftFunctions.pq_encode(
-          l2Normalize(col("v"), col("__n")), flat, m, kSub, sub).as("codes"))
+          l2Normalize(col("v"), col("__n")), flat, m, kSub, sub).as("codes"),
+        lit(1L).as("gen"))
       .write.bucketBy(buckets, "cid").sortBy("cid")
       .option("path", path).mode("append").saveAsTable(table)
+    ivfDrift(spark, table)
+  }
+
+  /** Drift posture of a persisted index: how much of it quantizes against
+    * codebooks it was not trained on. Appended rows carry `gen` = 1 (build
+    * rows 0), so the statistic is one columnar aggregate of two small
+    * columns — no vectors read. `appended_bp` (basis points) is the
+    * rebuild lever: r10's #209 documented that appended vectors ride
+    * STALE codebooks "until a deliberate rebuild" but nothing measured
+    * the staleness; now every append returns it and
+    * [[rebuildIvfIndexIfDrifted]] turns the threshold into the deliberate
+    * rebuild. */
+  final case class IvfDrift(nTotal: Long, nAppended: Long, appendedBp: Long)
+
+  def ivfDrift(spark: SparkSession, table: String): IvfDrift = {
+    val r = spark.table(table)
+      .agg(count(lit(1)).cast("long"),
+        sum(when(col("gen") > 0, 1L).otherwise(0L)).cast("long"))
+      .collect()(0)
+    val total = r.getLong(0)
+    val app = if (r.isNullAt(1)) 0L else r.getLong(1)
+    IvfDrift(total, app, if (total == 0) 0L else app * 10000L / total)
+  }
+
+  /** The deliberate rebuild, gated on measured drift: when the appended
+    * fraction exceeds `maxAppendedBp` basis points, retrain + re-encode
+    * the FULL corpus (`emb` — the lake table, not the index; a rebuild
+    * re-reads the source of truth) into the same table/path and reset
+    * every row to gen 0. Returns true iff the rebuild ran. Training
+    * happens only here and in [[writeIvfIndex]] — both inside
+    * [[BuildJobGroup]], so the probe-path no-training spec discipline
+    * keeps holding. */
+  def rebuildIvfIndexIfDrifted(spark: SparkSession, emb: DataFrame,
+      table: String, path: String, maxAppendedBp: Long,
+      nCentroids: Int = 16, m: Int = 16, kSub: Int = 32,
+      buckets: Int = 8): Boolean = {
+    val drift = ivfDrift(spark, table)
+    if (drift.appendedBp <= maxAppendedBp) false
+    else {
+      writeIvfIndex(spark, emb, table, path, nCentroids, m, kSub, buckets)
+      true
+    }
   }
 
   /** ADC probe of the persisted index — the IVFPQ posture over the SAME

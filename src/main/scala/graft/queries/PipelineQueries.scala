@@ -63,6 +63,34 @@ object PipelineQueries {
       tbl
     }
 
+  /** Memoized DRIFTED IVF index per sf dir: built on the 80% base split
+    * (vec_id % 5 != 4), then the remaining 20% appended in two delta
+    * batches against the FROZEN base codebooks — the daily-append reality
+    * the drift metric exists to measure (r11 VERDICT #7). The appended
+    * fraction (2000 bp) sits below the face's 2500 bp rebuild threshold,
+    * so the check certifies recall on an index that is legitimately
+    * drifted-but-not-yet-rebuilt; IvfDriftSpec covers the over-threshold
+    * forced-rebuild path. */
+  private val driftIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def driftIvfIndexTable(s: SparkSession, dir: String): String =
+    memo(driftIndexCache, dir) { d =>
+      val tbl = "graft_ivf_drift_" + java.lang.Integer.toHexString(d.hashCode)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_drift_").resolve("t").toString
+      val e = emb(s, d)
+      Similarity.writeIvfIndex(s, e.filter(col("vec_id") % 5 =!= 4),
+        tbl, path, nCentroids = 16)
+      Similarity.appendIvfIndex(s, e.filter(col("vec_id") % 10 === 4), tbl)
+      val drift = Similarity.appendIvfIndex(
+        s, e.filter(col("vec_id") % 10 === 9), tbl)
+      val rebuilt = Similarity.rebuildIvfIndexIfDrifted(s, e, tbl, path,
+        maxAppendedBp = 2500L, nCentroids = 16)
+      require(!rebuilt && drift.appendedBp <= 2500L,
+        s"drift fixture: unexpected rebuild at ${drift.appendedBp} bp")
+      tbl
+    }
+
   /** Memoized persisted MinHash band index over the STANDING corpus (all
     * sources but src19 — the same split dd_incremental uses), for the
     * incremental near-dup faces. Built once per sf dir. */
@@ -475,6 +503,39 @@ object PipelineQueries {
     "sim_topk_ivfpq_indexed_check" -> ((s, dir) =>
       annRecallCheck(s, dir, "ivfpq_indexed")),
 
+    // §2.11 DRIFTED-index recall check (r11 VERDICT #7): probes the
+    // memoized index whose last 20% of vectors were APPENDED against the
+    // frozen base codebooks (two delta batches, no retraining — the
+    // under-threshold side of the rebuild gate). appended_bp is
+    // cross-engine-verified by vec_id arithmetic; recall_ok certifies
+    // the drifted index still clears 0.8 against the exact top-k —
+    // "recall survives N appends" as a driver row, not a claim.
+    "sim_topk_ivf_drift_check" -> ((s, dir) => {
+      val k = 5
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val tbl = driftIvfIndexTable(s, dir)
+      val ann = Similarity.topKIvfIndexed(s, tbl, q, k = k, nProbe = 8)
+      val exact = Similarity.topKBruteForce(e, q, k = k)
+        .select(col("query_id"), col("vec_id"))
+      val perQuery = ann.select(col("query_id"), col("vec_id"))
+        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      val bp = s.table(tbl)
+        .agg(count(lit(1)).as("nt"),
+          sum(when(col("gen") > 0, 1L).otherwise(0L)).as("na"))
+        .select(expr("na * 10000 div nt").as("appended_bp"))
+        .withColumn("__k", expr("pmod(appended_bp, 1)"))
+      q.select(col("vec_id").as("query_id"))
+        .join(perQuery, Seq("query_id"), "left")
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          ((sum(coalesce(col("n_hit"), lit(0L))) /
+            (count(lit(1)) * k)) >= 0.8).as("recall_ok"))
+        .withColumn("__k", expr("pmod(n_queries, 1)"))
+        .join(broadcast(bp), "__k").drop("__k")
+        .select(col("n_queries"), col("appended_bp"), col("recall_ok"))
+    }),
+
     // §2.4 #64 streaming exact dedup (batch face here: same first-occurrence
     // semantics as the stateful stream; flatMapGroupsWithState spec in tests)
     "st_dedup" -> ((s, dir) =>
@@ -718,6 +779,52 @@ object PipelineQueries {
         .select(col("doc_id"),
           length(col("payload")).cast("long").as("n_bytes"),
           (col("width").cast("long") * col("height")).as("n_pixels"))),
+
+    // MULTIMODAL END-TO-END CORPUS PIPELINE (r11 VERDICT #8) — the image
+    // analogue of pipeline_train_corpus in ONE composed face: real PNG
+    // decode → bilinear resize (geometry) → dHash → pigeonhole
+    // candidates → exact masked-pixel VERIFY → connected components →
+    // keep-best (min doc_id per cluster) → per-source report. FULLY
+    // oracle-green, not rows-only, on two grounds: (1) the verify stage
+    // prunes the candidate graph to exactly the constructed variant
+    // groups — masked L1 (ignore the planted 3×3 edits, which render as
+    // 255 in either raster) is 0 within a group and ≥ 744 across
+    // (closed-form margin; threshold 100) — so every count reduces to
+    // doc_id arithmetic; (2) lum_sum certifies the DECODE sample-exactly:
+    // PNG is lossless, so the oracle recomputes the same luminance total
+    // from the generator's closed gradient form (the mm_audio_fp
+    // discipline). Decode runs ONCE for hash+verify features; pixels
+    // cross the wire only as candidate-pair feature rows.
+    "pipeline_mm_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val blobs = Multimodal.syntheticVariantPngBlobs(s, d)
+      val feats = Multimodal.decodeFeatures(s, blobs)
+      val rs = Multimodal.resizeBlobs(s, blobs, maxDim = 16)
+        .select(col("doc_id"), col("out_w"), col("out_h"))
+      val cands = Dedup.pigeonholePairs(
+        feats.select(col("doc_id"), col("sh")), maxHamming = 5, nBlocks = 8)
+      val verified = Multimodal.verifyNearDupPairs(cands, feats,
+        maxMaskedL1 = 100L)
+      val cc = Dedup.connectedComponents(
+        verified.select(col("da"), col("db")))
+      val withC = feats.select(col("doc_id"), col("lum_sum"))
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val keep = withC.groupBy(col("cluster_id"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      withC.join(keep, "cluster_id")
+        .join(rs, "doc_id")
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_imgs"),
+          sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+            .cast("long").as("n_kept"),
+          sum(when(col("doc_id") === col("keep_id"), 0L).otherwise(1L))
+            .cast("long").as("n_removed"),
+          sum(col("out_w")).cast("long").as("sum_rw"),
+          sum(col("out_h")).cast("long").as("sum_rh"),
+          sum(col("lum_sum")).cast("long").as("lum_sum"))
+    }),
 
     // §2.5: cheap PII scrub (emails / IPv4s / long digit runs) — map-only
     "txt_redact" -> ((s, dir) =>
@@ -2079,6 +2186,28 @@ object PipelineQueries {
     "sim_topk_ivfpq_check" -> annRecallOracleSql,
     "sim_topk_ivf_indexed_check" -> annRecallOracleSql,
     "sim_topk_ivfpq_indexed_check" -> annRecallOracleSql,
+    // appended_bp mirrors the drift fixture's vec_id % 5 split (no
+    // zero-norm vectors in the corpus, so index rows = embedding rows);
+    // recall convention as annRecallOracleSql
+    "sim_topk_ivf_drift_check" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 8),
+              c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              scored AS (
+                SELECT q.query_id, c.vec_id,
+                       list_cosine_similarity(c.v, q.qv) AS cos
+                FROM c, q WHERE c.vec_id <> q.query_id),
+              wellformed AS (
+                SELECT query_id FROM scored WHERE cos IS NOT NULL
+                GROUP BY 1 HAVING count(*) >= 5),
+              bp AS (
+                SELECT CAST(sum(CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END)
+                         * 10000 // count(*) AS BIGINT) AS appended_bp
+                FROM embeddings)
+         SELECT (SELECT count(*) FROM wellformed)::BIGINT AS n_queries,
+                bp.appended_bp,
+                (1.0 >= 0.8) AS recall_ok
+         FROM bp""",
     "st_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS doc_id
          FROM documents GROUP BY 1""",
@@ -3150,6 +3279,40 @@ object PipelineQueries {
                         + (instr('0123456789ABCDEF', substr(h, 2*i, 1)) - 1))::HUGEINT)),
              (acc, x) -> (acc * 257 + x) % 18446744073709551616::HUGEINT) AS fp
            FROM hx)""",
+    // pipeline_mm_corpus: counts from doc_id arithmetic (verify prunes the
+    // candidate graph to the constructed groups of 4 → survivor iff
+    // doc_id % 4 = 0), geometry from fitDims(32,24,16) = (16,12), and
+    // lum_sum recomputed from the generator's closed gradient form —
+    // PNG decode is lossless, so a green row certifies the Spark decode
+    // sample-for-sample (the mm_audio_fp discipline)
+    "pipeline_mm_corpus" ->
+      """WITH ids AS (SELECT doc_id, source FROM documents WHERE doc_id < 400),
+         g AS (SELECT doc_id, source,
+                      (doc_id // 4) * 2654435761 + 1013904223 AS m,
+                      doc_id % 4 AS v
+               FROM ids),
+         px AS (
+           SELECT g.doc_id, g.source,
+                  CASE WHEN x.x BETWEEN 2 + 7 * g.v AND 4 + 7 * g.v
+                        AND y.y BETWEEN 4 + 4 * g.v AND 6 + 4 * g.v
+                       THEN 255
+                       ELSE ((3 + (g.m // 256) % 13) * x.x
+                           + (2 + (g.m // 65536) % 11) * y.y
+                           + (g.m // 16777216) % 256) % 256 END AS pix
+           FROM g, generate_series(0, 31) x(x), generate_series(0, 23) y(y)),
+         lum AS (SELECT doc_id, source, sum(pix) AS ls
+                 FROM px GROUP BY 1, 2)
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_imgs,
+                CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_removed,
+                CAST(sum(16) AS BIGINT) AS sum_rw,
+                CAST(sum(12) AS BIGINT) AS sum_rh,
+                CAST(sum(ls) AS BIGINT) AS lum_sum
+         FROM lum
+         GROUP BY source""",
     // mm_decode_meta: the stub codec's checksum is the SAME rolling hash
     // as txt_fingerprint (over the payload bytes = UTF-8 text bytes), so
     // the whole face is oracle-exact — the last hash-based rows-only face

@@ -196,6 +196,56 @@ class IvfIndexSpec extends SparkSpec {
     } finally drop(tbl)
   }
 
+  test("append returns measured drift; over-threshold rebuild retrains " +
+      "and resets gen; under-threshold leaves the index untouched") {
+    val tbl = "ivf_idx_drift"
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_spec_")
+      .resolve("t").toString
+    val n = nClusters * perCluster
+    val base = corpusLocal.filter(_._1 < n * 3 / 4)
+    val delta = corpusLocal.filterNot(_._1 < n * 3 / 4)
+    Similarity.writeIvfIndex(spark, base.toDF("vec_id", "embedding"), tbl, dir,
+      nCentroids = 8, m = 8, kSub = 8, buckets = 8)
+    try {
+      // fresh build: zero drift by construction
+      assert(Similarity.ivfDrift(spark, tbl) ==
+        Similarity.IvfDrift(base.size.toLong, 0L, 0L))
+      val drift = Similarity.appendIvfIndex(
+        spark, delta.toDF("vec_id", "embedding"), tbl)
+      // the append reports exactly the appended fraction, in basis points
+      assert(drift == Similarity.IvfDrift(n.toLong, delta.size.toLong,
+        delta.size.toLong * 10000L / n), drift.toString)
+      // under threshold: no rebuild, no training jobs, gens preserved
+      val sc = spark.sparkContext
+      val buildBefore = sc.statusTracker
+        .getJobIdsForGroup(Similarity.BuildJobGroup).toSet
+      assert(!Similarity.rebuildIvfIndexIfDrifted(spark,
+        corpus, tbl, dir, maxAppendedBp = drift.appendedBp,
+        nCentroids = 8, m = 8, kSub = 8, buckets = 8))
+      assert(sc.statusTracker.getJobIdsForGroup(Similarity.BuildJobGroup)
+        .toSet == buildBefore, "under-threshold gate must not retrain")
+      // over threshold: the DELIBERATE rebuild — retrains (build-group
+      // jobs), re-encodes the full corpus, resets every row to gen 0
+      assert(Similarity.rebuildIvfIndexIfDrifted(spark,
+        corpus, tbl, dir, maxAppendedBp = drift.appendedBp - 1,
+        nCentroids = 8, m = 8, kSub = 8, buckets = 8))
+      assert(sc.statusTracker.getJobIdsForGroup(Similarity.BuildJobGroup)
+        .toSet != buildBefore, "rebuild must run in the build group")
+      assert(Similarity.ivfDrift(spark, tbl) ==
+        Similarity.IvfDrift(n.toLong, 0L, 0L))
+      // and the rebuilt index equals a from-scratch transient probe —
+      // training is deterministic, so rebuild ≡ build on the same corpus
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"))
+      val rebuilt = Similarity.topKIvfIndexed(spark, tbl, queries,
+        k = 5, nProbe = 2).collect().map(key).toSet
+      val transient0 = Similarity.topKIvf(spark, corpus, queries,
+        k = 5, nCentroids = 8, nProbe = 2).collect().map(key).toSet
+      assert(rebuilt == transient0 && rebuilt.nonEmpty)
+    } finally drop(tbl)
+  }
+
   test("streamed probes of the persisted index equal the batch probe") {
     // the st_sim_topk posture pointed at the index: each micro-batch's
     // queries probe via the same batch plan inside foreachBatch — no state
@@ -232,7 +282,8 @@ class IvfIndexSpec extends SparkSpec {
     try {
       val t = spark.table(tbl)
       val names = t.schema.fieldNames.toSeq
-      assert(names == Seq("vec_id", "cid", "v", "codes"), names.toString)
+      assert(names == Seq("vec_id", "cid", "v", "codes", "gen"),
+        names.toString)
       // codes: m small ints per vector (the 100 TB ADC-scan column)
       val r = t.orderBy("vec_id").limit(1).collect().head
       assert(r.getSeq[Int](3).length == 8)
