@@ -1217,7 +1217,26 @@ object Relational {
       Tables.load(s, dir, "customer")
         .drop("c_name")
         .withColumn("c_acctbal",
-          round(col("c_acctbal") * 100).cast("long")))
+          round(col("c_acctbal") * 100).cast("long"))),
+
+    // §2.14: struct construction + field access + unnest-of-struct — the
+    // nested-type round trip (DuckDB struct_pack / u.field / unnest(list
+    // of structs) ↔ Spark named_struct / rec.field / inline) that
+    // completes the nested tier next to q_json_extract (read-side),
+    // q_array_funcs (lambdas) and q_map_funcs. Bounded fan-out (2 rows
+    // per order), exact int64 cents.
+    "q_struct_funcs" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .select(col("o_orderkey"),
+          expr("named_struct('status', o_orderstatus, 'cents', cents)")
+            .as("rec"))
+        .select(col("o_orderkey"), col("rec.status").as("status"),
+          expr("inline(array(" +
+            "named_struct('part', 'full', 'amt', rec.cents), " +
+            "named_struct('part', 'half', 'amt', rec.cents div 2)))")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1865,6 +1884,19 @@ object Relational {
     "q_select_exclude" ->
       """SELECT * EXCLUDE (c_name)
                   REPLACE (CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal)
-         FROM customer"""
+         FROM customer""",
+    "q_struct_funcs" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey <= 500),
+         rec AS (SELECT o_orderkey,
+                        struct_pack(status := o_orderstatus, cents := cents)
+                          AS r
+                 FROM base)
+         SELECT o_orderkey, r.status AS status, u.part AS part, u.amt AS amt
+         FROM rec, unnest([struct_pack(part := 'full', amt := r.cents),
+                           struct_pack(part := 'half', amt := r.cents // 2)])
+                   AS t(u)"""
   )
 }

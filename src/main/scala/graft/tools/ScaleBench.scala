@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** sf1 scale checkpoint (r11 VERDICT #3): one warmup + one timed rep of a
+  * NAMED face subset against an arbitrary sf dir (the ScaleUp-generated
+  * sf1), appended to BENCH_HISTORY.jsonl with its own sf tag so cost
+  * curves past the tri-SF sweep's sf0.1 ceiling live in the same trend
+  * file. Single-rep by design — the checkpoint hunts super-linear BENDS
+  * (10× data should cost ~10× on a linear face), not ±10% noise.
+  *
+  * `runMain graft.tools.ScaleBench <sfDir> <sfTag> <face...>`
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val sfTag = args(1)
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val faces = names.map(n => n -> graft.SparkEntry.queries(n))
+    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    faces.foreach { case (n, fn) =>
+      try runOne(fn)
+      catch { case e: Throwable =>
+        System.err.println(s"[scalebench] warmup $n FAILED: ${e.getMessage}") }
+    }
+    val timed = faces.map { case (n, fn) =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val t = try { runOne(fn); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[scalebench] $n FAILED: ${e.getMessage}"); -1.0 }
+      n -> t
+    }
+    def ms(d: Double): Double = math.rint(d * 1000) / 1000
+    val total = ms(timed.filter(_._2 >= 0).map(_._2).sum)
+    val qjson = timed.map { case (n, t) => s""""$n":${ms(t)}""" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"scale_checkpoint","value":$total,"unit":"sec",""" +
+      s""""sf":"$sfTag","dir":"$sfDir","cpus":$cpus,"queries":$qjson}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    println(line)
+    spark.stop()
+  }
+}
