@@ -61,7 +61,17 @@ final class ParallelSheetScanner(
     chunkConvert: (Array[Array[XCell]], Int) => AnyRef = null,
     /** File-level leading-row drop (header + skipRows) dealt out to chunk
       * workers via `chunkConvert`'s dropFirst argument. Chunk-face only. */
-    dropFirstRows: Long = 0L)
+    dropFirstRows: Long = 0L,
+    /** SEGMENT mode (non-null): the workbook carries a graft row-group
+      * index ([[XlsxWriter.SegmentBytes]]), so the producer does NO
+      * inflate and NO boundary tracking — it submits one task per
+      * pre-recorded segment, and each WORKER preads its raw deflate
+      * slice, inflates it independently (segments start on FULL_FLUSH
+      * byte boundaries with a reset history window), and parses. The
+      * whole pipeline becomes embarrassingly parallel; `in` may be null.
+      * Measured motivation: at t=8 the stream producer spends ~75% of
+      * its wall time in boundary tracking — the plateau this removes. */
+    segmented: ParallelSheetScanner.SegmentIndex = null)
     extends CellRowIterator {
   require(convert == null || chunkConvert == null,
     "convert and chunkConvert are mutually exclusive")
@@ -99,7 +109,16 @@ final class ParallelSheetScanner(
   // pipeline's sequential stage max(inflate, track), not their sum. Depth
   // 8 × 1 MiB absorbs inflate burstiness (zlib throughput varies with
   // block content) so the tracker — the slower stage — never starves.
-  private val prefetch = new PrefetchStream(in, 1 << 20, 8, () => stopped)
+  // Segment mode needs neither: workers inflate their own slices.
+  private val prefetch =
+    if (segmented == null) new PrefetchStream(in, 1 << 20, 8, () => stopped)
+    else null
+
+  // one channel, positional (thread-safe) reads from every worker
+  private val segChannel =
+    if (segmented == null) null
+    else java.nio.channels.FileChannel.open(segmented.file.toPath,
+      java.nio.file.StandardOpenOption.READ)
 
   private val producer = new Thread(() => produce(), "xlsx-chunk-producer")
   producer.setDaemon(true)
@@ -109,6 +128,7 @@ final class ParallelSheetScanner(
 
   private def produce(): Unit = {
     try {
+      if (segmented != null) { produceSegments(); return }
       val debug = java.lang.Boolean.getBoolean("graft.parsedebug")
       var tRead, tScan, tSubmit = 0L
       val tAll = System.nanoTime()
@@ -170,6 +190,60 @@ final class ParallelSheetScanner(
       case t: Throwable => producerError = t
     } finally {
       putQuietly(End)
+    }
+  }
+
+  /** Segment-mode producer: one task per recorded segment. All the work
+    * — pread, inflate, parse, convert — happens in the WORKERS; this
+    * thread only enqueues (backpressured by the bounded future queue, so
+    * at most threads×2 segments are in flight and memory stays
+    * O(threads × segmentBytes) like the streaming path). */
+  private def produceSegments(): Unit = {
+    val seg = segmented
+    val nSeg = seg.cuts.length + 1
+    var i = 0
+    while (i < nSeg && !stopped) {
+      val cOff = if (i == 0) 0L else seg.cuts(i - 1)(0)
+      val uOff = if (i == 0) 0L else seg.cuts(i - 1)(1)
+      val rowsBefore = if (i == 0) 0L else seg.cuts(i - 1)(2)
+      val cEnd = if (i < seg.cuts.length) seg.cuts(i)(0) else seg.compressedSize
+      val uEnd = if (i < seg.cuts.length) seg.cuts(i)(1) else seg.totalUncomp
+      val drop = math.min(math.max(0L, dropFirstRows - rowsBefore),
+        Int.MaxValue.toLong).toInt
+      val cLen = (cEnd - cOff).toInt
+      val uLen = (uEnd - uOff).toInt
+      val dataOff = seg.dataOffset + cOff
+      val segNo = i
+      putQuietly(pool.submit(new Callable[ParsedChunk] {
+        override def call(): ParsedChunk = {
+          val comp = java.nio.ByteBuffer.allocate(cLen)
+          var pos = dataOff
+          while (comp.hasRemaining) {
+            val r = segChannel.read(comp, pos)
+            if (r < 0) throw new java.io.EOFException(
+              s"xlsx segment $segNo: EOF at file offset $pos")
+            pos += r
+          }
+          val recycled = bufPool.poll()
+          val out =
+            if (recycled != null && recycled.length >= uLen) recycled
+            else new Array[Byte](uLen)
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            inf.setInput(comp.array(), 0, cLen)
+            var off = 0
+            while (off < uLen) {
+              val k = inf.inflate(out, off, uLen - off)
+              if (k == 0) throw new java.io.IOException(
+                s"xlsx segment $segNo truncated: $off of $uLen bytes " +
+                  s"(finished=${inf.finished()})")
+              off += k
+            }
+          } finally inf.end()
+          parseChunk(out, uLen, drop)
+        }
+      }))
+      i += 1
     }
   }
 
@@ -353,10 +427,14 @@ final class ParallelSheetScanner(
   override def close(): Unit = if (!stopped) {
     stopped = true
     producer.interrupt()
-    prefetch.shutdown()
+    if (prefetch != null) prefetch.shutdown()
     pool.shutdownNow()
     // drain so a blocked producer put can finish dying
     while (queue.poll() != null) ()
+    if (segChannel != null) {
+      try segChannel.close()
+      catch { case _: java.io.IOException => }
+    }
     closeUnderlying()
   }
 }
@@ -441,6 +519,16 @@ object ParallelSheetScanner {
     * (short tail after the producer finishes) while per-chunk overhead
     * (buffer alloc, queue hop, per-chunk scanner setup) stays amortized. */
   val DefaultChunkBytes: Int = 2 << 20
+
+  /** A workbook's graft row-group index, resolved to raw file geometry:
+    * `cuts(i) = (compressed offset, uncompressed offset, rows before)` of
+    * the (i+1)-th segment start WITHIN the worksheet entry's deflate
+    * data, which begins at `dataOffset` in `file`. Segment boundaries are
+    * writer-recorded FULL_FLUSH points landing exactly after a `</row>`
+    * in Text state, so each slice inflates AND parses independently. */
+  final case class SegmentIndex(file: java.io.File, dataOffset: Long,
+      compressedSize: Long, cuts: Array[Array[Long]], totalUncomp: Long,
+      totalRows: Long)
 
   private case object End
   private final case class ParsedChunk(

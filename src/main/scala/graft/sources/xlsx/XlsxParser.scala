@@ -300,7 +300,54 @@ object XlsxParser {
           else Right((in, closeAll))
       }
 
-    def rowIterator(path: String, threads: Int = 1): CellRowIterator =
+    /** The workbook's graft row-group index for a worksheet entry, when
+      * present AND the raw deflate geometry is locatable (file-backed,
+      * zip32, method=deflate). A workbook with an index is our own
+      * writer's output — UTF-8 by construction, so the segmented path
+      * never needs the encoding sniff. Any parse surprise → None → the
+      * streaming pipeline (parallelism fallback, never correctness).
+      *
+      * `threads >= 3` gate: in segment mode the N workers carry inflate
+      * AND parse, while the streaming pipeline runs producer + prefetch
+      * threads BESIDE its N workers — measured crossover: at t=2 the
+      * streaming path wins (12.3 vs 8.5 M cells/s), from t=4 the
+      * segmented path pulls away (19.9 vs 16.1, then 38 vs 15 at t=8). */
+    private def segmentIndexFor(path: String, threads: Int)
+        : Option[ParallelSheetScanner.SegmentIndex] =
+      if (threads < 3) None
+      else localFile.flatMap { f =>
+        openEntryStream(XlsxWriter.segmentIndexName(path)).flatMap {
+          case (s, closeAll) =>
+            try {
+              val d = new java.io.DataInputStream(
+                new java.io.BufferedInputStream(s))
+              if (d.readLong() != XlsxWriter.SegmentMagic ||
+                  d.readInt() != 1) None
+              else {
+                val n = d.readInt()
+                val cuts = Array.fill(n) {
+                  Array(d.readLong(), d.readLong(), d.readLong())
+                }
+                val totalUncomp = d.readLong()
+                val totalRows = d.readLong()
+                ZipRaw.locate(f, path)
+                  .filter(_.method == java.util.zip.ZipEntry.DEFLATED)
+                  .map(re => ParallelSheetScanner.SegmentIndex(
+                    f, re.dataOffset, re.compressedSize, cuts,
+                    totalUncomp, totalRows))
+              }
+            } catch { case _: java.io.IOException => None }
+            finally closeAll()
+        }
+      }
+
+    def rowIterator(path: String, threads: Int = 1): CellRowIterator = {
+      if (threads >= 2) segmentIndexFor(path, threads) match {
+        case Some(seg) =>
+          return new ParallelSheetScanner(null, sharedStrings, dateStyles,
+            threads, () => (), segmented = seg)
+        case None =>
+      }
       openSniffed(path) match {
         case Left(it) => it
         case Right((in, closeAll)) =>
@@ -308,6 +355,7 @@ object XlsxParser {
             new ParallelSheetScanner(in, sharedStrings, dateStyles, threads, closeAll)
           else new SheetScanner(in, sharedStrings, dateStyles, closeAll)
       }
+    }
 
     /** Parallel row iterator with a WORKER-side per-row transform — the
       * DSv2 reader passes its cell→Catalyst conversion here so that work
@@ -317,13 +365,19 @@ object XlsxParser {
       * (the caller converts on its own thread there). */
     private[xlsx] def convertingRowIterator(path: String, threads: Int,
         convert: Array[XCell] => AnyRef,
-        chunkBytes: Int = ParallelSheetScanner.DefaultChunkBytes): Either[CellRowIterator, ParallelSheetScanner] =
+        chunkBytes: Int = ParallelSheetScanner.DefaultChunkBytes): Either[CellRowIterator, ParallelSheetScanner] = {
+      segmentIndexFor(path, threads).foreach { seg =>
+        return Right(new ParallelSheetScanner(null, sharedStrings, dateStyles,
+          threads, () => (), chunkBytes = chunkBytes, convert = convert,
+          segmented = seg))
+      }
       openSniffed(path) match {
         case Left(it) => Left(it)
         case Right((in, closeAll)) =>
           Right(new ParallelSheetScanner(in, sharedStrings, dateStyles, threads,
             closeAll, chunkBytes = chunkBytes, convert = convert))
       }
+    }
 
     /** Parallel row iterator with a WORKER-side per-CHUNK transform — the
       * columnar DSv2 reader passes its rows→ColumnarBatch builder here so
@@ -333,7 +387,13 @@ object XlsxParser {
     private[xlsx] def chunkingRowIterator(path: String, threads: Int,
         chunkConvert: (Array[Array[XCell]], Int) => AnyRef,
         dropFirstRows: Long = 0L,
-        chunkBytes: Int = ParallelSheetScanner.DefaultChunkBytes): Either[CellRowIterator, ParallelSheetScanner] =
+        chunkBytes: Int = ParallelSheetScanner.DefaultChunkBytes): Either[CellRowIterator, ParallelSheetScanner] = {
+      segmentIndexFor(path, threads).foreach { seg =>
+        return Right(new ParallelSheetScanner(null, sharedStrings, dateStyles,
+          threads, () => (), chunkBytes = chunkBytes,
+          chunkConvert = chunkConvert, dropFirstRows = dropFirstRows,
+          segmented = seg))
+      }
       openSniffed(path) match {
         case Left(it) => Left(it)
         case Right((in, closeAll)) =>
@@ -341,6 +401,7 @@ object XlsxParser {
             closeAll, chunkBytes = chunkBytes, chunkConvert = chunkConvert,
             dropFirstRows = dropFirstRows))
       }
+    }
 
     /** StAX-backed row iterator regardless of encoding — the differential
       * fuzz spec drives this against the byte scanner on identical input. */

@@ -26,8 +26,99 @@ object XlsxWriter {
 
   private val excelEpochDay: Long = LocalDate.of(1899, 12, 30).toEpochDay
 
+  /** Uncompressed bytes between worksheet SEGMENT cuts. Every cut is a
+    * deflate FULL_FLUSH at a row boundary, recorded in a sidecar
+    * `xl/graft/sheetN.idx` entry — the embedded row-group index that makes
+    * our own workbooks SPLITTABLE: a reader with the index inflates and
+    * parses every segment in parallel (no sequential boundary tracking,
+    * no sequential inflate), foreign readers see a perfectly ordinary
+    * deflate stream and ignore the extra part. The parquet row-group idea
+    * applied inside a standards-valid xlsx. */
+  val SegmentBytes: Int = 2 << 20
+
+  /** Magic + version prefix of the segment index entry. */
+  val SegmentMagic: Long = 0x4752465453454731L // "GRFTSEG1"
+
+  /** [[java.util.zip.ZipOutputStream]] with deflate FULL_FLUSH control
+    * over the CURRENT entry. Safe with the JDK's bookkeeping by
+    * construction: both the entry's recorded compressed size and the
+    * archive's running offset derive from the shared Deflater's
+    * bytes-written counter, which includes flush output — so manually
+    * drained flush blocks stay consistent with the central directory. */
+  private final class FlushableZipOutputStream(target: OutputStream)
+      extends ZipOutputStream(target, StandardCharsets.UTF_8) {
+    private val fb = new Array[Byte](8192)
+    /** FULL_FLUSH the current DEFLATED entry: the deflater's history
+      * window resets and output lands on a byte boundary, so everything
+      * after this point inflates independently of everything before —
+      * the zlib split point the segment index records. */
+    def fullFlush(): Unit = {
+      var n = `def`.deflate(fb, 0, fb.length,
+        java.util.zip.Deflater.FULL_FLUSH)
+      out.write(fb, 0, n)
+      while (n == fb.length) {
+        n = `def`.deflate(fb, 0, fb.length, java.util.zip.Deflater.FULL_FLUSH)
+        out.write(fb, 0, n)
+      }
+    }
+    /** Compressed bytes of the current entry so far (segment offsets). */
+    def compressedBytesSoFar: Long = `def`.getBytesWritten
+  }
+
+  /** Exact uncompressed byte count entering the zip entry (the char
+    * encoder sits above, so Writer-side buffering never skews offsets
+    * once flushed). Non-closing: entry lifecycle belongs to the zip. */
+  private final class CountingOutputStream(target: OutputStream)
+      extends OutputStream {
+    var count = 0L
+    override def write(b: Int): Unit = { target.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      target.write(b, off, len); count += len
+    }
+    override def flush(): Unit = target.flush()
+    override def close(): Unit = ()
+  }
+
+  /** Collects worksheet segment cuts while rows stream: call [[maybeCut]]
+    * after each row; when ≥ [[SegmentBytes]] accumulated, the writer
+    * flushes, the zip FULL_FLUSHes, and the (compressed offset,
+    * uncompressed offset, rows before) triple is recorded. */
+  private final class SegmentRecorder(zip: FlushableZipOutputStream,
+      counting: CountingOutputStream, w: java.io.Writer) {
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    private var nextCut = SegmentBytes.toLong
+    def maybeCut(rowsWritten: Long): Unit =
+      if (counting.count >= nextCut) {
+        w.flush()
+        zip.fullFlush()
+        cuts += ((zip.compressedBytesSoFar, counting.count, rowsWritten))
+        nextCut = counting.count + SegmentBytes
+      }
+  }
+
+  private def segmentIndexBytes(cuts: Seq[(Long, Long, Long)],
+      totalUncomp: Long, totalRows: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeLong(SegmentMagic)
+    d.writeInt(1)
+    d.writeInt(cuts.length)
+    cuts.foreach { case (c, u, r) =>
+      d.writeLong(c); d.writeLong(u); d.writeLong(r)
+    }
+    d.writeLong(totalUncomp)
+    d.writeLong(totalRows)
+    d.flush()
+    bos.toByteArray
+  }
+
+  /** `xl/worksheets/sheetN.xml` → its index part name. */
+  def segmentIndexName(worksheetPath: String): String =
+    "xl/graft/" + worksheetPath.stripPrefix("xl/worksheets/")
+      .stripSuffix(".xml") + ".idx"
+
   def write(out: OutputStream, sheets: Seq[SheetSpec]): Unit = {
-    val zip = new ZipOutputStream(out, StandardCharsets.UTF_8)
+    val zip = new FlushableZipOutputStream(out)
     try {
       putEntry(zip, "[Content_Types].xml", contentTypes(sheets.size))
       putEntry(zip, "_rels/.rels",
@@ -39,9 +130,13 @@ object XlsxWriter {
       putEntry(zip, "xl/_rels/workbook.xml.rels", workbookRels(sheets.size))
       putEntry(zip, "xl/styles.xml", stylesXml)
       sheets.zipWithIndex.foreach { case (sheet, i) =>
-        zip.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${i + 1}.xml"))
-        writeSheet(zip, sheet)
+        val path = s"xl/worksheets/sheet${i + 1}.xml"
+        zip.putNextEntry(new ZipEntry(path))
+        val (cuts, totalUncomp, totalRows) = writeSheet(zip, sheet)
         zip.closeEntry()
+        if (cuts.nonEmpty)
+          putEntryBytes(zip, segmentIndexName(path),
+            segmentIndexBytes(cuts, totalUncomp, totalRows))
       }
     } finally zip.close()
   }
@@ -53,7 +148,8 @@ object XlsxWriter {
     */
   final class StreamingWorkbookWriter(
       out: OutputStream, sheetName: String, header: Option[Seq[String]]) {
-    private val zip = new ZipOutputStream(out, StandardCharsets.UTF_8)
+    private val zip = new FlushableZipOutputStream(out)
+    private val counting = new CountingOutputStream(new NonClosing(zip))
     private val w = {
       putEntry(zip, "[Content_Types].xml", contentTypes(1))
       putEntry(zip, "_rels/.rels",
@@ -66,20 +162,29 @@ object XlsxWriter {
       putEntry(zip, "xl/styles.xml", stylesXml)
       zip.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
       val wr = new java.io.BufferedWriter(
-        new java.io.OutputStreamWriter(new NonClosing(zip), StandardCharsets.UTF_8))
+        new java.io.OutputStreamWriter(counting, StandardCharsets.UTF_8))
       wr.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
       wr.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
       wr
     }
+    private val rec = new SegmentRecorder(zip, counting, w)
     private var r = 1
-    header.foreach { h => writeRow(w, r, h.map(s => s: Any)); r += 1 }
+    header.foreach { h =>
+      writeRow(w, r, h.map(s => s: Any)); r += 1; rec.maybeCut(r - 1L)
+    }
 
-    def addRow(values: Seq[Any]): Unit = { writeRow(w, r, values); r += 1 }
+    def addRow(values: Seq[Any]): Unit = {
+      writeRow(w, r, values); r += 1; rec.maybeCut(r - 1L)
+    }
 
     def finish(): Unit = {
       w.write("</sheetData></worksheet>")
       w.flush()
+      val totalUncomp = counting.count
       zip.closeEntry()
+      if (rec.cuts.nonEmpty)
+        putEntryBytes(zip, segmentIndexName("xl/worksheets/sheet1.xml"),
+          segmentIndexBytes(rec.cuts.toSeq, totalUncomp, r - 1L))
       zip.close()
     }
   }
@@ -102,6 +207,13 @@ object XlsxWriter {
     zip.closeEntry()
   }
 
+  private def putEntryBytes(zip: ZipOutputStream, name: String,
+      content: Array[Byte]): Unit = {
+    zip.putNextEntry(new ZipEntry(name))
+    zip.write(content)
+    zip.closeEntry()
+  }
+
   private def contentTypes(nSheets: Int): String = {
     val overrides = (1 to nSheets).map(i =>
       s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
@@ -109,6 +221,7 @@ object XlsxWriter {
        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
        |<Default Extension="xml" ContentType="application/xml"/>
+       |<Default Extension="idx" ContentType="application/octet-stream"/>
        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
        |<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
        |${overrides.mkString("\n")}
@@ -135,18 +248,26 @@ object XlsxWriter {
        |</Relationships>""".stripMargin
   }
 
-  private def writeSheet(out: OutputStream, sheet: SheetSpec): Unit = {
+  private def writeSheet(zip: FlushableZipOutputStream, sheet: SheetSpec)
+      : (Seq[(Long, Long, Long)], Long, Long) = {
+    val counting = new CountingOutputStream(new NonClosing(zip))
     val w = new java.io.BufferedWriter(
-      new java.io.OutputStreamWriter(new NonClosing(out), StandardCharsets.UTF_8))
+      new java.io.OutputStreamWriter(counting, StandardCharsets.UTF_8))
+    val rec = new SegmentRecorder(zip, counting, w)
     w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
     w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
     var r = 1
     sheet.header.foreach { h =>
       writeRow(w, r, h.map(s => s: Any)); r += 1
+      rec.maybeCut(r - 1L)
     }
-    sheet.rows.foreach { row => writeRow(w, r, row); r += 1 }
+    sheet.rows.foreach { row =>
+      writeRow(w, r, row); r += 1
+      rec.maybeCut(r - 1L)
+    }
     w.write("</sheetData></worksheet>")
     w.flush()
+    (rec.cuts.toSeq, counting.count, r - 1L)
   }
 
   private def writeRow(w: java.io.Writer, r: Int, values: Seq[Any]): Unit = {

@@ -1,0 +1,106 @@
+package graft.sources.xlsx
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The splittable-xlsx path (r12): our writer embeds a row-group index
+  * (`xl/graft/sheetN.idx` + deflate FULL_FLUSH cuts at row boundaries),
+  * and the parallel reader — when the index is present — skips BOTH the
+  * sequential inflate and the sequential boundary tracking: every
+  * segment preads its raw deflate slice, inflates it independently, and
+  * parses in a worker. These tests pin (a) the written archive stays a
+  * perfectly ordinary zip (ZipFile/sequential readers see identical
+  * content), (b) the segmented read returns row-for-row exactly the
+  * sequential read, (c) skipRows prefixes deal across segment
+  * boundaries exactly, and (d) files WITHOUT an index keep the
+  * streaming pipeline (fallback is parallelism, never correctness).
+  */
+class XlsxSegmentedSpec extends AnyFunSuite {
+
+  private val rows = 60000
+  private lazy val file: java.io.File = {
+    val bos = new java.io.ByteArrayOutputStream(16 << 20)
+    val data = (1 to rows).iterator.map { i =>
+      Seq[Any](i.toLong, i * 1.5, s"name#${i % 977}", i % 2 == 0,
+        java.time.LocalDate.ofEpochDay(9000L + i % 1000))
+    }
+    XlsxWriter.write(bos,
+      Seq(XlsxWriter.SheetSpec("S", Some(Seq("a", "b", "c", "d", "e")), data)))
+    val f = java.io.File.createTempFile("segspec", ".xlsx")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, bos.toByteArray)
+    f
+  }
+
+  private def wb: XlsxParser.Workbook =
+    new XlsxParser.Workbook(() => new java.io.FileInputStream(file), Some(file))
+
+  test("writer emits a parseable index and ZipRaw locates the raw entry") {
+    val zf = new java.util.zip.ZipFile(file) // flushes keep the zip standard
+    try {
+      assert(zf.getEntry("xl/graft/sheet1.idx") != null, "index entry missing")
+      val d = new java.io.DataInputStream(
+        zf.getInputStream(zf.getEntry("xl/graft/sheet1.idx")))
+      assert(d.readLong() == XlsxWriter.SegmentMagic)
+      assert(d.readInt() == 1)
+      val n = d.readInt()
+      assert(n >= 2, s"60k rows should cut >= 2 segments, got $n")
+      var prevC, prevU, prevR = -1L
+      (0 until n).foreach { _ =>
+        val c = d.readLong(); val u = d.readLong(); val r = d.readLong()
+        assert(c > prevC && u > prevU && r > prevR, "cuts must be increasing")
+        prevC = c; prevU = u; prevR = r
+      }
+      val totalUncomp = d.readLong(); val totalRows = d.readLong()
+      assert(totalUncomp > prevU && totalRows == rows + 1L)
+      val re = ZipRaw.locate(file, "xl/worksheets/sheet1.xml")
+      assert(re.isDefined && re.get.method == java.util.zip.ZipEntry.DEFLATED)
+      assert(re.get.compressedSize > prevC)
+    } finally zf.close()
+  }
+
+  test("segmented parallel read == sequential read, row for row") {
+    val seq = wb.rowIterator("xl/worksheets/sheet1.xml", threads = 1)
+    val par = wb.rowIterator("xl/worksheets/sheet1.xml", threads = 4)
+    var n = 0
+    while (seq.hasNext) {
+      assert(par.hasNext, s"parallel ended early at row $n")
+      val (i1, c1) = seq.next()
+      val (i2, c2) = par.next()
+      assert(i1 == i2, s"row index mismatch at $n: $i1 vs $i2")
+      assert(c1.toSeq == c2.toSeq, s"cells mismatch at row $i1")
+      n += 1
+    }
+    assert(!par.hasNext && n == rows + 1)
+  }
+
+  test("chunk face: dropFirstRows prefix deals exactly across segments") {
+    // pick a drop that lands strictly inside a later segment
+    val drop = rows / 2 + 137
+    val got = wb.chunkingRowIterator("xl/worksheets/sheet1.xml", threads = 4,
+      (rs, df) => Integer.valueOf(rs.length - df),
+      dropFirstRows = drop.toLong)
+    val par = got.toOption.get
+    var kept = 0L
+    var sawDropped = 0L
+    while (par.advanceChunk()) {
+      kept += par.chunkBatch.asInstanceOf[Integer].intValue()
+      sawDropped += par.chunkDropped
+    }
+    assert(kept == (rows + 1L) - drop, s"kept $kept")
+    assert(sawDropped == drop, s"dropped $sawDropped")
+  }
+
+  test("a workbook without an index falls back to the streaming pipeline") {
+    // stream-written (no local file) → no segment path, identical rows
+    val bos = new java.io.ByteArrayOutputStream()
+    XlsxWriter.write(bos, Seq(XlsxWriter.SheetSpec("S", None,
+      (1 to 500).iterator.map(i => Seq[Any](i.toLong, s"v$i")))))
+    val bytes = bos.toByteArray
+    val wb2 = new XlsxParser.Workbook(
+      () => new java.io.ByteArrayInputStream(bytes), None)
+    val par = wb2.rowIterator("xl/worksheets/sheet1.xml", threads = 4)
+    var n = 0
+    while (par.hasNext) { par.next(); n += 1 }
+    assert(n == 500)
+  }
+}
