@@ -234,7 +234,53 @@ object XlsxScan {
     * (spec-asserted). */
   def partitionsFor(paths: Seq[String], opts: XlsxOptions,
       cutover: Int = DistributedEnumerationCutover): Array[InputPartition] =
-    assignThreads(rawPartitionsFor(paths, opts, cutover), opts)
+    assignThreads(
+      trySplitByIndex(rawPartitionsFor(paths, opts, cutover), opts), opts)
+
+  /** DISTRIBUTED SINGLE-FILE SCAN: when the scan would under-parallelize
+    * (fewer partitions than cores) and a workbook carries the graft
+    * row-group index (splittable xlsx, SURVEY #336), split it into
+    * SEGMENT-RANGE partitions instead of fanning intra-task threads —
+    * partition-level parallelism schedules, retries, and scales across
+    * EXECUTORS, which no thread pool inside one task can. A 10 GB
+    * workbook stops being one task. Cores deal to files proportional to
+    * their segment counts; an explicit `threads` option preserves the
+    * reference's intra-file semantics verbatim (no split); foreign
+    * workbooks (no index) keep the thread fan-out path. */
+  private def trySplitByIndex(parts: Array[XlsxInputPartition],
+      opts: XlsxOptions): Array[XlsxInputPartition] = {
+    if (opts.threads.nonEmpty || parts.isEmpty) return parts
+    val cores = executorCores()
+    if (parts.length >= cores) return parts
+    val conf = XlsxDataSource.captureConf()
+    val metas: Array[Option[ParallelSheetScanner.SegmentIndex]] = parts.map { p =>
+      try {
+        val wb = XlsxDataSource.workbook(p.path, conf.toConf,
+          opts.maxSharedStringsBytes)
+        val target = p.sheet.map(_.target).getOrElse(
+          wb.sheetPath(opts.sheetName, opts.effectiveSheetIndex))
+        wb.segmentIndexRaw(target).filter(_.cuts.nonEmpty)
+      } catch { case _: Exception => None }
+    }
+    if (metas.forall(_.isEmpty)) return parts
+    val totalSegs = metas.zipWithIndex.map { case (m, _) =>
+      m.map(_.cuts.length + 1).getOrElse(1)
+    }.sum
+    parts.zip(metas).flatMap {
+      case (p, None) => Seq(p)
+      case (p, Some(si)) =>
+        val nSeg = si.cuts.length + 1
+        val k = math.max(1, math.min(nSeg,
+          (cores.toLong * nSeg / math.max(1, totalSegs)).toInt))
+        if (k <= 1) Seq(p)
+        else (0 until k).map { j =>
+          val s0 = (j.toLong * nSeg / k).toInt
+          val s1 = ((j + 1).toLong * nSeg / k).toInt
+          val rowsBefore = if (s0 == 0) 0L else si.cuts(s0 - 1)(2)
+          p.copy(segRange = Some(SegRange(s0, s1, rowsBefore)))
+        }
+    }
+  }
 
   private def rawPartitionsFor(paths: Seq[String], opts: XlsxOptions,
       cutover: Int): Array[XlsxInputPartition] =
@@ -306,8 +352,13 @@ object XlsxScan {
         val spare = cores - parts.length
         val cap = math.max(1, cores / 2) // reference's single-file default
         parts.zip(weights).map { case (p, w) =>
-          val t = 1 + math.round(spare * w / total).toInt
-          p.copy(threads = math.min(cap, t)): InputPartition
+          // segment-range partitions stay single-threaded: their file's
+          // parallelism already went partition-shaped in trySplitByIndex
+          if (p.segRange.isDefined) p: InputPartition
+          else {
+            val t = 1 + math.round(spare * w / total).toInt
+            p.copy(threads = math.min(cap, t)): InputPartition
+          }
         }
       }
   }
@@ -325,9 +376,18 @@ object XlsxScan {
 /** A specific worksheet inside one file (allSheets fan-out unit). */
 final case class SheetRef(name: String, target: String)
 
+/** Segments [s0, s1) of an INDEXED worksheet (splittable xlsx, SURVEY
+  * #336/#337): the planner-computed slice one task reads, plus the rows
+  * preceding it (so header/skipRows prefixes deal across partitions
+  * exactly). Ranged partitions are always single-threaded — the split IS
+  * the parallelism, scheduled and retried like any other Spark task. */
+final case class SegRange(s0: Int, s1: Int, rowsBefore: Long)
+
 final case class XlsxInputPartition(path: String, sheet: Option[SheetRef] = None,
     /** Intra-file parse workers for THIS partition (planner-assigned). */
-    threads: Int = 1)
+    threads: Int = 1,
+    /** Segment-range slice of an indexed workbook (splittable path). */
+    segRange: Option[SegRange] = None)
     extends InputPartition
 
 final class XlsxPartitionReaderFactory(
@@ -344,7 +404,7 @@ final class XlsxPartitionReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[XlsxInputPartition]
     new XlsxPartitionReader(p.path, p.sheet, fullSchema, required, opts, conf,
-      filters, p.threads)
+      filters, p.threads, p.segRange)
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
@@ -352,7 +412,7 @@ final class XlsxPartitionReaderFactory(
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[XlsxInputPartition]
     new XlsxColumnarPartitionReader(p.path, p.sheet, fullSchema, required, opts,
-      conf, filters, p.threads)
+      conf, filters, p.threads, p.segRange)
   }
 }
 
@@ -369,12 +429,19 @@ final class XlsxPartitionReader(
     conf: XlsxDataSource.ConfProps,
     filters: Array[org.apache.spark.sql.sources.Filter],
     /** planner-assigned intra-file parse workers (explicit option or auto) */
-    threads: Int = 1)
+    threads: Int = 1,
+    /** segment-range slice of an indexed workbook (splittable path) */
+    segRange: Option[SegRange] = None)
     extends PartitionReader[InternalRow] {
 
   private val wb = XlsxDataSource.workbook(path, conf.toConf,
     opts.maxSharedStringsBytes)
   private val resolved = XlsxSchema.resolve(wb, opts, sheet.map(_.target))
+  /** Header/skipRows prefix still owed by THIS partition: ranged
+    * partitions subtract the rows earlier ranges already cover. */
+  private val effDropRows: Long =
+    segRange.map(r => math.max(0L, resolved.dropRows.toLong - r.rowsBefore))
+      .getOrElse(resolved.dropRows.toLong)
   private val sheetTarget = sheet.map(_.target).getOrElse(
     wb.sheetPath(opts.sheetName, opts.effectiveSheetIndex))
   private val sheetNameValue: UTF8String =
@@ -463,19 +530,27 @@ final class XlsxPartitionReader(
     ThreadLocal.withInitial(() =>
       new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(colIdx.length))
 
-  // threads >= 2 on a byte-scannable entry: parallel scanner with
-  // worker-side conversion; otherwise the sequential iterator
+  // segment-range partition: the sequential bounded-slice iterator (the
+  // split IS the parallelism); else threads >= 2 on a byte-scannable
+  // entry: parallel scanner with worker-side conversion; else sequential
   private val iterE: Either[CellRowIterator, ParallelSheetScanner] =
-    if (threads >= 2)
-      wb.convertingRowIterator(sheetTarget, threads,
-        cells => convertToUnsafe(cells), opts.chunkBytes)
-    else Left(wb.rowIterator(sheetTarget))
+    segRange match {
+      case Some(r) =>
+        Left(wb.segmentRangeRowIterator(sheetTarget, r.s0, r.s1).getOrElse(
+          throw new IllegalStateException(
+            s"$path: segment index vanished for range [${r.s0},${r.s1}) — " +
+              "a whole-file fallback would DUPLICATE rows across partitions")))
+      case None if threads >= 2 =>
+        wb.convertingRowIterator(sheetTarget, threads,
+          cells => convertToUnsafe(cells), opts.chunkBytes)
+      case None => Left(wb.rowIterator(sheetTarget))
+    }
   private val seqIter: CellRowIterator = iterE.left.toOption.orNull
   private val parIter: ParallelSheetScanner = iterE.toOption.orNull
 
-  private var dropped = 0
+  private var dropped = 0L
   if (seqIter != null) {
-    while (dropped < resolved.dropRows && seqIter.hasNext) {
+    while (dropped < effDropRows && seqIter.hasNext) {
       seqIter.next(); dropped += 1
     }
   }
@@ -496,7 +571,7 @@ final class XlsxPartitionReader(
   override def next(): Boolean = {
     if (parIter != null) {
       while (parIter.advance()) {
-        if (dropped < resolved.dropRows) dropped += 1 // skipRows (converted needlessly; harmless)
+        if (dropped < effDropRows) dropped += 1 // skipRows (converted needlessly; harmless)
         else {
           raggedCheck(parIter.rowIdx, parIter.rowWidth)
           val row = parIter.rowConv // null = rejected by a pushed filter
@@ -687,7 +762,9 @@ final class XlsxColumnarPartitionReader(
     opts: XlsxOptions,
     conf: XlsxDataSource.ConfProps,
     filters: Array[org.apache.spark.sql.sources.Filter],
-    threads: Int)
+    threads: Int,
+    /** segment-range slice of an indexed workbook (splittable path) */
+    segRange: Option[SegRange] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
@@ -695,6 +772,9 @@ final class XlsxColumnarPartitionReader(
   private val wb = XlsxDataSource.workbook(path, conf.toConf,
     opts.maxSharedStringsBytes)
   private val resolved = XlsxSchema.resolve(wb, opts, sheet.map(_.target))
+  private val effDropRows: Long =
+    segRange.map(r => math.max(0L, resolved.dropRows.toLong - r.rowsBefore))
+      .getOrElse(resolved.dropRows.toLong)
   private val sheetTarget = sheet.map(_.target).getOrElse(
     wb.sheetPath(opts.sheetName, opts.effectiveSheetIndex))
   private val sheetNameBytes: Array[Byte] = sheet.map(_.name).getOrElse("")
@@ -759,16 +839,23 @@ final class XlsxColumnarPartitionReader(
   }
 
   private val iterE: Either[CellRowIterator, ParallelSheetScanner] =
-    if (threads >= 2)
-      wb.chunkingRowIterator(sheetTarget, threads, buildBatch,
-        resolved.dropRows.toLong, opts.chunkBytes)
-    else Left(wb.rowIterator(sheetTarget))
+    segRange match {
+      case Some(r) =>
+        Left(wb.segmentRangeRowIterator(sheetTarget, r.s0, r.s1).getOrElse(
+          throw new IllegalStateException(
+            s"$path: segment index vanished for range [${r.s0},${r.s1}) — " +
+              "a whole-file fallback would DUPLICATE rows across partitions")))
+      case None if threads >= 2 =>
+        wb.chunkingRowIterator(sheetTarget, threads, buildBatch,
+          resolved.dropRows.toLong, opts.chunkBytes)
+      case None => Left(wb.rowIterator(sheetTarget))
+    }
   private val seqIter: CellRowIterator = iterE.left.toOption.orNull
   private val parIter: ParallelSheetScanner = iterE.toOption.orNull
 
-  private var dropped = 0
+  private var dropped = 0L
   if (seqIter != null) {
-    while (dropped < resolved.dropRows && seqIter.hasNext) {
+    while (dropped < effDropRows && seqIter.hasNext) {
       seqIter.next(); dropped += 1
     }
   }

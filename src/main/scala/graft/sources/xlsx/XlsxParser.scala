@@ -314,8 +314,16 @@ object XlsxParser {
       * segmented path pulls away (19.9 vs 16.1, then 38 vs 15 at t=8). */
     private def segmentIndexFor(path: String, threads: Int)
         : Option[ParallelSheetScanner.SegmentIndex] =
-      if (threads < 3) None
-      else localFile.flatMap { f =>
+      if (threads < 3) None else segmentIndexRaw(path)
+
+    /** The index regardless of thread count — the DSv2 planner uses this
+      * to SPLIT one workbook across Spark partitions (segment-range
+      * input partitions), which beats intra-task threads when cores are
+      * otherwise idle: partition-level parallelism schedules, retries
+      * and locality-tracks like any other scan. */
+    private[xlsx] def segmentIndexRaw(path: String)
+        : Option[ParallelSheetScanner.SegmentIndex] =
+      localFile.flatMap { f =>
         openEntryStream(XlsxWriter.segmentIndexName(path)).flatMap {
           case (s, closeAll) =>
             try {
@@ -339,6 +347,37 @@ object XlsxParser {
             } catch { case _: java.io.IOException => None }
             finally closeAll()
         }
+      }
+
+    /** Sequential iterator over segments [s0, s1) of an indexed worksheet
+      * — the execution face of a segment-range InputPartition: pread the
+      * compressed slice, inflate it alone (full-flush start), cap the
+      * inflated side at the recorded uncompressed length (a mid-stream
+      * slice never "finishes" the inflater — the cap is what ends it),
+      * and run the ordinary [[SheetScanner]]. None when the index (or
+      * the raw zip geometry) is unavailable — callers treat that as a
+      * hard error, because re-reading the whole file in a RANGE
+      * partition would duplicate rows, not merely slow down. */
+    private[xlsx] def segmentRangeRowIterator(path: String, s0: Int, s1: Int)
+        : Option[CellRowIterator] =
+      segmentIndexRaw(path).map { seg =>
+        val nSeg = seg.cuts.length + 1
+        require(s0 >= 0 && s0 < s1 && s1 <= nSeg,
+          s"bad segment range [$s0,$s1) of $nSeg")
+        val c0 = if (s0 == 0) 0L else seg.cuts(s0 - 1)(0)
+        val u0 = if (s0 == 0) 0L else seg.cuts(s0 - 1)(1)
+        val c1 = if (s1 == nSeg) seg.compressedSize else seg.cuts(s1 - 1)(0)
+        val u1 = if (s1 == nSeg) seg.totalUncomp else seg.cuts(s1 - 1)(1)
+        val fis = new java.io.FileInputStream(seg.file)
+        fis.getChannel.position(seg.dataOffset + c0)
+        val inf = new java.util.zip.Inflater(true)
+        val inflated = new java.util.zip.InflaterInputStream(
+          new BoundedInputStream(
+            new java.io.BufferedInputStream(fis, 1 << 16), c1 - c0),
+          inf, 1 << 16)
+        new SheetScanner(new BoundedInputStream(inflated, u1 - u0),
+          sharedStrings, dateStyles,
+          () => { inf.end(); fis.close() })
       }
 
     def rowIterator(path: String, threads: Int = 1): CellRowIterator = {
@@ -580,6 +619,25 @@ object XlsxParser {
       }
       None
     }
+  }
+
+  /** Reads at most `limit` bytes from `in`, then reports EOF WITHOUT
+    * touching the underlying stream again — the cap that ends a
+    * mid-stream deflate slice cleanly (asking the inflater for one more
+    * byte past the recorded length would throw "unexpected end"). */
+  private[xlsx] final class BoundedInputStream(in: InputStream, limit: Long)
+      extends InputStream {
+    private var left = limit
+    override def read(): Int =
+      if (left <= 0) -1
+      else { val b = in.read(); if (b >= 0) left -= 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (left <= 0) return -1
+      val n = in.read(b, off, math.min(len.toLong, left).toInt)
+      if (n > 0) left -= n
+      n
+    }
+    override def close(): Unit = in.close()
   }
 
   /** StAX close() would close the whole zip stream; shield it. */

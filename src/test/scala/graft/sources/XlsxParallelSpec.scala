@@ -230,20 +230,33 @@ class XlsxParallelSpec extends SparkSpec {
   private def threadsOf(parts: Array[org.apache.spark.sql.connector.read.InputPartition]): Seq[Int] =
     parts.map(_.asInstanceOf[XlsxInputPartition].threads).toSeq
 
-  test("auto threads: lone file engages workers, saturated scan stays serial, option wins") {
+  test("auto parallelism: lone indexed file SPLITS into ranged partitions, " +
+      "saturated scan stays serial, option wins") {
     assert(spark.sparkContext.defaultParallelism == 4) // the arithmetic below assumes it
-    // single file on 4 cores: 3 spare cores, capped at cores/2 = 2 — the
-    // reference's cores/2 default, engaged WITHOUT any option
+    // single INDEXED file on 4 cores: since r12 the planner prefers
+    // segment-range partitions over intra-task threads (SURVEY #337) —
+    // partition counts scale with min(segments, cores), every range serial
     val lone = XlsxScan.partitionsFor(Seq(file.toString), defaultOpts)
-    assert(threadsOf(lone) == Seq(2), s"got ${threadsOf(lone)}")
+      .map(_.asInstanceOf[XlsxInputPartition])
+    assert(lone.length > 1, s"expected a segment split, got ${lone.length}")
+    assert(lone.forall(p => p.segRange.isDefined && p.threads == 1),
+      s"ranged partitions must stay single-threaded: ${lone.toSeq}")
+    // the ranges tile [0, nSeg) contiguously without gap or overlap
+    val ranges = lone.map(_.segRange.get).sortBy(_.s0)
+    assert(ranges.head.s0 == 0 &&
+      ranges.sliding(2).forall(w => w.length < 2 || w(0).s1 == w(1).s0),
+      s"ranges must tile: ${ranges.toSeq}")
     // scan with >= cores partitions: every task already owns a core
     val many = XlsxScan.partitionsFor(
       (1 to 4).map(_ => file.toString), defaultOpts)
     assert(threadsOf(many) == Seq(1, 1, 1, 1), s"got ${threadsOf(many)}")
-    // an explicit threads option applies verbatim to every partition
+    // an explicit threads option applies verbatim — and DISABLES the
+    // split (the reference's intra-file semantics, preserved verbatim)
     val explicit = XlsxScan.partitionsFor(
       Seq(file.toString, file.toString), defaultOpts.copy(threads = Some(3)))
     assert(threadsOf(explicit) == Seq(3, 3), s"got ${threadsOf(explicit)}")
+    assert(explicit.map(_.asInstanceOf[XlsxInputPartition])
+      .forall(_.segRange.isEmpty))
     // and the auto path must not change WHAT is read: same rows either way
     val auto = spark.read.format("xlsx").load(file.toString)
     val serial = spark.read.format("xlsx").option("threads", "1").load(file.toString)
@@ -251,9 +264,11 @@ class XlsxParallelSpec extends SparkSpec {
     assert(auto.exceptAll(serial).isEmpty && serial.exceptAll(auto).isEmpty)
   }
 
-  test("auto threads: the straggler file gets the spare cores, small siblings stay serial") {
-    // one ~20k-row file + one 3-row file on 4 cores: 2 spare cores flow to
-    // the big file (byte-proportional, capped at 2); the small one stays 1
+  test("auto parallelism: the indexed straggler splits, the small " +
+      "unindexed sibling stays one serial partition") {
+    // one ~20k-row file (indexed: > one segment) + one 3-row file (too
+    // small for a cut — no index) on 4 cores: the straggler's spare-core
+    // share arrives as EXTRA PARTITIONS now, the small file stays as-is
     val small = {
       val bos = new ByteArrayOutputStream()
       XlsxWriter.write(bos, Seq(XlsxWriter.SheetSpec("S", Some(Seq("id", "nm", "v", "d", "b")),
@@ -266,9 +281,12 @@ class XlsxParallelSpec extends SparkSpec {
     }
     val parts = XlsxScan.partitionsFor(
       Seq(file.toString, small.toString), defaultOpts)
-    val byPath = parts.map(_.asInstanceOf[XlsxInputPartition])
-      .map(p => p.path -> p.threads).toMap
-    assert(byPath(file.toString) == 2, s"straggler: got $byPath")
-    assert(byPath(small.toString) == 1, s"small sibling: got $byPath")
+      .map(_.asInstanceOf[XlsxInputPartition])
+    val straggler = parts.filter(_.path == file.toString)
+    val sibling = parts.filter(_.path == small.toString)
+    assert(straggler.length > 1 && straggler.forall(_.segRange.isDefined),
+      s"straggler should split: ${straggler.toSeq}")
+    assert(sibling.length == 1 && sibling.head.segRange.isEmpty,
+      s"small sibling: ${sibling.toSeq}")
   }
 }
