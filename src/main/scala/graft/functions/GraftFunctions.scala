@@ -195,11 +195,14 @@ object GraftFunctions {
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` — the deploy-time
   * injection path: every session on the cluster gets graft's native SQL
-  * functions without code changes.
+  * functions AND the scale-safety optimizer rules
+  * ([[graft.plans.GlobalRowNumberRewrite]]) without code changes.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.registry.foreach { case (name, info, builder) =>
       ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.GlobalRowNumberRewrite)
+  }
 }
