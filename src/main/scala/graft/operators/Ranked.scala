@@ -33,13 +33,53 @@ object Ranked {
 
   private val PID = "__rk_pid"
 
+  /** Partition-id agreement between the ranked branch and the offsets
+    * branch rests on physical ReuseExchange deduplicating the two
+    * identical range exchanges. With reuse disabled the two
+    * RangePartitioners sample split points independently and may pick
+    * different boundaries — so every public entry point falls back to the
+    * stock single-window spelling under that (non-default) config rather
+    * than risk silently wrong prefixes. The fallback also fires when the
+    * frame carries a non-orderable (map-typed) column: such a column
+    * cannot ride the range keys (see [[paddedKeys]]), so the two branches
+    * would prune differently and lose the shared exchange. */
+  private def rankedSafe(df: DataFrame): Boolean =
+    df.sparkSession.sessionState.conf.exchangeReuseEnabled &&
+      df.queryExecution.analyzed.output.forall(a =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(a.dataType))
+
+  /** The sort keys PLUS every remaining output column (ascending) — the
+    * exchange-identity pad. Catalyst's ColumnPruning pushes projections
+    * below RepartitionByExpression, so if the offsets branch needed fewer
+    * columns than the ranked branch the two range-exchange subtrees would
+    * stop canonicalizing equal, ReuseExchange would not dedupe them, and
+    * the two RangePartitioners would sample split points INDEPENDENTLY —
+    * silently wrong prefixes whenever the sampled boundaries disagree
+    * (caught by GlobalRowNumberRewriteSpec in r13). Referencing every
+    * column in the partition keys pins the whole row below the exchange
+    * in both branches. The pad only REFINES the caller's sort: rows with
+    * equal `sort` keys may now split across adjacent partitions, but both
+    * branches still see the identical refined order, so ranks stay
+    * consistent and per-tie-group rank sets are unchanged (tie order
+    * inside a window is unspecified either way). */
+  private def paddedKeys(df: DataFrame, sort: Seq[Column]): Seq[Column] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sortRefs = sort.flatMap(c =>
+      ColumnBridge.expression(c).references.map(_.name)).toSet
+    val pad = df.queryExecution.analyzed.output.collect {
+      case a if !sortRefs.contains(a.name) => col(a.name).asc
+    }
+    sort ++ pad
+  }
+
   private def parted(df: DataFrame, sort: Seq[Column], nPart: Int): DataFrame = {
     val n = if (nPart > 0) nPart
       else df.sparkSession.sessionState.conf.numShufflePartitions
     // the pid projects ABOVE the range exchange (spark_partition_id is
     // non-deterministic, so Catalyst cannot push it past the shuffle) —
     // each row reads its range-bucket id
-    df.repartitionByRange(n, sort: _*)
+    df.repartitionByRange(n, paddedKeys(df, sort): _*)
       .withColumn(PID, spark_partition_id().cast("long"))
   }
 
@@ -61,6 +101,8 @@ object Ranked {
     * `sort` is a total order. */
   def withGlobalRowNumber(df: DataFrame, out: String, sort: Seq[Column],
       nPart: Int = 0): DataFrame = {
+    if (!rankedSafe(df)) return df.withColumn(out,
+      row_number().over(Window.orderBy(sort: _*)).cast("long"))
     val p = parted(df, sort, nPart)
     val ranked = p.withColumn("__rk_rn",
       row_number().over(Window.partitionBy(col(PID)).orderBy(sort: _*))
@@ -102,6 +144,9 @@ object Ranked {
     * deltas, so within-tie permutations only reorder a monotonic run). */
   def withGlobalRunningSum(df: DataFrame, out: String, value: Column,
       sort: Seq[Column], nPart: Int = 0): DataFrame = {
+    if (!rankedSafe(df)) return df.withColumn(out,
+      sum(value).over(Window.orderBy(sort: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val p = parted(df, sort, nPart)
     val run = p.withColumn("__rk_run",
       sum(value).over(Window.partitionBy(col(PID)).orderBy(sort: _*)
@@ -115,18 +160,31 @@ object Ranked {
 
   /** MAX of `value` over all rows whose `orderKey` is STRICTLY smaller
     * (the `RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING` frame), as
-    * `out` — NULL when no strictly-smaller row exists. Equal keys share a
-    * partition, so earlier partitions are strictly smaller and their
-    * whole-partition max folds in via `greatest` (which skips NULLs). */
+    * `out` — NULL when no strictly-smaller row exists.
+    *
+    * Spelled on the DISTINCT-KEY table: the answer is a function of the
+    * key alone, so per-key maxima reduce first (one map-side-combinable
+    * hash shuffle over the corpus — the corpus itself never
+    * range-shuffles), the unique-key table runs the prefix machinery
+    * (unique keys cannot straddle a range boundary, so the [[paddedKeys]]
+    * refinement is vacuous and strictness survives partition splits by
+    * construction), and an equi-join folds the per-key answer back. */
   def withStrictPrecedingMax(df: DataFrame, out: String, value: Column,
       orderKey: Column, nPart: Int = 0): DataFrame = {
-    val p = parted(df, Seq(orderKey), nPart)
-    val run = p.withColumn("__rk_in",
-      max(value).over(Window.partitionBy(col(PID)).orderBy(orderKey)
+    if (!rankedSafe(df)) return df.withColumn(out,
+      max(value).over(Window.orderBy(orderKey)
         .rangeBetween(Window.unboundedPreceding, -1)))
-    val offs = offsets(p, max(value), exclusivePrefix(max))
-    run.join(broadcast(offs), Seq(PID))
+    val keys = df.groupBy(orderKey.as("__rk_k")).agg(max(value).as("__rk_mx"))
+    val p = parted(keys, Seq(col("__rk_k").asc), nPart)
+    // keys are unique, so the ROWS frame equals the RANGE frame here
+    val run = p.withColumn("__rk_in",
+      max(col("__rk_mx")).over(Window.partitionBy(col(PID))
+        .orderBy(col("__rk_k"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val offs = offsets(p, max(col("__rk_mx")), exclusivePrefix(max))
+    val sm = run.join(broadcast(offs), Seq(PID))
       .withColumn(out, greatest(col("__rk_in"), col("__rk_off")))
-      .drop(PID, "__rk_in", "__rk_off")
+      .select(col("__rk_k"), col(out))
+    df.join(sm, orderKey <=> col("__rk_k")).drop("__rk_k")
   }
 }

@@ -13,6 +13,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Execute a hand-built logical plan (Dataset.ofRows is `private[sql]`).
+    * Spec-only: lets plan-rewrite suites run the exact tree a Catalyst
+    * rule produced. */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a SQL function on an EXISTING session (sessionState is
     * `private[sql]`). For new sessions prefer
     * `spark.sql.extensions=graft.functions.GraftExtensions`. */
