@@ -58,6 +58,20 @@ class XlsxDistributedScanSpec extends SparkSpec {
       "skipRows handling differs between split and sequential scans")
   }
 
+  test("a forced-zip64 workbook still splits into segment-range " +
+      "partitions (the >4 GiB regime the splitter was built for)") {
+    val f64 = java.io.File.createTempFile("distscan64", ".xlsx")
+    f64.deleteOnExit()
+    java.nio.file.Files.write(f64.toPath,
+      Zip64Force.rewrite(java.nio.file.Files.readAllBytes(file.toPath)))
+    val df = spark.read.format("xlsx").load(f64.getAbsolutePath)
+    assert(df.rdd.getNumPartitions > 1,
+      s"zip64 archive fell back to ${df.rdd.getNumPartitions} partition(s)")
+    val agg = df.agg(count(lit(1)), sum(col("id"))).collect()(0)
+    assert(agg.getLong(0) == rows)
+    assert(agg.getDouble(1) == (rows.toLong * (rows + 1) / 2).toDouble)
+  }
+
   test("an explicit threads option keeps the reference's one-partition " +
       "intra-file semantics") {
     val df = spark.read.format("xlsx").option("threads", "4")

@@ -90,6 +90,38 @@ class XlsxSegmentedSpec extends AnyFunSuite {
     assert(sawDropped == drop, s"dropped $sawDropped")
   }
 
+  test("zip64: ZipRaw resolves a forced-zip64 directory to the same raw " +
+      "geometry, and the segmented read stays row-identical") {
+    val z32 = ZipRaw.locate(file, "xl/worksheets/sheet1.xml").get
+    val bytes64 = Zip64Force.rewrite(
+      java.nio.file.Files.readAllBytes(file.toPath))
+    val f64 = java.io.File.createTempFile("segspec64", ".xlsx")
+    f64.deleteOnExit()
+    java.nio.file.Files.write(f64.toPath, bytes64)
+    // still a standards-valid archive: the JDK reader accepts it
+    val zf = new java.util.zip.ZipFile(f64)
+    try assert(zf.getEntry("xl/worksheets/sheet1.xml") != null)
+    finally zf.close()
+    // zip64 directory resolves to the SAME raw byte geometry (data bytes
+    // are untouched by the rewrite)
+    val z64 = ZipRaw.locate(f64, "xl/worksheets/sheet1.xml").get
+    assert(z64 == z32, s"zip64 geometry drifted: $z64 vs $z32")
+    // and the fully-parallel segmented read engages and matches
+    val wb64 = new XlsxParser.Workbook(
+      () => new java.io.FileInputStream(f64), Some(f64))
+    val seq = wb.rowIterator("xl/worksheets/sheet1.xml", threads = 1)
+    val par = wb64.rowIterator("xl/worksheets/sheet1.xml", threads = 4)
+    var n = 0
+    while (seq.hasNext) {
+      assert(par.hasNext, s"zip64 parallel ended early at row $n")
+      val (i1, c1) = seq.next()
+      val (i2, c2) = par.next()
+      assert(i1 == i2 && c1.toSeq == c2.toSeq, s"zip64 mismatch at row $i1")
+      n += 1
+    }
+    assert(!par.hasNext && n == rows + 1)
+  }
+
   test("a workbook without an index falls back to the streaming pipeline") {
     // stream-written (no local file) → no segment path, identical rows
     val bos = new java.io.ByteArrayOutputStream()
