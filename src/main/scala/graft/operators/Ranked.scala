@@ -49,6 +49,37 @@ object Ranked {
         org.apache.spark.sql.catalyst.expressions.RowOrdering
           .isOrderable(a.dataType))
 
+  /** Size gate (r12 VERDICT brief #4): frames whose optimized-plan size
+    * estimate sits at or under `spark.graft.ranked.smallBytes` (default
+    * 8 MiB; 0 disables the gate) keep Spark's stock single-task window —
+    * bit-identical output, one small exchange instead of the ranged
+    * plan's three. The stock spelling partitions by a CONSTANT marker
+    * column so the plan itself records that the single task was a gated
+    * decision, not an accident (`tools.PlanChecks` flags unpartitioned
+    * windows as scale smells; a gated window is partitioned by the
+    * marker). The conservative direction is a SMALL threshold: logical
+    * estimates overestimate joins and unfiltered scans, so a frame would
+    * need stats off by orders of magnitude before a truly large input
+    * mis-gates into one task. */
+  val SmallBytesKey = "spark.graft.ranked.smallBytes"
+
+  private def small(df: DataFrame): Boolean = {
+    val t = df.sparkSession.conf.get(SmallBytesKey, (8L << 20).toString).toLong
+    t > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(t)
+  }
+
+  private val SMALL = "__rk_small"
+
+  /** The marker key: constant 0 for every row, but NOT foldable (it
+    * references a real column), so FoldablePropagation cannot strip it
+    * from the window's partitionSpec — the same `pmod(col, 1)` derived-
+    * key trick the faces use for 1-row stats joins. */
+  private def smallKey(df: DataFrame): Column =
+    pmod(hash(col(df.columns.head)), lit(1))
+
+  private def smallWin(sort: Seq[Column]) =
+    Window.partitionBy(col(SMALL)).orderBy(sort: _*)
+
   /** The sort keys PLUS every remaining output column (ascending) — the
     * exchange-identity pad. Catalyst's ColumnPruning pushes projections
     * below RepartitionByExpression, so if the offsets branch needed fewer
@@ -103,6 +134,9 @@ object Ranked {
       nPart: Int = 0): DataFrame = {
     if (!rankedSafe(df)) return df.withColumn(out,
       row_number().over(Window.orderBy(sort: _*)).cast("long"))
+    if (small(df)) return df.withColumn(SMALL, smallKey(df))
+      .withColumn(out, row_number().over(smallWin(sort)).cast("long"))
+      .drop(SMALL)
     val p = parted(df, sort, nPart)
     val ranked = p.withColumn("__rk_rn",
       row_number().over(Window.partitionBy(col(PID)).orderBy(sort: _*))
@@ -123,6 +157,16 @@ object Ranked {
     * aggregate scan for n-dependent trims). */
   def withGroupRowNumber(df: DataFrame, out: String, groupName: String,
       sort: Seq[Column], nPart: Int = 0, countOut: String = null): DataFrame = {
+    if (!rankedSafe(df) || small(df)) {
+      // small regime: the stock group-partitioned window IS the right
+      // plan (one task per group, input bounded by the gate) — cheaper
+      // than global-rank-minus-prefix and already audit-clean
+      val base = df.withColumn(out, row_number().over(
+        Window.partitionBy(col(groupName)).orderBy(sort: _*)).cast("long"))
+      return if (countOut == null) base
+        else base.withColumn(countOut,
+          count(lit(1)).over(Window.partitionBy(col(groupName))))
+    }
     val g = withGlobalRowNumber(df, "__rk_grn", col(groupName).asc +: sort, nPart)
     // group ordering here MUST match the range sort's asc group order
     val gOff = df.groupBy(col(groupName)).agg(count(lit(1)).as("__rk_gc"))
@@ -147,6 +191,10 @@ object Ranked {
     if (!rankedSafe(df)) return df.withColumn(out,
       sum(value).over(Window.orderBy(sort: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    if (small(df)) return df.withColumn(SMALL, smallKey(df))
+      .withColumn(out, sum(value).over(smallWin(sort)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop(SMALL)
     val p = parted(df, sort, nPart)
     val run = p.withColumn("__rk_run",
       sum(value).over(Window.partitionBy(col(PID)).orderBy(sort: _*)
@@ -174,6 +222,11 @@ object Ranked {
     if (!rankedSafe(df)) return df.withColumn(out,
       max(value).over(Window.orderBy(orderKey)
         .rangeBetween(Window.unboundedPreceding, -1)))
+    if (small(df)) return df.withColumn(SMALL, smallKey(df))
+      .withColumn(out, max(value).over(
+        Window.partitionBy(col(SMALL)).orderBy(orderKey)
+          .rangeBetween(Window.unboundedPreceding, -1)))
+      .drop(SMALL)
     val keys = df.groupBy(orderKey.as("__rk_k")).agg(max(value).as("__rk_mx"))
     val p = parted(keys, Seq(col("__rk_k").asc), nPart)
     // keys are unique, so the ROWS frame equals the RANGE frame here

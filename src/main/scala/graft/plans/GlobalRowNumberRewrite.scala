@@ -132,9 +132,14 @@ object GlobalRowNumberRewrite extends Rule[LogicalPlan]
     // pid agreement between the two branches rests on ReuseExchange
     if (!conf.exchangeReuseEnabled) return plan
     val cap = conf.getConfString(TopKKey, "1000").toLong
+    // the Ranked size gate (shared knob): inputs estimated at or under
+    // the threshold sort fine in one task — keep the stock plan
+    val smallBytes = BigInt(conf.getConfString(
+      graft.operators.Ranked.SmallBytesKey, (8L << 20).toString).toLong)
     lazy val limited = rankLimitedIds(plan, cap)
     plan.transformUp {
-      case w: Window if rewritable(w, limited) => rewrite(w)
+      case w: Window if rewritable(w, limited) &&
+          w.child.stats.sizeInBytes > smallBytes => rewrite(w)
     }
   }
 

@@ -15,6 +15,10 @@ object SparkSpec {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
+    // every test frame is tiny — disable the Ranked size gate so specs
+    // exercise the distributed (scale) spelling; gate-regime tests set
+    // the knob explicitly and restore it
+    .config("spark.graft.ranked.smallBytes", "0")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir",

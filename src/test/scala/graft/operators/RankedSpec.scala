@@ -248,6 +248,64 @@ class RankedSpec extends SparkSpec {
     }
   }
 
+  test("size gate: a small frame keeps the stock single-task window " +
+      "behind the constant-key marker — bit-identical, no range " +
+      "exchange, and no GLOBALWINDOW audit smell") {
+    val sort = Seq(col("cents").asc, col("l_orderkey").asc,
+      col("l_linenumber").asc)
+    spark.conf.set(Ranked.SmallBytesKey, (1L << 30).toString)
+    try {
+      val got = Ranked.withGlobalRowNumber(li, "rn", sort)
+      got.collect()
+      val plan = PlanChecks.finalPlan(got)
+      assert(!plan.toString.contains("rangepartitioning"),
+        "gated small frame should not take the ranged plan")
+      assert(PlanChecks.globalWindowsOverRaw(plan) == 0,
+        s"the marker partition key must keep the audit clean:\n$plan")
+      val want = li.withColumn("rn",
+        row_number().over(Window.orderBy(sort: _*)).cast("long"))
+      assertSameRows(got.select(col("l_orderkey"), col("l_linenumber"),
+        col("rn")), want.select(col("l_orderkey"), col("l_linenumber"),
+        col("rn")), "gated row_number")
+      val run = Ranked.withGlobalRunningSum(li, "run", col("cents"), sort)
+      assert(!run.queryExecution.executedPlan.toString
+        .contains("rangepartitioning"))
+      val wantRun = li.withColumn("run", sum(col("cents")).over(
+        Window.orderBy(sort: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      assertSameRows(run.select(col("l_orderkey"), col("l_linenumber"),
+        col("run")), wantRun.select(col("l_orderkey"), col("l_linenumber"),
+        col("run")), "gated running sum")
+      val p = Tables.load(spark, sf, "part")
+        .select(col("p_partkey"), col("p_size").cast("long").as("p_size"),
+          round(col("p_retailprice") * 100).cast("long").as("cents"))
+      val m = Ranked.withStrictPrecedingMax(p, "m", col("p_size"),
+        col("cents"))
+      assert(!m.queryExecution.executedPlan.toString
+        .contains("rangepartitioning"))
+      val wantM = p.withColumn("m", max(col("p_size")).over(
+        Window.orderBy(col("cents"))
+          .rangeBetween(Window.unboundedPreceding, -1)))
+      assertSameRows(m.select(col("p_partkey"), col("m")),
+        wantM.select(col("p_partkey"), col("m")), "gated strict max")
+      // group regime: the stock partitioned window, no prefix machinery
+      val grp = Ranked.withGroupRowNumber(li, "rn", "l_returnflag", sort,
+        countOut = "n")
+      val gPlan = grp.queryExecution.executedPlan.toString
+      assert(!gPlan.contains("rangepartitioning") &&
+        !gPlan.contains("BroadcastHashJoin"), gPlan)
+      val wantGrp = li
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("l_returnflag")).orderBy(sort: _*)).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      assertSameRows(
+        grp.select(col("l_orderkey"), col("l_linenumber"), col("rn"), col("n")),
+        wantGrp.select(col("l_orderkey"), col("l_linenumber"), col("rn"),
+          col("n")), "gated group row_number")
+    } finally spark.conf.set(Ranked.SmallBytesKey, "0")
+  }
+
   test("Ranked's two branches share ONE range exchange (ReuseExchange) — " +
       "the partition-id agreement the offsets arithmetic rests on") {
     val df = graft.SparkEntry.queries("q_trimmed_mean")(spark, sf)

@@ -115,6 +115,18 @@ class GlobalRowNumberRewriteSpec extends SparkSpec {
     assert(GlobalRowNumberRewrite(smallOpt) eq smallOpt)
   }
 
+  test("the shared Ranked size gate keeps the stock plan for inputs " +
+      "estimated under the threshold") {
+    val a = tieHeavy
+      .withColumn("rn", row_number().over(Window.orderBy(col("k"), col("id"))))
+      .queryExecution.optimizedPlan
+    spark.conf.set(graft.operators.Ranked.SmallBytesKey, (1L << 30).toString)
+    try assert(GlobalRowNumberRewrite(a) eq a,
+      "a small input must keep the stock single-task window")
+    finally spark.conf.set(graft.operators.Ranked.SmallBytesKey, "0")
+    assert(GlobalRowNumberRewrite(a) ne a, "gate off again: rewrite resumes")
+  }
+
   test("nondeterministic sort keys and partitioned windows are never " +
       "rewritten") {
     val nd = tieHeavy
@@ -164,6 +176,7 @@ class GlobalRowNumberRewriteSpec extends SparkSpec {
     val s2 = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.graft.ranked.smallBytes", "0") // tiny test frame
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
