@@ -1236,7 +1236,122 @@ object Relational {
         .select(col("o_orderkey"), col("rec.status").as("status"),
           expr("inline(array(" +
             "named_struct('part', 'full', 'amt', rec.cents), " +
-            "named_struct('part', 'half', 'amt', rec.cents div 2)))")))
+            "named_struct('part', 'half', 'amt', rec.cents div 2)))"))),
+
+    // §2.15: UNION ALL BY NAME — DuckDB's by-name set op over drifted
+    // schemas (reordered columns, one side missing a column → NULL).
+    // Spark twin: `unionByName(…, allowMissingColumns = true)` — the
+    // day-one operation for unioning snapshots whose schema evolved
+    // (q_schema_evolution covers the read side only; this pins the set
+    // op itself, r12 VERDICT "What's missing" #1).
+    "q_union_by_name" -> ((s, dir) => {
+      val a = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val b = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 11 === 0)
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderkey"))
+      a.unionByName(b, allowMissingColumns = true)
+    }),
+
+    // §2.15: ORDER BY ALL — the ordering twin of GROUP BY ALL (#291),
+    // present in both engines; LIMIT makes the ordering semantically
+    // observable to the oracle compare (the kept prefix depends on it).
+    // (o_orderstatus, o_orderpriority) is unique per group, so ORDER BY
+    // ALL is a total order and the LIMIT is deterministic (r12 VERDICT
+    // "What's missing" #2).
+    "q_order_by_all" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        LIMIT 9
+      """)
+    }),
+
+    // §2.15: plain UPDATE — the first DML a warehouse user types. The
+    // lake translation is copy-on-write: a conditional projection over
+    // the full table (map-only, no shuffle); MERGE (#162) and CDC (#174)
+    // already cover the keyed forms. The oracle runs DuckDB's literal
+    // `UPDATE … WHERE` on a temp copy, pinning the translation against
+    // the native DML, not against another SELECT (r12 VERDICT "What's
+    // missing" #3).
+    "q_update" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("cents",
+          when(col("o_orderstatus") === "F" && col("o_orderkey") % 3 === 0,
+            col("cents") + 500).otherwise(col("cents")))),
+
+    // §2.15: plain DELETE — same posture as q_update: the translation is
+    // an anti-filter that keeps rows where the predicate is FALSE *or
+    // NULL* (DELETE only removes TRUE rows — the NOT IN trap's cousin,
+    // q_not_in_nulls #298); the oracle runs DuckDB's literal `DELETE …
+    // WHERE` on a temp copy.
+    "q_delete" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(!coalesce(
+          col("o_orderstatus") === "O" && col("o_orderkey") % 2 === 0,
+          lit(false)))),
+
+    // §2.15: window frame EXCLUDE (CURRENT ROW / GROUP / TIES) + GROUPS
+    // mode translation. Spark has neither; the Spark spelling derives
+    // each exclusion arithmetically from the base RANGE frame plus the
+    // peer group's own aggregate (sum/count over PARTITION BY brand,
+    // size), with count-based NULL handling for emptied frames. The
+    // oracle runs DuckDB's NATIVE `EXCLUDE` clauses for the three
+    // exclusion faces; GROUPS mode DuckDB 1.0 does not implement, so
+    // both engines pin the dense_rank RANGE spelling that defines it
+    // (r12 VERDICT "What's missing" #4).
+    "q_frame_exclude" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          col("p_size").cast("long").as("p_size"),
+          round(col("p_retailprice") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_size"))
+        .rangeBetween(-5, 0)
+      val peers = Window.partitionBy(col("p_brand"), col("p_size"))
+      val g = Window.partitionBy(col("p_brand")).orderBy(col("p_size"))
+      base
+        .withColumn("s", sum(col("cents")).over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("peer_s", sum(col("cents")).over(peers))
+        .withColumn("peer_n", count(lit(1)).over(peers))
+        .withColumn("grp", dense_rank().over(g).cast("long"))
+        .withColumn("gs", sum(col("cents")).over(
+          Window.partitionBy(col("p_brand")).orderBy(col("grp"))
+            .rangeBetween(-1, 0)))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("cents"), col("gs"),
+          when(col("cnt") > 1, col("s") - col("cents")).as("x_cur"),
+          when(col("cnt") > col("peer_n"), col("s") - col("peer_s"))
+            .as("x_grp"),
+          (col("s") - col("peer_s") + col("cents")).as("x_ties"))
+    }),
+
+    // §2.15: timezone conversion — `convert_timezone` ↔ `AT TIME ZONE`,
+    // the one calendar surface q_date_funcs/q_interval_funcs left
+    // unpinned. Wall-clock hour in America/New_York (DST-crossing zone)
+    // from UTC-pinned event timestamps; both engines resolve the same
+    // IANA rules or the per-hour counts split (r12 VERDICT "What's
+    // missing" #5).
+    "q_timezone" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(expr("convert_timezone('UTC', 'America/New_York', " +
+          "CAST(ts AS TIMESTAMP_NTZ))").as("ny_ts"))
+        .groupBy(hour(col("ny_ts")).cast("long").as("ny_hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("ny_hour"), col("n")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1897,6 +2012,67 @@ object Relational {
          SELECT o_orderkey, r.status AS status, u.part AS part, u.amt AS amt
          FROM rec, unnest([struct_pack(part := 'full', amt := r.cents),
                            struct_pack(part := 'half', amt := r.cents // 2)])
-                   AS t(u)"""
+                   AS t(u)""",
+    "q_union_by_name" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey % 7 = 0
+         UNION ALL BY NAME
+         SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                o_orderkey
+         FROM orders WHERE o_orderkey % 11 = 0""",
+    "q_order_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+         FROM orders
+         GROUP BY ALL
+         ORDER BY ALL
+         LIMIT 9""",
+    "q_update" ->
+      """CREATE OR REPLACE TEMP TABLE graft_upd AS
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders;
+         UPDATE graft_upd SET cents = cents + 500
+           WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0;
+         SELECT * FROM graft_upd""",
+    "q_delete" ->
+      """CREATE OR REPLACE TEMP TABLE graft_del AS
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders;
+         DELETE FROM graft_del
+           WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0;
+         SELECT * FROM graft_del""",
+    "q_frame_exclude" ->
+      """WITH base AS (
+           SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+           FROM part),
+         grouped AS (
+           SELECT *, CAST(dense_rank() OVER
+                    (PARTITION BY p_brand ORDER BY p_size) AS BIGINT) AS grp
+           FROM base)
+         SELECT p_partkey, p_brand, p_size, cents,
+                CAST(sum(cents) OVER (PARTITION BY p_brand ORDER BY grp
+                  RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS gs,
+                CAST(sum(cents) OVER (PARTITION BY p_brand ORDER BY p_size
+                  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW
+                  EXCLUDE CURRENT ROW) AS BIGINT) AS x_cur,
+                CAST(sum(cents) OVER (PARTITION BY p_brand ORDER BY p_size
+                  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW
+                  EXCLUDE GROUP) AS BIGINT) AS x_grp,
+                CAST(sum(cents) OVER (PARTITION BY p_brand ORDER BY p_size
+                  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW
+                  EXCLUDE TIES) AS BIGINT) AS x_ties
+         FROM grouped""",
+    "q_timezone" ->
+      """SELECT CAST(EXTRACT(hour FROM
+                  (ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'))
+                AS BIGINT) AS ny_hour,
+                count(*) AS n
+         FROM events
+         GROUP BY 1"""
   )
 }
