@@ -432,8 +432,25 @@ object Dedup {
       docs: DataFrame,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.6): DataFrame = {
-    val banded = bandedKeys(docs, bands, rowsPerBand)
+      threshold: Double = 0.6,
+      maxBucketDf: Long = 1000L): DataFrame = {
+    // adversarial-duplication guardrail (r12 brief #7): a band bucket
+    // holding df documents alone generates df² candidate pairs, and an
+    // all-identical corpus puts EVERY document in the same bucket of
+    // every band — n² before the first verify. Buckets past the cap are
+    // dropped before the self-join (the shingle-DF-cap semantic, one
+    // level up): mega-buckets are boilerplate or exact-duplicate mass,
+    // which exact dedup (content hash) owns. The df window shuffles on
+    // (band, bh) — the join's own key — so the exchange is reused.
+    // `maxBucketDf <= 0` disables the cap.
+    val banded0 = bandedKeys(docs, bands, rowsPerBand)
+    val banded =
+      if (maxBucketDf <= 0) banded0
+      else banded0
+        .withColumn("__df",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+        .filter(col("__df") <= maxBucketDf)
+        .drop("__df")
     val cand = banded.select(col("doc_id").as("da"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("db"), col("band"), col("bh")),
         Seq("band", "bh"))
@@ -541,16 +558,26 @@ object Dedup {
     * collisions can only ADD candidates (removed by the exact-hamming
     * verify), never lose a pair. */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
-      nBlocks: Int = 4): DataFrame =
-    pigeonholePairs(simhashDocs(docs), maxHamming, nBlocks)
+      nBlocks: Int = 4, maxBucketDf: Long = 1000L): DataFrame =
+    pigeonholePairs(simhashDocs(docs), maxHamming, nBlocks, maxBucketDf)
 
   /** Verified near-dup pairs from an arbitrary 64-bit signature frame
     * (doc_id, sh) — the Manku multi-table block join with exact
     * bit_count(xor) verification, shared by text SimHash and perceptual
     * image hashes (any 64-bit locality signature rides the same plan). */
   def pigeonholePairs(sigs: DataFrame, maxHamming: Int,
-      nBlocks: Int): DataFrame = {
-    val keyed = pigeonholeKeys(sigs, maxHamming, nBlocks)
+      nBlocks: Int, maxBucketDf: Long = 1000L): DataFrame = {
+    // same adversarial-duplication guardrail as [[minhashLsh]]: identical
+    // signatures share every pigeonhole key, so an all-duplicates corpus
+    // is n² without a table-key cap; mega-keys belong to exact dedup
+    val keyed0 = pigeonholeKeys(sigs, maxHamming, nBlocks)
+    val keyed =
+      if (maxBucketDf <= 0) keyed0
+      else keyed0
+        .withColumn("__df",
+          count(lit(1)).over(Window.partitionBy(col("tbl"), col("key"))))
+        .filter(col("__df") <= maxBucketDf)
+        .drop("__df")
     keyed.select(col("doc_id").as("da"), col("sh").as("sha"), col("tbl"), col("key"))
       .join(keyed.select(col("doc_id").as("db"), col("sh").as("shb"), col("tbl"), col("key")),
         Seq("tbl", "key"))

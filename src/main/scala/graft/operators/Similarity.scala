@@ -708,6 +708,12 @@ object Similarity {
     * guessing (r11 VERDICT #7). */
   def appendIvfIndex(spark: SparkSession, emb: DataFrame, table: String,
       buckets: Int = 8): IvfDrift = {
+    // fail actionably, not with an AnalysisException mid-append: an index
+    // persisted before the drift metric existed has no `gen` column and
+    // must be rebuilt once before deltas can append (r12 ADVICE #3)
+    require(spark.table(table).columns.contains("gen"),
+      s"IVF index '$table' predates the drift metric (no `gen` column); " +
+        "rebuild it once via writeIvfIndex before appending deltas")
     val (centroids, books) = readIndexMeta(spark, table)
     val m = books.length
     val kSub = books(0).length
@@ -751,9 +757,14 @@ object Similarity {
   final case class IvfDrift(nTotal: Long, nAppended: Long, appendedBp: Long)
 
   def ivfDrift(spark: SparkSession, table: String): IvfDrift = {
-    val r = spark.table(table)
+    val t = spark.table(table)
+    // a pre-`gen` index (persisted before the drift metric existed) is
+    // all build rows by definition — treat missing `gen` as gen 0
+    // instead of failing the first append/drift read (r12 ADVICE #3)
+    val genCol = if (t.columns.contains("gen")) col("gen") else lit(0L)
+    val r = t
       .agg(count(lit(1)).cast("long"),
-        sum(when(col("gen") > 0, 1L).otherwise(0L)).cast("long"))
+        sum(when(genCol > 0, 1L).otherwise(0L)).cast("long"))
       .collect()(0)
     val total = r.getLong(0)
     val app = if (r.isNullAt(1)) 0L else r.getLong(1)

@@ -71,12 +71,26 @@ final class ParallelSheetScanner(
       * whole pipeline becomes embarrassingly parallel; `in` may be null.
       * Measured motivation: at t=8 the stream producer spends ~75% of
       * its wall time in boundary tracking — the plateau this removes. */
-    segmented: ParallelSheetScanner.SegmentIndex = null)
+    segmented: ParallelSheetScanner.SegmentIndex = null,
+    /** SPECULATIVE-TRACKING override for the index-less stream path:
+      * null = auto (engage at `threads >= 4`, where the single-thread
+      * boundary tracker is the measured pipeline floor), TRUE/FALSE =
+      * force. See [[produceSpeculative]]. */
+    specTrack: java.lang.Boolean = null)
     extends CellRowIterator {
   require(convert == null || chunkConvert == null,
     "convert and chunkConvert are mutually exclusive")
   require(threads >= 2, s"ParallelSheetScanner needs >= 2 threads, got $threads")
   import ParallelSheetScanner._
+
+  private val speculative: Boolean =
+    segmented == null && (
+      if (specTrack != null) specTrack.booleanValue()
+      else sys.props.get("graft.spectrack") match {
+        case Some("always") => true
+        case Some("never") => false
+        case _ => threads >= 4
+      })
 
   // futures in submission order; capacity bounds in-flight chunks
   private val queue = new ArrayBlockingQueue[AnyRef](threads * 2)
@@ -129,6 +143,7 @@ final class ParallelSheetScanner(
   private def produce(): Unit = {
     try {
       if (segmented != null) { produceSegments(); return }
+      if (speculative) { produceSpeculative(); return }
       val debug = java.lang.Boolean.getBoolean("graft.parsedebug")
       var tRead, tScan, tSubmit = 0L
       val tAll = System.nanoTime()
@@ -190,6 +205,168 @@ final class ParallelSheetScanner(
       case t: Throwable => producerError = t
     } finally {
       putQuietly(End)
+    }
+  }
+
+  /** SPECULATIVE parallel boundary tracking for index-less streams — the
+    * r12 measurement showed the stream producer spends ~75% of its wall
+    * time in [[RowBoundaryTracker.scan]], capping foreign (no-index)
+    * workbooks at a one-core tracking floor however many parse workers
+    * wait behind it. This producer removes tracking from the sequential
+    * path:
+    *
+    *   1. blocks are cut at SPECULATIVE boundaries — the last literal
+    *      `</row>` byte sequence in each ~chunkBytes window, found by a
+    *      plain substring scan over the inflated bytes (no state
+    *      machine: the literal may legitimately sit inside a comment,
+    *      CDATA section, PI, or `<is><t>` text — validation below
+    *      catches exactly those);
+    *   2. each block runs a FRESH [[RowBoundaryTracker]] in the worker
+    *      pool, assuming it starts just past a genuine row boundary in
+    *      clean Text state (exactly a fresh tracker's initial state);
+    *   3. this thread settles track results IN ORDER and validates the
+    *      chain inductively: block 0 starts at the true stream start, and
+    *      block i+1's assumption is PROVEN by block i's track ending
+    *      clean — every boundary counted and every byte attributed
+    *      exactly as the sequential tracker would have, or nothing is.
+    *
+    * When a block does NOT end clean (an adversarial cut, or a row
+    * spanning the block), only its validated prefix [0, lastBoundary)
+    * parses; the tail carries into the next block, whose speculative
+    * result is discarded and re-tracked on this thread from the genuine
+    * boundary (the carry always starts at one). Worst case — pathological
+    * sheets where every cut lands inside markup — degrades to exactly the
+    * sequential tracking cost, never to wrong output; the differential
+    * fuzz drives this path with forced-tiny blocks over comment/CDATA
+    * sheets. Parse submission order, chunk semantics, dropFirstRows
+    * dealing and the consumer contract are IDENTICAL to the streaming
+    * producer — workers just do the tracking too. */
+  private def produceSpeculative(): Unit = {
+    val lit = Array[Byte]('<', '/', 'r', 'o', 'w', '>')
+    final case class TrackRes(rows: Long, lastBoundary: Int, cleanEnd: Boolean)
+    def track(buf: Array[Byte], len: Int): Future[TrackRes] =
+      pool.submit(new Callable[TrackRes] {
+        override def call(): TrackRes = {
+          val tr = new RowBoundaryTracker
+          val last = tr.scan(buf, 0, len)
+          TrackRes(tr.boundaries, last, last == len && tr.freshText)
+        }
+      })
+    // blocks awaiting in-order validation; bounded so memory stays
+    // O(threads · chunkBytes) alongside the parse queue's own bound
+    val pending = new java.util.ArrayDeque[(Array[Byte], Int, Future[TrackRes])]()
+    var rowsBefore = 0L
+    def dropFor(): Int =
+      math.min(math.max(0L, dropFirstRows - rowsBefore), Int.MaxValue.toLong).toInt
+    var chainClean = true // next pending block truly starts at a boundary
+    var carry: Array[Byte] = null // bytes after the last GENUINE boundary
+    var carryLen = 0
+
+    // sequential re-track of a broken-chain block (rare): the carry always
+    // starts at a genuine boundary, so a fresh tracker is the true state
+    def settleBroken(buf: Array[Byte], len: Int): Unit = {
+      val merged = new Array[Byte](carryLen + len)
+      if (carryLen > 0) System.arraycopy(carry, 0, merged, 0, carryLen)
+      System.arraycopy(buf, 0, merged, carryLen, len)
+      val mlen = carryLen + len
+      val tr = new RowBoundaryTracker
+      val last = tr.scan(merged, 0, mlen)
+      if (last == mlen && tr.freshText) {
+        submit(merged, mlen, dropFor()); rowsBefore += tr.boundaries
+        carry = null; carryLen = 0; chainClean = true
+      } else if (last > 0) {
+        carry = java.util.Arrays.copyOfRange(merged, last, mlen)
+        carryLen = mlen - last
+        submit(merged, last, dropFor()); rowsBefore += tr.boundaries
+      } else {
+        carry = merged; carryLen = mlen
+      }
+    }
+
+    def settleOne(): Unit = {
+      val (buf, len, fut) = pending.pollFirst()
+      if (chainClean) {
+        val res = fut.get()
+        if (res.cleanEnd) {
+          submit(buf, len, dropFor()); rowsBefore += res.rows
+        } else if (res.lastBoundary > 0) {
+          // valid track, bogus speculative END cut: parse the validated
+          // prefix, carry the tail (copied BEFORE the parse worker may
+          // recycle the array)
+          carry = java.util.Arrays.copyOfRange(buf, res.lastBoundary, len)
+          carryLen = len - res.lastBoundary
+          submit(buf, res.lastBoundary, dropFor()); rowsBefore += res.rows
+          chainClean = false
+        } else {
+          // no boundary in the whole block: everything carries
+          carry = java.util.Arrays.copyOf(buf, len); carryLen = len
+          chainClean = false
+        }
+      } else {
+        // chain broken upstream: this block's speculative track assumed a
+        // start state that never happened — discard and re-track from the
+        // carried genuine boundary. The zombie task may still be reading
+        // `buf`, so the array is NOT recycled on this path.
+        fut.cancel(false)
+        settleBroken(buf, len)
+      }
+    }
+
+    var buf: Array[Byte] = {
+      val r = bufPool.poll()
+      if (r != null && r.length >= chunkBytes) r else new Array[Byte](chunkBytes)
+    }
+    var filled = 0
+    var lastLit = -1 // end offset of the last `</row>` literal seen in buf
+    var done = false
+    while (!done && !stopped) {
+      val n = prefetch.read(buf, filled, buf.length - filled)
+      if (n < 0) done = true
+      else if (n > 0) {
+        // incremental literal scan over the new bytes (5-byte overlap
+        // covers a literal split across reads)
+        var q = math.max(0, filled - 5)
+        filled += n
+        val stop = filled - lit.length
+        while (q <= stop) {
+          if (buf(q) == '<' && buf(q + 1) == '/' && buf(q + 2) == 'r' &&
+              buf(q + 3) == 'o' && buf(q + 4) == 'w' && buf(q + 5) == '>')
+            lastLit = q + 6
+          q += 1
+        }
+        if (filled >= chunkBytes && lastLit > 0) {
+          val cut = lastLit
+          val tail = filled - cut
+          val minLen = math.max(buf.length, chunkBytes)
+          val recycled = bufPool.poll()
+          val nbuf =
+            if (recycled != null && recycled.length >= minLen) recycled
+            else new Array[Byte](minLen)
+          System.arraycopy(buf, cut, nbuf, 0, tail)
+          pending.addLast((buf, cut, track(buf, cut)))
+          buf = nbuf
+          filled = tail
+          lastLit = -1
+          if (pending.size > threads) settleOne()
+        } else if (filled == buf.length) {
+          // no boundary candidate yet: grow and keep reading
+          buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        }
+      }
+    }
+    while (!pending.isEmpty && !stopped) settleOne()
+    if (!stopped && (filled > 0 || carryLen > 0)) {
+      // final remainder (worksheet trailer included), via the carry path
+      // so a broken chain merges correctly; chainClean w/ no carry is the
+      // same arraycopy with carryLen = 0
+      val fb = buf; val fl = filled
+      if (chainClean && carryLen == 0) submit(fb, fl, dropFor())
+      else {
+        val merged = new Array[Byte](carryLen + fl)
+        if (carryLen > 0) System.arraycopy(carry, 0, merged, 0, carryLen)
+        System.arraycopy(fb, 0, merged, carryLen, fl)
+        submit(merged, carryLen + fl, dropFor())
+      }
     }
   }
 
@@ -578,6 +755,14 @@ final class RowBoundaryTracker {
     * leading-row drop out to chunk workers exactly (boundaries ≡ rows the
     * chunk's parser will emit, because cuts land ON boundaries). */
   def boundaries: Long = bcount
+
+  /** True iff the tracker currently sits in plain Text state with no
+    * element containment — exactly a FRESH tracker's initial state, which
+    * is also the state just past any genuine row boundary. The
+    * speculative producer's chain validation: a block whose scan ends
+    * `freshText` at a counted boundary PROVES the next block's
+    * fresh-tracker assumption. */
+  def freshText: Boolean = state == Text && !inV && !inIs && !inT
 
   /** Feed buf[from, to); returns offset just past the last row end, or -1. */
   def scan(buf: Array[Byte], from: Int, to: Int): Int = {

@@ -13,9 +13,32 @@ import graft.sources.xlsx.{XlsxParser, XlsxWriter}
   * Run: sbt "runMain graft.tools.ParseBench [rows] [reps]"
   */
 object ParseBench {
+  /** Re-encode a workbook WITHOUT the graft row-group index parts — a
+    * "foreign" file, as any non-graft writer would produce it, so the
+    * streaming (index-less) pipeline is what gets measured. */
+  private def stripIndex(src: Array[Byte]): Array[Byte] = {
+    val zin = new java.util.zip.ZipInputStream(new ByteArrayInputStream(src))
+    val bos = new ByteArrayOutputStream(src.length)
+    val zout = new java.util.zip.ZipOutputStream(bos)
+    val buf = new Array[Byte](1 << 16)
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.getName.startsWith("xl/graft/")) {
+        zout.putNextEntry(new java.util.zip.ZipEntry(e.getName))
+        var n = zin.read(buf)
+        while (n > 0) { zout.write(buf, 0, n); n = zin.read(buf) }
+        zout.closeEntry()
+      }
+      e = zin.getNextEntry
+    }
+    zout.close()
+    bos.toByteArray
+  }
+
   def main(args: Array[String]): Unit = {
     val rows = if (args.length > 0) args(0).toInt else 200000
     val reps = if (args.length > 1) args(1).toInt else 5
+    val foreign = args.length > 2 && args(2) == "foreign"
     val cols = 8
     val bytes = {
       val bos = new ByteArrayOutputStream(64 << 20)
@@ -32,8 +55,11 @@ object ParseBench {
         )
       }
       XlsxWriter.write(bos, Seq(XlsxWriter.SheetSpec("Sheet1", None, data)))
-      bos.toByteArray
+      val raw = bos.toByteArray
+      if (foreign) stripIndex(raw) else raw
     }
+    if (foreign) println("mode: FOREIGN (row-group index stripped — " +
+      "streaming/speculative pipeline)")
     println(s"xlsx bytes: ${bytes.length / 1024 / 1024} MiB, $rows rows x $cols cols")
     val totalCells = rows.toLong * cols
     // a real single-big-workbook scan opens a local file (ZipFile seeks);

@@ -84,6 +84,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
@@ -101,6 +103,7 @@ def main() -> int:
         got = pd.read_parquet(d)
         if name not in oracle:
             print(f"SKIP  {name}: rows={len(got)} (no oracle, rows-only check)")
+            results[name] = {"status": "rows_only", "spark_rows": len(got)}
             n_skip += 1
             continue
         try:
@@ -113,11 +116,13 @@ def main() -> int:
                 date_as_object=True)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle SQL error: {e}")
+            results[name] = {"status": "fail", "err": str(e)[:200]}
             n_fail += 1
             continue
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL  {name}: columns {list(g.columns)} != {list(e.columns)}")
+            results[name] = {"status": "fail", "err": "columns"}
             n_fail += 1
             continue
         gk = {c: kind(got[c]) for c in got.columns}
@@ -127,10 +132,12 @@ def main() -> int:
         if bad_kinds:
             print(f"FAIL  {name}: dtype class mismatch (driver hashes typed "
                   f"values): {bad_kinds}")
+            results[name] = {"status": "fail", "err": f"dtype {bad_kinds}"}
             n_fail += 1
             continue
         if len(g) != len(e):
             print(f"FAIL  {name}: rows {len(g)} != {len(e)}")
+            results[name] = {"status": "fail", "err": f"rows {len(g)} != {len(e)}"}
             n_fail += 1
             continue
         diff = g != e
@@ -140,11 +147,17 @@ def main() -> int:
             print(f"FAIL  {name}: {n_bad}/{len(g)} rows differ; first:")
             print(pd.concat([g[idx].head(2).add_suffix("_spark"),
                              e[idx].head(2).add_suffix("_duck")], axis=1).to_string())
+            results[name] = {"status": "fail", "err": f"{n_bad}/{len(g)} rows differ"}
             n_fail += 1
             continue
         print(f"PASS  {name}: rows={len(g)}")
+        results[name] = {"status": "pass", "rows": len(g)}
         n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail / {n_skip} rows-only")
+    if json_out:
+        Path(json_out).write_text(json.dumps(
+            {"sf_dir": sf_dir, "pass": n_pass, "fail": n_fail,
+             "rows_only": n_skip, "results": results}, indent=1))
     return 1 if n_fail else 0
 
 
