@@ -7,17 +7,25 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
-/** Catalyst optimizer rule: rewrite `row_number() OVER (ORDER BY ...)`
-  * — the unpartitioned spelling every SQL user reaches for first — into
-  * the distributed-prefix plan [[graft.operators.Ranked]] spells by hand
-  * (range-repartition on the sort, per-partition ranks keyed on
-  * `spark_partition_id()`, an nPart-row exclusive-prefix of counts
-  * broadcast back). The user writes the natural window query; the plan
-  * that runs never sorts corpus-proportional rows in one task.
+/** Catalyst optimizer rule: rewrite the unpartitioned-window family —
+  * `row_number() OVER (ORDER BY ...)` and running `sum/count/min/max
+  * ... ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW` — into the
+  * distributed-prefix plan [[graft.operators.Ranked]] spells by hand
+  * (range-repartition on the sort, per-partition locals keyed on
+  * `spark_partition_id()`, an nPart-row exclusive-prefix of per-partition
+  * totals broadcast back; prefixes combine via Sum for ranks/sums/counts
+  * and Min/Max for the extrema). The user writes the natural window
+  * query; the plan that runs never sorts corpus-proportional rows in one
+  * task.
   *
   * Deliberately NARROW (the optimizer-rule safety posture):
-  *  - only windows whose every expression is a `row_number()` with the
-  *    default frame and the window's own ORDER BY;
+  *  - only windows whose every expression is `row_number()` with the
+  *    default frame, or a non-DISTINCT unfiltered running
+  *    sum/count/min/max over the explicit ROWS unbounded→current frame,
+  *    on the window's own ORDER BY. RANGE frames (the default when only
+  *    ORDER BY is written) are NOT rewritten: they include later-ordered
+  *    tie PEERS, which the exchange-identity pad may split across
+  *    partitions;
   *  - only DETERMINISTIC sort keys (a nondeterministic key can't be
   *    range-partitioned reproducibly);
   *  - inputs already aggregate-, global-limit- or WindowGroupLimit-guarded
@@ -113,19 +121,47 @@ object GlobalRowNumberRewrite extends Rule[LogicalPlan]
     }
   }
 
+  /** The supported global-window family: `row_number()` and running
+    * `sum/count/min/max` over the ROWS `UNBOUNDED PRECEDING..CURRENT ROW`
+    * frame. RANGE frames (the default when only ORDER BY is written) are
+    * deliberately NOT rewritten: a RANGE frame includes the current row's
+    * later-ordered PEERS, and the exchange-identity pad refines tie
+    * order, so a tie group straddling a range boundary would lose its
+    * cross-partition peers. avg and DISTINCT/FILTER aggregates keep the
+    * stock plan too. */
+  private def supportedExpr(w: Window)(e: NamedExpression): Boolean = e match {
+    case Alias(WindowExpression(fn, WindowSpecDefinition(Nil, os, f)), _)
+        if os == w.orderSpec && isDefaultRowNumberFrame(f) =>
+      fn match {
+        case _: RowNumber => true
+        case aggregate.AggregateExpression(af, _, false, None, _) =>
+          af match {
+            case _: Sum | _: Count | _: aggregate.Min | _: aggregate.Max =>
+              true
+            case _ => false
+          }
+        case _ => false
+      }
+    case _ => false
+  }
+
+  private def isRowNumberExpr(e: NamedExpression): Boolean = e match {
+    case Alias(WindowExpression(_: RowNumber, _), _) => true
+    case _ => false
+  }
+
   private def rewritable(w: Window, limited: Set[ExprId]): Boolean =
     w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
       w.orderSpec.forall(_.child.deterministic) && !ndSortBelow(w) &&
       // every child column rides the padded range keys (exchange-identity
       // pin, see rewrite()) — all must be orderable
       w.child.output.forall(a => RowOrdering.isOrderable(a.dataType)) &&
-      w.windowExpressions.forall {
-        case Alias(WindowExpression(_: RowNumber,
-            WindowSpecDefinition(Nil, os, f)), _) =>
-          os == w.orderSpec && isDefaultRowNumberFrame(f)
-        case _ => false
-      } && !guarded(w.child) &&
-      !w.windowExpressions.exists(e => limited.contains(e.exprId))
+      w.windowExpressions.forall(supportedExpr(w)) &&
+      !guarded(w.child) &&
+      // the top-k idiom guard applies to rank outputs only — a filtered
+      // running SUM is not a WindowGroupLimit shape
+      !w.windowExpressions.exists(e =>
+        limited.contains(e.exprId) && isRowNumberExpr(e))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(ConfKey, "true").toBoolean) return plan
@@ -164,44 +200,93 @@ object GlobalRowNumberRewrite extends Rule[LogicalPlan]
     val proj = Project(w.child.output :+ pidAlias, ranged)
     val pid = pidAlias.toAttribute
 
-    // per-partition ranks: the SAME window function, now keyed on pid
-    val rnAlias = Alias(WindowExpression(RowNumber(),
-      WindowSpecDefinition(Seq(pid), w.orderSpec,
-        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
-      "__graft_rn")()
-    val win = Window(Seq(rnAlias), Seq(pid), w.orderSpec, proj)
-    val rn = rnAlias.toAttribute
+    val rowsFrame =
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    def freshAgg(af: aggregate.AggregateFunction) =
+      aggregate.AggregateExpression(af, aggregate.Complete,
+        isDistinct = false, filter = None, NamedExpression.newExprId)
 
-    // nPart-row per-partition counts; reads the SAME proj subtree, so the
+    // per-expression decomposition: the LOCAL per-pid window function, the
+    // per-partition TOTAL for the offsets branch, the prefix combiner over
+    // totals, and the merge of (offset, local) into the global answer
+    val exprs = w.windowExpressions.zipWithIndex.map { case (a: Alias, i) =>
+      val fn = a.child.asInstanceOf[WindowExpression].windowFunction
+      val (localFn, totalFn) = fn match {
+        case _: RowNumber =>
+          (RowNumber(): Expression, freshAgg(Count(Seq(Literal(1)))))
+        case ae: aggregate.AggregateExpression =>
+          (freshAgg(ae.aggregateFunction): Expression,
+            freshAgg(ae.aggregateFunction))
+      }
+      (a, i, fn, localFn, totalFn)
+    }
+
+    // per-partition locals: the SAME window functions, now keyed on pid
+    val locAliases = exprs.map { case (_, i, _, localFn, _) =>
+      Alias(WindowExpression(localFn,
+        WindowSpecDefinition(Seq(pid), w.orderSpec, rowsFrame)),
+        s"__graft_loc$i")()
+    }
+    val win = Window(locAliases, Seq(pid), w.orderSpec, proj)
+
+    // nPart-row per-partition totals; reads the SAME proj subtree, so the
     // physical planner reuses one range exchange (partition-id agreement)
     val pidKeyAlias = Alias(pid, "__graft_pidk")()
-    val cntAlias = Alias(Count(Literal(1)).toAggregateExpression(), "__graft_c")()
-    val agg = Aggregate(Seq(pid), Seq(pidKeyAlias, cntAlias), proj)
+    val totAliases = exprs.map { case (_, i, _, _, totalFn) =>
+      Alias(totalFn, s"__graft_t$i")()
+    }
+    val agg = Aggregate(Seq(pid), pidKeyAlias +: totAliases, proj)
     val pidK = pidKeyAlias.toAttribute
-    val cnt = cntAlias.toAttribute
 
-    // exclusive prefix over the tiny counts table (aggregate-guarded —
-    // exempt from this rule and from the GLOBALWINDOW audit flag alike)
-    val offRawAlias = Alias(WindowExpression(
-      Sum(cnt).toAggregateExpression(),
-      WindowSpecDefinition(Nil, Seq(SortOrder(pidK, Ascending)),
-        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1)))),
-      "__graft_offraw")()
-    val offWin = Window(Seq(offRawAlias), Nil,
-      Seq(SortOrder(pidK, Ascending)), agg)
-    val offAlias = Alias(
-      Coalesce(Seq(offRawAlias.toAttribute, Literal(0L))), "__graft_off")()
-    val offs = Project(Seq(pidKeyAlias.toAttribute, offAlias), offWin)
-    val off = offAlias.toAttribute
+    // exclusive prefixes over the tiny totals table (aggregate-guarded —
+    // exempt from this rule and from the GLOBALWINDOW audit flag alike);
+    // sums/counts prefix via Sum, min/max via Min/Max
+    val offAliases = exprs.map { case (_, i, fn, _, _) =>
+      val tot = totAliases(i).toAttribute
+      val prefixFn = fn match {
+        case aggregate.AggregateExpression(_: aggregate.Min, _, _, _, _) =>
+          freshAgg(aggregate.Min(tot))
+        case aggregate.AggregateExpression(_: aggregate.Max, _, _, _, _) =>
+          freshAgg(aggregate.Max(tot))
+        case _ => freshAgg(Sum(tot))
+      }
+      Alias(WindowExpression(prefixFn,
+        WindowSpecDefinition(Nil, Seq(SortOrder(pidK, Ascending)),
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1)))),
+        s"__graft_off$i")()
+    }
+    val offWin = Window(offAliases, Nil, Seq(SortOrder(pidK, Ascending)), agg)
+    val offs = Project(pidKeyAlias.toAttribute +: offAliases.map(_.toAttribute),
+      offWin)
 
     val joined = Join(win, offs, Inner, Some(EqualTo(pid, pidK)),
       JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
 
-    // global rank = prefix + local rank, emitted under the ORIGINAL
-    // attribute ids (downstream references must not notice the rewrite)
-    val outExprs = w.windowExpressions.map { case a: Alias =>
-      Alias(Cast(Add(off, Cast(rn, LongType)), IntegerType), a.name)(
-        exprId = a.exprId, qualifier = a.qualifier,
+    // global answer = prefix ⊕ local, emitted under the ORIGINAL attribute
+    // ids (downstream references must not notice the rewrite)
+    val outExprs = exprs.map { case (a, i, fn, _, _) =>
+      val loc = locAliases(i).toAttribute
+      val off = offAliases(i).toAttribute
+      val merged: Expression = fn match {
+        case _: RowNumber =>
+          // rank = prefix row count + local rank (IntegerType, as stock)
+          Cast(Add(Coalesce(Seq(off, Literal(0L))), Cast(loc, LongType)),
+            IntegerType)
+        case aggregate.AggregateExpression(_: Count, _, _, _, _) =>
+          Add(Coalesce(Seq(off, Literal(0L))), loc)
+        case aggregate.AggregateExpression(_: aggregate.Min, _, _, _, _) =>
+          Least(Seq(off, loc)) // skips NULLs, NULL iff both — min semantics
+        case aggregate.AggregateExpression(_: aggregate.Max, _, _, _, _) =>
+          Greatest(Seq(off, loc))
+        case aggregate.AggregateExpression(_: Sum, _, _, _, _) =>
+          // running sum: NULL prefix (first partition / all-null) keeps
+          // the local value and vice versa; the Add is cast back to the
+          // stock Sum's result type (decimal prefix totals widen)
+          val offC = Cast(off, a.dataType)
+          If(IsNull(offC), loc,
+            If(IsNull(loc), offC, Cast(Add(offC, loc), a.dataType)))
+      }
+      Alias(merged, a.name)(exprId = a.exprId, qualifier = a.qualifier,
         explicitMetadata = Some(a.metadata))
     }
     Project(w.child.output ++ outExprs, joined)

@@ -115,6 +115,50 @@ class GlobalRowNumberRewriteSpec extends SparkSpec {
     assert(GlobalRowNumberRewrite(smallOpt) eq smallOpt)
   }
 
+  test("running-aggregate family: sum/count/min/max over the ROWS " +
+      "unbounded→current frame rewrite and stay bit-identical; RANGE " +
+      "frames and avg keep the stock plan") {
+    val rowsW = Window.orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val df = tieHeavy
+      .withColumn("s", sum(col("v")).over(rowsW))
+      .withColumn("c", count(lit(1)).over(rowsW))
+      .withColumn("mn", min(col("v")).over(rowsW))
+      .withColumn("mx", max(col("v")).over(rowsW))
+      .withColumn("rn", row_number().over(Window.orderBy(col("k"), col("id"))))
+    val a = df.queryExecution.optimizedPlan
+    val r = GlobalRowNumberRewrite(a)
+    assert(r ne a, "running-aggregate window did not rewrite")
+    assert(rawGlobalWindows(r) == 0, s"raw global window left:\n$r")
+    assertSameRows(ColumnBridge.ofRows(spark, r), df, "running aggregates")
+    // nullable input: NULL-handling of the prefix merge (Least/Greatest
+    // skip NULLs; a NULL sum prefix keeps the local value)
+    val dfn = tieHeavy
+      .withColumn("vn", when(col("id") % 3 === 0, col("v")))
+      .withColumn("s", sum(col("vn")).over(rowsW))
+      .withColumn("mn", min(col("vn")).over(rowsW))
+    val an = dfn.queryExecution.optimizedPlan
+    val rn2 = GlobalRowNumberRewrite(an)
+    assert(rn2 ne an)
+    assertSameRows(ColumnBridge.ofRows(spark, rn2), dfn, "nullable running")
+    // RANGE frame (tie peers) and avg are NOT in the family
+    val rangeW = Window.orderBy(col("k"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val keep1 = tieHeavy.withColumn("s", sum(col("v")).over(rangeW))
+      .queryExecution.optimizedPlan
+    assert(GlobalRowNumberRewrite(keep1) eq keep1,
+      "RANGE frames must keep the stock plan (tie peers)")
+    val keep2 = tieHeavy.withColumn("m", avg(col("v")).over(rowsW))
+      .queryExecution.optimizedPlan
+    assert(GlobalRowNumberRewrite(keep2) eq keep2, "avg is not in the family")
+    // a small `s <= k` filter on a running SUM is NOT the top-k idiom —
+    // the rank-limit guard must not block the rewrite
+    val filtered = tieHeavy.withColumn("s", sum(col("v")).over(rowsW))
+      .filter(col("s") <= 5).queryExecution.analyzed
+    assert(GlobalRowNumberRewrite(filtered) ne filtered,
+      "rank-limit guard wrongly applied to a running sum")
+  }
+
   test("the shared Ranked size gate keeps the stock plan for inputs " +
       "estimated under the threshold") {
     val a = tieHeavy
