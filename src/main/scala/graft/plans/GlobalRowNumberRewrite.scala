@@ -134,6 +134,7 @@ object GlobalRowNumberRewrite extends Rule[LogicalPlan]
         if os == w.orderSpec && isDefaultRowNumberFrame(f) =>
       fn match {
         case _: RowNumber => true
+        case NTile(Literal(b: Int, IntegerType)) => b > 0
         case aggregate.AggregateExpression(af, _, false, None, _) =>
           af match {
             case _: Sum | _: Count | _: aggregate.Min | _: aggregate.Max =>
@@ -212,7 +213,8 @@ object GlobalRowNumberRewrite extends Rule[LogicalPlan]
     val exprs = w.windowExpressions.zipWithIndex.map { case (a: Alias, i) =>
       val fn = a.child.asInstanceOf[WindowExpression].windowFunction
       val (localFn, totalFn) = fn match {
-        case _: RowNumber =>
+        case _: RowNumber | _: NTile =>
+          // ntile derives from the GLOBAL rank plus the total row count
           (RowNumber(): Expression, freshAgg(Count(Seq(Literal(1)))))
         case ae: aggregate.AggregateExpression =>
           (freshAgg(ae.aggregateFunction): Expression,
@@ -255,8 +257,21 @@ object GlobalRowNumberRewrite extends Rule[LogicalPlan]
           SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1)))),
         s"__graft_off$i")()
     }
-    val offWin = Window(offAliases, Nil, Seq(SortOrder(pidK, Ascending)), agg)
-    val offs = Project(pidKeyAlias.toAttribute +: offAliases.map(_.toAttribute),
+    // ntile additionally needs the GLOBAL row count: one more windowed
+    // aggregate over the same nPart-row totals table, framed
+    // unbounded→unbounded (shared by every ntile in the window)
+    val totAliasOpt = exprs.collectFirst {
+      case (_, i, _: NTile, _, _) =>
+        Alias(WindowExpression(freshAgg(Sum(totAliases(i).toAttribute)),
+          WindowSpecDefinition(Nil, Seq(SortOrder(pidK, Ascending)),
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+              UnboundedFollowing))),
+          "__graft_tot")()
+    }
+    val offWin = Window(offAliases ++ totAliasOpt, Nil,
+      Seq(SortOrder(pidK, Ascending)), agg)
+    val offs = Project(pidKeyAlias.toAttribute +:
+      (offAliases.map(_.toAttribute) ++ totAliasOpt.map(_.toAttribute)),
       offWin)
 
     val joined = Join(win, offs, Inner, Some(EqualTo(pid, pidK)),
@@ -272,6 +287,23 @@ object GlobalRowNumberRewrite extends Rule[LogicalPlan]
           // rank = prefix row count + local rank (IntegerType, as stock)
           Cast(Add(Coalesce(Seq(off, Literal(0L))), Cast(loc, LongType)),
             IntegerType)
+        case NTile(Literal(b: Int, IntegerType)) =>
+          // Spark's ntile: q = cnt div n, r = cnt mod n; the first r
+          // buckets hold q+1 rows. All-long arithmetic from the global
+          // rank; If is lazily evaluated, so the q=0 (cnt < n) case never
+          // divides by zero — every rank lands in the first branch there
+          val rnG = Add(Coalesce(Seq(off, Literal(0L))), Cast(loc, LongType))
+          val tot = totAliasOpt.get.toAttribute
+          val n = Literal(b.toLong)
+          val q = IntegralDivide(tot, n)
+          val r = Pmod(tot, n)
+          val big = Add(q, Literal(1L))
+          val threshold = Multiply(r, big)
+          Cast(If(LessThanOrEqual(rnG, threshold),
+            Add(IntegralDivide(Subtract(rnG, Literal(1L)), big), Literal(1L)),
+            Add(Add(r, IntegralDivide(
+              Subtract(Subtract(rnG, threshold), Literal(1L)), q)),
+              Literal(1L))), IntegerType)
         case aggregate.AggregateExpression(_: Count, _, _, _, _) =>
           Add(Coalesce(Seq(off, Literal(0L))), loc)
         case aggregate.AggregateExpression(_: aggregate.Min, _, _, _, _) =>

@@ -159,6 +159,25 @@ class GlobalRowNumberRewriteSpec extends SparkSpec {
       "rank-limit guard wrongly applied to a running sum")
   }
 
+  test("ntile joins the family: bit-identical buckets, including the " +
+      "cnt < n edge and uneven remainders") {
+    val df = tieHeavy
+      .withColumn("t3", ntile(3).over(Window.orderBy(col("k"), col("id"))))
+      .withColumn("t7", ntile(7).over(Window.orderBy(col("k"), col("id"))))
+    val a = df.queryExecution.optimizedPlan
+    val r = GlobalRowNumberRewrite(a)
+    assert(r ne a, "ntile window did not rewrite")
+    assert(rawGlobalWindows(r) == 0, s"raw global window left:\n$r")
+    assertSameRows(ColumnBridge.ofRows(spark, r), df, "ntile buckets")
+    // cnt < n: every row is its own bucket, no division by zero
+    val tiny = spark.range(4).select(col("id"))
+      .withColumn("t9", ntile(9).over(Window.orderBy(col("id"))))
+    val at = tiny.queryExecution.optimizedPlan
+    val rt = GlobalRowNumberRewrite(at)
+    assert(rt ne at)
+    assertSameRows(ColumnBridge.ofRows(spark, rt), tiny, "ntile cnt<n")
+  }
+
   test("the shared Ranked size gate keeps the stock plan for inputs " +
       "estimated under the threshold") {
     val a = tieHeavy
