@@ -1339,6 +1339,50 @@ object Relational {
           (col("s") - col("peer_s") + col("cents")).as("x_ties"))
     }),
 
+    // §2.15: window-function FILTER clause — DuckDB/Postgres allow
+    // `agg(x) FILTER (WHERE c) OVER w`; Spark only allows FILTER on
+    // GROUP BY aggregates (q_agg_filters). The translation: conditional
+    // projection inside the window aggregate — count FILTER ⇒ running sum
+    // of 0/1 (never NULL: the frame is never empty), sum FILTER ⇒
+    // sum(CASE WHEN c THEN x END) (NULL until the first matching row,
+    // exactly the FILTER semantics). Oracle runs the literal FILTER.
+    "q_window_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("n_buy",
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(w))
+        .withColumn("v_cents",
+          sum(when(col("event_type") === "view", col("cents"))).over(w))
+        .select(col("user_id"), col("event_id"), col("n_buy"),
+          col("v_cents"))
+    }),
+
+    // §2.15: named WINDOW clause — the `WINDOW w AS (...)` SQL sugar both
+    // engines parse; run verbatim on both so a migrating user's window
+    // definitions port untouched.
+    "q_named_window" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT l_orderkey, l_linenumber,
+               rank() OVER w AS rnk,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 OVER w2 AS BIGINT) AS run_cents
+        FROM lineitem
+        WHERE l_orderkey <= 2000
+        WINDOW w  AS (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice, l_orderkey, l_linenumber),
+               w2 AS (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      """)
+    }),
+
     // §2.15: timezone conversion — `convert_timezone` ↔ `AT TIME ZONE`,
     // the one calendar surface q_date_funcs/q_interval_funcs left
     // unpinned. Wall-clock hour in America/New_York (DST-crossing zone)
@@ -2067,6 +2111,28 @@ object Relational {
                   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW
                   EXCLUDE TIES) AS BIGINT) AS x_ties
          FROM grouped""",
+    "q_window_filter" ->
+      """SELECT user_id, event_id,
+                count(*) FILTER (WHERE event_type = 'purchase') OVER w
+                  AS n_buy,
+                CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  FILTER (WHERE event_type = 'view') OVER w AS BIGINT)
+                  AS v_cents
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "q_named_window" ->
+      """SELECT l_orderkey, l_linenumber,
+                rank() OVER w AS rnk,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  OVER w2 AS BIGINT) AS run_cents
+         FROM lineitem
+         WHERE l_orderkey <= 2000
+         WINDOW w  AS (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber),
+                w2 AS (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     "q_timezone" ->
       """SELECT CAST(EXTRACT(hour FROM
                   (ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'))
