@@ -83,14 +83,17 @@ final class ParallelSheetScanner(
   require(threads >= 2, s"ParallelSheetScanner needs >= 2 threads, got $threads")
   import ParallelSheetScanner._
 
+  // DEFAULT OFF: the interleaved A/B (ParseBench foreign mode) measured
+  // the streaming pipeline already at the single-thread INFLATE ceiling
+  // on this class of hardware (track ~600 MB/s ≈ inflate ~650 MB/s, the
+  // two sequential stages pipeline to max ≈ inflate), so moving tracking
+  // into the worker pool only adds competition (0.82-0.96x). The
+  // machinery stays (differential-fuzz-pinned) as the opt-in for
+  // environments where tracking, not inflate, is the floor.
   private val speculative: Boolean =
     segmented == null && (
       if (specTrack != null) specTrack.booleanValue()
-      else sys.props.get("graft.spectrack") match {
-        case Some("always") => true
-        case Some("never") => false
-        case _ => threads >= 4
-      })
+      else sys.props.get("graft.spectrack").contains("always"))
 
   // futures in submission order; capacity bounds in-flight chunks
   private val queue = new ArrayBlockingQueue[AnyRef](threads * 2)

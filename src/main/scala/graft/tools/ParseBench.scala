@@ -90,5 +90,33 @@ object ParseBench {
       println(f"best: ${totalCells / t / 1e6}%.2f M cells/s at $th workers " +
         f"(${t1 / t}%.2fx vs single)")
     }
+    if (foreign) {
+      // controlled A/B of the speculative-tracking producer vs the
+      // sequential-tracker pipeline: both modes INTERLEAVED in this one
+      // JVM (the host's speed oscillates rep to rep — a mode per process
+      // would measure the machine, not the code)
+      println("== speculative-tracking A/B (interleaved) ==")
+      def run1(threads: Int, mode: String): Double = {
+        sys.props("graft.spectrack") = mode
+        try {
+          val wb = new XlsxParser.Workbook(
+            () => new java.io.FileInputStream(tmp), Some(tmp))
+          val t0 = System.nanoTime()
+          val it = wb.rowIterator("xl/worksheets/sheet1.xml", threads)
+          while (it.hasNext) it.next()
+          (System.nanoTime() - t0) / 1e9
+        } finally sys.props.remove("graft.spectrack")
+      }
+      Seq(2, 4, 8).foreach { th =>
+        var bOld, bSpec = Double.MaxValue
+        for (_ <- 1 to reps) {
+          bOld = math.min(bOld, run1(th, "never"))
+          bSpec = math.min(bSpec, run1(th, "always"))
+        }
+        println(f"t=$th: sequential-track ${totalCells / bOld / 1e6}%.2f " +
+          f"M cells/s vs speculative ${totalCells / bSpec / 1e6}%.2f " +
+          f"(${bOld / bSpec}%.2fx)")
+      }
+    }
   }
 }
