@@ -306,6 +306,42 @@ class RankedSpec extends SparkSpec {
     } finally spark.conf.set(Ranked.SmallBytesKey, "0")
   }
 
+  test("every Ranked entry point shares ONE range exchange on a " +
+      "PRUNING-PRONE frame (extra columns the offsets branch never " +
+      "references) — the r13 padding fix, pinned where it matters") {
+    // columns beyond the sort/value: without the exchange-identity pad,
+    // ColumnPruning narrows the offsets branch below its exchange and the
+    // two RangePartitioners sample boundaries independently
+    val wide = li.withColumn("extra1", col("cents") * 3)
+      .withColumn("extra2", concat(col("l_returnflag"), lit("x")))
+    def pinOneRangeExchange(df: org.apache.spark.sql.DataFrame,
+        hint: String): Unit = {
+      df.collect()
+      val plan = PlanChecks.finalPlan(df).toString
+        .split("== Initial Plan ==")(0)
+      val fresh = plan.linesIterator.count(l =>
+        l.contains("Exchange rangepartitioning") &&
+          !l.contains("ReusedExchange"))
+      val reused = plan.linesIterator.count(l =>
+        l.contains("ReusedExchange") && l.contains("rangepartitioning"))
+      assert(fresh == 1, s"$hint: $fresh materialized range exchanges:\n$plan")
+      assert(reused >= 1, s"$hint: offsets branch lost ReuseExchange:\n$plan")
+    }
+    val sort = Seq(col("cents").asc, col("l_orderkey").asc,
+      col("l_linenumber").asc)
+    pinOneRangeExchange(
+      Ranked.withGlobalRowNumber(wide, "rn", sort), "withGlobalRowNumber")
+    pinOneRangeExchange(
+      Ranked.withGlobalRunningSum(wide, "run", col("cents"), sort),
+      "withGlobalRunningSum")
+    pinOneRangeExchange(
+      Ranked.withGroupRowNumber(wide, "rn", "l_returnflag", sort),
+      "withGroupRowNumber")
+    pinOneRangeExchange(
+      Ranked.withStrictPrecedingMax(wide, "m", col("cents"),
+        col("l_orderkey")), "withStrictPrecedingMax")
+  }
+
   test("Ranked's two branches share ONE range exchange (ReuseExchange) — " +
       "the partition-id agreement the offsets arithmetic rests on") {
     val df = graft.SparkEntry.queries("q_trimmed_mean")(spark, sf)
