@@ -1383,6 +1383,21 @@ object Relational {
       """)
     }),
 
+    // §2.15: COLUMNS(*) star-expressions — DuckDB applies one aggregate
+    // to EVERY column with a rename lambda (`min(COLUMNS(*)) AS
+    // "min_\0"`); Spark's twin is a programmatic map over df.columns.
+    // The translation a migrating user needs for per-column profiling
+    // one-liners; q_profile_full owns the deep version.
+    "q_columns_star" -> ((s, dir) => {
+      val df = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_size").cast("long").as("p_size"),
+          round(col("p_retailprice") * 100).cast("long").as("cents"))
+      val aggs = df.columns.map(c => min(col(c)).as(s"min_$c")) ++
+        df.columns.map(c => max(col(c)).as(s"max_$c"))
+      df.agg(aggs.head, aggs.tail: _*)
+    }),
+
     // §2.15: timezone conversion — `convert_timezone` ↔ `AT TIME ZONE`,
     // the one calendar surface q_date_funcs/q_interval_funcs left
     // unpinned. Wall-clock hour in America/New_York (DST-crossing zone)
@@ -2133,6 +2148,14 @@ object Relational {
                 w2 AS (PARTITION BY l_returnflag
                        ORDER BY l_extendedprice, l_orderkey, l_linenumber
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "q_columns_star" ->
+      """WITH base AS (
+           SELECT p_partkey, p_name, p_brand,
+                  CAST(p_size AS BIGINT) AS p_size,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+           FROM part)
+         SELECT min(COLUMNS(*)) AS "min_\0", max(COLUMNS(*)) AS "max_\0"
+         FROM base""",
     "q_timezone" ->
       """SELECT CAST(EXTRACT(hour FROM
                   (ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'))
