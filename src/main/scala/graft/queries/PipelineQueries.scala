@@ -831,6 +831,49 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextOps.redact(col("text")).as("redacted"))),
 
+    // §2.5: HTML boilerplate strip — the first hop of every web-corpus
+    // (Common-Crawl-style) ingest: drop tags, decode the escaped
+    // ampersand entity, collapse whitespace. The synthetic documents
+    // carry no markup, so the face wraps each doc in a deterministic
+    // HTML shell first — the strip then has real tags/entities to
+    // remove and the round-trip is oracle-checkable. Map-only, all
+    // codegen'd regexp_replace; pins Spark's global-by-default
+    // regexp_replace against DuckDB's explicit 'g' flag.
+    "txt_strip_html" -> ((s, dir) => {
+      val html = concat(
+        lit("<div id=\"d"), col("doc_id").cast("string"),
+        lit("\"><h1>"), upper(col("source")),
+        lit("</h1>\n<p class=\"body\">"), col("text"),
+        lit(" &amp; more</p>\n<br/></div>"))
+      val clean = trim(regexp_replace(regexp_replace(regexp_replace(
+        html, "<[^>]*>", " "), "&amp;", "&"), "\\s+", " "))
+      docs(s, dir).select(col("doc_id"), clean.as("clean"),
+        length(clean).cast("long").as("clean_chars"))
+    }),
+
+    // §2.5: URL parsing — domain/path/query extraction feeds
+    // per-domain capping (pipeline_domain_cap) and provenance tracking
+    // in every web-scale pipeline. Spark's side is the native
+    // codegen'd `parse_url` (java.net.URI semantics); DuckDB has no
+    // URL family, so the oracle pins the regexp translation a
+    // migrating user needs in reverse. URLs are fabricated
+    // deterministically from document fields (the corpus itself is
+    // markup-free synthetic text).
+    "txt_url_parse" -> ((s, dir) => {
+      val url = concat(
+        lit("https://"), col("source"), lit(".example.com:8443/"),
+        col("lang"), lit("/doc/"), col("doc_id").cast("string"),
+        lit("?page="), (col("n_chars") % 7).cast("string"),
+        lit("&ref=home#s2"))
+      docs(s, dir).select(
+        col("doc_id"),
+        parse_url(url, lit("PROTOCOL")).as("proto"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY"), lit("page")).as("page"),
+        parse_url(url, lit("REF")).as("frag"))
+    }),
+
     // §2.5: repetition signals — duplicate-token and duplicate-line shares
     "txt_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
 
@@ -2227,6 +2270,41 @@ object PipelineQueries {
     "txt_redact" ->
       s"""SELECT doc_id, ${TextOps.redactSql("text")} AS redacted
          FROM documents""",
+    // DuckDB regexp_replace is first-match-only unless the 'g' flag is
+    // passed — Spark's is global by default; this face pins that
+    // translation trap. replace() (non-regex) is global on both.
+    "txt_strip_html" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  '<div id="d' || doc_id || '"><h1>' || upper(source) ||
+                  '</h1>' || chr(10) || '<p class="body">' || text ||
+                  ' &amp; more</p>' || chr(10) || '<br/></div>' AS html
+           FROM documents)
+         SELECT doc_id,
+                trim(regexp_replace(replace(
+                  regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                  '&amp;', '&'), '\s+', ' ', 'g')) AS clean,
+                CAST(length(trim(regexp_replace(replace(
+                  regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                  '&amp;', '&'), '\s+', ' ', 'g'))) AS BIGINT) AS clean_chars
+         FROM h""",
+    // DuckDB has no parse_url family — the oracle is the regexp
+    // translation (the same spelling a DuckDB user migrating TO Spark
+    // replaces with the native, codegen'd parse_url).
+    "txt_url_parse" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  'https://' || source || '.example.com:8443/' || lang ||
+                  '/doc/' || doc_id || '?page=' || (n_chars % 7) ||
+                  '&ref=home#s2' AS url
+           FROM documents)
+         SELECT doc_id,
+                regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+                regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+                regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+                regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page,
+                regexp_extract(url, '#(.*)$', 1) AS frag
+         FROM u""",
     // BPE check: DuckDB independently recomputes the corpus word
     // accounting (the same \S+ pre-tokenization as txt_tokens) and
     // hard-codes encode_ok — Spark's side computes it for real

@@ -363,6 +363,47 @@ object Relational {
           expr("CAST(instr(c_name, '#') AS BIGINT)").as("hash_pos"))
     }),
 
+    // §2.2: printf-style formatting — report/label generation.
+    // Spark `format_string` and DuckDB `printf` share C printf
+    // semantics for %s / zero-padded %d / %x (both lowercase hex via
+    // the same conversion), so the translation is spelling-only.
+    // Integer conversions only: %f rounding is engine-library-defined
+    // (Java HALF_UP vs fmt round-half-even) and belongs to the
+    // decimal-cast discipline every agg face already follows.
+    "q_format_funcs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .filter($"o_orderkey" <= 1000)
+        .select(
+          $"o_orderkey",
+          format_string("ORD-%08d", $"o_orderkey").as("order_tag"),
+          format_string("%s/%d", $"o_orderpriority",
+            year($"o_orderdate")).as("prio_year"),
+          lower(hex($"o_orderkey")).as("key_hex"),
+          format_string("%x", $"o_custkey").as("cust_hex"),
+          concat(expr("repeat('#', CAST(o_orderkey % 5 AS INT) + 1)"),
+            lit("|")).as("bar"))
+    }),
+
+    // §2.2: scalar bitwise surface — shifts, and/or/xor/not, popcount.
+    // (q_argminmax owns the bitwise AGGREGATES; these are the scalar
+    // ops.) Both engines define them on BIGINT two's complement, so
+    // results are exact integers.
+    "q_bitwise_funcs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .filter($"o_orderkey" <= 1000)
+        .select(
+          $"o_orderkey",
+          shiftleft($"o_orderkey", 3).as("shl3"),
+          shiftright($"o_orderkey", 2).as("shr2"),
+          ($"o_orderkey".bitwiseAND($"o_custkey")).as("k_and"),
+          ($"o_orderkey".bitwiseOR($"o_custkey")).as("k_or"),
+          ($"o_orderkey".bitwiseXOR($"o_custkey")).as("k_xor"),
+          expr("~o_orderkey").as("k_not"),
+          expr("CAST(bit_count(o_orderkey) AS BIGINT)").as("popcnt"))
+    }),
+
     // §2.2 #32: date/time bucketing on the events stream table
     "q_time_bucket" -> ((s, dir) => {
       import s.implicits._
@@ -1606,6 +1647,29 @@ object Relational {
                 repeat(substring(c_mktsegment, 1, 2), 3) AS seg_rep,
                 CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos
          FROM customer""",
+    // printf ↔ format_string; DuckDB hex() is uppercase and Spark's is
+    // too, but %x is lowercase on both — the face pins both spellings
+    "q_format_funcs" ->
+      """SELECT o_orderkey,
+                printf('ORD-%08d', o_orderkey) AS order_tag,
+                printf('%s/%d', o_orderpriority,
+                       EXTRACT(year FROM o_orderdate)) AS prio_year,
+                lower(hex(o_orderkey)) AS key_hex,
+                printf('%x', o_custkey) AS cust_hex,
+                repeat('#', CAST(o_orderkey % 5 AS INT) + 1) || '|' AS bar
+         FROM orders WHERE o_orderkey <= 1000""",
+    // infix operators in DuckDB (<< >> & | xor() ~) ↔ named functions
+    // in the Spark DataFrame API; semantics identical on BIGINT
+    "q_bitwise_funcs" ->
+      """SELECT o_orderkey,
+                o_orderkey << 3 AS shl3,
+                o_orderkey >> 2 AS shr2,
+                o_orderkey & o_custkey AS k_and,
+                o_orderkey | o_custkey AS k_or,
+                xor(o_orderkey, o_custkey) AS k_xor,
+                ~o_orderkey AS k_not,
+                CAST(bit_count(o_orderkey) AS BIGINT) AS popcnt
+         FROM orders WHERE o_orderkey <= 1000""",
     "q_time_bucket" ->
       """SELECT date_trunc('day', ts) AS day, event_type,
                 count(*) AS n_events,
