@@ -81,6 +81,36 @@ object Packing {
   def mixtureSample(docs: DataFrame, thresholdHex: Column): DataFrame =
     docs.filter(substring(md5(col("text")), 1, 4) < thresholdHex)
 
+  /** Deterministic FRACTIONAL upsampling — "2.5 epochs of the high-quality
+    * source": every doc gets floor(factor) full copies, and a
+    * content-hash-selected frac(factor) share gets one more, so the
+    * expected stratum size is exactly factor × n with zero RNG state and
+    * engine-identical row sets. The companion of [[mixtureSample]]
+    * (downsampling) — together they implement an arbitrary per-source
+    * mixture weight ≥ 0. Output carries an `epoch` column (0-based copy
+    * index) so a downstream shard shuffle can interleave epochs instead of
+    * replaying them back-to-back.
+    *
+    * Exactness contract (same discipline as the temperature face): factor
+    * must be a dyadic-rational expression (x.5, x.25, …) — floor is exact,
+    * the fractional part is exact, ×65536 is a power of two, and the
+    * 4-hex-digit threshold compare is the shared mixtureSample idiom.
+    * Scale shape: map-only projection + explode; no shuffle, no state —
+    * output size is the only cost, which is the point of the operator. */
+  def upsample(docs: DataFrame, factor: Column): DataFrame = {
+    val whole = floor(factor).cast("int")
+    val fracTh = lpad(lower(hex(
+      floor((factor - floor(factor)) * lit(65536.0)).cast("long"))), 4, "0")
+    val extra = when(substring(md5(col("text")), 1, 4) < fracTh, 1)
+      .otherwise(0)
+    docs
+      .withColumn("__copies", whole + extra)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Exactly `n` documents per stratum (e.g. per source), chosen by
     * deterministic content-hash rank — reproducible across runs and
     * engines, no RNG state. The rank window partitions by the stratum, so

@@ -1241,6 +1241,25 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).cast("long").as("kept_chars"))),
 
+    // §2.14: deterministic fractional UPSAMPLING — the other half of
+    // mixture construction: high-quality sources repeat for >1 epoch
+    // ("2.5 epochs of wiki"), junk sources shrink below 1. The factor
+    // derives from the source index so it generalizes across SF dirs
+    // (src0, src4, … → 2.5 epochs; src1, src5 → 1.25; src2, src6 →
+    // 0.5; rest → 1.0 — all dyadic, so the hash-threshold arithmetic
+    // is engine-exact). Per (source, epoch) accounting proves both the
+    // whole-copy replication and the hash-selected fractional share.
+    "pipeline_upsample" -> ((s, dir) => {
+      val factor = expr(
+        """CASE CAST(substring(source, 4) AS INT) % 4
+             WHEN 0 THEN 2.5 WHEN 1 THEN 1.25 WHEN 2 THEN 0.5
+             ELSE 1.0 END""").cast("double")
+      graft.operators.Packing.upsample(docs(s, dir), factor)
+        .groupBy(col("source"), col("epoch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
     // §2.14: TEMPERATURE-weighted mixture — the multilingual sampling
     // trick (rate_s ∝ n_s^α, here α = 1/2): big sources downweight, small
     // sources upweight, keeping a corpus from being swamped by its largest
@@ -2705,6 +2724,32 @@ object PipelineQueries {
          FROM documents
          WHERE substr(md5(text), 1, 4) < substr(md5(source), 1, 4)
          GROUP BY 1""",
+    // count(*) on both sides is per (source, epoch): whole copies give
+    // identical group sizes per epoch < floor(factor); the top epoch is
+    // the hash-selected fractional share
+    "pipeline_upsample" ->
+      """WITH f AS (
+           SELECT *,
+                  CASE CAST(substring(source, 4) AS INT) % 4
+                    WHEN 0 THEN 2.5 WHEN 1 THEN 1.25 WHEN 2 THEN 0.5
+                    ELSE 1.0 END AS factor
+           FROM documents),
+         c AS (
+           SELECT *,
+             CAST(floor(factor) AS INT) +
+             CASE WHEN substr(md5(text), 1, 4) <
+               lower(lpad(to_hex(CAST(floor((factor - floor(factor))
+                 * 65536.0) AS BIGINT)), 4, '0'))
+             THEN 1 ELSE 0 END AS n_copies
+           FROM f),
+         x AS (
+           SELECT source, n_chars,
+                  unnest(generate_series(0, n_copies - 1)) AS epoch
+           FROM c WHERE n_copies > 0)
+         SELECT source, CAST(epoch AS INT) AS epoch,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM x GROUP BY 1, 2""",
     "pipeline_mixture_temp" ->
       """WITH c AS (
            SELECT source, CAST(count(*) AS BIGINT) AS n

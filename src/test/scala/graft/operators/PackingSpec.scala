@@ -92,6 +92,31 @@ class PackingSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("upsample: whole copies exact, fractional share hash-selected, epoch indexed") {
+    val docs = (1 to 2000).map(i => (i.toLong, s"document body $i")).toDF("doc_id", "text")
+    // factor 2.5: every doc twice (epochs 0,1), ~half a third time (epoch 2)
+    val up = Packing.upsample(docs, lit(2.5)).cache()
+    val byEpoch = up.groupBy("epoch").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byEpoch(0) == 2000 && byEpoch(1) == 2000, s"got $byEpoch")
+    assert(math.abs(byEpoch(2) - 1000) < 120, s"~half expected, got ${byEpoch(2)}") // hash-uniform
+    assert(byEpoch.keySet == Set(0, 1, 2))
+    // epoch 0 is exactly the input; the fractional epoch is the
+    // mixtureSample row set at the same threshold (shared hash idiom)
+    assert(up.filter(col("epoch") === 0).select("doc_id")
+      .except(docs.select("doc_id")).isEmpty)
+    val frac = up.filter(col("epoch") === 2).select("doc_id")
+    val mix = Packing.mixtureSample(docs, lit("8000")).select("doc_id")
+    assert(frac.except(mix).isEmpty && mix.except(frac).isEmpty)
+    up.unpersist()
+    // factor < 1 downsamples; factor 0 drops everything; integer factor
+    // has no fractional epoch
+    assert(Packing.upsample(docs, lit(0.5)).groupBy("epoch").count()
+      .collect().map(_.getInt(0)).toSet == Set(0))
+    assert(Packing.upsample(docs, lit(0.0)).count() == 0)
+    assert(Packing.upsample(docs, lit(2.0)).count() == 4000)
+  }
+
   test("budgetTrim fills each stratum to the token budget, crossing doc kept") {
     val docs = (1 to 100).map { i =>
       (i.toLong, s"src${i % 2}", (1 to 10).map(j => s"t$j").mkString(" ")) // 10 tokens each
