@@ -14,9 +14,15 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * (range-repartition on the sort, per-partition locals keyed on
   * `spark_partition_id()`, an nPart-row exclusive-prefix of per-partition
   * totals broadcast back; prefixes combine via Sum for ranks/sums/counts
-  * and Min/Max for the extrema). The user writes the natural window
+  * and Min/Max for the extrema), and the RANK family —
+  * `rank`/`dense_rank`/`percent_rank`/`cume_dist` — into the DISTINCT-KEY
+  * decomposition ([[rewriteRank]]): per-key counts reduce first, the
+  * unique-key table runs the same prefix machinery, a null-safe equi-join
+  * folds the per-key answer back. The user writes the natural window
   * query; the plan that runs never sorts corpus-proportional rows in one
-  * task.
+  * task. (A window MIXING the two families — e.g. `rank` and
+  * `row_number` over one spec — keeps the stock plan: the two plan
+  * shapes don't compose in a single rewrite.)
   *
   * Deliberately NARROW (the optimizer-rule safety posture):
   *  - only windows whose every expression is `row_number()` with the
@@ -151,6 +157,45 @@ object GlobalRowNumberRewrite extends Rule[LogicalPlan]
     case _ => false
   }
 
+  /** The RANK family — `rank` / `dense_rank` / `percent_rank` /
+    * `cume_dist`. These are functions of the sort KEY alone (peers share
+    * the answer), which is both why the pid-prefix machinery of
+    * [[rewrite]] cannot serve them (the exchange-identity pad splits tie
+    * groups across partitions, and a split tie group loses its peers'
+    * contribution) and why the DISTINCT-KEY decomposition of
+    * [[rewriteRank]] can: per-key counts reduce first, unique keys cannot
+    * straddle a range boundary, and an equi-join folds the per-key answer
+    * back. Each must carry the function's own analyzer-assigned frame. */
+  private def supportedRankExpr(w: Window)(e: NamedExpression): Boolean =
+    e match {
+      case Alias(WindowExpression(fn: WindowFunction,
+          WindowSpecDefinition(Nil, os, f)), _)
+          if os == w.orderSpec && f == fn.frame =>
+        fn match {
+          case _: Rank | _: DenseRank | _: PercentRank | _: CumeDist => true
+          case _ => false
+        }
+      case _ => false
+    }
+
+  /** rank()/dense_rank() feeding a small `<= k` filter is the same
+    * WindowGroupLimit top-k idiom as row_number (InferWindowGroupLimit
+    * serves all three); percent_rank/cume_dist emit doubles and never
+    * form it. */
+  private def isRankTopKExpr(e: NamedExpression): Boolean = e match {
+    case Alias(WindowExpression(_: Rank | _: DenseRank, _), _) => true
+    case _ => false
+  }
+
+  private def rewritableRank(w: Window, limited: Set[ExprId]): Boolean =
+    w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+      w.orderSpec.forall(_.child.deterministic) && !ndSortBelow(w) &&
+      w.windowExpressions.nonEmpty &&
+      w.windowExpressions.forall(supportedRankExpr(w)) &&
+      !guarded(w.child) &&
+      !w.windowExpressions.exists(e =>
+        limited.contains(e.exprId) && isRankTopKExpr(e))
+
   private def rewritable(w: Window, limited: Set[ExprId]): Boolean =
     w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
       w.orderSpec.forall(_.child.deterministic) && !ndSortBelow(w) &&
@@ -177,6 +222,8 @@ object GlobalRowNumberRewrite extends Rule[LogicalPlan]
     plan.transformUp {
       case w: Window if rewritable(w, limited) &&
           w.child.stats.sizeInBytes > smallBytes => rewrite(w)
+      case w: Window if rewritableRank(w, limited) &&
+          w.child.stats.sizeInBytes > smallBytes => rewriteRank(w)
     }
   }
 
@@ -322,5 +369,130 @@ object GlobalRowNumberRewrite extends Rule[LogicalPlan]
         explicitMetadata = Some(a.metadata))
     }
     Project(w.child.output ++ outExprs, joined)
+  }
+
+  /** The rank family via the DISTINCT-KEY decomposition (the
+    * `Ranked.withStrictPrecedingMax` shape): rank/dense_rank/percent_rank/
+    * cume_dist are functions of the sort key alone, so
+    *   1. per-key row counts reduce first — ONE map-side-combinable hash
+    *      shuffle; the corpus itself never range-shuffles;
+    *   2. the unique-key table runs the pid-prefix machinery (unique keys
+    *      cannot straddle a range boundary, so peers never split — the
+    *      property the pid path cannot offer under the exchange-identity
+    *      pad), producing per-key rank (exclusive row prefix + 1),
+    *      dense rank (key prefix count), and the global total for the
+    *      ratio forms;
+    *   3. a null-safe equi-join on the sort keys folds the per-key answer
+    *      back onto the corpus (AQE broadcasts the key table when small).
+    * The ratio forms replicate the stock evaluateExpression arithmetic
+    * exactly — percent_rank = (rank-1)/(N-1) guarded by N>1, cume_dist =
+    * rows≤key / N, both as double divisions of longs — so results are
+    * bit-identical, not merely close. */
+  private def rewriteRank(w: Window): LogicalPlan = {
+    val nPart = conf.numShufflePartitions
+    val os = w.orderSpec
+    def freshAgg(af: aggregate.AggregateFunction) =
+      aggregate.AggregateExpression(af, aggregate.Complete,
+        isDistinct = false, filter = None, NamedExpression.newExprId)
+
+    // 1. distinct-key counts (duplicate sort expressions dedup via the
+    // grouping key list; aliases keep one attribute per sort position)
+    val keyAliases = os.zipWithIndex.map { case (so, i) =>
+      Alias(so.child, s"__graft_k$i")()
+    }
+    val cntAlias = Alias(freshAgg(Count(Seq(Literal(1)))), "__graft_kc")()
+    val keys = Aggregate(os.map(_.child), keyAliases :+ cntAlias, w.child)
+    val kAttrs = keyAliases.map(_.toAttribute)
+    val cnt = cntAlias.toAttribute
+
+    // 2. range-partition the unique keys in the caller's own order
+    // (direction AND null ordering preserved); cnt rides the keys as the
+    // exchange-identity pad so ColumnPruning cannot narrow either branch
+    // below the shared exchange. Keys are unique, so the pad is vacuous
+    // for ordering semantics.
+    val keySort = kAttrs.zip(os).map { case (a, so) =>
+      SortOrder(a, so.direction, so.nullOrdering, Seq.empty)
+    }
+    val ranged = RepartitionByExpression(
+      keySort :+ SortOrder(cnt, Ascending), keys, Some(nPart))
+    val pidAlias = Alias(SparkPartitionID(), "__graft_pid")()
+    val proj = Project(keys.output :+ pidAlias, ranged)
+    val pid = pidAlias.toAttribute
+
+    val rowsFrame =
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    // per-pid locals over the unique-key table: local key index (dense)
+    // and INCLUSIVE running row count (rank/ratio forms)
+    val locRn = Alias(WindowExpression(RowNumber(),
+      WindowSpecDefinition(Seq(pid), keySort, rowsFrame)), "__graft_lrn")()
+    val locSum = Alias(WindowExpression(freshAgg(Sum(cnt)),
+      WindowSpecDefinition(Seq(pid), keySort, rowsFrame)), "__graft_lsum")()
+    val win = Window(Seq(locRn, locSum), Seq(pid), keySort, proj)
+
+    // offsets branch: per-pid key count + row count off the SAME proj
+    // subtree (one reused range exchange), exclusive prefixes plus the
+    // grand row total over the nPart-row table
+    val pidKeyAlias = Alias(pid, "__graft_pidk")()
+    val tnAlias = Alias(freshAgg(Count(Seq(Literal(1)))), "__graft_tn")()
+    val tsAlias = Alias(freshAgg(Sum(cnt)), "__graft_ts")()
+    val agg = Aggregate(Seq(pid), Seq(pidKeyAlias, tnAlias, tsAlias), proj)
+    val pidK = pidKeyAlias.toAttribute
+    val exclFrame =
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1))
+    val fullFrame =
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
+    def offWinExpr(src: Attribute, f: WindowFrame, name: String) =
+      Alias(WindowExpression(freshAgg(Sum(src)),
+        WindowSpecDefinition(Nil, Seq(SortOrder(pidK, Ascending)), f)),
+        name)()
+    val offNAlias = offWinExpr(tnAlias.toAttribute, exclFrame, "__graft_offn")
+    val offSAlias = offWinExpr(tsAlias.toAttribute, exclFrame, "__graft_offs")
+    val totAlias = offWinExpr(tsAlias.toAttribute, fullFrame, "__graft_tot")
+    val offWin = Window(Seq(offNAlias, offSAlias, totAlias), Nil,
+      Seq(SortOrder(pidK, Ascending)), agg)
+    val offs = Project(Seq(pidK, offNAlias.toAttribute,
+      offSAlias.toAttribute, totAlias.toAttribute), offWin)
+
+    val pidJoin = Join(win, offs, Inner, Some(EqualTo(pid, pidK)),
+      JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+
+    // per-key answers (all-long arithmetic; ratio forms divide as double
+    // exactly like the stock evaluateExpression)
+    val offN = Coalesce(Seq(offNAlias.toAttribute, Literal(0L)))
+    val offS = Coalesce(Seq(offSAlias.toAttribute, Literal(0L)))
+    val rowsLe = Add(offS, locSum.toAttribute) // rows with key <= current
+    val rankL = Add(Subtract(rowsLe, cnt), Literal(1L))
+    val total = totAlias.toAttribute
+    val dbl = org.apache.spark.sql.types.DoubleType
+    val valAliases = w.windowExpressions.zipWithIndex.map { case (a: Alias, i) =>
+      val merged: Expression =
+        a.child.asInstanceOf[WindowExpression].windowFunction match {
+          case _: Rank => Cast(rankL, IntegerType)
+          case _: DenseRank =>
+            Cast(Add(offN, Cast(locRn.toAttribute, LongType)), IntegerType)
+          case _: PercentRank =>
+            If(GreaterThan(total, Literal(1L)),
+              Divide(Cast(Subtract(rankL, Literal(1L)), dbl),
+                Cast(Subtract(total, Literal(1L)), dbl)),
+              Literal(0.0d))
+          case _: CumeDist =>
+            Divide(Cast(rowsLe, dbl), Cast(total, dbl))
+        }
+      Alias(merged, s"__graft_v$i")()
+    }
+    val keyResult = Project(kAttrs ++ valAliases, pidJoin)
+
+    // 3. fold back: null-safe equi-join on the sort keys (NULL keys are
+    // ordering peers and grouped peers alike)
+    val cond = kAttrs.zip(os).map { case (ka, so) =>
+      EqualNullSafe(so.child, ka): Expression
+    }.reduce(And(_, _))
+    val back = Join(w.child, keyResult, Inner, Some(cond), JoinHint(None, None))
+    val outExprs = w.windowExpressions.zip(valAliases).map {
+      case (a: Alias, v) =>
+        Alias(v.toAttribute, a.name)(exprId = a.exprId,
+          qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
+    }
+    Project(w.child.output ++ outExprs, back)
   }
 }

@@ -178,6 +178,74 @@ class GlobalRowNumberRewriteSpec extends SparkSpec {
     assertSameRows(ColumnBridge.ofRows(spark, rt), tiny, "ntile cnt<n")
   }
 
+  test("rank family: rank/dense_rank/percent_rank/cume_dist rewrite to " +
+      "the distinct-key plan, bit-identical on tie-heavy data") {
+    // 7 heavy tie groups over 4 partitions: every range boundary lands
+    // INSIDE a tie group on the raw data — exactly the case the pid-prefix
+    // machinery cannot serve and the distinct-key decomposition must
+    val df = tieHeavy
+      .withColumn("r", rank().over(Window.orderBy(col("k"))))
+      .withColumn("dr", dense_rank().over(Window.orderBy(col("k"))))
+      .withColumn("pr", percent_rank().over(Window.orderBy(col("k"))))
+      .withColumn("cd", cume_dist().over(Window.orderBy(col("k"))))
+    val a = df.queryExecution.optimizedPlan
+    val r = GlobalRowNumberRewrite(a)
+    assert(r ne a, "rank-family window did not rewrite")
+    assert(rawGlobalWindows(r) == 0, s"raw global window left:\n$r")
+    assert(GlobalRowNumberRewrite(r) eq r, "rank rewrite is not a fixed point")
+    assertSameRows(ColumnBridge.ofRows(spark, r), df, "rank family")
+    // multi-key sort with DESC + NULLS FIRST and null keys present:
+    // direction, null ordering and null-peer grouping must all survive
+    val dfn = tieHeavy
+      .withColumn("kn", when(col("id") % 5 === 0, col("k")))
+      .withColumn("r", rank().over(Window.orderBy(col("kn").desc_nulls_first,
+        col("v").asc)))
+      .withColumn("cd", cume_dist().over(Window.orderBy(
+        col("kn").desc_nulls_first, col("v").asc)))
+    val an = dfn.queryExecution.optimizedPlan
+    val rn = GlobalRowNumberRewrite(an)
+    assert(rn ne an, "null-keyed rank window did not rewrite")
+    assertSameRows(ColumnBridge.ofRows(spark, rn), dfn, "rank desc/nulls")
+    // the single-row-total edge: percent_rank of one row is 0.0, no 0/0
+    val one = spark.range(1).select(col("id"))
+      .withColumn("pr", percent_rank().over(Window.orderBy(col("id"))))
+    val ao = one.queryExecution.optimizedPlan
+    val ro = GlobalRowNumberRewrite(ao)
+    assert(ro ne ao)
+    assertSameRows(ColumnBridge.ofRows(spark, ro), one, "percent_rank n=1")
+  }
+
+  test("rank-family guards: rank <= k keeps the stock top-k shape, a " +
+      "mixed rank+row_number window keeps the stock plan, partitioned " +
+      "rank windows are untouched") {
+    val base = tieHeavy
+      .withColumn("r", rank().over(Window.orderBy(col("k"), col("id"))))
+    val small = base.filter(col("r") <= 5).queryExecution.analyzed
+    assert(GlobalRowNumberRewrite(small) eq small,
+      "rank top-k idiom must keep the stock (WindowGroupLimit) plan")
+    val big = base.filter(col("r") <= 100000).queryExecution.analyzed
+    assert(GlobalRowNumberRewrite(big) ne big, "large k is not top-k")
+    // percent_rank emits doubles — a `pr <= k` filter is NOT the idiom
+    val prf = tieHeavy
+      .withColumn("pr", percent_rank().over(Window.orderBy(col("k"))))
+      .filter(col("pr") <= lit(1)).queryExecution.analyzed
+    assert(GlobalRowNumberRewrite(prf) ne prf,
+      "a percent_rank filter must not block the rewrite")
+    // mixed family in ONE window spec: the two plan shapes don't compose
+    val mixed = tieHeavy
+      .withColumn("r", rank().over(Window.orderBy(col("k"), col("id"))))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("k"), col("id"))))
+      .queryExecution.optimizedPlan
+    assert(GlobalRowNumberRewrite(mixed) eq mixed,
+      "mixed rank+row_number window must keep the stock plan")
+    val part = tieHeavy
+      .withColumn("r",
+        rank().over(Window.partitionBy(col("k")).orderBy(col("id"))))
+      .queryExecution.optimizedPlan
+    assert(GlobalRowNumberRewrite(part) eq part)
+  }
+
   test("the shared Ranked size gate keeps the stock plan for inputs " +
       "estimated under the threshold") {
     val a = tieHeavy
@@ -272,6 +340,31 @@ class GlobalRowNumberRewriteSpec extends SparkSpec {
       assert(topkPlan.contains("WindowGroupLimit") ||
         topkPlan.contains("TakeOrderedAndProject"), topkPlan)
       assert(topk.collect().map(_.getInt(1)).sorted.sameElements(1 to 5))
+      // the rank family rides the same injection: a user's global rank
+      // runs the distinct-key plan (no raw global window), answers exact
+      val rq = s2.sql(
+        "SELECT k, rank() OVER (ORDER BY k) AS r, " +
+          "cume_dist() OVER (ORDER BY k) AS cd FROM graft_rnr_t")
+      rq.collect()
+      val rqPlan = PlanChecks.finalPlan(rq)
+      assert(PlanChecks.globalWindowsOverRaw(rqPlan) == 0,
+        s"extensions session still planned a raw global rank window:\n$rqPlan")
+      val perK = rq.groupBy(col("k")).agg(min(col("r")).as("r"),
+        countDistinct(col("r")).as("nr"), min(col("cd")).as("cd"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).sortBy(_._1)
+      // 20000 rows, k = id % 7: groups 0..5 have 2858 rows, group 6 has
+      // 2852; rank jumps by group size, cume_dist is the inclusive share
+      var expRank = 1L
+      var cum = 0L
+      perK.foreach { case (k, r, nr, cd) =>
+        val sz = if (k < 20000 % 7) 2858L else 2857L
+        assert(r == expRank, s"k=$k rank $r != $expRank")
+        assert(nr == 1L, s"k=$k: peers must share one rank")
+        cum += sz
+        assert(math.abs(cd - cum.toDouble / 20000.0) < 1e-15, s"k=$k cd=$cd")
+        expRank += sz
+      }
       // and graft's SQL functions rode in through the same extensions
       assert(s2.sql("SELECT nfc_normalize('abc')").collect().head
         .getString(0) == "abc")
