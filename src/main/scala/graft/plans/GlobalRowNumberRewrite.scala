@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Sum}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
@@ -187,6 +187,39 @@ object GlobalRowNumberRewrite extends Rule[LogicalPlan]
     case _ => false
   }
 
+  /** Whole-input frames: `agg(x) OVER ()` (and the explicit
+    * `ROWS/RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING`
+    * spellings, with or without ORDER BY — the frame covers every row, so
+    * order is irrelevant). The share-of-total idiom `x / sum(x) OVER ()`
+    * is the most common global-window scale cliff of all: stock Spark
+    * moves the whole corpus to one task to evaluate a single number. */
+  private def wholeFrame(f: WindowFrame): Boolean = f match {
+    case SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing) =>
+      true
+    case _ => false
+  }
+
+  /** Order-independent aggregates only: first/last/collect change with
+    * tie order; sum/count/min/max/avg. (The analyzer rejects DISTINCT
+    * window functions outright, and FILTER forms carry verbatim into a
+    * scalar Aggregate, so the permissive match on those flags is safe.) */
+  private def supportedGlobalAggExpr(e: NamedExpression): Boolean = e match {
+    case Alias(WindowExpression(
+        aggregate.AggregateExpression(af, _, _, _, _),
+        WindowSpecDefinition(Nil, _, f)), _) if wholeFrame(f) =>
+      af match {
+        case _: Sum | _: Count | _: aggregate.Min | _: aggregate.Max |
+            _: aggregate.Average => af.deterministic
+        case _ => false
+      }
+    case _ => false
+  }
+
+  private def rewritableGlobalAgg(w: Window): Boolean =
+    w.partitionSpec.isEmpty && w.windowExpressions.nonEmpty &&
+      w.windowExpressions.forall(supportedGlobalAggExpr) &&
+      !guarded(w.child)
+
   private def rewritableRank(w: Window, limited: Set[ExprId]): Boolean =
     w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
       w.orderSpec.forall(_.child.deterministic) && !ndSortBelow(w) &&
@@ -224,7 +257,32 @@ object GlobalRowNumberRewrite extends Rule[LogicalPlan]
           w.child.stats.sizeInBytes > smallBytes => rewrite(w)
       case w: Window if rewritableRank(w, limited) &&
           w.child.stats.sizeInBytes > smallBytes => rewriteRank(w)
+      case w: Window if rewritableGlobalAgg(w) &&
+          w.child.stats.sizeInBytes > smallBytes => rewriteGlobalAgg(w)
     }
+  }
+
+  /** `agg(x) OVER (whole-input frame)` → a 1-row scalar Aggregate
+    * broadcast back over a cross join. The aggregate expressions move
+    * VERBATIM (distinct/FILTER included); the single broadcast row makes
+    * the nested-loop join a constant-cost map pass. The input computes
+    * twice (once under the Aggregate, once as the join probe) — the trade
+    * for never moving corpus-proportional rows into one task. Empty input
+    * stays empty (inner join against the 1-row aggregate). */
+  private def rewriteGlobalAgg(w: Window): LogicalPlan = {
+    val aggAliases = w.windowExpressions.zipWithIndex.map { case (a: Alias, i) =>
+      Alias(a.child.asInstanceOf[WindowExpression].windowFunction,
+        s"__graft_ga$i")()
+    }
+    val agg = Aggregate(Nil, aggAliases, w.child)
+    val joined = Join(w.child, agg, Cross, None,
+      JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+    val outExprs = w.windowExpressions.zip(aggAliases).map {
+      case (a: Alias, v) =>
+        Alias(v.toAttribute, a.name)(exprId = a.exprId,
+          qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
+    }
+    Project(w.child.output ++ outExprs, joined)
   }
 
   private def rewrite(w: Window): LogicalPlan = {

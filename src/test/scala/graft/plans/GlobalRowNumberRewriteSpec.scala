@@ -246,6 +246,48 @@ class GlobalRowNumberRewriteSpec extends SparkSpec {
     assert(GlobalRowNumberRewrite(part) eq part)
   }
 
+  test("whole-input frames: agg(x) OVER () rewrites to a broadcast scalar " +
+      "aggregate — bit-identical, including share-of-total and " +
+      "the empty-input edge") {
+    val df = tieHeavy
+      .withColumn("s", sum(col("v")).over(Window.partitionBy()))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("mn", min(col("v")).over(Window.partitionBy()))
+      .withColumn("mx", max(col("v")).over(Window.partitionBy()))
+      .withColumn("av", avg(col("v")).over(Window.partitionBy()))
+      .withColumn("share",
+        col("v") / sum(col("v")).over(Window.partitionBy()))
+    val a = df.queryExecution.optimizedPlan
+    val r = GlobalRowNumberRewrite(a)
+    assert(r ne a, "global-agg window did not rewrite")
+    assert(rawGlobalWindows(r) == 0, s"raw global window left:\n$r")
+    assert(GlobalRowNumberRewrite(r) eq r, "global-agg rewrite not a fixed point")
+    assertSameRows(ColumnBridge.ofRows(spark, r), df, "global aggregates")
+    // the explicit ORDER BY + unbounded..unbounded spelling is the same
+    // whole-input frame
+    val ordered = tieHeavy.withColumn("s", sum(col("v")).over(
+      Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val ao = ordered.queryExecution.optimizedPlan
+    val ro = GlobalRowNumberRewrite(ao)
+    assert(ro ne ao, "ordered whole-frame agg did not rewrite")
+    assertSameRows(ColumnBridge.ofRows(spark, ro), ordered, "ordered whole")
+    // empty input stays empty (stock window of nothing is nothing)
+    val empty = tieHeavy.filter(col("id") < 0)
+      .withColumn("s", sum(col("v")).over(Window.partitionBy()))
+    val ae = empty.queryExecution.analyzed
+    val re = GlobalRowNumberRewrite(ae)
+    assert(re ne ae)
+    assert(ColumnBridge.ofRows(spark, re).count() == 0)
+    // order-dependent aggregates and mixed running+whole frames keep stock
+    val fv = tieHeavy.withColumn("f",
+      first(col("v")).over(Window.orderBy(col("k"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .queryExecution.optimizedPlan
+    assert(GlobalRowNumberRewrite(fv) eq fv,
+      "first_value is tie-order-dependent — must keep the stock plan")
+  }
+
   test("the shared Ranked size gate keeps the stock plan for inputs " +
       "estimated under the threshold") {
     val a = tieHeavy
@@ -365,6 +407,17 @@ class GlobalRowNumberRewriteSpec extends SparkSpec {
         assert(math.abs(cd - cum.toDouble / 20000.0) < 1e-15, s"k=$k cd=$cd")
         expRank += sz
       }
+      // share-of-total — the most common global-window cliff — plans as
+      // a broadcast scalar aggregate under the same injection
+      val sq = s2.sql(
+        "SELECT id, id / sum(id) OVER () AS share FROM graft_rnr_t")
+      sq.collect()
+      val sqPlan = PlanChecks.finalPlan(sq)
+      assert(PlanChecks.globalWindowsOverRaw(sqPlan) == 0,
+        s"share-of-total still planned a raw global window:\n$sqPlan")
+      val tot = 19999.0 * 20000.0 / 2.0
+      val shares = sq.collect()
+      assert(shares.forall(r => r.getDouble(1) == r.getLong(0) / tot))
       // and graft's SQL functions rode in through the same extensions
       assert(s2.sql("SELECT nfc_normalize('abc')").collect().head
         .getString(0) == "abc")
