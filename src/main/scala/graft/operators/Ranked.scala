@@ -206,6 +206,92 @@ object Ranked {
       .drop(PID, "__rk_run", "__rk_off")
   }
 
+  /** Global `lag` (n > 0 looks back) / `lead` (pass [[withGlobalLead]])
+    * over the `sort` order, as `out`; `default` fills where the offset row
+    * does not exist (exactly SQL's `lag(value, n, default)`).
+    *
+    * Offset functions are the one global-window family the
+    * [[graft.plans.GlobalRowNumberRewrite]] optimizer rule deliberately
+    * does NOT rewrite: they are tie-order-SENSITIVE (a different tie
+    * resolution changes the output value multiset, not just which peer
+    * gets which label), so silently re-planning a user's query could
+    * change observable results on tied data. This explicit operator is
+    * the honest surface — callers pass a TOTAL `sort` order.
+    *
+    * Shape: one range shuffle (the shared [[parted]] machinery), a local
+    * per-partition lag, and a BOUNDARY FIX for the first/last n rows of
+    * each partition: any row within n global positions of a
+    * later-partition row is within the last n rows of its own partition,
+    * so the fix table (rows within n of either partition edge, keyed by
+    * the global position they supply) is at most 2·n·nPart rows —
+    * broadcast, never a corpus self-join. Keep n far below the expected
+    * partition size: the fix table grows with n (at n ≳ rows/nPart every
+    * row is boundary and the broadcast degenerates to the corpus). */
+  def withGlobalLag(df: DataFrame, out: String, value: Column, n: Int,
+      default: Column, sort: Seq[Column], nPart: Int = 0): DataFrame =
+    withGlobalOffset(df, out, value, -n, default, sort, nPart)
+
+  /** Global `lead(value, n, default)` — see [[withGlobalLag]]. */
+  def withGlobalLead(df: DataFrame, out: String, value: Column, n: Int,
+      default: Column, sort: Seq[Column], nPart: Int = 0): DataFrame =
+    withGlobalOffset(df, out, value, n, default, sort, nPart)
+
+  private def withGlobalOffset(df: DataFrame, out: String, value: Column,
+      offset: Int, default: Column, sort: Seq[Column], nPart: Int): DataFrame = {
+    if (offset == 0) return df.withColumn(out, value)
+    val k = math.abs(offset)
+    def merged(loc: Column, inRange: Column): Column =
+      when(inRange, loc).otherwise(default)
+    def stockWin(w: org.apache.spark.sql.expressions.WindowSpec)
+        : (Column, Column, Column) = {
+      val loc = if (offset < 0) lag(value, k).over(w.orderBy(sort: _*))
+        else lead(value, k).over(w.orderBy(sort: _*))
+      val rn = row_number().over(w.orderBy(sort: _*)).cast("long")
+      val cnt = count(lit(1)).over(w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+      (loc, rn, cnt)
+    }
+    if (!rankedSafe(df)) {
+      val (loc, rn, cnt) = stockWin(Window.partitionBy())
+      val inRange = if (offset < 0) rn > k else rn <= cnt - k
+      return df.withColumn(out, merged(loc, inRange))
+    }
+    if (small(df)) {
+      val base = df.withColumn(SMALL, smallKey(df))
+      val (loc, rn, cnt) = stockWin(Window.partitionBy(col(SMALL)))
+      val inRange = if (offset < 0) rn > k else rn <= cnt - k
+      return base.withColumn(out, merged(loc, inRange)).drop(SMALL)
+    }
+    val p = parted(df, sort, nPart)
+    val w = Window.partitionBy(col(PID)).orderBy(sort: _*)
+    val base = p
+      .withColumn("__rk_loc",
+        if (offset < 0) lag(value, k).over(w) else lead(value, k).over(w))
+      .withColumn("__rk_j", row_number().over(w).cast("long"))
+    // per-pid counts + exclusive prefix: global position and tail index
+    val offs = p.groupBy(col(PID)).agg(count(lit(1)).as("__rk_n"))
+      .withColumn("__rk_off", coalesce(
+        exclusivePrefix(sum)(col("__rk_n")), lit(0L)))
+      .select(col(PID), col("__rk_n"), col("__rk_off"))
+    val g = base.join(broadcast(offs), Seq(PID))
+      .withColumn("__rk_g", col("__rk_off") + col("__rk_j"))
+      .withColumn("__rk_jd", col("__rk_n") - col("__rk_j") + 1L)
+    // boundary rows as SUPPLIERS: each posts its value at the global
+    // position it serves (g - offset); __rk_hit distinguishes a real NULL
+    // value from a join miss (miss ⇔ the offset row does not exist)
+    val fixes = g.filter(col("__rk_j") <= k || col("__rk_jd") <= k)
+      .select((col("__rk_g") - offset).as("__rk_tg"),
+        value.as("__rk_fv"), lit(true).as("__rk_hit"))
+    val need =
+      if (offset < 0) col("__rk_j") <= k else col("__rk_jd") <= k
+    g.join(broadcast(fixes), col("__rk_g") === col("__rk_tg"), "left")
+      .withColumn(out, when(need,
+        when(col("__rk_hit").isNotNull, col("__rk_fv")).otherwise(default))
+        .otherwise(col("__rk_loc")))
+      .drop(PID, "__rk_loc", "__rk_j", "__rk_jd", "__rk_n", "__rk_off",
+        "__rk_g", "__rk_tg", "__rk_fv", "__rk_hit")
+  }
+
   /** MAX of `value` over all rows whose `orderKey` is STRICTLY smaller
     * (the `RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING` frame), as
     * `out` — NULL when no strictly-smaller row exists.

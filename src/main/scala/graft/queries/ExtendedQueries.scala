@@ -229,6 +229,26 @@ object ExtendedQueries {
     // int64 arithmetic both engines compute bit-identically. One user
     // window, deterministic (ts, event_id) order; the trailing list is
     // ≤ 8 longs per row, so the window state is bounded at any scale.
+    // §2.15: GLOBAL series delta — previous value/timestamp over ONE
+    // corpus-wide order (sensor/tick data has no partition key). Stock
+    // Spark plans `lag(x) OVER (ORDER BY ...)` into a single task; this
+    // face runs Ranked.withGlobalLag (range shuffle + per-partition lag +
+    // a 2·nPart-row broadcast boundary fix). One struct-valued lag carries
+    // both columns in a single pass. The (ts, event_id) order is total.
+    "q_series_delta" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"),
+          round(col("value") * lit(100)).cast("long").as("cents"))
+      val sort = Seq(col("ts").asc, col("event_id").asc)
+      Ranked.withGlobalLag(e, "prev",
+          struct(col("cents").as("c"), col("ts").as("t")), 1,
+          expr("CAST(NULL AS STRUCT<c: BIGINT, t: TIMESTAMP>)"), sort)
+        .select(col("event_id"), col("cents"),
+          (col("cents") - col("prev.c")).as("delta"),
+          (unix_micros(col("ts")) - unix_micros(col("prev.t")))
+            .as("gap_us"))
+    }),
+
     "q_ewma" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
@@ -2607,6 +2627,20 @@ object ExtendedQueries {
                 CAST(n_trail AS BIGINT) AS n_trail,
                 day_cents * n_trail > trail7_cents * 2 AS flagged
          FROM t WHERE n_trail >= 3""",
+    "q_series_delta" ->
+      """WITH e AS (
+           SELECT event_id, date_trunc('microseconds', ts) AS ts,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         l AS (
+           SELECT event_id, cents, ts,
+                  lag(cents) OVER (ORDER BY ts, event_id) AS pc,
+                  lag(ts) OVER (ORDER BY ts, event_id) AS pts
+           FROM e)
+         SELECT event_id, cents,
+                cents - pc AS delta,
+                epoch_us(ts) - epoch_us(pts) AS gap_us
+         FROM l""",
     // exact dyadic weights: newest of the ≤ 8-event trail gets 2^(m-1),
     // denominator 2^m − 1 — pure int64 both engines
     "q_ewma" ->

@@ -68,6 +68,54 @@ class RankedSpec extends SparkSpec {
     assertSameRows(got, want, "running sum")
   }
 
+  test("withGlobalLag/Lead == unpartitioned lag/lead with default, " +
+      "including offsets larger than a partition and null values") {
+    val sort = Seq(col("cents").asc, col("l_orderkey").asc,
+      col("l_linenumber").asc)
+    // null-bearing value column: the fix join must distinguish a real
+    // NULL value from a missing offset row (which takes the default)
+    val v = when(col("l_linenumber") =!= 3, col("cents"))
+    val base = li.withColumn("vn", v)
+    val w = Window.orderBy(sort: _*)
+    for (n <- Seq(1, 7, 6000)) { // 6000 > rows/nPart: every row boundary
+      val gotLag = Ranked.withGlobalLag(base, "x", col("vn"), n,
+        lit(-1L), sort)
+        .select(col("l_orderkey"), col("l_linenumber"), col("x"))
+      val wantLag = base
+        .withColumn("x", lag(col("vn"), n, -1L).over(w))
+        .select(col("l_orderkey"), col("l_linenumber"), col("x"))
+      assertSameRows(gotLag, wantLag, s"global lag($n)")
+      val gotLead = Ranked.withGlobalLead(base, "x", col("vn"), n,
+        lit(null).cast("long"), sort)
+        .select(col("l_orderkey"), col("l_linenumber"), col("x"))
+      val wantLead = base
+        .withColumn("x", lead(col("vn"), n).over(w))
+        .select(col("l_orderkey"), col("l_linenumber"), col("x"))
+      assertSameRows(gotLead, wantLead, s"global lead($n)")
+    }
+    // the small gate and the reuse-off fallback agree with stock too
+    spark.conf.set(Ranked.SmallBytesKey, (1L << 30).toString)
+    try {
+      val gotSmall = Ranked.withGlobalLag(base, "x", col("vn"), 2,
+        lit(0L), sort).select(col("l_orderkey"), col("l_linenumber"), col("x"))
+      assertSameRows(gotSmall, base
+        .withColumn("x", lag(col("vn"), 2, 0L).over(w))
+        .select(col("l_orderkey"), col("l_linenumber"), col("x")),
+        "small-gate lag")
+    } finally spark.conf.set(Ranked.SmallBytesKey, "0")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val gotFb = Ranked.withGlobalLead(base, "x", col("vn"), 2,
+        lit(0L), sort).select(col("l_orderkey"), col("l_linenumber"), col("x"))
+      assert(!gotFb.queryExecution.executedPlan.toString
+        .contains("rangepartitioning"))
+      assertSameRows(gotFb, base
+        .withColumn("x", lead(col("vn"), 2, 0L).over(w))
+        .select(col("l_orderkey"), col("l_linenumber"), col("x")),
+        "reuse-off lead")
+    } finally spark.conf.set("spark.sql.exchange.reuse", "true")
+  }
+
   test("withStrictPrecedingMax == unpartitioned RANGE(-inf,-1) max, " +
       "ties (equal keys) excluded from their own frame") {
     val p = Tables.load(spark, sf, "part")
