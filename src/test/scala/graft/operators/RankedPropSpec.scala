@@ -79,6 +79,42 @@ class RankedPropSpec extends SparkSpec {
     }
   }
 
+  test("withGlobalLag/Lead == window lag/lead on random data with nulls, " +
+      "offsets from 1 to beyond the table size") {
+    for (trial <- 1 to 3) {
+      val n = 100 + rnd.nextInt(1200)
+      val df = randomTable(n, keyDomain = 1 + rnd.nextInt(6), groupDomain = 2)
+        .withColumn("wn", when($"w" % 3 =!= 0, $"w")) // null-bearing value
+      val nPart = 2 + rnd.nextInt(6)
+      val sort = Seq(col("v").asc, col("id").asc)
+      val w = Window.orderBy(sort: _*)
+      // off beyond n: every value is the default
+      for (off <- Seq(1, 2 + rnd.nextInt(20), n + 5)) {
+        val gotLag = Ranked.withGlobalLag(df, "x", $"wn", off, lit(-7L),
+            sort, nPart)
+          .select($"id", $"x").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        val wantLag = df.withColumn("x", lag($"wn", off, -7L).over(w))
+          .select($"id", $"x").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        assert(gotLag == wantLag, s"lag trial $trial off=$off n=$n nPart=$nPart")
+        val gotLead = Ranked.withGlobalLead(df, "x", $"wn", off,
+            lit(null).cast("long"), sort, nPart)
+          .select($"id", $"x").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        val wantLead = df.withColumn("x", lead($"wn", off).over(w))
+          .select($"id", $"x").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        assert(gotLead == wantLead,
+          s"lead trial $trial off=$off n=$n nPart=$nPart")
+      }
+    }
+  }
+
   test("withStrictPrecedingMax == RANGE(-inf,-1) max incl. all-ties input") {
     for (trial <- 1 to 3) {
       val n = 100 + rnd.nextInt(800)
