@@ -385,6 +385,27 @@ object Relational {
             lit("|")).as("bar"))
     }),
 
+    // §2.2: edit distance — fuzzy matching's scalar core, native on both
+    // engines with identical unit-cost semantics (`levenshtein`). The
+    // candidate-pair framing (dd_editdist) owns the scale story; this is
+    // the scalar function-parity face, including the Spark 3.5+ bounded
+    // form (threshold k ⇒ early-exit, -1 past k) spelled portably via
+    // CASE for the oracle.
+    "q_levenshtein" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .filter($"c_custkey" <= 500)
+        .select(
+          $"c_custkey",
+          expr("CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT)")
+            .as("d_ref"),
+          expr("CAST(levenshtein(c_mktsegment, c_name) AS BIGINT)")
+            .as("d_cols"),
+          expr("""CAST(CASE WHEN levenshtein(c_mktsegment, 'BUILDING') <= 3
+                       THEN levenshtein(c_mktsegment, 'BUILDING')
+                       ELSE -1 END AS BIGINT)""").as("d_capped"))
+    }),
+
     // §2.2: scalar bitwise surface — shifts, and/or/xor/not, popcount.
     // (q_argminmax owns the bitwise AGGREGATES; these are the scalar
     // ops.) Both engines define them on BIGINT two's complement, so
@@ -1658,6 +1679,17 @@ object Relational {
                 printf('%x', o_custkey) AS cust_hex,
                 repeat('#', CAST(o_orderkey % 5 AS INT) + 1) || '|' AS bar
          FROM orders WHERE o_orderkey <= 1000""",
+    // levenshtein is native with identical unit-cost semantics on both
+    // engines; the bounded (threshold) form spells as CASE portably
+    "q_levenshtein" ->
+      """SELECT c_custkey,
+                CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT)
+                  AS d_ref,
+                CAST(levenshtein(c_mktsegment, c_name) AS BIGINT) AS d_cols,
+                CAST(CASE WHEN levenshtein(c_mktsegment, 'BUILDING') <= 3
+                     THEN levenshtein(c_mktsegment, 'BUILDING')
+                     ELSE -1 END AS BIGINT) AS d_capped
+         FROM customer WHERE c_custkey <= 500""",
     // infix operators in DuckDB (<< >> & | xor() ~) ↔ named functions
     // in the Spark DataFrame API; semantics identical on BIGINT
     "q_bitwise_funcs" ->
