@@ -49,6 +49,41 @@ object Similarity {
     selectTopK(scored, k)
   }
 
+  /** Hard-negative mining — the retrieval/contrastive-training staple:
+    * for each query, the nearest candidates that are (a) not the query
+    * itself, (b) from a DIFFERENT source (same-source pairs are the
+    * positives a contrastive objective contrasts against), and (c) not an
+    * exact content duplicate (a near-dup scored as a "negative" poisons
+    * the loss). Returns (query_id, vec_id, rank) — rank-only like
+    * [[topKBruteForce]], since cross-engine cosine is rank-stable but not
+    * ulp-identical.
+    *
+    * Scale shape: candidate metadata joins on the id (hash join,
+    * co-partitionable with the embedding table), queries broadcast, the
+    * exclusion predicates ride the broadcast join condition (map-only),
+    * and the shortlist reduces through the k-bounded partial top-k
+    * ([[selectTopK]]) — no corpus sort, no window over raw rows. */
+  def hardNegatives(emb: DataFrame, docs: DataFrame, queries: DataFrame,
+      k: Int = 5): DataFrame = {
+    val meta = docs.select(col("doc_id"), col("source"),
+      md5(col("text")).as("__hn_h"))
+    val corpus = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .join(meta, col("vec_id") === col("doc_id")).drop("doc_id")
+    val q = queries.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+      .join(meta.select(col("doc_id"), col("source").as("__hn_qsrc"),
+        col("__hn_h").as("__hn_qh")), col("query_id") === col("doc_id"))
+      .drop("doc_id")
+    val scored = corpus.join(broadcast(q),
+        col("vec_id") =!= col("query_id") &&
+          col("source") =!= col("__hn_qsrc") &&
+          col("__hn_h") =!= col("__hn_qh"))
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosine(col("v"), col("qv")).as("cos"))
+    selectTopK(scored, k)
+  }
+
   /** Streaming retrieval: query vectors arrive as a STREAM and are scored
     * against the static corpus. Retrieval is stateless per query — a
     * query's top-k is complete the moment its own rows are seen — so the

@@ -428,6 +428,19 @@ object PipelineQueries {
         .select(col("query_id"), col("vec_id"), col("rank"))
     }),
 
+    // §2.14: HARD-NEGATIVE MINING — the retrieval/contrastive-training
+    // staple: per query, the top-k nearest candidates that are from a
+    // DIFFERENT source (same-source = positives) and not exact content
+    // duplicates (a near-dup labeled "negative" poisons the loss).
+    // Rank-only output, same cross-engine cosine discipline as
+    // sim_topk_bruteforce; exclusions ride the broadcast join condition.
+    "pipeline_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e, docs(s, dir),
+        e.filter(col("vec_id") < 8), k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+    }),
+
     // §2.3 #42 LSH-bucketed ANN (rows-only + recall spec). nTables=4: the
     // synthetic embeddings are near-uniform (top-5 cosines ~0.5, no cluster
     // structure), the hard case for hyperplane LSH — 2 tables measure 0.60
@@ -2233,6 +2246,26 @@ object PipelineQueries {
          FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
          WHERE d.doc_id % 5 = 0""",
     "sim_topk_bruteforce" -> bruteforceTopkOracleSql,
+    "pipeline_hard_negatives" ->
+      """WITH m AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+            c AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v, m.source, m.h
+                  FROM embeddings e JOIN m ON e.vec_id = m.doc_id),
+            q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv,
+                         m.source AS qsource, m.h AS qh
+                  FROM embeddings e JOIN m ON e.vec_id = m.doc_id
+                  WHERE e.vec_id < 8),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     list_cosine_similarity(c.v, q.qv) AS cos
+              FROM c, q
+              WHERE c.vec_id <> q.query_id
+                AND c.source <> q.qsource AND c.h <> q.qh),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS rank
+              FROM scored)
+       SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5""",
     // the streaming face appends per-micro-batch results of the SAME
     // brute-force plan, so the ranking oracle is identical
     "st_sim_topk" -> bruteforceTopkOracleSql,
