@@ -127,6 +127,21 @@ object GraftFunctions {
     ColumnBridge.column(
       CmsEstimate(ColumnBridge.expression(sketch), ColumnBridge.expression(item)))
 
+  def jaro_similarity(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def jaro_winkler_similarity(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinklerSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    ColumnBridge.column(DamerauLevenshtein(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def hamming(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def char_jaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(CharSetJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Extract a literal Int argument of a SQL call (e.g. the `k` of
     * `mg_freq_items(tok, 64)`) — aggregates parameterized at plan time
     * can't take it from a column. */
@@ -183,7 +198,34 @@ object GraftFunctions {
     ("nfc_normalize",
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NfcNormalize].getName, "nfc_normalize"),
-      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)),
+    // string-similarity family under DuckDB's exact SQL names, so a
+    // migrating user's `SELECT jaccard(a, b)` runs unchanged (mismatch is
+    // DuckDB's documented alias for hamming)
+    ("jaro_similarity",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[JaroSim].getName, "jaro_similarity"),
+      (exprs: Seq[Expression]) => JaroSim(exprs(0), exprs(1))),
+    ("jaro_winkler_similarity",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[JaroWinklerSim].getName, "jaro_winkler_similarity"),
+      (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))),
+    ("damerau_levenshtein",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DamerauLevenshtein].getName, "damerau_levenshtein"),
+      (exprs: Seq[Expression]) => DamerauLevenshtein(exprs(0), exprs(1))),
+    ("hamming",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HammingDist].getName, "hamming"),
+      (exprs: Seq[Expression]) => HammingDist(exprs(0), exprs(1))),
+    ("mismatch",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HammingDist].getName, "mismatch"),
+      (exprs: Seq[Expression]) => HammingDist(exprs(0), exprs(1))),
+    ("jaccard",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CharSetJaccard].getName, "jaccard"),
+      (exprs: Seq[Expression]) => CharSetJaccard(exprs(0), exprs(1))))
 
   /** Make graft functions callable from `spark.sql` on an existing session
     * (SQL parity, SURVEY §4). */

@@ -406,6 +406,31 @@ object Relational {
                        ELSE -1 END AS BIGINT)""").as("d_capped"))
     }),
 
+    // §2.2: string-similarity scalar family — the fuzzy-matching functions
+    // a DuckDB user calls by name (jaro/jaro-winkler, UNRESTRICTED
+    // damerau-levenshtein, hamming, char-set jaccard) that Spark's builtin
+    // surface lacks. Native codegen expressions (functions/StringSim.scala)
+    // with semantics pinned bit-exact to the oracle engine by a 20k-pair
+    // fuzz; doubles ship unrounded because the operation order matches.
+    "q_string_similarity" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.GraftFunctions._
+      Tables.load(s, dir, "part")
+        .filter($"p_partkey" <= 600)
+        .select(
+          $"p_partkey",
+          jaro_similarity($"p_name", $"p_type").as("jaro_name_type"),
+          jaro_winkler_similarity($"p_name", lit("goldenrod lavender spring"))
+            .as("jw_ref"),
+          damerau_levenshtein($"p_brand", lit("Brand#13")).cast("long")
+            .as("dl_brand"),
+          damerau_levenshtein($"p_type", lit("STANDARD ANODIZED TIN"))
+            .cast("long").as("dl_type"),
+          hamming(rpad($"p_name", 6, "_"), rpad($"p_type", 6, "_"))
+            .cast("long").as("ham6"),
+          char_jaccard($"p_name", $"p_type").as("jac_name_type"))
+    }),
+
     // §2.2: scalar bitwise surface — shifts, and/or/xor/not, popcount.
     // (q_argminmax owns the bitwise AGGREGATES; these are the scalar
     // ops.) Both engines define them on BIGINT two's complement, so
@@ -1690,6 +1715,20 @@ object Relational {
                      THEN levenshtein(c_mktsegment, 'BUILDING')
                      ELSE -1 END AS BIGINT) AS d_capped
          FROM customer WHERE c_custkey <= 500""",
+    // the string-similarity family runs DuckDB's native functions on the
+    // oracle side and graft's pinned-semantics expressions on the Spark
+    // side; doubles compare bit-exact (no rounding)
+    "q_string_similarity" ->
+      """SELECT p_partkey,
+                jaro_similarity(p_name, p_type) AS jaro_name_type,
+                jaro_winkler_similarity(p_name, 'goldenrod lavender spring')
+                  AS jw_ref,
+                damerau_levenshtein(p_brand, 'Brand#13') AS dl_brand,
+                damerau_levenshtein(p_type, 'STANDARD ANODIZED TIN')
+                  AS dl_type,
+                hamming(rpad(p_name, 6, '_'), rpad(p_type, 6, '_')) AS ham6,
+                jaccard(p_name, p_type) AS jac_name_type
+         FROM part WHERE p_partkey <= 600""",
     // infix operators in DuckDB (<< >> & | xor() ~) ↔ named functions
     // in the Spark DataFrame API; semantics identical on BIGINT
     "q_bitwise_funcs" ->
