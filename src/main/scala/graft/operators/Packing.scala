@@ -81,6 +81,33 @@ object Packing {
   def mixtureSample(docs: DataFrame, thresholdHex: Column): DataFrame =
     docs.filter(substring(md5(col("text")), 1, 4) < thresholdHex)
 
+  /** Leakage-safe train/test split: assign every document to a split by
+    * the content hash of its NEAR-DUP CLUSTER representative, not its own
+    * id — a per-doc hash split puts near-duplicates of a test document in
+    * the training set, and the eval silently measures memorization (the
+    * decontamination failure mode, at split time). `clusterMap` is a
+    * (doc_id, cluster_id) pair table (connectedComponents output);
+    * unclustered docs coalesce to themselves, so singletons split
+    * independently. `testHexDigits` of 16 sets the test share (3 → 3/16 ≈
+    * 19%); md5's first hex digit is uniform and engine-identical, the
+    * repo-wide deterministic-sampling idiom.
+    *
+    * Scale shape: one hash join against the cluster map (tiny — only
+    * clustered docs hold rows, and it broadcasts below the threshold) and
+    * a map-only split assignment. No shuffle of the corpus itself; every
+    * cluster lands on one side BY CONSTRUCTION (split is a pure function
+    * of the rep), so no cross-split validation pass is needed. */
+  def leakFreeSplit(docs: DataFrame, clusterMap: DataFrame,
+      testHexDigits: Int = 3): DataFrame = {
+    val testChars = (0 until testHexDigits).map(_.toHexString)
+    docs.join(clusterMap, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(substring(md5(col("rep").cast("string")), 1, 1)
+          .isin(testChars: _*), lit("test")).otherwise(lit("train")))
+      .drop("cluster_id")
+  }
+
   /** Deterministic FRACTIONAL upsampling — "2.5 epochs of the high-quality
     * source": every doc gets floor(factor) full copies, and a
     * content-hash-selected frac(factor) share gets one more, so the

@@ -1448,6 +1448,24 @@ object PipelineQueries {
         .select(col("doc_id"), col("shard"), col("skey"), col("pos"))
     }),
 
+    // §2.8: LEAKAGE-SAFE train/test split — per-doc hash splits put
+    // near-duplicates of test documents into train (the eval then measures
+    // memorization); splitting on the md5 of the dup-CLUSTER representative
+    // puts every cluster on one side by construction. Reuses the persisted
+    // cluster map (dd_keep_best's table); the oracle independently
+    // recomputes the pair closure in DuckDB, so the per-(source, split)
+    // counts certify Spark's cluster assignment AND the split function
+    // cross-engine. 3/16 hex digits ≈ 19% test.
+    "pipeline_split_leakfree" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("nc"))
+      val clusters = s.table(clusterMapTable(s, dir))
+      graft.operators.Packing.leakFreeSplit(d, clusters, testHexDigits = 3)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+          countDistinct(col("rep")).as("n_clusters"))
+    }),
+
     // §2.5: exact-N per-source stratified sample by content-hash rank
     "q_sample_stratified" -> ((s, dir) =>
       graft.operators.Packing.stratifiedSample(docs(s, dir), col("source"), n = 25)
@@ -2992,6 +3010,58 @@ object PipelineQueries {
                 CAST(row_number() OVER (PARTITION BY skey % 8
                   ORDER BY skey, doc_id) AS BIGINT) AS pos
          FROM k""",
+    // the oracle recomputes the near-dup closure from scratch (the
+    // dd_cluster CTE) and applies the same rep-hash split function — the
+    // per-(source, split) counts certify both the cluster assignment and
+    // the split cross-engine
+    "pipeline_split_leakfree" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+         sh0 AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
+           FROM toks),
+         sh AS (
+           SELECT doc_id, shingle FROM (
+             SELECT doc_id, shingle,
+                    count(*) OVER (PARTITION BY shingle) AS df
+             FROM sh0)
+           WHERE df <= 1000),
+         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (
+           SELECT da, db
+           FROM inter
+           JOIN szs sa ON da = sa.doc_id
+           JOIN szs sb ON db = sb.doc_id
+           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6),
+         edges AS (
+           SELECT da AS a, db AS b FROM pairs
+           UNION ALL SELECT db, da FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         cc AS (
+           SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           FROM reach GROUP BY a),
+         sp AS (
+           SELECT d.source, CAST(d.n_chars AS BIGINT) AS nc,
+                  coalesce(cc.cluster_id, d.doc_id) AS rep,
+                  CASE WHEN substr(md5(CAST(coalesce(cc.cluster_id, d.doc_id)
+                         AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+                       THEN 'test' ELSE 'train' END AS split
+           FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
+         SELECT source, split, count(*) AS n_docs,
+                cast(sum(nc) AS bigint) AS n_chars,
+                cast(count(DISTINCT rep) AS bigint) AS n_clusters
+         FROM sp GROUP BY 1, 2""",
     "q_sample_stratified" ->
       """SELECT doc_id, source FROM (
            SELECT doc_id, source,

@@ -198,4 +198,32 @@ class PackingSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
+
+  test("leakFreeSplit: clusters never straddle the split; singletons split alone") {
+    // 30 docs; clusters {1,2,3}, {10,11}, rest singletons
+    val docs = (1L to 30L).map(i => (i, s"src${i % 2}", i * 10))
+      .toDF("doc_id", "source", "n_chars")
+    val cmap = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val split = Packing.leakFreeSplit(docs, cmap, testHexDigits = 4)
+    val rows = split.select(col("doc_id"), col("rep"), col("split"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 30)
+    // every member of a cluster carries the rep's split — no straddle
+    val byRep = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    byRep.foreach { case (rep, splits) =>
+      assert(splits.size == 1, s"cluster $rep straddles: $splits")
+    }
+    assert(rows.filter(_._1 <= 3).map(_._3).toSet.size == 1)
+    // the split function is the pure md5-of-rep rule (engine-identical)
+    val expected = rows.map { case (_, rep, _) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(rep.toString.getBytes("UTF-8"))
+      val hex = "%02x".format(h(0) & 0xff).charAt(0)
+      if ("0123".contains(hex)) "test" else "train"
+    }
+    assert(rows.map(_._3).sameElements(expected))
+    // both sides populated at 4/16 on 28 reps
+    assert(rows.map(_._3).toSet == Set("test", "train"))
+  }
 }
