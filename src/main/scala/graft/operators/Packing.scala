@@ -108,6 +108,31 @@ object Packing {
       .drop("cluster_id")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis-Spirakis), integerized: A-Res ranks items by u^(1/w) with
+    * u uniform — and u^(1/w) is exactly the distribution of the MAX of w
+    * iid uniforms (P(max ≤ x) = x^w), so for integer weights the key is
+    * max_{j=1..w} u_j with u_j drawn from md5(text, j). That removes every
+    * transcendental from the rank key: pow/ln are libm-dependent and a
+    * 1-ulp divergence near the k-boundary would flip the selected set
+    * cross-engine, while 32-bit integer keys compare identically
+    * everywhere. doc_id breaks the (astronomically unlikely) key ties.
+    *
+    * Scale shape: the per-doc key is a map-only higher-order-function
+    * reduction (no explode — the corpus text is never duplicated), and
+    * the selection is a global ORDER BY + LIMIT, which Spark plans as
+    * TakeOrderedAndProject (per-partition top-k heaps, k rows to the
+    * driver-side merge — never a full sort). */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int): DataFrame =
+    docs
+      .withColumn("w", weight.cast("int"))
+      .withColumn("skey", expr(
+        """array_max(transform(sequence(1, w),
+             j -> cast(conv(substring(md5(concat(text, '#', j)), 1, 8),
+                            16, 10) AS BIGINT)))"""))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(k)
+
   /** Deterministic FRACTIONAL upsampling — "2.5 epochs of the high-quality
     * source": every doc gets floor(factor) full copies, and a
     * content-hash-selected frac(factor) share gets one more, so the

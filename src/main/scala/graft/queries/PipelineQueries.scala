@@ -1466,6 +1466,15 @@ object PipelineQueries {
           countDistinct(col("rep")).as("n_clusters"))
     }),
 
+    // §2.5: weighted sampling WITHOUT replacement (Efraimidis-Spirakis),
+    // integerized — u^(1/w) ~ max of w iid uniforms, so integer weights
+    // rank on integer hash-max keys: zero transcendentals, bit-exact
+    // cross-engine selection. Weight 1..4 derived from n_chars.
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.operators.Packing.weightedSample(
+        docs(s, dir), (col("n_chars") % 4 + 1), k = 60)
+        .select(col("doc_id"), col("w").cast("long").as("w"), col("skey"))),
+
     // §2.5: exact-N per-source stratified sample by content-hash rank
     "q_sample_stratified" -> ((s, dir) =>
       graft.operators.Packing.stratifiedSample(docs(s, dir), col("source"), n = 25)
@@ -3062,6 +3071,17 @@ object PipelineQueries {
                 cast(sum(nc) AS bigint) AS n_chars,
                 cast(count(DISTINCT rep) AS bigint) AS n_clusters
          FROM sp GROUP BY 1, 2""",
+    // same integerized A-Res key: max over w per-replica md5 draws,
+    // hex→int via CAST('0x…'), top-60 by (key desc, doc_id)
+    "q_weighted_sample" ->
+      """SELECT doc_id, CAST(w AS BIGINT) AS w, skey FROM (
+           SELECT doc_id, (n_chars % 4 + 1) AS w,
+                  list_max(list_transform(generate_series(1,
+                      CAST(n_chars % 4 + 1 AS INTEGER)),
+                    j -> CAST('0x' || substr(md5(text || '#' || j), 1, 8)
+                              AS BIGINT))) AS skey
+           FROM documents)
+         ORDER BY skey DESC, doc_id LIMIT 60""",
     "q_sample_stratified" ->
       """SELECT doc_id, source FROM (
            SELECT doc_id, source,

@@ -199,6 +199,31 @@ class PackingSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("weightedSample: exact integerized A-Res selection, top-k plan not a sort") {
+    val docs = (1L to 400L).map(i => (i, s"doc text $i", 1 + (i % 4).toInt))
+      .toDF("doc_id", "text", "wt")
+    val got = Packing.weightedSample(docs, col("wt"), k = 25)
+      .select(col("doc_id"), col("skey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independent reference: same key definition computed driver-side
+    def key(text: String, w: Int): Long = (1 to w).map { j =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$text#$j".getBytes("UTF-8"))
+      h.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xff))
+    }.max
+    val ref = (1L to 400L).map(i => (i, key(s"doc text $i", 1 + (i % 4).toInt)))
+      .sortBy { case (id, k) => (-k, id) }.take(25)
+    assert(got.toSeq == ref)
+    // selection is a bounded top-k, never a global sort of the corpus
+    val plan = Packing.weightedSample(docs, col("wt"), k = 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // weight monotonicity in expectation: w=4 docs out-select w=1 docs
+    val wOf = (1L to 400L).map(i => i -> (1 + (i % 4).toInt)).toMap
+    val picked = got.map(p => wOf(p._1))
+    assert(picked.count(_ == 4) > picked.count(_ == 1))
+  }
+
   test("leakFreeSplit: clusters never straddle the split; singletons split alone") {
     // 30 docs; clusters {1,2,3}, {10,11}, rest singletons
     val docs = (1L to 30L).map(i => (i, s"src${i % 2}", i * 10))
