@@ -151,6 +151,60 @@ object Profiler {
     * global ranks — same interpolation arithmetic, sort spread across
     * every core; the window form stays the default because its plan is
     * declarative end-to-end and memory-safe at any group size. */
+  /** Shannon entropy of categorical columns — the balance/skew signal a
+    * data-QA pass reports next to null rates: near-zero entropy flags a
+    * degenerate column (one value dominates), entropy near log2(distinct)
+    * flags uniform spread. Computed in the algebraic one-agg form
+    * H = log2(n) − Σ c·log2(c) / n over the per-value counts, which both
+    * engines spell identically (the naive −Σ p·log2 p needs p = c/n inside
+    * the sum and doubles the division count); rounded to 6 dp because the
+    * partial-sum ORDER of a distributed double sum is nondeterministic at
+    * the ulp. Normalized entropy divides by log2(n_distinct) (0 for a
+    * single-valued column).
+    *
+    * Scale shape: one map-side-combinable count aggregate per column (the
+    * heavy pass — value cardinality rows out of 100 TB), then a one-row
+    * reduction. Columns profile independently; union of per-column rows. */
+  def entropy(df: DataFrame, colNames: Seq[String]): DataFrame =
+    colNames.map { c =>
+      df.select(col(c).cast("string").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+        .agg(
+          count(lit(1)).as("n_distinct"),
+          sum("c").as("n"),
+          sum(col("c").cast("double") * log2(col("c").cast("double")))
+            .as("clog"))
+        .select(
+          lit(c).as("column_name"),
+          col("n_distinct"),
+          col("n"),
+          round(log2(col("n").cast("double")) - col("clog") / col("n"), 6)
+            .as("entropy_bits"),
+          when(col("n_distinct") > 1,
+            round((log2(col("n").cast("double")) - col("clog") / col("n")) /
+              log2(col("n_distinct").cast("double")), 6))
+            .otherwise(lit(0.0)).as("norm_entropy"))
+    }.reduce(_ unionAll _)
+
+  /** DuckDB twin of [[entropy]] for the oracle — same algebraic form,
+    * same rounding, generated per (table, column) so the two sides cannot
+    * drift in spelling. */
+  def entropyOracleSql(specs: Seq[(String, String)]): String =
+    specs.map { case (t, c) =>
+      val h = s"""log2(CAST(sum(c) AS DOUBLE)) -
+                    sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) /
+                    CAST(sum(c) AS DOUBLE)"""
+      s"""SELECT '$c' AS column_name,
+                count(*) AS n_distinct,
+                cast(sum(c) AS BIGINT) AS n,
+                round($h, 6) AS entropy_bits,
+                CASE WHEN count(*) > 1
+                     THEN round(($h) / log2(CAST(count(*) AS DOUBLE)), 6)
+                     ELSE 0.0 END AS norm_entropy
+         FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS c
+               FROM $t GROUP BY 1)"""
+    }.mkString("\n UNION ALL\n")
+
   def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -15,6 +15,14 @@ object ExtendedQueries {
 
   private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+  /** (table, column) list the q_entropy face profiles — one source of
+    * truth for the Spark side AND the generated oracle SQL. */
+  private val entropySpecs = Seq(
+    ("orders", "o_orderstatus"), ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"), ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"), ("documents", "source"),
+    ("documents", "lang"))
+
 
   /** Memoize keyed on dir PLUS a cheap data fingerprint
     * ([[Tables.fingerprint]]): a regenerated testdata dir within one JVM
@@ -670,6 +678,17 @@ object ExtendedQueries {
     // §2.4 #69: column profiling — the QA pass a pipeline runs before
     // training. Aggregates chosen to stay bit-exact: min/max/counts are
     // order-independent, the mean is a decimal sum divided in double.
+    // §2.13: categorical column entropy — the balance/skew signal next to
+    // null rates in a data-QA report (near 0 = degenerate column, near
+    // log2(distinct) = uniform). Algebraic one-agg form, 6 dp (distributed
+    // double partial-sum order is ulp-nondeterministic); oracle SQL is
+    // GENERATED from the same (table, column) list so spellings can't
+    // drift.
+    "q_entropy" -> ((s, dir) =>
+      entropySpecs.map { case (t, c) =>
+        graft.operators.Profiler.entropy(Tables.load(s, dir, t), Seq(c))
+      }.reduce(_ unionAll _)),
+
     "q_profile_stats" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .agg(
@@ -2929,6 +2948,8 @@ object ExtendedQueries {
     "q_profile_events" -> graft.operators.Profiler.oracleSqlFor("events", Seq(
       "event_id" -> "num", "ts" -> "ts", "user_id" -> "num",
       "event_type" -> "str", "value" -> "num", "props" -> "str")),
+    // generated from the same (table, column) list as the Spark side
+    "q_entropy" -> graft.operators.Profiler.entropyOracleSql(entropySpecs),
     "q_profile_stats" ->
       """SELECT count(*) AS n_rows,
                 min(l_extendedprice) AS price_min,

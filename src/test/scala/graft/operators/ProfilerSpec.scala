@@ -139,4 +139,27 @@ class ProfilerSpec extends SparkSpec {
     assert(math.abs(out("even").getAs[Double]("p90") - 37.0) < 1e-12)
     assert(out("allnull").isNullAt(out("allnull").fieldIndex("p50")))
   }
+
+  test("entropy: uniform = log2(k) with norm 1, degenerate = 0, skew in between") {
+    import spark.implicits._
+    // 4 uniform values → exactly 2 bits; single value → 0; 3:1 split known
+    val uni = (1 to 80).map(i => s"v${i % 4}").toDF("x")
+    val one = Seq.fill(10)("only").toDF("x")
+    val skew = (Seq.fill(30)("a") ++ Seq.fill(10)("b")).toDF("x")
+    val r1 = Profiler.entropy(uni, Seq("x")).collect()(0)
+    assert(r1.getAs[Long]("n_distinct") == 4L)
+    assert(r1.getAs[Double]("entropy_bits") == 2.0)
+    assert(r1.getAs[Double]("norm_entropy") == 1.0)
+    val r2 = Profiler.entropy(one, Seq("x")).collect()(0)
+    assert(r2.getAs[Double]("entropy_bits") == 0.0)
+    assert(r2.getAs[Double]("norm_entropy") == 0.0)
+    val r3 = Profiler.entropy(skew, Seq("x")).collect()(0)
+    // H(3/4, 1/4) = 2 - 0.75*log2(3) ≈ 0.811278
+    assert(math.abs(r3.getAs[Double]("entropy_bits") - 0.811278) < 1e-6)
+    // null group counts as a category like the oracle's GROUP BY
+    val withNull = Seq(Some("a"), Some("a"), None, None).toDF("x")
+    val r4 = Profiler.entropy(withNull, Seq("x")).collect()(0)
+    assert(r4.getAs[Long]("n_distinct") == 2L)
+    assert(r4.getAs[Double]("entropy_bits") == 1.0)
+  }
 }
