@@ -108,6 +108,41 @@ object Packing {
       .drop("cluster_id")
   }
 
+  /** Curriculum ordering: global difficulty rank + SQL-ntile phase
+    * assignment — "train on easy documents first" needs every doc's global
+    * position under the difficulty order, then equal-size phase buckets.
+    * The rank comes from the distributed Ranked machinery (range
+    * partitions + per-partition ranks + broadcast prefix — never a
+    * single-task global window), and the ntile is computed FROM the rank
+    * and the broadcast total with standard SQL ntile semantics (the first
+    * `total % p` buckets take one extra row), so the output matches the
+    * oracle's native `ntile(p) OVER (ORDER BY …)` exactly.
+    *
+    * Scale shape: one range exchange for the rank, a 1-row broadcast for
+    * the total (pmod-derived join key — a literal key would constant-fold
+    * and degrade the join to a nested loop), map-only phase arithmetic. */
+  def curriculumPhases(docs: DataFrame, sort: Seq[Column], phases: Int,
+      out: String = "phase"): DataFrame = {
+    val ranked = Ranked.withGlobalRowNumber(docs, "rn", sort)
+    val total = docs.agg(count(lit(1)).as("__cur_total"))
+      .withColumn("__cur_k", expr("pmod(__cur_total, 1)"))
+    ranked
+      .withColumn("__cur_k", pmod(col("rn"), lit(1)))
+      .join(broadcast(total), "__cur_k").drop("__cur_k")
+      // first (total % p) buckets hold q+1 rows, the rest q — integer
+      // arithmetic throughout (Column `/` would be double division)
+      .withColumn(out, expr(
+        s"""CAST(CASE WHEN rn <= ((__cur_total div $phases) + 1)
+                           * (__cur_total % $phases)
+                 THEN (rn - 1) div ((__cur_total div $phases) + 1) + 1
+                 ELSE (__cur_total % $phases)
+                      + (rn - ((__cur_total div $phases) + 1)
+                              * (__cur_total % $phases) - 1)
+                        div (__cur_total div $phases) + 1
+                 END AS BIGINT)"""))
+      .drop("__cur_total")
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement
     * (Efraimidis-Spirakis), integerized: A-Res ranks items by u^(1/w) with
     * u uniform — and u^(1/w) is exactly the distribution of the MAX of w

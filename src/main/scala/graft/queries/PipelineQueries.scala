@@ -1466,6 +1466,16 @@ object PipelineQueries {
           countDistinct(col("rep")).as("n_clusters"))
     }),
 
+    // §2.8: curriculum ordering — global difficulty rank (distributed
+    // Ranked machinery, never a single-task window) + SQL-ntile phase
+    // buckets computed from the broadcast total; matches the oracle's
+    // native ntile(4) OVER (ORDER BY n_chars, doc_id) exactly.
+    "pipeline_curriculum" -> ((s, dir) =>
+      graft.operators.Packing.curriculumPhases(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").asc, col("doc_id").asc), phases = 4)
+        .select(col("doc_id"), col("rn"), col("phase"))),
+
     // §2.5: weighted sampling WITHOUT replacement (Efraimidis-Spirakis),
     // integerized — u^(1/w) ~ max of w iid uniforms, so integer weights
     // rank on integer hash-max keys: zero transcendentals, bit-exact
@@ -3071,6 +3081,14 @@ object PipelineQueries {
                 cast(sum(nc) AS bigint) AS n_chars,
                 cast(count(DISTINCT rep) AS bigint) AS n_clusters
          FROM sp GROUP BY 1, 2""",
+    // native window ntile on the oracle side; Spark derives the same
+    // bucket from (global rank, total) with standard ntile arithmetic
+    "pipeline_curriculum" ->
+      """SELECT doc_id,
+                CAST(row_number() OVER w AS BIGINT) AS rn,
+                CAST(ntile(4) OVER w AS BIGINT) AS phase
+         FROM documents
+         WINDOW w AS (ORDER BY n_chars, doc_id)""",
     // same integerized A-Res key: max over w per-replica md5 draws,
     // hex→int via CAST('0x…'), top-60 by (key desc, doc_id)
     "q_weighted_sample" ->

@@ -199,6 +199,25 @@ class PackingSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("curriculumPhases: matches stock ntile bit-exact on a non-divisible total") {
+    // 103 rows, 5 phases: q=20, r=3 — first 3 buckets take 21, rest 20
+    val docs = (1L to 103L).map(i => (i, (i * 37) % 101))
+      .toDF("doc_id", "difficulty").repartition(7)
+    val sort = Seq(col("difficulty").asc, col("doc_id").asc)
+    val got = Packing.curriculumPhases(docs, sort, phases = 5)
+      .select(col("doc_id"), col("rn"), col("phase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.orderBy(sort: _*)
+    val ref = docs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("phase", ntile(5).over(w).cast("long"))
+      .select(col("doc_id"), col("rn"), col("phase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref)
+    val sizes = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes == Map(1L -> 21, 2L -> 21, 3L -> 21, 4L -> 20, 5L -> 20))
+  }
+
   test("weightedSample: exact integerized A-Res selection, top-k plan not a sort") {
     val docs = (1L to 400L).map(i => (i, s"doc text $i", 1 + (i % 4).toInt))
       .toDF("doc_id", "text", "wt")
