@@ -67,6 +67,28 @@ object Expectations {
     case _ => lit(0L) // set-level rules don't fold into the row pass
   }
 
+  /** Row-level ROUTING form of the expectations: annotate every row with
+    * the names of the row rules it violates (`violated` array) and a
+    * `valid` flag, so a pipeline can send clean rows onward and quarantine
+    * the rest with the reason attached (the dead-letter pattern). Only
+    * row-local rules participate (Unique/RefIntegrity are set-level —
+    * rejecting the SECOND copy of a duplicate needs state and is
+    * [[graft.streaming.EventStreams.dedupStream]]'s job); map-only and
+    * stateless, so the same call is streaming-safe on an unbounded
+    * readStream without a watermark. */
+  def route(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val rowRules = rules.filter {
+      case _: Unique | _: RefIntegrity => false
+      case _ => true
+    }
+    require(rowRules.nonEmpty, "route needs at least one row-level rule")
+    val labels = array(rowRules.map(r =>
+      when(violation(r) === 1L, lit(r.name))
+        .otherwise(lit(null).cast("string"))): _*)
+    df.withColumn("violated", filter(labels, _.isNotNull))
+      .withColumn("valid", size(col("violated")) === 0)
+  }
+
   /** Verify `rules` against `df` → (rule string, n_violations bigint,
     * passed boolean), one row per rule, in the given rule order collated
     * by name for deterministic output. */

@@ -1597,6 +1597,28 @@ object PipelineQueries {
         Tables.load(s, dir, "nation"))),
     "st_enrich_et" -> ((s, dir) => stEnrichEt(s, dir)),
 
+    // §2.7: streaming QUALITY GATE — declarative expectations as a
+    // dead-letter router: every row carries the names of the row rules it
+    // violates; clean rows flow on, the rest quarantine with the reason.
+    // Map-only and stateless, so the identical call runs on an unbounded
+    // readStream (ExpectationsSpec asserts stream ≡ batch); this face is
+    // the batch-equivalent summary per (route, rule).
+    "st_quality_gate" -> ((s, dir) => {
+      import graft.operators.Expectations._
+      val routed = route(Tables.load(s, dir, "events"), Seq(
+        NotNull("user_id"),
+        InRange("value", 0.0, 350.0),
+        InSet("event_type", Seq("click", "view", "purchase", "signup"))))
+      val dead = routed.filter(!col("valid"))
+        .select(explode(col("violated")).as("rule"))
+        .groupBy("rule").agg(count(lit(1)).as("n"))
+        .select(lit("dead").as("route"), col("rule"), col("n"))
+      val ok = routed.filter(col("valid"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("ok").as("route"), lit("-").as("rule"), col("n"))
+      dead.unionByName(ok)
+    }),
+
     // §2.7 #118 incremental exact dedup: a synthetic daily increment
     // (one fresh source + a recrawl of src0 under new ids + an
     // intra-delta duplicate burst) admitted against the standing corpus —
@@ -3611,6 +3633,30 @@ object PipelineQueries {
                 CAST(CAST(sum(cast(value AS decimal(18,4))) AS STRING) AS DOUBLE) AS total_value
          FROM events JOIN nation ON (user_id % 25) = n_nationkey
          GROUP BY 1""",
+    // rules with zero violations emit NO dead row on either side
+    // (HAVING mirrors the explode-side absence)
+    "st_quality_gate" ->
+      """WITH v AS (
+           SELECT CASE WHEN user_id IS NULL THEN 1 ELSE 0 END AS v1,
+                  CASE WHEN value IS NOT NULL
+                            AND (value < 0.0 OR value > 350.0)
+                       THEN 1 ELSE 0 END AS v2,
+                  CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                            ('click', 'view', 'purchase', 'signup')
+                       THEN 1 ELSE 0 END AS v3
+           FROM events)
+         SELECT * FROM (
+           SELECT 'dead' AS route, 'not_null(user_id)' AS rule,
+                  cast(sum(v1) AS BIGINT) AS n FROM v HAVING sum(v1) > 0
+           UNION ALL
+           SELECT 'dead', 'in_range(value,0.0,350.0)',
+                  cast(sum(v2) AS BIGINT) FROM v HAVING sum(v2) > 0
+           UNION ALL
+           SELECT 'dead', 'in_set(event_type)',
+                  cast(sum(v3) AS BIGINT) FROM v HAVING sum(v3) > 0
+           UNION ALL
+           SELECT 'ok', '-', cast(count(*) AS BIGINT) FROM v
+           WHERE v1 = 0 AND v2 = 0 AND v3 = 0)""",
     "txt_langid" ->
       """WITH toks AS (
            SELECT doc_id,

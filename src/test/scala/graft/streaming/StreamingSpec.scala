@@ -83,6 +83,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quality-gate routing on a stream equals batch: stateless, append mode, " +
+    "per-row dead-letter labels") {
+    import graft.operators.Expectations._
+    val rules = Seq(
+      NotNull("user_id"),
+      InRange("value", 0.0, 100.0),
+      InSet("event_type", Seq("click", "view")))
+    val rows = Seq(
+      EventStreams.Event(1L, ts(1), 10L, "click", 10.0),
+      EventStreams.Event(2L, ts(2), 20L, "error", 20.0), // in_set violation
+      EventStreams.Event(3L, ts(3), 30L, "view", 500.0), // in_range violation
+      EventStreams.Event(4L, ts(4), 40L, "error", 900.0), // both
+      EventStreams.Event(5L, ts(5), 50L, "view", 50.0))
+    val batch = route(rows.toDF(), rules)
+      .select(col("event_id"), col("valid"), col("violated"))
+      .collect().map(_.toString).sorted
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    // the IDENTICAL call compiles to a stateless streaming plan: no
+    // watermark, no state store, append mode
+    val q = route(mem.toDF(), rules)
+      .select(col("event_id"), col("valid"), col("violated"))
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gate_out").collect().map(_.toString).sorted
+      assert(streamed.toSeq == batch.toSeq)
+      // routing facts: events 2/3/4 dead with the right labels
+      val byId = spark.table("gate_out").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), r.getSeq[String](2))).toMap
+      assert(byId(1L)._1 && byId(5L)._1)
+      assert(byId(2L)._2 == Seq("in_set(event_type)"))
+      assert(byId(3L)._2 == Seq("in_range(value,0.0,100.0)"))
+      assert(byId(4L)._2.toSet ==
+        Set("in_range(value,0.0,100.0)", "in_set(event_type)"))
+    } finally q.stop()
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) matches batch sessions") {
     // batch truth
     val batch = EventStreams.sessionizeBatch(eventsLocal.toDF())
