@@ -1466,6 +1466,32 @@ object PipelineQueries {
           countDistinct(col("rep")).as("n_clusters"))
     }),
 
+    // §2.13: DATASET CARD — the per-source summary an LLM-data team
+    // publishes with a corpus: doc/char/token totals, exact-dup rate,
+    // language breadth, corpus share, mean length. One grouped aggregate
+    // (map-side combinable) + a 1-row broadcast total; all ratios are
+    // exact int ratios divided identically on both engines.
+    "pipeline_dataset_card" -> ((s, dir) => {
+      val per = docs(s, dir).groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("n_chars_total"),
+        sum(graft.operators.TextOps.wsTokenCount(col("text"))).as("n_tokens"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        countDistinct(col("lang")).as("n_langs"))
+      val tot = per.agg(sum(col("n_chars_total")).as("tot_chars"))
+        .withColumn("__k", expr("pmod(tot_chars, 1)"))
+      per.withColumn("__k", expr("pmod(n_chars_total, 1)"))
+        .join(broadcast(tot), "__k").drop("__k")
+        .select(col("source"), col("n_docs"), col("n_chars_total"),
+          col("n_tokens"),
+          (col("n_docs") - col("n_unique")).as("n_dup_docs"),
+          col("n_langs"),
+          (col("n_chars_total").cast("double") / col("tot_chars"))
+            .as("char_share"),
+          (col("n_chars_total").cast("double") / col("n_docs"))
+            .as("mean_chars"))
+    }),
+
     // §2.8: curriculum ordering — global difficulty rank (distributed
     // Ranked machinery, never a single-task window) + SQL-ntile phase
     // buckets computed from the broadcast total; matches the oracle's
@@ -3103,6 +3129,22 @@ object PipelineQueries {
                 cast(sum(nc) AS bigint) AS n_chars,
                 cast(count(DISTINCT rep) AS bigint) AS n_clusters
          FROM sp GROUP BY 1, 2""",
+    "pipeline_dataset_card" ->
+      """WITH per AS (
+           SELECT source, count(*) AS n_docs,
+                  cast(sum(n_chars) AS BIGINT) AS n_chars_total,
+                  cast(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+                    AS n_tokens,
+                  count(DISTINCT md5(text)) AS n_unique,
+                  count(DISTINCT lang) AS n_langs
+           FROM documents GROUP BY 1),
+         tot AS (SELECT cast(sum(n_chars_total) AS BIGINT) AS tot_chars
+                 FROM per)
+         SELECT source, n_docs, n_chars_total, n_tokens,
+                n_docs - n_unique AS n_dup_docs, n_langs,
+                CAST(n_chars_total AS DOUBLE) / tot_chars AS char_share,
+                CAST(n_chars_total AS DOUBLE) / n_docs AS mean_chars
+         FROM per, tot""",
     // native window ntile on the oracle side; Spark derives the same
     // bucket from (global rank, total) with standard ntile arithmetic
     "pipeline_curriculum" ->
