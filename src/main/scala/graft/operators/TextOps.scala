@@ -28,6 +28,33 @@ object TextOps {
       wsTokenCount(col("text")).as("ws_tokens"),
       bpeTokenCount(col("text")).as("bpe_tokens"))
 
+  /** Flesch-style readability from three regexp counters — the curriculum/
+    * quality signal that needs only counts: words (`\S+` runs), sentences
+    * (terminal-punctuation runs, floored at 1 so an unpunctuated doc is one
+    * sentence, not a division by zero), and the standard syllable PROXY
+    * (vowel-group runs in the lowercased text — a dictionary syllabifier
+    * is locale data, not SQL). FRE = 206.835 − 1.015·(w/s) − 84.6·(syl/w),
+    * rounded to 6 dp; every operand is an exact integer and the divisions
+    * are spelled identically on both engines, so the score is
+    * cross-engine deterministic. Map-only; no shuffle. */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = regexp_count(col("text"), lit("\\S+")).cast("long")
+    val s = greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"),
+      lit(1L))
+    val syl = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    docs.select(
+      col("doc_id"),
+      w.as("n_words"),
+      s.as("n_sentences"),
+      syl.as("n_syllables"),
+      // w = 0 guard: Spark 0.0/0.0 is NaN but DuckDB's is NULL — make the
+      // empty-doc score NULL on both engines explicitly
+      when(w > 0, round(lit(206.835)
+        - lit(1.015) * (w.cast("double") / s.cast("double"))
+        - lit(84.6) * (syl.cast("double") / w.cast("double")), 6))
+        .as("fre"))
+  }
+
   /** Quality-score ratios: length, punctuation density, digit density,
     * stopword density — the standard cheap filters before expensive model
     * scoring. */

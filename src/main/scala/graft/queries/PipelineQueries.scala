@@ -667,6 +667,11 @@ object PipelineQueries {
     // §2.3 #45 token counting
     "txt_tokens" -> ((s, dir) => TextOps.tokens(docs(s, dir))),
 
+    // §2.13: Flesch-style readability from three regexp counters (words,
+    // sentence-terminal runs floored at 1, vowel-group syllable proxy) —
+    // exact integer operands, identically-spelled divisions, 6 dp.
+    "txt_readability" -> ((s, dir) => TextOps.readability(docs(s, dir))),
+
     // §2.3 #46 rolling-hash fingerprint (native expression; rows-only + spec)
     "txt_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
 
@@ -3734,6 +3739,21 @@ object PipelineQueries {
                 cast(len(regexp_extract_all(text, '\S+')) AS bigint) AS ws_tokens,
                 cast(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]')) AS bigint) AS bpe_tokens
          FROM documents""",
+    "txt_readability" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  cast(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+                  greatest(cast(len(regexp_extract_all(text, '[.!?]+'))
+                    AS BIGINT), 1) AS s,
+                  cast(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS syl
+           FROM documents)
+         SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
+                CASE WHEN w > 0 THEN round(206.835
+                       - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                       - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)), 6)
+                     END AS fre
+         FROM c""",
     "txt_tfidf" ->
       """WITH d AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

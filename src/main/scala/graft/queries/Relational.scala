@@ -431,6 +431,27 @@ object Relational {
           char_jaccard($"p_name", $"p_type").as("jac_name_type"))
     }),
 
+    // §2.2: BLOCKED fuzzy join — record linkage's standard shape: a cheap
+    // equi-join on a blocking key (first name word) bounds the candidate
+    // set, then the expensive similarity (native jaro-winkler, bit-exact
+    // cross-engine) filters within blocks. Never O(n²): candidates =
+    // Σ C(block,2), and the blocking key is an ordinary shuffle/broadcast
+    // equi-join key at any scale.
+    "q_fuzzy_join" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.GraftFunctions._
+      val p = Tables.load(s, dir, "part")
+        .select($"p_partkey", $"p_name",
+          substring_index($"p_name", " ", 1).as("blk"))
+      val a = p.select($"p_partkey".as("a_key"), $"p_name".as("a_name"), $"blk")
+      val b = p.select($"p_partkey".as("b_key"), $"p_name".as("b_name"), $"blk")
+      a.join(b, Seq("blk"))
+        .filter($"a_key" < $"b_key")
+        .withColumn("jw", jaro_winkler_similarity($"a_name", $"b_name"))
+        .filter($"jw" > 0.92)
+        .select($"a_key", $"b_key", $"jw")
+    }),
+
     // §2.2: scalar bitwise surface — shifts, and/or/xor/not, popcount.
     // (q_argminmax owns the bitwise AGGREGATES; these are the scalar
     // ops.) Both engines define them on BIGINT two's complement, so
@@ -1729,6 +1750,15 @@ object Relational {
                 hamming(rpad(p_name, 6, '_'), rpad(p_type, 6, '_')) AS ham6,
                 jaccard(p_name, p_type) AS jac_name_type
          FROM part WHERE p_partkey <= 600""",
+    // DuckDB spells the blocking key split_part, Spark substring_index —
+    // identical on non-empty names; jw compares bit-exact unrounded
+    "q_fuzzy_join" ->
+      """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+                jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+         FROM part a JOIN part b
+           ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+          AND a.p_partkey < b.p_partkey
+         WHERE jaro_winkler_similarity(a.p_name, b.p_name) > 0.92""",
     // infix operators in DuckDB (<< >> & | xor() ~) ↔ named functions
     // in the Spark DataFrame API; semantics identical on BIGINT
     "q_bitwise_funcs" ->
