@@ -290,6 +290,33 @@ object Relational {
           exists($"lens", x => x === 1).as("has_single"))
     }),
 
+    // §2.12: array functions tier 2 — set algebra (intersect/overlap/
+    // has-all), element search, zip_with + positional weighting, slicing.
+    // DuckDB's list_intersect/list_distinct return UNORDERED lists, so
+    // every array-valued result reduces through an order-free scalar
+    // (size/sum) or an explicit sort before stringifying.
+    "q_array_funcs2" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", split(lower($"text"), " +").as("ws"))
+        .select($"doc_id",
+          size(array_intersect($"ws",
+            array(Seq("the", "of", "and", "to", "in", "a").map(lit): _*)))
+            .as("n_stop_shared"),
+          arrays_overlap($"ws",
+            array(Seq("the", "of", "and", "to", "in", "a").map(lit): _*))
+            .as("has_stop"),
+          expr("forall(array('the', 'of'), x -> array_contains(ws, x))")
+            .as("has_the_of"),
+          array_position($"ws", "the").cast("long").as("pos_the"),
+          aggregate(
+            zip_with(transform($"ws", w => length(w).cast("long")),
+              sequence(lit(1L), size($"ws").cast("long")),
+              (x, i) => x * i),
+            lit(0L), (a, x) => a + x).as("wsum"),
+          concat_ws(",", slice(sort_array($"ws"), 2, 2)).as("mid2"))
+    }),
+
     // §2.12: ordered string aggregation (LISTAGG WITHIN GROUP — the
     // reporting staple): per market segment, the first 5 customer names in
     // key order, pipe-joined. Explicit ORDER BY makes the concatenation
@@ -1679,6 +1706,26 @@ object Relational {
                 len(list_filter(lens, x -> x > 4)) AS n_long,
                 CAST(list_sum(list_sort(lens)[1:3]) AS BIGINT) AS sum_smallest3,
                 list_contains(lens, 1) AS has_single
+         FROM t""",
+    // list_intersect/list_distinct are unordered in DuckDB: results
+    // reduce through size/sum or sort before stringifying. list_position
+    // returns 0 when absent in BOTH engines (verified by probe).
+    "q_array_funcs2" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
+           FROM documents)
+         SELECT doc_id,
+                len(list_intersect(ws,
+                    ['the', 'of', 'and', 'to', 'in', 'a'])) AS n_stop_shared,
+                list_has_any(ws,
+                    ['the', 'of', 'and', 'to', 'in', 'a']) AS has_stop,
+                list_has_all(ws, ['the', 'of']) AS has_the_of,
+                CAST(list_position(ws, 'the') AS BIGINT) AS pos_the,
+                CAST(list_sum(list_transform(list_zip(
+                    list_transform(ws, w -> length(w)),
+                    generate_series(1, len(ws))),
+                  x -> x[1] * x[2])) AS BIGINT) AS wsum,
+                array_to_string(list_slice(list_sort(ws), 2, 3), ',') AS mid2
          FROM t""",
     "q_string_agg" ->
       """WITH t AS (
