@@ -84,6 +84,61 @@ object Similarity {
     selectTopK(scored, k)
   }
 
+  /** MMR (maximal marginal relevance) re-ranking — the diversification
+    * pass between retrieval and a context window: greedily pick the
+    * candidate maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    * picked, so near-duplicate hits don't crowd out coverage. Exact greedy
+    * over a BOUNDED per-query shortlist (top-m by cosine): the shortlist
+    * caps the quadratic term at m² per query, and each of the k−1 greedy
+    * steps is a tiny join+window over (queries × m) rows — never the
+    * corpus. Iterative steps localCheckpoint so the plan stays linear in
+    * k. Ties break by vec_id; the oracle replays the same greedy chain in
+    * generated chained-CTE SQL (see PipelineQueries.mmrOracleSql) with
+    * constants emitted from the SAME doubles, so selection is
+    * deterministic cross-engine (rank-only output, the bruteforce
+    * discipline). */
+  def mmrRerank(emb: DataFrame, queries: DataFrame, k: Int = 5, m: Int = 20,
+      lam: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shortlist = topKBruteForce(emb, queries, m)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    val vecs = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cand = shortlist.join(vecs, "vec_id").localCheckpoint(true)
+    val pa = cand.select(col("query_id"), col("vec_id").as("a"), col("v").as("va"))
+    val pb = cand.select(col("query_id"), col("vec_id").as("b"), col("v").as("vb"))
+    val pairs = pa.join(pb, Seq("query_id")).filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        Dedup.cosine(col("va"), col("vb")).as("sim"))
+      .localCheckpoint(true)
+    val base = cand.select(col("query_id"), col("vec_id"), col("cos"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    var selected = base.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("mmr_rank"))
+    var t = 2
+    while (t <= k) {
+      val rem = base.join(selected, Seq("query_id", "vec_id"), "left_anti")
+      val ms = pairs
+        .join(selected.select(col("query_id"), col("vec_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a")).agg(max(col("sim")).as("maxsim"))
+        .withColumnRenamed("a", "vec_id")
+      val wt = Window.partitionBy(col("query_id"))
+        .orderBy(col("obj").desc, col("vec_id"))
+      val next = rem.join(ms, Seq("query_id", "vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          (lit(lam) * col("cos") - lit(1 - lam) * col("maxsim")).as("obj"))
+        .withColumn("__rn", row_number().over(wt))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("vec_id"), lit(t.toLong).as("mmr_rank"))
+      selected = selected.unionByName(next).localCheckpoint(true)
+      t += 1
+    }
+    selected
+  }
+
   /** Streaming retrieval: query vectors arrive as a STREAM and are scored
     * against the static corpus. Retrieval is stateless per query — a
     * query's top-k is complete the moment its own rows are seen — so the

@@ -441,6 +441,17 @@ object PipelineQueries {
         .select(col("query_id"), col("vec_id"), col("rank"))
     }),
 
+    // §2.14: MMR diversified re-ranking — the pass between retrieval and
+    // a context window: greedy λ·relevance − (1−λ)·max-sim-to-picked over
+    // a bounded top-m shortlist (quadratic term capped at m² per query).
+    // Rank-only output; the oracle replays the same greedy chain in
+    // generated chained-CTE SQL with identical double literals.
+    "sim_mmr" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.mmrRerank(e, e.filter(col("vec_id") < 8),
+        k = 5, m = 20, lam = 0.7)
+    }),
+
     // §2.3 #42 LSH-bucketed ANN (rows-only + recall spec). nTables=4: the
     // synthetic embeddings are near-uniform (top-5 cosines ~0.5, no cluster
     // structure), the hard case for hyperplane LSH — 2 tables measure 0.60
@@ -1906,6 +1917,69 @@ object PipelineQueries {
     try body finally s.conf.set(key, old)
   }
 
+  /** Chained-CTE MMR oracle: replays [[graft.operators.Similarity.mmrRerank]]'s
+    * greedy selection in SQL — one CTE per step, each an arg-max (window
+    * rank 1) over λ·cos − (1−λ)·max-sim-to-selected. Generated in a loop
+    * so k stays a parameter and the λ/(1−λ) literals are emitted from the
+    * SAME Scala doubles the Spark side multiplies with (`1 - 0.7` is
+    * 0.30000000000000004, not 0.3 — a hand-written 0.3 would diverge). */
+  private def mmrOracleSql(k: Int, m: Int, lam: Double): String = {
+    val l = lam.toString
+    val om = (1 - lam).toString
+    val steps = new StringBuilder
+    val names = scala.collection.mutable.ArrayBuffer("s1")
+    for (t <- 2 to k) {
+      val sel = names.map(n => s"SELECT query_id, vec_id FROM $n")
+        .mkString(" UNION ALL ")
+      steps.append(
+        s""", s$t AS (
+           SELECT query_id, vec_id, CAST($t AS BIGINT) AS mmr_rank FROM (
+             SELECT r.query_id, r.vec_id,
+                    row_number() OVER (PARTITION BY r.query_id
+                      ORDER BY $l * r.cos - $om * ms.maxsim DESC, r.vec_id)
+                      AS rn
+             FROM sl r
+             JOIN (SELECT p.query_id, p.a, max(p.sim) AS maxsim
+                   FROM p JOIN ($sel) s
+                     ON p.query_id = s.query_id AND p.b = s.vec_id
+                   GROUP BY 1, 2) ms
+               ON r.query_id = ms.query_id AND r.vec_id = ms.a
+             WHERE NOT EXISTS (SELECT 1 FROM ($sel) s2
+                               WHERE s2.query_id = r.query_id
+                                 AND s2.vec_id = r.vec_id))
+           WHERE rn = 1)""")
+      names += s"s$t"
+    }
+    val all = names.map(n => s"SELECT * FROM $n").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  list_cosine_similarity(c.v, q.qv) AS cos
+           FROM c, q WHERE c.vec_id <> q.query_id),
+         sl AS (SELECT query_id, vec_id, cos FROM (
+                  SELECT query_id, vec_id, cos,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, vec_id) AS rn
+                  FROM scored)
+                WHERE rn <= $m),
+         slv AS (SELECT sl.query_id, sl.vec_id, c.v
+                 FROM sl JOIN c USING (vec_id)),
+         p AS (SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+                      list_cosine_similarity(a.v, b.v) AS sim
+               FROM slv a JOIN slv b
+                 ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+         s1 AS (SELECT query_id, vec_id, CAST(1 AS BIGINT) AS mmr_rank
+                FROM (SELECT query_id, vec_id,
+                             row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id) AS rn
+                      FROM sl)
+                WHERE rn = 1)
+         ${steps.toString}
+       SELECT query_id, vec_id, mmr_rank FROM ($all)"""
+  }
+
   private val bruteforceTopkOracleSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                   FROM embeddings WHERE vec_id < 8),
@@ -2336,6 +2410,7 @@ object PipelineQueries {
          FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
          WHERE d.doc_id % 5 = 0""",
     "sim_topk_bruteforce" -> bruteforceTopkOracleSql,
+    "sim_mmr" -> mmrOracleSql(k = 5, m = 20, lam = 0.7),
     "pipeline_hard_negatives" ->
       """WITH m AS (SELECT doc_id, source, md5(text) AS h FROM documents),
             c AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v, m.source, m.h

@@ -179,6 +179,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("MMR: head equals pure-relevance top-1; a planted clone of the best " +
+    "hit is deferred while pure top-k would rank it second") {
+    // find the query's true nearest, then plant an exact CLONE of it as
+    // id 999: pure relevance ranks the clone right behind the original
+    // (identical cosine, tie broken by id), but MMR's diversity penalty
+    // (sim(clone, original) = 1) pushes it behind genuinely different hits.
+    val queries0 = corpus.filter($"vec_id" === 0L)
+    val top1 = Similarity.topKBruteForce(corpus, queries0, k = 1)
+      .select($"vec_id").as[Long].collect().head
+    val clone = corpusLocal.find(_._1 == top1).get._2
+    val withClone = (corpusLocal :+ (999L -> clone)).toDF("vec_id", "embedding")
+    val queries = withClone.filter($"vec_id" === 0L)
+    val pure = Similarity.topKBruteForce(withClone, queries, k = 5)
+      .orderBy($"rank").select($"vec_id").as[Long].collect()
+    val mmr = Similarity.mmrRerank(withClone, queries, k = 5, m = 20, lam = 0.7)
+      .orderBy($"mmr_rank").select($"vec_id").as[Long].collect()
+    // both see 5 picks from the same query; heads agree (step 1 is pure)
+    assert(pure.length == 5 && mmr.length == 5)
+    assert(mmr.head == pure.head && mmr.head == top1)
+    // pure ranks the clone pair adjacent (ranks 1 and 2)...
+    assert(pure.take(2).toSet == Set(top1, 999L))
+    // ...MMR keeps one of the pair first but NOT both in the top 2
+    assert(mmr.take(2).toSet != Set(top1, 999L))
+    // selected ⊆ shortlist and all distinct
+    assert(mmr.distinct.length == 5)
+    val shortlist = Similarity.topKBruteForce(withClone, queries, k = 20)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(mmr.forall(shortlist.contains))
+  }
+
   test("l2Normalize: unit norm after, zero vector untouched, norm bound once") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
