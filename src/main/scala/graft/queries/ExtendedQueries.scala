@@ -818,6 +818,48 @@ object ExtendedQueries {
           sum(col("l_extendedprice").cast(DecimalType(18, 2)))
             .cast("double").as("mass"))),
 
+    // §2.13: EQUI-DEPTH histogram — the quantile-bucketed companion of
+    // q_histogram's fixed-width buckets (equal mass per bucket exposes
+    // tail structure a width histogram flattens). Buckets are exact SQL
+    // ntile over a total order, computed by the SAME distributed
+    // rank+broadcast-total machinery as pipeline_curriculum — never a
+    // single-task global window.
+    "q_histogram_eqdepth" -> ((s, dir) =>
+      graft.operators.Packing.curriculumPhases(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")),
+        Seq(col("l_extendedprice").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc),
+        phases = 8, out = "bucket")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double").as("mass"))),
+
+    // §2.13: Benford first-digit screen — the accounting/data-QA check
+    // that a value column's first significant digits follow log10(1+1/d).
+    // The digit extracts from the DECIMAL string rendering (identical on
+    // both engines; double→string formatting is NOT), shares are exact
+    // int ratios, and the Benford expectation rounds at 6 dp.
+    "q_benford" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(regexp_extract(
+          col("o_totalprice").cast(DecimalType(18, 2)).cast("string"),
+          "[1-9]", 0).as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__k", expr("pmod(n, 1)"))
+        .join(broadcast(
+          Tables.load(s, dir, "orders").agg(count(lit(1)).as("total"))
+            .withColumn("__k", expr("pmod(total, 1)"))), "__k")
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("total")).as("pct_obs"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+            .as("pct_benford"))),
+
     // §2.8: snapshot diff — yesterday's table vs today's, every key
     // classified added/removed/changed/same in ONE full-outer join. The
     // "v2" snapshot derives deterministically from orders (drops, price
@@ -2037,6 +2079,34 @@ object ExtendedQueries {
                   JOIN wdeg d ON e.src = d.src GROUP BY 1) s
                 ON n.node = s.dst)
          SELECT node, CAST(rank AS BIGINT) AS rank FROM r5""",
+    // native window ntile on the oracle side (the pipeline_curriculum
+    // discipline applied to histogram bucketing)
+    "q_histogram_eqdepth" ->
+      """WITH b AS (
+           SELECT l_extendedprice,
+                  CAST(ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey,
+                    l_linenumber) AS BIGINT) AS bucket
+           FROM lineitem)
+         SELECT bucket, count(*) AS n,
+                min(l_extendedprice) AS lo,
+                max(l_extendedprice) AS hi,
+                CAST(CAST(sum(cast(l_extendedprice AS decimal(18,2)))
+                  AS STRING) AS DOUBLE) AS mass
+         FROM b GROUP BY 1""",
+    // decimal→string rendering is identical cross-engine (double→string
+    // is not); ln(x)/ln(10) spelled as log10 on both sides, rounded 6 dp
+    "q_benford" ->
+      """WITH d AS (
+           SELECT regexp_extract(
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                    '[1-9]', 0) AS digit
+           FROM orders),
+         t AS (SELECT count(*) AS total FROM d)
+         SELECT digit, count(*) AS n,
+                CAST(count(*) AS DOUBLE) / max(t.total) AS pct_obs,
+                round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+                  AS pct_benford
+         FROM d, t GROUP BY digit""",
     "q_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
                 count(*) AS n,
