@@ -127,6 +127,10 @@ object GraftFunctions {
     ColumnBridge.column(
       CmsEstimate(ColumnBridge.expression(sketch), ColumnBridge.expression(item)))
 
+  def vec_sum(c: Column): Column =
+    ColumnBridge.column(
+      VecSumAgg(ColumnBridge.expression(c)).toAggregateExpression())
+
   def jaro_similarity(a: Column, b: Column): Column =
     ColumnBridge.column(JaroSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

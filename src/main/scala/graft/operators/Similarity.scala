@@ -84,6 +84,42 @@ object Similarity {
     selectTopK(scored, k)
   }
 
+  /** Exact population covariance matrix of the embedding dimensions — the
+    * statistic under whitening/PCA decisions and embedding-drift QA.
+    * Distributed linear-algebra shape: each row expands to its
+    * upper-triangle outer products INSIDE the row (an array column), and
+    * [[graft.functions.VecSumAgg]] folds partitions element-wise so only
+    * d(d+1)/2-wide partial buffers cross the exchange — never n·d² rows
+    * (the posexplode+groupBy spelling) and never a driver-side fold.
+    * cov(i,j) = Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n), rounded 6 dp (distributed double
+    * partial-sum order is ulp-nondeterministic). */
+  def covariance(emb: DataFrame, dim: Int): DataFrame = {
+    val withV = emb.select(
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val tri = expr(s"flatten(transform(sequence(0, ${dim - 1}), i -> " +
+      s"transform(sequence(i, ${dim - 1}), j -> " +
+      "element_at(v, i + 1) * element_at(v, j + 1))))")
+    val agg = withV.select(col("v"), tri.as("xx"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        graft.functions.GraftFunctions.vec_sum(col("v")).as("s"),
+        graft.functions.GraftFunctions.vec_sum(col("xx")).as("ss"))
+    val ij = expr(s"flatten(transform(sequence(0, ${dim - 1}), i -> " +
+      s"transform(sequence(i, ${dim - 1}), j -> struct(i, j))))")
+    val pos = expr(
+      s"CAST(ij.i * $dim - ij.i * (ij.i - 1) DIV 2 + (ij.j - ij.i) + 1 AS INT)")
+    agg.select(col("n"), col("s"), col("ss"), explode(ij).as("ij"))
+      .select(
+        col("ij.i").cast("long").as("i"),
+        col("ij.j").cast("long").as("j"),
+        // + 0.0 canonicalizes IEEE -0.0 to +0.0 (the two stringify
+        // differently in the bit-exact compare; both engines produce a
+        // mix at rounded-away-to-zero cells)
+        (round(element_at(col("ss"), pos) / col("n")
+          - (element_at(col("s"), expr("CAST(ij.i + 1 AS INT)")) / col("n"))
+          * (element_at(col("s"), expr("CAST(ij.j + 1 AS INT)")) / col("n")),
+          6) + lit(0.0)).as("cov"))
+  }
+
   /** MMR (maximal marginal relevance) re-ranking — the diversification
     * pass between retrieval and a context window: greedily pick the
     * candidate maximizing λ·relevance − (1−λ)·max-similarity-to-already-

@@ -441,6 +441,12 @@ object PipelineQueries {
         .select(col("query_id"), col("vec_id"), col("rank"))
     }),
 
+    // §2.14: exact embedding covariance matrix — whitening/PCA input and
+    // drift QA. Row-local outer products + element-wise VecSumAgg: only
+    // d(d+1)/2-wide partial buffers cross the exchange, never n·d² rows.
+    "emb_covariance" -> ((s, dir) =>
+      Similarity.covariance(emb(s, dir), dim = 64)),
+
     // §2.14: MMR diversified re-ranking — the pass between retrieval and
     // a context window: greedy λ·relevance − (1−λ)·max-sim-to-picked over
     // a bounded top-m shortlist (quadratic term capped at m² per query).
@@ -2411,6 +2417,26 @@ object PipelineQueries {
          WHERE d.doc_id % 5 = 0""",
     "sim_topk_bruteforce" -> bruteforceTopkOracleSql,
     "sim_mmr" -> mmrOracleSql(k = 5, m = 20, lam = 0.7),
+    // the oracle spells the cross join n·d² way (fine at oracle scale);
+    // identical cov formula and 6 dp rounding
+    "emb_covariance" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+           n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+           idx AS (SELECT a.i AS i, b.j AS j
+                   FROM generate_series(0, 63) a(i), generate_series(0, 63) b(j)
+                   WHERE b.j >= a.i),
+           sums AS (SELECT idx.i, idx.j,
+                           sum(e.v[idx.i + 1] * e.v[idx.j + 1]) AS sxx
+                    FROM e, idx GROUP BY 1, 2),
+           m AS (SELECT a.i AS i, sum(e.v[a.i + 1]) AS si
+                 FROM e, generate_series(0, 63) a(i) GROUP BY 1)
+         SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j,
+                round(s.sxx / n.n - (mi.si / n.n) * (mj.si / n.n), 6) + 0.0
+                  AS cov
+         FROM sums s
+         JOIN m mi ON mi.i = s.i
+         JOIN m mj ON mj.i = s.j
+         CROSS JOIN n""",
     "pipeline_hard_negatives" ->
       """WITH m AS (SELECT doc_id, source, md5(text) AS h FROM documents),
             c AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v, m.source, m.h
