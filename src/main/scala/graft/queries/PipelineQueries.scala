@@ -1645,6 +1645,12 @@ object PipelineQueries {
         Tables.load(s, dir, "nation"))),
     "st_enrich_et" -> ((s, dir) => stEnrichEt(s, dir)),
 
+    // §2.7: streaming per-window top-k ("trending now") — tumbling-day
+    // counts (the incremental stream aggregate) + rank within window,
+    // partitioned by window start so parallelism grows with windows.
+    "st_window_topk" -> ((s, dir) =>
+      EventStreams.windowTopK(Tables.load(s, dir, "events"), k = 3)),
+
     // §2.7: streaming QUALITY GATE — declarative expectations as a
     // dead-letter router: every row carries the names of the row rules it
     // violates; clean rows flow on, the rest quarantine with the reason.
@@ -3781,6 +3787,14 @@ object PipelineQueries {
                 CAST(CAST(sum(cast(value AS decimal(18,4))) AS STRING) AS DOUBLE) AS total_value
          FROM events JOIN nation ON (user_id % 25) = n_nationkey
          GROUP BY 1""",
+    "st_window_topk" ->
+      """WITH c AS (
+           SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT day, event_type, n,
+                CAST(row_number() OVER (PARTITION BY day
+                  ORDER BY n DESC, event_type) AS BIGINT) AS rank
+         FROM c QUALIFY rank <= 3""",
     // rules with zero violations emit NO dead row on either side
     // (HAVING mirrors the explode-side absence)
     "st_quality_gate" ->

@@ -50,6 +50,30 @@ object EventStreams {
   def windowAggStream(events: DataFrame): DataFrame =
     windowAgg(events.withWatermark("ts", "10 minutes"))
 
+  /** Per-window top-k: the "trending now" shape — tumbling-window counts,
+    * then rank within each window (deterministic tie-break on the key).
+    * The rank window partitions by window-start, so parallelism grows with
+    * the number of windows (never a global sort). Streaming posture: the
+    * COUNT layer is the incremental stream aggregate (windowTopKCounts
+    * with a watermark); ranking is a per-emission batch step — Structured
+    * Streaming cannot stack a rank over a streaming aggregate in one
+    * query, so the spec ranks the final in-memory counts and asserts
+    * equality with this batch plan. */
+  def windowTopK(events: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("n").desc, col("event_type"))
+    windowTopKCounts(events)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** The streaming-safe count layer of [[windowTopK]]. */
+  def windowTopKCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("day"), col("event_type"), col("n"))
+
   // ------------------------------------------------------------------
   // #49 sessionization
   // ------------------------------------------------------------------

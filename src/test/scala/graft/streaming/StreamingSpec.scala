@@ -83,6 +83,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed top-k: the streaming count layer converges to batch counts " +
+    "across batches; ranking the final state equals the batch top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.windowTopKCounts(
+      mem.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("topk_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData(eventsLocal.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(eventsLocal.drop(3): _*)
+      q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day")).orderBy(col("n").desc, col("event_type"))
+      val streamed = spark.table("topk_counts")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 2)
+        .collect().map(_.toString).sorted
+      val batch = EventStreams.windowTopK(eventsLocal.toDF(), k = 2)
+        .collect().map(_.toString).sorted
+      assert(streamed.toSeq == batch.toSeq)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("quality-gate routing on a stream equals batch: stateless, append mode, " +
     "per-row dead-letter labels") {
     import graft.operators.Expectations._
