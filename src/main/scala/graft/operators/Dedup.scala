@@ -802,6 +802,26 @@ object Dedup {
       .select(col("doc_id"), col("h"), col("h1"), col("h2"))
   }
 
+  /** Right-to-be-forgotten on the persisted seen-index — the DELETE dual
+    * of [[incrementalIndexed]]'s append: removing a document's digest is
+    * only correct if NO SURVIVING document produces the same digest
+    * (shared content must stay indexed, or the next crawl re-admits a
+    * duplicate of text the corpus still contains). The index stores no
+    * doc attribution (by design — it's digest-distinct), so one
+    * digest-projection pass over the survivors is provably necessary; the
+    * pass reduces by a semi-join to the FORGOTTEN digest keys before
+    * anything shuffles, so exchange volume is delta-sized: forgotten
+    * digests + their survivor hits, never corpus state. Returns the
+    * updated index (same schema, ready to persist back). */
+  def forgetDigests(spark: org.apache.spark.sql.SparkSession, table: String,
+      forgotten: DataFrame, survivors: DataFrame): DataFrame = {
+    val fd = forgotten.select(unhex(md5(col("text"))).as("h")).distinct()
+    val stillLive = survivors.select(unhex(md5(col("text"))).as("h"))
+      .join(fd, Seq("h"), "left_semi").distinct()
+    val removable = fd.join(stillLive, Seq("h"), "left_anti")
+    spark.table(table).join(removable, Seq("h"), "left_anti")
+  }
+
   /** Persist the corpus's MinHash BAND index — [[writeSeenIndex]]'s
     * steady-state posture applied to NEAR-dup detection (the r9 VERDICT's
     * #2). Rows are the same (band, bh) keys [[minhashLsh]] computes, each

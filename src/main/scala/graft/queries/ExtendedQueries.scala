@@ -818,6 +818,29 @@ object ExtendedQueries {
           sum(col("l_extendedprice").cast(DecimalType(18, 2)))
             .cast("double").as("mass"))),
 
+    // §2.13: exact WEIGHTED median — the robust-statistics staple (median
+    // price weighted by quantity): smallest value whose cumulative weight
+    // crosses half the total. The cumulative weight is the distributed
+    // Ranked running sum (range partitions + broadcast prefix — never a
+    // single-task global window); integral weights keep the running sum
+    // exact, and the half-crossing compare is integer (cw·2 ≥ tw).
+    "q_weighted_median" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("v"),
+          col("l_quantity").cast("long").as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+      val run = graft.operators.Ranked.withGlobalRunningSum(li, "cw",
+        col("w"),
+        Seq(col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc))
+      val tot = li.agg(sum(col("w")).as("tw"))
+        .withColumn("__k", expr("pmod(tw, 1)"))
+      run.withColumn("__k", expr("pmod(cw, 1)"))
+        .join(broadcast(tot), "__k")
+        .filter(col("cw") * 2 >= col("tw"))
+        .agg(min(col("v")).as("weighted_median"),
+          max(col("tw")).cast("long").as("total_weight"))
+    }),
+
     // §2.13: EQUI-DEPTH histogram — the quantile-bucketed companion of
     // q_histogram's fixed-width buckets (equal mass per bucket exposes
     // tail structure a width histogram flattens). Buckets are exact SQL
@@ -2079,6 +2102,17 @@ object ExtendedQueries {
                   JOIN wdeg d ON e.src = d.src GROUP BY 1) s
                 ON n.node = s.dst)
          SELECT node, CAST(rank AS BIGINT) AS rank FROM r5""",
+    "q_weighted_median" ->
+      """WITH r AS (
+           SELECT l_extendedprice AS v,
+                  sum(CAST(l_quantity AS BIGINT)) OVER (
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                  sum(CAST(l_quantity AS BIGINT)) OVER () AS tw
+           FROM lineitem)
+         SELECT min(v) AS weighted_median,
+                cast(min(tw) AS BIGINT) AS total_weight
+         FROM r WHERE cw * 2 >= tw""",
     // native window ntile on the oracle side (the pipeline_curriculum
     // discipline applied to histogram bucketing)
     "q_histogram_eqdepth" ->

@@ -136,6 +136,20 @@ object PipelineQueries {
       tbl
     }
 
+  /** Memoized FULL-corpus seen-index (the standing-corpus one above
+    * excludes src19 for the incremental faces) — the pipeline_forget
+    * fixture. */
+  private val fullSeenIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fullSeenIndexTable(s: SparkSession, dir: String): String =
+    memo(fullSeenIndexCache, dir) { d =>
+      val tbl = "graft_full_seen_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_full_seen_idx_").resolve("t").toString
+      Dedup.writeSeenIndex(docs(s, d), tbl, path)
+      tbl
+    }
+
   /** Memoized persisted inverted text index per sf dir — the lexical
     * member of the persisted-index trilogy. Built once (full tokenize +
     * count, the ingest-time cost); every BM25 probe after that reads only
@@ -1644,6 +1658,36 @@ object PipelineQueries {
       EventStreams.enrichAgg(Tables.load(s, dir, "events"),
         Tables.load(s, dir, "nation"))),
     "st_enrich_et" -> ((s, dir) => stEnrichEt(s, dir)),
+
+    // §2.8: RIGHT TO BE FORGOTTEN — the DELETE dual of the incremental
+    // index family: purge a forget-list's digests from the persisted
+    // seen-index UNLESS a surviving doc shares the content (removing a
+    // shared digest would re-admit duplicates of text still in the
+    // corpus). ivm_ok certifies incremental-delete ≡ rebuild-from-
+    // survivors engine-side; the oracle recomputes all counts from
+    // documents directly and pins ivm_ok true.
+    "pipeline_forget" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = fullSeenIndexTable(s, dir)
+      val forgotten = d.filter(col("doc_id") % 97 === 0)
+      val survivors = d.filter(col("doc_id") % 97 =!= 0)
+      val updated = Dedup.forgetDigests(s, idx, forgotten, survivors)
+      val rebuilt = survivors
+        .select(unhex(md5(col("text"))).as("h")).distinct()
+      val ivmOk =
+        updated.select(col("h")).exceptAll(rebuilt).isEmpty &&
+          rebuilt.exceptAll(updated.select(col("h"))).isEmpty
+      val before = s.table(idx).count()
+      val after = updated.count()
+      val sharedKept = forgotten
+        .select(unhex(md5(col("text"))).as("h")).distinct()
+        .join(rebuilt, Seq("h"), "left_semi").count()
+      val one = s.range(1).select(
+        lit(before).as("n_before"), lit(after).as("n_after"),
+        lit(before - after).as("n_removed"),
+        lit(sharedKept).as("n_shared_kept"), lit(ivmOk).as("ivm_ok"))
+      one
+    }),
 
     // §2.7: streaming per-window top-k ("trending now") — tumbling-day
     // counts (the incremental stream aggregate) + rank within window,
@@ -3787,6 +3831,22 @@ object PipelineQueries {
                 CAST(CAST(sum(cast(value AS decimal(18,4))) AS STRING) AS DOUBLE) AS total_value
          FROM events JOIN nation ON (user_id % 25) = n_nationkey
          GROUP BY 1""",
+    // IVM contract: counts recomputed from documents alone; ivm_ok pinned
+    "pipeline_forget" ->
+      """WITH f AS (
+           SELECT md5(text) AS h, doc_id % 97 = 0 AS fg FROM documents),
+         agg AS (
+           SELECT h, bool_or(fg) AS any_f, bool_or(NOT fg) AS any_s
+           FROM f GROUP BY 1)
+         SELECT cast(count(*) AS BIGINT) AS n_before,
+                cast(sum(CASE WHEN any_s THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_after,
+                cast(sum(CASE WHEN any_f AND NOT any_s THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_removed,
+                cast(sum(CASE WHEN any_f AND any_s THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_shared_kept,
+                true AS ivm_ok
+         FROM agg""",
     "st_window_topk" ->
       """WITH c AS (
            SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n

@@ -610,4 +610,27 @@ class DedupSpec extends SparkSpec {
       assert(inc == full, s"seed $seed: incremental $inc != full $full")
     }
   }
+
+  test("forgetDigests: shared content survives the purge, unshared digests " +
+    "leave, and the result equals a rebuild from survivors") {
+    import spark.implicits._
+    // docs 1,2 share content; 3 is unique-and-forgotten; 4 unique-kept
+    val corpus = Seq(
+      (1L, "shared text"), (2L, "shared text"),
+      (3L, "forget me"), (4L, "keep me")).toDF("doc_id", "text")
+    val tbl = "forget_spec_idx"
+    val path = java.nio.file.Files
+      .createTempDirectory("forget_spec_").resolve("t").toString
+    Dedup.writeSeenIndex(corpus, tbl, path)
+    assert(spark.table(tbl).count() == 3) // 3 distinct contents
+    // forget docs 2 and 3: "shared text" survives via doc 1; "forget me"
+    // has no surviving contributor and must leave the index
+    val forgotten = corpus.filter($"doc_id".isin(2L, 3L))
+    val survivors = corpus.filter(!$"doc_id".isin(2L, 3L))
+    val updated = Dedup.forgetDigests(spark, tbl, forgotten, survivors)
+    val rebuilt = survivors.select(unhex(md5($"text")).as("h")).distinct()
+    assert(updated.count() == 2)
+    assert(updated.select("h").exceptAll(rebuilt).isEmpty)
+    assert(rebuilt.exceptAll(updated.select("h")).isEmpty)
+  }
 }
