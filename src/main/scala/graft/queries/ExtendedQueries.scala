@@ -818,6 +818,29 @@ object ExtendedQueries {
           sum(col("l_extendedprice").cast(DecimalType(18, 2)))
             .cast("double").as("mass"))),
 
+    // §2.13: DISCRETE percentiles (quantile_disc parity) — the element at
+    // sorted position ceil(n·p) (clamped to ≥1), verified as DuckDB's
+    // native convention at large n where floor((n−1)p)+1 diverges (both
+    // agree on small probes — the sf0.01 oracle run separated them);
+    // complements q_percentiles' interpolated (CONT) family. Ranks come
+    // from the few-huge-groups Ranked machinery (3 return flags would
+    // serialize a partitioned window into 3 tasks); dyadic p keeps the
+    // position arithmetic exact.
+    "q_percentile_disc" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+      val rk = graft.operators.Ranked.withGroupRowNumber(li, "rn", "flag",
+        Seq(col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc),
+        countOut = "n")
+      def at(p: Double) = greatest(ceil(col("n") * lit(p)), lit(1L))
+      rk.groupBy(col("flag")).agg(
+        min(when(col("rn") === at(0.25), col("v"))).as("p25"),
+        min(when(col("rn") === at(0.5), col("v"))).as("p50"),
+        min(when(col("rn") === at(0.75), col("v"))).as("p75"))
+    }),
+
     // §2.13: exact WEIGHTED median — the robust-statistics staple (median
     // price weighted by quantity): smallest value whose cumulative weight
     // crosses half the total. The cumulative weight is the distributed
@@ -2102,6 +2125,13 @@ object ExtendedQueries {
                   JOIN wdeg d ON e.src = d.src GROUP BY 1) s
                 ON n.node = s.dst)
          SELECT node, CAST(rank AS BIGINT) AS rank FROM r5""",
+    // DuckDB's NATIVE quantile_disc on the oracle side
+    "q_percentile_disc" ->
+      """SELECT l_returnflag AS flag,
+                quantile_disc(l_extendedprice, 0.25) AS p25,
+                quantile_disc(l_extendedprice, 0.5) AS p50,
+                quantile_disc(l_extendedprice, 0.75) AS p75
+         FROM lineitem GROUP BY 1""",
     "q_weighted_median" ->
       """WITH r AS (
            SELECT l_extendedprice AS v,
