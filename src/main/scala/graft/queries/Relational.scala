@@ -317,6 +317,27 @@ object Relational {
           concat_ws(",", slice(sort_array($"ws"), 2, 2)).as("mid2"))
     }),
 
+    // §2.12: IGNORE NULLS navigation — the gap-fill idiom: last non-null
+    // before me (forward fill) and first non-null from me on (backward
+    // fill). Spark spells IGNORE NULLS as the boolean arg of first/last
+    // over explicit frames; DuckDB as the SQL modifier. NULLs are planted
+    // deterministically (error events), order is total per user.
+    "q_ignore_nulls" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val ev = Tables.load(s, dir, "events")
+        .filter($"user_id" <= 300)
+        .withColumn("v", when($"event_type" === "error", lit(null)
+          .cast("double")).otherwise($"value"))
+      ev.select($"user_id", $"event_id", $"v",
+        last($"v", ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("ffill"),
+        first($"v", ignoreNulls = true)
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("bfill"))
+    }),
+
     // §2.12: ordered string aggregation (LISTAGG WITHIN GROUP — the
     // reporting staple): per market segment, the first 5 customer names in
     // key order, pipe-joined. Explicit ORDER BY makes the concatenation
@@ -1727,6 +1748,24 @@ object Relational {
                   x -> x[1] * x[2])) AS BIGINT) AS wsum,
                 array_to_string(list_slice(list_sort(ws), 2, 3), ',') AS mid2
          FROM t""",
+    // IGNORE NULLS is the SQL modifier in DuckDB, the boolean arg of
+    // first/last in Spark; frames spelled identically
+    "q_ignore_nulls" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN event_type = 'error' THEN NULL
+                       ELSE value END AS v
+           FROM events WHERE user_id <= 300)
+         SELECT user_id, event_id, v,
+                last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS ffill,
+                first_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS bfill
+         FROM e""",
     "q_string_agg" ->
       """WITH t AS (
            SELECT c_mktsegment, c_name, c_custkey,
