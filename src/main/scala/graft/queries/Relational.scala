@@ -488,7 +488,12 @@ object Relational {
     "q_fuzzy_join" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.GraftFunctions._
+      // fixed-size probe slice at every SF: the linkage OUTPUT grows
+      // quadratically within blocks (20k parts → 3.1M pairs at this
+      // threshold), and a verification face must stay comparison-sized —
+      // the scale story is the blocked plan shape, not output volume
       val p = Tables.load(s, dir, "part")
+        .filter($"p_partkey" <= 2000)
         .select($"p_partkey", $"p_name",
           substring_index($"p_name", " ", 1).as("blk"))
       val a = p.select($"p_partkey".as("a_key"), $"p_name".as("a_name"), $"blk")
@@ -1844,7 +1849,8 @@ object Relational {
          FROM part a JOIN part b
            ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
           AND a.p_partkey < b.p_partkey
-         WHERE jaro_winkler_similarity(a.p_name, b.p_name) > 0.92""",
+         WHERE a.p_partkey <= 2000 AND b.p_partkey <= 2000
+           AND jaro_winkler_similarity(a.p_name, b.p_name) > 0.92""",
     // infix operators in DuckDB (<< >> & | xor() ~) ↔ named functions
     // in the Spark DataFrame API; semantics identical on BIGINT
     "q_bitwise_funcs" ->
