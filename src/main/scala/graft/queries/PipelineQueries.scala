@@ -455,6 +455,30 @@ object PipelineQueries {
         .select(col("query_id"), col("vec_id"), col("rank"))
     }),
 
+    // §2.14: CONTRASTIVE training pairs — the composed retrieval-training
+    // deliverable: anchors (query docs) paired with positives (their own
+    // CONSECUTIVE text chunks — the standard self-supervised positive) and
+    // hard negatives (different-source, dup-excluded nearest neighbors,
+    // #365). Chunk explode is map-only; negatives ride the certified
+    // hardNegatives plan; the final fan-out is anchor-bounded.
+    "pipeline_contrastive" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = emb(s, dir)
+      val ch = TextOps.chunk(d.filter(col("doc_id") < 8))
+        .select(col("doc_id"), col("chunk_id"), md5(col("chunk")).as("chunk_h"))
+      val pos = ch.join(
+        ch.select(col("doc_id"), (col("chunk_id") - 1).as("chunk_id"),
+          col("chunk_h").as("pos_h")),
+        Seq("doc_id", "chunk_id"))
+      val neg = Similarity.hardNegatives(e, d, e.filter(col("vec_id") < 8),
+        k = 3)
+        .select(col("query_id").as("doc_id"), col("vec_id").as("neg_id"),
+          col("rank").as("neg_rank"))
+      pos.join(neg, "doc_id")
+        .select(col("doc_id"), col("chunk_id"), col("chunk_h"), col("pos_h"),
+          col("neg_id"), col("neg_rank"))
+    }),
+
     // §2.14: exact embedding covariance matrix — whitening/PCA input and
     // drift QA. Row-local outer products + element-wise VecSumAgg: only
     // d(d+1)/2-wide partial buffers cross the exchange, never n·d² rows.
@@ -2467,6 +2491,45 @@ object PipelineQueries {
          WHERE d.doc_id % 5 = 0""",
     "sim_topk_bruteforce" -> bruteforceTopkOracleSql,
     "sim_mmr" -> mmrOracleSql(k = 5, m = 20, lam = 0.7),
+    // composition of the certified chunk + hard-negative oracles
+    "pipeline_contrastive" ->
+      """WITH m AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+            c AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v, m.source, m.h
+                  FROM embeddings e JOIN m ON e.vec_id = m.doc_id),
+            q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv,
+                         m.source AS qsource, m.h AS qh
+                  FROM embeddings e JOIN m ON e.vec_id = m.doc_id
+                  WHERE e.vec_id < 8),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     list_cosine_similarity(c.v, q.qv) AS cos
+              FROM c, q
+              WHERE c.vec_id <> q.query_id
+                AND c.source <> q.qsource AND c.h <> q.qh),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS rank
+              FROM scored),
+            ch AS (
+              SELECT doc_id, i AS chunk_id,
+                     md5(substr(text, CAST(1 + i * 150 AS BIGINT), 200))
+                       AS chunk_h
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(0,
+                             CAST(floor((length(text) - 1) / 150) AS BIGINT)))
+                             AS i
+                    FROM documents WHERE doc_id < 8 AND length(text) >= 1)),
+            pos AS (
+              SELECT a.doc_id, a.chunk_id, a.chunk_h, b.chunk_h AS pos_h
+              FROM ch a JOIN ch b
+                ON a.doc_id = b.doc_id AND b.chunk_id = a.chunk_id + 1),
+            neg AS (
+              SELECT query_id AS doc_id, vec_id AS neg_id, rank AS neg_rank
+              FROM ranked WHERE rank <= 3)
+         SELECT p.doc_id, p.chunk_id, p.chunk_h, p.pos_h,
+                n.neg_id, n.neg_rank
+         FROM pos p JOIN neg n USING (doc_id)""",
     // the oracle spells the cross join n·d² way (fine at oracle scale);
     // identical cov formula and 6 dp rounding
     "emb_covariance" ->
