@@ -78,6 +78,45 @@ object NfcNormalize {
   }
 }
 
+/** Accent stripping (DuckDB's `strip_accents`) — Unicode NFD decomposition
+  * with combining marks removed: 'Café' → 'Cafe'. The search-normalization
+  * step DuckDB users call by name and Spark has no builtin for; native
+  * codegen like [[NfcNormalize]], with the same already-clean fast path
+  * (pure-ASCII text returns the input object, no allocation). */
+case class StripAccents(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    StripAccents.strip(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StripAccents.strip($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+  override def prettyName: String = "strip_accents"
+}
+
+object StripAccents {
+  private val marks = java.util.regex.Pattern.compile("\\p{Mn}+")
+
+  /** Shared by interpreted eval and generated code. */
+  def strip(s: UTF8String): UTF8String = {
+    // ASCII fast path: nothing to decompose
+    val n = s.numBytes()
+    var ascii = true
+    var i = 0
+    while (ascii && i < n) { if ((s.getByte(i) & 0x80) != 0) ascii = false; i += 1 }
+    if (ascii) return s
+    val nfd = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFD)
+    UTF8String.fromString(marks.matcher(nfd).replaceAll(""))
+  }
+}
+
 /** Column wrappers for graft's native expressions. */
 object GraftFunctions {
   def rolling_hash(c: Column): Column =
@@ -85,6 +124,9 @@ object GraftFunctions {
 
   def nfc_normalize(c: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+
+  def strip_accents(c: Column): Column =
+    ColumnBridge.column(StripAccents(ColumnBridge.expression(c)))
 
   def winnow_fp(c: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFp(ColumnBridge.expression(c), k, w))
@@ -203,6 +245,10 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)),
+    ("strip_accents",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[StripAccents].getName, "strip_accents"),
+      (exprs: Seq[Expression]) => StripAccents(exprs.head)),
     // string-similarity family under DuckDB's exact SQL names, so a
     // migrating user's `SELECT jaccard(a, b)` runs unchanged (mismatch is
     // DuckDB's documented alias for hamming)

@@ -479,6 +479,54 @@ object Relational {
           char_jaccard($"p_name", $"p_type").as("jac_name_type"))
     }),
 
+    // §2.2: strftime token translation — DuckDB's %-tokens ↔ Spark's
+    // DateTimeFormatter patterns (%Y-%m-%d %H:%M:%S → yyyy-MM-dd HH:mm:ss,
+    // %A → EEEE, %b → MMM, %j → DDD); ISO week (%V) maps to weekofyear()
+    // + lpad, NOT date_format('w') which is locale-dependent week-of-year.
+    "q_strftime" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .filter($"o_orderkey" <= 2000)
+        .select($"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("ymd"),
+          date_format($"o_orderdate", "EEEE").as("dayname"),
+          date_format($"o_orderdate", "MMM dd, yyyy").as("pretty"),
+          date_format($"o_orderdate", "DDD").as("doy"),
+          lpad(weekofyear($"o_orderdate").cast("string"), 2, "0")
+            .as("isoweek"))
+    }),
+
+    // §2.2: regexp_replace SEMANTICS translation — the two migration
+    // traps: DuckDB replaces the FIRST match unless 'g' (Spark always
+    // replaces all; first-only spells as a lazy-prefix whole-string
+    // rewrite with (?s) so newlines can't break the anchor), and
+    // backreferences are \1 in DuckDB vs $1 in Spark.
+    "q_regexp_replace" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          regexp_replace($"text", "[0-9]+", "#").as("all_nums"),
+          regexp_replace($"text", "(?s)^(.*?)[0-9]+(.*)$", "$1#$2")
+            .as("first_num"),
+          regexp_replace($"text", "(\\w+) (\\w+)", "$2 $1")
+            .as("swapped"))
+    }),
+
+    // §2.2: Unicode scalar surface — strip_accents (native expression;
+    // Spark has no builtin), codepoint round trips (ascii ↔ unicode on
+    // BMP chars, char ↔ chr).
+    "q_unicode_funcs" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.GraftFunctions.strip_accents
+      Tables.load(s, dir, "customer")
+        .filter($"c_custkey" <= 500)
+        .select($"c_custkey",
+          strip_accents(concat(lit("Café Münster naïve — "), $"c_name"))
+            .as("plain"),
+          ascii(substring($"c_name", 1, 1)).cast("long").as("cp_first"),
+          expr("char(65 + CAST(c_custkey % 26 AS INT))").as("letter"))
+    }),
+
     // §2.2: BLOCKED fuzzy join — record linkage's standard shape: a cheap
     // equi-join on a blocking key (first name word) bounds the candidate
     // set, then the expensive similarity (native jaro-winkler, bit-exact
@@ -1841,6 +1889,28 @@ object Relational {
                 hamming(rpad(p_name, 6, '_'), rpad(p_type, 6, '_')) AS ham6,
                 jaccard(p_name, p_type) AS jac_name_type
          FROM part WHERE p_partkey <= 600""",
+    // %-tokens on the oracle side; ISO week via %V
+    "q_strftime" ->
+      """SELECT o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS ymd,
+                strftime(o_orderdate, '%A') AS dayname,
+                strftime(o_orderdate, '%b %d, %Y') AS pretty,
+                strftime(o_orderdate, '%j') AS doy,
+                strftime(o_orderdate, '%V') AS isoweek
+         FROM orders WHERE o_orderkey <= 2000""",
+    // DuckDB replaces FIRST unless 'g'; backrefs are \1 not $1
+    "q_regexp_replace" ->
+      """SELECT doc_id,
+                regexp_replace(text, '[0-9]+', '#', 'g') AS all_nums,
+                regexp_replace(text, '[0-9]+', '#') AS first_num,
+                regexp_replace(text, '(\w+) (\w+)', '\2 \1', 'g') AS swapped
+         FROM documents""",
+    "q_unicode_funcs" ->
+      """SELECT c_custkey,
+                strip_accents('Café Münster naïve — ' || c_name) AS plain,
+                CAST(unicode(substring(c_name, 1, 1)) AS BIGINT) AS cp_first,
+                chr(65 + CAST(c_custkey % 26 AS INT)) AS letter
+         FROM customer WHERE c_custkey <= 500""",
     // DuckDB spells the blocking key split_part, Spark substring_index —
     // identical on non-empty names; jw compares bit-exact unrounded
     "q_fuzzy_join" ->

@@ -458,4 +458,25 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("readability: hand-counted FRE; unpunctuated doc is one sentence; " +
+    "empty doc scores NULL not NaN") {
+    import spark.implicits._
+    val docs = Seq(
+      // 5 words, 2 sentences; vowel-group runs ([aeiouy]+, y included):
+      // h(e)ll(o) w(o)rld h(o)w (a)r(e) (you) = 7
+      (1L, "Hello world. How are you?"),
+      (2L, "no terminal punctuation here"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.readability(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") == 5L)
+    assert(r1.getAs[Long]("n_sentences") == 2L)
+    assert(r1.getAs[Long]("n_syllables") == 7L)
+    // 206.835 - 1.015*(5/2) - 84.6*(7/5) = 206.835 - 2.5375 - 118.44
+    assert(math.abs(r1.getAs[Double]("fre") - 85.8575) < 1e-9)
+    assert(out(2L).getAs[Long]("n_sentences") == 1L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("fre")))
+  }
 }
