@@ -479,6 +479,21 @@ object Relational {
           char_jaccard($"p_name", $"p_type").as("jac_name_type"))
     }),
 
+    // §2.2: time-INTERVAL RANGE frames — the trailing-window idiom
+    // ("7-day running total per user") as a native interval frame on BOTH
+    // engines (verbatim SQL; q_window_range owns the numeric-RANGE form).
+    // Peers by event time include ties identically; decimal-exact sum.
+    "q_window_time_range" -> ((s, dir) => {
+      Tables.load(s, dir, "events").createOrReplaceTempView("graft_ev_tr")
+      s.sql(
+        """SELECT user_id, event_id,
+                  CAST(CAST(sum(cast(value AS decimal(18,4))) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+                    AS STRING) AS DOUBLE) AS v7d
+           FROM graft_ev_tr""")
+    }),
+
     // §2.2: strftime token translation — DuckDB's %-tokens ↔ Spark's
     // DateTimeFormatter patterns (%Y-%m-%d %H:%M:%S → yyyy-MM-dd HH:mm:ss,
     // %A → EEEE, %b → MMM, %j → DDD); ISO week (%V) maps to weekofyear()
@@ -1889,6 +1904,14 @@ object Relational {
                 hamming(rpad(p_name, 6, '_'), rpad(p_type, 6, '_')) AS ham6,
                 jaccard(p_name, p_type) AS jac_name_type
          FROM part WHERE p_partkey <= 600""",
+    // identical verbatim interval-frame SQL
+    "q_window_time_range" ->
+      """SELECT user_id, event_id,
+                CAST(CAST(sum(cast(value AS decimal(18,4))) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+                  AS STRING) AS DOUBLE) AS v7d
+         FROM events""",
     // %-tokens on the oracle side; ISO week via %V
     "q_strftime" ->
       """SELECT o_orderkey,
