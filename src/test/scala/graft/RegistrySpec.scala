@@ -39,7 +39,7 @@ class RegistrySpec extends AnyFunSuite {
       "dd_minhash_lsh", "dd_simhash", "dd_embed_neardup", "dd_semdedup",
       "dd_cluster_lsh", "dd_minhash_incremental", "dd_simhash_incremental",
       "sim_topk_lsh", "sim_topk_ivf", "sim_topk_pq", "sim_topk_ivfpq",
-      "sim_topk_ivf_indexed", "sim_topk_ivfpq_indexed",
+      "sim_topk_ivf_indexed", "sim_topk_ivfpq_indexed", "emb_pca",
       "txt_bpe", "q_approx_distinct", "q_approx_percentile",
       "q_sketch_union", "q_cms", "q_heavy_hitters_big",
       "mm_phash_neardup", "pipeline_decontam_fuzzy")
