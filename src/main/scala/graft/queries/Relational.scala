@@ -825,6 +825,29 @@ object Relational {
           count(when($"k" >= 50, 1)).as("n_hi"))
     }),
 
+    // §2.13: JSON tier 2 — nested paths, array subscripts, array length,
+    // key listing. The document is CONSTRUCTED identically on both
+    // engines (literal concat; engine JSON serializers differ in
+    // whitespace/key order) and then pulled apart with each engine's
+    // native path functions (get_json_object/json_object_keys ↔
+    // json_extract_string/json_keys).
+    "q_json_funcs2" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .filter($"o_orderkey" <= 2000)
+        .withColumn("j", concat(
+          lit("{\"id\": "), $"o_orderkey",
+          lit(", \"tags\": [\""), $"o_orderpriority",
+          lit("\", \""), $"o_orderstatus",
+          lit("\"], \"cust\": {\"key\": "), $"o_custkey", lit("}}")))
+        .select($"o_orderkey",
+          get_json_object($"j", "$.cust.key").as("cust_key"),
+          get_json_object($"j", "$.tags[1]").as("tag2"),
+          json_array_length(get_json_object($"j", "$.tags"))
+            .cast("long").as("n_tags"),
+          concat_ws(",", json_object_keys($"j")).as("keys"))
+    }),
+
     // §2.9: window distribution/navigation family — ntile, percent_rank,
     // cume_dist, first/last/nth_value. The order key includes the unique
     // p_partkey so every function is deterministic, and percent_rank /
@@ -2072,6 +2095,19 @@ object Relational {
                      ELSE t.o_totalprice END AS o_totalprice,
                 t.o_orderpriority AS o_orderpriority
          FROM orders t FULL OUTER JOIN upd u ON t.o_orderkey = u.o_orderkey""",
+    "q_json_funcs2" ->
+      """WITH t AS (
+           SELECT o_orderkey,
+                  '{"id": ' || o_orderkey || ', "tags": ["'
+                    || o_orderpriority || '", "' || o_orderstatus
+                    || '"], "cust": {"key": ' || o_custkey || '}}' AS j
+           FROM orders WHERE o_orderkey <= 2000)
+         SELECT o_orderkey,
+                json_extract_string(j, '$.cust.key') AS cust_key,
+                json_extract_string(j, '$.tags[1]') AS tag2,
+                CAST(json_array_length(j, '$.tags') AS BIGINT) AS n_tags,
+                array_to_string(json_keys(j), ',') AS keys
+         FROM t""",
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
                 cast(sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS bigint) AS sum_k,

@@ -25,15 +25,21 @@ def main():
     results = {}
     for l in lines:
         parts = l.split()
-        if parts and parts[0] in ("PASS", "FAIL", "ROWS-ONLY") and len(parts) >= 2:
+        if parts and parts[0] in ("PASS", "FAIL", "ROWS-ONLY", "SKIP") \
+                and len(parts) >= 2:
             name = parts[1].rstrip(":")
             rows = 0
             for p in parts:
                 if p.startswith("rows="):
                     rows = int(p.split("=")[1])
             status = {"PASS": "pass", "FAIL": "fail",
-                      "ROWS-ONLY": "rows_only"}[parts[0]]
-            results[name] = {"status": status, "rows": rows}
+                      "ROWS-ONLY": "rows_only", "SKIP": "rows_only"}[parts[0]]
+            entry = {"status": status}
+            if status == "rows_only":
+                entry["spark_rows"] = rows
+            else:
+                entry["rows"] = rows
+            results[name] = entry
     missing = [f for f in faces if f not in results]
     if missing:
         print("MISSING from oracle_check output:", missing)
@@ -44,6 +50,8 @@ def main():
                       if v["status"] == "pass")
     art["fail"] = sum(1 for v in art["results"].values()
                       if v["status"] == "fail")
+    art["rows_only"] = sum(1 for v in art["results"].values()
+                           if v["status"] == "rows_only")
     json.dump(art, open(ART, "w"), indent=1)
     print(f"merged {len(faces)} faces -> pass={art['pass']} "
           f"fail={art['fail']} total={len(art['results'])}")
