@@ -161,6 +161,12 @@ object Packing {
   def weightedSample(docs: DataFrame, weight: Column, k: Int): DataFrame =
     docs
       .withColumn("w", weight.cast("int"))
+      // zero/negative weights mean "never sample" — they must be EXCLUDED
+      // before the key: Spark's sequence(1, 0) yields a DESCENDING [1, 0]
+      // array (a valid max-hash key, as if weight 2), while DuckDB's
+      // generate_series(1, 0) is empty (NULL key), so an unfiltered w <= 0
+      // row would both mis-sample and diverge cross-engine
+      .filter(col("w") >= 1)
       .withColumn("skey", expr(
         """array_max(transform(sequence(1, w),
              j -> cast(conv(substring(md5(concat(text, '#', j)), 1, 8),

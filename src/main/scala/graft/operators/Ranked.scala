@@ -96,10 +96,23 @@ object Ranked {
     * inside a window is unspecified either way). */
   private def paddedKeys(df: DataFrame, sort: Seq[Column]): Seq[Column] = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val sortRefs = sort.flatMap(c =>
-      ColumnBridge.expression(c).references.map(_.name)).toSet
+    import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    // Pad columns come from the ANALYZED output attributes directly (the
+    // optimizer-rule twin's AttributeSet/exprId discipline): col(name)
+    // round-trips through names, which is ambiguous on frames with
+    // duplicate column names (common after joins) and can silently drop a
+    // needed pad key on a name collision. Sort references resolved against
+    // this frame are excluded by exprId; unresolved references (callers
+    // passing bare col("x")) fall back to name exclusion — and an
+    // over-included pad key is harmless (the pad only REFINES the order),
+    // while a dropped one would weaken the exchange-identity pin.
+    val sortRefAttrs = sort.flatMap(c => ColumnBridge.expression(c).references)
+    val resolvedIds = AttributeSet(sortRefAttrs.filter(_.resolved))
+    val unresolvedNames =
+      sortRefAttrs.filterNot(_.resolved).map(_.name).toSet
     val pad = df.queryExecution.analyzed.output.collect {
-      case a if !sortRefs.contains(a.name) => col(a.name).asc
+      case a if !resolvedIds.contains(a) && !unresolvedNames.contains(a.name) =>
+        ColumnBridge.column(a).asc
     }
     sort ++ pad
   }

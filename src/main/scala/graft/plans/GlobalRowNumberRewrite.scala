@@ -215,17 +215,29 @@ object GlobalRowNumberRewrite extends Rule[LogicalPlan]
     case _ => false
   }
 
+  /** rewriteGlobalAgg/rewriteRank execute `w.child` as TWO independent
+    * subtrees (aggregate/key branch vs probe branch) with no shared
+    * exchange — unlike [[rewrite]], whose branches dedupe through one
+    * ReuseExchange. A nondeterministic child (e.g. a rand()-based sample
+    * filter) would evaluate differently per branch, so the scalar/rank
+    * values would silently disagree with the rows they annotate. Those
+    * two rewrites therefore require the ENTIRE child subtree
+    * deterministic (Expression.deterministic already folds in its own
+    * children, so the per-node expression check covers every leaf). */
+  private def deterministicSubtree(p: LogicalPlan): Boolean =
+    !p.exists(_.expressions.exists(!_.deterministic))
+
   private def rewritableGlobalAgg(w: Window): Boolean =
     w.partitionSpec.isEmpty && w.windowExpressions.nonEmpty &&
       w.windowExpressions.forall(supportedGlobalAggExpr) &&
-      !guarded(w.child)
+      !guarded(w.child) && deterministicSubtree(w.child)
 
   private def rewritableRank(w: Window, limited: Set[ExprId]): Boolean =
     w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
       w.orderSpec.forall(_.child.deterministic) && !ndSortBelow(w) &&
       w.windowExpressions.nonEmpty &&
       w.windowExpressions.forall(supportedRankExpr(w)) &&
-      !guarded(w.child) &&
+      !guarded(w.child) && deterministicSubtree(w.child) &&
       !w.windowExpressions.exists(e =>
         limited.contains(e.exprId) && isRankTopKExpr(e))
 

@@ -101,16 +101,20 @@ object ZipRaw {
             val sz = u16(extra, q + 2)
             if (id == 0x0001) {
               var r = q + 4
+              // bound every read by BOTH the field's self-declared size
+              // and the actual buffer: a corrupt/hostile sz larger than
+              // the remaining extraLen must fall back (None), not read
+              // past the array
               if (usize == 0xffffffffL) {
-                if (r + 8 > q + 4 + sz) return None
+                if (r + 8 > q + 4 + sz || r + 8 > extraLen) return None
                 usize = u64(extra, r); r += 8
               }
               if (csize == 0xffffffffL) {
-                if (r + 8 > q + 4 + sz) return None
+                if (r + 8 > q + 4 + sz || r + 8 > extraLen) return None
                 csize = u64(extra, r); r += 8
               }
               if (locOff == 0xffffffffL) {
-                if (r + 8 > q + 4 + sz) return None
+                if (r + 8 > q + 4 + sz || r + 8 > extraLen) return None
                 locOff = u64(extra, r); r += 8
               }
               q = extraLen // stop scanning
@@ -139,7 +143,11 @@ object ZipRaw {
       }
       None
     } catch {
-      case _: java.io.IOException => None
+      // ANY parse surprise on an untrusted workbook (truncated reads,
+      // hostile length fields, arithmetic off the end of a buffer) must
+      // honor the documented fallback contract: return None and let the
+      // streaming pipeline handle the file — never crash the task
+      case scala.util.control.NonFatal(_) => None
     } finally raf.close()
   }
 }

@@ -243,6 +243,21 @@ class PackingSpec extends SparkSpec {
     assert(picked.count(_ == 4) > picked.count(_ == 1))
   }
 
+  test("weightedSample: zero/negative weights are excluded, never mis-keyed") {
+    // without the w >= 1 guard, Spark's sequence(1, 0) yields a DESCENDING
+    // [1, 0] array — a valid max-hash key, as if weight 2 — while DuckDB's
+    // generate_series(1, 0) is empty; the guard makes both engines agree
+    // that non-positive weight means "never sample"
+    val docs = (1L to 50L).map(i =>
+      (i, s"doc text $i", if (i % 5 == 0) 0 else if (i % 7 == 0) -3 else 1))
+      .toDF("doc_id", "text", "wt")
+    val got = Packing.weightedSample(docs, col("wt"), k = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = (1L to 50L).filter(i => i % 5 != 0 && i % 7 != 0).toSet
+    assert(got == want,
+      s"zero/negative-weight docs in the sample: ${got.diff(want)}")
+  }
+
   test("leakFreeSplit: clusters never straddle the split; singletons split alone") {
     // 30 docs; clusters {1,2,3}, {10,11}, rest singletons
     val docs = (1L to 30L).map(i => (i, s"src${i % 2}", i * 10))

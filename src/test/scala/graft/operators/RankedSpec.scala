@@ -40,6 +40,26 @@ class RankedSpec extends SparkSpec {
     assertSameRows(got, want, "global row_number")
   }
 
+  test("paddedKeys survives duplicate column names after a join (pad " +
+      "columns resolve by attribute, not name)") {
+    // a joined frame with TWO columns named "cents": the old name-based
+    // pad (col("cents")) failed at analysis with an ambiguous reference;
+    // attribute-based pads must both disambiguate and keep the
+    // exchange-identity pin intact
+    val a = li.select(col("l_orderkey"), col("l_linenumber"), col("cents"))
+    val b = li.groupBy(col("l_orderkey").as("k"))
+      .agg(max(col("cents")).as("cents"))
+    val joined = a.join(b, a("l_orderkey") === b("k"))
+    val sort = Seq(a("cents").asc, col("l_orderkey").asc,
+      col("l_linenumber").asc)
+    val got = Ranked.withGlobalRowNumber(joined, "rn", sort)
+      .select(col("l_orderkey"), col("l_linenumber"), col("rn"))
+    val want = joined.withColumn("rn",
+        row_number().over(Window.orderBy(sort: _*)).cast("long"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("rn"))
+    assertSameRows(got, want, "dup-name frame")
+  }
+
   test("withGroupRowNumber == partitioned row_number, countOut == group n") {
     val sort = Seq(col("cents").asc, col("l_orderkey").asc,
       col("l_linenumber").asc)

@@ -313,6 +313,38 @@ class GlobalRowNumberRewriteSpec extends SparkSpec {
     assert(GlobalRowNumberRewrite(part) eq part)
   }
 
+  test("nondeterministic CHILD subtrees keep the stock plan for the " +
+      "two-branch rewrites (global agg + rank family)") {
+    // a rand()-based sample filter below the window: rewriteGlobalAgg and
+    // rewriteRank execute the child as TWO independent subtrees (no shared
+    // exchange), so each branch would re-draw the sample and the
+    // scalar/rank values could silently disagree with the rows they
+    // annotate — the determinism guard must keep the stock plan
+    val sampled = tieHeavy.filter(rand(7) < 0.5) // a genuine ND sample
+    val ga = sampled
+      .withColumn("s", sum(col("v")).over(Window.partitionBy()))
+      .queryExecution.optimizedPlan
+    assert(GlobalRowNumberRewrite(ga) eq ga,
+      "global-agg rewrite fired over a nondeterministic child")
+    val rk = sampled
+      .withColumn("r", rank().over(Window.orderBy(col("k"))))
+      .queryExecution.optimizedPlan
+    assert(GlobalRowNumberRewrite(rk) eq rk,
+      "rank rewrite fired over a nondeterministic child")
+    // positive control: the same shapes over the deterministic base DO
+    // rewrite — the guard gates on the child, not the whole family
+    val gaOk = tieHeavy
+      .withColumn("s", sum(col("v")).over(Window.partitionBy()))
+      .queryExecution.optimizedPlan
+    assert(GlobalRowNumberRewrite(gaOk) ne gaOk,
+      "deterministic positive control did not rewrite (global agg)")
+    val rkOk = tieHeavy
+      .withColumn("r", rank().over(Window.orderBy(col("k"))))
+      .queryExecution.optimizedPlan
+    assert(GlobalRowNumberRewrite(rkOk) ne rkOk,
+      "deterministic positive control did not rewrite (rank)")
+  }
+
   test("Ranked falls back to the stock single-window spelling when " +
       "exchange reuse is disabled — never a silently-wrong prefix") {
     val sort = Seq(col("k").asc, col("id").asc)

@@ -122,6 +122,41 @@ class XlsxSegmentedSpec extends AnyFunSuite {
     assert(!par.hasNext && n == rows + 1)
   }
 
+  test("hostile zip64: a 0x0001 extra field whose self-declared size " +
+      "exceeds the entry's actual extra bytes returns None, never throws") {
+    val bytes64 = Zip64Force.rewrite(
+      java.nio.file.Files.readAllBytes(file.toPath))
+    // chop the target entry's DECLARED extra length so only the 4-byte
+    // zip64 field header [id=0x0001, sz=24] stays in range while sz still
+    // claims 24 data bytes — the exact shape where bounding reads only by
+    // the self-declared sz would run past the extra array
+    val target = "xl/worksheets/sheet1.xml"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def u16(b: Array[Byte], o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    var q = -1
+    var i = 0
+    while (q < 0 && i < bytes64.length - 46 - target.length) {
+      if (bytes64(i) == 0x50 && bytes64(i + 1) == 0x4b &&
+          bytes64(i + 2) == 0x01 && bytes64(i + 3) == 0x02 &&
+          u16(bytes64, i + 28) == target.length &&
+          java.util.Arrays.equals(java.util.Arrays.copyOfRange(
+            bytes64, i + 46, i + 46 + target.length), target)) q = i
+      i += 1
+    }
+    assert(q > 0, "target CD entry not found")
+    val extraLen = u16(bytes64, q + 30)
+    assert(extraLen >= 28, s"expected the appended zip64 field, got $extraLen")
+    val chopped = extraLen - 24 // keep the 0x0001 header, drop its data
+    bytes64(q + 30) = (chopped & 0xff).toByte
+    bytes64(q + 31) = ((chopped >> 8) & 0xff).toByte
+    val fh = java.io.File.createTempFile("hostile64", ".xlsx")
+    fh.deleteOnExit()
+    java.nio.file.Files.write(fh.toPath, bytes64)
+    // the documented contract for untrusted workbooks: any parse surprise
+    // falls back to the streaming pipeline (None) — never a crashed task
+    assert(ZipRaw.locate(fh, "xl/worksheets/sheet1.xml").isEmpty)
+  }
+
   test("a workbook without an index falls back to the streaming pipeline") {
     // stream-written (no local file) → no segment path, identical rows
     val bos = new java.io.ByteArrayOutputStream()
