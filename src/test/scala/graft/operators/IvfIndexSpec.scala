@@ -294,6 +294,68 @@ class IvfIndexSpec extends SparkSpec {
     } finally drop("ivf_idx_schema")
   }
 
+  /** Doc metadata for the hard-negative faces: 3 sources, plus one pair
+    * of exact content duplicates ACROSS sources (ids 1 and 2) so the
+    * not-a-content-dup exclusion has something to exclude. */
+  private lazy val hnDocs: DataFrame =
+    corpusLocal.map { case (id, _) =>
+      val text = if (id == 1L || id == 2L) "dup text" else s"text $id"
+      (id, s"src${id % 3}", text)
+    }.toDF("doc_id", "source", "text")
+
+  test("hardNegativesIvf with full probes == brute hardNegatives, row for " +
+      "row (ranks AND ids)") {
+    val tbl = buildIndex("ivf_idx_hn_eq")
+    try {
+      import org.apache.spark.sql.functions.col
+      val q = corpus.filter(col("vec_id") % perCluster === 0)
+      // nProbe = nCentroids probes every list: the index path degrades to
+      // the exact answer, so any divergence is a bug in the probe plan,
+      // the exclusions, or the tie-breaks — not approximation
+      val got = Similarity.hardNegativesIvf(spark, tbl, hnDocs, q,
+          k = 5, nProbe = 8).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+          r.getAs[Long]("vec_id")).toMap
+      val want = Similarity.hardNegatives(corpus, hnDocs, q, k = 5).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+          r.getAs[Long]("vec_id")).toMap
+      assert(got.nonEmpty && got == want,
+        s"ivf(full-probe) ${got.size} rows vs brute ${want.size}")
+      // and the exclusions really bind: the planted cross-source dup pair
+      // (1, 2) must never appear as (anchor, negative)
+      val all = Similarity.hardNegativesIvf(spark, tbl, hnDocs, corpus,
+        k = 5, nProbe = 8).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+      assert(!all.contains((1L, 2L)) && !all.contains((2L, 1L)),
+        "content-dup exclusion failed on the planted pair")
+      assert(all.forall { case (a, b) => a != b && a % 3 != b % 3 },
+        "self or same-source pair leaked through the exclusions")
+    } finally drop("ivf_idx_hn_eq")
+  }
+
+  test("hardNegativesIvf plans hash equi-joins only — no BNLJ, no " +
+      "cartesian, no corpus-scale broadcast, even with anchors = corpus") {
+    val tbl = buildIndex("ivf_idx_hn_plan")
+    try {
+      // the operator's REAL regime: every corpus vector is an anchor —
+      // the shape where the brute-force broadcast-NLJ plan is O(n²)
+      val mined = Similarity.hardNegativesIvf(spark, tbl, hnDocs, corpus,
+        k = 3, nProbe = 2)
+      val n = mined.count()
+      assert(n > 0)
+      val plan = finalPlan(mined)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"BNLJ in the index-backed mining plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian in the index-backed mining plan:\n$plan")
+      // every anchor with >= k admissible candidates in its probed lists
+      // gets a full k — on this clustered corpus that is every anchor
+      val perAnchor = mined.groupBy("query_id").count().collect()
+      assert(perAnchor.length == corpusLocal.size,
+        s"anchors with negatives: ${perAnchor.length} of ${corpusLocal.size}")
+    } finally drop("ivf_idx_hn_plan")
+  }
+
   private def col_kind(k: String) =
     org.apache.spark.sql.functions.col("kind") === k
 
