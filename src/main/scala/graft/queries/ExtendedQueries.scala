@@ -668,6 +668,43 @@ object ExtendedQueries {
     "q_profile_full" -> ((s, dir) =>
       graft.operators.Profiler.profile(Tables.load(s, dir, "lineitem"))),
 
+    // §2.16: SUMMARIZE translation — DuckDB's one-keyword table profile
+    // (r13 VERDICT "What's missing" #3). The deep exact profiler exists
+    // above; this face pins the MIGRATION shape: one row per column with
+    // DuckDB's own column_type names and SUMMARIZE's deterministic
+    // columns (min/max rendered as VARCHAR, count, null_percentage to
+    // 2 dp). approx_unique/avg/std/q25-75 are approximate or
+    // representation-unstable cross-engine and stay with q_profile_full's
+    // exact variants. Nulls are PLANTED (two CASE columns) so the
+    // null_percentage arithmetic is actually exercised, not just 0.00.
+    // One aggregate pass; the per-column rows explode from an
+    // array-of-structs, the Profiler idiom.
+    "q_summarize" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("source"),
+        when(col("doc_id") % 7 =!= 0, col("lang")).as("lang7"),
+        when(col("doc_id") % 3 =!= 0, col("n_chars").cast("long")).as("nc3"))
+      val duckType = Map("bigint" -> "BIGINT", "string" -> "VARCHAR",
+        "int" -> "INTEGER", "double" -> "DOUBLE", "boolean" -> "BOOLEAN")
+      val fields = d.schema.fields.toSeq
+      val aggs = fields.flatMap { f => Seq(
+        min(col(f.name)).cast("string").as(s"__mn_${f.name}"),
+        max(col(f.name)).cast("string").as(s"__mx_${f.name}"),
+        count(col(f.name)).as(s"__c_${f.name}")) } :+
+        count(lit(1)).as("__n")
+      val agg = d.agg(aggs.head, aggs.tail: _*)
+      val rows = fields.map { f =>
+        struct(lit(f.name).as("column_name"),
+          lit(duckType(f.dataType.simpleString)).as("column_type"),
+          col(s"__mn_${f.name}").as("min"),
+          col(s"__mx_${f.name}").as("max"),
+          col("__n").as("count"),
+          round((col("__n") - col(s"__c_${f.name}")) * 100.0 / col("__n"), 2)
+            .as("null_percentage"))
+      }
+      agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+    }),
+
     // r4: profiler schema generality — a string-heavy table (documents)
     // and a timestamp-heavy one (events), same one-pass plan.
     "q_profile_docs" -> ((s, dir) =>
@@ -3070,6 +3107,16 @@ object ExtendedQueries {
                 (abs(approx_quantile(l_extendedprice, 0.9) - quantile_cont(l_extendedprice, 0.9))
                    <= 0.05 * quantile_cont(l_extendedprice, 0.9)) AS p90_ok
          FROM lineitem GROUP BY 1""",
+    // the DuckDB-native SUMMARIZE, restricted to its deterministic
+    // columns; null_percentage cast DOUBLE (DECIMAL(9,2) stringifies with
+    // trailing zeros otherwise)
+    "q_summarize" ->
+      """SELECT column_name, column_type, min, max, count,
+                CAST(null_percentage AS DOUBLE) AS null_percentage
+         FROM (SUMMARIZE SELECT doc_id, lang, source,
+                 CASE WHEN doc_id % 7 <> 0 THEN lang END AS lang7,
+                 CASE WHEN doc_id % 3 <> 0 THEN n_chars END AS nc3
+               FROM documents)""",
     "q_profile_full" -> graft.operators.Profiler.oracleSqlFor("lineitem", Seq(
       "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
       "l_linenumber" -> "num", "l_quantity" -> "num",

@@ -2193,6 +2193,79 @@ object PipelineQueries {
               FROM scored)
        SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5"""
 
+  /** Shared oracle block for the n-gram-Jaccard near-dup family: the
+    * shingle → rare-shingle filter → pairwise Jaccard ≥ 0.6 → symmetric
+    * `edges(a, b)` pipeline all six closure-consuming oracles start from. */
+  private val ngramEdgeCtes: String =
+    """toks AS (
+           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+         sh0 AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
+           FROM toks),
+         sh AS (
+           SELECT doc_id, shingle FROM (
+             SELECT doc_id, shingle,
+                    count(*) OVER (PARTITION BY shingle) AS df
+             FROM sh0)
+           WHERE df <= 1000),
+         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (
+           SELECT da, db
+           FROM inter
+           JOIN szs sa ON da = sa.doc_id
+           JOIN szs sb ON db = sb.doc_id
+           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6),
+         edges AS (
+           SELECT da AS a, db AS b FROM pairs
+           UNION ALL SELECT db, da FROM pairs)"""
+
+  /** Connected components over `edges` as `cc(doc_id, cluster_id)` by
+    * min-label propagation with pointer doubling, UNROLLED — the bounded
+    * replacement for the former `WITH RECURSIVE reach(a, b)` transitive
+    * closure, whose O(s²) rows per component exceeded the oracle
+    * sandbox's temp spill on sf1's tiled duplicate clusters (r13 VERDICT
+    * "Next round" #2). Per round every node keeps the min of: its own
+    * label, its neighbors' labels (hop), and its current label-node's
+    * label (jump — the doubling step, the same shortcut
+    * [[graft.operators.Dedup]]'s pointer-jumping CC uses), so the
+    * materialized state is O(V) rows per round instead of O(Σ s²) total,
+    * and 16 rounds cover component diameters far past any corpus's
+    * near-dup cluster. Fixpoint is identical to the closure: min doc_id
+    * per component, over edge-connected nodes (singletons stay absent,
+    * exactly like `reach`). */
+  private val labelPropCc: String = {
+    val rounds = 16
+    val sb = new StringBuilder
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references the previous one three times — inlined, the query
+    // tree (and the parquet-open count) would grow 3^rounds
+    sb.append("edgesm AS MATERIALIZED (SELECT a, b FROM edges),\n")
+    sb.append(
+      "         lp0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS l FROM edgesm)")
+    (0 until rounds).foreach { k =>
+      sb.append(s""",
+         lp${k + 1} AS MATERIALIZED (
+           SELECT n, min(l) AS l FROM (
+             SELECT t.n, t.l FROM lp$k t
+             UNION ALL
+             SELECT e.b AS n, t.l FROM lp$k t JOIN edgesm e ON e.a = t.n
+             UNION ALL
+             SELECT t.n, u.l FROM lp$k t JOIN lp$k u ON u.n = t.l)
+           GROUP BY n)""")
+    }
+    sb.append(s""",
+         cc AS (SELECT n AS doc_id, l AS cluster_id FROM lp$rounds)""")
+    sb.toString
+  }
+
   private val annRecallOracleSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                   FROM embeddings WHERE vec_id < 8),
@@ -2852,116 +2925,18 @@ object PipelineQueries {
          GROUP BY 1, 2
          HAVING count(*) >= 3""",
     "dd_cluster" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
-         sh0 AS (
-           SELECT doc_id, unnest(list_distinct(
-             CASE WHEN len(t) >= 3
-               THEN list_transform(generate_series(1, len(t) - 2),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
-           FROM toks),
-         sh AS (
-           SELECT doc_id, shingle FROM (
-             SELECT doc_id, shingle,
-                    count(*) OVER (PARTITION BY shingle) AS df
-             FROM sh0)
-           WHERE df <= 1000),
-         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         inter AS (
-           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-           FROM sh a JOIN sh b USING (shingle)
-           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         pairs AS (
-           SELECT da, db
-           FROM inter
-           JOIN szs sa ON da = sa.doc_id
-           JOIN szs sb ON db = sb.doc_id
-           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6),
-         edges AS (
-           SELECT da AS a, db AS b FROM pairs
-           UNION ALL SELECT db, da FROM pairs),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-         SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         FROM reach GROUP BY a""",
+      s"""WITH $ngramEdgeCtes,
+         $labelPropCc
+         SELECT doc_id, cluster_id FROM cc""",
     // the IVM contract: the incremental merge must equal this
-    // FROM-SCRATCH closure over the full corpus, bit-for-bit
+    // FROM-SCRATCH component labeling over the full corpus, bit-for-bit
     "dd_cluster_incremental" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
-         sh0 AS (
-           SELECT doc_id, unnest(list_distinct(
-             CASE WHEN len(t) >= 3
-               THEN list_transform(generate_series(1, len(t) - 2),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
-           FROM toks),
-         sh AS (
-           SELECT doc_id, shingle FROM (
-             SELECT doc_id, shingle,
-                    count(*) OVER (PARTITION BY shingle) AS df
-             FROM sh0)
-           WHERE df <= 1000),
-         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         inter AS (
-           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-           FROM sh a JOIN sh b USING (shingle)
-           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         pairs AS (
-           SELECT da, db
-           FROM inter
-           JOIN szs sa ON da = sa.doc_id
-           JOIN szs sb ON db = sb.doc_id
-           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6),
-         edges AS (
-           SELECT da AS a, db AS b FROM pairs
-           UNION ALL SELECT db, da FROM pairs),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-         SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         FROM reach GROUP BY a""",
+      s"""WITH $ngramEdgeCtes,
+         $labelPropCc
+         SELECT doc_id, cluster_id FROM cc""",
     "dd_keep_best" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
-         sh0 AS (
-           SELECT doc_id, unnest(list_distinct(
-             CASE WHEN len(t) >= 3
-               THEN list_transform(generate_series(1, len(t) - 2),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
-           FROM toks),
-         sh AS (
-           SELECT doc_id, shingle FROM (
-             SELECT doc_id, shingle,
-                    count(*) OVER (PARTITION BY shingle) AS df
-             FROM sh0)
-           WHERE df <= 1000),
-         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         inter AS (
-           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-           FROM sh a JOIN sh b USING (shingle)
-           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         pairs AS (
-           SELECT da, db
-           FROM inter
-           JOIN szs sa ON da = sa.doc_id
-           JOIN szs sb ON db = sb.doc_id
-           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6),
-         edges AS (
-           SELECT da AS a, db AS b FROM pairs
-           UNION ALL SELECT db, da FROM pairs),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-         , cc AS (
-           SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-           FROM reach GROUP BY a),
+      s"""WITH $ngramEdgeCtes,
+         $labelPropCc,
          withc AS (
            SELECT coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
                   d.doc_id, CAST(d.n_chars AS BIGINT) AS nc
@@ -2982,42 +2957,12 @@ object PipelineQueries {
     // of the transitive closure); recall_ok is Spark's own >= 0.8
     // assertion against that truth, hard-coded true here (#124 pattern)
     "dd_cluster_lsh_check" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
-         sh0 AS (
-           SELECT doc_id, unnest(list_distinct(
-             CASE WHEN len(t) >= 3
-               THEN list_transform(generate_series(1, len(t) - 2),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
-           FROM toks),
-         sh AS (
-           SELECT doc_id, shingle FROM (
-             SELECT doc_id, shingle,
-                    count(*) OVER (PARTITION BY shingle) AS df
-             FROM sh0)
-           WHERE df <= 1000),
-         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         inter AS (
-           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-           FROM sh a JOIN sh b USING (shingle)
-           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         pairs AS (
-           SELECT da, db
-           FROM inter
-           JOIN szs sa ON da = sa.doc_id
-           JOIN szs sb ON db = sb.doc_id
-           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6),
-         edges AS (
-           SELECT da AS a, db AS b FROM pairs
-           UNION ALL SELECT db, da FROM pairs),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-         SELECT cast(count(*) AS bigint) AS n_true_pairs,
+      s"""WITH $ngramEdgeCtes,
+         $labelPropCc
+         SELECT cast(coalesce(sum((c * (c - 1)) // 2), 0) AS bigint)
+                  AS n_true_pairs,
                 true AS recall_ok
-         FROM reach WHERE a < b""",
+         FROM (SELECT cluster_id, count(*) AS c FROM cc GROUP BY 1)""",
     // DuckDB refits the whole profile model: same tokenizer as txt_langid,
     // same minCount=3 vocab cut, same floor(c*1e9/tot) integer weights —
     // every arithmetic step is an integer op or one shared IEEE division,
@@ -3082,42 +3027,8 @@ object PipelineQueries {
            FROM documents)
          WHERE rank <= 10""",
     "pipeline_train_corpus" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
-         sh0 AS (
-           SELECT doc_id, unnest(list_distinct(
-             CASE WHEN len(t) >= 3
-               THEN list_transform(generate_series(1, len(t) - 2),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
-           FROM toks),
-         sh AS (
-           SELECT doc_id, shingle FROM (
-             SELECT doc_id, shingle,
-                    count(*) OVER (PARTITION BY shingle) AS df
-             FROM sh0)
-           WHERE df <= 1000),
-         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         inter AS (
-           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-           FROM sh a JOIN sh b USING (shingle)
-           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         pairs AS (
-           SELECT da, db
-           FROM inter
-           JOIN szs sa ON da = sa.doc_id
-           JOIN szs sb ON db = sb.doc_id
-           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6),
-         edges AS (
-           SELECT da AS a, db AS b FROM pairs
-           UNION ALL SELECT db, da FROM pairs),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         cc AS (
-           SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-           FROM reach GROUP BY a),
+      raw"""WITH $ngramEdgeCtes,
+         $labelPropCc,
          withc AS (
            SELECT coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
                   d.doc_id, CAST(d.n_chars AS BIGINT) AS nc
@@ -3466,42 +3377,8 @@ object PipelineQueries {
     // per-(source, split) counts certify both the cluster assignment and
     // the split cross-engine
     "pipeline_split_leakfree" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
-         sh0 AS (
-           SELECT doc_id, unnest(list_distinct(
-             CASE WHEN len(t) >= 3
-               THEN list_transform(generate_series(1, len(t) - 2),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
-           FROM toks),
-         sh AS (
-           SELECT doc_id, shingle FROM (
-             SELECT doc_id, shingle,
-                    count(*) OVER (PARTITION BY shingle) AS df
-             FROM sh0)
-           WHERE df <= 1000),
-         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         inter AS (
-           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-           FROM sh a JOIN sh b USING (shingle)
-           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         pairs AS (
-           SELECT da, db
-           FROM inter
-           JOIN szs sa ON da = sa.doc_id
-           JOIN szs sb ON db = sb.doc_id
-           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6),
-         edges AS (
-           SELECT da AS a, db AS b FROM pairs
-           UNION ALL SELECT db, da FROM pairs),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         cc AS (
-           SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-           FROM reach GROUP BY a),
+      s"""WITH $ngramEdgeCtes,
+         $labelPropCc,
          sp AS (
            SELECT d.source, CAST(d.n_chars AS BIGINT) AS nc,
                   coalesce(cc.cluster_id, d.doc_id) AS rep,

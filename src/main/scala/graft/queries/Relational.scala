@@ -1466,6 +1466,80 @@ object Relational {
         .withColumn("c_acctbal",
           round(col("c_acctbal") * 100).cast("long"))),
 
+    // §2.16: CREATE MACRO ↔ SQL UDF — the most common migration artifact
+    // in real DuckDB codebases (r13 VERDICT "What's missing" #1). DuckDB
+    // scalar macros (CREATE MACRO f(x) AS expr) and table macros
+    // (... AS TABLE SELECT ...) translate to Spark 4 SQL UDFs:
+    // CREATE TEMPORARY FUNCTION ... RETURNS <type> RETURN <expr> and
+    // RETURNS TABLE(...) RETURN SELECT .... Both engines define the SAME
+    // two macros and run the same statement through them; the oracle runs
+    // the DuckDB-native spelling (the q_select_exclude convention). SQL
+    // UDFs inline into the plan at analysis, so the scalar macro costs
+    // nothing at runtime and the table macro plans exactly like its view.
+    "q_create_macro" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_net_cents(
+                 p DOUBLE, d DOUBLE, q DOUBLE)
+               RETURNS BIGINT
+               RETURN CAST(round(p * (1 - d) * q * 100) AS BIGINT)""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_line_statuses(
+                 flag STRING)
+               RETURNS TABLE(l_linestatus STRING, n BIGINT)
+               RETURN SELECT l_linestatus, count(*) AS n FROM lineitem
+                      WHERE l_returnflag = flag GROUP BY l_linestatus""")
+      s.sql("""SELECT m.l_linestatus, m.n, t.cents
+               FROM graft_line_statuses('R') m
+               JOIN (SELECT l_linestatus,
+                            CAST(sum(graft_net_cents(
+                              l_extendedprice, l_discount, l_quantity))
+                              AS BIGINT) AS cents
+                     FROM lineitem WHERE l_returnflag = 'R'
+                     GROUP BY l_linestatus) t
+               USING (l_linestatus)""")
+    }),
+
+    // §2.16: CREATE SEQUENCE / nextval ↔ distributed global ids — DuckDB
+    // hands out surrogate keys with a sequence; the Spark translation is
+    // the certified Ranked machinery (#327): a global row_number over the
+    // same total order IS the dense id assignment, planned as the
+    // distributed range-prefix, never a single-task window. The oracle
+    // pins the equivalence by drawing nextval over the identical ORDER BY.
+    "q_sequence" -> ((s, dir) =>
+      graft.operators.Ranked.withGlobalRowNumber(
+        Tables.load(s, dir, "documents").select(col("doc_id")),
+        "id", Seq(col("doc_id").asc))),
+
+    // §2.16: ENUM ↔ ordered dictionary — DuckDB enum columns are an
+    // ordered value dictionary; the Spark translation keeps the SAME
+    // dictionary as an array literal: encode = 1-based position, decode =
+    // element_at. Schema-port fidelity: the codes equal DuckDB's
+    // enum_range positions, so data written by either engine round-trips.
+    "q_enum" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val dict = typedLit(langs)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          array_position(dict, col("lang")).as("code"))
+        .withColumn("decoded",
+          when(col("code") >= 1,
+            element_at(dict, col("code").cast("int"))))
+    }),
+
+    // §2.16: dynamic PIVOT — DuckDB's PIVOT without an IN-list infers the
+    // value set from the data; Spark's DataFrame pivot(col) without a
+    // values list runs the same two-pass inference (distinct scan, then
+    // the pivot). q_pivot_sql pins the explicit-IN form; this pins the
+    // inferred one. DuckDB emits 0 for empty cells where Spark emits
+    // NULL — the coalesce is applied to the RUNTIME column list, keeping
+    // the value set fully data-inferred.
+    "q_pivot_dynamic" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "documents")
+        .groupBy(col("source")).pivot("lang").count()
+      p.select(p.columns.map(c =>
+        if (c == "source") col(c)
+        else coalesce(col(c), lit(0L)).as(c)): _*)
+    }),
+
     // §2.14: struct construction + field access + unnest-of-struct — the
     // nested-type round trip (DuckDB struct_pack / u.field / unnest(list
     // of structs) ↔ Spark named_struct / rec.field / inline) that
@@ -2445,6 +2519,43 @@ object Relational {
       """SELECT * EXCLUDE (c_name)
                   REPLACE (CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal)
          FROM customer""",
+    // DuckDB-native macros (scalar + table), same bodies as the Spark SQL
+    // UDFs; the final statement is byte-identical on both engines
+    "q_create_macro" ->
+      """CREATE OR REPLACE MACRO graft_net_cents(p, d, q) AS
+           CAST(round(p * (1 - d) * q * 100) AS BIGINT);
+         CREATE OR REPLACE MACRO graft_line_statuses(flag) AS TABLE
+           SELECT l_linestatus, count(*) AS n FROM lineitem
+           WHERE l_returnflag = flag GROUP BY l_linestatus;
+         SELECT m.l_linestatus, m.n, t.cents
+         FROM graft_line_statuses('R') m
+         JOIN (SELECT l_linestatus,
+                      CAST(sum(graft_net_cents(
+                        l_extendedprice, l_discount, l_quantity))
+                        AS BIGINT) AS cents
+               FROM lineitem WHERE l_returnflag = 'R'
+               GROUP BY l_linestatus) t
+         USING (l_linestatus)""",
+    // nextval over the ordered subquery assigns ids in scan order, which
+    // the ORDER BY pins to doc_id order — the dense-id equivalence the
+    // Spark Ranked translation reproduces distributed
+    "q_sequence" ->
+      """CREATE OR REPLACE SEQUENCE graft_seq START 1;
+         SELECT doc_id, nextval('graft_seq') AS id
+         FROM (SELECT doc_id FROM documents ORDER BY doc_id)""",
+    // genuine ENUM machinery on the oracle side: the inline enum type's
+    // range order IS the dictionary the Spark side encodes against
+    "q_enum" ->
+      """SELECT doc_id,
+                list_position(enum_range(
+                  NULL::ENUM('de','en','es','fr','zh')), lang) AS code,
+                CAST(CAST(lang AS ENUM('de','en','es','fr','zh'))
+                     AS VARCHAR) AS decoded
+         FROM documents""",
+    // DuckDB's dynamic PIVOT infers the IN-list from the data, exactly
+    // like Spark's pivot(col) without values
+    "q_pivot_dynamic" ->
+      """PIVOT documents ON lang USING count(*) GROUP BY source""",
     "q_struct_funcs" ->
       """WITH base AS (
            SELECT o_orderkey, o_orderstatus,

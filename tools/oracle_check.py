@@ -87,6 +87,12 @@ def main() -> int:
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
     results = {}
     con = duckdb.connect()
+    # An in-memory connection has no temp directory, so big oracle
+    # queries (the sf1 closure family) hit a hard OOM instead of
+    # spilling; give it a spill path and a bounded budget so one heavy
+    # face can't take down the whole batch.
+    con.execute("SET temp_directory='/tmp/graft_oracle_spill'")
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.is_dir():  # Spark-written table (ScaleUp sf1): glob the parts
