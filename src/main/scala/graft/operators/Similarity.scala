@@ -348,6 +348,27 @@ object Similarity {
       }
       .start()
 
+  /** Streaming retrieval riding the PERSISTED IVF INDEX — the
+    * [[topKStreamToParquet]] posture with the index posture's economics
+    * (r13 VERDICT "Next round" #7): each micro-batch's queries probe via
+    * [[topKIvfIndexed]] inside foreachBatch, so every batch pays only the
+    * probed lists' bucket-pruned scan — never a full-corpus brute pass —
+    * with zero training jobs and no state store (retrieval is stateless
+    * per query; the index IS the state, maintained by the append/rebuild
+    * machinery). Per-query results are independent of batching, so the
+    * streamed union is row-identical to one batch probe of all queries
+    * (IvfIndexSpec pins it). */
+  def topKStreamIndexedToParquet(spark: SparkSession, table: String,
+      queryStream: DataFrame, k: Int, nProbe: Int, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        topKIvfIndexed(spark, table, batch.toDF(), k, nProbe)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** LSH-bucketed ANN: corpus bucketed once per table by banded
     * random-hyperplane signatures; each query probes, per table, its own
     * bucket plus all hamming-1 neighbor buckets (multi-probe). A corpus

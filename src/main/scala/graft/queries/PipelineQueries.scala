@@ -1756,6 +1756,35 @@ object PipelineQueries {
     // the union of per-batch top-ks IS the batch answer.
     "st_sim_topk" -> ((s, dir) => stSimTopk(s, dir)),
 
+    // §2.16 (r14): streaming retrieval AT INDEX SCALE — st_sim_topk
+    // scores each micro-batch brute-force against the static corpus;
+    // this face wires the persisted IVF index into the foreachBatch plan
+    // so streaming retrieval inherits the index posture (bucket-pruned
+    // probes, zero training, no state store — the index IS the state).
+    // Rows-only (IVF is engine-specific); the check twin is the
+    // ranking-recall oracle, and IvfIndexSpec pins streamed ≡ batch.
+    "st_sim_topk_indexed" -> ((s, dir) => stSimTopkIndexed(s, dir)),
+
+    // CHECK: the streamed-probe output recovers >= 0.8 of the exact
+    // brute top-k (the annRecallCheck convention; DuckDB validates
+    // ground-truth well-formedness).
+    "st_sim_topk_indexed_check" -> ((s, dir) => {
+      val k = 5
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val ann = stSimTopkIndexed(s, dir)
+      val exact = Similarity.topKBruteForce(e, q, k = k)
+        .select(col("query_id"), col("vec_id"))
+      val perQuery = ann.select(col("query_id"), col("vec_id"))
+        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(perQuery, Seq("query_id"), "left")
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          ((sum(coalesce(col("n_hit"), lit(0L))) /
+            (count(lit(1)) * k)) >= 0.8).as("recall_ok"))
+    }),
+
     // §2.8: streaming CDC apply — version-guarded MERGE of each
     // micro-batch into a parquet state table; final state = per-user
     // latest event however the stream splits into batches (FULL oracle)
@@ -2573,6 +2602,34 @@ object PipelineQueries {
     }
   }
 
+  /** The stSimTopk replay pointed at the PERSISTED IVF INDEX (r13
+    * VERDICT #7): same 4-file / 4-micro-batch query replay, but each
+    * batch probes via topKIvfIndexed — bucket-pruned index scan, zero
+    * training, no brute corpus pass per batch. */
+  private def stSimTopkIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val tbl = ivfIndexTable(s, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_et_")
+    val outPath = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val qPath = replayPayloadPath(s, s"$dir|queries4",
+      e.filter(col("vec_id") < 8).repartition(4))
+    val qStream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(qPath)
+    val q = Similarity.topKStreamIndexedToParquet(s, tbl, qStream,
+      k = 5, nProbe = 8, outPath, ckpt)
+    try {
+      q.processAllAvailable()
+      val out = s.read.parquet(outPath)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      q.stop()
+      deleteRecursively(root)
+    }
+  }
+
   /** Streaming CDC apply: the events stream replayed in `nBatches`
     * micro-batches, each reduced to its per-user latest row and MERGEd
     * into the state table with the version guard
@@ -2811,6 +2868,7 @@ object PipelineQueries {
     // the streaming face appends per-micro-batch results of the SAME
     // brute-force plan, so the ranking oracle is identical
     "st_sim_topk" -> bruteforceTopkOracleSql,
+    "st_sim_topk_indexed_check" -> annRecallOracleSql,
     // ANN recall check faces: DuckDB's side validates the exact ground
     // truth is well-formed (every query has >= k candidates with a defined
     // cosine — n_queries would drop below Spark's count otherwise) and

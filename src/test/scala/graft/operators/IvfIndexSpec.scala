@@ -259,12 +259,8 @@ class IvfIndexSpec extends SparkSpec {
       queries.repartition(2).write.mode("overwrite").parquet(qPath)
       val qStream = spark.readStream.schema(queries.schema)
         .option("maxFilesPerTrigger", "1").parquet(qPath)
-      val q = qStream.writeStream
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          Similarity.topKIvfIndexed(spark, tbl, batch.toDF(), k = 5, nProbe = 2)
-            .write.mode("append").parquet(outPath)
-        }.start()
+      val q = Similarity.topKStreamIndexedToParquet(spark, tbl, qStream,
+        k = 5, nProbe = 2, outPath, root.resolve("ckpt").toString)
       try q.processAllAvailable() finally q.stop()
       val streamed = spark.read.parquet(outPath).collect()
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
