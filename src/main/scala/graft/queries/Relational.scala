@@ -1525,6 +1525,41 @@ object Relational {
             element_at(dict, col("code").cast("int"))))
     }),
 
+    // §2.16: UPDATE ... FROM — the join-update DML a migrating user's
+    // maintenance scripts rely on (q_update pins the plain predicate
+    // form). DuckDB updates rows in place from a joined source; the
+    // Spark translation is the standard left join + conditional replace
+    // (exactly what MERGE compiles to for matched-update-only), planned
+    // as one shuffle-free broadcast or hash equi-join — no row-at-a-time
+    // mutation.
+    "q_update_from" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val corr = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      base.join(corr, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("n").isNotNull && col("o_orderstatus") === "F",
+            col("cents") + col("n")).otherwise(col("cents")).as("cents"))
+    }),
+
+    // §2.16: DELETE ... USING — the join-delete twin of q_update_from
+    // (q_delete pins the plain predicate form). DuckDB deletes the rows
+    // that match a joined source; the Spark translation is a LEFT ANTI
+    // join against the delete-key set — the retention-pipeline shape
+    // pipeline_forget uses at the digest level, here as plain DML.
+    "q_delete_using" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val victims = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey")).distinct()
+      base.join(victims, col("o_orderkey") === col("l_orderkey"),
+        "left_anti")
+    }),
+
     // §2.16: dynamic PIVOT — DuckDB's PIVOT without an IN-list infers the
     // value set from the data; Spark's DataFrame pivot(col) without a
     // values list runs the same two-pass inference (distinct scan, then
@@ -2556,6 +2591,29 @@ object Relational {
     // like Spark's pivot(col) without values
     "q_pivot_dynamic" ->
       """PIVOT documents ON lang USING count(*) GROUP BY source""",
+    // the genuine join-delete DML on the oracle side
+    "q_delete_using" ->
+      """CREATE OR REPLACE TEMP TABLE graft_du AS
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders;
+         DELETE FROM graft_du USING (
+             SELECT DISTINCT l_orderkey FROM lineitem
+             WHERE l_returnflag = 'R') u
+           WHERE graft_du.o_orderkey = u.l_orderkey;
+         SELECT * FROM graft_du""",
+    // the genuine join-update DML on the oracle side
+    "q_update_from" ->
+      """CREATE OR REPLACE TEMP TABLE graft_uf AS
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders;
+         UPDATE graft_uf SET cents = cents + u.n
+           FROM (SELECT l_orderkey, count(*) AS n
+                 FROM lineitem GROUP BY 1) u
+           WHERE graft_uf.o_orderkey = u.l_orderkey
+             AND graft_uf.o_orderstatus = 'F';
+         SELECT * FROM graft_uf""",
     "q_struct_funcs" ->
       """WITH base AS (
            SELECT o_orderkey, o_orderstatus,

@@ -42,7 +42,11 @@ class RegistrySpec extends AnyFunSuite {
       "sim_topk_ivf_indexed", "sim_topk_ivfpq_indexed", "emb_pca",
       "txt_bpe", "q_approx_distinct", "q_approx_percentile",
       "q_sketch_union", "q_cms", "q_heavy_hitters_big",
-      "mm_phash_neardup", "pipeline_decontam_fuzzy")
+      "mm_phash_neardup", "pipeline_decontam_fuzzy",
+      // r14: the persisted-IVF composition family — each certified by an
+      // oracle-green *_check twin (recall / exclusion-soundness)
+      "pipeline_hard_negatives_ivf", "pipeline_contrastive_ivf",
+      "st_sim_topk_indexed")
     assert(rowsOnly == frozen,
       s"rows-only drift — new without oracle (typo or missing SQL?): " +
         s"${rowsOnly -- frozen}; frozen but now has an oracle (prune the " +
