@@ -115,7 +115,8 @@ object Similarity {
     * (spec-pinned); at production settings it is approximate with the
     * recall measured by the `pipeline_hard_negatives_ivf_check` face. */
   def hardNegativesIvf(spark: SparkSession, table: String, docs: DataFrame,
-      queries: DataFrame, k: Int = 5, nProbe: Int = 8): DataFrame = {
+      queries: DataFrame, k: Int = 5, nProbe: Int = 8,
+      salts: Int = 16): DataFrame = {
     val (centroids, _) = readIndexMeta(spark, table)
     val nC = centroids.length
     val p = math.min(nProbe, nC)
@@ -140,9 +141,22 @@ object Similarity {
                              WHEN a.i < b.i THEN -1 ELSE 1 END),
             1, $p), x -> x.i)""")))
       .drop("__scores")
+      // SALT the probe join: cid alone has only nCentroids distinct
+      // values, so an unsalted equi-join runs at list granularity — at
+      // most nCentroids tasks busy however many cores exist (measured:
+      // the sf1 all-anchor face spent its 50 s in ~8 effective tasks).
+      // Anchors take a deterministic salt from their id; the index side
+      // replicates across the salt domain (the SkewJoin posture — the
+      // replicated side is the INDEX, vectors-only, a fraction of the
+      // corpus text), so every (anchor, candidate) pair still meets
+      // exactly once and parallelism becomes nCentroids × salts.
+      .withColumn("__salt",
+        pmod(xxhash64(col("query_id")), lit(salts.toLong)).cast("int"))
     val idx = spark.table(table).select(col("vec_id"), col("cid"), col("v"))
       .join(meta, col("vec_id") === col("doc_id")).drop("doc_id")
-    val scored = idx.join(anchors, Seq("cid"))
+      .withColumn("__salt",
+        explode(sequence(lit(0), lit(salts - 1))))
+    val scored = idx.join(anchors, Seq("cid", "__salt"))
       .filter(col("vec_id") =!= col("query_id") &&
         col("source") =!= col("__hn_qsrc") &&
         col("__hn_h") =!= col("__hn_qh"))
