@@ -329,6 +329,24 @@ class IvfIndexSpec extends SparkSpec {
     } finally drop("ivf_idx_hn_eq")
   }
 
+  test("the salt domain size never changes the mined rows — every " +
+      "(anchor, candidate) pair meets exactly once at any salts") {
+    val tbl = buildIndex("ivf_idx_salt")
+    try {
+      def run(s: Int): Set[(Long, Int, Long)] =
+        Similarity.hardNegativesIvf(spark, tbl, hnDocs, corpus,
+          k = 3, nProbe = 2, salts = s).collect()
+          .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+            r.getAs[Long]("vec_id"))).toSet
+      val one = run(1)
+      assert(one.nonEmpty)
+      assert(run(16) == one, "salts=16 diverged from the unsalted plan")
+      // a salt count that does not divide anything cleanly — replication
+      // and the pmod keying must still pair every candidate exactly once
+      assert(run(5) == one, "salts=5 diverged from the unsalted plan")
+    } finally drop("ivf_idx_salt")
+  }
+
   test("hardNegativesIvf plans hash equi-joins only — no BNLJ, no " +
       "cartesian, no corpus-scale broadcast, even with anchors = corpus") {
     val tbl = buildIndex("ivf_idx_hn_plan")
