@@ -1525,6 +1525,27 @@ object Relational {
             element_at(dict, col("code").cast("int"))))
     }),
 
+    // §2.16: grouped TOP-N VALUE aggregate — "the 3 largest/smallest
+    // amounts per group" as an aggregate, not a rank window (DuckDB
+    // spells it list_sort(list(x))[1:n]; 1.1+ has max(x, n) sugar).
+    // Sorted VALUES are deterministic under ties, unlike top-n ROWS.
+    // Spark translation here is the oracle-matching collect_list +
+    // sort_array + element_at (group-sized state); the certified
+    // k-bounded partial top-k aggregate (functions.topk_select, the ANN
+    // selection) is the scale path when groups are corpus-sized.
+    "q_arg_topn" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val desc = sort_array(collect_list(col("cents")), asc = false)
+      val asc = sort_array(collect_list(col("cents")))
+      c.groupBy(col("l_returnflag"))
+        .agg(element_at(desc, 1).as("top1"), element_at(desc, 2).as("top2"),
+          element_at(desc, 3).as("top3"),
+          element_at(asc, 1).as("bot1"), element_at(asc, 2).as("bot2"),
+          element_at(asc, 3).as("bot3"))
+    }),
+
     // §2.16: UPDATE ... FROM — the join-update DML a migrating user's
     // maintenance scripts rely on (q_update pins the plain predicate
     // form). DuckDB updates rows in place from a joined source; the
@@ -2591,6 +2612,20 @@ object Relational {
     // like Spark's pivot(col) without values
     "q_pivot_dynamic" ->
       """PIVOT documents ON lang USING count(*) GROUP BY source""",
+    // DuckDB's native list-aggregate top-n spelling
+    "q_arg_topn" ->
+      """WITH c AS (SELECT l_returnflag,
+                           CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS cents
+                    FROM lineitem)
+         SELECT l_returnflag,
+                (list_sort(list(cents), 'DESC'))[1] AS top1,
+                (list_sort(list(cents), 'DESC'))[2] AS top2,
+                (list_sort(list(cents), 'DESC'))[3] AS top3,
+                (list_sort(list(cents)))[1] AS bot1,
+                (list_sort(list(cents)))[2] AS bot2,
+                (list_sort(list(cents)))[3] AS bot3
+         FROM c GROUP BY 1""",
     // the genuine join-delete DML on the oracle side
     "q_delete_using" ->
       """CREATE OR REPLACE TEMP TABLE graft_du AS
