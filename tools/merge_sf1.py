@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
-"""Merge a delta Verify run (new faces) into CORRECTNESS_sf1_r13.json.
+"""Merge a delta Verify run (new faces) into an sf1 CORRECTNESS artifact.
 
 Usage: python3 tools/merge_sf1.py <verifyOutDir> <face> [face...]
+The artifact defaults to CORRECTNESS_sf1_r13.json; set GRAFT_SF1_ART to
+merge into a different round's file.
 Runs oracle_check's compare for the named faces against the sf1 dir the
 artifact records, then updates pass counts + per-face results in place.
 """
@@ -9,7 +11,8 @@ import json
 import subprocess
 import sys
 
-ART = "CORRECTNESS_sf1_r13.json"
+import os
+ART = os.environ.get("GRAFT_SF1_ART", "CORRECTNESS_sf1_r13.json")
 
 def main():
     out_dir = sys.argv[1]
