@@ -1525,6 +1525,22 @@ object Relational {
             element_at(dict, col("code").cast("int"))))
     }),
 
+    // §2.16: COLUMNS('regex') pattern selection — completes the COLUMNS
+    // family (#355 pins COLUMNS(*)): DuckDB applies one aggregate to
+    // every column whose NAME matches a regex, with the "\0" rename
+    // lambda; Spark's twin filters df.columns by the same regex and
+    // builds the aliased aggregates programmatically. min/max move no
+    // accumulated floats, so doubles compare exactly.
+    "q_columns_regex" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val pat = java.util.regex.Pattern.compile("l_.*(price|discount|tax)")
+      val cols = li.columns.filter(c => pat.matcher(c).matches()).toSeq
+      val aggs = cols.map(c => min(col(c)).as(s"min_$c")) ++
+        cols.map(c => max(col(c)).as(s"max_$c")) :+
+        count(lit(1)).as("n")
+      li.agg(aggs.head, aggs.tail: _*)
+    }),
+
     // §2.16: grouped TOP-N VALUE aggregate — "the 3 largest/smallest
     // amounts per group" as an aggregate, not a rank window (DuckDB
     // spells it list_sort(list(x))[1:n]; 1.1+ has max(x, n) sugar).
@@ -2612,6 +2628,12 @@ object Relational {
     // like Spark's pivot(col) without values
     "q_pivot_dynamic" ->
       """PIVOT documents ON lang USING count(*) GROUP BY source""",
+    // the native COLUMNS('regex') spelling with the \0 rename lambda
+    "q_columns_regex" ->
+      """SELECT min(COLUMNS('l_.*(price|discount|tax)')) AS "min_\0",
+                max(COLUMNS('l_.*(price|discount|tax)')) AS "max_\0",
+                count(*)::BIGINT AS n
+         FROM lineitem""",
     // DuckDB's native list-aggregate top-n spelling
     "q_arg_topn" ->
       """WITH c AS (SELECT l_returnflag,
