@@ -74,6 +74,27 @@ object TextOps {
       (stops.cast("double") / greatest(nTokens, lit(1L)).cast("double")).as("stop_ratio"))
   }
 
+  /** Code-likeness signals — the code-vs-prose router a mixed web corpus
+    * needs before language-specific filtering: symbol density, code
+    * keywords, indented and terminator-ended line counts. Integer-exact
+    * end to end (density as basis points via integer division), one
+    * map-only pass — no shuffle, no floats, bit-exact cross-engine. */
+  def codeDetect(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val body = col(textCol)
+    docs.select(col("doc_id"),
+        length(body).cast("long").as("n_chars"),
+        (regexp_count(body, lit("\n")).cast("long") + lit(1L)).as("n_lines"),
+        regexp_count(body, lit("[;{}()=<>]")).cast("long").as("n_sym"),
+        regexp_count(body, lit("(?m)^(    |\\t)")).cast("long")
+          .as("n_indent_lines"),
+        regexp_count(body, lit("(?m)[;{}]$")).cast("long").as("n_term_lines"),
+        regexp_count(body,
+            lit("\\b(def|class|return|import|function|var|const)\\b"))
+          .cast("long").as("n_keywords"))
+      .withColumn("sym_bp", expr("10000 * n_sym div greatest(n_chars, 1)"))
+      .withColumn("is_code", col("sym_bp") >= 200 && col("n_keywords") >= 1)
+  }
+
   /** Stopword lexicons for the n-gram/stopword language-ID heuristic. */
   private val lexicons: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for"),

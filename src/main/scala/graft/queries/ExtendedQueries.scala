@@ -705,6 +705,35 @@ object ExtendedQueries {
       agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
     }),
 
+    // §2.4: PRAGMA table_info ↔ Spark schema rendering — the first
+    // catalog call a migrating user's tooling makes (column ids, names,
+    // DuckDB-native type names, nullability). Pure metadata: the Spark
+    // side renders df.schema — zero data scanned — while the oracle runs
+    // the genuine pragma over the same parquet views; the nested
+    // FLOAT[] spelling exercises the list-type mapping q_summarize's
+    // scalar table never hits.
+    "q_table_info" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      def duckType(dt: DataType): String = dt match {
+        case LongType => "BIGINT"
+        case IntegerType => "INTEGER"
+        case DoubleType => "DOUBLE"
+        case FloatType => "FLOAT"
+        case StringType => "VARCHAR"
+        case BooleanType => "BOOLEAN"
+        case DateType => "DATE"
+        case TimestampType | TimestampNTZType => "TIMESTAMP"
+        case ArrayType(e, _) => duckType(e) + "[]"
+        case other => other.sql
+      }
+      Seq("lineitem", "documents", "embeddings").flatMap { t =>
+        Tables.load(s, dir, t).schema.fields.zipWithIndex.map {
+          case (f, i) => (t, i.toLong, f.name, duckType(f.dataType), false)
+        }
+      }.toDF("table_name", "cid", "name", "type", "notnull")
+    }),
+
     // r4: profiler schema generality — a string-heavy table (documents)
     // and a timestamp-heavy one (events), same one-pass plan.
     "q_profile_docs" -> ((s, dir) =>
@@ -1370,6 +1399,153 @@ object ExtendedQueries {
             ((col("nd") * col("sxx") - col("sx") * col("sx")) *
               (col("nd") * col("syy") - col("sy") * col("sy"))))
             .as("r2"))
+    }),
+
+    // §2.8: SPEARMAN rank correlation — the monotone-association twin of
+    // q_corr's Pearson, the robust default when marginals are skewed.
+    // Average ranks come from the DISTINCT-VALUE decomposition (the #339
+    // posture): exact counts per value (map-side combinable), a running
+    // sum over the ≤|dictionary|-row distinct table (quantity ≤ 50
+    // values, discount ≤ 11 — the cumulative window covers a bounded
+    // dictionary, never the corpus), ranks DOUBLED (2·before + cnt + 1)
+    // so tie-averages stay integer-exact, broadcast back to the rows.
+    // Pearson over doubled ranks (the 2× scale cancels in ρ) rides
+    // q_corr's decimal-exact sums + matched double op order. Doubled-rank
+    // products stay < 2⁶³ until ~2³¹ rows; beyond, widen the product to
+    // DECIMAL before the sum.
+    "q_spearman" -> ((s, dir) => {
+      val d284 = DecimalType(28, 4)
+      val rows = Tables.load(s, dir, "lineitem")
+        .select(col("l_quantity").as("x"), col("l_discount").as("y"))
+      val wPrev = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      def rank2(c: String, out: String): DataFrame =
+        rows.groupBy(col(c).as("v"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+          .select(col("v"),
+            (lit(2L) * coalesce(sum(col("cnt")).over(wPrev), lit(0L)) +
+              col("cnt") + lit(1L)).as(out))
+      rows
+        .join(broadcast(rank2("x", "xr2")), col("x") === col("v")).drop("v")
+        .join(broadcast(rank2("y", "yr2")), col("y") === col("v")).drop("v")
+        .agg(count(lit(1)).as("n"),
+          sum(col("xr2").cast(d284)).as("sx"),
+          sum(col("yr2").cast(d284)).as("sy"),
+          sum((col("xr2") * col("xr2")).cast(d284)).as("sxx"),
+          sum((col("yr2") * col("yr2")).cast(d284)).as("syy"),
+          sum((col("xr2") * col("yr2")).cast(d284)).as("sxy"))
+        .select(col("n").as("n_rows"), col("n").cast("double").as("nd"),
+          col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
+          col("sxx").cast("double").as("sxx"),
+          col("syy").cast("double").as("syy"),
+          col("sxy").cast("double").as("sxy"))
+        .select(col("n_rows"),
+          ((col("nd") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("nd") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("nd") * col("syy") - col("sy") * col("sy"))))
+            .as("spearman_rho"))
+    }),
+
+    // §2.8: MANN-WHITNEY U — the nonparametric two-sample location test
+    // (do returned lines ship different quantities than accepted ones?).
+    // Pooled tie-averaged ranks ride the same bounded distinct-value
+    // decomposition as q_spearman, kept integer as DOUBLED ranks; rank
+    // sums fold per group map-side. 2U = 2R − n(n+1) is BIGINT-exact end
+    // to end; the only double is the final halving (exact in binary
+    // floating point). The identity u2_R + u2_A = 2·n_R·n_A is the
+    // built-in consistency check the oracle replays independently.
+    "q_mannwhitney" -> ((s, dir) => {
+      val rows = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_returnflag").as("g"), col("l_quantity").as("v"))
+      val wPrev = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ranks = rows.groupBy(col("v"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .select(col("v"),
+          (lit(2L) * coalesce(sum(col("cnt")).over(wPrev), lit(0L)) +
+            col("cnt") + lit(1L)).as("r2"))
+      rows.join(broadcast(ranks), "v")
+        .groupBy(col("g"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("r2")).cast("long").as("rank_sum2"))
+        .select(col("g"), col("n"), col("rank_sum2"),
+          (col("rank_sum2") - col("n") * (col("n") + lit(1L))).as("u2"))
+        .withColumn("u", col("u2").cast("double") / lit(2.0))
+    }),
+
+    // §2.8: CHI-SQUARE independence (returnflag × linestatus) — the
+    // categorical-association screen. Observed cells are ONE exact count
+    // aggregate over the corpus; margins re-aggregate the cell table
+    // (≤|flags|·|status| rows — the corpus is never touched again);
+    // expected counts and contributions finalize in matched double op
+    // order. The cross-cell total folds LEFT over the (flag, status)-
+    // sorted contribution list on BOTH engines (Spark's aggregate() HOF ≡
+    // DuckDB list_reduce over list(… ORDER BY); 0.0-seeded vs first-
+    // element-seeded left folds agree bit-exactly because 0.0 + x = x) —
+    // never a shuffle-order-dependent double sum.
+    "q_chi_square" -> ((s, dir) => {
+      val cells = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("f"), col("l_linestatus").as("st"))
+        .agg(count(lit(1)).cast("long").as("o"))
+      val rm = cells.groupBy(col("f")).agg(sum(col("o")).cast("long").as("rt"))
+      val cm = cells.groupBy(col("st")).agg(sum(col("o")).cast("long").as("ct"))
+      val nt = cells.agg(sum(col("o")).cast("long").as("nn"))
+      cells.join(broadcast(rm), "f").join(broadcast(cm), "st")
+        .crossJoin(broadcast(nt))
+        .withColumn("e",
+          col("rt").cast("double") * col("ct").cast("double") /
+            col("nn").cast("double"))
+        .withColumn("contrib",
+          (col("o").cast("double") - col("e")) *
+            (col("o").cast("double") - col("e")) / col("e"))
+        .agg(max(col("nn")).as("n_rows"),
+          count(lit(1)).cast("long").as("n_cells"),
+          countDistinct(col("f")).cast("long").as("nf"),
+          countDistinct(col("st")).cast("long").as("ns"),
+          expr("aggregate(array_sort(collect_list(struct(f, st, contrib)))," +
+            " cast(0.0 as double), (acc, x) -> acc + x.contrib)").as("chi2"))
+        .select(col("n_rows"), col("n_cells"),
+          ((col("nf") - lit(1L)) * (col("ns") - lit(1L))).as("dof"),
+          col("chi2"))
+    }),
+
+    // §2.8: lag-k AUTOCORRELATION of the daily demand series — the
+    // seasonality screen (lag 1 = momentum, lag 7 = weekly cycle). The
+    // corpus collapses to ONE exact count per day first (map-side
+    // combinable; the series is bounded by the calendar, not the data),
+    // pairs align by DATE ARITHMETIC (a self-join on day+lag over the
+    // tiny series — gap-safe, unlike row-offset lag), and Pearson
+    // finalizes from integer-exact sums in matched double op order per
+    // lag.
+    "q_autocorr" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      Seq(1, 7).map { l =>
+        daily.as("a").join(daily.as("b"),
+            date_add(col("a.day"), l) === col("b.day"))
+          .select(lit(l.toLong).as("lag"),
+            col("a.cnt").as("x"), col("b.cnt").as("y"))
+      }.reduce(_ union _)
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("y") * col("y")).cast("long").as("syy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"))
+        .select(col("lag"), col("n").as("n_pairs"),
+          col("n").cast("double").as("nd"),
+          col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
+          col("sxx").cast("double").as("sxx"),
+          col("syy").cast("double").as("syy"),
+          col("sxy").cast("double").as("sxy"))
+        .select(col("lag"), col("n_pairs"),
+          ((col("nd") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("nd") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("nd") * col("syy") - col("sy") * col("sy"))))
+            .as("autocorr"))
     }),
 
     // §2.8: runtime bloom-filter join pruning — the semi-join-reduction
@@ -2254,6 +2430,96 @@ object ExtendedQueries {
                   (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
                   AS corr_q_price
          FROM a""",
+    // same doubled-rank distinct-value decomposition, same decimal sums,
+    // same final op order (DuckDB's window sum promotes to HUGEINT; the
+    // VALUES are identical so the decimal casts agree)
+    "q_spearman" ->
+      """WITH rows0 AS (SELECT l_quantity AS x, l_discount AS y FROM lineitem),
+         xc AS (SELECT x AS v, count(*)::BIGINT AS cnt FROM rows0 GROUP BY 1),
+         xr AS (SELECT v, 2 * coalesce(sum(cnt) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + cnt + 1 AS xr2 FROM xc),
+         yc AS (SELECT y AS v, count(*)::BIGINT AS cnt FROM rows0 GROUP BY 1),
+         yr AS (SELECT v, 2 * coalesce(sum(cnt) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + cnt + 1 AS yr2 FROM yc),
+         j AS (SELECT xr2, yr2
+               FROM rows0 JOIN xr ON rows0.x = xr.v JOIN yr ON rows0.y = yr.v),
+         a AS (SELECT count(*) AS n, count(*)::DOUBLE AS nd,
+                 CAST(CAST(sum(CAST(xr2 AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS sx,
+                 CAST(CAST(sum(CAST(yr2 AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS sy,
+                 CAST(CAST(sum(CAST(xr2 * xr2 AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS sxx,
+                 CAST(CAST(sum(CAST(yr2 * yr2 AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS syy,
+                 CAST(CAST(sum(CAST(xr2 * yr2 AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS sxy
+               FROM j)
+         SELECT n AS n_rows,
+                (nd * sxy - sx * sy) /
+                  (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+                  AS spearman_rho
+         FROM a""",
+    // pooled doubled ranks, BIGINT-exact U; the halving is the only double
+    "q_mannwhitney" ->
+      """WITH rows0 AS (SELECT l_returnflag AS g, l_quantity AS v
+                        FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         c AS (SELECT v, count(*)::BIGINT AS cnt FROM rows0 GROUP BY 1),
+         r AS (SELECT v, CAST(2 * coalesce(sum(cnt) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + cnt + 1 AS BIGINT) AS r2 FROM c),
+         j AS (SELECT g, r2 FROM rows0 JOIN r USING (v)),
+         a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(r2) AS BIGINT) AS rank_sum2
+               FROM j GROUP BY g)
+         SELECT g, n, rank_sum2,
+                rank_sum2 - n * (n + 1) AS u2,
+                CAST(rank_sum2 - n * (n + 1) AS DOUBLE) / 2.0 AS u
+         FROM a""",
+    // same cell/margin decomposition; the cross-cell total is a LEFT fold
+    // over the (f, st)-sorted list on both engines (0.0 + x = x exactly,
+    // so the 0.0-seeded Spark fold equals DuckDB's first-element seed)
+    "q_chi_square" ->
+      """WITH cells AS (SELECT l_returnflag AS f, l_linestatus AS st,
+                          count(*)::BIGINT AS o
+                        FROM lineitem GROUP BY 1, 2),
+         rm AS (SELECT f, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         cm AS (SELECT st, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         nt AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+         c2 AS (SELECT cells.f, cells.st, cells.o, nt.nn,
+                  CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) /
+                    CAST(nn AS DOUBLE) AS e
+                FROM cells JOIN rm USING (f) JOIN cm USING (st) CROSS JOIN nt),
+         c3 AS (SELECT f, st, nn,
+                  (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+                    AS contrib
+                FROM c2)
+         SELECT max(nn) AS n_rows, CAST(count(*) AS BIGINT) AS n_cells,
+                CAST((count(DISTINCT f) - 1) * (count(DISTINCT st) - 1)
+                  AS BIGINT) AS dof,
+                list_reduce(list(contrib ORDER BY f, st), (a, b) -> a + b)
+                  AS chi2
+         FROM c3""",
+    // DATE + INTEGER day arithmetic aligns the same pairs; integer-exact
+    // sums, matched final op order per lag
+    "q_autocorr" ->
+      """WITH daily AS (
+           SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                  count(*)::BIGINT AS cnt
+           FROM orders GROUP BY 1),
+         p AS (SELECT CAST(l.lag AS BIGINT) AS lag, a.cnt AS x, b.cnt AS y
+               FROM (VALUES (1), (7)) l(lag)
+               CROSS JOIN daily a
+               JOIN daily b ON a.day + l.lag = b.day),
+         a2 AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                  count(*)::DOUBLE AS nd,
+                  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(x * x) AS DOUBLE) AS sxx,
+                  CAST(sum(y * y) AS DOUBLE) AS syy,
+                  CAST(sum(x * y) AS DOUBLE) AS sxy
+                FROM p GROUP BY lag)
+         SELECT lag, n AS n_pairs,
+                (nd * sxy - sx * sy) /
+                  (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+                  AS autocorr
+         FROM a2""",
     // generate_series spans the same [min, max] day range
     "q_date_spine" ->
       """WITH d AS (
@@ -3117,6 +3383,17 @@ object ExtendedQueries {
                  CASE WHEN doc_id % 7 <> 0 THEN lang END AS lang7,
                  CASE WHEN doc_id % 3 <> 0 THEN n_chars END AS nc3
                FROM documents)""",
+    // the genuine pragma over the same parquet views
+    "q_table_info" ->
+      """SELECT 'lineitem' AS table_name, CAST(cid AS BIGINT) AS cid,
+                name, type, "notnull"
+         FROM pragma_table_info('lineitem')
+         UNION ALL
+         SELECT 'documents', CAST(cid AS BIGINT), name, type, "notnull"
+         FROM pragma_table_info('documents')
+         UNION ALL
+         SELECT 'embeddings', CAST(cid AS BIGINT), name, type, "notnull"
+         FROM pragma_table_info('embeddings')""",
     "q_profile_full" -> graft.operators.Profiler.oracleSqlFor("lineitem", Seq(
       "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
       "l_linenumber" -> "num", "l_quantity" -> "num",

@@ -735,6 +735,22 @@ object PipelineQueries {
     // §2.3 #44 quality scoring
     "txt_quality" -> ((s, dir) => TextOps.quality(docs(s, dir))),
 
+    // §2.8: code-vs-prose routing — the corpus is prose by construction,
+    // so every third doc gets a deterministic code-shaped prelude PLANTED
+    // (def/indent/terminator lines built from doc_id — both engines plant
+    // the identical bytes, the q_summarize planted-null pattern) so the
+    // symbol/keyword/indent detectors and the is_code decision are
+    // exercised on live signal, not a table of zeros.
+    "txt_code_detect" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("def f_"), col("doc_id").cast("string"),
+            lit("(x):\n    return (x + "), col("doc_id").cast("string"),
+            lit(");\n"), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextOps.codeDetect(planted)
+    }),
+
     // §2.8: TRAINED language classifier — unigram frequency profiles fit
     // on the 90% doc_id-hash train split, argmax-scored on the held-out
     // 10%. Integer weights end to end (floor of one shared IEEE division),
@@ -4072,6 +4088,37 @@ object PipelineQueries {
                 cast(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) AS double)
                   / cast(greatest(len(regexp_extract_all(text, '\S+')), 1) AS double) AS stop_ratio
          FROM documents""",
+    // identical planted bytes, identical RE2/Java-agreeing patterns,
+    // integer basis points via // (Spark div)
+    "txt_code_detect" ->
+      """WITH src AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN
+                    'def f_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10)
+                    || '    return (x + ' || CAST(doc_id AS VARCHAR)
+                    || ');' || chr(10) || text
+                  ELSE text END AS body
+           FROM documents),
+         m AS (SELECT doc_id,
+                 cast(length(body) AS BIGINT) AS n_chars,
+                 cast(len(regexp_extract_all(body, chr(10))) + 1 AS BIGINT)
+                   AS n_lines,
+                 cast(len(regexp_extract_all(body, '[;{}()=<>]')) AS BIGINT)
+                   AS n_sym,
+                 cast(len(regexp_extract_all(body, '(?m)^(    |\t)'))
+                   AS BIGINT) AS n_indent_lines,
+                 cast(len(regexp_extract_all(body, '(?m)[;{}]$')) AS BIGINT)
+                   AS n_term_lines,
+                 cast(len(regexp_extract_all(body,
+                   '\b(def|class|return|import|function|var|const)\b'))
+                   AS BIGINT) AS n_keywords
+               FROM src)
+         SELECT doc_id, n_chars, n_lines, n_sym, n_indent_lines,
+                n_term_lines, n_keywords,
+                10000 * n_sym // greatest(n_chars, 1) AS sym_bp,
+                (10000 * n_sym // greatest(n_chars, 1) >= 200
+                  AND n_keywords >= 1) AS is_code
+         FROM m""",
     "txt_tokens" ->
       """SELECT doc_id,
                 cast(len(regexp_extract_all(text, '\S+')) AS bigint) AS ws_tokens,

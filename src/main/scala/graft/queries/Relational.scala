@@ -511,6 +511,28 @@ object Relational {
             .as("isoweek"))
     }),
 
+    // §2.2: strptime TOKEN translation — parsing, the migration twin of
+    // q_strftime's rendering: DuckDB C-style %-tokens ↔ Spark
+    // DateTimeFormatter patterns (%d/%m/%Y %H:%M ↔ dd/MM/yyyy HH:mm,
+    // %Y-%m-%dT%H:%M:%S ↔ yyyy-MM-dd'T'HH:mm:ss, %b %d, %Y ↔
+    // MMM dd, yyyy — English month abbreviations on both engines).
+    // Round-tripped: each engine parses strings it RENDERED itself with
+    // the certified q_strftime translation, so a token drift on either
+    // side of either direction breaks the face.
+    "q_strptime" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .filter($"o_orderkey" <= 2000)
+        .select($"o_orderkey",
+          date_format($"o_orderdate", "dd/MM/yyyy HH:mm").as("s1"),
+          date_format($"o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").as("s2"),
+          date_format($"o_orderdate", "MMM dd, yyyy").as("s3"))
+        .select($"o_orderkey", $"s1", $"s2", $"s3",
+          to_timestamp($"s1", "dd/MM/yyyy HH:mm").as("t1"),
+          to_timestamp($"s2", "yyyy-MM-dd'T'HH:mm:ss").as("t2"),
+          to_date($"s3", "MMM dd, yyyy").as("d3"))
+    }),
+
     // §2.2: regexp_replace SEMANTICS translation — the two migration
     // traps: DuckDB replaces the FIRST match unless 'g' (Spark always
     // replaces all; first-only spells as a lazy-prefix whole-string
@@ -2090,6 +2112,19 @@ object Relational {
                 strftime(o_orderdate, '%j') AS doy,
                 strftime(o_orderdate, '%V') AS isoweek
          FROM orders WHERE o_orderkey <= 2000""",
+    // each engine parses strings it rendered itself (round trip)
+    "q_strptime" ->
+      """WITH r AS (
+           SELECT o_orderkey,
+                  strftime(o_orderdate, '%d/%m/%Y %H:%M') AS s1,
+                  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS s2,
+                  strftime(o_orderdate, '%b %d, %Y') AS s3
+           FROM orders WHERE o_orderkey <= 2000)
+         SELECT o_orderkey, s1, s2, s3,
+                strptime(s1, '%d/%m/%Y %H:%M') AS t1,
+                strptime(s2, '%Y-%m-%dT%H:%M:%S') AS t2,
+                CAST(strptime(s3, '%b %d, %Y') AS DATE) AS d3
+         FROM r""",
     // DuckDB replaces FIRST unless 'g'; backrefs are \1 not $1
     "q_regexp_replace" ->
       """SELECT doc_id,
