@@ -1548,6 +1548,93 @@ object ExtendedQueries {
             .as("autocorr"))
     }),
 
+    // §2.8: KOLMOGOROV-SMIRNOV two-sample D — the distribution-shape
+    // test beside q_mannwhitney's location test. ECDF differences stay
+    // EXACT RATIONALS: per distinct value, group counts cumulate over the
+    // bounded dictionary (≤50 quantity values), and the sup statistic is
+    // max |cumR·n_A − cumA·n_R| — a BIGINT numerator over the fixed
+    // denominator n_R·n_A; the single division to D happens once, last.
+    "q_ks_test" -> ((s, dir) => {
+      val rows = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_returnflag").as("g"), col("l_quantity").as("v"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cells = rows.groupBy(col("v"))
+        .agg(sum(when(col("g") === "R", 1L).otherwise(0L)).cast("long").as("cr"),
+          sum(when(col("g") === "A", 1L).otherwise(0L)).cast("long").as("ca"))
+        .select(col("v"), sum(col("cr")).over(wCum).as("cum_r"),
+          sum(col("ca")).over(wCum).as("cum_a"))
+      val totals = rows.groupBy()
+        .agg(sum(when(col("g") === "R", 1L).otherwise(0L)).cast("long").as("n_r"),
+          sum(when(col("g") === "A", 1L).otherwise(0L)).cast("long").as("n_a"))
+      cells.crossJoin(broadcast(totals))
+        .agg(max(col("n_r")).as("n_r"), max(col("n_a")).as("n_a"),
+          max(abs(col("cum_r") * col("n_a") - col("cum_a") * col("n_r")))
+            .cast("long").as("d_num"))
+        .withColumn("d", col("d_num").cast("double") /
+          (col("n_r") * col("n_a")).cast("double"))
+    }),
+
+    // §2.8: CRAMÉR'S V — the effect size q_chi_square's test statistic
+    // needs for interpretation at scale (χ² grows with n; V does not).
+    // Same cell/margin decomposition and LEFT-fold total; one extra
+    // min(r−1, c−1) and an IEEE-exact sqrt at the end.
+    "q_cramers_v" -> ((s, dir) => {
+      val cells = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("f"), col("l_linestatus").as("st"))
+        .agg(count(lit(1)).cast("long").as("o"))
+      val rm = cells.groupBy(col("f")).agg(sum(col("o")).cast("long").as("rt"))
+      val cm = cells.groupBy(col("st")).agg(sum(col("o")).cast("long").as("ct"))
+      val nt = cells.agg(sum(col("o")).cast("long").as("nn"))
+      cells.join(broadcast(rm), "f").join(broadcast(cm), "st")
+        .crossJoin(broadcast(nt))
+        .withColumn("e",
+          col("rt").cast("double") * col("ct").cast("double") /
+            col("nn").cast("double"))
+        .withColumn("contrib",
+          (col("o").cast("double") - col("e")) *
+            (col("o").cast("double") - col("e")) / col("e"))
+        .agg(max(col("nn")).as("n_rows"),
+          countDistinct(col("f")).cast("long").as("nf"),
+          countDistinct(col("st")).cast("long").as("ns"),
+          expr("aggregate(array_sort(collect_list(struct(f, st, contrib)))," +
+            " cast(0.0 as double), (acc, x) -> acc + x.contrib)").as("chi2"))
+        .select(col("n_rows"),
+          least(col("nf") - lit(1L), col("ns") - lit(1L)).as("k_min"),
+          col("chi2"),
+          sqrt(col("chi2") / (col("n_rows").cast("double") *
+            least(col("nf") - lit(1L), col("ns") - lit(1L)).cast("double")))
+            .as("cramers_v"))
+    }),
+
+    // §2.8: CUSUM changepoint screen over the daily demand series — the
+    // drift detector a monitoring pipeline runs on ingest volume. The
+    // classic S_t = Σ(x_i − μ) is kept INTEGER by scaling with the day
+    // count: S'_t = days·Σx_{i≤t} − t·total (= days·S_t), so the whole
+    // curve is BIGINT-exact — no mean, no floats, bit-exact cross-engine.
+    // The corpus collapses to the calendar-bounded daily table first; the
+    // cumulative window runs over that tiny series only.
+    "q_cusum" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val totals = daily.agg(count(lit(1)).cast("long").as("days"),
+        sum(col("cnt")).cast("long").as("total"))
+      daily
+        .select(col("day"), col("cnt"),
+          sum(col("cnt")).over(wCum).cast("long").as("cum_cnt"),
+          row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("day")))
+            .cast("long").as("t"))
+        .crossJoin(broadcast(totals))
+        .select(col("day"), col("cnt"), col("cum_cnt"),
+          (col("days") * col("cum_cnt") - col("t") * col("total"))
+            .as("s_scaled"))
+    }),
+
     // §2.8: runtime bloom-filter join pruning — the semi-join-reduction
     // lever at 100 TB: a selective dimension filter materializes a bloom
     // filter that the FACT scan applies before the shuffle, so rows that
@@ -2520,6 +2607,78 @@ object ExtendedQueries {
                   (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
                   AS autocorr
          FROM a2""",
+    // exact-rational ECDF sup: BIGINT numerator over the fixed n_R·n_A
+    // denominator, one division last
+    "q_ks_test" ->
+      """WITH rows0 AS (SELECT l_returnflag AS g, l_quantity AS v
+                        FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         cells0 AS (SELECT v,
+                      CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cr,
+                      CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ca
+                    FROM rows0 GROUP BY 1),
+         cells AS (SELECT v,
+                     CAST(sum(cr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cum_r,
+                     CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cum_a
+                   FROM cells0),
+         t AS (SELECT CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_r,
+               CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a
+               FROM rows0),
+         agg AS (SELECT max(n_r) AS n_r, max(n_a) AS n_a,
+                   CAST(max(abs(cum_r * n_a - cum_a * n_r)) AS BIGINT)
+                     AS d_num
+                 FROM cells CROSS JOIN t)
+         SELECT n_r, n_a, d_num,
+                CAST(d_num AS DOUBLE) / CAST(n_r * n_a AS DOUBLE) AS d
+         FROM agg""",
+    // same decomposition + LEFT-fold total as q_chi_square; sqrt is
+    // IEEE-correctly-rounded so V matches bit-exactly
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT l_returnflag AS f, l_linestatus AS st,
+                          count(*)::BIGINT AS o
+                        FROM lineitem GROUP BY 1, 2),
+         rm AS (SELECT f, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         cm AS (SELECT st, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         nt AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+         c2 AS (SELECT cells.f, cells.st, cells.o, nt.nn,
+                  CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) /
+                    CAST(nn AS DOUBLE) AS e
+                FROM cells JOIN rm USING (f) JOIN cm USING (st) CROSS JOIN nt),
+         c3 AS (SELECT f, st, nn,
+                  (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+                    AS contrib
+                FROM c2),
+         agg AS (SELECT max(nn) AS n_rows,
+                   CAST(least(count(DISTINCT f) - 1, count(DISTINCT st) - 1)
+                     AS BIGINT) AS k_min,
+                   list_reduce(list(contrib ORDER BY f, st), (a, b) -> a + b)
+                     AS chi2
+                 FROM c3)
+         SELECT n_rows, k_min, chi2,
+                sqrt(chi2 / (CAST(n_rows AS DOUBLE) * CAST(k_min AS DOUBLE)))
+                  AS cramers_v
+         FROM agg""",
+    // integer-scaled CUSUM: S'_t = days·cum − t·total, BIGINT end to end
+    "q_cusum" ->
+      """WITH daily AS (
+           SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                  count(*)::BIGINT AS cnt
+           FROM orders GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS days,
+                 CAST(sum(cnt) AS BIGINT) AS total FROM daily),
+         c AS (SELECT day, cnt,
+                 CAST(sum(cnt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS cum_cnt,
+                 CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t_idx
+               FROM daily)
+         SELECT day, cnt, cum_cnt,
+                days * cum_cnt - t_idx * total AS s_scaled
+         FROM c CROSS JOIN t""",
     // generate_series spans the same [min, max] day range
     "q_date_spine" ->
       """WITH d AS (
