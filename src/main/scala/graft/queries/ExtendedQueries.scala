@@ -1413,27 +1413,53 @@ object ExtendedQueries {
     // q_corr's decimal-exact sums + matched double op order. Doubled-rank
     // products stay < 2⁶³ until ~2³¹ rows; beyond, widen the product to
     // DECIMAL before the sum.
+    // Plan shape: ONE corpus scan via the JOINT-distribution
+    // decomposition — groupBy (x, y) collapses the corpus to the
+    // ≤|dictX|·|dictY| joint cell table, which collects to a single
+    // bounded array; both marginal doubled-rank maps and all five
+    // moments (Σ cnt·f(xr2, yr2)) compute as higher-order-function folds
+    // over that array on a 1-row frame. The naive spelling (rank maps
+    // joined back to raw rows) scans the corpus THREE times — and even
+    // the tiny-re-aggregation variant re-derives the joint exchange per
+    // marginal. Decimal fold accumulators keep every moment exact, so
+    // the final doubles cast from the same rationals as the row
+    // spelling: bit-identical to the oracle.
     "q_spearman" -> ((s, dir) => {
-      val d284 = DecimalType(28, 4)
-      val rows = Tables.load(s, dir, "lineitem")
+      // doubled-rank map for one marginal, as a fold over the joint cell
+      // list: rank2(v) = 2·(count below v) + (count at v) + 1
+      def rankMap(f: String): String =
+        s"""map_from_entries(transform(
+              array_sort(array_distinct(transform(cs, c -> c.$f))), v ->
+              struct(v,
+                2 * aggregate(cs, cast(0 as bigint),
+                      (a, c) -> IF(c.$f < v, a + c.cnt, a))
+                + aggregate(cs, cast(0 as bigint),
+                    (a, c) -> IF(c.$f = v, a + c.cnt, a)) + 1))) AS ${f}m"""
+      // Σ cnt·term over the cells, decimal-exact (cnt·xr2² can pass 2⁶³
+      // where the naive spelling's per-ROW terms could not)
+      def mom(t: String, out: String): String =
+        s"""aggregate(rs, cast(0 as decimal(38,0)), (a, r) ->
+              cast(a + cast(r.cnt as decimal(19,0)) *
+                cast($t as decimal(19,0)) as decimal(38,0))) AS $out"""
+      Tables.load(s, dir, "lineitem")
         .select(col("l_quantity").as("x"), col("l_discount").as("y"))
-      val wPrev = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      def rank2(c: String, out: String): DataFrame =
-        rows.groupBy(col(c).as("v"))
-          .agg(count(lit(1)).cast("long").as("cnt"))
-          .select(col("v"),
-            (lit(2L) * coalesce(sum(col("cnt")).over(wPrev), lit(0L)) +
-              col("cnt") + lit(1L)).as(out))
-      rows
-        .join(broadcast(rank2("x", "xr2")), col("x") === col("v")).drop("v")
-        .join(broadcast(rank2("y", "yr2")), col("y") === col("v")).drop("v")
-        .agg(count(lit(1)).as("n"),
-          sum(col("xr2").cast(d284)).as("sx"),
-          sum(col("yr2").cast(d284)).as("sy"),
-          sum((col("xr2") * col("xr2")).cast(d284)).as("sxx"),
-          sum((col("yr2") * col("yr2")).cast(d284)).as("syy"),
-          sum((col("xr2") * col("yr2")).cast(d284)).as("sxy"))
+        .groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .agg(sort_array(collect_list(struct(col("x"), col("y"), col("cnt"))))
+          .as("cs"))
+        .selectExpr("cs", rankMap("x"), rankMap("y"))
+        // 1-row exchange barriers: without them CollapseProject inlines
+        // the rank-map construction into every use site, re-deriving it
+        // per cell per moment
+        .repartition(1)
+        .selectExpr("transform(cs, c -> named_struct('cnt', c.cnt," +
+          " 'xr', xm[c.x], 'yr', ym[c.y])) AS rs")
+        .repartition(1)
+        .selectExpr(
+          "aggregate(rs, cast(0 as bigint), (a, r) -> a + r.cnt) AS n",
+          mom("r.xr", "sx"), mom("r.yr", "sy"),
+          mom("r.xr * r.xr", "sxx"), mom("r.yr * r.yr", "syy"),
+          mom("r.xr * r.yr", "sxy"))
         .select(col("n").as("n_rows"), col("n").cast("double").as("nd"),
           col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
           col("sxx").cast("double").as("sxx"),
@@ -1454,21 +1480,37 @@ object ExtendedQueries {
     // to end; the only double is the final halving (exact in binary
     // floating point). The identity u2_R + u2_A = 2·n_R·n_A is the
     // built-in consistency check the oracle replays independently.
+    // Plan shape: ONE corpus scan via the joint (group, value) cell
+    // table (≤2·|dictionary| rows), collected to a bounded array: the
+    // pooled doubled-rank map is a fold over the cells, groups explode
+    // back to rows, and each group's n / rank sum folds over the same
+    // array — the naive rank-map-joined-back-to-rows spelling scans the
+    // corpus twice.
     "q_mannwhitney" -> ((s, dir) => {
-      val rows = Tables.load(s, dir, "lineitem")
+      Tables.load(s, dir, "lineitem")
         .filter(col("l_returnflag").isin("R", "A"))
         .select(col("l_returnflag").as("g"), col("l_quantity").as("v"))
-      val wPrev = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val ranks = rows.groupBy(col("v"))
+        .groupBy(col("g"), col("v"))
         .agg(count(lit(1)).cast("long").as("cnt"))
-        .select(col("v"),
-          (lit(2L) * coalesce(sum(col("cnt")).over(wPrev), lit(0L)) +
-            col("cnt") + lit(1L)).as("r2"))
-      rows.join(broadcast(ranks), "v")
-        .groupBy(col("g"))
-        .agg(count(lit(1)).cast("long").as("n"),
-          sum(col("r2")).cast("long").as("rank_sum2"))
+        .agg(sort_array(collect_list(struct(col("g"), col("v"), col("cnt"))))
+          .as("cs"))
+        .selectExpr("cs",
+          """map_from_entries(transform(
+               array_sort(array_distinct(transform(cs, c -> c.v))), w ->
+               struct(w,
+                 2 * aggregate(cs, cast(0 as bigint),
+                       (a, c) -> IF(c.v < w, a + c.cnt, a))
+                 + aggregate(cs, cast(0 as bigint),
+                     (a, c) -> IF(c.v = w, a + c.cnt, a)) + 1))) AS rm""")
+        .repartition(1) // barrier: keep the rank map built once
+        .selectExpr(
+          "explode(array_sort(array_distinct(transform(cs, c -> c.g)))) AS g",
+          "cs", "rm")
+        .selectExpr("g",
+          "aggregate(cs, cast(0 as bigint)," +
+            " (a, c) -> IF(c.g = g, a + c.cnt, a)) AS n",
+          "aggregate(cs, cast(0 as bigint)," +
+            " (a, c) -> IF(c.g = g, a + c.cnt * rm[c.v], a)) AS rank_sum2")
         .select(col("g"), col("n"), col("rank_sum2"),
           (col("rank_sum2") - col("n") * (col("n") + lit(1L))).as("u2"))
         .withColumn("u", col("u2").cast("double") / lit(2.0))
@@ -1484,30 +1526,39 @@ object ExtendedQueries {
     // DuckDB list_reduce over list(… ORDER BY); 0.0-seeded vs first-
     // element-seeded left folds agree bit-exactly because 0.0 + x = x) —
     // never a shuffle-order-dependent double sum.
+    // Plan shape: the naive margin spelling (cell table joined to three
+    // re-aggregations of itself) re-scans the CORPUS once per margin — 4
+    // full scans with no exchange reuse. Here the corpus is read exactly
+    // once: one count aggregate to the ≤|flags|·|status| cell list, then
+    // margins, expectations and the sorted LEFT-fold total all compute as
+    // higher-order-function folds over that bounded array on a 1-row
+    // frame. Same rationals, same final double op order as the oracle.
     "q_chi_square" -> ((s, dir) => {
-      val cells = Tables.load(s, dir, "lineitem")
+      Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("f"), col("l_linestatus").as("st"))
         .agg(count(lit(1)).cast("long").as("o"))
-      val rm = cells.groupBy(col("f")).agg(sum(col("o")).cast("long").as("rt"))
-      val cm = cells.groupBy(col("st")).agg(sum(col("o")).cast("long").as("ct"))
-      val nt = cells.agg(sum(col("o")).cast("long").as("nn"))
-      cells.join(broadcast(rm), "f").join(broadcast(cm), "st")
-        .crossJoin(broadcast(nt))
-        .withColumn("e",
-          col("rt").cast("double") * col("ct").cast("double") /
-            col("nn").cast("double"))
-        .withColumn("contrib",
-          (col("o").cast("double") - col("e")) *
-            (col("o").cast("double") - col("e")) / col("e"))
-        .agg(max(col("nn")).as("n_rows"),
-          count(lit(1)).cast("long").as("n_cells"),
-          countDistinct(col("f")).cast("long").as("nf"),
-          countDistinct(col("st")).cast("long").as("ns"),
-          expr("aggregate(array_sort(collect_list(struct(f, st, contrib)))," +
-            " cast(0.0 as double), (acc, x) -> acc + x.contrib)").as("chi2"))
-        .select(col("n_rows"), col("n_cells"),
-          ((col("nf") - lit(1L)) * (col("ns") - lit(1L))).as("dof"),
-          col("chi2"))
+        .agg(sort_array(collect_list(struct(col("f"), col("st"), col("o"))))
+          .as("cs"))
+        .selectExpr("cs",
+          "aggregate(cs, cast(0 as bigint), (a, x) -> a + x.o) AS nn",
+          "cast(size(array_distinct(transform(cs, x -> x.f))) as bigint) AS nf",
+          "cast(size(array_distinct(transform(cs, x -> x.st))) as bigint) AS ns")
+        .selectExpr(
+          "nn AS n_rows",
+          "cast(size(cs) as bigint) AS n_cells",
+          "(nf - 1) * (ns - 1) AS dof",
+          """aggregate(
+               transform(
+                 transform(cs, c -> named_struct(
+                   'o', c.o,
+                   'e', cast(aggregate(cs, cast(0 as bigint),
+                          (a, x) -> IF(x.f = c.f, a + x.o, a)) as double)
+                        * cast(aggregate(cs, cast(0 as bigint),
+                            (a, x) -> IF(x.st = c.st, a + x.o, a)) as double)
+                        / cast(nn as double))),
+                 c -> (cast(c.o as double) - c.e) * (cast(c.o as double) - c.e)
+                      / c.e),
+               cast(0.0 as double), (acc, x) -> acc + x) AS chi2""")
     }),
 
     // §2.8: lag-k AUTOCORRELATION of the daily demand series — the
@@ -1518,25 +1569,34 @@ object ExtendedQueries {
     // tiny series — gap-safe, unlike row-offset lag), and Pearson
     // finalizes from integer-exact sums in matched double op order per
     // lag.
+    // Plan shape: ONE corpus scan — the naive spelling (daily series
+    // self-joined per lag, then unioned) re-derives the daily aggregate
+    // once per join SIDE per lag = 4 corpus scans. Here the
+    // calendar-bounded series collects to a single sorted array, each
+    // exploded lag row aligns pairs through a day→count map lookup
+    // (date arithmetic — gap-safe, identical semantics to the join), and
+    // the moments fold as integer-exact HOF aggregates on a 2-row frame.
     "q_autocorr" -> ((s, dir) => {
-      val daily = Tables.load(s, dir, "orders")
+      Tables.load(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(count(lit(1)).cast("long").as("cnt"))
-      Seq(1, 7).map { l =>
-        daily.as("a").join(daily.as("b"),
-            date_add(col("a.day"), l) === col("b.day"))
-          .select(lit(l.toLong).as("lag"),
-            col("a.cnt").as("x"), col("b.cnt").as("y"))
-      }.reduce(_ union _)
-        .groupBy(col("lag"))
-        .agg(count(lit(1)).cast("long").as("n"),
-          sum(col("x")).cast("long").as("sx"),
-          sum(col("y")).cast("long").as("sy"),
-          sum(col("x") * col("x")).cast("long").as("sxx"),
-          sum(col("y") * col("y")).cast("long").as("syy"),
-          sum(col("x") * col("y")).cast("long").as("sxy"))
-        .select(col("lag"), col("n").as("n_pairs"),
-          col("n").cast("double").as("nd"),
+        .agg(sort_array(collect_list(struct(col("day"), col("cnt"))))
+          .as("ds"))
+        .select(explode(array(lit(1L), lit(7L))).as("lag"), col("ds"))
+        .selectExpr("lag",
+          "filter(transform(ds, d -> named_struct('x', d.cnt, 'y', " +
+            "map_from_entries(transform(ds, e -> struct(e.day, e.cnt)))" +
+            "[date_add(d.day, cast(lag as int))])), p -> p.y IS NOT NULL)" +
+            " AS ps")
+        .selectExpr("lag",
+          "cast(size(ps) as bigint) AS n_pairs",
+          "aggregate(ps, cast(0 as bigint), (a, p) -> a + p.x) AS sx",
+          "aggregate(ps, cast(0 as bigint), (a, p) -> a + p.y) AS sy",
+          "aggregate(ps, cast(0 as bigint), (a, p) -> a + p.x * p.x) AS sxx",
+          "aggregate(ps, cast(0 as bigint), (a, p) -> a + p.y * p.y) AS syy",
+          "aggregate(ps, cast(0 as bigint), (a, p) -> a + p.x * p.y) AS sxy")
+        .select(col("lag"), col("n_pairs"),
+          col("n_pairs").cast("double").as("nd"),
           col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
           col("sxx").cast("double").as("sxx"),
           col("syy").cast("double").as("syy"),
@@ -1554,24 +1614,27 @@ object ExtendedQueries {
     // bounded dictionary (≤50 quantity values), and the sup statistic is
     // max |cumR·n_A − cumA·n_R| — a BIGINT numerator over the fixed
     // denominator n_R·n_A; the single division to D happens once, last.
+    // Plan shape: ONE corpus scan (the per-value count aggregate); the
+    // cumulative window runs over the bounded dictionary, the totals are
+    // the LAST cumulative values (max of a monotone sequence), and the
+    // sup statistic folds over the collected cell list on a 1-row frame —
+    // no second corpus pass for the group sizes.
     "q_ks_test" -> ((s, dir) => {
-      val rows = Tables.load(s, dir, "lineitem")
-        .filter(col("l_returnflag").isin("R", "A"))
-        .select(col("l_returnflag").as("g"), col("l_quantity").as("v"))
       val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val cells = rows.groupBy(col("v"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_returnflag").as("g"), col("l_quantity").as("v"))
+        .groupBy(col("v"))
         .agg(sum(when(col("g") === "R", 1L).otherwise(0L)).cast("long").as("cr"),
           sum(when(col("g") === "A", 1L).otherwise(0L)).cast("long").as("ca"))
-        .select(col("v"), sum(col("cr")).over(wCum).as("cum_r"),
-          sum(col("ca")).over(wCum).as("cum_a"))
-      val totals = rows.groupBy()
-        .agg(sum(when(col("g") === "R", 1L).otherwise(0L)).cast("long").as("n_r"),
-          sum(when(col("g") === "A", 1L).otherwise(0L)).cast("long").as("n_a"))
-      cells.crossJoin(broadcast(totals))
-        .agg(max(col("n_r")).as("n_r"), max(col("n_a")).as("n_a"),
-          max(abs(col("cum_r") * col("n_a") - col("cum_a") * col("n_r")))
-            .cast("long").as("d_num"))
+        .select(col("v"), sum(col("cr")).over(wCum).cast("long").as("cum_r"),
+          sum(col("ca")).over(wCum).cast("long").as("cum_a"))
+        .agg(max(col("cum_r")).as("n_r"), max(col("cum_a")).as("n_a"),
+          collect_list(struct(col("cum_r"), col("cum_a"))).as("cl"))
+        .selectExpr("n_r", "n_a",
+          "aggregate(cl, cast(0 as bigint), (a, x) -> " +
+            "greatest(a, abs(x.cum_r * n_a - x.cum_a * n_r))) AS d_num")
         .withColumn("d", col("d_num").cast("double") /
           (col("n_r") * col("n_a")).cast("double"))
     }),
@@ -1580,30 +1643,34 @@ object ExtendedQueries {
     // needs for interpretation at scale (χ² grows with n; V does not).
     // Same cell/margin decomposition and LEFT-fold total; one extra
     // min(r−1, c−1) and an IEEE-exact sqrt at the end.
+    // Same one-corpus-scan HOF decomposition as q_chi_square.
     "q_cramers_v" -> ((s, dir) => {
-      val cells = Tables.load(s, dir, "lineitem")
+      Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("f"), col("l_linestatus").as("st"))
         .agg(count(lit(1)).cast("long").as("o"))
-      val rm = cells.groupBy(col("f")).agg(sum(col("o")).cast("long").as("rt"))
-      val cm = cells.groupBy(col("st")).agg(sum(col("o")).cast("long").as("ct"))
-      val nt = cells.agg(sum(col("o")).cast("long").as("nn"))
-      cells.join(broadcast(rm), "f").join(broadcast(cm), "st")
-        .crossJoin(broadcast(nt))
-        .withColumn("e",
-          col("rt").cast("double") * col("ct").cast("double") /
-            col("nn").cast("double"))
-        .withColumn("contrib",
-          (col("o").cast("double") - col("e")) *
-            (col("o").cast("double") - col("e")) / col("e"))
-        .agg(max(col("nn")).as("n_rows"),
-          countDistinct(col("f")).cast("long").as("nf"),
-          countDistinct(col("st")).cast("long").as("ns"),
-          expr("aggregate(array_sort(collect_list(struct(f, st, contrib)))," +
-            " cast(0.0 as double), (acc, x) -> acc + x.contrib)").as("chi2"))
-        .select(col("n_rows"),
+        .agg(sort_array(collect_list(struct(col("f"), col("st"), col("o"))))
+          .as("cs"))
+        .selectExpr("cs",
+          "aggregate(cs, cast(0 as bigint), (a, x) -> a + x.o) AS nn",
+          "cast(size(array_distinct(transform(cs, x -> x.f))) as bigint) AS nf",
+          "cast(size(array_distinct(transform(cs, x -> x.st))) as bigint) AS ns")
+        .selectExpr("nn", "nf", "ns",
+          """aggregate(
+               transform(
+                 transform(cs, c -> named_struct(
+                   'o', c.o,
+                   'e', cast(aggregate(cs, cast(0 as bigint),
+                          (a, x) -> IF(x.f = c.f, a + x.o, a)) as double)
+                        * cast(aggregate(cs, cast(0 as bigint),
+                            (a, x) -> IF(x.st = c.st, a + x.o, a)) as double)
+                        / cast(nn as double))),
+                 c -> (cast(c.o as double) - c.e) * (cast(c.o as double) - c.e)
+                      / c.e),
+               cast(0.0 as double), (acc, x) -> acc + x) AS chi2""")
+        .select(col("nn").as("n_rows"),
           least(col("nf") - lit(1L), col("ns") - lit(1L)).as("k_min"),
           col("chi2"),
-          sqrt(col("chi2") / (col("n_rows").cast("double") *
+          sqrt(col("chi2") / (col("nn").cast("double") *
             least(col("nf") - lit(1L), col("ns") - lit(1L)).cast("double")))
             .as("cramers_v"))
     }),
@@ -1615,21 +1682,25 @@ object ExtendedQueries {
     // curve is BIGINT-exact — no mean, no floats, bit-exact cross-engine.
     // The corpus collapses to the calendar-bounded daily table first; the
     // cumulative window runs over that tiny series only.
+    // Plan shape: ONE corpus scan — the day/total denominators come from
+    // whole-input window frames over the SAME tiny daily table (which
+    // the injected GlobalRowNumberRewrite re-plans as a broadcast scalar
+    // aggregate), not from a second aggregation of the corpus.
     "q_cusum" -> ((s, dir) => {
-      val daily = Tables.load(s, dir, "orders")
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(count(lit(1)).cast("long").as("cnt"))
-      val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val totals = daily.agg(count(lit(1)).cast("long").as("days"),
-        sum(col("cnt")).cast("long").as("total"))
-      daily
         .select(col("day"), col("cnt"),
           sum(col("cnt")).over(wCum).cast("long").as("cum_cnt"),
-          row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy(col("day")))
-            .cast("long").as("t"))
-        .crossJoin(broadcast(totals))
+          row_number().over(Window.orderBy(col("day")))
+            .cast("long").as("t"),
+          count(lit(1)).over(wAll).cast("long").as("days"),
+          sum(col("cnt")).over(wAll).cast("long").as("total"))
         .select(col("day"), col("cnt"), col("cum_cnt"),
           (col("days") * col("cum_cnt") - col("t") * col("total"))
             .as("s_scaled"))
