@@ -174,6 +174,26 @@ object Packing {
       .orderBy(col("skey").desc, col("doc_id"))
       .limit(k)
 
+  /** Deterministic WEIGHTED INTERLEAVING — the training-ORDER builder
+    * that runs after mixture sampling decides membership: source s emits
+    * its r-th document (content-hash order) at virtual time
+    * r·scale div w_s, so a weight-3 source appears 3× as often as a
+    * weight-1 source in ANY window of the merged order (the classic
+    * virtual-time fair scheduler, integerized — no floats, no RNG,
+    * engine-exact). Within-source ranks and the global position both
+    * ride the certified distributed [[Ranked]] machinery: never a
+    * |sources|-partition window (a 20-source corpus would run 20 tasks),
+    * never a single-task global sort. */
+  def interleave(docs: DataFrame, weight: Column, sourceCol: String = "source",
+      scale: Long = 1000000L): DataFrame = {
+    val ranked = Ranked.withGroupRowNumber(
+      docs.withColumn("w", weight.cast("long")), "rn", sourceCol,
+      Seq(unhex(md5(col("text"))).asc, col("doc_id").asc))
+    Ranked.withGlobalRowNumber(
+      ranked.withColumn("vt", expr(s"rn * ${scale}L div w")),
+      "pos", Seq(col("vt").asc, col(sourceCol).asc, col("rn").asc))
+  }
+
   /** Deterministic FRACTIONAL upsampling — "2.5 epochs of the high-quality
     * source": every doc gets floor(factor) full copies, and a
     * content-hash-selected frac(factor) share gets one more, so the

@@ -1706,6 +1706,51 @@ object ExtendedQueries {
             .as("s_scaled"))
     }),
 
+    // §2.8: WALD-WOLFOWITZ runs test — the randomness screen for the
+    // daily series (trend or oscillation both shrink/inflate the run
+    // count). Reference level = the LOWER MEDIAN (element (n+1) div 2 of
+    // the sorted counts — exact, no interpolation), ties dropped per the
+    // textbook treatment; the run count, n₁/n₂ and the tie count are all
+    // integer folds over the day-ordered sign list; expectation and the
+    // z-score finalize in matched double op order. ONE corpus scan —
+    // everything after the daily aggregate folds over one collected
+    // calendar-bounded array.
+    "q_runs_test" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .agg(sort_array(collect_list(struct(col("day"), col("cnt"))))
+          .as("ds"))
+        .selectExpr("ds",
+          "element_at(array_sort(transform(ds, d -> d.cnt))," +
+            " cast((size(ds) + 1) div 2 as int)) AS med")
+        .repartition(1) // barrier: keep the median computed once
+        .selectExpr("med", "cast(size(ds) as bigint) AS n_days",
+          "filter(transform(ds, d -> IF(d.cnt > med, 1," +
+            " IF(d.cnt < med, -1, 0))), s -> s != 0) AS sg")
+        .repartition(1)
+        .selectExpr("n_days", "med",
+          "cast(aggregate(sg, 0, (a, x) -> a + IF(x = 1, 1, 0)) as bigint)" +
+            " AS n1",
+          "cast(aggregate(sg, 0, (a, x) -> a + IF(x = -1, 1, 0)) as bigint)" +
+            " AS n2",
+          "cast(n_days - size(sg) as bigint) AS n_ties",
+          // sequence(2, k) guard: k < 2 would yield a DESCENDING [2, k]
+          "cast(IF(size(sg) < 2, size(sg), 1 + aggregate(" +
+            "sequence(2, size(sg)), 0, (a, i) -> a + " +
+            "IF(element_at(sg, i) != element_at(sg, i - 1), 1, 0)))" +
+            " as bigint) AS runs")
+        .selectExpr("n_days", "med", "n1", "n2", "n_ties", "runs",
+          "1.0 + cast(2 * n1 * n2 as double) / cast(n1 + n2 as double)" +
+            " AS e_runs",
+          """(cast(runs as double) -
+              (1.0 + cast(2 * n1 * n2 as double) / cast(n1 + n2 as double)))
+             / sqrt(cast(2 * n1 * n2 as double)
+                 * (cast(2 * n1 * n2 as double) - cast(n1 + n2 as double))
+                 / (cast(n1 + n2 as double) * cast(n1 + n2 as double)
+                    * (cast(n1 + n2 as double) - 1.0))) AS z""")
+    }),
+
     // §2.8: runtime bloom-filter join pruning — the semi-join-reduction
     // lever at 100 TB: a selective dimension filter materializes a bloom
     // filter that the FACT scan applies before the shuffle, so rows that
@@ -2750,6 +2795,40 @@ object ExtendedQueries {
          SELECT day, cnt, cum_cnt,
                 days * cum_cnt - t_idx * total AS s_scaled
          FROM c CROSS JOIN t""",
+    // same lower-median reference, same tie drop, same fold arithmetic
+    "q_runs_test" ->
+      """WITH daily AS (
+           SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                  count(*)::BIGINT AS cnt
+           FROM orders GROUP BY 1),
+         one AS (SELECT list(cnt ORDER BY day) AS cl FROM daily),
+         m AS (SELECT cl, list_sort(cl)[(len(cl) + 1) // 2] AS med,
+                 CAST(len(cl) AS BIGINT) AS n_days FROM one),
+         sgt AS (SELECT n_days, med,
+                   [CASE WHEN c > med THEN 1 WHEN c < med THEN -1
+                    ELSE 0 END FOR c IN cl IF c != med] AS sg
+                 FROM m),
+         r AS (SELECT n_days, med,
+                 CAST(len([x FOR x IN sg IF x = 1]) AS BIGINT) AS n1,
+                 CAST(len([x FOR x IN sg IF x = -1]) AS BIGINT) AS n2,
+                 CAST(n_days - len(sg) AS BIGINT) AS n_ties,
+                 CAST(CASE WHEN len(sg) < 2 THEN len(sg)
+                      ELSE 1 + len([i FOR i IN generate_series(2, len(sg))
+                                    IF sg[i] != sg[i-1]]) END AS BIGINT)
+                   AS runs
+               FROM sgt)
+         SELECT n_days, med, n1, n2, n_ties, runs,
+                1.0 + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+                  AS e_runs,
+                (CAST(runs AS DOUBLE) -
+                 (1.0 + CAST(2 * n1 * n2 AS DOUBLE)
+                        / CAST(n1 + n2 AS DOUBLE)))
+                / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                    * (CAST(2 * n1 * n2 AS DOUBLE)
+                       - CAST(n1 + n2 AS DOUBLE))
+                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                       * (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS z
+         FROM r""",
     // generate_series spans the same [min, max] day range
     "q_date_spine" ->
       """WITH d AS (

@@ -1642,6 +1642,20 @@ object PipelineQueries {
         .select(col("doc_id"), col("shard"), col("skey"), col("pos"))
     }),
 
+    // §2.8: deterministic weighted INTERLEAVING — pipeline_mixture decides
+    // WHAT trains, pipeline_shard_shuffle randomizes order; this builds
+    // the PROPORTIONAL order (a weight-3 source appears 3× as often as a
+    // weight-1 source in any window of the merged sequence — the
+    // integerized virtual-time fair scheduler). Weights derive
+    // deterministically from the source id (1..3) so all three weight
+    // classes are live; FULL oracle — DuckDB replays rank, virtual time
+    // and the global position.
+    "pipeline_interleave" -> ((s, dir) =>
+      graft.operators.Packing.interleave(docs(s, dir),
+          (substring(col("source"), 4, 10).cast("int") % 3) + 1)
+        .select(col("doc_id"), col("source"), col("rn"), col("vt"),
+          col("pos"))),
+
     // §2.8: LEAKAGE-SAFE train/test split — per-doc hash splits put
     // near-duplicates of test documents into train (the eval then measures
     // memorization); splitting on the md5 of the dup-CLUSTER representative
@@ -3446,6 +3460,21 @@ object PipelineQueries {
                 CAST(row_number() OVER (PARTITION BY skey % 8
                   ORDER BY skey, doc_id) AS BIGINT) AS pos
          FROM k""",
+    // same content-hash within-source order, same integer virtual time,
+    // same unique (vt, source, rn) total order
+    "pipeline_interleave" ->
+      """WITH r AS (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY md5(text), doc_id) AS BIGINT) AS rn,
+                  CAST((CAST(substring(source, 4) AS INT) % 3) + 1
+                    AS BIGINT) AS w
+           FROM documents),
+         v AS (SELECT doc_id, source, rn, rn * 1000000 // w AS vt FROM r)
+         SELECT doc_id, source, rn, vt,
+                CAST(row_number() OVER (ORDER BY vt, source, rn) AS BIGINT)
+                  AS pos
+         FROM v""",
     // the oracle recomputes the near-dup closure from scratch (the
     // dd_cluster CTE) and applies the same rep-hash split function — the
     // per-(source, split) counts certify both the cluster assignment and

@@ -317,6 +317,22 @@ object Relational {
           concat_ws(",", slice(sort_array($"ws"), 2, 2)).as("mid2"))
     }),
 
+    // §2.2: DuckDB LIST COMPREHENSIONS — `[f(x) FOR x IN l IF p(x)]` is
+    // the spelling a migrating user's list code actually arrives in;
+    // Spark's twin is transform∘filter. The numeric branch pins the
+    // generate_series ↔ sequence trap: the upper bound stays ≥ 1 here
+    // because sequence(1, 0) yields a DESCENDING [1, 0] where DuckDB's
+    // generate_series(1, 0) is empty (the weightedSample divergence).
+    "q_list_comprehension" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          expr("transform(filter(split(text, ' '), x -> length(x) > 4)," +
+            " x -> upper(x))").as("long_upper"),
+          expr("transform(sequence(1, cast(doc_id % 5 + 1 as int))," +
+            " j -> cast(j as bigint) * j)").as("squares"))
+    }),
+
     // §2.12: IGNORE NULLS navigation — the gap-fill idiom: last non-null
     // before me (forward fill) and first non-null from me on (backward
     // fill). Spark spells IGNORE NULLS as the boolean arg of first/last
@@ -2007,6 +2023,14 @@ object Relational {
                   x -> x[1] * x[2])) AS BIGINT) AS wsum,
                 array_to_string(list_slice(list_sort(ws), 2, 3), ',') AS mid2
          FROM t""",
+    // the genuine comprehension syntax on the oracle side
+    "q_list_comprehension" ->
+      """SELECT doc_id,
+                [upper(x) FOR x IN string_split(text, ' ')
+                 IF length(x) > 4] AS long_upper,
+                [j * j FOR j IN generate_series(1, doc_id % 5 + 1)]
+                  AS squares
+         FROM documents""",
     // IGNORE NULLS is the SQL modifier in DuckDB, the boolean arg of
     // first/last in Spark; frames spelled identically
     "q_ignore_nulls" ->
