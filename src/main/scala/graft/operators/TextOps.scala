@@ -74,6 +74,52 @@ object TextOps {
       (stops.cast("double") / greatest(nTokens, lit(1L)).cast("double")).as("stop_ratio"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, table A1) —
+    * the classic LLM corpus filter: word-count bounds, mean word length,
+    * symbol/bullet/ellipsis ratios, alphabetic-word share, stopword
+    * presence. Integer-exact end to end (ratios in basis points via
+    * integer division), one map-only pass — no shuffle, no floats,
+    * bit-exact cross-engine. The stop list is a parameter: the classic
+    * English list for real corpora; the verification face passes a
+    * corpus-live list so the ">= 2 distinct stopwords" rule exercises
+    * both outcomes. */
+  def gopherRules(docs: DataFrame, stops: Seq[String]): DataFrame = {
+    val stopArr = stops.map(w => s"'$w'").mkString("array(", ", ", ")")
+    docs
+      .withColumn("words", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        expr("aggregate(words, 0, (a, x) -> a + length(x))").cast("long")
+          .as("sum_wlen"),
+        expr(s"cast(size(array_intersect(array_distinct(" +
+          s"transform(words, x -> lower(x))), $stopArr)) as bigint)")
+          .as("stop_hits"),
+        size(expr("filter(words, x -> x rlike '[A-Za-z]')")).cast("long")
+          .as("n_alpha"),
+        regexp_count(col("text"), lit("#|\\.\\.\\.|…")).cast("long")
+          .as("n_sym"),
+        regexp_count(col("text"), lit("(?m)^(- |\\* |• )")).cast("long")
+          .as("n_bullet"),
+        regexp_count(col("text"), lit("(?m)(\\.\\.\\.|…)$")).cast("long")
+          .as("n_ell"),
+        (regexp_count(col("text"), lit("\n")) + lit(1)).cast("long")
+          .as("n_lines"),
+        greatest(length(col("text")), lit(1)).cast("long").as("n_chars"))
+      .selectExpr("doc_id", "n_words",
+        "100 * sum_wlen div greatest(n_words, 1) AS mwl_x100",
+        "stop_hits",
+        "10000 * n_alpha div greatest(n_words, 1) AS alpha_bp",
+        "10000 * n_sym div n_chars AS sym_bp",
+        "10000 * n_bullet div n_lines AS bullet_bp",
+        "10000 * n_ell div n_lines AS ell_bp")
+      .withColumn("keep",
+        col("n_words").between(50L, 100000L) &&
+          col("mwl_x100").between(300L, 1000L) &&
+          col("sym_bp") <= 1000L && col("bullet_bp") <= 9000L &&
+          col("ell_bp") <= 3000L && col("alpha_bp") >= 8000L &&
+          col("stop_hits") >= 2L)
+  }
+
   /** Code-likeness signals — the code-vs-prose router a mixed web corpus
     * needs before language-specific filtering: symbol density, code
     * keywords, indented and terminator-ended line counts. Integer-exact

@@ -1472,6 +1472,48 @@ object ExtendedQueries {
             .as("spearman_rho"))
     }),
 
+    // §2.8: KENDALL τ-b — the pair-concordance member of the correlation
+    // family (q_corr Pearson, q_spearman rank): concordant/discordant
+    // pair counts with the tie-adjusted denominator. The O(n²) pair space
+    // collapses through the SAME joint-cell decomposition as q_spearman:
+    // ONE corpus scan to the ≤|dictX|·|dictY| cell list, then C/D are a
+    // nested fold over cell PAIRS (≤550² long ops — bounded by the
+    // dictionaries, not the data) counting each unordered pair twice,
+    // and the tie terms fold over the marginals. Everything BIGINT-exact
+    // (pair counts ≤ n²); one matched-order double division at the end.
+    "q_kendall" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_quantity").as("x"), col("l_discount").as("y"))
+        .groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .agg(sort_array(collect_list(struct(col("x"), col("y"), col("cnt"))))
+          .as("cs"))
+        .selectExpr(
+          "aggregate(cs, cast(0 as bigint), (a, p) -> a + p.cnt) AS n",
+          """aggregate(cs, cast(0 as bigint), (a, p) -> a + p.cnt *
+               aggregate(cs, cast(0 as bigint), (b, q) -> b +
+                 IF((q.x > p.x AND q.y > p.y) OR (q.x < p.x AND q.y < p.y),
+                    q.cnt, 0L))) AS c2""",
+          """aggregate(cs, cast(0 as bigint), (a, p) -> a + p.cnt *
+               aggregate(cs, cast(0 as bigint), (b, q) -> b +
+                 IF((q.x > p.x AND q.y < p.y) OR (q.x < p.x AND q.y > p.y),
+                    q.cnt, 0L))) AS d2""",
+          """aggregate(transform(array_distinct(transform(cs, c -> c.x)), v ->
+               aggregate(cs, cast(0 as bigint),
+                 (a, c) -> IF(c.x = v, a + c.cnt, a))),
+             cast(0 as bigint), (a, m) -> a + m * (m - 1) div 2) AS nx""",
+          """aggregate(transform(array_distinct(transform(cs, c -> c.y)), v ->
+               aggregate(cs, cast(0 as bigint),
+                 (a, c) -> IF(c.y = v, a + c.cnt, a))),
+             cast(0 as bigint), (a, m) -> a + m * (m - 1) div 2) AS ny""")
+        .repartition(1)
+        .selectExpr("n AS n_rows",
+          "c2 div 2 AS concordant", "d2 div 2 AS discordant",
+          """cast((c2 - d2) div 2 as double) /
+             (sqrt(cast(n * (n - 1) div 2 - nx as double)) *
+              sqrt(cast(n * (n - 1) div 2 - ny as double))) AS tau_b""")
+    }),
+
     // §2.8: MANN-WHITNEY U — the nonparametric two-sample location test
     // (do returned lines ship different quantities than accepted ones?).
     // Pooled tie-averaged ranks ride the same bounded distinct-value
@@ -2660,6 +2702,33 @@ object ExtendedQueries {
                   (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
                   AS spearman_rho
          FROM a""",
+    // same joint-cell pair counting (the oracle spells the nested fold as
+    // a self-join of the 550-row cell CTE), same tie terms, same final
+    // division order
+    "q_kendall" ->
+      """WITH cells AS (SELECT l_quantity AS x, l_discount AS y,
+                          count(*)::BIGINT AS cnt
+                        FROM lineitem GROUP BY 1, 2),
+         pairs AS (SELECT
+             CAST(sum(a.cnt * b.cnt * CASE WHEN (b.x > a.x AND b.y > a.y)
+               OR (b.x < a.x AND b.y < a.y) THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2,
+             CAST(sum(a.cnt * b.cnt * CASE WHEN (b.x > a.x AND b.y < a.y)
+               OR (b.x < a.x AND b.y > a.y) THEN 1 ELSE 0 END) AS BIGINT)
+               AS d2
+           FROM cells a CROSS JOIN cells b),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells),
+         xm AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS nx
+                FROM (SELECT CAST(sum(cnt) AS BIGINT) AS m
+                      FROM cells GROUP BY x)),
+         ym AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS ny
+                FROM (SELECT CAST(sum(cnt) AS BIGINT) AS m
+                      FROM cells GROUP BY y))
+         SELECT n AS n_rows, c2 // 2 AS concordant, d2 // 2 AS discordant,
+                CAST((c2 - d2) // 2 AS DOUBLE) /
+                (sqrt(CAST(n * (n - 1) // 2 - nx AS DOUBLE)) *
+                 sqrt(CAST(n * (n - 1) // 2 - ny AS DOUBLE))) AS tau_b
+         FROM pairs CROSS JOIN tot CROSS JOIN xm CROSS JOIN ym""",
     // pooled doubled ranks, BIGINT-exact U; the halving is the only double
     "q_mannwhitney" ->
       """WITH rows0 AS (SELECT l_returnflag AS g, l_quantity AS v

@@ -735,6 +735,15 @@ object PipelineQueries {
     // §2.3 #44 quality scoring
     "txt_quality" -> ((s, dir) => TextOps.quality(docs(s, dir))),
 
+    // §2.8: the GOPHER rule filter — the published LLM-corpus quality
+    // gate (word count / mean word length / symbol-bullet-ellipsis
+    // ratios / alpha share / stopword presence), integer-exact. The stop
+    // list is corpus-live (the synthetic vocabulary has no English
+    // function words beyond 'the') so keep splits the corpus for real —
+    // 277 keep / 223 drop at sf0.01 — instead of one constant answer.
+    "txt_gopher" -> ((s, dir) => TextOps.gopherRules(docs(s, dir),
+      Seq("the", "join", "hash", "row", "batch", "scan", "order", "data"))),
+
     // §2.8: code-vs-prose routing — the corpus is prose by construction,
     // so every third doc gets a deterministic code-shaped prelude PLANTED
     // (def/indent/terminator lines built from doc_id — both engines plant
@@ -4117,6 +4126,44 @@ object PipelineQueries {
                 cast(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) AS double)
                   / cast(greatest(len(regexp_extract_all(text, '\S+')), 1) AS double) AS stop_ratio
          FROM documents""",
+    // identical word split, identical RE2/Java-agreeing patterns, integer
+    // basis points via // (Spark div); the oracle spells the folds as
+    // native list comprehensions
+    "txt_gopher" ->
+      """WITH w AS (
+           SELECT doc_id, text,
+                  [x FOR x IN string_split(text, ' ') IF x != ''] AS words
+           FROM documents),
+         m AS (SELECT doc_id,
+                 CAST(len(words) AS BIGINT) AS n_words,
+                 CAST(100 * list_sum([length(x) FOR x IN words])
+                   // greatest(len(words), 1) AS BIGINT) AS mwl_x100,
+                 CAST(len(list_intersect(
+                   list_distinct([lower(x) FOR x IN words]),
+                   ['the','join','hash','row','batch','scan','order','data']))
+                   AS BIGINT) AS stop_hits,
+                 CAST(10000 * len([x FOR x IN words
+                     IF regexp_matches(x, '[A-Za-z]')])
+                   // greatest(len(words), 1) AS BIGINT) AS alpha_bp,
+                 CAST(10000 * len(regexp_extract_all(text, '#|\.\.\.|…'))
+                   // greatest(length(text), 1) AS BIGINT) AS sym_bp,
+                 CAST(10000 * len(regexp_extract_all(text,
+                     '(?m)^(- |\* |• )'))
+                   // (len(regexp_extract_all(text, chr(10))) + 1)
+                   AS BIGINT) AS bullet_bp,
+                 CAST(10000 * len(regexp_extract_all(text,
+                     '(?m)(\.\.\.|…)$'))
+                   // (len(regexp_extract_all(text, chr(10))) + 1)
+                   AS BIGINT) AS ell_bp
+               FROM w)
+         SELECT doc_id, n_words, mwl_x100, stop_hits, alpha_bp, sym_bp,
+                bullet_bp, ell_bp,
+                (n_words BETWEEN 50 AND 100000
+                 AND mwl_x100 BETWEEN 300 AND 1000
+                 AND sym_bp <= 1000 AND bullet_bp <= 9000
+                 AND ell_bp <= 3000 AND alpha_bp >= 8000
+                 AND stop_hits >= 2) AS keep
+         FROM m""",
     // identical planted bytes, identical RE2/Java-agreeing patterns,
     // integer basis points via // (Spark div)
     "txt_code_detect" ->
