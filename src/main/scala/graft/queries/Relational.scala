@@ -825,6 +825,24 @@ object Relational {
           Array($"sum_qty", $"sum_price", $"n_items"), "metric", "value")
     }),
 
+    // §2.2: DYNAMIC unpivot — DuckDB `UNPIVOT t ON COLUMNS(* EXCLUDE
+    // (id))` melts every non-id column WITHOUT naming them (the
+    // schema-evolution-proof spelling; q_unpivot pins the explicit-list
+    // form). Spark's twin derives the value-column list from the runtime
+    // schema — the same two-pass posture as dynamic PIVOT (#397).
+    "q_unpivot_dynamic" -> ((s, dir) => {
+      import s.implicits._
+      val wide = Tables.load(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(round($"o_totalprice" * 100).cast("long")).cast("long")
+            .as("cents"),
+          countDistinct($"o_custkey").cast("long").as("n_custs"))
+      val values = wide.columns.filterNot(_ == "o_orderpriority")
+      wide.unpivot(Array($"o_orderpriority"), values.map(col),
+        "metric", "val")
+    }),
+
     // §2.9: batch MERGE/upsert — matched keys take the update's price,
     // new keys insert, everything else carries over; exactly one
     // full-outer shuffle join. Updates are every 10th order with an
@@ -2287,6 +2305,17 @@ object Relational {
          SELECT l_returnflag, 'sum_price', sum_price FROM wide
          UNION ALL
          SELECT l_returnflag, 'n_items', n_items FROM wide""",
+    // the genuine dynamic spelling on the oracle side
+    "q_unpivot_dynamic" ->
+      """WITH wide AS (
+           SELECT o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+           FROM orders GROUP BY 1)
+         UNPIVOT wide ON COLUMNS(* EXCLUDE (o_orderpriority))
+         INTO NAME metric VALUE val""",
     "q_upsert" ->
       """WITH upd AS (
            SELECT o_orderkey
