@@ -1748,6 +1748,96 @@ object ExtendedQueries {
             .as("s_scaled"))
     }),
 
+    // §2.8: POPULATION STABILITY INDEX — the standard ML-monitoring
+    // drift metric between the first and second half of the order
+    // history (split at the data-derived midpoint DAY, buckets = the
+    // closed priority dictionary). ONE corpus scan to the
+    // (bucket, day) cell table; halves, bucket counts and the
+    // Σ (p−q)·ln(p/q) fold all run on the calendar-bounded remainder.
+    // ln is not correctly-rounded cross-engine, so the output rounds to
+    // 6 dp — the q_entropy precedent.
+    "q_psi" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wDays = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("bucket"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .select(col("bucket"), col("day"), col("cnt"),
+          min(col("day")).over(wDays).as("d0"),
+          max(col("day")).over(wDays).as("d1"))
+        .withColumn("half",
+          when(datediff(col("day"), col("d0")) * 2 <=
+            datediff(col("d1"), col("d0")), lit("e")).otherwise(lit("a")))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("half") === "e", col("cnt")).otherwise(0L))
+            .cast("long").as("ne"),
+          sum(when(col("half") === "a", col("cnt")).otherwise(0L))
+            .cast("long").as("na"))
+        .agg(sort_array(collect_list(struct(col("bucket"), col("ne"),
+          col("na")))).as("bs"))
+        .selectExpr(
+          "cast(size(bs) as bigint) AS n_buckets",
+          "aggregate(bs, cast(0 as bigint), (a, b) -> a + b.ne)" +
+            " AS n_expected",
+          "aggregate(bs, cast(0 as bigint), (a, b) -> a + b.na)" +
+            " AS n_actual",
+          "bs")
+        .selectExpr("n_buckets", "n_expected", "n_actual",
+          """round(aggregate(filter(bs, b -> b.ne > 0L AND b.na > 0L),
+               cast(0.0 as double), (acc, b) ->
+                 acc + (cast(b.ne as double) / cast(n_expected as double)
+                        - cast(b.na as double) / cast(n_actual as double))
+                   * ln((cast(b.ne as double) / cast(n_expected as double))
+                        / (cast(b.na as double)
+                           / cast(n_actual as double)))),
+             6) AS psi""")
+    }),
+
+    // §2.8: THEIL'S U (uncertainty coefficient) — the directional
+    // categorical-association measure beside the symmetric χ²/V family:
+    // U(flag|status) = (H(X) − H(X|Y)) / H(X) from the SAME one-scan
+    // joint-cell decomposition as q_chi_square, with the entropy sums as
+    // folds over the collected cells/marginals. log2 rounds to 6 dp on
+    // both engines (the q_entropy precedent).
+    "q_theil_u" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("f"), col("l_linestatus").as("st"))
+        .agg(count(lit(1)).cast("long").as("o"))
+        .agg(sort_array(collect_list(struct(col("f"), col("st"), col("o"))))
+          .as("cs"))
+        .selectExpr("cs",
+          "aggregate(cs, cast(0 as bigint), (a, x) -> a + x.o) AS nn")
+        .repartition(1)
+        .selectExpr("nn",
+          """aggregate(transform(
+               array_sort(array_distinct(transform(cs, c -> c.f))), v ->
+               aggregate(cs, cast(0 as bigint),
+                 (a, c) -> IF(c.f = v, a + c.o, a))),
+             cast(0.0 as double),
+             (a, m) -> a + cast(m as double) * log2(cast(m as double)))
+             AS rlog""",
+          """aggregate(transform(
+               array_sort(array_distinct(transform(cs, c -> c.st))), v ->
+               aggregate(cs, cast(0 as bigint),
+                 (a, c) -> IF(c.st = v, a + c.o, a))),
+             cast(0.0 as double),
+             (a, m) -> a + cast(m as double) * log2(cast(m as double)))
+             AS clog""",
+          """aggregate(cs, cast(0.0 as double), (a, c) ->
+               a + cast(c.o as double) * log2(cast(c.o as double)))
+             AS olog""")
+        .selectExpr("nn AS n_rows",
+          "round(log2(cast(nn as double)) - rlog / cast(nn as double), 6)" +
+            " AS h_x",
+          "round((clog - olog) / cast(nn as double), 6) AS h_x_given_y",
+          """round((log2(cast(nn as double)) - rlog / cast(nn as double)
+                    - (clog - olog) / cast(nn as double))
+                   / (log2(cast(nn as double)) - rlog / cast(nn as double)),
+             6) AS theil_u""")
+    }),
+
     // §2.8: WALD-WOLFOWITZ runs test — the randomness screen for the
     // daily series (trend or oscillation both shrink/inflate the run
     // count). Reference level = the LOWER MEDIAN (element (n+1) div 2 of
@@ -2864,6 +2954,66 @@ object ExtendedQueries {
          SELECT day, cnt, cum_cnt,
                 days * cum_cnt - t_idx * total AS s_scaled
          FROM c CROSS JOIN t""",
+    // same midpoint split, same (p−q)·ln(p/q) arithmetic; the oracle uses
+    // plain aggregates — double sum order differs, the 6 dp round absorbs
+    // it (the q_entropy posture)
+    "q_psi" ->
+      """WITH daily AS (
+           SELECT o_orderpriority AS bucket,
+                  CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                  count(*)::BIGINT AS cnt
+           FROM orders GROUP BY 1, 2),
+         lim AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         h AS (SELECT bucket,
+                 CASE WHEN date_diff('day', d0, day) * 2 <=
+                           date_diff('day', d0, d1)
+                      THEN 'e' ELSE 'a' END AS half, cnt
+               FROM daily CROSS JOIN lim),
+         b AS (SELECT bucket,
+                 CAST(sum(CASE WHEN half = 'e' THEN cnt ELSE 0 END)
+                   AS BIGINT) AS ne,
+                 CAST(sum(CASE WHEN half = 'a' THEN cnt ELSE 0 END)
+                   AS BIGINT) AS na
+               FROM h GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(sum(ne) AS BIGINT) AS n_expected,
+                 CAST(sum(na) AS BIGINT) AS n_actual
+               FROM b)
+         SELECT n_buckets, n_expected, n_actual,
+                round((SELECT sum(
+                    (CAST(ne AS DOUBLE) / CAST(n_expected AS DOUBLE)
+                     - CAST(na AS DOUBLE) / CAST(n_actual AS DOUBLE))
+                    * ln((CAST(ne AS DOUBLE) / CAST(n_expected AS DOUBLE))
+                         / (CAST(na AS DOUBLE)
+                            / CAST(n_actual AS DOUBLE))))
+                  FROM b WHERE ne > 0 AND na > 0), 6) AS psi
+         FROM t""",
+    // plain-aggregate entropies on the oracle side; 6 dp absorbs the
+    // log2/sum-order ulps (the q_entropy posture)
+    "q_theil_u" ->
+      """WITH cells AS (SELECT l_returnflag AS f, l_linestatus AS st,
+                          count(*)::BIGINT AS o
+                        FROM lineitem GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+                   sum(CAST(o AS DOUBLE) * log2(CAST(o AS DOUBLE))) AS olog
+                 FROM cells),
+         rm AS (SELECT sum(CAST(m AS DOUBLE) * log2(CAST(m AS DOUBLE)))
+                  AS rlog
+                FROM (SELECT CAST(sum(o) AS BIGINT) AS m
+                      FROM cells GROUP BY f)),
+         cm AS (SELECT sum(CAST(m AS DOUBLE) * log2(CAST(m AS DOUBLE)))
+                  AS clog
+                FROM (SELECT CAST(sum(o) AS BIGINT) AS m
+                      FROM cells GROUP BY st))
+         SELECT nn AS n_rows,
+                round(log2(CAST(nn AS DOUBLE)) - rlog / CAST(nn AS DOUBLE), 6)
+                  AS h_x,
+                round((clog - olog) / CAST(nn AS DOUBLE), 6) AS h_x_given_y,
+                round((log2(CAST(nn AS DOUBLE)) - rlog / CAST(nn AS DOUBLE)
+                       - (clog - olog) / CAST(nn AS DOUBLE))
+                      / (log2(CAST(nn AS DOUBLE))
+                         - rlog / CAST(nn AS DOUBLE)), 6) AS theil_u
+         FROM tot CROSS JOIN rm CROSS JOIN cm""",
     // same lower-median reference, same tie drop, same fold arithmetic
     "q_runs_test" ->
       """WITH daily AS (

@@ -1,0 +1,205 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Differential fuzz for the statistics tier (the FusedExprPropSpec
+  * treatment): seeded random micro-datasets run through the production
+  * faces AND through straight-line brute-force reimplementations written
+  * from the textbook definitions (pair loops, sorted-scan ECDFs,
+  * contingency maps — no shared code, no shared decomposition). The
+  * oracle pins cross-engine equality and StatTestsSpec pins hand-derived
+  * examples; this pins the MATH across the small-input space, including
+  * tie pile-ups a hand example misses. Deterministic (fixed seeds) so
+  * failures reproduce.
+  */
+class StatPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir =
+    java.nio.file.Files.createTempDirectory("graft_statprop_").toString
+
+  private def samples[T](g: Gen[T], n: Int, seed0: Long): Seq[T] = {
+    var s = Seed(seed0)
+    (1 to n).map { _ =>
+      val v = g.pureApply(Gen.Parameters.default, s, 500)
+      s = s.next
+      v
+    }
+  }
+
+  private def writeLineitem(rows: Seq[(Double, Double, String, String)]): Unit =
+    rows.toDF("l_quantity", "l_discount", "l_returnflag", "l_linestatus")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+  private def writeOrders(countsByDay: Seq[Int]): Unit =
+    countsByDay.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00"))
+    }.toDF("o_orderdate")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+  /** Textbook average (tie-mid) rank of each element of xs. */
+  private def avgRanks(xs: Seq[Double]): Seq[Double] = {
+    val sorted = xs.sorted
+    xs.map { v =>
+      val lo = sorted.indexWhere(_ == v) + 1
+      val hi = sorted.lastIndexWhere(_ == v) + 1
+      (lo + hi) / 2.0
+    }
+  }
+
+  private def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = a.length.toDouble
+    val (sa, sb) = (a.sum, b.sum)
+    val saa = a.map(x => x * x).sum
+    val sbb = b.map(x => x * x).sum
+    val sab = a.zip(b).map { case (x, y) => x * y }.sum
+    (n * sab - sa * sb) /
+      (math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb))
+  }
+
+  // variance in both coordinates guaranteed by construction: two fixed
+  // anti-diagonal pairs are always appended
+  private val xyGen: Gen[List[(Int, Int)]] = for {
+    n <- Gen.choose(3, 38)
+    xs <- Gen.listOfN(n, Gen.choose(1, 6))
+    ys <- Gen.listOfN(n, Gen.choose(1, 5))
+  } yield (1, 5) :: (6, 1) :: xs.zip(ys)
+
+  private val gvGen: Gen[List[(String, Int)]] = for {
+    nR <- Gen.choose(2, 20)
+    nA <- Gen.choose(2, 20)
+    rs <- Gen.listOfN(nR, Gen.choose(1, 8))
+    as <- Gen.listOfN(nA, Gen.choose(1, 8))
+  } yield rs.map("R" -> _) ++ as.map("A" -> _)
+
+  // at least two distinct daily counts by construction
+  private val dayGen: Gen[List[Int]] = for {
+    n <- Gen.choose(7, 23)
+    cs <- Gen.listOfN(n, Gen.choose(1, 6))
+  } yield 1 :: 6 :: cs
+
+  test("q_spearman ≡ textbook rho on random tied data") {
+    for (data <- samples(xyGen, 10, 101L)) {
+      writeLineitem(data.map { case (x, y) => (x.toDouble, y.toDouble, "R", "O") })
+      val got = SparkEntry.queries("q_spearman")(spark, dir).collect().head
+      val want = pearson(avgRanks(data.map(_._1.toDouble)),
+        avgRanks(data.map(_._2.toDouble)))
+      assert(got.getLong(0) == data.length)
+      assert(math.abs(got.getDouble(1) - want) < 1e-9, s"data=$data")
+    }
+  }
+
+  test("q_kendall ≡ brute pair loop on random tied data") {
+    for (data <- samples(xyGen, 10, 202L)) {
+      writeLineitem(data.map { case (x, y) => (x.toDouble, y.toDouble, "R", "O") })
+      val got = SparkEntry.queries("q_kendall")(spark, dir).collect().head
+      var c = 0L; var d = 0L
+      for (i <- data.indices; j <- i + 1 until data.length) {
+        val s = math.signum((data(i)._1 - data(j)._1).toDouble) *
+          math.signum((data(i)._2 - data(j)._2).toDouble)
+        if (s > 0) c += 1 else if (s < 0) d += 1
+      }
+      val n = data.length.toLong
+      val n0 = n * (n - 1) / 2
+      def ties(sel: ((Int, Int)) => Int) = data.groupBy(sel).values
+        .map(g => g.size.toLong * (g.size - 1) / 2).sum
+      val want = (c - d).toDouble /
+        (math.sqrt((n0 - ties(_._1)).toDouble) *
+          math.sqrt((n0 - ties(_._2)).toDouble))
+      assert(got.getLong(1) == c && got.getLong(2) == d, s"data=$data")
+      assert(math.abs(got.getDouble(3) - want) < 1e-9, s"data=$data")
+    }
+  }
+
+  test("q_mannwhitney ≡ brute pair counting (ties at half weight)") {
+    for (data <- samples(gvGen, 10, 303L)) {
+      writeLineitem(data.map { case (g, v) => (v.toDouble, 0.0, g, "O") })
+      val out = SparkEntry.queries("q_mannwhitney")(spark, dir)
+        .collect().map(r => r.getString(0) -> r).toMap
+      val rs = data.filter(_._1 == "R").map(_._2)
+      val as = data.filter(_._1 == "A").map(_._2)
+      val uR = rs.map(r => as.count(_ < r) + as.count(_ == r) / 2.0).sum
+      val uA = rs.length.toDouble * as.length - uR
+      assert(math.abs(out("R").getDouble(4) - uR) < 1e-9, s"data=$data")
+      assert(math.abs(out("A").getDouble(4) - uA) < 1e-9, s"data=$data")
+      assert(out("R").getLong(1) == rs.length && out("A").getLong(1) == as.length)
+    }
+  }
+
+  test("q_ks_test ≡ brute ECDF sup over the pooled support") {
+    for (data <- samples(gvGen, 10, 404L)) {
+      writeLineitem(data.map { case (g, v) => (v.toDouble, 0.0, g, "O") })
+      val got = SparkEntry.queries("q_ks_test")(spark, dir).collect().head
+      val rs = data.filter(_._1 == "R").map(_._2)
+      val as = data.filter(_._1 == "A").map(_._2)
+      val d = (rs ++ as).distinct.map { v =>
+        math.abs(rs.count(_ <= v).toDouble / rs.length -
+          as.count(_ <= v).toDouble / as.length)
+      }.max
+      assert(got.getLong(0) == rs.length && got.getLong(1) == as.length)
+      assert(math.abs(got.getDouble(3) - d) < 1e-9, s"data=$data")
+    }
+  }
+
+  test("q_chi_square + q_cramers_v ≡ brute contingency map") {
+    val cellGen: Gen[List[(String, String)]] = for {
+      n <- Gen.choose(20, 60)
+      l <- Gen.listOfN(n, Gen.zip(Gen.oneOf("R", "A", "N"), Gen.oneOf("O", "F")))
+    } yield ("R", "O") :: ("A", "F") :: ("N", "O") :: l
+    for (data <- samples(cellGen, 8, 505L)) {
+      writeLineitem(data.map { case (f, st) => (1.0, 0.0, f, st) })
+      val chi = SparkEntry.queries("q_chi_square")(spark, dir).collect().head
+      val v = SparkEntry.queries("q_cramers_v")(spark, dir).collect().head
+      val n = data.length.toDouble
+      val cells = data.groupBy(identity).view.mapValues(_.size).toMap
+      val rm = data.groupBy(_._1).view.mapValues(_.size).toMap
+      val cm = data.groupBy(_._2).view.mapValues(_.size).toMap
+      val want = (for ((f, st) <- cells.keys) yield {
+        val e = rm(f) * cm(st) / n
+        val o = cells((f, st)).toDouble
+        (o - e) * (o - e) / e
+      }).sum
+      val kMin = math.min(rm.size - 1, cm.size - 1).toDouble
+      assert(math.abs(chi.getDouble(3) - want) < 1e-9, s"data=$data")
+      assert(chi.getLong(2) == (rm.size - 1).toLong * (cm.size - 1))
+      assert(math.abs(v.getDouble(3) - math.sqrt(want / (n * kMin))) < 1e-9)
+    }
+  }
+
+  test("q_cusum / q_runs_test / q_autocorr ≡ brute series scans") {
+    for (cs <- samples(dayGen, 8, 606L)) {
+      writeOrders(cs)
+      val cusum = SparkEntry.queries("q_cusum")(spark, dir)
+        .orderBy("day").collect()
+      val cums = cs.scanLeft(0L)(_ + _).tail
+      val total = cs.map(_.toLong).sum
+      cusum.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(3) == cs.length * cums(i) - (i + 1) * total,
+          s"cs=$cs i=$i")
+      }
+      val runsRow = SparkEntry.queries("q_runs_test")(spark, dir)
+        .collect().head
+      val med = cs.sorted.apply((cs.length + 1) / 2 - 1)
+      val sg = cs.filter(_ != med).map(c => if (c > med) 1 else -1)
+      val runs = if (sg.isEmpty) 0
+        else 1 + sg.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      assert(runsRow.getLong(1) == med && runsRow.getLong(5) == runs, s"cs=$cs")
+      assert(runsRow.getLong(2) == sg.count(_ == 1) &&
+        runsRow.getLong(3) == sg.count(_ == -1), s"cs=$cs")
+      // autocorr lag 1: days are contiguous in this generator, so row
+      // offset == date offset; skip the degenerate zero-variance slices
+      val ac = SparkEntry.queries("q_autocorr")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      val xs = cs.dropRight(1).map(_.toDouble)
+      val ys = cs.drop(1).map(_.toDouble)
+      assert(ac(1L).getLong(1) == cs.length - 1, s"cs=$cs")
+      if (xs.distinct.size > 1 && ys.distinct.size > 1)
+        assert(math.abs(ac(1L).getDouble(2) - pearson(xs, ys)) < 1e-9, s"cs=$cs")
+    }
+  }
+}
