@@ -1625,10 +1625,14 @@ object ExtendedQueries {
         .agg(sort_array(collect_list(struct(col("day"), col("cnt"))))
           .as("ds"))
         .select(explode(array(lit(1L), lit(7L))).as("lag"), col("ds"))
+        .selectExpr("lag", "ds",
+          "map_from_entries(transform(ds, e -> struct(e.day, e.cnt))) AS m")
+        // barrier: without it CollapseProject inlines the map build into
+        // the pair lambda — rebuilt per ELEMENT, O(days²) map inserts
+        .repartition(2)
         .selectExpr("lag",
           "filter(transform(ds, d -> named_struct('x', d.cnt, 'y', " +
-            "map_from_entries(transform(ds, e -> struct(e.day, e.cnt)))" +
-            "[date_add(d.day, cast(lag as int))])), p -> p.y IS NOT NULL)" +
+            "m[date_add(d.day, cast(lag as int))])), p -> p.y IS NOT NULL)" +
             " AS ps")
         .selectExpr("lag",
           "cast(size(ps) as bigint) AS n_pairs",

@@ -146,6 +146,44 @@ class StatTestsSpec extends SparkSpec {
     assert(out(1L).getLong(2) == 3L)   // n_lines = newlines + 1
   }
 
+  test("q_theil_u: exact 1.0 on a dependent table, 0.0 on an independent one") {
+    // perfectly dependent: status determines flag — H(X|Y) = 0, U = 1
+    val dep = java.nio.file.Files.createTempDirectory("graft_stats_dep_").toString
+    (Seq.fill(40)(("R", "O")) ++ Seq.fill(40)(("A", "F")))
+      .map { case (f, st) => (1.0, 0.0, f, st) }
+      .toDF("l_quantity", "l_discount", "l_returnflag", "l_linestatus")
+      .write.mode("overwrite").parquet(s"$dep/lineitem.parquet")
+    val u1 = SparkEntry.queries("q_theil_u")(spark, dep).collect().head
+    assert(u1.getDouble(1) == 1.0 && u1.getDouble(2) == 0.0 &&
+      u1.getDouble(3) == 1.0) // all power-of-two counts: log2 exact
+    // perfectly independent uniform 2×2: H(X|Y) = H(X) = 1, U = 0
+    val ind = java.nio.file.Files.createTempDirectory("graft_stats_ind_").toString
+    (Seq.fill(20)(("R", "O")) ++ Seq.fill(20)(("R", "F")) ++
+      Seq.fill(20)(("A", "O")) ++ Seq.fill(20)(("A", "F")))
+      .map { case (f, st) => (1.0, 0.0, f, st) }
+      .toDF("l_quantity", "l_discount", "l_returnflag", "l_linestatus")
+      .write.mode("overwrite").parquet(s"$ind/lineitem.parquet")
+    val u0 = SparkEntry.queries("q_theil_u")(spark, ind).collect().head
+    assert(u0.getDouble(1) == 1.0 && u0.getDouble(2) == 1.0 &&
+      u0.getDouble(3) == 0.0)
+  }
+
+  test("q_psi: identical half-distributions give exactly 0") {
+    // two days per half, each half 3× '1-URGENT' + 1× '2-HIGH': p = q,
+    // every ln(p/q) = ln(1) = 0 exactly
+    val d = java.nio.file.Files.createTempDirectory("graft_stats_psi_").toString
+    val rows = Seq(
+      (1, "1-URGENT"), (1, "1-URGENT"), (1, "1-URGENT"), (2, "2-HIGH"),
+      (3, "1-URGENT"), (3, "1-URGENT"), (3, "1-URGENT"), (4, "2-HIGH"))
+    rows.map { case (day, p) =>
+      (Timestamp.valueOf(f"2024-03-0$day%d 00:00:00"), p)
+    }.toDF("o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val r = SparkEntry.queries("q_psi")(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 4L, 4L)))
+    assert(r.getDouble(3) == 0.0)
+  }
+
   test("q_table_info: DuckDB-native type names incl. the nested FLOAT[]") {
     val rows = SparkEntry.queries("q_table_info")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1)) ->
