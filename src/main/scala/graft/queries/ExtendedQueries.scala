@@ -1685,6 +1685,71 @@ object ExtendedQueries {
           (col("n_r") * col("n_a")).cast("double"))
     }),
 
+    // §2.8: KS on a CONTINUOUS column — q_ks_test's dictionary is ≤50
+    // values; price cents has ~74k distinct at sf0.1 (~740k at sf1), so
+    // this face pins the DISTINCT-KEY decomposition regime (#339): one
+    // corpus scan to per-value counts, cumulative + whole-input windows
+    // over the distinct-key table (sub-linear in the data; the injected
+    // GlobalRowNumberRewrite re-plans exactly these global running
+    // sums/maxes distributed when deployed via GraftExtensions), group
+    // totals read off the LAST cumulative values, sup folded in the same
+    // exact-rational form.
+    "q_ks_continuous" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy()
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_returnflag").as("g"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("g") === "R", 1L).otherwise(0L)).cast("long").as("cr"),
+          sum(when(col("g") === "A", 1L).otherwise(0L)).cast("long").as("ca"))
+        .select(col("v"), sum(col("cr")).over(wCum).cast("long").as("cum_r"),
+          sum(col("ca")).over(wCum).cast("long").as("cum_a"))
+        .select(col("cum_r"), col("cum_a"),
+          max(col("cum_r")).over(wAll).cast("long").as("n_r"),
+          max(col("cum_a")).over(wAll).cast("long").as("n_a"))
+        .agg(max(col("n_r")).as("n_r"), max(col("n_a")).as("n_a"),
+          max(abs(col("cum_r") * col("n_a") - col("cum_a") * col("n_r")))
+            .cast("long").as("d_num"))
+        .withColumn("d", col("d_num").cast("double") /
+          (col("n_r") * col("n_a")).cast("double"))
+    }),
+
+    // §2.8: MEDIAN ABSOLUTE DEVIATION — the robust scale estimate beside
+    // q_corr's stddev (outlier-immune; the robust-z denominator). Pure
+    // window algebra over the distinct-cents table from ONE corpus scan:
+    // lower median = min value whose cumulative weight crosses
+    // (n+1) div 2 (a conditional min over the whole input — no join, no
+    // second pass), deviations re-rank the SAME cell table, MAD reads
+    // off the same crossing rule. Everything BIGINT-exact.
+    "q_mad" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy()
+      Tables.load(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).cast("long").as("cnt"))
+        .select(col("v"), col("cnt"),
+          sum(col("cnt")).over(Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, 0)).cast("long").as("cum"),
+          sum(col("cnt")).over(wAll).cast("long").as("n"))
+        .withColumn("med",
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).over(wAll))
+        .select(col("n"), col("med"), col("v"),
+          abs(col("v") - col("med")).as("dev"), col("cnt"))
+        .withColumn("cumd", sum(col("cnt"))
+          .over(Window.orderBy(col("dev"), col("v"))
+            .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .withColumn("mad",
+          min(when(col("cumd") >= expr("(n + 1) div 2"), col("dev")))
+            .over(wAll))
+        .agg(max(col("n")).as("n_rows"),
+          max(col("med")).cast("long").as("median_cents"),
+          max(col("mad")).cast("long").as("mad_cents"))
+    }),
+
     // §2.8: CRAMÉR'S V — the effect size q_chi_square's test statistic
     // needs for interpretation at scale (χ² grows with n; V does not).
     // Same cell/margin decomposition and LEFT-fold total; one extra
@@ -2915,6 +2980,60 @@ object ExtendedQueries {
          SELECT n_r, n_a, d_num,
                 CAST(d_num AS DOUBLE) / CAST(n_r * n_a AS DOUBLE) AS d
          FROM agg""",
+    // same distinct-key decomposition on the ~74k-value continuous domain
+    "q_ks_continuous" ->
+      """WITH rows0 AS (SELECT l_returnflag AS g,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                        FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         cells AS (SELECT v,
+                     CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS cr,
+                     CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ca
+                   FROM rows0 GROUP BY 1),
+         c1 AS (SELECT v,
+                  CAST(sum(cr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_r,
+                  CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_a
+                FROM cells),
+         c2 AS (SELECT cum_r, cum_a,
+                  CAST(max(cum_r) OVER () AS BIGINT) AS n_r,
+                  CAST(max(cum_a) OVER () AS BIGINT) AS n_a
+                FROM c1),
+         agg AS (SELECT max(n_r) AS n_r, max(n_a) AS n_a,
+                   CAST(max(abs(cum_r * n_a - cum_a * n_r)) AS BIGINT)
+                     AS d_num
+                 FROM c2)
+         SELECT n_r, n_a, d_num,
+                CAST(d_num AS DOUBLE) / CAST(n_r * n_a AS DOUBLE) AS d
+         FROM agg""",
+    // same crossing-rule medians, same (dev, v) cumulative order
+    "q_mad" ->
+      """WITH cells AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                  count(*)::BIGINT AS cnt
+           FROM lineitem GROUP BY 1),
+         c1 AS (SELECT v, cnt,
+                  CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum,
+                  CAST(sum(cnt) OVER () AS BIGINT) AS n
+                FROM cells),
+         c2 AS (SELECT v, cnt, n,
+                  min(CASE WHEN cum >= (n + 1) // 2 THEN v END) OVER ()
+                    AS med
+                FROM c1),
+         c3 AS (SELECT n, med, abs(v - med) AS dev, cnt,
+                  CAST(sum(cnt) OVER (ORDER BY abs(v - med), v
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumd
+                FROM c2),
+         c4 AS (SELECT n, med,
+                  min(CASE WHEN cumd >= (n + 1) // 2 THEN dev END) OVER ()
+                    AS mad
+                FROM c3)
+         SELECT max(n) AS n_rows, CAST(max(med) AS BIGINT) AS median_cents,
+                CAST(max(mad) AS BIGINT) AS mad_cents
+         FROM c4""",
     // same decomposition + LEFT-fold total as q_chi_square; sqrt is
     // IEEE-correctly-rounded so V matches bit-exactly
     "q_cramers_v" ->
