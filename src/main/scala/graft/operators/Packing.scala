@@ -187,7 +187,11 @@ object Packing {
   def interleave(docs: DataFrame, weight: Column, sourceCol: String = "source",
       scale: Long = 1000000L): DataFrame = {
     val ranked = Ranked.withGroupRowNumber(
-      docs.withColumn("w", weight.cast("long")), "rn", sourceCol,
+      // weight <= 0 means "never emit" — exclude BEFORE ranking (the
+      // weightedSample discipline): a zero weight would divide the
+      // virtual time to null and silently sort those rows first
+      docs.withColumn("w", weight.cast("long")).filter(col("w") >= 1),
+      "rn", sourceCol,
       Seq(unhex(md5(col("text"))).asc, col("doc_id").asc))
     Ranked.withGlobalRowNumber(
       ranked.withColumn("vt", expr(s"rn * ${scale}L div w")),

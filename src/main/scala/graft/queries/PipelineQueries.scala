@@ -1905,6 +1905,18 @@ object PipelineQueries {
     "st_window_topk" -> ((s, dir) =>
       EventStreams.windowTopK(Tables.load(s, dir, "events"), k = 3)),
 
+    // §2.7: streaming DRIFT MONITOR — per-day PSI of the event-type mix
+    // against a static baseline (here the corpus-wide mix; in production
+    // a precomputed table — the second scan IS the baseline build). The
+    // count layer is the shared streaming-safe windowed aggregate;
+    // StreamingSpec pins streamed counts + this fold ≡ the batch answer.
+    "st_psi" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val baseline = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("bn"))
+      EventStreams.psiByDay(EventStreams.windowTopKCounts(ev), baseline)
+    }),
+
     // §2.7: streaming QUALITY GATE — declarative expectations as a
     // dead-letter router: every row carries the names of the row rules it
     // violates; clean rows flow on, the rest quarantine with the reason.
@@ -4072,6 +4084,26 @@ object PipelineQueries {
                 CAST(row_number() OVER (PARTITION BY day
                   ORDER BY n DESC, event_type) AS BIGINT) AS rank
          FROM c QUALIFY rank <= 3""",
+    // plain-aggregate PSI per day; 6 dp absorbs the ln/sum-order ulps
+    "st_psi" ->
+      """WITH c AS (
+           SELECT date_trunc('day', ts) AS day, event_type,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT event_type, count(*)::BIGINT AS bn
+               FROM events GROUP BY 1),
+         j AS (SELECT day, c.event_type, n, bn,
+                 CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS n_day,
+                 CAST(sum(bn) OVER (PARTITION BY day) AS BIGINT) AS n_base
+               FROM c JOIN b USING (event_type))
+         SELECT day, CAST(max(n_day) AS BIGINT) AS n_day,
+                round(sum(CASE WHEN n > 0 AND bn > 0 THEN
+                  (CAST(n AS DOUBLE) / CAST(n_day AS DOUBLE)
+                   - CAST(bn AS DOUBLE) / CAST(n_base AS DOUBLE))
+                  * ln((CAST(n AS DOUBLE) / CAST(n_day AS DOUBLE))
+                       / (CAST(bn AS DOUBLE) / CAST(n_base AS DOUBLE)))
+                  END), 6) AS psi
+         FROM j GROUP BY day""",
     // rules with zero violations emit NO dead row on either side
     // (HAVING mirrors the explode-side absence)
     "st_quality_gate" ->

@@ -74,6 +74,33 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("day"), col("event_type"), col("n"))
 
+  /** Per-day distribution DRIFT vs a static baseline — the streaming
+    * monitoring twin of the batch q_psi face: PSI of each day's
+    * event_type mix against baseline counts. Takes the COUNT layer
+    * ([[windowTopKCounts]] — batch and streaming share it; stream the
+    * counts with a watermark, then apply this fold to the materialized
+    * state, the windowTopK discipline) plus a bounded static baseline
+    * (broadcast — the stream-static enrich posture). The per-day fold
+    * runs over the closed event-type dictionary; ln is not
+    * correctly-rounded cross-engine so psi rounds to 6 dp. */
+  def psiByDay(counts: DataFrame, baseline: DataFrame): DataFrame =
+    counts.join(broadcast(baseline), Seq("event_type"))
+      .groupBy(col("day"))
+      .agg(sort_array(collect_list(struct(col("event_type"), col("n"),
+        col("bn")))).as("bs"))
+      .selectExpr("day",
+        "aggregate(bs, cast(0 as bigint), (a, b) -> a + b.n) AS n_day",
+        "aggregate(bs, cast(0 as bigint), (a, b) -> a + b.bn) AS n_base",
+        "bs")
+      .selectExpr("day", "n_day",
+        """round(aggregate(filter(bs, b -> b.n > 0L AND b.bn > 0L),
+             cast(0.0 as double), (acc, b) ->
+             acc + (cast(b.n as double) / cast(n_day as double)
+                    - cast(b.bn as double) / cast(n_base as double))
+               * ln((cast(b.n as double) / cast(n_day as double))
+                    / (cast(b.bn as double) / cast(n_base as double)))),
+           6) AS psi""")
+
   // ------------------------------------------------------------------
   // #49 sessionization
   // ------------------------------------------------------------------

@@ -109,6 +109,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: psi over streamed counts equals the batch " +
+    "psi, including the cross-batch count merge") {
+    val batchDf = eventsLocal.toDF()
+    val baseline = batchDf.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("bn"))
+    val batch = EventStreams.psiByDay(
+        EventStreams.windowTopKCounts(batchDf), baseline)
+      .collect().map(_.toString).sorted.toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.windowTopKCounts(
+      mem.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("psi_counts")
+      .outputMode("complete").start()
+    try {
+      // split so day-1 counts accumulate ACROSS batches — the merged
+      // state, not any single batch, must produce the batch psi
+      mem.addData(eventsLocal.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(eventsLocal.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = EventStreams.psiByDay(spark.table("psi_counts"), baseline)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("quality-gate routing on a stream equals batch: stateless, append mode, " +
     "per-row dead-letter labels") {
     import graft.operators.Expectations._
