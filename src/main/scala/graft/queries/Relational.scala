@@ -317,6 +317,31 @@ object Relational {
           concat_ws(",", slice(sort_array($"ws"), 2, 2)).as("mid2"))
     }),
 
+    // §2.2: DISTINCT aggregates in WINDOW functions — DuckDB runs
+    // count(DISTINCT x) OVER (...) natively, both partition-wide and as a
+    // RUNNING frame; Spark supports neither. The scale-honest translation
+    // is first-occurrence flags: rd = running sum of [first time this
+    // (customer, priority) appears], and the partition-wide count = the
+    // running count's maximum — no collect_set, no per-row set state,
+    // two plain windows that the engine treats like any running sum.
+    "q_window_distinct" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byPair = Window.partitionBy($"o_custkey", $"o_orderpriority")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      val run = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val full = Window.partitionBy($"o_custkey")
+      Tables.load(s, dir, "orders")
+        .withColumn("first_seen",
+          when(row_number().over(byPair) === 1, 1L).otherwise(0L))
+        .select($"o_orderkey", $"o_custkey",
+          sum($"first_seen").over(run).cast("long").as("prio_distinct_todate"),
+          max(sum($"first_seen").over(run)).over(full).cast("long")
+            .as("prio_distinct_all"))
+    }),
+
     // §2.2: DuckDB LIST COMPREHENSIONS — `[f(x) FOR x IN l IF p(x)]` is
     // the spelling a migrating user's list code actually arrives in;
     // Spark's twin is transform∘filter. The numeric branch pins the
@@ -2041,6 +2066,16 @@ object Relational {
                   x -> x[1] * x[2])) AS BIGINT) AS wsum,
                 array_to_string(list_slice(list_sort(ws), 2, 3), ',') AS mid2
          FROM t""",
+    // the genuine DISTINCT-window spellings on the oracle side
+    "q_window_distinct" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(count(DISTINCT o_orderpriority) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS prio_distinct_todate,
+                CAST(count(DISTINCT o_orderpriority) OVER (
+                  PARTITION BY o_custkey) AS BIGINT) AS prio_distinct_all
+         FROM orders""",
     // the genuine comprehension syntax on the oracle side
     "q_list_comprehension" ->
       """SELECT doc_id,
