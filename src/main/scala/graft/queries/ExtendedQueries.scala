@@ -1750,6 +1750,23 @@ object ExtendedQueries {
           max(col("mad")).cast("long").as("mad_cents"))
     }),
 
+    // §2.8: HERFINDAHL-HIRSCHMAN concentration index — "is this source's
+    // language mix dominated by one language?", the concentration twin
+    // of q_gini's inequality: HHI = Σ share² per source. Exact: the
+    // numerator is Σ cnt² (BIGINT), the denominator n², ONE double
+    // division last. One corpus scan; the per-source re-aggregation rides
+    // the bounded (source, lang) cell table.
+    "q_hhi" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).cast("long").as("n_docs"),
+          sum(col("cnt") * col("cnt")).cast("long").as("sum_sq"))
+        .select(col("source"), col("n_docs"), col("sum_sq"),
+          (col("sum_sq").cast("double") /
+            (col("n_docs") * col("n_docs")).cast("double")).as("hhi"))),
+
     // §2.8: CRAMÉR'S V — the effect size q_chi_square's test statistic
     // needs for interpretation at scale (χ² grows with n; V does not).
     // Same cell/margin decomposition and LEFT-fold total; one extra
@@ -3034,6 +3051,16 @@ object ExtendedQueries {
          SELECT max(n) AS n_rows, CAST(max(med) AS BIGINT) AS median_cents,
                 CAST(max(mad) AS BIGINT) AS mad_cents
          FROM c4""",
+    // BIGINT numerator over n², one division last
+    "q_hhi" ->
+      """WITH cells AS (SELECT source, lang, count(*)::BIGINT AS cnt
+                        FROM documents GROUP BY 1, 2)
+         SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+                CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
+                CAST(CAST(sum(cnt * cnt) AS BIGINT) AS DOUBLE) /
+                  CAST(CAST(sum(cnt) AS BIGINT) * CAST(sum(cnt) AS BIGINT)
+                    AS DOUBLE) AS hhi
+         FROM cells GROUP BY source""",
     // same decomposition + LEFT-fold total as q_chi_square; sqrt is
     // IEEE-correctly-rounded so V matches bit-exactly
     "q_cramers_v" ->
