@@ -171,6 +171,68 @@ class StatPropSpec extends SparkSpec {
     }
   }
 
+  test("q_mad / q_ks_continuous ≡ brute sorted scans on random cents") {
+    val centsGen: Gen[List[(String, Long)]] = for {
+      nR <- Gen.choose(3, 25)
+      nA <- Gen.choose(3, 25)
+      rs <- Gen.listOfN(nR, Gen.choose(100L, 900L))
+      as <- Gen.listOfN(nA, Gen.choose(100L, 900L))
+    } yield rs.map("R" -> _) ++ as.map("A" -> _)
+    for (data <- samples(centsGen, 10, 707L)) {
+      // l_extendedprice = cents / 100 round-trips exactly for these values
+      data.map { case (g, c) => (1.0, 0.0, g, "O", c / 100.0) }
+        .toDF("l_quantity", "l_discount", "l_returnflag", "l_linestatus",
+          "l_extendedprice")
+        .repartition(2)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      // MAD brute: lower median of values, then lower median of |x − med|
+      val all = data.map(_._2).sorted
+      def lowMed(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+      val med = lowMed(all)
+      val mad = lowMed(all.map(v => math.abs(v - med)))
+      val gotMad = SparkEntry.queries("q_mad")(spark, dir).collect().head
+      assert((gotMad.getLong(0), gotMad.getLong(1), gotMad.getLong(2)) ==
+        ((data.length.toLong, med, mad)), s"data=$data")
+      // continuous KS brute over the pooled support
+      val rs = data.filter(_._1 == "R").map(_._2)
+      val as = data.filter(_._1 == "A").map(_._2)
+      val d = (rs ++ as).distinct.map { v =>
+        math.abs(rs.count(_ <= v).toDouble / rs.length -
+          as.count(_ <= v).toDouble / as.length)
+      }.max
+      val gotKs = SparkEntry.queries("q_ks_continuous")(spark, dir)
+        .collect().head
+      assert(gotKs.getLong(0) == rs.length && gotKs.getLong(1) == as.length)
+      assert(math.abs(gotKs.getDouble(3) - d) < 1e-9, s"data=$data")
+    }
+  }
+
+  test("q_hhi ≡ brute share-of-squares per source") {
+    val gen: Gen[List[(String, String)]] = for {
+      n <- Gen.choose(10, 60)
+      l <- Gen.listOfN(n, Gen.zip(Gen.oneOf("s0", "s1", "s2"),
+        Gen.oneOf("en", "de", "fr", "es")))
+    } yield ("s0", "en") :: l
+    for (data <- samples(gen, 8, 808L)) {
+      val d2 = java.nio.file.Files.createTempDirectory("graft_hhi_").toString
+      data.zipWithIndex.map { case ((src, lang), i) =>
+        (i.toLong, "x", lang, src, 1L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+      val got = SparkEntry.queries("q_hhi")(spark, d2)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      data.groupBy(_._1).foreach { case (src, rows) =>
+        val n = rows.size.toLong
+        val ss = rows.groupBy(_._2).values
+          .map(g => g.size.toLong * g.size).sum
+        val (gn, gss, ghhi) = got(src)
+        assert(gn == n && gss == ss, s"src=$src data=$data")
+        assert(math.abs(ghhi - ss.toDouble / (n * n).toDouble) < 1e-12)
+      }
+    }
+  }
+
   test("q_cusum / q_runs_test / q_autocorr ≡ brute series scans") {
     for (cs <- samples(dayGen, 8, 606L)) {
       writeOrders(cs)
