@@ -79,6 +79,34 @@ object Graph {
     * deterministic under any partitioning.
     *
     * `edges`: (src, dst); `source`: 1+ seed rows with column `node`. */
+  /** Bounded-round synchronous min-label propagation — community labels
+    * after EXACTLY `rounds` supersteps (the bfsHops/ssspInt discipline: a
+    * defined quantity on both engines whether or not the graph has
+    * converged): l₀(v) = v, l_{k+1}(v) = min(l_k(v), min over neighbors
+    * of l_k). Each round is one union + one min-aggregate — shuffles on
+    * the node key only, labels are integers, so the result is
+    * deterministic under any partitioning. `canonEdges`: (a, b), a < b. */
+  def labelPropagate(canonEdges: DataFrame, rounds: Int): DataFrame = {
+    val e = canonEdges.select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var lab = e.select(col("a").as("v"))
+        .union(e.select(col("b").as("v"))).distinct()
+        .withColumn("l", col("v"))
+        .localCheckpoint(eager = true)
+      for (_ <- 1 to rounds) {
+        lab = lab
+          .union(e.join(lab, col("a") === col("v"))
+            .select(col("b").as("v"), col("l")))
+          .union(e.join(lab, col("b") === col("v"))
+            .select(col("a").as("v"), col("l")))
+          .groupBy(col("v")).agg(min(col("l")).as("l"))
+          .localCheckpoint(eager = true)
+      }
+      lab
+    } finally e.unpersist()
+  }
+
   def bfsHops(edges: DataFrame, source: DataFrame, maxHops: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

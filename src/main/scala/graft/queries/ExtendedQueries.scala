@@ -2473,6 +2473,38 @@ object ExtendedQueries {
       graft.operators.Graph.kcore(coActivityEdges(s, dir), k = 3, rounds = 3)
         .select(col("node").as("user_id"), col("deg"))),
 
+    // §2.13: community MODULARITY — the quality score for a graph
+    // partition (how much denser inside communities than a random graph
+    // with the same degrees). Communities = bounded-round min-label
+    // propagation (8 supersteps — the bfsHops discipline: a DEFINED
+    // quantity on both engines regardless of convergence); the score
+    // stays INTEGER until one final division via
+    // Q·4m² = 4m·intra − Σ_c d_c².
+    "q_modularity" -> ((s, dir) => {
+      val edges = coActivityEdges(s, dir)
+      val lab = graft.operators.Graph.labelPropagate(edges, rounds = 8)
+      val la = lab.toDF("a", "la")
+      val lb = lab.toDF("b", "lb")
+      val em = edges.join(la, "a").join(lb, "b")
+        .agg(count(lit(1)).cast("long").as("m"),
+          sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+            .cast("long").as("intra"))
+      val sums = edges.select(col("a").as("v"))
+        .union(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).cast("long").as("deg"))
+        .join(lab, "v")
+        .groupBy(col("l")).agg(sum(col("deg")).cast("long").as("d_c"))
+        .agg(count(lit(1)).cast("long").as("n_comm"),
+          sum(col("d_c") * col("d_c")).cast("long").as("sum_dc2"))
+      em.crossJoin(sums)
+        .select(col("m").as("n_edges"), col("intra").as("intra_edges"),
+          col("n_comm").as("n_communities"), col("sum_dc2"),
+          (lit(4L) * col("m") * col("intra") - col("sum_dc2")).as("q_num"),
+          ((lit(4L) * col("m") * col("intra") - col("sum_dc2"))
+            .cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double")).as("modularity"))
+    }),
+
     // §2.13: BATCH sessionization — the lag/cumsum form of the streaming
     // session faces, run corpus-wide: a strictly-greater-than-30-min
     // silence splits (the same `>` boundary semantics the session_window
@@ -4233,6 +4265,52 @@ object ExtendedQueries {
                 GROUP BY 1)
          SELECT node AS user_id, CAST(cost AS BIGINT) AS cost FROM d6""",
     // same 3 peeling rounds unrolled (ssspInt discipline)
+    // same bounded 8-round min-label propagation (rounds generated), same
+    // integer modularity identity Q·4m² = 4m·intra − Σ d_c²
+    "q_modularity" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""l$k AS MATERIALIZED (SELECT v, min(l) AS l FROM (
+              SELECT v, l FROM l${k - 1}
+              UNION ALL SELECT e0.b AS v, p.l FROM e0
+                JOIN l${k - 1} p ON e0.a = p.v
+              UNION ALL SELECT e0.a AS v, p.l FROM e0
+                JOIN l${k - 1} p ON e0.b = p.v) u
+            GROUP BY v)"""
+      }.mkString(",\n         ")
+      s"""WITH seq AS (
+           SELECT event_type, user_id,
+                  lag(user_id) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS prev_user,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS gap_us
+           FROM events),
+         e0 AS MATERIALIZED (
+           SELECT DISTINCT least(user_id, prev_user) AS a,
+                           greatest(user_id, prev_user) AS b
+           FROM seq WHERE prev_user IS NOT NULL AND prev_user <> user_id
+             AND gap_us <= 60000000),
+         l0 AS MATERIALIZED (SELECT v, v AS l FROM (
+                  SELECT a AS v FROM e0 UNION SELECT b FROM e0) n),
+         $rounds,
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+                   SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) t
+                 GROUP BY 1),
+         dc AS (SELECT l8.l, CAST(sum(deg.deg) AS BIGINT) AS d_c
+                FROM deg JOIN l8 ON deg.v = l8.v GROUP BY 1),
+         sums AS (SELECT CAST(count(*) AS BIGINT) AS n_comm,
+                    CAST(sum(d_c * d_c) AS BIGINT) AS sum_dc2 FROM dc),
+         em AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                  CAST(sum(CASE WHEN la.l = lb.l THEN 1 ELSE 0 END)
+                    AS BIGINT) AS intra
+                FROM e0 JOIN l8 la ON e0.a = la.v
+                        JOIN l8 lb ON e0.b = lb.v)
+         SELECT m AS n_edges, intra AS intra_edges,
+                n_comm AS n_communities, sum_dc2,
+                4 * m * intra - sum_dc2 AS q_num,
+                CAST(4 * m * intra - sum_dc2 AS DOUBLE) /
+                  CAST(4 * m * m AS DOUBLE) AS modularity
+         FROM em CROSS JOIN sums"""
+    },
     "q_kcore" ->
       """WITH seq AS (
            SELECT event_type, user_id,
