@@ -2496,7 +2496,10 @@ object ExtendedQueries {
         .groupBy(col("l")).agg(sum(col("deg")).cast("long").as("d_c"))
         .agg(count(lit(1)).cast("long").as("n_comm"),
           sum(col("d_c") * col("d_c")).cast("long").as("sum_dc2"))
-      em.crossJoin(sums)
+      // derived 1-row join key (pmod, the repo idiom): a literal key
+      // constant-folds to true and degrades the join to BNLJ
+      em.withColumn("k", pmod(col("m"), lit(1)))
+        .join(sums.withColumn("k", pmod(col("n_comm"), lit(1))), "k")
         .select(col("m").as("n_edges"), col("intra").as("intra_edges"),
           col("n_comm").as("n_communities"), col("sum_dc2"),
           (lit(4L) * col("m") * col("intra") - col("sum_dc2")).as("q_num"),
