@@ -1767,6 +1767,192 @@ object ExtendedQueries {
           (col("sum_sq").cast("double") /
             (col("n_docs") * col("n_docs")).cast("double")).as("hhi"))),
 
+    // §2.8: WELCH two-sample t — the unequal-variance location test the
+    // parametric side of q_mannwhitney: did returned lineitems ship
+    // different quantities than accepted ones? ONE conditional-sum
+    // aggregate collapses the corpus to six exact moments (counts BIGINT,
+    // Σx / Σx² as DECIMAL(28,4) — shuffle-order-independent); mean,
+    // sample variance, t and the Welch–Satterthwaite df finalize in
+    // matched double op order (the q_corr discipline: one rounding per
+    // decimal→double via the string route on the oracle side, IEEE-exact
+    // sqrt), so the face is bit-exact cross-engine with no dp rounding.
+    "q_ttest_welch" -> ((s, dir) => {
+      val d284 = DecimalType(28, 4)
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A"))
+        .agg(
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .cast("long").as("n_r"),
+          sum(when(col("l_returnflag") === "R", col("l_quantity"))
+            .otherwise(lit(0.0)).cast(d284)).as("sx_r"),
+          sum(when(col("l_returnflag") === "R",
+            col("l_quantity") * col("l_quantity"))
+            .otherwise(lit(0.0)).cast(d284)).as("sxx_r"),
+          sum(when(col("l_returnflag") === "A", 1L).otherwise(0L))
+            .cast("long").as("n_a"),
+          sum(when(col("l_returnflag") === "A", col("l_quantity"))
+            .otherwise(lit(0.0)).cast(d284)).as("sx_a"),
+          sum(when(col("l_returnflag") === "A",
+            col("l_quantity") * col("l_quantity"))
+            .otherwise(lit(0.0)).cast(d284)).as("sxx_a"))
+        .select(col("n_r"), col("n_a"),
+          col("n_r").cast("double").as("nr"),
+          col("n_a").cast("double").as("na"),
+          col("sx_r").cast("double").as("sxr"),
+          col("sxx_r").cast("double").as("sxxr"),
+          col("sx_a").cast("double").as("sxa"),
+          col("sxx_a").cast("double").as("sxxa"))
+        .withColumn("vn_r",
+          (col("nr") * col("sxxr") - col("sxr") * col("sxr")) /
+            (col("nr") * (col("nr") - lit(1.0))) / col("nr"))
+        .withColumn("vn_a",
+          (col("na") * col("sxxa") - col("sxa") * col("sxa")) /
+            (col("na") * (col("na") - lit(1.0))) / col("na"))
+        .withColumn("se2", col("vn_r") + col("vn_a"))
+        .select(col("n_r"), col("n_a"),
+          (col("sxr") / col("nr")).as("mean_r"),
+          (col("sxa") / col("na")).as("mean_a"),
+          ((col("sxr") / col("nr") - col("sxa") / col("na")) /
+            sqrt(col("se2"))).as("t_stat"),
+          (col("se2") * col("se2") /
+            (col("vn_r") * col("vn_r") / (col("nr") - lit(1.0)) +
+              col("vn_a") * col("vn_a") / (col("na") - lit(1.0))))
+            .as("welch_df"))
+    }),
+
+    // §2.8: one-way ANOVA F — does mean extended price differ across the
+    // three return flags? The k-group generalization of the Welch face:
+    // ONE conditional-free groupBy collapses the corpus to ≤3 exact
+    // moment rows, the between/within sums of squares fold over the
+    // SORTED collected group list (the q_chi_square LEFT-fold posture —
+    // never a shuffle-order-dependent double sum), F finalizes in
+    // matched double op order. Bit-exact cross-engine, no dp rounding.
+    "q_anova" -> ((s, dir) => {
+      val d284 = DecimalType(28, 4)
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("g"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("l_extendedprice").cast(d284)).as("sx"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast(d284))
+            .as("sxx"))
+        .select(col("g"), col("n"),
+          col("sx").cast("double").as("sx"),
+          col("sxx").cast("double").as("sxx"))
+        .agg(sort_array(collect_list(struct(col("g"), col("n"), col("sx"),
+          col("sxx")))).as("gs"))
+        .selectExpr("gs",
+          "cast(size(gs) as bigint) AS k",
+          "aggregate(gs, cast(0 as bigint), (a, x) -> a + x.n) AS n_rows",
+          "aggregate(gs, cast(0.0 as double), (a, x) -> a + x.sx) AS st",
+          "aggregate(gs, cast(0.0 as double), (a, x) -> a + x.sxx) AS stt",
+          "aggregate(gs, cast(0.0 as double), (a, x) ->" +
+            " a + x.sx * x.sx / cast(x.n as double)) AS sgrp")
+        .selectExpr("k", "n_rows",
+          "sgrp - st * st / cast(n_rows as double) AS ss_between",
+          "stt - sgrp AS ss_within")
+        .selectExpr("k", "n_rows", "ss_between", "ss_within",
+          "(ss_between / cast(k - 1 as double)) /" +
+            " (ss_within / cast(n_rows - k as double)) AS f_stat")
+    }),
+
+    // §2.8: JENSEN-SHANNON divergence — the symmetric, bounded drift
+    // measure beside q_psi (PSI blows up on vanishing buckets; JSD stays
+    // ≤ ln 2): event-type mix of the first half of the history vs the
+    // second (data-derived midpoint-day split, closed type dictionary).
+    // One corpus scan to the (type, day) cells; the two KL halves fold
+    // over the sorted bounded cell list. ln is not correctly-rounded
+    // cross-engine ⇒ 6 dp (the q_psi posture).
+    "q_js_divergence" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wDays = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type").as("bucket"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .select(col("bucket"), col("day"), col("cnt"),
+          min(col("day")).over(wDays).as("d0"),
+          max(col("day")).over(wDays).as("d1"))
+        .withColumn("half",
+          when(datediff(col("day"), col("d0")) * 2 <=
+            datediff(col("d1"), col("d0")), lit("e")).otherwise(lit("a")))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("half") === "e", col("cnt")).otherwise(0L))
+            .cast("long").as("ne"),
+          sum(when(col("half") === "a", col("cnt")).otherwise(0L))
+            .cast("long").as("na"))
+        .agg(sort_array(collect_list(struct(col("bucket"), col("ne"),
+          col("na")))).as("bs"))
+        .selectExpr(
+          "cast(size(bs) as bigint) AS n_buckets",
+          "aggregate(bs, cast(0 as bigint), (a, b) -> a + b.ne)" +
+            " AS n_expected",
+          "aggregate(bs, cast(0 as bigint), (a, b) -> a + b.na)" +
+            " AS n_actual",
+          "bs")
+        .selectExpr("n_buckets", "n_expected", "n_actual",
+          // KL(p‖m) with p = first-half mix, q = second-half mix,
+          // m = (p+q)/2; 0·ln(…) terms drop via the filter
+          """round(0.5 * aggregate(filter(bs, b -> b.ne > 0L),
+               cast(0.0 as double), (acc, b) ->
+                 acc + (cast(b.ne as double) / cast(n_expected as double))
+                   * ln((cast(b.ne as double) / cast(n_expected as double))
+                        / ((cast(b.ne as double) / cast(n_expected as double)
+                            + cast(b.na as double) / cast(n_actual as double))
+                           / 2.0)))
+             + 0.5 * aggregate(filter(bs, b -> b.na > 0L),
+               cast(0.0 as double), (acc, b) ->
+                 acc + (cast(b.na as double) / cast(n_actual as double))
+                   * ln((cast(b.na as double) / cast(n_actual as double))
+                        / ((cast(b.ne as double) / cast(n_expected as double)
+                            + cast(b.na as double) / cast(n_actual as double))
+                           / 2.0))),
+             6) AS jsd_nats""")
+    }),
+
+    // §2.8: TWO-PROPORTION z-test — did the purchase share of events
+    // move between the first and second half of the history? Counts are
+    // ONE conditional-sum aggregate over the same midpoint-day split
+    // (integer-exact); the pooled-variance z finalizes in matched double
+    // op order with one IEEE-exact sqrt — bit-exact, no dp rounding.
+    "q_prop_ztest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wDays = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("hits"))
+        .select(col("day"), col("cnt"), col("hits"),
+          min(col("day")).over(wDays).as("d0"),
+          max(col("day")).over(wDays).as("d1"))
+        .withColumn("half",
+          when(datediff(col("day"), col("d0")) * 2 <=
+            datediff(col("d1"), col("d0")), lit("e")).otherwise(lit("a")))
+        .groupBy()
+        .agg(
+          sum(when(col("half") === "e", col("cnt")).otherwise(0L))
+            .cast("long").as("n1"),
+          sum(when(col("half") === "e", col("hits")).otherwise(0L))
+            .cast("long").as("x1"),
+          sum(when(col("half") === "a", col("cnt")).otherwise(0L))
+            .cast("long").as("n2"),
+          sum(when(col("half") === "a", col("hits")).otherwise(0L))
+            .cast("long").as("x2"))
+        .withColumn("p1", col("x1").cast("double") / col("n1").cast("double"))
+        .withColumn("p2", col("x2").cast("double") / col("n2").cast("double"))
+        .withColumn("pp",
+          (col("x1") + col("x2")).cast("double") /
+            (col("n1") + col("n2")).cast("double"))
+        .select(col("n1"), col("x1"), col("n2"), col("x2"),
+          col("p1"), col("p2"),
+          ((col("p1") - col("p2")) /
+            sqrt(col("pp") * (lit(1.0) - col("pp")) *
+              (lit(1.0) / col("n1").cast("double") +
+                lit(1.0) / col("n2").cast("double")))).as("z_stat"))
+    }),
+
     // §2.8: CRAMÉR'S V — the effect size q_chi_square's test statistic
     // needs for interpretation at scale (χ² grows with n; V does not).
     // Same cell/margin decomposition and LEFT-fold total; one extra
@@ -3096,6 +3282,153 @@ object ExtendedQueries {
                   CAST(CAST(sum(cnt) AS BIGINT) * CAST(sum(cnt) AS BIGINT)
                     AS DOUBLE) AS hhi
          FROM cells GROUP BY source""",
+    // same six exact moments (decimal sums via the string route), same
+    // final double op order — bit-exact, no dp rounding
+    "q_ttest_welch" ->
+      """WITH a AS (
+           SELECT
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_r,
+             CAST(CAST(sum(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(l_quantity AS DECIMAL(28,4))
+                 ELSE CAST(0 AS DECIMAL(28,4)) END) AS STRING) AS DOUBLE)
+               AS sxr,
+             CAST(CAST(sum(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(l_quantity * l_quantity AS DECIMAL(28,4))
+                 ELSE CAST(0 AS DECIMAL(28,4)) END) AS STRING) AS DOUBLE)
+               AS sxxr,
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(CAST(sum(CASE WHEN l_returnflag = 'A'
+                 THEN CAST(l_quantity AS DECIMAL(28,4))
+                 ELSE CAST(0 AS DECIMAL(28,4)) END) AS STRING) AS DOUBLE)
+               AS sxa,
+             CAST(CAST(sum(CASE WHEN l_returnflag = 'A'
+                 THEN CAST(l_quantity * l_quantity AS DECIMAL(28,4))
+                 ELSE CAST(0 AS DECIMAL(28,4)) END) AS STRING) AS DOUBLE)
+               AS sxxa
+           FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         b AS (
+           SELECT n_r, n_a, sxr, sxxr, sxa, sxxa,
+                  CAST(n_r AS DOUBLE) AS nr, CAST(n_a AS DOUBLE) AS na
+           FROM a),
+         c AS (
+           SELECT n_r, n_a, nr, na, sxr, sxa,
+                  (nr * sxxr - sxr * sxr) / (nr * (nr - 1.0)) / nr AS vn_r,
+                  (na * sxxa - sxa * sxa) / (na * (na - 1.0)) / na AS vn_a
+           FROM b),
+         d AS (SELECT *, vn_r + vn_a AS se2 FROM c)
+         SELECT n_r, n_a, sxr / nr AS mean_r, sxa / na AS mean_a,
+                (sxr / nr - sxa / na) / sqrt(se2) AS t_stat,
+                se2 * se2 / (vn_r * vn_r / (nr - 1.0)
+                             + vn_a * vn_a / (na - 1.0)) AS welch_df
+         FROM d""",
+    // group moments via the same decimal sums; the between/within folds
+    // run over the g-sorted group list (list_reduce over list(... ORDER
+    // BY g) ≡ Spark's aggregate over sort_array — 0.0-seeded vs
+    // first-element-seeded left folds agree because 0.0 + x = x)
+    "q_anova" ->
+      """WITH g AS (
+           SELECT l_returnflag AS g, count(*)::BIGINT AS n,
+                  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4)))
+                    AS STRING) AS DOUBLE) AS sx,
+                  CAST(CAST(sum(CAST(l_extendedprice * l_extendedprice
+                    AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS sxx
+           FROM lineitem GROUP BY 1),
+         f AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list(n ORDER BY g)), (a, x) -> a + x) AS n_rows,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list(sx ORDER BY g)), (a, x) -> a + x) AS st,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list(sxx ORDER BY g)), (a, x) -> a + x) AS stt,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list(sx * sx / CAST(n AS DOUBLE) ORDER BY g)),
+                    (a, x) -> a + x) AS sgrp
+           FROM g),
+         ss AS (
+           SELECT k, n_rows,
+                  sgrp - st * st / CAST(n_rows AS DOUBLE) AS ss_between,
+                  stt - sgrp AS ss_within
+           FROM f)
+         SELECT k, n_rows, ss_between, ss_within,
+                (ss_between / CAST(k - 1 AS DOUBLE)) /
+                  (ss_within / CAST(n_rows - k AS DOUBLE)) AS f_stat
+         FROM ss""",
+    // the two KL halves fold over the same bounded bucket table; 6 dp
+    // absorbs the ln/sum-order ulps (the q_psi posture)
+    "q_js_divergence" ->
+      """WITH daily AS (
+           SELECT event_type AS bucket, CAST(date_trunc('day', ts) AS DATE)
+                    AS day, count(*)::BIGINT AS cnt
+           FROM events GROUP BY 1, 2),
+         lim AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         h AS (SELECT bucket,
+                 CASE WHEN date_diff('day', d0, day) * 2 <=
+                           date_diff('day', d0, d1)
+                      THEN 'e' ELSE 'a' END AS half, cnt
+               FROM daily CROSS JOIN lim),
+         b AS (SELECT bucket,
+                 CAST(sum(CASE WHEN half = 'e' THEN cnt ELSE 0 END)
+                   AS BIGINT) AS ne,
+                 CAST(sum(CASE WHEN half = 'a' THEN cnt ELSE 0 END)
+                   AS BIGINT) AS na
+               FROM h GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(sum(ne) AS BIGINT) AS n_expected,
+                 CAST(sum(na) AS BIGINT) AS n_actual
+               FROM b)
+         SELECT n_buckets, n_expected, n_actual,
+                round(0.5 * (SELECT sum(
+                    (CAST(ne AS DOUBLE) / CAST(n_expected AS DOUBLE))
+                    * ln((CAST(ne AS DOUBLE) / CAST(n_expected AS DOUBLE))
+                         / ((CAST(ne AS DOUBLE) / CAST(n_expected AS DOUBLE)
+                             + CAST(na AS DOUBLE) / CAST(n_actual AS DOUBLE))
+                            / 2.0)))
+                  FROM b WHERE ne > 0)
+                + 0.5 * (SELECT sum(
+                    (CAST(na AS DOUBLE) / CAST(n_actual AS DOUBLE))
+                    * ln((CAST(na AS DOUBLE) / CAST(n_actual AS DOUBLE))
+                         / ((CAST(ne AS DOUBLE) / CAST(n_expected AS DOUBLE)
+                             + CAST(na AS DOUBLE) / CAST(n_actual AS DOUBLE))
+                            / 2.0)))
+                  FROM b WHERE na > 0), 6) AS jsd_nats
+         FROM t""",
+    // integer counts over the same midpoint split; z in matched op order
+    "q_prop_ztest" ->
+      """WITH daily AS (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                  count(*)::BIGINT AS cnt,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END) AS BIGINT) AS hits
+           FROM events GROUP BY 1),
+         lim AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         h AS (SELECT CASE WHEN date_diff('day', d0, day) * 2 <=
+                                date_diff('day', d0, d1)
+                           THEN 'e' ELSE 'a' END AS half, cnt, hits
+               FROM daily CROSS JOIN lim),
+         a AS (
+           SELECT
+             CAST(sum(CASE WHEN half = 'e' THEN cnt ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN half = 'e' THEN hits ELSE 0 END) AS BIGINT)
+               AS x1,
+             CAST(sum(CASE WHEN half = 'a' THEN cnt ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(sum(CASE WHEN half = 'a' THEN hits ELSE 0 END) AS BIGINT)
+               AS x2
+           FROM h),
+         p AS (SELECT *,
+                 CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                 CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+                 CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS pp
+               FROM a)
+         SELECT n1, x1, n2, x2, p1, p2,
+                (p1 - p2) / sqrt(pp * (1.0 - pp) *
+                  (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+                  AS z_stat
+         FROM p""",
     // same decomposition + LEFT-fold total as q_chi_square; sqrt is
     // IEEE-correctly-rounded so V matches bit-exactly
     "q_cramers_v" ->

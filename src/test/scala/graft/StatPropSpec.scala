@@ -264,4 +264,124 @@ class StatPropSpec extends SparkSpec {
         assert(math.abs(ac(1L).getDouble(2) - pearson(xs, ys)) < 1e-9, s"cs=$cs")
     }
   }
+
+  test("q_ttest_welch ≡ brute two-sample Welch on random tied data") {
+    for (data <- samples(gvGen, 10, 707L)) {
+      writeLineitem(data.map { case (g, v) => (v.toDouble, 0.0, g, "O") })
+      val got = SparkEntry.queries("q_ttest_welch")(spark, dir).collect().head
+      val rs = data.filter(_._1 == "R").map(_._2.toDouble)
+      val as = data.filter(_._1 == "A").map(_._2.toDouble)
+      def mv(xs: Seq[Double]) = {
+        val m = xs.sum / xs.length
+        (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+      }
+      val (mr, vr) = mv(rs); val (ma, va) = mv(as)
+      val vnr = vr / rs.length; val vna = va / as.length
+      val t = (mr - ma) / math.sqrt(vnr + vna)
+      val df = (vnr + vna) * (vnr + vna) /
+        (vnr * vnr / (rs.length - 1) + vna * vna / (as.length - 1))
+      assert(got.getLong(0) == rs.length && got.getLong(1) == as.length)
+      assert(math.abs(got.getDouble(2) - mr) < 1e-9, s"data=$data")
+      assert(math.abs(got.getDouble(3) - ma) < 1e-9, s"data=$data")
+      // zero pooled variance → 0/0 on BOTH sides; NaN must agree with NaN
+      val (gt, gd) = (got.getDouble(4), got.getDouble(5))
+      assert(gt == t || (math.abs(gt - t) < 1e-9) ||
+        (gt.isNaN && t.isNaN), s"data=$data")
+      assert(gd == df || (math.abs(gd - df) < 1e-9) ||
+        (gd.isNaN && df.isNaN), s"data=$data")
+    }
+  }
+
+  private val anovaGen: Gen[List[(String, Int)]] = for {
+    ns <- Gen.listOfN(3, Gen.choose(2, 15))
+    gs <- Gen.sequence[List[List[(String, Int)]], List[(String, Int)]](
+      ns.zip(List("A", "N", "R")).map { case (n, g) =>
+        Gen.listOfN(n, Gen.choose(1, 8)).map(_.map(g -> _))
+      })
+  } yield gs.flatten
+
+  test("q_anova ≡ brute sums of squares on random 3-group data") {
+    for (data <- samples(anovaGen, 10, 808L)) {
+      writeAnovaLineitem(data.map { case (g, v) => (g, v.toDouble) })
+      val got = SparkEntry.queries("q_anova")(spark, dir).collect().head
+      val groups = data.groupBy(_._1).values.map(_.map(_._2.toDouble)).toList
+      val n = data.length
+      val grand = data.map(_._2.toDouble).sum / n
+      val ssb = groups.map { g =>
+        val m = g.sum / g.length; g.length * (m - grand) * (m - grand)
+      }.sum
+      val ssw = groups.map { g =>
+        val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum
+      }.sum
+      val f = (ssb / (groups.length - 1)) / (ssw / (n - groups.length))
+      assert(got.getLong(0) == groups.length && got.getLong(1) == n)
+      assert(math.abs(got.getDouble(2) - ssb) < 1e-6, s"data=$data")
+      assert(math.abs(got.getDouble(3) - ssw) < 1e-6, s"data=$data")
+      val gf = got.getDouble(4)
+      assert(math.abs(gf - f) < 1e-6 || (gf.isNaN && f.isNaN) ||
+        (gf.isInfinite && f.isInfinite), s"data=$data")
+    }
+  }
+
+  private def writeAnovaLineitem(rows: Seq[(String, Double)]): Unit =
+    rows.map { case (g, x) => (1.0, x, g, "O") }
+      .toDF("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+  // days 1..k each with ≥1 event so both halves are populated
+  private val evGen: Gen[List[(Int, String)]] = for {
+    k <- Gen.choose(4, 16)
+    days <- Gen.sequence[List[List[(Int, String)]], List[(Int, String)]](
+      (1 to k).toList.map { d =>
+        for {
+          m <- Gen.choose(1, 5)
+          ts <- Gen.listOfN(m, Gen.oneOf("purchase", "view", "click"))
+        } yield ts.map(d -> _)
+      })
+  } yield days.flatten
+
+  private def writeEvents(rows: Seq[(Int, String)]): Unit =
+    rows.map { case (day, t) =>
+      (Timestamp.valueOf(f"2024-01-${day}%02d 00:00:00"), t)
+    }.toDF("ts", "event_type")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  test("q_js_divergence / q_prop_ztest ≡ brute split distributions") {
+    for (data <- samples(evGen, 8, 909L)) {
+      writeEvents(data)
+      val k = data.map(_._1).max
+      def isE(day: Int): Boolean = (day - 1) * 2 <= (k - 1)
+      val e = data.filter(d => isE(d._1)); val a = data.filterNot(d => isE(d._1))
+      // JSD brute over the pooled type dictionary
+      val jsd = {
+        val types = data.map(_._2).distinct
+        val (ne, na) = (e.length.toDouble, a.length.toDouble)
+        types.map { t =>
+          val p = e.count(_._2 == t) / ne
+          val q = a.count(_._2 == t) / na
+          val m = (p + q) / 2.0
+          (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+            (if (q > 0) 0.5 * q * math.log(q / m) else 0.0)
+        }.sum
+      }
+      val gj = SparkEntry.queries("q_js_divergence")(spark, dir)
+        .collect().head
+      assert(gj.getLong(1) == e.length && gj.getLong(2) == a.length)
+      assert(math.abs(gj.getDouble(3) - jsd) < 1e-6, s"data=$data")
+      // two-proportion z brute
+      val (x1, x2) = (e.count(_._2 == "purchase"), a.count(_._2 == "purchase"))
+      val (n1, n2) = (e.length, a.length)
+      val (p1, p2) = (x1.toDouble / n1, x2.toDouble / n2)
+      val pp = (x1 + x2).toDouble / (n1 + n2)
+      val z = (p1 - p2) /
+        math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+      val gz = SparkEntry.queries("q_prop_ztest")(spark, dir).collect().head
+      assert((gz.getLong(0), gz.getLong(1), gz.getLong(2), gz.getLong(3)) ==
+        ((n1.toLong, x1.toLong, n2.toLong, x2.toLong)), s"data=$data")
+      val zg = gz.getDouble(6)
+      assert(math.abs(zg - z) < 1e-9 || (zg.isNaN && z.isNaN), s"data=$data")
+    }
+  }
 }

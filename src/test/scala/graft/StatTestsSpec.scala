@@ -184,6 +184,71 @@ class StatTestsSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.0)
   }
 
+  test("q_ttest_welch: designed halves pin t = -sqrt(2), df = 2 exactly") {
+    // R: [1,2]  A: [2,3] → means 1.5/2.5, both sample variances 0.5,
+    // vn = 0.25 each, se2 = 0.5 → t = -1/sqrt(0.5) = -sqrt(2);
+    // df = 0.25 / (0.0625 + 0.0625) = 2.0 with every operand IEEE-exact.
+    val r = SparkEntry.queries("q_ttest_welch")(spark, liDir).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == 1.5 && r.getDouble(3) == 2.5)
+    assert(r.getDouble(4) == -1.0 / math.sqrt(0.5))
+    assert(r.getDouble(5) == 2.0)
+  }
+
+  test("q_anova: three designed groups pin F = 12 exactly") {
+    // A:[1,2,3] B:[3,4,5] C:[5,6,7] → SSB = 24, SSW = 6,
+    // F = (24/2)/(6/6) = 12 — every intermediate IEEE-exact.
+    val d = java.nio.file.Files.createTempDirectory("graft_stats_an_").toString
+    Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 3.0), ("B", 4.0),
+      ("B", 5.0), ("C", 5.0), ("C", 6.0), ("C", 7.0))
+      .map { case (g, x) => (1.0, x, g, "O") }
+      .toDF("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = SparkEntry.queries("q_anova")(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 9L)))
+    assert(r.getDouble(2) == 24.0 && r.getDouble(3) == 6.0)
+    assert(r.getDouble(4) == 12.0)
+  }
+
+  /** events micro-table: (day-of-Jan-2024, event_type) rows. */
+  private def eventsDir(rows: Seq[(Int, String)]): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stats_ev_").toString
+    rows.map { case (day, t) =>
+      (Timestamp.valueOf(f"2024-01-${day}%02d 00:00:00"), t)
+    }.toDF("ts", "event_type")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("q_js_divergence: identical mixes give 0; disjoint mixes give ln 2") {
+    // days 1-2 are the 'e' half, 3-4 the 'a' half (midpoint rule)
+    val same = eventsDir(Seq(1 -> "x", 1 -> "x", 2 -> "y", 2 -> "y",
+      3 -> "x", 3 -> "x", 4 -> "y", 4 -> "y"))
+    val r0 = SparkEntry.queries("q_js_divergence")(spark, same).collect().head
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2)) == ((2L, 4L, 4L)))
+    assert(r0.getDouble(3) == 0.0) // every ln(p/m) = ln(1) = 0
+    // disjoint supports: JSD reaches its ln 2 ceiling
+    val disj = eventsDir(Seq(1 -> "x", 2 -> "x", 3 -> "y", 4 -> "y"))
+    val r1 = SparkEntry.queries("q_js_divergence")(spark, disj).collect().head
+    assert(math.abs(r1.getDouble(3) - 0.693147) < 1e-9) // round(ln 2, 6)
+  }
+
+  test("q_prop_ztest: equal shares give z = 0; designed shift pins z") {
+    val flat = eventsDir(Seq(1 -> "purchase", 2 -> "view",
+      3 -> "purchase", 4 -> "view"))
+    val r0 = SparkEntry.queries("q_prop_ztest")(spark, flat).collect().head
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3)) ==
+      ((2L, 1L, 2L, 1L)))
+    assert(r0.getDouble(6) == 0.0)
+    // halves 4/4, hits 2 vs 1: z = 0.25 / sqrt(0.375·0.625·0.5)
+    val shift = eventsDir(Seq(1 -> "purchase", 1 -> "purchase", 2 -> "view",
+      2 -> "view", 3 -> "purchase", 3 -> "view", 4 -> "view", 4 -> "view"))
+    val r1 = SparkEntry.queries("q_prop_ztest")(spark, shift).collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3)) ==
+      ((4L, 2L, 4L, 1L)))
+    assert(r1.getDouble(6) == 0.25 / math.sqrt(0.375 * 0.625 * 0.5))
+  }
+
   test("q_table_info: DuckDB-native type names incl. the nested FLOAT[]") {
     val rows = SparkEntry.queries("q_table_info")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1)) ->
