@@ -848,4 +848,54 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("tok"), col("score"))
   }
+
+  /** Paragraph-level boilerplate removal — [[lineDedup]] at blank-line
+    * granularity (the unit CCNet/RefinedWeb actually dedup web pages at:
+    * repeated footers/navigation are PARAGRAPHS, not single lines). Split
+    * on the blank-line separator, drop paragraphs whose corpus document
+    * frequency reaches `maxParaDf`, reassemble the survivors in original
+    * order. Costs one explode + one df aggregate + one positional
+    * regroup — the df table is bounded by the DISTINCT paragraph count,
+    * so the join is a plain hash equi-join at any corpus size. Expects a
+    * `doc_id` and a `body` column. */
+  def paragraphDedup(docs: DataFrame, maxParaDf: Long = 3L): DataFrame = {
+    val paras = docs.select(col("doc_id"),
+      posexplode(split(col("body"), "\n\n")).as(Seq("pos", "para")))
+    val dfc = paras.groupBy(col("para"))
+      .agg(countDistinct(col("doc_id")).as("para_df"))
+    paras.join(dfc, "para")
+      .filter(col("para_df") < maxParaDf || trim(col("para")) === "")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para")), "\n\n").as("clean_text"))
+  }
+
+  /** Domain-blocklist filter with SUBDOMAIN matching — the URL-level
+    * gate a web corpus runs before any content filter. A host is blocked
+    * when it equals a blocklisted domain or sits under one
+    * (`ads.x.com` matches blocklist entry `x.com`). The scale-honest
+    * spelling: each host explodes into its ≤`maxLabels` dot-suffixes and
+    * EQUI-joins the blocklist on the suffix — a real blocklist is
+    * millions of registrable domains, so suffix-LIKE predicates
+    * (per-entry scans) or per-row regex unions don't survive; a hash
+    * join on the suffix key does, and Spark broadcasts the blocklist
+    * side whenever it fits. Returns the input plus `is_blocked`. */
+  def blockByDomainSuffix(docs: DataFrame, hostCol: String,
+      blocklist: DataFrame, maxLabels: Int = 8): DataFrame = {
+    val sufs = docs.select(col(hostCol).as("__h"))
+      .distinct()
+      .select(col("__h"), explode(expr(
+        s"""transform(sequence(1, least(size(split(__h, '\\\\.')),
+            $maxLabels)), i -> array_join(slice(split(__h, '\\\\.'),
+            i, size(split(__h, '\\\\.')) - i + 1), '.'))""")).as("__suf"))
+    val blockedHosts = sufs
+      .join(blocklist.select(col("domain").as("__suf")), "__suf")
+      .select(col("__h")).distinct()
+      .withColumn("__blk", lit(true))
+    docs.join(blockedHosts.withColumnRenamed("__h", hostCol),
+        Seq(hostCol), "left")
+      .withColumn("is_blocked", coalesce(col("__blk"), lit(false)))
+      .drop("__blk")
+  }
 }

@@ -1099,6 +1099,81 @@ object PipelineQueries {
     "txt_line_dedup" -> ((s, dir) =>
       TextOps.lineDedup(docs(s, dir), maxLineDf = 3L)),
 
+    // §2.6: PARAGRAPH-level boilerplate removal — lineDedup at blank-line
+    // granularity (repeated web footers/nav are paragraphs, not lines).
+    // The corpus ships single-line texts, so paragraph structure is
+    // PLANTED from doc_id on both engines (the q_summarize pattern): a
+    // universal header paragraph (df = corpus → always dropped), the doc
+    // text (dropped only where the corpus genuinely duplicates it), and
+    // a footer on every 4th doc (df = n/4 → dropped). Exercises the drop
+    // AND keep paths on live data.
+    "txt_paragraph_dedup" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(lit("welcome to the corpus reader\n\n"), col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit("\n\nsubscribe for updates follow us")).otherwise(lit("")))
+          .as("body"))
+      TextOps.paragraphDedup(planted, maxParaDf = 3L)
+    }),
+
+    // §2.5: UTF-8 SANITY / mojibake screen — the byte-hygiene gate a web
+    // corpus runs before any text filter: U+FFFD replacement characters
+    // (the scar lossy transcoding leaves) and stray C0 controls (anything
+    // below 0x20 except tab/newline/CR). Integer-exact (basis points via
+    // integer division), one map-only pass. Clean corpus ⇒ every 5th doc
+    // gets a deterministic bad-byte prelude planted from doc_id so both
+    // detectors run on live signal.
+    "txt_utf8_sanity" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("\uFFFD\u0007 "), col("text")))
+          .otherwise(col("text")).as("body"))
+        .select(col("doc_id"),
+          length(col("body")).cast("long").as("n_chars"),
+          regexp_count(col("body"), lit("\uFFFD")).cast("long")
+            .as("n_replacement"),
+          regexp_count(col("body"),
+            lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("long")
+            .as("n_control"))
+        .withColumn("bad_bp",
+          expr("10000 * (n_replacement + n_control) div greatest(n_chars, 1)"))
+        .withColumn("is_clean", col("n_replacement") + col("n_control") === 0L)),
+
+    // §2.5: TYPE-TOKEN RATIO — the classic lexical-diversity signal
+    // (template/spam pages repeat a tiny vocabulary; TTR exposes them
+    // even when no single line repeats). Same ' +' tokenization as the
+    // stopword/tfidf faces; basis points via integer division so the
+    // whole face is integer-exact, one map-only pass, no shuffle.
+    "txt_ttr" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " +").as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          size(array_distinct(col("t"))).cast("long").as("n_types"))
+        .withColumn("ttr_bp",
+          expr("10000 * n_types div greatest(n_tokens, 1)"))),
+
+    // §2.6: DOMAIN-BLOCKLIST filter with subdomain matching — the
+    // URL-level gate before any content filter. Hosts derive from source
+    // (every 5th doc under a cdn. subdomain so the suffix path is live);
+    // the operator explodes each DISTINCT host into its dot-suffixes and
+    // hash-EQUI-joins the blocklist — a real blocklist is millions of
+    // registrable domains, so per-entry LIKE scans don't survive; the
+    // suffix join broadcasts the blocklist and stays a map-side pass
+    // over the corpus (the distinct-host table is bounded by the host
+    // dictionary, not the data).
+    "pipeline_domain_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val hosts = docs(s, dir).select(col("doc_id"),
+        concat(when(col("doc_id") % 5 === 0, lit("cdn."))
+          .otherwise(lit("")), col("source"), lit(".example.com"))
+          .as("host"))
+      val blocklist = Seq("src3.example.com", "src7.example.com",
+        "example.net").toDF("domain")
+      TextOps.blockByDomainSuffix(hosts, "host", broadcast(blocklist))
+        .select(col("doc_id"), col("host"), col("is_blocked"))
+    }),
+
     // §2.6: corpus bigram frequency table (vocabulary statistics)
     "txt_ngram_freq" -> ((s, dir) =>
       TextOps.ngramFreq(docs(s, dir), n = 2, minCount = 10L)),
@@ -3457,6 +3532,79 @@ object PipelineQueries {
          FROM lines l JOIN df USING (line)
          WHERE df.line_df < 3 OR trim(l.line) = ''
          GROUP BY 1""",
+    // same planted paragraph structure, same df cap, blank-line separator
+    "txt_paragraph_dedup" ->
+      """WITH src AS (
+           SELECT doc_id,
+                  'welcome to the corpus reader' || chr(10) || chr(10) ||
+                  text ||
+                  CASE WHEN doc_id % 4 = 0
+                    THEN chr(10) || chr(10) ||
+                         'subscribe for updates follow us'
+                    ELSE '' END AS body
+           FROM documents),
+         paras AS (
+           SELECT doc_id,
+                  unnest(string_split(body, chr(10) || chr(10))) AS para,
+                  unnest(range(1, len(string_split(body,
+                    chr(10) || chr(10))) + 1)) AS pos
+           FROM src),
+         df AS (
+           SELECT para, count(DISTINCT doc_id) AS para_df
+           FROM paras GROUP BY 1)
+         SELECT p.doc_id,
+                string_agg(p.para, chr(10) || chr(10) ORDER BY p.pos)
+                  AS clean_text
+         FROM paras p JOIN df USING (para)
+         WHERE df.para_df < 3 OR trim(p.para) = ''
+         GROUP BY 1""",
+    // same planted bad-byte prelude; counts via regexp_extract_all
+    "txt_utf8_sanity" ->
+      """WITH src AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0
+                    THEN chr(65533) || chr(7) || ' ' || text
+                    ELSE text END AS body
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  CAST(length(body) AS BIGINT) AS n_chars,
+                  CAST(len(regexp_extract_all(body, chr(65533))) AS BIGINT)
+                    AS n_replacement,
+                  CAST(len(regexp_extract_all(body,
+                    '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control
+           FROM src)
+         SELECT doc_id, n_chars, n_replacement, n_control,
+                10000 * (n_replacement + n_control)
+                  // greatest(n_chars, 1) AS bad_bp,
+                n_replacement + n_control = 0 AS is_clean
+         FROM m""",
+    // same ' +' tokenization as the stopword/tfidf oracles
+    "txt_ttr" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(text), ' +') AS toks
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                10000 * CAST(len(list_distinct(toks)) AS BIGINT)
+                  // greatest(CAST(len(toks) AS BIGINT), 1) AS ttr_bp
+         FROM t""",
+    // suffix semantics spelled directly: equal or strictly-under a
+    // blocklisted domain
+    "pipeline_domain_blocklist" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END ||
+                  source || '.example.com' AS host
+           FROM documents),
+         b(domain) AS (VALUES ('src3.example.com'), ('src7.example.com'),
+                              ('example.net'))
+         SELECT doc_id, host,
+                EXISTS (SELECT 1 FROM b
+                        WHERE d.host = b.domain
+                           OR d.host LIKE '%.' || b.domain) AS is_blocked
+         FROM d""",
     "pipeline_pack" ->
       """WITH base AS (
            SELECT doc_id,
