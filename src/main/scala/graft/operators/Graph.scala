@@ -219,6 +219,90 @@ object Graph {
     *
     * `canonEdges`: canonical undirected (a, b) with a < b, deduplicated.
     * Returns surviving (node, deg) — degree within the peeled subgraph. */
+  /** Degree assortativity — the Pearson correlation of endpoint degrees
+    * over the DOUBLED (both orientations) edge list, the standard Newman
+    * r: do high-degree nodes attach to high-degree nodes? Degrees are
+    * integers, so the five moments accumulate EXACTLY as DECIMAL(38,0)
+    * (shuffle-order-independent; per-row products stay in int64 — holds
+    * to degree ≈ 3·10⁹, i.e. any graph whose node count fits an int);
+    * the final r follows the q_corr double op order, so the whole face
+    * is bit-exact cross-engine. Cost: one degree aggregate + two
+    * node-keyed equi-joins + one map-side-combinable aggregate.
+    *
+    * `canonEdges`: canonical undirected (a, b) with a < b, deduplicated. */
+  def assortativity(canonEdges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d380 = DecimalType(38, 0)
+    val e = canonEdges.select(col("a"), col("b")).localCheckpoint(eager = true)
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("deg"))
+    val dir = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    dir
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .agg(count(lit(1)).as("n2"),
+        sum(col("du").cast(d380)).as("sx"),
+        sum(col("dv").cast(d380)).as("sy"),
+        sum((col("du") * col("du")).cast(d380)).as("sxx"),
+        sum((col("dv") * col("dv")).cast(d380)).as("syy"),
+        sum((col("du") * col("dv")).cast(d380)).as("sxy"))
+      .select(expr("n2 div 2").as("n_edges"),
+        col("n2").cast("double").as("nd"),
+        col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
+        col("sxx").cast("double").as("sxx"),
+        col("syy").cast("double").as("syy"),
+        col("sxy").cast("double").as("sxy"))
+      .withColumn("den",
+        sqrt(col("nd") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("nd") * col("syy") - col("sy") * col("sy")))
+      // a REGULAR graph (all degrees equal) has zero degree variance:
+      // assortativity is undefined there, and both engines must agree on
+      // the spelling — DuckDB's x/0.0 is NULL, Spark ANSI mode THROWS,
+      // so the guard makes NULL the shared answer
+      .select(col("n_edges"),
+        when(col("den") =!= 0.0,
+          (col("nd") * col("sxy") - col("sx") * col("sy")) / col("den"))
+          .as("assortativity"))
+  }
+
+  /** Common-neighbor / Jaccard link prediction — the classic
+    * missing-edge scorer: for every NON-adjacent pair (u, w) sharing at
+    * least one neighbor, count common neighbors and the Jaccard share
+    * |N(u)∩N(w)| / |N(u)∪N(w)| in basis points (integer division — the
+    * face stays integer-exact end to end). Wedge enumeration is the
+    * triangle-census posture (cost Σ_mid deg²; a production run on a
+    * hub-heavy graph caps mid-degree first — same knob as every LSH
+    * band cap); the top-k is a TakeOrdered on the total order
+    * (cn desc, jaccard desc, a, b), never a global sort.
+    *
+    * `canonEdges`: canonical undirected (a, b), a < b, deduplicated. */
+  def linkPredict(canonEdges: DataFrame, k: Int): DataFrame = {
+    val e = canonEdges.select(col("a"), col("b")).localCheckpoint(eager = true)
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("deg"))
+    val dir = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    val cn = dir.as("x").join(dir.as("y"), col("x.v") === col("y.u"))
+      .filter(col("x.u") < col("y.v"))
+      .select(col("x.u").as("a"), col("y.v").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("common_neighbors"))
+      .join(e, Seq("a", "b"), "left_anti") // only MISSING edges score
+    cn
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .withColumn("jaccard_bp", expr(
+        "10000 * common_neighbors div (deg_a + deg_b - common_neighbors)"))
+      .select(col("a"), col("b"), col("common_neighbors"),
+        col("deg_a"), col("deg_b"), col("jaccard_bp"))
+      .orderBy(col("common_neighbors").desc, col("jaccard_bp").desc,
+        col("a"), col("b"))
+      .limit(k)
+  }
+
   def kcore(canonEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))

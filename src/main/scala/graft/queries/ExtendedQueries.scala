@@ -2694,6 +2694,22 @@ object ExtendedQueries {
             (lit(4L) * col("m") * col("m")).cast("double")).as("modularity"))
     }),
 
+    // §2.13: degree ASSORTATIVITY — Newman's r over the co-activity
+    // graph: do well-connected users interact with well-connected users?
+    // Integer degrees ⇒ the five moments accumulate exactly as
+    // DECIMAL(38,0); the final Pearson follows q_corr's double op order,
+    // so the face is bit-exact cross-engine.
+    "q_assortativity" -> ((s, dir) =>
+      graft.operators.Graph.assortativity(coActivityEdges(s, dir))),
+
+    // §2.13: LINK PREDICTION — common-neighbor counts + Jaccard (basis
+    // points, integer-exact) for the top-20 NON-adjacent pairs: "who
+    // should be interacting but isn't yet". Wedge enumeration is the
+    // triangle-census posture; the top-k is a TakeOrdered on a total
+    // order, never a global sort.
+    "q_link_predict" -> ((s, dir) =>
+      graft.operators.Graph.linkPredict(coActivityEdges(s, dir), k = 20)),
+
     // §2.13: BATCH sessionization — the lag/cumsum form of the streaming
     // session faces, run corpus-wide: a strictly-greater-than-30-min
     // silence splits (the same `>` boundary semantics the session_window
@@ -4647,6 +4663,93 @@ object ExtendedQueries {
                   CAST(4 * m * m AS DOUBLE) AS modularity
          FROM em CROSS JOIN sums"""
     },
+    // same doubled-orientation moment sums (decimal-exact via the string
+    // route), same q_corr final op order
+    "q_assortativity" ->
+      """WITH seq AS (
+           SELECT event_type, user_id,
+                  lag(user_id) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS prev_user,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY
+                    event_type ORDER BY ts, event_id) AS gap_us
+           FROM events),
+         e0 AS (
+           SELECT DISTINCT least(user_id, prev_user) AS a,
+                           greatest(user_id, prev_user) AS b
+           FROM seq WHERE prev_user IS NOT NULL AND prev_user <> user_id
+             AND gap_us <= 60000000),
+         deg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) t
+           GROUP BY node),
+         dir AS (
+           SELECT a AS u, b AS v FROM e0
+           UNION ALL SELECT b AS u, a AS v FROM e0),
+         j AS (
+           SELECT du.deg AS du, dv.deg AS dv
+           FROM dir JOIN deg du ON dir.u = du.node
+                    JOIN deg dv ON dir.v = dv.node),
+         a AS (
+           SELECT count(*) AS n2, count(*)::DOUBLE AS nd,
+                  CAST(CAST(sum(CAST(du AS DECIMAL(38,0))) AS STRING)
+                    AS DOUBLE) AS sx,
+                  CAST(CAST(sum(CAST(dv AS DECIMAL(38,0))) AS STRING)
+                    AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(du * du AS DECIMAL(38,0))) AS STRING)
+                    AS DOUBLE) AS sxx,
+                  CAST(CAST(sum(CAST(dv * dv AS DECIMAL(38,0))) AS STRING)
+                    AS DOUBLE) AS syy,
+                  CAST(CAST(sum(CAST(du * dv AS DECIMAL(38,0))) AS STRING)
+                    AS DOUBLE) AS sxy
+           FROM j)
+         SELECT CAST(n2 // 2 AS BIGINT) AS n_edges,
+                (nd * sxy - sx * sy) /
+                  (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+                  AS assortativity
+         FROM a""",
+    // same wedge enumeration, adjacency exclusion, integer Jaccard and
+    // (cn desc, jaccard desc, a, b) top-k total order
+    "q_link_predict" ->
+      """WITH seq AS (
+           SELECT event_type, user_id,
+                  lag(user_id) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS prev_user,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY
+                    event_type ORDER BY ts, event_id) AS gap_us
+           FROM events),
+         e0 AS (
+           SELECT DISTINCT least(user_id, prev_user) AS a,
+                           greatest(user_id, prev_user) AS b
+           FROM seq WHERE prev_user IS NOT NULL AND prev_user <> user_id
+             AND gap_us <= 60000000),
+         deg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) t
+           GROUP BY node),
+         dir AS (
+           SELECT a AS u, b AS v FROM e0
+           UNION ALL SELECT b AS u, a AS v FROM e0),
+         cn AS (
+           SELECT x.u AS a, y.v AS b, CAST(count(*) AS BIGINT)
+                    AS common_neighbors
+           FROM dir x JOIN dir y ON x.v = y.u
+           WHERE x.u < y.v
+           GROUP BY 1, 2),
+         miss AS (
+           SELECT cn.* FROM cn
+           WHERE NOT EXISTS (SELECT 1 FROM e0
+                             WHERE e0.a = cn.a AND e0.b = cn.b))
+         SELECT m.a, m.b, m.common_neighbors,
+                da.deg AS deg_a, db.deg AS deg_b,
+                10000 * m.common_neighbors
+                  // (da.deg + db.deg - m.common_neighbors) AS jaccard_bp
+         FROM miss m JOIN deg da ON m.a = da.node
+                     JOIN deg db ON m.b = db.node
+         ORDER BY m.common_neighbors DESC,
+                  10000 * m.common_neighbors
+                    // (da.deg + db.deg - m.common_neighbors) DESC,
+                  m.a, m.b
+         LIMIT 20""",
     "q_kcore" ->
       """WITH seq AS (
            SELECT event_type, user_id,

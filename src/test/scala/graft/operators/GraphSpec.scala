@@ -136,4 +136,35 @@ class GraphSpec extends SparkSpec {
     // k above the max degree empties the graph without error
     assert(Graph.kcore(edges, k = 5, rounds = 2).collect().isEmpty)
   }
+
+  test("assortativity: star = -1 exactly, regular graph = NULL, mixed pins") {
+    // star S3: every edge joins deg 3 to deg 1 → perfectly disassortative
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val rs = Graph.assortativity(star).collect().head
+    assert(rs.getLong(0) == 3L && rs.getDouble(1) == -1.0)
+    // triangle: all degrees equal → zero variance → undefined → NULL
+    // (DuckDB's x/0.0 convention; Spark ANSI would throw unguarded)
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    assert(Graph.assortativity(tri).collect().head.isNullAt(1))
+    // hand-computed mixed graph: r = -20/28
+    val mixed = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val rm = Graph.assortativity(mixed).collect().head
+    assert(rm.getLong(0) == 4L)
+    assert(math.abs(rm.getDouble(1) - (-20.0 / 28.0)) < 1e-12)
+  }
+
+  test("linkPredict: adjacency excluded, Jaccard bp exact, top-k order") {
+    // triangle + tail: only (1,4) and (2,4) are non-adjacent with a
+    // common neighbor (3); Jaccard = 1/(2+1-1) = 5000 bp
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = Graph.linkPredict(g, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(out.toSet == Set((1L, 4L, 1L, 5000L), (2L, 4L, 1L, 5000L)))
+    // square: both diagonals share BOTH corners → Jaccard 10000 bp;
+    // k=1 keeps only (1,3) — the (cn desc, jacc desc, a, b) total order
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val top = Graph.linkPredict(sq, k = 1).collect().head
+    assert((top.getLong(0), top.getLong(1), top.getLong(2),
+      top.getLong(5)) == ((1L, 3L, 2L, 10000L)))
+  }
 }
