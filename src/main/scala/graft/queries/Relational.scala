@@ -396,6 +396,52 @@ object Relational {
           count(lit(1)).as("n"))
     }),
 
+    // §2.15: DuckDB `histogram(x)` MAP aggregate — value→count maps are
+    // the spelling DuckDB profiling snippets arrive in; the Spark twin
+    // builds a GENUINE MapType (map_from_entries over the sorted cell
+    // list) and flattens it back with explode, so both the construction
+    // and the flattening direction of the map surface are pinned. Counts
+    // come from one exact aggregate; the map layer is bounded by the
+    // value dictionary, never the data.
+    "q_histogram_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_linestatus".as("st"), $"l_returnflag".as("flag"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"st")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct($"flag", $"cnt")))).as("m"))
+        .select($"st", explode($"m").as(Seq("flag", "cnt")))
+    }),
+
+    // §2.15: `product()` aggregate — DuckDB's multiplicative fold (here:
+    // compound remaining-value share Π(1 − discount) per flag/month).
+    // Double multiplication is NOT associative-under-rounding, so the
+    // portable spelling folds in an EXPLICIT total order on both engines
+    // (list_reduce over list(... ORDER BY) ≡ aggregate over sort_array)
+    // — DuckDB's bare product() folds in scan order and can differ from
+    // itself across runs. The sort key includes v: the testdata's
+    // (orderkey, linenumber) is NOT unique (11.8k dup pairs at sf0.01),
+    // and any order ambiguity left after v is between EQUAL multiplicands
+    // — bit-neutral. Group state is month-bounded; at corpus scale
+    // the log-domain sum (one exp at the end) is the documented
+    // alternative when exactness is traded for mergeability.
+    "q_product_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .select($"l_returnflag".as("flag"),
+          date_trunc("month", $"l_shipdate").cast("date").as("month"),
+          $"l_orderkey", $"l_linenumber",
+          (lit(1.0) - $"l_discount").as("v"))
+        .groupBy($"flag", $"month")
+        .agg(count(lit(1)).as("n_items"),
+          sort_array(collect_list(struct($"l_orderkey", $"l_linenumber",
+            $"v"))).as("vs"))
+        .selectExpr("flag", "month", "n_items",
+          "aggregate(vs, cast(1.0 as double), (a, x) -> a * x.v)" +
+            " AS value_share")
+    }),
+
     // §2.12: argmin/argmax + bitwise aggregates — min_by/max_by keyed by
     // the UNIQUE o_orderkey (ties impossible ⇒ deterministic), bit
     // AND/OR/XOR folds over the key set (associative+commutative integer
@@ -2112,6 +2158,30 @@ object Relational {
                 string_agg(c_name, '|' ORDER BY c_custkey) AS names,
                 count(*) AS n
          FROM t WHERE rn <= 5 GROUP BY 1""",
+    // the genuine MAP aggregate, flattened back out via parallel unnest
+    "q_histogram_agg" ->
+      """WITH h AS (
+           SELECT l_linestatus AS st, histogram(l_returnflag) AS m
+           FROM lineitem GROUP BY 1),
+         u AS (
+           SELECT st, unnest(map_keys(m)) AS flag,
+                  unnest(map_values(m)) AS cnt
+           FROM h)
+         SELECT st, flag, CAST(cnt AS BIGINT) AS cnt FROM u""",
+    // product() is scan-order sugar; the portable spelling is the fold
+    // in an explicit total order — identical rounding on both engines
+    "q_product_agg" ->
+      """WITH t AS (
+           SELECT l_returnflag AS flag,
+                  CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+                  l_orderkey, l_linenumber,
+                  CAST(1.0 AS DOUBLE) - l_discount AS v
+           FROM lineitem)
+         SELECT flag, month, count(*)::BIGINT AS n_items,
+                list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                  list(v ORDER BY l_orderkey, l_linenumber, v)),
+                  (a, x) -> a * x) AS value_share
+         FROM t GROUP BY 1, 2""",
     "q_argminmax" ->
       """SELECT o_custkey,
                 arg_min(o_orderdate, o_orderkey) AS first_date,
