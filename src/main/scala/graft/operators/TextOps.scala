@@ -522,6 +522,47 @@ object TextOps {
         coalesce(pred, lit("und")).as("lang_pred"), col("lang_true"))
   }
 
+  /** Confidence-margin ROUTING on top of the profile classifier — the
+    * decision layer model-based filtering actually needs: a prediction
+    * whose runner-up scored nearly as high is not a prediction you
+    * filter a corpus with. Scores ride [[trainProfileModel]]'s integer
+    * weights, the margin is the RELATIVE top1−top2 gap in basis points
+    * (integer division — scale-free, so one threshold works at every
+    * corpus size), and docs route `confident` / `uncertain` (the
+    * uncertain bucket goes to a human or a bigger model). Same
+    * broadcast-join map pass as [[profileClassify]]: no extra shuffle. */
+  def profileRoute(eval: DataFrame, model: DataFrame, labels: Seq[String],
+      marginBpThreshold: Long = 2000L): DataFrame = {
+    val toks = eval.select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-zäöüßéèêàâçñáíóú']+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val scored = toks
+      .join(broadcast(model), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(labels.map(l =>
+        sum(coalesce(col(s"w_$l"), lit(0L))).as(s"s_$l")).head,
+        labels.map(l =>
+          sum(coalesce(col(s"w_$l"), lit(0L))).as(s"s_$l")).tail: _*)
+    val best = greatest(labels.map(l => col(s"s_$l")): _*)
+    val pred = labels.foldRight(lit("und"): Column) { case (l, acc) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    val sorted = sort_array(array(labels.map(l => col(s"s_$l")): _*))
+    eval.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(pred, lit("und")).as("lang_pred"),
+        coalesce(element_at(sorted, -1), lit(0L)).as("s_best"),
+        coalesce(element_at(sorted, -2), lit(0L)).as("s_second"))
+      .withColumn("margin_bp", expr(
+        "CASE WHEN s_best > 0 THEN 10000 * (s_best - s_second) div s_best" +
+          " ELSE 0 END"))
+      .withColumn("route",
+        when(col("lang_pred") =!= "und" &&
+          col("margin_bp") >= marginBpThreshold, lit("confident"))
+          .otherwise(lit("uncertain")))
+  }
+
   /** BM25 lexical retrieval scoring (k1=1.2, b=0.75), in an integer-exact
     * form so Spark and the SQL oracle agree bit-for-bit (the txt_classify
     * posture: floor division at a fixed scale instead of `ln`, whose last

@@ -229,6 +229,39 @@ object ExtendedQueries {
             .as("flagged"))
     }),
 
+    // §2.8: trailing ROLLING OLS SLOPE — the trend detector beside
+    // q_anomaly's level detector and q_ewma's smoother: the least-squares
+    // slope of daily order volume over the trailing 8-day window. The
+    // corpus collapses to the calendar-bounded daily table FIRST
+    // (q_cusum posture); day index t = days-from-start keeps every
+    // window moment (n, Σt, Σy, Σt², Σty) a BIGINT window sum, the slope
+    // numerator/denominator stay BIGINT-exact, and the ONE double
+    // division happens last — bit-exact cross-engine. Denominator > 0
+    // whenever the window holds ≥ 2 distinct days (always, after the
+    // n_trail ≥ 3 gate: days are distinct by construction).
+    "q_rolling_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val w8 = Window.orderBy(col("day")).rowsBetween(-7, 0)
+      Tables.load(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .withColumn("t", datediff(col("day"), min(col("day")).over(wAll))
+          .cast("long"))
+        .withColumn("n", count(lit(1)).over(w8))
+        .withColumn("st", sum(col("t")).over(w8))
+        .withColumn("sy", sum(col("cnt")).over(w8))
+        .withColumn("stt", sum(col("t") * col("t")).over(w8))
+        .withColumn("sty", sum(col("t") * col("cnt")).over(w8))
+        .filter(col("n") >= 3)
+        .select(col("day"), col("cnt"), col("n").as("n_trail"),
+          (col("n") * col("sty") - col("st") * col("sy")).as("slope_num"),
+          (col("n") * col("stt") - col("st") * col("st")).as("slope_den"))
+        .withColumn("slope",
+          col("slope_num").cast("double") / col("slope_den").cast("double"))
+    }),
+
     // trailing dyadic EWMA smoothing per user stream: α = 1/2 over the
     // last ≤ 8 events, emitted as the exact integer fraction
     // num/den = (Σ cents_i · 2^(i-1)) / (2^m − 1) with the newest event
@@ -4145,6 +4178,33 @@ object ExtendedQueries {
                 CAST(n_trail AS BIGINT) AS n_trail,
                 day_cents * n_trail > trail7_cents * 2 AS flagged
          FROM t WHERE n_trail >= 3""",
+    // same BIGINT window moments, same single final division
+    "q_rolling_slope" ->
+      """WITH daily AS (
+           SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                  count(*)::BIGINT AS cnt
+           FROM orders GROUP BY 1),
+         idx AS (
+           SELECT day, cnt,
+                  CAST(date_diff('day', min(day) OVER (), day) AS BIGINT)
+                    AS t
+           FROM daily),
+         m AS (
+           SELECT day, cnt,
+                  CAST(count(*) OVER w AS BIGINT) AS n,
+                  CAST(sum(t) OVER w AS BIGINT) AS st,
+                  CAST(sum(cnt) OVER w AS BIGINT) AS sy,
+                  CAST(sum(t * t) OVER w AS BIGINT) AS stt,
+                  CAST(sum(t * cnt) OVER w AS BIGINT) AS sty
+           FROM idx
+           WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
+                        AND CURRENT ROW))
+         SELECT day, cnt, n AS n_trail,
+                CAST(n * sty - st * sy AS BIGINT) AS slope_num,
+                CAST(n * stt - st * st AS BIGINT) AS slope_den,
+                CAST(CAST(n * sty - st * sy AS BIGINT) AS DOUBLE) /
+                  CAST(CAST(n * stt - st * st AS BIGINT) AS DOUBLE) AS slope
+         FROM m WHERE n >= 3""",
     "q_series_delta" ->
       """WITH e AS (
            SELECT event_id, date_trunc('microseconds', ts) AS ts,

@@ -775,6 +775,22 @@ object PipelineQueries {
         d.filter(col("doc_id") % 10 === 0), model, labels)
     }),
 
+    // §2.8: CONFIDENCE-MARGIN routing — the decision layer on top of the
+    // trained classifier: a prediction whose runner-up scored nearly as
+    // high is not a prediction you filter a corpus with. Relative
+    // top1−top2 margin in basis points (integer-exact, scale-free
+    // threshold); uncertain docs route to the escalation bucket. Same
+    // broadcast-join map pass as txt_classify — no extra shuffle.
+    "txt_langid_margin" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val labels = Seq("de", "en", "es", "fr", "zh")
+      val model = TextOps.trainProfileModel(
+        d.filter(col("doc_id") % 10 =!= 0), labels)
+      TextOps.profileRoute(
+        d.filter(col("doc_id") % 10 === 0), model, labels,
+        marginBpThreshold = 2000L)
+    }),
+
     // §2.10: BM25 lexical retrieval — integer-exact scoring (log-free odds
     // idf, floor-scale-10⁹ per-term scores summed in integers; FULL oracle:
     // DuckDB rebuilds the identical integer pipeline). Token stream is
@@ -3201,6 +3217,76 @@ object PipelineQueries {
                 d.lang AS lang_true
          FROM documents d LEFT JOIN sc USING (doc_id)
          WHERE d.doc_id % 10 = 0""",
+    // txt_classify's model/scoring pipeline verbatim, plus the sorted
+    // top-2 margin tail and the basis-point routing decision
+    "txt_langid_margin" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(
+                    string_split_regex(lower(text), '[^a-zäöüßéèêàâçñáíóú'']+'),
+                    x -> len(x) > 0)) AS tok
+           FROM documents),
+         train AS (
+           SELECT t.doc_id, d.lang, t.tok
+           FROM toks t JOIN documents d USING (doc_id)
+           WHERE t.doc_id % 10 <> 0),
+         totals AS (SELECT lang, count(*) AS tot FROM train GROUP BY 1),
+         counts AS (
+           SELECT tok, lang, count(*) AS c FROM train
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         model AS (
+           SELECT c.tok, c.lang,
+                  CAST(floor(CAST(c.c AS DOUBLE) * 1e9 /
+                             CAST(t.tot AS DOUBLE)) AS BIGINT) AS w
+           FROM counts c JOIN totals t USING (lang)),
+         pm AS (
+           SELECT tok,
+                  coalesce(sum(CASE WHEN lang = 'de' THEN w END), 0) AS w_de,
+                  coalesce(sum(CASE WHEN lang = 'en' THEN w END), 0) AS w_en,
+                  coalesce(sum(CASE WHEN lang = 'es' THEN w END), 0) AS w_es,
+                  coalesce(sum(CASE WHEN lang = 'fr' THEN w END), 0) AS w_fr,
+                  coalesce(sum(CASE WHEN lang = 'zh' THEN w END), 0) AS w_zh
+           FROM model GROUP BY 1),
+         sc AS (
+           SELECT e.doc_id,
+                  sum(coalesce(pm.w_de, 0)) AS s_de,
+                  sum(coalesce(pm.w_en, 0)) AS s_en,
+                  sum(coalesce(pm.w_es, 0)) AS s_es,
+                  sum(coalesce(pm.w_fr, 0)) AS s_fr,
+                  sum(coalesce(pm.w_zh, 0)) AS s_zh
+           FROM (SELECT * FROM toks WHERE doc_id % 10 = 0) e
+           LEFT JOIN pm USING (tok)
+           GROUP BY 1),
+         m AS (
+           SELECT d.doc_id,
+                  CASE
+                    WHEN sc.doc_id IS NULL
+                      OR greatest(s_de, s_en, s_es, s_fr, s_zh) = 0
+                      THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh)
+                      THEN 'de'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh)
+                      THEN 'en'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh)
+                      THEN 'es'
+                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh)
+                      THEN 'fr'
+                    ELSE 'zh' END AS lang_pred,
+                  CAST(coalesce(list_sort([s_de, s_en, s_es, s_fr,
+                    s_zh])[-1], 0) AS BIGINT) AS s_best,
+                  CAST(coalesce(list_sort([s_de, s_en, s_es, s_fr,
+                    s_zh])[-2], 0) AS BIGINT) AS s_second
+           FROM documents d LEFT JOIN sc USING (doc_id)
+           WHERE d.doc_id % 10 = 0)
+         SELECT doc_id, lang_pred, s_best, s_second,
+                CASE WHEN s_best > 0
+                  THEN 10000 * (s_best - s_second) // s_best
+                  ELSE 0 END AS margin_bp,
+                CASE WHEN lang_pred <> 'und' AND (CASE WHEN s_best > 0
+                    THEN 10000 * (s_best - s_second) // s_best
+                    ELSE 0 END) >= 2000
+                  THEN 'confident' ELSE 'uncertain' END AS route
+         FROM m""",
     // the top-k-aggregate selection equals a rank window exactly because
     // (n_chars desc, doc_id asc) is a total order
     "pipeline_domain_cap" ->

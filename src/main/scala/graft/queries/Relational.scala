@@ -442,6 +442,28 @@ object Relational {
             " AS value_share")
     }),
 
+    // §2.15: COLLATE NOCASE translation — DuckDB attaches collations to
+    // expressions (grouping, equality, ordering under NOCASE); Spark has
+    // no collation clause at this surface, so the translation keys on
+    // lower(x) while the class REPRESENTATIVE stays the binary min (a
+    // deterministic member — an arbitrary-representative output would
+    // hash-differ run to run). Case noise is PLANTED from doc_id (the
+    // corpus ships lowercase); the oracle runs the genuine
+    // `GROUP BY x COLLATE NOCASE` + a NOCASE equality.
+    "q_collate" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          when($"doc_id" % 3 === 0, upper($"lang")).otherwise($"lang")
+            .as("lang2"))
+        .groupBy(lower($"lang2").as("key_ci"))
+        .agg(min($"lang2").as("class_rep"),
+          count(lit(1)).as("n_docs"),
+          sum(when($"lang2" === "en", 1L).otherwise(0L)).cast("long")
+            .as("n_exact_en"))
+        .withColumn("is_en_nocase", lower($"class_rep") === "en")
+    }),
+
     // §2.12: argmin/argmax + bitwise aggregates — min_by/max_by keyed by
     // the UNIQUE o_orderkey (ties impossible ⇒ deterministic), bit
     // AND/OR/XOR folds over the key set (associative+commutative integer
@@ -2182,6 +2204,21 @@ object Relational {
                   list(v ORDER BY l_orderkey, l_linenumber, v)),
                   (a, x) -> a * x) AS value_share
          FROM t GROUP BY 1, 2""",
+    // the genuine collation clause: NOCASE grouping + NOCASE equality;
+    // the representative is the binary min over the class
+    "q_collate" ->
+      """WITH src AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN upper(lang) ELSE lang END
+                    AS lang2
+           FROM documents)
+         SELECT lower(min(lang2)) AS key_ci,
+                min(lang2) AS class_rep,
+                count(*)::BIGINT AS n_docs,
+                CAST(sum(CASE WHEN lang2 = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_exact_en,
+                (min(lang2) COLLATE NOCASE = 'en') AS is_en_nocase
+         FROM src GROUP BY lang2 COLLATE NOCASE""",
     "q_argminmax" ->
       """SELECT o_custkey,
                 arg_min(o_orderdate, o_orderkey) AS first_date,
