@@ -51,6 +51,35 @@ object Packing {
           .cast("long").as("bin"))
   }
 
+  /** MATERIALIZE the packed sequences [[packByTokens]] assigns — the
+    * concat step between bin assignment and tokenization: documents of a
+    * (shard, bin) join into one training sequence in the SAME
+    * content-hash order the cumulative binning used, separated by the
+    * EOS sentinel. One shard-keyed window + one (shard, bin) aggregate;
+    * per-group state is capacity-bounded (a bin holds ~capacity tokens
+    * by construction), so the collect is safe at any corpus size —
+    * the bin cap, not the data, bounds the group. */
+  def packConcat(docs: DataFrame, capacity: Long, shards: Int = 64,
+      sep: String = "<|eos|>"): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("text"),
+        TextOps.wsTokenCount(col("text")).as("n_tokens"),
+        unhex(md5(col("text"))).as("h"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("h"),
+        col("shard").cast("long").as("shard"),
+        floor((col("cum") - col("n_tokens")) / lit(capacity.toDouble))
+          .cast("long").as("bin"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("h"), col("doc_id"),
+            col("text")))), s => s.getField("text")), sep).as("packed_text"))
+  }
+
   /** Trim each stratum to a token budget: documents are taken in
     * content-hash order until the stratum's cumulative token count reaches
     * the budget (the crossing document is kept — the same pre-document

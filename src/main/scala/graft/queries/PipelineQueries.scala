@@ -1718,6 +1718,62 @@ object PipelineQueries {
     "pipeline_pack" -> ((s, dir) =>
       graft.operators.Packing.packByTokens(docs(s, dir), capacity = 512L, shards = 16)),
 
+    // §2.6: PACK MATERIALIZATION — the concat step pipeline_pack's bin
+    // assignment feeds: each (shard, bin) joins into ONE training
+    // sequence in the same content-hash order the binning used, EOS
+    // sentinel between documents. Group state is capacity-bounded by
+    // construction (a bin holds ~512 tokens), so the collect is safe at
+    // any corpus size.
+    "pipeline_pack_concat" -> ((s, dir) =>
+      graft.operators.Packing.packConcat(docs(s, dir), capacity = 512L,
+        shards = 16)),
+
+    // §2.6: URL-level dedup — canonicalize, then collapse: scheme/host
+    // lowercased, default :443 dropped, trailing slash trimmed, utm_*
+    // tracking params removed (non-tracking params kept in order),
+    // fragment dropped; survivors keep min doc_id per canonical URL.
+    // This runs BEFORE content fetch in a web pipeline — the cheapest
+    // dedup there is. URLs are planted from doc_id with every variant
+    // class live (case, port, slash, utm, fragment), collapsing groups
+    // of 4 ids to one canonical target. Map-only canonicalization + one
+    // exact aggregate.
+    "dd_url_dedup" -> ((s, dir) => {
+      val id4 = expr("doc_id div 4")
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, lit("WWW.Example.COM"))
+          .otherwise(lit("www.example.com")),
+        when(col("doc_id") % 3 === 1, lit(":443")).otherwise(lit("")),
+        lit("/doc/"), id4.cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?"),
+        when(col("doc_id") % 2 === 1, lit("utm_source=feed&"))
+          .otherwise(lit("")),
+        lit("id="), (id4 % 7).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("#top")).otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"), raw.as("url"))
+        .select(col("doc_id"),
+          lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+            .as("scheme"),
+          lower(regexp_replace(
+            regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1),
+            ":443$", "")).as("host"),
+          regexp_replace(
+            regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+            "(.)/$", "$1").as("path"),
+          array_join(filter(split(
+            regexp_extract(col("url"), "\\?([^#]*)", 1), "&"),
+            p => !p.startsWith("utm_")), "&").as("q"))
+        .select(col("doc_id"),
+          concat(col("scheme"), lit("://"), col("host"), col("path"),
+            when(col("q") =!= "", concat(lit("?"), col("q")))
+              .otherwise(lit(""))).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min(col("doc_id")).as("keep_doc_id"))
+    }),
+
     // Deterministic GLOBAL SHUFFLE for training epochs — the op between
     // curation and tokenization: an epoch-seeded affine scatter key gives
     // every doc a pseudo-random but REPRODUCIBLE position, shard = key
@@ -3705,6 +3761,68 @@ object PipelineQueries {
          SELECT doc_id, cast(shard AS bigint) AS shard, n_tokens,
                 cast(floor((cum - n_tokens) / 512.0) AS bigint) AS bin
          FROM c""",
+    // pipeline_pack's binning + string_agg in the same (h, doc_id) order
+    "pipeline_pack_concat" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+                  cast(len(regexp_extract_all(text, '\S+')) AS bigint)
+                    AS n_tokens,
+                  md5(text) AS h,
+                  doc_id % 16 AS shard
+           FROM documents),
+         c AS (
+           SELECT doc_id, text, shard, n_tokens, h,
+                  sum(n_tokens) OVER (PARTITION BY shard
+                    ORDER BY h, doc_id) AS cum
+           FROM base)
+         SELECT cast(shard AS BIGINT) AS shard,
+                cast(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+                count(*)::BIGINT AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                string_agg(text, '<|eos|>' ORDER BY h, doc_id)
+                  AS packed_text
+         FROM c GROUP BY 1, 2""",
+    // same planted URL variants, same canonicalization steps
+    "dd_url_dedup" ->
+      """WITH src AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END
+                  || '://'
+                  || CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+                          ELSE 'www.example.com' END
+                  || CASE WHEN doc_id % 3 = 1 THEN ':443' ELSE '' END
+                  || '/doc/' || (doc_id // 4)
+                  || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+                  || '?'
+                  || CASE WHEN doc_id % 2 = 1 THEN 'utm_source=feed&'
+                          ELSE '' END
+                  || 'id=' || ((doc_id // 4) % 7)
+                  || CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END
+                    AS url
+           FROM documents),
+         parts AS (
+           SELECT doc_id,
+                  lower(regexp_extract(url, '^([A-Za-z]+)://', 1))
+                    AS scheme,
+                  lower(regexp_replace(
+                    regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1),
+                    ':443$', '')) AS host,
+                  regexp_replace(
+                    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                    '(.)/$', '\1') AS path,
+                  array_to_string(list_filter(string_split(
+                    regexp_extract(url, '\?([^#]*)', 1), '&'),
+                    p -> NOT starts_with(p, 'utm_')), '&') AS q
+           FROM src),
+         canon AS (
+           SELECT doc_id,
+                  scheme || '://' || host || path ||
+                  CASE WHEN q <> '' THEN '?' || q ELSE '' END
+                    AS canonical_url
+           FROM parts)
+         SELECT canonical_url, count(*)::BIGINT AS n_docs,
+                CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+         FROM canon GROUP BY 1""",
     // same affine scatter key, pure int64 — positive operands so % == pmod
     "pipeline_shard_shuffle" ->
       """WITH k AS (
