@@ -788,6 +788,46 @@ object ExtendedQueries {
         graft.operators.Profiler.entropy(Tables.load(s, dir, t), Seq(c))
       }.reduce(_ unionAll _)),
 
+    // §2.11: JOIN-KEY SKEW profile — the diagnosis run BEFORE choosing a
+    // join strategy at scale (salt? broadcast? AQE skew split?): per-key
+    // cardinality distribution of orders per customer, reduced to the
+    // planning numbers — max, mean, lower-median, p99 (exact, via the
+    // bounded count-of-counts decomposition: the distribution table is
+    // ≤|distinct sizes| rows, never the corpus) and max/mean as an
+    // integer ratio. One exchange (the key count), everything after
+    // rides the tiny distribution table; BIGINT-exact end to end.
+    "q_key_skew" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.orderBy(col("cnt"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .groupBy(col("cnt"))
+        .agg(count(lit(1)).cast("long").as("k"))
+        .withColumn("cum", sum(col("k"))
+          .over(Window.orderBy(col("cnt"))
+            .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .withColumn("n_keys", max(col("cum")).over(wAll))
+        .withColumn("total",
+          sum(col("cnt") * col("k")).over(wAll).cast("long"))
+        .withColumn("p50",
+          min(when(col("cum") * 2 >= col("n_keys") + 1, col("cnt")))
+            .over(wAll))
+        .withColumn("p99",
+          min(when(col("cum") * 100 >= col("n_keys") * 99, col("cnt")))
+            .over(wAll))
+        .agg(max(col("n_keys")).as("n_keys"),
+          max(col("cnt")).as("max_cnt"),
+          max(col("total")).as("n_rows"),
+          max(col("p50")).as("p50_cnt"),
+          max(col("p99")).as("p99_cnt"))
+        .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+          expr("100 * n_rows div n_keys").as("mean_x100"),
+          col("p50_cnt"), col("p99_cnt"),
+          expr("100 * (max_cnt * n_keys) div n_rows").as("skew_x100"))
+    }),
+
     "q_profile_stats" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .agg(
@@ -4530,6 +4570,34 @@ object ExtendedQueries {
       "event_type" -> "str", "value" -> "num", "props" -> "str")),
     // generated from the same (table, column) list as the Spark side
     "q_entropy" -> graft.operators.Profiler.entropyOracleSql(entropySpecs),
+    // same count-of-counts decomposition, same lower-median / ceil-p99
+    // crossing rules, same integer ratios
+    "q_key_skew" ->
+      """WITH kc AS (
+           SELECT o_custkey, count(*)::BIGINT AS cnt
+           FROM orders GROUP BY 1),
+         dist AS (SELECT cnt, count(*)::BIGINT AS k FROM kc GROUP BY 1),
+         c AS (
+           SELECT cnt, k,
+                  CAST(sum(k) OVER (ORDER BY cnt ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM dist),
+         tot AS (
+           SELECT CAST(max(cum) AS BIGINT) AS n_keys,
+                  CAST(sum(cnt * k) AS BIGINT) AS n_rows,
+                  CAST(max(cnt) AS BIGINT) AS max_cnt
+           FROM c),
+         q AS (
+           SELECT CAST(min(CASE WHEN cum * 2 >= n_keys + 1 THEN cnt END)
+                    AS BIGINT) AS p50_cnt,
+                  CAST(min(CASE WHEN cum * 100 >= n_keys * 99 THEN cnt END)
+                    AS BIGINT) AS p99_cnt
+           FROM c CROSS JOIN tot)
+         SELECT n_keys, n_rows, max_cnt,
+                100 * n_rows // n_keys AS mean_x100,
+                p50_cnt, p99_cnt,
+                100 * (max_cnt * n_keys) // n_rows AS skew_x100
+         FROM tot CROSS JOIN q""",
     "q_profile_stats" ->
       """SELECT count(*) AS n_rows,
                 min(l_extendedprice) AS price_min,

@@ -1169,6 +1169,28 @@ object PipelineQueries {
         .withColumn("ttr_bp",
           expr("10000 * n_types div greatest(n_tokens, 1)"))),
 
+    // §2.5: SENTENCE SEGMENTATION — the retrieval-prep unit below
+    // txt_chunk's fixed windows: split on terminator boundaries, emit
+    // (doc, sentence-index, sentence, word count) rows. The corpus ships
+    // unpunctuated text, so terminators are PLANTED by a global regex
+    // (a period after every 6th token — identical RE2-compatible pattern
+    // + backreference on both engines); extraction is one
+    // regexp_extract_all + posexplode, map-only.
+    "txt_sentences" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(col("text"),
+            "(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ", "$1. ").as("body"))
+        .select(col("doc_id"),
+          posexplode(expr(
+            "filter(transform(regexp_extract_all(body," +
+              " '[^.!?]+[.!?]*', 0), s -> trim(s)), s -> s != '')"))
+            .as(Seq("sent_idx", "sentence")))
+        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+          col("sentence"),
+          graft.operators.TextOps.wsTokenCount(col("sentence"))
+            .as("n_words"))),
+
     // §2.6: DOMAIN-BLOCKLIST filter with subdomain matching — the
     // URL-level gate before any content filter. Hosts derive from source
     // (every 5th doc under a cdn. subdomain so the suffix path is live);
@@ -3732,6 +3754,29 @@ object PipelineQueries {
                 10000 * CAST(len(list_distinct(toks)) AS BIGINT)
                   // greatest(CAST(len(toks) AS BIGINT), 1) AS ttr_bp
          FROM t""",
+    // same planted terminators (g-flag global replace, \1 backref), same
+    // extract/trim/filter chain; positions via the line-dedup range idiom
+    "txt_sentences" ->
+      """WITH src AS (
+           SELECT doc_id,
+                  regexp_replace(text,
+                    '(\S+ \S+ \S+ \S+ \S+ \S+) ', '\1. ', 'g') AS body
+           FROM documents),
+         sents AS (
+           SELECT doc_id,
+                  list_filter(list_transform(
+                    regexp_extract_all(body, '[^.!?]+[.!?]*'),
+                    s -> trim(s)), s -> s <> '') AS ss
+           FROM src),
+         u AS (
+           SELECT doc_id,
+                  unnest(range(1, len(ss) + 1)) - 1 AS sent_idx,
+                  unnest(ss) AS sentence
+           FROM sents)
+         SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
+                CAST(len(regexp_extract_all(sentence, '\S+')) AS BIGINT)
+                  AS n_words
+         FROM u""",
     // suffix semantics spelled directly: equal or strictly-under a
     // blocklisted domain
     "pipeline_domain_blocklist" ->

@@ -237,6 +237,30 @@ object XlsxQueries {
         .option("inferSchema", "true").load(out)
     }),
 
+    // CSV DIALECT gauntlet — the roundtrip face above ships clean
+    // values; real CSV migration pain is embedded delimiters, quotes,
+    // and NEWLINES inside fields. Every doc gets a planted prefix/suffix
+    // carrying all three (quote-escaped-by-doubling, RFC 4180), written
+    // and re-read with explicit quote/escape options + multiLine (the
+    // record-spanning read Spark needs opting into). The oracle
+    // recomputes the planted truth from parquet — a dialect bug on
+    // either leg breaks the compare.
+    "csv_dialect_roundtrip" -> ((s, dir) => {
+      val out = ensure(s, dir).resolve("docs_dialect_csv").toString
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("He said \"hi, there\";\n"), col("text"),
+            lit(",tail\"")).as("body"),
+          col("lang"))
+        .write.format("csv")
+        .option("header", "true").option("quote", "\"")
+        .option("escape", "\"").mode("overwrite").save(out)
+      s.read.format("csv")
+        .option("header", "true").option("quote", "\"")
+        .option("escape", "\"").option("multiLine", "true")
+        .option("inferSchema", "true").load(out)
+    }),
+
     "json_write_roundtrip" -> ((s, dir) => {
       val out = ensure(s, dir).resolve("customer_written_json").toString
       Tables.load(s, dir, "customer")
@@ -432,6 +456,14 @@ object XlsxQueries {
     "csv_write_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM customer""",
+    // the planted truth recomputed from parquet: quote, comma, semicolon
+    // and a literal newline inside the field
+    "csv_dialect_roundtrip" ->
+      """SELECT doc_id,
+                'He said "hi, there";' || chr(10) || text || ',tail"'
+                  AS body,
+                lang
+         FROM documents""",
     "json_write_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM customer""",
