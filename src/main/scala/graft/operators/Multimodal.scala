@@ -142,7 +142,8 @@ object Multimodal {
   /** Deterministic REAL-PNG blob table derived from `documents` (dims from
     * n_chars as in [[blobs]], solid fill colored by doc_id): the vision
     * stand-in when a face needs payloads an actual codec can decode. */
-  def syntheticPngBlobs(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def syntheticPngBlobs(spark: SparkSession, docs: DataFrame,
+      stripe: Boolean = false): DataFrame = {
     import spark.implicits._
     val meta = docs.select(col("doc_id"),
       (col("n_chars") % 64 + 1).cast("int").as("width"),
@@ -159,9 +160,57 @@ object Multimodal {
           while (x < w) { img.setRGB(x, y, rgb); x += 1 }
           y += 1
         }
+        // stripe mode paints row 0 white on every 3rd image so
+        // channel sums differ from the fill color — the pixel-stats
+        // oracle derives both terms analytically from doc_id (id % 3:
+        // the callers sample ids divisible by 20, so an % 4 gate would
+        // fire on EVERY sampled image and the no-stripe branch would
+        // never run)
+        if (stripe && id % 3 == 0) {
+          var x = 0
+          while (x < w) { img.setRGB(x, 0, 0xffffff); x += 1 }
+        }
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         Blob(id, bos.toByteArray, "image/png", w, h)
+      }
+    }.toDF()
+  }
+
+  /** One decoded image's exact channel sums. */
+  final case class PixelStats(doc_id: Long, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Per-channel PIXEL SUMS through the REAL decode path — the feature
+    * the brightness/contrast QA filters of an image corpus reduce to.
+    * Sums, not means: they stay BIGINT-exact (a mean would divide), and
+    * the caller derives any moment from them. A payload that fails to
+    * decode contributes the all-zero row (the resizeBlobs passthrough
+    * convention). Pixels never shuffle — one map partition pass. */
+  def pixelStats(spark: SparkSession, blobDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[Blob] = blobDf.as[Blob]
+    ds.mapPartitions { it =>
+      it.map { b =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.payload))
+          catch { case _: Exception => null }
+        if (img == null) PixelStats(b.doc_id, 0L, 0L, 0L, 0L)
+        else {
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          PixelStats(b.doc_id, img.getWidth.toLong * img.getHeight,
+            sr, sg, sb)
+        }
       }
     }.toDF()
   }

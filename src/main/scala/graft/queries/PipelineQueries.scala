@@ -941,6 +941,22 @@ object PipelineQueries {
           col("out_w"), col("out_h"))
     }),
 
+    // §2.9: per-channel PIXEL SUMS through the real PNG decode — the
+    // reduction image-corpus brightness/contrast QA filters run. Blobs
+    // are the deterministic solid-fill PNGs (1-in-20 sample, codec work
+    // is per-row CPU) with a WHITE stripe on every 3rd image so the sums
+    // differ from the fill color; the oracle derives fill channels and
+    // the stripe term analytically from doc_id — Spark must recover them
+    // by ACTUALLY decoding. Sums, not means: BIGINT-exact.
+    "mm_pixel_stats" -> ((s, dir) => {
+      val sampled = docs(s, dir).filter(col("doc_id") % 20 === 0)
+      graft.operators.Multimodal.pixelStats(s,
+        graft.operators.Multimodal.syntheticPngBlobs(s, sampled,
+          stripe = true))
+        .select(col("doc_id"), col("n_pixels"), col("sum_r"),
+          col("sum_g"), col("sum_b"))
+    }),
+
     // §2.9: audio modality — REAL WAV demux (javax.sound.sampled) over
     // deterministic generated PCM payloads on a 1-in-20 doc sample; the
     // oracle mirrors the INTEGER geometry (rate/channels/frames/duration)
@@ -2073,6 +2089,15 @@ object PipelineQueries {
     // partitioned by window start so parallelism grows with windows.
     "st_window_topk" -> ((s, dir) =>
       EventStreams.windowTopK(Tables.load(s, dir, "events"), k = 3)),
+
+    // §2.7: streaming EXACT DAU — per-day distinct users as TWO bounded
+    // stateful ops (dedup on (user, day) within the watermark, then a
+    // plain windowed count): the count-distinct a windowed aggregate
+    // can't hold as mergeable state. Batch-equivalent face;
+    // StreamingSpec pins the chained-stateful streamed twin ≡ batch
+    // including the cross-batch same-day dedup.
+    "st_dau" -> ((s, dir) =>
+      EventStreams.dauByDay(Tables.load(s, dir, "events"))),
 
     // §2.7: streaming DRIFT MONITOR — per-day PSI of the event-type mix
     // against a static baseline (here the corpus-wide mix; in production
@@ -3975,6 +4000,24 @@ object PipelineQueries {
                 CASE WHEN greatest(w, h) <= 16 THEN h
                      ELSE greatest(1, h * 16 // greatest(w, h)) END::INT AS out_h
          FROM m""",
+    // fill channels + stripe term derived analytically from doc_id; the
+    // Spark side must recover them through the REAL PNG decode
+    "mm_pixel_stats" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  (n_chars % 64 + 1) AS w, (n_chars % 48 + 1) AS h,
+                  (doc_id * 2654435761) % 16777216 AS rgb
+           FROM documents WHERE doc_id % 20 = 0),
+         c AS (
+           SELECT doc_id, CAST(w * h AS BIGINT) AS n,
+                  rgb // 65536 AS r, (rgb // 256) % 256 AS g, rgb % 256 AS b,
+                  CASE WHEN doc_id % 3 = 0 THEN w ELSE 0 END AS nw
+           FROM m)
+         SELECT doc_id, n AS n_pixels,
+                CAST(r * (n - nw) + 255 * nw AS BIGINT) AS sum_r,
+                CAST(g * (n - nw) + 255 * nw AS BIGINT) AS sum_g,
+                CAST(b * (n - nw) + 255 * nw AS BIGINT) AS sum_b
+         FROM c""",
     "mm_meta_stats" ->
       """SELECT doc_id,
                 cast(octet_length(encode(text)) AS bigint) AS n_bytes,
@@ -4482,6 +4525,10 @@ object PipelineQueries {
                   ORDER BY n DESC, event_type) AS BIGINT) AS rank
          FROM c QUALIFY rank <= 3""",
     // plain-aggregate PSI per day; 6 dp absorbs the ln/sum-order ulps
+    "st_dau" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                count(DISTINCT user_id)::BIGINT AS dau
+         FROM events GROUP BY 1""",
     "st_psi" ->
       """WITH c AS (
            SELECT date_trunc('day', ts) AS day, event_type,

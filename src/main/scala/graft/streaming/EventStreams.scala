@@ -74,6 +74,33 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("day"), col("event_type"), col("n"))
 
+  /** Exact per-day DISTINCT users (DAU) in the streaming-safe spelling:
+    * dedup on (user, day) FIRST, then a plain windowed count — the
+    * count-distinct a windowed aggregate can't hold as mergeable state
+    * becomes two bounded stateful ops. This batch form is the oracle
+    * face; [[dauStream]] is the unbounded twin. */
+  def dauByDay(events: DataFrame): DataFrame =
+    events.select(col("ts"), col("user_id"))
+      .withColumn("day", to_date(col("ts")))
+      .dropDuplicates("user_id", "day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("window.start").cast("date").as("day"), col("dau"))
+
+  /** The unbounded twin of [[dauByDay]]: dropDuplicatesWithinWatermark
+    * evicts (user, day) keys once the watermark passes, the chained
+    * windowed count emits each closed day once (append mode — Spark's
+    * multi-stateful-operator pipeline). State = live (user, day) pairs +
+    * open windows, both watermark-bounded. */
+  def dauStream(src: DataFrame, delay: String = "1 hour"): DataFrame =
+    src.select(col("ts"), col("user_id"))
+      .withColumn("day", to_date(col("ts")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("window.start").cast("date").as("day"), col("dau"))
+
   /** Per-day distribution DRIFT vs a static baseline — the streaming
     * monitoring twin of the batch q_psi face: PSI of each day's
     * event_type mix against baseline counts. Takes the COUNT layer

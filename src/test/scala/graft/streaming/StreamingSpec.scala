@@ -692,4 +692,45 @@ class StreamingSpec extends SparkSpec {
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
     }
   }
+
+  test("streaming DAU (chained dedup + windowed count) equals batch, " +
+      "deduping the same (user, day) across micro-batches") {
+    def dayTs(day: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-02-0$day%d ${minute / 60}%02d:${minute % 60}%02d:00")
+    val evs = Seq(
+      EventStreams.Event(1L, dayTs(1, 10), 1L, "click", 0.0),
+      EventStreams.Event(2L, dayTs(1, 20), 1L, "view", 0.0),  // dup (1, d1)
+      EventStreams.Event(3L, dayTs(1, 30), 2L, "click", 0.0),
+      // batch boundary: user 1 reappears on DAY 1 in batch 2 — the
+      // cross-batch dedup case a per-batch count would double-count
+      EventStreams.Event(4L, dayTs(1, 40), 1L, "click", 0.0),
+      EventStreams.Event(5L, dayTs(2, 10), 1L, "click", 0.0),
+      EventStreams.Event(6L, dayTs(2, 20), 3L, "click", 0.0))
+    // sentinel far in the future: advances the watermark so every real
+    // day's window CLOSES and append mode emits it
+    val sentinel = EventStreams.Event(99L, dayTs(9, 0), 9L, "click", 0.0)
+    val batch = EventStreams.dauByDay(evs.toDF())
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.dauStream(mem.toDF(), delay = "1 hour")
+      .writeStream.format("memory").queryName("dau_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(3): _*)
+      q.processAllAvailable()
+      mem.addData(sentinel)
+      q.processAllAvailable()
+      val streamed = spark.table("dau_out")
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      // the sentinel's own window is still open — compare the closed days
+      assert(streamed == batch.filter(_._1 < "2024-02-09"),
+        s"streamed $streamed != batch $batch")
+      assert(streamed("2024-02-01") == 2L) // users 1, 2 — not 3
+      assert(streamed("2024-02-02") == 2L)
+    } finally q.stop()
+  }
 }
