@@ -788,6 +788,33 @@ object ExtendedQueries {
         graft.operators.Profiler.entropy(Tables.load(s, dir, t), Seq(c))
       }.reduce(_ unionAll _)),
 
+    // §2.11: AUDIENCE OVERLAP — exact segment-intersection matrix: for
+    // every event-type pair, |A∩B| / |A| / |B| and Jaccard in basis
+    // points. One scan to the distinct (user, type) table, per-user type
+    // SETS collected (≤|dictionary| each), pair fan-out bounded by
+    // |types|² — the corpus never self-joins. BIGINT-exact.
+    "q_audience_overlap" -> ((s, dir) => {
+      val ut = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val sizes = ut.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("sz"))
+      val pairs = ut.groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+        .select(explode(expr(
+          """flatten(transform(ts, (a, i) ->
+               transform(slice(ts, i + 2, size(ts)), b ->
+                 named_struct('ta', a, 'tb', b))))""")).as("p"))
+        .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+        .agg(count(lit(1)).cast("long").as("n_both"))
+      pairs
+        .join(sizes.select(col("event_type").as("ta"), col("sz").as("n_a")),
+          "ta")
+        .join(sizes.select(col("event_type").as("tb"), col("sz").as("n_b")),
+          "tb")
+        .select(col("ta"), col("tb"), col("n_both"), col("n_a"), col("n_b"),
+          expr("10000 * n_both div (n_a + n_b - n_both)").as("jaccard_bp"))
+    }),
+
     // §2.11: JOIN-KEY SKEW profile — the diagnosis run BEFORE choosing a
     // join strategy at scale (salt? broadcast? AQE skew split?): per-key
     // cardinality distribution of orders per customer, reduced to the
@@ -4570,6 +4597,23 @@ object ExtendedQueries {
       "event_type" -> "str", "value" -> "num", "props" -> "str")),
     // generated from the same (table, column) list as the Spark side
     "q_entropy" -> graft.operators.Profiler.entropyOracleSql(entropySpecs),
+    // pair counts from a distinct-pair self-join of the tiny (user, type)
+    // table in SQL; Spark's per-user set fan-out produces identical pairs
+    "q_audience_overlap" ->
+      """WITH ut AS (
+           SELECT DISTINCT user_id, event_type FROM events),
+         sz AS (
+           SELECT event_type, count(*)::BIGINT AS n FROM ut GROUP BY 1),
+         pairs AS (
+           SELECT a.event_type AS ta, b.event_type AS tb,
+                  count(*)::BIGINT AS n_both
+           FROM ut a JOIN ut b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT p.ta, p.tb, p.n_both, sa.n AS n_a, sb.n AS n_b,
+                10000 * p.n_both // (sa.n + sb.n - p.n_both) AS jaccard_bp
+         FROM pairs p JOIN sz sa ON p.ta = sa.event_type
+                      JOIN sz sb ON p.tb = sb.event_type""",
     // same count-of-counts decomposition, same lower-median / ceil-p99
     // crossing rules, same integer ratios
     "q_key_skew" ->

@@ -442,6 +442,20 @@ object Relational {
             " AS value_share")
     }),
 
+    // §2.15: FROM-first syntax — the DuckDB dialect a migrating user's
+    // ad-hoc queries actually arrive in (`FROM t SELECT ... GROUP BY
+    // ALL`); Spark has no FROM-first parse, so the translation is the
+    // standard SELECT with the same GROUP BY ALL inference. The oracle
+    // runs the genuine FROM-first spelling.
+    "q_from_first" -> ((s, dir) => {
+      import s.implicits._
+      val d284 = DecimalType(28, 4)
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag".as("flag"), $"l_linestatus".as("st"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum($"l_quantity".cast(d284)).cast("double").as("qty"))
+    }),
+
     // §2.15: COLLATE NOCASE translation — DuckDB attaches collations to
     // expressions (grouping, equality, ordering under NOCASE); Spark has
     // no collation clause at this surface, so the translation keys on
@@ -2204,6 +2218,14 @@ object Relational {
                   list(v ORDER BY l_orderkey, l_linenumber, v)),
                   (a, x) -> a * x) AS value_share
          FROM t GROUP BY 1, 2""",
+    // the genuine FROM-first spelling with GROUP BY ALL inference
+    "q_from_first" ->
+      """FROM lineitem
+         SELECT l_returnflag AS flag, l_linestatus AS st,
+                count(*)::BIGINT AS n,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS STRING)
+                  AS DOUBLE) AS qty
+         GROUP BY ALL""",
     // the genuine collation clause: NOCASE grouping + NOCASE equality;
     // the representative is the binary min over the class
     "q_collate" ->
