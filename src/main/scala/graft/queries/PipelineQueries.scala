@@ -1185,6 +1185,37 @@ object PipelineQueries {
         .withColumn("ttr_bp",
           expr("10000 * n_types div greatest(n_tokens, 1)"))),
 
+    // §2.6: CHAT-TEMPLATE rendering — the last hop before tokenizing
+    // instruction data: a structured conversation (JSON turns) renders to
+    // the model's template string. Conversations are PLANTED as JSON from
+    // the doc's own words (corpus text is quote-free lowercase, so the
+    // literal embedding is safe), then genuinely PARSED back (from_json
+    // with the turns schema) and folded into the template — both the
+    // parse and the render are live. Map-only.
+    "pipeline_chat_template" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " +").as("t"))
+        .select(col("doc_id"),
+          concat(lit("""[{"role":"user","content":""""),
+            array_join(slice(col("t"), 1, 6), " "),
+            lit(""""},{"role":"assistant","content":""""),
+            array_join(slice(col("t"), 7, 6), " "),
+            lit(""""}]""")).as("conv_json"))
+        .select(col("doc_id"),
+          from_json(col("conv_json"),
+            org.apache.spark.sql.types.DataTypes.createArrayType(
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("role",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("content",
+                  org.apache.spark.sql.types.StringType))))).as("conv"))
+        .selectExpr("doc_id",
+          "cast(size(conv) as bigint) AS n_turns",
+          "aggregate(conv, '', (acc, t) -> acc || '<|' || t.role ||" +
+            " '|>' || chr(10) || t.content || chr(10)) AS rendered")
+        .withColumn("n_tokens",
+          graft.operators.TextOps.wsTokenCount(col("rendered")))),
+
     // §2.5: SENTENCE SEGMENTATION — the retrieval-prep unit below
     // txt_chunk's fixed windows: split on terminator boundaries, emit
     // (doc, sentence-index, sentence, word count) rows. The corpus ships
@@ -3779,6 +3810,35 @@ object PipelineQueries {
                 10000 * CAST(len(list_distinct(toks)) AS BIGINT)
                   // greatest(CAST(len(toks) AS BIGINT), 1) AS ttr_bp
          FROM t""",
+    // same planted JSON conversation, genuinely parsed back through the
+    // json module and rendered with the same template pieces
+    "pipeline_chat_template" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, ' +') AS w
+           FROM documents),
+         j AS (
+           SELECT doc_id,
+                  '[{"role":"user","content":"'
+                  || array_to_string(w[1:6], ' ')
+                  || '"},{"role":"assistant","content":"'
+                  || array_to_string(w[7:12], ' ')
+                  || '"}]' AS conv
+           FROM t),
+         r AS (
+           SELECT doc_id,
+                  CAST(json_array_length(conv) AS BIGINT) AS n_turns,
+                  '<|' || json_extract_string(conv, '$[0].role') || '|>'
+                  || chr(10)
+                  || json_extract_string(conv, '$[0].content') || chr(10)
+                  || '<|' || json_extract_string(conv, '$[1].role') || '|>'
+                  || chr(10)
+                  || json_extract_string(conv, '$[1].content') || chr(10)
+                    AS rendered
+           FROM j)
+         SELECT doc_id, n_turns, rendered,
+                CAST(len(regexp_extract_all(rendered, '\S+')) AS BIGINT)
+                  AS n_tokens
+         FROM r""",
     // same planted terminators (g-flag global replace, \1 backref), same
     // extract/trim/filter chain; positions via the line-dedup range idiom
     "txt_sentences" ->

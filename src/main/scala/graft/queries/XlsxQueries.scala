@@ -272,6 +272,34 @@ object XlsxQueries {
           col("c_acctbal"), col("c_mktsegment"))
     }),
 
+    // CORRUPT-RECORD routing — the robustness contract of a JSONL ingest
+    // at scale: malformed lines (every 7th, planted truncated) must land
+    // in the corrupt column under PERMISSIVE mode instead of failing the
+    // scan or silently vanishing; clean lines parse normally. The face
+    // summarizes the routing; the oracle derives both populations
+    // analytically from the plant.
+    "jsonl_corrupt_routing" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = ensure(s, dir).resolve("docs_jsonl_corrupt").toString
+      Tables.load(s, dir, "documents")
+        .select(when(col("doc_id") % 7 === 0,
+          concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+            lit(",\"lang\":\"tru")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"))))
+          .as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema).option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record").json(out)
+        .select(when(col("_corrupt_record").isNotNull, lit("corrupt"))
+          .otherwise(lit("ok")).as("route"), col("lang"))
+        .groupBy(col("route"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n"))
+    }),
+
     "orc_write_roundtrip" -> ((s, dir) => {
       val out = ensure(s, dir).resolve("customer_written_orc").toString
       Tables.load(s, dir, "customer")
@@ -456,6 +484,13 @@ object XlsxQueries {
     "csv_write_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM customer""",
+    // both populations derived analytically from the plant
+    "jsonl_corrupt_routing" ->
+      """SELECT CASE WHEN doc_id % 7 = 0 THEN 'corrupt' ELSE 'ok' END
+                  AS route,
+                CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+                count(*)::BIGINT AS n
+         FROM documents GROUP BY 1, 2""",
     // the planted truth recomputed from parquet: quote, comma, semicolon
     // and a literal newline inside the field
     "csv_dialect_roundtrip" ->
