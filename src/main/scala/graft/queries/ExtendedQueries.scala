@@ -788,6 +788,32 @@ object ExtendedQueries {
         graft.operators.Profiler.entropy(Tables.load(s, dir, t), Seq(c))
       }.reduce(_ unionAll _)),
 
+    // §2.11: UNIQUENESS CHECK — the aggregate-level data-quality
+    // assertion the row-rule expectations (q_expectations) can't express:
+    // is this column (set) a key? Reported per candidate — doc_id IS
+    // unique; (l_orderkey, l_linenumber) is NOT in this testdata (11.8k
+    // dup pairs at sf0.01 — the q_product_agg discovery, now pinned as a
+    // first-class DQ report). One count aggregate per candidate, the
+    // rollup rides the bounded multiplicity table.
+    "q_unique_check" -> ((s, dir) => {
+      def report(df: org.apache.spark.sql.DataFrame, name: String,
+          keys: Seq[String]) =
+        df.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).cast("long").as("m"))
+          .agg(lit(name).as("candidate"),
+            sum(col("m")).cast("long").as("n_rows"),
+            count(lit(1)).cast("long").as("n_keys"),
+            sum(when(col("m") > 1L, 1L).otherwise(0L)).cast("long")
+              .as("n_dup_keys"),
+            max(col("m")).as("max_multiplicity"))
+          .withColumn("is_unique", col("n_dup_keys") === 0L)
+      report(Tables.load(s, dir, "documents"), "documents.doc_id",
+        Seq("doc_id"))
+        .unionByName(report(Tables.load(s, dir, "lineitem"),
+          "lineitem.(l_orderkey,l_linenumber)",
+          Seq("l_orderkey", "l_linenumber")))
+    }),
+
     // §2.11: AUDIENCE OVERLAP — exact segment-intersection matrix: for
     // every event-type pair, |A∩B| / |A| / |B| and Jaccard in basis
     // points. One scan to the distinct (user, type) table, per-user type
@@ -4597,6 +4623,32 @@ object ExtendedQueries {
       "event_type" -> "str", "value" -> "num", "props" -> "str")),
     // generated from the same (table, column) list as the Spark side
     "q_entropy" -> graft.operators.Profiler.entropyOracleSql(entropySpecs),
+    // same per-candidate multiplicity rollup
+    "q_unique_check" ->
+      """WITH d AS (
+           SELECT count(*)::BIGINT AS m FROM documents GROUP BY doc_id),
+         dr AS (
+           SELECT 'documents.doc_id' AS candidate,
+                  CAST(sum(m) AS BIGINT) AS n_rows,
+                  count(*)::BIGINT AS n_keys,
+                  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_dup_keys,
+                  CAST(max(m) AS BIGINT) AS max_multiplicity
+           FROM d),
+         l AS (
+           SELECT count(*)::BIGINT AS m FROM lineitem
+           GROUP BY l_orderkey, l_linenumber),
+         lr AS (
+           SELECT 'lineitem.(l_orderkey,l_linenumber)' AS candidate,
+                  CAST(sum(m) AS BIGINT) AS n_rows,
+                  count(*)::BIGINT AS n_keys,
+                  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_dup_keys,
+                  CAST(max(m) AS BIGINT) AS max_multiplicity
+           FROM l)
+         SELECT *, n_dup_keys = 0 AS is_unique FROM dr
+         UNION ALL
+         SELECT *, n_dup_keys = 0 AS is_unique FROM lr""",
     // pair counts from a distinct-pair self-join of the tiny (user, type)
     // table in SQL; Spark's per-user set fan-out produces identical pairs
     "q_audience_overlap" ->

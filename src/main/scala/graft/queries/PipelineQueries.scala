@@ -1185,6 +1185,22 @@ object PipelineQueries {
         .withColumn("ttr_bp",
           expr("10000 * n_types div greatest(n_tokens, 1)"))),
 
+    // §2.6: SAFETY WORDLIST screen — the blocked-term gate beside
+    // txt_gopher's quality rules: exact TOKEN matches (not substrings —
+    // 'class' must not hit a list entry 'ass') against a broadcastable
+    // term list, with hit count, distinct-hit count and the Gopher-style
+    // ≥2-distinct-terms flag. Integer-exact, one map-only pass. The list
+    // uses corpus-live stand-in words so both branches carry real docs.
+    "pipeline_safety_words" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " +").as("t"))
+        .selectExpr("doc_id",
+          "cast(size(filter(t, x -> array_contains(" +
+            "array('slow', 'error', 'dup'), x))) as bigint) AS n_hits",
+          "cast(size(array_intersect(array_distinct(t)," +
+            " array('slow', 'error', 'dup'))) as bigint) AS n_distinct_hits")
+        .withColumn("flagged", col("n_distinct_hits") >= 2L)),
+
     // §2.6: CHAT-TEMPLATE rendering — the last hop before tokenizing
     // instruction data: a structured conversation (JSON turns) renders to
     // the model's template string. Conversations are PLANTED as JSON from
@@ -3809,6 +3825,22 @@ object PipelineQueries {
                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
                 10000 * CAST(len(list_distinct(toks)) AS BIGINT)
                   // greatest(CAST(len(toks) AS BIGINT), 1) AS ttr_bp
+         FROM t""",
+    // exact token-equality matches against the same literal list
+    "pipeline_safety_words" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(text), ' +') AS toks
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(list_filter(toks, x ->
+                  list_contains(['slow', 'error', 'dup'], x))) AS BIGINT)
+                  AS n_hits,
+                CAST(len(list_filter(list_distinct(toks), x ->
+                  list_contains(['slow', 'error', 'dup'], x))) AS BIGINT)
+                  AS n_distinct_hits,
+                len(list_filter(list_distinct(toks), x ->
+                  list_contains(['slow', 'error', 'dup'], x))) >= 2
+                  AS flagged
          FROM t""",
     // same planted JSON conversation, genuinely parsed back through the
     // json module and rendered with the same template pieces
