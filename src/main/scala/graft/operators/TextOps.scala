@@ -522,6 +522,35 @@ object TextOps {
         coalesce(pred, lit("und")).as("lang_pred"), col("lang_true"))
   }
 
+  /** CONTENT-DEFINED CHUNKING — variable-size chunk boundaries decided
+    * by the content itself (a cut after every position whose trailing
+    * 4-char window md5 starts with '0', ~1/16 ⇒ ~16-char average), the
+    * property fixed-stride windows ([[graft.operators.Dedup]] substrDup)
+    * cannot have: INSERTING a prefix re-synchronizes at the first
+    * boundary, so all later chunks still match the original — storage
+    * and shifted-text dedup both key on it. No min/max clamp: the clamp
+    * makes each boundary depend on the previous one (a sequential fold);
+    * the pure positional rule keeps chunking embarrassingly parallel per
+    * doc AND cross-engine replayable (md5 is bit-identical everywhere).
+    * Emits (doc_id, chunk_idx, off 1-based, chunk). Map-only. */
+  def cdcChunks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 4)
+      .withColumn("bps", expr(
+        """filter(sequence(4, length(text)),
+             p -> substring(md5(substring(text, p - 3, 4)), 1, 1) = '0')"""))
+      .withColumn("offs", expr(
+        "concat(array(1), transform(bps, p -> p + 1))"))
+      .withColumn("ends", expr("concat(bps, array(length(text)))"))
+      .select(col("doc_id"), posexplode(expr(
+        """filter(transform(sequence(1, size(offs)),
+             i -> substring(text, element_at(offs, i),
+                  element_at(ends, i) - element_at(offs, i) + 1)),
+             c -> length(c) > 0)""")).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"))
+
   /** Confidence-margin ROUTING on top of the profile classifier — the
     * decision layer model-based filtering actually needs: a prediction
     * whose runner-up scored nearly as high is not a prediction you

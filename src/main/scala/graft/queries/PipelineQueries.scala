@@ -1185,6 +1185,26 @@ object PipelineQueries {
         .withColumn("ttr_bp",
           expr("10000 * n_types div greatest(n_tokens, 1)"))),
 
+    // §2.6: CONTENT-DEFINED CHUNK dedup — dd_substr's stride windows
+    // miss SHIFTED duplicates (insert one char and every window moves);
+    // CDC boundaries are decided by the content itself, so chunking
+    // re-synchronizes after an edit and the dup share survives shifts.
+    // Boundary rule: cut after every position whose trailing 4-char
+    // window md5 starts with '0' (~16-char chunks) — md5 is bit-identical
+    // cross-engine, so the FULL oracle replays boundaries, chunks and the
+    // dup rollup. One exchange (chunk counts), dd_substr's shape.
+    "dd_cdc_chunks" -> ((s, dir) => {
+      val chunks = TextOps.cdcChunks(docs(s, dir))
+      val cnt = chunks.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("c"))
+      chunks.join(cnt, "chunk")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_chunks"),
+          sum(when(col("c") >= 2L, 1L).otherwise(0L)).cast("long")
+            .as("n_dup"))
+        .withColumn("dup_bp", expr("10000 * n_dup div n_chunks"))
+    }),
+
     // §2.6: SAFETY WORDLIST screen — the blocked-term gate beside
     // txt_gopher's quality rules: exact TOKEN matches (not substrings —
     // 'class' must not hit a list entry 'ass') against a broadcastable
@@ -3826,6 +3846,39 @@ object PipelineQueries {
                 10000 * CAST(len(list_distinct(toks)) AS BIGINT)
                   // greatest(CAST(len(toks) AS BIGINT), 1) AS ttr_bp
          FROM t""",
+    // same boundary rule / chunk build / dup rollup, list ops for HOFs
+    "dd_cdc_chunks" ->
+      """WITH base AS (
+           SELECT doc_id, text, length(text) AS n
+           FROM documents WHERE length(text) >= 4),
+         b AS (
+           SELECT doc_id, text, n,
+                  list_filter(generate_series(4, n),
+                    p -> substr(md5(substr(text, p - 3, 4)), 1, 1) = '0')
+                    AS bps
+           FROM base),
+         oe AS (
+           SELECT doc_id, text,
+                  list_prepend(1, list_transform(bps, p -> p + 1)) AS offs,
+                  list_append(bps, n) AS ends
+           FROM b),
+         ch AS (
+           SELECT doc_id,
+                  unnest(list_filter(
+                    list_transform(generate_series(1, len(offs)),
+                      i -> substr(text, offs[i], ends[i] - offs[i] + 1)),
+                    c -> length(c) > 0)) AS chunk
+           FROM oe),
+         cnt AS (
+           SELECT chunk, count(DISTINCT doc_id) AS c FROM ch GROUP BY 1)
+         SELECT ch.doc_id,
+                count(*)::BIGINT AS n_chunks,
+                CAST(sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup,
+                10000 * CAST(sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) // count(*) AS dup_bp
+         FROM ch JOIN cnt USING (chunk)
+         GROUP BY 1""",
     // exact token-equality matches against the same literal list
     "pipeline_safety_words" ->
       """WITH t AS (

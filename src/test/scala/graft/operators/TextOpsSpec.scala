@@ -501,6 +501,26 @@ class TextOpsSpec extends SparkSpec {
     assert(!out(1L).contains("subscribe"))
   }
 
+  test("cdcChunks: lossless, and boundaries re-synchronize after a prefix edit") {
+    val base = ("the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the open fields every single morning ") * 3
+    val docs = Seq((1L, base), (2L, "INSERTED PREFIX " + base))
+      .toDF("doc_id", "text")
+    val ch = TextOps.cdcChunks(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    val c1 = ch(1L).map(_.getString(2)).toList
+    val c2 = ch(2L).map(_.getString(2)).toList
+    // lossless: chunks concatenate back to the exact input
+    assert(c1.mkString == base)
+    assert(c2.mkString == "INSERTED PREFIX " + base)
+    // the CDC property stride windows lack: after the first boundary the
+    // chunking re-synchronizes, so every later chunk of the original
+    // reappears verbatim in the prefixed twin
+    assert(c1.size >= 3, s"test string produced too few chunks: $c1")
+    assert(c1.drop(1).toSet.subsetOf(c2.toSet),
+      s"missing: ${c1.drop(1).toSet -- c2.toSet}")
+  }
+
   test("blockByDomainSuffix: exact, subdomain, and non-match; equi-join plan") {
     val hosts = Seq(
       (1L, "ads.example.com"),
