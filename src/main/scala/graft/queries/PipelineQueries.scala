@@ -1185,6 +1185,21 @@ object PipelineQueries {
         .withColumn("ttr_bp",
           expr("10000 * n_types div greatest(n_tokens, 1)"))),
 
+    // §2.5: TOKENIZER FERTILITY by language — subword-to-word ratio, the
+    // first number a tokenizer QA reads per language (a high-fertility
+    // language pays more compute per word and starves in a token-budgeted
+    // mixture). Same whitespace/BPE-ish counts as txt_tokens, rolled up
+    // per lang, ratio in integer percent-x100 — one aggregate, exact.
+    "txt_fertility" -> ((s, dir) =>
+      TextOps.tokens(docs(s, dir))
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("ws_tokens")).cast("long").as("n_words"),
+          sum(col("bpe_tokens")).cast("long").as("n_bpe"))
+        .withColumn("fertility_x100",
+          expr("100 * n_bpe div greatest(n_words, 1)"))),
+
     // §2.6: CONTENT-DEFINED CHUNK dedup — dd_substr's stride windows
     // miss SHIFTED duplicates (insert one char and every window moves);
     // CDC boundaries are decided by the content itself, so chunking
@@ -3846,6 +3861,22 @@ object PipelineQueries {
                 10000 * CAST(len(list_distinct(toks)) AS BIGINT)
                   // greatest(CAST(len(toks) AS BIGINT), 1) AS ttr_bp
          FROM t""",
+    // same token counts as txt_tokens, per-lang rollup, integer ratio
+    "txt_fertility" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  cast(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                    AS ws_tokens,
+                  cast(len(regexp_extract_all(text,
+                    '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]')) AS BIGINT) AS bpe_tokens
+           FROM documents)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+                CAST(sum(ws_tokens) AS BIGINT) AS n_words,
+                CAST(sum(bpe_tokens) AS BIGINT) AS n_bpe,
+                100 * CAST(sum(bpe_tokens) AS BIGINT)
+                  // greatest(CAST(sum(ws_tokens) AS BIGINT), 1)
+                  AS fertility_x100
+         FROM t GROUP BY 1""",
     // same boundary rule / chunk build / dup rollup, list ops for HOFs
     "dd_cdc_chunks" ->
       """WITH base AS (
