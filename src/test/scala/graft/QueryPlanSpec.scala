@@ -64,4 +64,30 @@ class QueryPlanSpec extends SparkSpec {
       s"interval containment degraded to a theta join:\n$plan")
     assert(shuffles(plan) == 1, s"expected exactly 1 shuffle in:\n$plan")
   }
+
+  private def scanCount(plan: String): Int =
+    plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet "))
+
+  test("r14 statistics additions keep the one-corpus-scan discipline") {
+    // the #417 rule: a stat face reads its source table EXACTLY once —
+    // margin/expectation re-derivation must fold over the bounded cell
+    // table, never re-scan the corpus
+    for (q <- Seq("q_ttest_welch", "q_anova", "q_js_divergence",
+        "q_prop_ztest", "q_rolling_slope", "q_key_skew")) {
+      val plan = finalPlan(SparkEntry.queries(q)(spark, dir))
+      assert(scanCount(plan) == 1, s"$q re-scans its source:\n$plan")
+    }
+  }
+
+  test("q_link_predict takes top-k as TakeOrdered, never a global sort") {
+    // sf0.01: the sf0.001 co-activity graph has no non-adjacent wedge
+    // pairs, and AQE collapses an empty result to EmptyRelation — no
+    // plan left to pin
+    val plan = finalPlan(
+      SparkEntry.queries("q_link_predict")(spark, "/root/testdata/sf0.01"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
 }
