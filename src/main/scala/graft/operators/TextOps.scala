@@ -826,6 +826,48 @@ object TextOps {
     * delta anti-joins the union of already-indexed doc ids (index rows,
     * not historical text), so a retry produces an EMPTY segment, never a
     * double-counted doc. */
+  /** RIGHT-TO-BE-FORGOTTEN for the text index — the delete+reindex path
+    * [[mergeTextIndex]]'s contract points document updates at, and the
+    * retrieval-side twin of [[graft.operators.Dedup.forgetDigests]]: a
+    * purge must not just drop the forgotten docs' postings, it must fix
+    * the df every SURVIVING posting of an affected term carries (a stale
+    * df silently shifts scores) and the stats sidecar (n, Σdl). Cost is
+    * DELTA-SIZED where it matters: only terms the dropped docs contained
+    * get a df decrement (a broadcast of the dropped-postings term list);
+    * untouched terms copy through with their stored df. */
+  def forgetTextIndex(spark: org.apache.spark.sql.SparkSession,
+      oldTable: String, dropIds: DataFrame, newTable: String,
+      path: String, buckets: Int = 8): Unit = {
+    val post = spark.table(oldTable)
+    val drop = dropIds.select(col("doc_id")).distinct()
+    val dropped = post.join(drop, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one index row per (tok, doc) ⇒ the df decrement per affected
+      // term is just its dropped-row count
+      val dec = dropped.groupBy(col("tok"))
+        .agg(count(lit(1)).as("d_df"))
+      post.join(drop, Seq("doc_id"), "left_anti")
+        .join(broadcast(dec), Seq("tok"), "left")
+        .select(col("tok"), col("doc_id"), col("dl"), col("tf"),
+          (col("df") - coalesce(col("d_df"), lit(0L))).as("df"))
+        .write.bucketBy(buckets, "tok").sortBy("tok")
+        .option("path", path).mode("overwrite").saveAsTable(newTable)
+      // stats sidecar: subtract the forgotten docs' presence and length
+      // (distinct (doc, dl) — a doc holds one dl across all its postings)
+      val dMeta = dropped.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("dn"),
+          coalesce(sum(col("dl")), lit(0L)).as("dt"))
+      spark.table(oldTable + "_meta")
+        .withColumn("__k", pmod(col("n"), lit(1L)))
+        .join(broadcast(dMeta.withColumn("__k", pmod(col("dn"), lit(1L)))),
+          "__k")
+        .select((col("n") - col("dn")).as("n"), (col("t") - col("dt")).as("t"))
+        .coalesce(1).write.option("path", path + "_meta")
+        .mode("overwrite").saveAsTable(newTable + "_meta")
+    } finally { dropped.unpersist(); () }
+  }
+
   def appendTextIndexSegment(spark: org.apache.spark.sql.SparkSession,
       baseTables: Seq[String], deltaDocs: DataFrame, segTable: String,
       segPath: String, buckets: Int = 8): Unit = {

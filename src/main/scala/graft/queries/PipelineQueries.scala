@@ -165,6 +165,24 @@ object PipelineQueries {
       tbl
     }
 
+  /** Memoized FORGOTTEN text index per sf dir: the full-corpus index with
+    * src5's docs purged through [[TextOps.forgetTextIndex]] — posting
+    * drop + df fix + sidecar fix. Probing it must score bit-identically
+    * to a from-scratch index over the reduced corpus, which is exactly
+    * what the face's full oracle (documents WHERE source <> 'src5')
+    * certifies. */
+  private val forgottenTextIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def forgottenTextIndexTable(s: SparkSession, dir: String): String =
+    memo(forgottenTextIndexCache, dir) { d =>
+      val tbl = "graft_text_idxf_" + java.lang.Integer.toHexString(d.hashCode)
+      val root = java.nio.file.Files.createTempDirectory("graft_text_idxf_")
+      TextOps.forgetTextIndex(s, textIndexTable(s, d),
+        docs(s, d).filter(col("source") === "src5").select(col("doc_id")),
+        tbl, root.resolve("t").toString)
+      tbl
+    }
+
   /** Memoized MERGED text index per sf dir: base index over 80% of the
     * corpus (doc_id % 5 != 0), then the remaining 20% folds in through
     * [[TextOps.mergeTextIndex]] — historical text is never re-tokenized.
@@ -824,6 +842,15 @@ object PipelineQueries {
     // from-scratch index are a red row.
     "txt_bm25_segments" -> ((s, dir) =>
       TextOps.bm25SegmentsProbe(s, segTextIndexTables(s, dir), Bm25Terms, k = 10)),
+
+    // §2.14: probe of the FORGOTTEN index — right-to-be-forgotten for
+    // retrieval (the Dedup.forgetDigests twin): src5's docs purge out of
+    // the persisted index with posting drop + per-affected-term df fix +
+    // stats-sidecar fix, all delta-sized. The oracle scores the REDUCED
+    // corpus from scratch: a stale df or sidecar anywhere mismatches.
+    "txt_bm25_forgotten" -> ((s, dir) =>
+      TextOps.bm25Indexed(s, forgottenTextIndexTable(s, dir), Bm25Terms,
+        k = 10)),
 
     // §2.14: HYBRID RETRIEVAL — reciprocal-rank fusion of the lexical and
     // semantic retrievers over the same corpus (doc_id ≡ vec_id):
@@ -3647,6 +3674,10 @@ object PipelineQueries {
          FROM exact""",
     "txt_bm25" -> Bm25OracleSql,
     "txt_bm25_indexed" -> Bm25OracleSql,
+    // from-scratch scoring of the REDUCED corpus — the purge contract
+    "txt_bm25_forgotten" ->
+      Bm25OracleSql.replace("FROM documents)",
+        "FROM documents WHERE source <> 'src5')"),
     "txt_bm25_index_merged" -> Bm25OracleSql,
     "txt_bm25_segments" -> Bm25OracleSql,
     "sim_hybrid_rrf" ->

@@ -501,6 +501,29 @@ class TextOpsSpec extends SparkSpec {
     assert(!out(1L).contains("subscribe"))
   }
 
+  test("forgetTextIndex ≡ from-scratch index over the reduced corpus " +
+      "(postings, per-term df, stats sidecar)") {
+    val docs = Seq(
+      (1L, "spark window hash"),
+      (2L, "spark stream"),   // forgotten: spark df must drop 3 → 2
+      (3L, "spark hash hash"),
+      (4L, "window stream stream")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_forget_idx_")
+    TextOps.writeTextIndex(docs, "t_forget_base", root.resolve("b").toString)
+    TextOps.forgetTextIndex(spark, "t_forget_base",
+      Seq(2L).toDF("doc_id"), "t_forget_out", root.resolve("o").toString)
+    TextOps.writeTextIndex(docs.filter($"doc_id" =!= 2L),
+      "t_forget_ref", root.resolve("r").toString)
+    def rows(t: String) = spark.table(t)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows("t_forget_out") == rows("t_forget_ref"))
+    assert(rows("t_forget_out_meta") == rows("t_forget_ref_meta"))
+    // and the fix really happened: spark's surviving postings carry df 2
+    val sparkDf = spark.table("t_forget_out")
+      .filter($"tok" === "spark").select($"df").distinct().collect()
+    assert(sparkDf.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("cdcChunks: lossless, and boundaries re-synchronize after a prefix edit") {
     val base = ("the quick brown fox jumps over the lazy dog and keeps " +
       "running through the open fields every single morning ") * 3
