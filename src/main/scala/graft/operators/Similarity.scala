@@ -1005,6 +1005,31 @@ object Similarity {
     (centroids, books)
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN for the IVF index — the third leg of the
+    * purge story beside [[graft.operators.Dedup.forgetDigests]] and
+    * [[graft.operators.TextOps.forgetTextIndex]]: drop the forgotten
+    * vectors' index rows (one bucketed anti-join — delta-proportional
+    * shuffle, vectors of other lists copy through untouched) and keep
+    * the sidecar VERBATIM — unlike the text index there is no per-row
+    * global statistic to fix (an IVF posting carries only its own list
+    * id / vector / codes), and centroids/codebooks deliberately stay:
+    * retraining on purges is the same deliberate, drift-gated event as
+    * on appends ([[rebuildIvfIndexIfDrifted]]). A probe of the purged
+    * index is therefore EXACTLY an IVF probe of the reduced corpus
+    * under the original quantizers. */
+  def forgetIvfIndex(spark: SparkSession, oldTable: String,
+      dropIds: DataFrame, newTable: String, path: String,
+      buckets: Int = 8): Unit = {
+    spark.table(oldTable)
+      .join(dropIds.select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      .write.bucketBy(buckets, "cid").sortBy("cid")
+      .option("path", path).mode("overwrite").saveAsTable(newTable)
+    spark.table(oldTable + "_meta").coalesce(1)
+      .write.option("path", path + "_meta")
+      .mode("overwrite").saveAsTable(newTable + "_meta")
+  }
+
   /** Append a DELTA of vectors to a persisted IVF index WITHOUT
     * retraining — the [[graft.operators.Dedup.incrementalIndexed]]
     * append-back posture for similarity: the sidecar's existing centroids

@@ -165,6 +165,22 @@ object PipelineQueries {
       tbl
     }
 
+  /** Memoized FORGOTTEN IVF index per sf dir: the full-corpus index with
+    * every vec_id % 5 == 3 vector purged through
+    * [[Similarity.forgetIvfIndex]] — rows drop, quantizers stay (the
+    * retrain decision remains drift-gated, as for appends). */
+  private val forgottenIvfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def forgottenIvfIndexTable(s: SparkSession, dir: String): String =
+    memo(forgottenIvfIndexCache, dir) { d =>
+      val tbl = "graft_ivf_idxf_" + java.lang.Integer.toHexString(d.hashCode)
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_idxf_")
+      Similarity.forgetIvfIndex(s, ivfIndexTable(s, d),
+        emb(s, d).filter(col("vec_id") % 5 === 3).select(col("vec_id")),
+        tbl, root.resolve("t").toString)
+      tbl
+    }
+
   /** Memoized FORGOTTEN text index per sf dir: the full-corpus index with
     * src5's docs purged through [[TextOps.forgetTextIndex]] — posting
     * drop + df fix + sidecar fix. Probing it must score bit-identically
@@ -688,6 +704,43 @@ object PipelineQueries {
     "sim_topk_ivfpq_indexed" -> ((s, dir) =>
       Similarity.topKIvfPqIndexed(s, ivfIndexTable(s, dir),
         emb(s, dir).filter(col("vec_id") < 8), k = 5, nProbe = 8)),
+
+    // §2.14: probe of the FORGOTTEN IVF index — right-to-be-forgotten
+    // for ANN retrieval (the txt_bm25_forgotten twin): 20% of vectors
+    // purge out (rows drop, quantizers stay — retraining remains the
+    // drift-gated event), and a probe must neither leak a purged vector
+    // nor lose recall against the reduced corpus. Engine-own (IVF
+    // buckets), so rows-only + the check twin below.
+    "sim_topk_ivf_forgotten" -> ((s, dir) =>
+      Similarity.topKIvfIndexed(s, forgottenIvfIndexTable(s, dir),
+        emb(s, dir).filter(col("vec_id") < 8), k = 5, nProbe = 8)),
+
+    // recall ≥ 0.8 vs the exact top-k over the REDUCED corpus, plus the
+    // ZERO-LEAK assertion: no purged vec_id may ever surface in results
+    "sim_topk_ivf_forgotten_check" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val kept = e.filter(col("vec_id") % 5 =!= 3)
+      val q = e.filter(col("vec_id") < 8)
+      val ann = Similarity.topKIvfIndexed(s, forgottenIvfIndexTable(s, dir),
+        q, k = 5, nProbe = 8)
+      val exact = Similarity.topKBruteForce(kept, q, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val perQuery = ann.select(col("query_id"), col("vec_id"))
+        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      val leaks = ann.filter(pmod(col("vec_id"), lit(5L)) === 3L)
+        .agg(count(lit(1)).cast("long").as("n_leak"))
+      q.select(col("vec_id").as("query_id"))
+        .join(perQuery, Seq("query_id"), "left")
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          ((sum(coalesce(col("n_hit"), lit(0L))) /
+            (count(lit(1)) * 5)) >= 0.8).as("recall_ok"))
+        .withColumn("__k", pmod(col("n_queries"), lit(1L)))
+        .join(broadcast(leaks.withColumn("__k", pmod(col("n_leak"), lit(1L)))),
+          "__k")
+        .select(col("n_queries"), col("recall_ok"),
+          (col("n_leak") === 0L).as("leak_free"))
+    }),
 
     // §2.7: driver-verified ANN recall (CHECK faces — Bench skips *_check,
     // so the raw ANN faces above keep timing only the approximate path).
@@ -3234,6 +3287,24 @@ object PipelineQueries {
     "sim_topk_pq_check" -> annRecallOracleSql,
     "sim_topk_ivfpq_check" -> annRecallOracleSql,
     "sim_topk_ivf_indexed_check" -> annRecallOracleSql,
+    // ground truth over the REDUCED corpus; leak_free is TRUE by
+    // construction there — Spark must measure it for real
+    "sim_topk_ivf_forgotten_check" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE vec_id % 5 <> 3),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     list_cosine_similarity(c.v, q.qv) AS cos
+              FROM c, q WHERE c.vec_id <> q.query_id),
+            wellformed AS (
+              SELECT query_id FROM scored WHERE cos IS NOT NULL
+              GROUP BY 1 HAVING count(*) >= 5)
+       SELECT count(*)::BIGINT AS n_queries,
+              (1.0 >= 0.8) AS recall_ok,
+              true AS leak_free
+       FROM wellformed""",
     "sim_topk_ivfpq_indexed_check" -> annRecallOracleSql,
     // appended_bp mirrors the drift fixture's vec_id % 5 split (no
     // zero-norm vectors in the corpus, so index rows = embedding rows);

@@ -46,7 +46,10 @@ class RegistrySpec extends AnyFunSuite {
       // r14: the persisted-IVF composition family — each certified by an
       // oracle-green *_check twin (recall / exclusion-soundness)
       "pipeline_hard_negatives_ivf", "pipeline_contrastive_ivf",
-      "st_sim_topk_indexed")
+      "st_sim_topk_indexed",
+      // r14 third wave: the purged-IVF probe — certified by its
+      // recall + zero-leak check twin
+      "sim_topk_ivf_forgotten")
     assert(rowsOnly == frozen,
       s"rows-only drift — new without oracle (typo or missing SQL?): " +
         s"${rowsOnly -- frozen}; frozen but now has an oracle (prune the " +
