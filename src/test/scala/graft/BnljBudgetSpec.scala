@@ -41,6 +41,10 @@ class BnljBudgetSpec extends SparkSpec {
     "sim_topk_ivf_indexed_check" -> 100L,
     "sim_topk_ivfpq_indexed_check" -> 100L,
     "sim_topk_ivf_drift_check" -> 100L,
+    // r14 additions to the family — same probe-bounded construction
+    "pipeline_hard_negatives_ivf_check" -> 100L,
+    "st_sim_topk_indexed_check" -> 100L,
+    "sim_topk_ivf_forgotten_check" -> 100L,
     "dd_semdedup_check" -> 700L,
     "dd_embed_neardup_check" -> 700L)
 
