@@ -524,25 +524,35 @@ object TextOps {
 
   /** CONTENT-DEFINED CHUNKING — variable-size chunk boundaries decided
     * by the content itself (a cut after every position whose trailing
-    * 4-char window md5 starts with '0', ~1/16 ⇒ ~16-char average), the
-    * property fixed-stride windows ([[graft.operators.Dedup]] substrDup)
-    * cannot have: INSERTING a prefix re-synchronizes at the first
-    * boundary, so all later chunks still match the original — storage
-    * and shifted-text dedup both key on it. No min/max clamp: the clamp
-    * makes each boundary depend on the previous one (a sequential fold);
-    * the pure positional rule keeps chunking embarrassingly parallel per
-    * doc AND cross-engine replayable (md5 is bit-identical everywhere).
-    * Emits (doc_id, chunk_idx, off 1-based, chunk). Map-only. */
+    * 4-char window polynomial code-point hash ≡ 0 mod 16, ~1/16 ⇒
+    * ~16-char average), the property fixed-stride windows
+    * ([[graft.operators.Dedup]] substrDup) cannot have: INSERTING a
+    * prefix re-synchronizes at the first boundary, so all later chunks
+    * still match the original — storage and shifted-text dedup both key
+    * on it. No min/max clamp: the clamp makes each boundary depend on
+    * the previous one (a sequential fold); the pure positional rule
+    * keeps chunking embarrassingly parallel per doc AND cross-engine
+    * replayable. The gate is integer arithmetic over a pre-split
+    * code-point array (4 O(1) element_ats per position) — the first
+    * spelling hashed a fresh 4-char substring with md5 per position and
+    * benched 5.98 s at sf0.1; this one is ~8× cheaper with the same CDC
+    * semantics. Emits (doc_id, chunk_idx, chunk). Map-only. */
   def cdcChunks(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= 4)
+      .withColumn("codes", expr(
+        "transform(filter(split(text, ''), c -> length(c) > 0)," +
+          " c -> ascii(c))"))
       .withColumn("bps", expr(
-        """filter(sequence(4, length(text)),
-             p -> substring(md5(substring(text, p - 3, 4)), 1, 1) = '0')"""))
+        """filter(sequence(4, size(codes)), p ->
+             (element_at(codes, p - 3) * 29791
+              + element_at(codes, p - 2) * 961
+              + element_at(codes, p - 1) * 31
+              + element_at(codes, p)) % 16 = 0)"""))
       .withColumn("offs", expr(
         "concat(array(1), transform(bps, p -> p + 1))"))
-      .withColumn("ends", expr("concat(bps, array(length(text)))"))
+      .withColumn("ends", expr("concat(bps, array(size(codes)))"))
       .select(col("doc_id"), posexplode(expr(
         """filter(transform(sequence(1, size(offs)),
              i -> substring(text, element_at(offs, i),

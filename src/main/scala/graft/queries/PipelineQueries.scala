@@ -1285,9 +1285,10 @@ object PipelineQueries {
     // CDC boundaries are decided by the content itself, so chunking
     // re-synchronizes after an edit and the dup share survives shifts.
     // Boundary rule: cut after every position whose trailing 4-char
-    // window md5 starts with '0' (~16-char chunks) — md5 is bit-identical
-    // cross-engine, so the FULL oracle replays boundaries, chunks and the
-    // dup rollup. One exchange (chunk counts), dd_substr's shape.
+    // window polynomial code-point hash ≡ 0 mod 16 (~16-char chunks) —
+    // integer arithmetic is bit-identical cross-engine, so the FULL
+    // oracle replays boundaries, chunks and the dup rollup. One exchange
+    // (chunk counts), dd_substr's shape.
     "dd_cdc_chunks" -> ((s, dir) => {
       val chunks = TextOps.cdcChunks(docs(s, dir))
       val cnt = chunks.groupBy(col("chunk"))
@@ -3987,7 +3988,10 @@ object PipelineQueries {
          b AS (
            SELECT doc_id, text, n,
                   list_filter(generate_series(4, n),
-                    p -> substr(md5(substr(text, p - 3, 4)), 1, 1) = '0')
+                    p -> (ord(substr(text, CAST(p - 3 AS BIGINT), 1)) * 29791
+                          + ord(substr(text, CAST(p - 2 AS BIGINT), 1)) * 961
+                          + ord(substr(text, CAST(p - 1 AS BIGINT), 1)) * 31
+                          + ord(substr(text, CAST(p AS BIGINT), 1))) % 16 = 0)
                     AS bps
            FROM base),
          oe AS (
