@@ -835,6 +835,25 @@ object Dedup {
       .write.bucketBy(buckets, "band", "bh").sortBy("band", "bh")
       .option("path", path).mode("overwrite").saveAsTable(table)
 
+  /** RIGHT-TO-BE-FORGOTTEN for the band index — the near-dup leg of the
+    * purge family ([[forgetDigests]] exact /
+    * [[graft.operators.TextOps.forgetTextIndex]] retrieval /
+    * [[graft.operators.Similarity.forgetIvfIndex]] ANN): drop the
+    * forgotten docs' band rows with ONE bucketed anti-join. Like the IVF
+    * case there is no global statistic to fix — a band row carries only
+    * its own (band, bucket-hash, signature) — so the purge is exactly
+    * row removal, and a subsequent [[minhashIncremental]] probe can no
+    * longer match the forgotten content: re-submitting it ADMITS it
+    * again, which is the contract (forgotten means forgotten). */
+  def forgetBandIndex(spark: org.apache.spark.sql.SparkSession,
+      oldTable: String, dropIds: DataFrame, newTable: String,
+      path: String, buckets: Int = 8): Unit =
+    spark.table(oldTable)
+      .join(dropIds.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .write.bucketBy(buckets, "band", "bh").sortBy("band", "bh")
+      .option("path", path).mode("overwrite").saveAsTable(newTable)
+
   /** Incremental NEAR-dup admission against a persisted band index — the
     * [[incrementalIndexed]] posture for fuzzy duplicates: a delta doc is
     * REJECTED when any index collision's signature agreement estimates

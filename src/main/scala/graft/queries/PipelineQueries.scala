@@ -106,6 +106,25 @@ object PipelineQueries {
       tbl
     }
 
+  /** Memoized FORGOTTEN band index per sf dir: the standing-corpus band
+    * index with every src0 doc purged through [[Dedup.forgetBandIndex]].
+    * The minhashDelta's src0 RECRAWL rows — rejected as near-dups when
+    * probing the full index — must be ADMITTED against this one: the
+    * behavioral flip that proves the purge (certified by the check
+    * face's readmit_ok). */
+  private val forgottenBandIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def forgottenBandIndexTable(s: SparkSession, dir: String): String =
+    memo(forgottenBandIndexCache, dir) { d =>
+      val tbl = "graft_band_idxf_" + java.lang.Integer.toHexString(d.hashCode)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_band_idxf_").resolve("t").toString
+      Dedup.forgetBandIndex(s, bandIndexTable(s, d),
+        docs(s, d).filter(col("source") === "src0").select(col("doc_id")),
+        tbl, path)
+      tbl
+    }
+
   /** The big-domain heavy-hitters stream: unigrams plus bigrams of the
     * lowercased token stream — one natural n-gram accounting pass whose
     * bigram tail overflows k=64 counters while the unigram head stays
@@ -2362,6 +2381,45 @@ object PipelineQueries {
     // probe. n_true_docs is recomputed independently by DuckDB
     // (hash-compared); the >= 0.8 recall boolean is engine-own, on the
     // deterministic signature estimator.
+    // §2.14: probe of the FORGOTTEN band index — right-to-be-forgotten
+    // for near-dup dedup (the fourth purge leg): src0's docs drop out of
+    // the band index, so the delta's src0 RECRAWL rows — rejected as
+    // near-dups against the full index — must now be ADMITTED. Rows-only
+    // (xxhash signatures); the check twin certifies rejection recall vs
+    // the REDUCED-corpus truth AND the readmission flip.
+    "dd_minhash_forgotten" -> ((s, dir) =>
+      Dedup.minhashIncremental(s, forgottenBandIndexTable(s, dir),
+        minhashDelta(s, dir))
+        .select(col("doc_id")).distinct()),
+
+    "dd_minhash_forgotten_check" -> ((s, dir) => {
+      val corpus = docs(s, dir)
+        .filter(col("source") =!= lit("src19") && col("source") =!= lit("src0"))
+      val delta = minhashDelta(s, dir)
+      val truth = Dedup.crossPairJaccard(corpus, delta)
+        .filter(col("j") >= 0.8)
+        .select(col("bench_id").as("doc_id")).distinct()
+      val admitted = Dedup
+        .minhashIncremental(s, forgottenBandIndexTable(s, dir), delta)
+        .select(col("doc_id")).distinct()
+      val rejected = delta.select(col("doc_id"))
+        .join(admitted, Seq("doc_id"), "left_anti")
+      val hits = truth.join(rejected, Seq("doc_id"), "left_semi")
+      // the flip: at least one recrawled src0 doc (ids 10000..19999) is
+      // admitted again — src0 text never recurs in other sources, so the
+      // purged index has nothing to match the min-id recrawl row against
+      val readmits = admitted
+        .filter(col("doc_id") >= 10000L && col("doc_id") < 20000L)
+        .agg(count(lit(1)).cast("long").as("n_re"))
+      pairRecallRow(truth, hits)
+        .withColumnRenamed("n_true_pairs", "n_true_docs")
+        .withColumn("__k", pmod(col("n_true_docs"), lit(1L)))
+        .join(broadcast(readmits.withColumn("__k", pmod(col("n_re"), lit(1L)))),
+          "__k")
+        .select(col("n_true_docs"), col("recall_ok"),
+          (col("n_re") >= 1L).as("readmit_ok"))
+    }),
+
     "dd_minhash_incremental_check" -> ((s, dir) => {
       val corpus = docs(s, dir).filter(col("source") =!= lit("src19"))
       val delta = minhashDelta(s, dir)
@@ -4573,6 +4631,44 @@ object PipelineQueries {
            JOIN szs sb ON db = sb.doc_id AND sb.side = 1
            WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.9)
          SELECT count(*)::BIGINT AS n_true_docs, (1.0 >= 0.8) AS recall_ok
+         FROM truth""",
+    // the incremental-check truth recomputed against the REDUCED corpus
+    // (src0 purged); readmit_ok is TRUE there by construction — Spark
+    // must observe the actual flip
+    "dd_minhash_forgotten_check" ->
+      """WITH delta AS (
+           SELECT doc_id, text FROM documents WHERE source = 'src19'
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE source = 'src0'
+           UNION ALL
+           SELECT doc_id + 20000, text || ' updated appendix note'
+           FROM documents WHERE source = 'src1'),
+         bothsides AS (
+           SELECT doc_id, text, 0 AS side FROM documents
+           WHERE source NOT IN ('src19', 'src0')
+           UNION ALL SELECT doc_id, text, 1 FROM delta),
+         toks AS (
+           SELECT doc_id, side, string_split_regex(lower(text), ' +') AS t
+           FROM bothsides),
+         sh AS (
+           SELECT doc_id, side, unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
+           FROM toks),
+         szs AS (SELECT doc_id, side, count(*) AS sz FROM sh GROUP BY 1, 2),
+         inter AS (
+           SELECT a.doc_id AS ca, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.side = 0 AND b.side = 1 GROUP BY 1, 2),
+         truth AS (
+           SELECT DISTINCT db FROM inter
+           JOIN szs sa ON ca = sa.doc_id AND sa.side = 0
+           JOIN szs sb ON db = sb.doc_id AND sb.side = 1
+           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.8)
+         SELECT count(*)::BIGINT AS n_true_docs, (1.0 >= 0.8) AS recall_ok,
+                true AS readmit_ok
          FROM truth""",
     "dd_minhash_incremental_check" ->
       """WITH delta AS (

@@ -47,9 +47,9 @@ class RegistrySpec extends AnyFunSuite {
       // oracle-green *_check twin (recall / exclusion-soundness)
       "pipeline_hard_negatives_ivf", "pipeline_contrastive_ivf",
       "st_sim_topk_indexed",
-      // r14 third wave: the purged-IVF probe — certified by its
-      // recall + zero-leak check twin
-      "sim_topk_ivf_forgotten")
+      // r14 third wave: the purged-index probes — each certified by a
+      // recall + purge-contract check twin
+      "sim_topk_ivf_forgotten", "dd_minhash_forgotten")
     assert(rowsOnly == frozen,
       s"rows-only drift — new without oracle (typo or missing SQL?): " +
         s"${rowsOnly -- frozen}; frozen but now has an oracle (prune the " +
