@@ -1933,6 +1933,39 @@ object PipelineQueries {
           .otherwise(lit(0.0)).as("comp_sum"))
     }),
 
+    // §2.5: EMBEDDING QUALITY gate — the vector-hygiene screen before
+    // anything indexes: non-finite components, blown-up magnitudes,
+    // zero vectors, wrong dimensionality, exact byte-duplicates. The
+    // corpus ships clean, so three corruption classes PLANT from vec_id
+    // (NaN at %17, ×1000 blow-up at %13, zeroed at %11 — identical
+    // transforms on both engines produce bit-identical arrays, so even
+    // the duplicate GROUPING agrees). Every output is an integer or a
+    // boolean — no float ever surfaces — and the whole face is one
+    // map pass + one exact duplicate-count aggregate.
+    "emb_quality" -> ((s, dir) => {
+      val planted = emb(s, dir).select(col("vec_id"), expr(
+        """transform(embedding, (x, i) -> CASE
+             WHEN vec_id % 17 = 0 AND i = 0 THEN float('NaN')
+             WHEN vec_id % 13 = 0 THEN x * cast(1000.0 as float)
+             WHEN vec_id % 11 = 0 THEN cast(0.0 as float)
+             ELSE x END)""").as("v"))
+      val m = planted.select(col("vec_id"), col("v"),
+        expr("cast(size(v) as bigint)").as("n_dims"),
+        expr("cast(size(filter(v, x -> isnan(x) OR abs(x) > 1e308))" +
+          " as bigint)").as("n_nonfinite"),
+        expr("cast(size(filter(v, x -> NOT isnan(x) AND abs(x) > 100.0))" +
+          " as bigint)").as("n_extreme"),
+        expr("size(filter(v, x -> x != cast(0.0 as float))) = 0")
+          .as("is_zero"))
+      val dups = planted.groupBy(col("v"))
+        .agg(count(lit(1)).cast("long").as("dup_count"))
+      m.join(dups, "v")
+        .select(col("vec_id"), col("n_dims"), col("n_nonfinite"),
+          col("n_extreme"), col("is_zero"), col("dup_count"),
+          (col("n_nonfinite") === 0L && col("n_extreme") === 0L &&
+            !col("is_zero") && col("n_dims") === 64L).as("healthy"))
+    }),
+
     // §2.5: sequence packing — deterministic greedy token-count binning,
     // the batch-assembly step between a cleaned corpus and a training run
     "pipeline_pack" -> ((s, dir) =>
@@ -3689,6 +3722,33 @@ object PipelineQueries {
     // (same guard as emb_quantize); vectors with NULL elements have no
     // clean cross-engine twin (Spark folds to NULL, DuckDB skips) and are
     // out of contract for an embedding column
+    // same planted corruption (DuckDB's lambda index is 1-BASED where
+    // Spark's is 0-based — both target the first element), same integer
+    // metrics; NaN compares equal to itself on both engines, so the
+    // duplicate grouping/join agrees even on the NaN-planted class
+    "emb_quality" ->
+      """WITH p AS (
+           SELECT vec_id,
+                  list_transform(embedding, (x, i) -> CASE
+                    WHEN vec_id % 17 = 0 AND i = 1 THEN 'NaN'::FLOAT
+                    WHEN vec_id % 13 = 0 THEN x * 1000.0::FLOAT
+                    WHEN vec_id % 11 = 0 THEN 0.0::FLOAT
+                    ELSE x END) AS v
+           FROM embeddings),
+         m AS (
+           SELECT vec_id, v,
+                  CAST(len(v) AS BIGINT) AS n_dims,
+                  CAST(len(list_filter(v, x -> isnan(x)
+                    OR abs(x) > 1e308)) AS BIGINT) AS n_nonfinite,
+                  CAST(len(list_filter(v, x -> NOT isnan(x)
+                    AND abs(x) > 100.0)) AS BIGINT) AS n_extreme,
+                  len(list_filter(v, x -> x <> 0.0::FLOAT)) = 0 AS is_zero
+           FROM p),
+         d AS (SELECT v, count(*)::BIGINT AS dup_count FROM p GROUP BY 1)
+         SELECT vec_id, n_dims, n_nonfinite, n_extreme, is_zero, dup_count,
+                (n_nonfinite = 0 AND n_extreme = 0 AND NOT is_zero
+                 AND n_dims = 64) AS healthy
+         FROM m JOIN d USING (v)""",
     "emb_normalize" ->
       """WITH d AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
