@@ -788,6 +788,26 @@ object ExtendedQueries {
         graft.operators.Profiler.entropy(Tables.load(s, dir, t), Seq(c))
       }.reduce(_ unionAll _)),
 
+    // §2.11: SURROGATE-KEY GAP detection — the continuity twin of
+    // q_unique_check: which id ranges are MISSING from a sequence that
+    // should be dense (dropped ingest batches surface exactly here)?
+    // Ids are contiguous by construction, so every 37th is PLANTED out;
+    // the gap scan rides the certified distributed global-lag machinery
+    // (Ranked.withGlobalLag: range shuffle + per-partition lag + a
+    // boundary-fix broadcast — never a single-task corpus window), and
+    // every output is BIGINT-exact.
+    "q_id_gaps" -> ((s, dir) => {
+      val ids = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 37 =!= 0)
+        .select(col("doc_id")).distinct()
+      graft.operators.Ranked.withGlobalLag(ids, "prev", col("doc_id"), 1,
+          lit(null).cast("long"), Seq(col("doc_id").asc))
+        .filter(col("prev").isNotNull && col("doc_id") - col("prev") > 1L)
+        .select((col("prev") + 1L).as("gap_start"),
+          (col("doc_id") - 1L).as("gap_end"),
+          (col("doc_id") - col("prev") - 1L).as("n_missing"))
+    }),
+
     // §2.11: UNIQUENESS CHECK — the aggregate-level data-quality
     // assertion the row-rule expectations (q_expectations) can't express:
     // is this column (set) a key? Reported per candidate — doc_id IS
@@ -4623,6 +4643,18 @@ object ExtendedQueries {
       "event_type" -> "str", "value" -> "num", "props" -> "str")),
     // generated from the same (table, column) list as the Spark side
     "q_entropy" -> graft.operators.Profiler.entropyOracleSql(entropySpecs),
+    // same planted holes, lag spelled as the stock window (DuckDB has no
+    // single-task hazard to avoid)
+    "q_id_gaps" ->
+      """WITH ids AS (
+           SELECT DISTINCT doc_id FROM documents WHERE doc_id % 37 <> 0),
+         l AS (
+           SELECT doc_id, lag(doc_id) OVER (ORDER BY doc_id) AS prev
+           FROM ids)
+         SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+                CAST(doc_id - 1 AS BIGINT) AS gap_end,
+                CAST(doc_id - prev - 1 AS BIGINT) AS n_missing
+         FROM l WHERE prev IS NOT NULL AND doc_id - prev > 1""",
     // same per-candidate multiplicity rollup
     "q_unique_check" ->
       """WITH d AS (
