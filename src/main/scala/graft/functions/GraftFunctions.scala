@@ -134,6 +134,9 @@ object GraftFunctions {
   def stride_win_hashes(c: Column, w: Int, stride: Int): Column =
     ColumnBridge.column(StrideWinHashes(ColumnBridge.expression(c), w, stride))
 
+  def cdc_chunks(c: Column): Column =
+    ColumnBridge.column(CdcChunks(ColumnBridge.expression(c)))
+
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -233,6 +236,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => StrideWinHashes(exprs(0),
         litInt(exprs(1), "stride_win_hashes w"),
         litInt(exprs(2), "stride_win_hashes stride"))),
+    ("cdc_chunks",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CdcChunks].getName, "cdc_chunks"),
+      (exprs: Seq[Expression]) => CdcChunks(exprs(0))),
     ("cms_merge",
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CmsMergeAgg].getName, "cms_merge"),

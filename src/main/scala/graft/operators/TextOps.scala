@@ -532,12 +532,28 @@ object TextOps {
     * on it. No min/max clamp: the clamp makes each boundary depend on
     * the previous one (a sequential fold); the pure positional rule
     * keeps chunking embarrassingly parallel per doc AND cross-engine
-    * replayable. The gate is integer arithmetic over a pre-split
-    * code-point array (4 O(1) element_ats per position) — the first
-    * spelling hashed a fresh 4-char substring with md5 per position and
-    * benched 5.98 s at sf0.1; this one is ~8× cheaper with the same CDC
-    * semantics. Emits (doc_id, chunk_idx, chunk). Map-only. */
+    * replayable. Boundary detection + chunk slicing ride the fused
+    * native pass [[graft.functions.CdcChunks]] (one byte-walk, zero-copy
+    * chunk slices): the first spelling hashed a fresh 4-char substring
+    * with md5 per position and benched 5.98 s at sf0.1, the HOF
+    * code-point rewrite 3.32 s (interpreted per-position array walk
+    * outside codegen), the fused pass cuts the remainder — same CDC
+    * semantics, bit-identity pinned against [[cdcChunksComposed]].
+    * Emits (doc_id, chunk_idx, chunk). Map-only. */
   def cdcChunks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 4)
+      .select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.cdc_chunks(col("text")))
+        .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"))
+
+  /** The composed-operator form of [[cdcChunks]] — retained as the
+    * executable spec the fused expression is pinned bit-identical to
+    * (the winnowComposed posture). */
+  private[graft] def cdcChunksComposed(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= 4)
@@ -1005,11 +1021,18 @@ object TextOps {
     * side whenever it fits. Returns the input plus `is_blocked`. */
   def blockByDomainSuffix(docs: DataFrame, hostCol: String,
       blocklist: DataFrame, maxLabels: Int = 8): DataFrame = {
+    // Keep the SHORTEST suffixes when capping: a blocklist entry is
+    // typically the 2-label registrable domain, so for a host deeper
+    // than maxLabels the last maxLabels start positions (the short
+    // suffixes) must survive and only the longest are dropped —
+    // start positions 1..maxLabels would instead drop the registrable
+    // domain for any host with > maxLabels labels (r14 ADVICE).
     val sufs = docs.select(col(hostCol).as("__h"))
       .distinct()
       .select(col("__h"), explode(expr(
-        s"""transform(sequence(1, least(size(split(__h, '\\\\.')),
-            $maxLabels)), i -> array_join(slice(split(__h, '\\\\.'),
+        s"""transform(sequence(greatest(1, size(split(__h, '\\\\.'))
+            - $maxLabels + 1), size(split(__h, '\\\\.'))),
+            i -> array_join(slice(split(__h, '\\\\.'),
             i, size(split(__h, '\\\\.')) - i + 1), '.'))""")).as("__suf"))
     val blockedHosts = sufs
       .join(blocklist.select(col("domain").as("__suf")), "__suf")

@@ -864,7 +864,9 @@ object ExtendedQueries {
     // §2.11: JOIN-KEY SKEW profile — the diagnosis run BEFORE choosing a
     // join strategy at scale (salt? broadcast? AQE skew split?): per-key
     // cardinality distribution of orders per customer, reduced to the
-    // planning numbers — max, mean, lower-median, p99 (exact, via the
+    // planning numbers — max, mean, upper-median (cum·2 ≥ n+1 picks the
+    // higher of the two middle values for even n — r14 ADVICE), p99
+    // (exact, via the
     // bounded count-of-counts decomposition: the distribution table is
     // ≤|distinct sizes| rows, never the corpus) and max/mean as an
     // integer ratio. One exchange (the key count), everything after
@@ -2038,8 +2040,12 @@ object ExtendedQueries {
           "bs")
         .selectExpr("n_buckets", "n_expected", "n_actual",
           // KL(p‖m) with p = first-half mix, q = second-half mix,
-          // m = (p+q)/2; 0·ln(…) terms drop via the filter
-          """round(0.5 * aggregate(filter(bs, b -> b.ne > 0L),
+          // m = (p+q)/2; 0·ln(…) terms drop via the filter. An empty
+          // half (single-day history, r14 ADVICE) makes its mix 0/0 —
+          // NaN in Spark, NULL in DuckDB — so the degenerate case
+          // finalizes as the shared NULL instead.
+          """CASE WHEN n_expected > 0 AND n_actual > 0 THEN
+             round(0.5 * aggregate(filter(bs, b -> b.ne > 0L),
                cast(0.0 as double), (acc, b) ->
                  acc + (cast(b.ne as double) / cast(n_expected as double))
                    * ln((cast(b.ne as double) / cast(n_expected as double))
@@ -2053,7 +2059,7 @@ object ExtendedQueries {
                         / ((cast(b.ne as double) / cast(n_expected as double)
                             + cast(b.na as double) / cast(n_actual as double))
                            / 2.0))),
-             6) AS jsd_nats""")
+             6) END AS jsd_nats""")
     }),
 
     // §2.8: TWO-PROPORTION z-test — did the purchase share of events
@@ -2086,17 +2092,26 @@ object ExtendedQueries {
             .cast("long").as("n2"),
           sum(when(col("half") === "a", col("hits")).otherwise(0L))
             .cast("long").as("x2"))
-        .withColumn("p1", col("x1").cast("double") / col("n1").cast("double"))
-        .withColumn("p2", col("x2").cast("double") / col("n2").cast("double"))
+        // degenerate-data guard (r14 ADVICE): a single-day history puts
+        // every event in the 'e' half ⇒ n2 = 0, and Spark's double
+        // division yields NaN where DuckDB yields NULL — NULL is the
+        // shared degenerate answer on both engines (the assortativity
+        // posture); same for a pooled share of exactly 0 or 1 (0/0 z).
+        .withColumn("p1", when(col("n1") > 0L,
+          col("x1").cast("double") / col("n1").cast("double")))
+        .withColumn("p2", when(col("n2") > 0L,
+          col("x2").cast("double") / col("n2").cast("double")))
         .withColumn("pp",
           (col("x1") + col("x2")).cast("double") /
             (col("n1") + col("n2")).cast("double"))
         .select(col("n1"), col("x1"), col("n2"), col("x2"),
           col("p1"), col("p2"),
-          ((col("p1") - col("p2")) /
-            sqrt(col("pp") * (lit(1.0) - col("pp")) *
-              (lit(1.0) / col("n1").cast("double") +
-                lit(1.0) / col("n2").cast("double")))).as("z_stat"))
+          when(col("n1") > 0L && col("n2") > 0L &&
+              col("pp") > 0.0 && col("pp") < 1.0,
+            (col("p1") - col("p2")) /
+              sqrt(col("pp") * (lit(1.0) - col("pp")) *
+                (lit(1.0) / col("n1").cast("double") +
+                  lit(1.0) / col("n2").cast("double")))).as("z_stat"))
     }),
 
     // §2.8: CRAMÉR'S V — the effect size q_chi_square's test statistic
@@ -4698,7 +4713,7 @@ object ExtendedQueries {
                 10000 * p.n_both // (sa.n + sb.n - p.n_both) AS jaccard_bp
          FROM pairs p JOIN sz sa ON p.ta = sa.event_type
                       JOIN sz sb ON p.tb = sb.event_type""",
-    // same count-of-counts decomposition, same lower-median / ceil-p99
+    // same count-of-counts decomposition, same upper-median / ceil-p99
     // crossing rules, same integer ratios
     "q_key_skew" ->
       """WITH kc AS (

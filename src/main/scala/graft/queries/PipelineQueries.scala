@@ -2438,11 +2438,15 @@ object PipelineQueries {
       val rejected = delta.select(col("doc_id"))
         .join(admitted, Seq("doc_id"), "left_anti")
       val hits = truth.join(rejected, Seq("doc_id"), "left_semi")
-      // the flip: at least one recrawled src0 doc (ids 10000..19999) is
-      // admitted again — src0 text never recurs in other sources, so the
-      // purged index has nothing to match the min-id recrawl row against
+      // the flip: at least one recrawled src0 doc is admitted again —
+      // src0 text never recurs in other sources, so the purged index has
+      // nothing to match the recrawl rows against. The recrawl id class
+      // is doc_id >= 10000 AND ≡ 0 mod 20 (src0 ids are ≡ 0 mod 20 and
+      // minhashDelta's +10000 shift preserves the residue): at sf1 the
+      // corpus holds 50k docs, so a bare [10000, 20000) window would also
+      // admit ORIGINAL src19 ids and make the flip vacuous (r14 ADVICE).
       val readmits = admitted
-        .filter(col("doc_id") >= 10000L && col("doc_id") < 20000L)
+        .filter(col("doc_id") >= 10000L && pmod(col("doc_id"), lit(20L)) === 0L)
         .agg(count(lit(1)).cast("long").as("n_re"))
       pairRecallRow(truth, hits)
         .withColumnRenamed("n_true_pairs", "n_true_docs")

@@ -348,14 +348,18 @@ object Relational {
     // generate_series ↔ sequence trap: the upper bound stays ≥ 1 here
     // because sequence(1, 0) yields a DESCENDING [1, 0] where DuckDB's
     // generate_series(1, 0) is empty (the weightedSample divergence).
+    // Both list results reduce through array_join per the stringify rule
+    // above (comprehension order is well-defined: source order), so the
+    // face emits scalar columns only.
     "q_list_comprehension" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select($"doc_id",
-          expr("transform(filter(split(text, ' '), x -> length(x) > 4)," +
-            " x -> upper(x))").as("long_upper"),
-          expr("transform(sequence(1, cast(doc_id % 5 + 1 as int))," +
-            " j -> cast(j as bigint) * j)").as("squares"))
+          expr("array_join(transform(" +
+            "filter(split(text, ' '), x -> length(x) > 4)," +
+            " x -> upper(x)), ' ')").as("long_upper"),
+          expr("array_join(transform(sequence(1, cast(doc_id % 5 + 1 as int))," +
+            " j -> cast(cast(j as bigint) * j as string)), ',')").as("squares"))
     }),
 
     // §2.12: IGNORE NULLS navigation — the gap-fill idiom: last non-null
@@ -2161,9 +2165,11 @@ object Relational {
     // the genuine comprehension syntax on the oracle side
     "q_list_comprehension" ->
       """SELECT doc_id,
-                [upper(x) FOR x IN string_split(text, ' ')
-                 IF length(x) > 4] AS long_upper,
-                [j * j FOR j IN generate_series(1, doc_id % 5 + 1)]
+                array_to_string(
+                  [upper(x) FOR x IN string_split(text, ' ')
+                   IF length(x) > 4], ' ') AS long_upper,
+                array_to_string(
+                  [j * j FOR j IN generate_series(1, doc_id % 5 + 1)], ',')
                   AS squares
          FROM documents""",
     // IGNORE NULLS is the SQL modifier in DuckDB, the boolean arg of

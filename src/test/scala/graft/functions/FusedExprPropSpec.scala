@@ -108,6 +108,24 @@ class FusedExprPropSpec extends SparkSpec {
     assert(t1.length == 1 && t1 == t2)
   }
 
+  test("fused CdcChunks == composed HOF chunking on 200 fuzz texts (BMP)") {
+    import org.apache.spark.sql.functions._
+    // BMP-only: an astral code point (e.g. 🚀 = 128640) overflows the
+    // composed form's Int multiply (codePoint * 29791 > 2^31) which ANSI
+    // mode turns into a runtime error — the composed spelling's own
+    // domain bound, documented on the expression. Every BMP code point
+    // keeps the 4-term polynomial within Int range.
+    val texts = sample(200).map(_.filter(c => !Character.isHighSurrogate(c)
+      && !Character.isLowSurrogate(c)))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fused = graft.operators.TextOps.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val composed = graft.operators.TextOps.cdcChunksComposed(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(fused == composed)
+  }
+
   test("fused LmScore == composed explode+join on 120 fuzz texts") {
     val texts = sample(120)
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

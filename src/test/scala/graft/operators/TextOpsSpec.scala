@@ -544,19 +544,46 @@ class TextOpsSpec extends SparkSpec {
       s"missing: ${c1.drop(1).toSet -- c2.toSet}")
   }
 
+  test("cdcChunks (fused CdcChunks expr) == cdcChunksComposed, multibyte included") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog " * 5,
+      "ab",                       // below the 4-char gate: no rows
+      "abcd",                     // exactly at the gate
+      "aaaaaaaaaaaaaaaaaaaaaaaa", // uniform content
+      "héllo wörld ünïcode tèxt — spëcial chars äß€ everywhere " * 3,
+      "漢字かなカナ混じりテキストの境界検査" * 4,
+      "tab\tand\nnewline  double  spaces " * 6)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fused = TextOps.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val composed = TextOps.cdcChunksComposed(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(fused == composed)
+    // and chunks stay lossless per doc
+    val byDoc = fused.groupBy(_._1)
+    texts.zipWithIndex.filter(_._1.length >= 4).foreach { case (t, i) =>
+      assert(byDoc(i.toLong).sortBy(_._2).map(_._3).mkString == t)
+    }
+  }
+
   test("blockByDomainSuffix: exact, subdomain, and non-match; equi-join plan") {
     val hosts = Seq(
       (1L, "ads.example.com"),
       (2L, "sub.ads.example.com"), // nested subdomain still blocked
       (3L, "example.com"),         // parent of a blocked domain: NOT blocked
       (4L, "notads.example.com"),  // suffix must respect label boundary
-      (5L, "clean.org")).toDF("doc_id", "host")
+      (5L, "clean.org"),
+      // 10 labels > maxLabels=8: the cap must drop the LONGEST
+      // suffixes, never the registrable-domain one (r14 ADVICE — the
+      // old start-positions-1..maxLabels spelling silently passed this)
+      (6L, "a.b.c.d.e.f.g.h.ads.example.com")).toDF("doc_id", "host")
     val bl = Seq("ads.example.com", "tracker.net").toDF("domain")
     val out = TextOps.blockByDomainSuffix(hosts, "host", bl)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         r.getAs[Boolean]("is_blocked")).toMap
     assert(out == Map(1L -> true, 2L -> true, 3L -> false,
-      4L -> false, 5L -> false), s"got $out")
+      4L -> false, 5L -> false, 6L -> true), s"got $out")
     // the matching layer must be an EQUI join (hash/broadcast), never a
     // per-entry LIKE scan: no nested-loop join in the plan
     val plan = TextOps.blockByDomainSuffix(hosts, "host", bl)
