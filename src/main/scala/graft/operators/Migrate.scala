@@ -1,0 +1,141 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** EXPORT / IMPORT DATABASE translation (r14 VERDICT missing #3) — the
+  * whole-schema migration verb a DuckDB user reaches for when moving a
+  * database between engines: every table written as parquet next to a
+  * `schema.sql` (one CREATE TABLE per table) and a `load.sql` (one COPY
+  * per table), and the inverse that re-creates the tables from exactly
+  * those artifacts. The artifact SHAPE is DuckDB's own EXPORT DATABASE
+  * layout, so a directory this object writes is genuinely consumable by
+  * `IMPORT DATABASE` on the other engine — the oracle for the
+  * `q_export_import` face does precisely that — and vice versa a
+  * DuckDB-exported directory (single parquet file per table) reads back
+  * through [[importDatabase]].
+  *
+  * Two layouts:
+  *  - `compatSingleFile = true` (default): each table lands as ONE
+  *    parquet file `<dir>/<table>.parquet` — bit-compatible with what
+  *    DuckDB's importer expects. The single-file rename is a driver-side
+  *    move of the lone part file; right for dims and migration hand-off
+  *    sets, wrong for a 100 TB fact table.
+  *  - `compatSingleFile = false`: each table keeps Spark's distributed
+  *    multi-part directory `<dir>/<table>.parquet/part-*` and `load.sql`
+  *    COPYs through a glob — the scale layout; Spark's own
+  *    [[importDatabase]] (and any importer that honors load.sql globs)
+  *    reads it, every executor writing its partition in parallel.
+  */
+object Migrate {
+
+  private[operators] def toDuckType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "FLOAT"
+    case StringType => "VARCHAR"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case TimestampNTZType => "TIMESTAMP"
+    case BinaryType => "BLOB"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other =>
+      throw new IllegalArgumentException(s"unsupported export type: $other")
+  }
+
+  private[operators] def toSparkType(s: String): DataType =
+    s.trim.toUpperCase match {
+      case "BIGINT" => LongType
+      case "INTEGER" => IntegerType
+      case "SMALLINT" => ShortType
+      case "DOUBLE" => DoubleType
+      case "FLOAT" => FloatType
+      case "VARCHAR" => StringType
+      case "BOOLEAN" => BooleanType
+      case "DATE" => DateType
+      case "TIMESTAMP" => TimestampType
+      case "BLOB" => BinaryType
+      case d if d.startsWith("DECIMAL") =>
+        val m = """DECIMAL\((\d+),(\d+)\)""".r.findFirstMatchIn(d).get
+        DecimalType(m.group(1).toInt, m.group(2).toInt)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported import type: $other")
+    }
+
+  def exportDatabase(spark: SparkSession, tables: Seq[(String, DataFrame)],
+      dir: String, compatSingleFile: Boolean = true): Unit = {
+    val root = Paths.get(dir)
+    Files.createDirectories(root)
+    val schema = new StringBuilder
+    val load = new StringBuilder
+    tables.foreach { case (name, df) =>
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad table name: $name")
+      val target = root.resolve(s"$name.parquet")
+      if (compatSingleFile) {
+        val tmp = root.resolve(s".$name.tmp")
+        deleteRecursively(tmp)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val listing = Files.list(tmp)
+        val single =
+          try listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).orNull
+          finally listing.close()
+        require(single != null, s"no parquet part written for $name")
+        Files.deleteIfExists(target)
+        deleteRecursively(target)
+        Files.move(single, target)
+        deleteRecursively(tmp)
+        load.append(s"COPY $name FROM '$target' (FORMAT 'parquet');\n")
+      } else {
+        df.write.mode("overwrite").parquet(target.toString)
+        load.append(s"COPY $name FROM '$target/*.parquet' (FORMAT 'parquet');\n")
+      }
+      val cols = df.schema.fields
+        .map(f => s"${f.name} ${toDuckType(f.dataType)}").mkString(", ")
+      schema.append(s"CREATE TABLE $name ($cols);\n")
+    }
+    Files.writeString(root.resolve("schema.sql"), schema.toString)
+    Files.writeString(root.resolve("load.sql"), load.toString)
+  }
+
+  private val createRe =
+    """(?i)CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\);?\s*""".r
+
+  /** Re-create every exported table from `<dir>/schema.sql`, ENFORCING
+    * the declared schema on the parquet read (a drifted file fails
+    * loudly instead of silently re-inferring). Reads both layouts —
+    * single file or multi-part directory — at `<dir>/<table>.parquet`. */
+  def importDatabase(spark: SparkSession, dir: String)
+      : Seq[(String, DataFrame)] = {
+    val schemaSql = Files.readString(Paths.get(dir, "schema.sql"))
+    schemaSql.split("\n").filter(_.trim.nonEmpty).toSeq.map {
+      case createRe(name, colsStr) =>
+        val fields = colsStr.split(",(?![^()]*\\))").map { c =>
+          val t = c.trim
+          val sp = t.indexOf(' ')
+          StructField(t.substring(0, sp), toSparkType(t.substring(sp + 1)))
+        }
+        name -> spark.read.schema(StructType(fields))
+          .parquet(Paths.get(dir, s"$name.parquet").toString)
+      case other =>
+        throw new IllegalArgumentException(s"unparseable DDL line: $other")
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p)) {
+        val listing = Files.list(p)
+        try listing.iterator().asScala.toList.foreach(deleteRecursively)
+        finally listing.close()
+      }
+      Files.deleteIfExists(p)
+    }
+}

@@ -98,7 +98,52 @@ object ExtendedQueries {
       out
     }
 
+  /** EXPORT DATABASE artifact for the q_export_import face, at a FIXED
+    * path (the static oracle runs the genuine IMPORT DATABASE on it).
+    * Three tables in DuckDB's single-file compat layout; rewritten when
+    * the sfDir changes. */
+  private val exportDbDir = "/tmp/graft_export_spark"
+  @volatile private var exportDbWrittenFor: String = ""
+  private def exportDbFixture(s: SparkSession, sfDir: String): String =
+    synchronized {
+      if (exportDbWrittenFor != sfDir) {
+        graft.operators.Migrate.exportDatabase(s, Seq(
+          "nation_t" -> Tables.load(s, sfDir, "nation"),
+          "region_t" -> Tables.load(s, sfDir, "region"),
+          "supplier_t" -> Tables.load(s, sfDir, "supplier")), exportDbDir)
+        exportDbWrittenFor = sfDir
+      }
+      exportDbDir
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.12: EXPORT / IMPORT DATABASE (r14 VERDICT missing #3) — the
+    // whole-schema migration verb: operators.Migrate writes the three
+    // tables + schema.sql + load.sql in DuckDB's own EXPORT DATABASE
+    // artifact shape, Spark's importDatabase re-creates them from
+    // exactly those artifacts (declared-schema-enforced reads), and the
+    // face rolls each re-imported table into the order-independent
+    // digest of q_table_checksum. The ORACLE runs DuckDB's genuine
+    // IMPORT DATABASE on the same directory — cross-engine artifact
+    // compatibility is the thing certified, not just a self-roundtrip.
+    "q_export_import" -> ((s, dir) => {
+      val imp = graft.operators.Migrate
+        .importDatabase(s, exportDbFixture(s, dir)).toMap
+      def digest(df: DataFrame, tbl: String, rowStr: org.apache.spark.sql.Column) =
+        df.select(conv(substring(md5(rowStr), 1, 8), 16, 10)
+            .cast("long").as("d"))
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("d")).cast("long").as("checksum"))
+          .select(lit(tbl).as("tbl"), col("n_rows"), col("checksum"))
+      digest(imp("nation_t"), "nation_t",
+        concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey")))
+        .unionByName(digest(imp("region_t"), "region_t",
+          concat_ws("|", col("r_regionkey"), col("r_name"))))
+        .unionByName(digest(imp("supplier_t"), "supplier_t",
+          concat_ws("|", col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            round(col("s_acctbal") * 100).cast("long"))))
+    }),
+
     // §2.12: schema evolution — two parquet snapshots with drifted
     // schemas (v2 adds a column) read as ONE table via mergeSchema;
     // missing fields null-fill. DuckDB twin: read_parquet
@@ -3075,6 +3120,32 @@ object ExtendedQueries {
         (expr("min_gap_us div 1000000") + 1L).as("w"))
 
   def oracleSql: Map[String, String] = Map(
+    // the genuine IMPORT DATABASE verb over the Spark-exported artifact
+    // (Verify dumps all faces before oracle SQL runs, so the directory
+    // exists); digest = q_table_checksum's hex-fold spelling
+    "q_export_import" ->
+      """ATTACH IF NOT EXISTS ':memory:' AS imp;
+         USE imp;
+         IMPORT DATABASE '/tmp/graft_export_spark';
+         USE memory;
+         WITH dig AS (
+           SELECT 'nation_t' AS tbl,
+                  md5(concat_ws('|', n_nationkey, n_name, n_regionkey)) AS h
+           FROM imp.nation_t
+           UNION ALL
+           SELECT 'region_t', md5(concat_ws('|', r_regionkey, r_name))
+           FROM imp.region_t
+           UNION ALL
+           SELECT 'supplier_t',
+                  md5(concat_ws('|', s_suppkey, s_name, s_nationkey,
+                    CAST(round(s_acctbal * 100) AS BIGINT)))
+           FROM imp.supplier_t)
+         SELECT tbl, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(list_reduce(list_prepend(0::BIGINT,
+                  list_transform(generate_series(1, 8),
+                    i -> (instr('0123456789abcdef', substr(h, i, 1)) - 1)::BIGINT)),
+                  (acc, x) -> acc * 16 + x)) AS BIGINT) AS checksum
+         FROM dig GROUP BY 1""",
     "q_funnel" ->
       """WITH per_user AS (
            SELECT user_id,

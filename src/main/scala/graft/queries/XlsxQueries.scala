@@ -121,6 +121,71 @@ object XlsxQueries {
               cast(n_regionkey AS double) AS n_regionkey
        FROM nation"""
 
+  /** CSV sniffing probe fixtures — four dialects at FIXED paths (the
+    * oracle SQL is static, so `sniff_csv('/tmp/graft_csv_sniff/…')`
+    * must name the path verbatim; content is corpus-derived per sfDir
+    * and rewritten whenever the sfDir changes). Each file is built so
+    * any reasonable sniffer lands on one dialect: the quoted files
+    * plant the delimiter INSIDE quoted fields, the semicolon file
+    * carries free commas in its text, the tab file is headerless pure
+    * numerics. Returns the fixture dir. */
+  private val csvSniffDir = Paths.get("/tmp", "graft_csv_sniff")
+  @volatile private var csvSniffWrittenFor: String = ""
+  private def csvSniffFixtures(s: SparkSession, sfDir: String): Path =
+    synchronized {
+      if (csvSniffWrittenFor == sfDir) return csvSniffDir
+      Files.createDirectories(csvSniffDir)
+      val rows = Tables.load(s, sfDir, "documents")
+        .orderBy("doc_id").limit(40)
+        .select(col("doc_id"), col("lang"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          r.getString(2).replaceAll("[\"';|\t\r\n]", " ").take(120)))
+      def write(name: String, lines: Seq[String]): Unit =
+        Files.writeString(csvSniffDir.resolve(name),
+          lines.mkString("", "\n", "\n"))
+      write("probe_comma.csv", "doc_id,lang,text" +: rows.toSeq.map {
+        case (id, lang, t) =>
+          val noComma = t.replace(",", " ")
+          s"""$id,$lang,"planted, comma, $noComma""""
+      })
+      write("probe_semi.csv", "doc_id;lang;text" +: rows.toSeq.map {
+        case (id, lang, t) => s"$id;$lang;planted, comma, $t"
+      })
+      write("probe_pipe.csv", "doc_id|lang|text" +: rows.toSeq.map {
+        case (id, lang, t) =>
+          // VARYING planted-pipe count per row: a constant count would
+          // make the naive no-quote parse CONSISTENT at a higher column
+          // count, which a sniffer may legitimately prefer over the
+          // quoted 3-column reading — varying it leaves the
+          // single-quoted parse as the only consistent dialect
+          val planted = Seq.fill((id % 3).toInt + 1)("planted").mkString("|")
+          s"$id|$lang|'$planted ${t.replace(",", " ")}'"
+      })
+      write("probe_tab.csv", rows.toSeq.map { case (id, _, t) =>
+        s"$id\t${t.length}\t${t.split(" +").length}"
+      })
+      csvSniffWrittenFor = sfDir
+      csvSniffDir
+    }
+
+  /** 3-part parquet directory for the filename-virtual-column face, at a
+    * FIXED path (the static oracle SQL globs it). Deterministic content:
+    * documents hash-partitioned by doc_id into 3 parts; rewritten when
+    * the sfDir changes. */
+  private val parquetFilenameDir = "/tmp/graft_filename_probe"
+  @volatile private var parquetFilenameWrittenFor: String = ""
+  private def parquetFilenameFixture(s: SparkSession, sfDir: String): String =
+    synchronized {
+      if (parquetFilenameWrittenFor != sfDir) {
+        Tables.load(s, sfDir, "documents")
+          .select(col("doc_id"), col("lang"))
+          .repartition(3, col("doc_id"))
+          .write.mode("overwrite").parquet(parquetFilenameDir)
+        parquetFilenameWrittenFor = sfDir
+      }
+      parquetFilenameDir
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 #1: the scan itself (writer → reader roundtrip vs parquet truth)
     "xlsx_scan_roundtrip" -> ((s, dir) =>
@@ -259,6 +324,52 @@ object XlsxQueries {
         .option("header", "true").option("quote", "\"")
         .option("escape", "\"").option("multiLine", "true")
         .option("inferSchema", "true").load(out)
+    }),
+
+    // CSV DIALECT SNIFFING (r14 VERDICT missing #1) — DuckDB's
+    // `sniff_csv()` is the genuine oracle spelling; the Spark side is
+    // [[graft.sources.csv.CsvSniffer]]'s bounded 64 KiB head probe.
+    // Four planted dialects (quoted-comma, bare-semicolon, single-quoted
+    // pipe, headerless tab) each yield (delimiter, quote, has_header,
+    // n_cols) plus a parse ROUNDTRIP through the inferred dialect
+    // (n_rows via the actual distributed read with the inferred
+    // options vs DuckDB's auto-sniffed read_csv count).
+    "csv_sniff" -> ((s, dir) => {
+      val d = csvSniffFixtures(s, dir)
+      val tags = Seq("comma" -> "probe_comma.csv", "semi" -> "probe_semi.csv",
+        "pipe" -> "probe_pipe.csv", "tab" -> "probe_tab.csv")
+      val out = tags.map { case (tag, f) =>
+        val p = d.resolve(f).toString
+        val dia = graft.sources.csv.CsvSniffer.sniff(s, p)
+        val n = s.read.format("csv")
+          .option("sep", dia.delimiter.toString)
+          .option("quote", dia.quote.toString)
+          .option("header", dia.hasHeader.toString)
+          .load(p).count()
+        (tag, dia.delimiter.toString, dia.quote.toString, dia.hasHeader,
+          dia.nCols.toLong, n)
+      }
+      import s.implicits._
+      out.toDF("file_tag", "delimiter", "quote", "has_header",
+        "n_cols", "n_rows")
+    }),
+
+    // FILENAME VIRTUAL COLUMN (r14 VERDICT missing #2) — DuckDB's
+    // `read_parquet(..., filename = true)` ↔ Spark's `_metadata.file_path`
+    // hidden column: the standard multi-file provenance idiom. The face
+    // writes documents as a 3-part parquet directory at a FIXED path
+    // (the oracle names it in read_parquet) and rolls provenance up per
+    // physical file; both engines see the identical part files, so the
+    // basename, row count and id-range agree exactly.
+    "parquet_filename" -> ((s, dir) => {
+      val out = parquetFilenameFixture(s, dir)
+      s.read.parquet(out)
+        .select(
+          regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("fname"),
+          col("doc_id"))
+        .groupBy(col("fname"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     }),
 
     "json_write_roundtrip" -> ((s, dir) => {
@@ -499,6 +610,35 @@ object XlsxQueries {
                   AS body,
                 lang
          FROM documents""",
+    // the genuine sniffer spelling on the oracle side — sniff_csv() over
+    // the SAME probe files the face wrote (fixed paths; Verify dumps all
+    // faces before any oracle SQL runs, so the files exist by then)
+    "csv_sniff" ->
+      """SELECT 'comma' AS file_tag, Delimiter AS delimiter, Quote AS quote,
+                HasHeader AS has_header, CAST(len(Columns) AS BIGINT) AS n_cols,
+                (SELECT count(*) FROM read_csv('/tmp/graft_csv_sniff/probe_comma.csv'))::BIGINT AS n_rows
+         FROM sniff_csv('/tmp/graft_csv_sniff/probe_comma.csv')
+         UNION ALL
+         SELECT 'semi', Delimiter, Quote, HasHeader, CAST(len(Columns) AS BIGINT),
+                (SELECT count(*) FROM read_csv('/tmp/graft_csv_sniff/probe_semi.csv'))::BIGINT
+         FROM sniff_csv('/tmp/graft_csv_sniff/probe_semi.csv')
+         UNION ALL
+         SELECT 'pipe', Delimiter, Quote, HasHeader, CAST(len(Columns) AS BIGINT),
+                (SELECT count(*) FROM read_csv('/tmp/graft_csv_sniff/probe_pipe.csv'))::BIGINT
+         FROM sniff_csv('/tmp/graft_csv_sniff/probe_pipe.csv')
+         UNION ALL
+         SELECT 'tab', Delimiter, Quote, HasHeader, CAST(len(Columns) AS BIGINT),
+                (SELECT count(*) FROM read_csv('/tmp/graft_csv_sniff/probe_tab.csv'))::BIGINT
+         FROM sniff_csv('/tmp/graft_csv_sniff/probe_tab.csv')""",
+    // the genuine filename=true spelling on the oracle side, over the
+    // SAME part files the face wrote
+    "parquet_filename" ->
+      """SELECT regexp_extract(filename, '[^/]+$') AS fname,
+                count(*)::BIGINT AS n_rows,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM read_parquet('/tmp/graft_filename_probe/*.parquet',
+                           filename = true)
+         GROUP BY 1""",
     "json_write_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM customer""",

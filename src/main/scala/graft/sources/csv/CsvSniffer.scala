@@ -1,0 +1,114 @@
+package graft.sources.csv
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** CSV DIALECT SNIFFING — the `read_csv` auto-detect a migrating DuckDB
+  * user leans on constantly (its `sniff_csv()` table function is the
+  * oracle spelling; r14 VERDICT missing #1). Spark has no native
+  * sniffer, so this is the XlsxSchema.fromProbe posture applied to CSV:
+  * a BOUNDED head-of-file probe (default 64 KiB, read through the
+  * Hadoop FS API so it works against any store) scores candidate
+  * dialects on the sample and returns the winning tuple — the caller
+  * then does the actual distributed read with the inferred options.
+  * Nothing here scales with the file: at 100 TB the probe still reads
+  * 64 KiB of ONE file.
+  *
+  * Scoring mirrors the sniffer contract rather than any engine's code:
+  * for each (delimiter, quote) candidate, split the sample's complete
+  * lines quote-aware (RFC 4180, quote doubled to escape); a candidate
+  * is CONSISTENT when every line yields the same field count ≥ 2.
+  * Winner = lexicographic (consistent, n_cols, quoted-field count),
+  * ties broken by the preference order (',', ';', '\t', '|') × ('"',
+  * '\'') — so an un-quoted file reports the conventional '"' default,
+  * matching `sniff_csv`. Header detection is the two-row rule the xlsx
+  * scanner uses (reference: src/sheetreader_extension.cpp:847): row 1
+  * all non-numeric ∧ row 2 contains a numeric ⇒ header.
+  */
+object CsvSniffer {
+
+  final case class Dialect(delimiter: Char, quote: Char, hasHeader: Boolean,
+      nCols: Int)
+
+  private val delimCandidates = Seq(',', ';', '\t', '|')
+  private val quoteCandidates = Seq('"', '\'')
+
+  /** Quote-aware split of one line. Returns (fields, quotedFieldCount). */
+  private[csv] def splitLine(line: String, d: Char, q: Char)
+      : (Vector[String], Int) = {
+    val fields = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var quoted = 0
+    var inQ = false
+    var wasQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == q) {
+          if (i + 1 < line.length && line.charAt(i + 1) == q) {
+            cur.append(q); i += 1 // doubled quote = literal
+          } else inQ = false
+        } else cur.append(c)
+      } else if (c == q && cur.isEmpty && !wasQ) {
+        inQ = true; wasQ = true
+      } else if (c == d) {
+        fields += cur.toString; if (wasQ) quoted += 1
+        cur.clear(); wasQ = false
+      } else cur.append(c)
+      i += 1
+    }
+    fields += cur.toString; if (wasQ) quoted += 1
+    (fields.result(), quoted)
+  }
+
+  private def isNumeric(s: String): Boolean = {
+    val t = s.trim
+    t.nonEmpty && (try { t.toDouble; true } catch { case _: Throwable => false })
+  }
+
+  /** Probe the head of `path` (complete lines within `maxBytes`) and
+    * infer the dialect. */
+  def sniff(spark: SparkSession, path: String, maxBytes: Int = 65536)
+      : Dialect = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val buf = new Array[Byte](maxBytes)
+    var read = 0
+    try {
+      var n = in.read(buf, 0, maxBytes)
+      while (n > 0 && read + n < maxBytes) { read += n; n = in.read(buf, read, maxBytes - read) }
+      if (n > 0) read += n
+    } finally in.close()
+    val sample = new String(buf, 0, read, java.nio.charset.StandardCharsets.UTF_8)
+    // complete lines only: a cut-off trailing line would skew the counts
+    val rawLines = sample.split("\r?\n", -1)
+    val lines = (if (read == maxBytes && rawLines.length > 1) rawLines.dropRight(1)
+      else rawLines).filter(_.nonEmpty).toSeq
+    require(lines.nonEmpty, s"empty CSV sample: $path")
+
+    var best: (Boolean, Int, Int, Int) = (false, 0, 0, 0) // consistent, cols, quoted, -prefRank
+    var bestDialect = (',', '"')
+    var rank = delimCandidates.size * quoteCandidates.size
+    for (d <- delimCandidates; q <- quoteCandidates) {
+      rank -= 1
+      val parsed = lines.map(splitLine(_, d, q))
+      val counts = parsed.map(_._1.size).distinct
+      val consistent = counts.size == 1 && counts.head >= 2
+      val score = (consistent, if (consistent) counts.head else 0,
+        parsed.map(_._2).sum, rank)
+      val better = (score._1 && !best._1) ||
+        (score._1 == best._1 && score._2 > best._2) ||
+        (score._1 == best._1 && score._2 == best._2 && score._3 > best._3) ||
+        (score._1 == best._1 && score._2 == best._2 && score._3 == best._3 &&
+          score._4 > best._4)
+      if (better) { best = score; bestDialect = (d, q) }
+    }
+    val (d, q) = bestDialect
+    val rows = lines.take(2).map(splitLine(_, d, q)._1)
+    val hasHeader = rows.size >= 2 &&
+      rows.head.forall(f => !isNumeric(f)) && rows(1).exists(isNumeric)
+    Dialect(d, q, hasHeader, splitLine(lines.head, d, q)._1.size)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** EXPORT/IMPORT DATABASE translation (r14 VERDICT missing #3): the
+  * artifact roundtrip, both layouts, schema enforcement, and the DDL
+  * type mapping — the cross-ENGINE leg (DuckDB genuinely importing the
+  * exported directory) is certified by the q_export_import oracle. */
+class MigrateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_migrate_").toString
+
+  test("export → import roundtrip preserves rows, schema and order-free content") {
+    val t1 = Seq((1L, "a", 1.5), (2L, "b", -0.25), (3L, null, 0.0))
+      .toDF("id", "name", "score")
+    val t2 = Seq((10, true), (20, false)).toDF("k", "flag")
+    val dir = tmp()
+    Migrate.exportDatabase(spark, Seq("t_one" -> t1, "t_two" -> t2), dir)
+    // DuckDB's exact artifact shape: single parquet FILE per table + DDL
+    val root = java.nio.file.Paths.get(dir)
+    assert(java.nio.file.Files.isRegularFile(root.resolve("t_one.parquet")))
+    val ddl = java.nio.file.Files.readString(root.resolve("schema.sql"))
+    assert(ddl.contains("CREATE TABLE t_one (id BIGINT, name VARCHAR, score DOUBLE);"))
+    assert(ddl.contains("CREATE TABLE t_two (k INTEGER, flag BOOLEAN);"))
+    val load = java.nio.file.Files.readString(root.resolve("load.sql"))
+    assert(load.contains(s"COPY t_one FROM '$dir/t_one.parquet' (FORMAT 'parquet');"))
+    val imp = Migrate.importDatabase(spark, dir).toMap
+    assert(imp.keySet == Set("t_one", "t_two"))
+    // declared types enforced (nullability is not part of the DDL contract)
+    assert(imp("t_one").schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      t1.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(imp("t_one").collect().map(_.toString).sorted.toSeq ==
+      t1.collect().map(_.toString).sorted.toSeq)
+    assert(imp("t_two").collect().map(_.toString).sorted.toSeq ==
+      t2.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("distributed layout (compatSingleFile=false): multi-part dir + glob COPY, " +
+      "importDatabase reads it back") {
+    val big = spark.range(0, 1000).select($"id",
+      concat(lit("row"), $"id").as("name"))
+    val dir = tmp()
+    Migrate.exportDatabase(spark, Seq("t_big" -> big.repartition(4)), dir,
+      compatSingleFile = false)
+    val root = java.nio.file.Paths.get(dir)
+    assert(java.nio.file.Files.isDirectory(root.resolve("t_big.parquet")))
+    val load = java.nio.file.Files.readString(root.resolve("load.sql"))
+    assert(load.contains(s"COPY t_big FROM '$dir/t_big.parquet/*.parquet'"))
+    val imp = Migrate.importDatabase(spark, dir).toMap
+    assert(imp("t_big").count() == 1000L)
+    assert(imp("t_big").agg(sum($"id")).head.getLong(0) == 499500L)
+  }
+
+  test("DDL type mapping round-trips the supported lattice; unsupported rejects") {
+    val types = Seq(LongType, IntegerType, ShortType, DoubleType, FloatType,
+      StringType, BooleanType, DateType, TimestampType, BinaryType,
+      DecimalType(28, 4))
+    types.foreach { t =>
+      val mapped = Migrate.toSparkType(Migrate.toDuckType(t))
+      val expected = if (t == TimestampNTZType) TimestampType else t
+      assert(mapped == expected, s"$t -> ${Migrate.toDuckType(t)} -> $mapped")
+    }
+    intercept[IllegalArgumentException] {
+      Migrate.toDuckType(ArrayType(LongType))
+    }
+    intercept[IllegalArgumentException] { Migrate.toSparkType("STRUCTISH") }
+  }
+
+  test("import enforces the DECLARED schema (drifted parquet fails loudly, " +
+      "not silently re-inferred)") {
+    val dir = tmp()
+    Migrate.exportDatabase(spark,
+      Seq("t_s" -> Seq((1L, "x")).toDF("id", "v")), dir)
+    // tamper: declare v as BIGINT while the file holds strings
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.writeString(root.resolve("schema.sql"),
+      "CREATE TABLE t_s (id BIGINT, v BIGINT);\n")
+    val imp = Migrate.importDatabase(spark, dir).toMap
+    intercept[Exception] { imp("t_s").collect() }
+  }
+}
