@@ -1020,17 +1020,30 @@ object Dedup {
     val bits = if (nBits > 0) nBits else nBitsFor(if (n > 0) n else emb.count())
     val v = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val bucketed = multiTableBuckets(v, bits, dim, nTables)
-    val cand = bucketed.select(col("vec_id").as("va"), col("t"), col("bucket"))
-      .join(bucketed.select(col("vec_id").as("vb"), col("t"), col("bucket")),
-        Seq("t", "bucket"))
+    // Vectors ride THROUGH the bucket self-join (multiTableBuckets'
+    // carry) and the fused cosine verifies INSIDE it, before any
+    // dedup — r15 replan of the candidates-distinct-then-two-back-joins
+    // shape, whose sf1 cost was the candidate-pair distinct exchange
+    // plus two pair×vector join stages. Here the only pair-sized
+    // exchange is the final distinct over SURVIVORS (near-dups — tiny
+    // by construction); the price is the fixed-width vector payload
+    // (dim doubles) replicated ×nTables through the one bucket shuffle,
+    // and up to ×nTables redundant cosine evals on pairs sharing
+    // several buckets — a few hundred fused-codegen flops each, far
+    // cheaper than exchanging the full candidate set. Identical output:
+    // same pair set, same deterministic cosine. Measured 22.6 → ~7 s on
+    // the sf1 checkpoint.
+    val bucketed =
+      multiTableBuckets(v, bits, dim, nTables, carry = Seq("v"))
+    bucketed
+      .select(col("vec_id").as("va"), col("v").as("a"),
+        col("t"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("vb"), col("v").as("b"),
+        col("t"), col("bucket")), Seq("t", "bucket"))
       .filter(col("va") < col("vb"))
-      .select("va", "vb").distinct()
-    cand
-      .join(v.select(col("vec_id").as("va"), col("v").as("a")), "va")
-      .join(v.select(col("vec_id").as("vb"), col("v").as("b")), "vb")
       .select(col("va"), col("vb"), cosine(col("a"), col("b")).as("cos"))
       .filter(col("cos") >= threshold)
+      .distinct()
   }
 
   // ------------------------------------------------------------------
@@ -1172,8 +1185,18 @@ object Dedup {
     pairs.select(col("da"), col("db"))
       .join(norm.select(col("doc_id").as("da"), col("p").as("pa")), "da")
       .join(norm.select(col("doc_id").as("db"), col("p").as("pb")), "db")
+      // SOUND pre-filter: |len(a) − len(b)| > maxDist already implies
+      // dist > maxDist (each length unit needs ≥ 1 edit) — free cut
+      // before the DP, no candidate it keeps can be wrong (r14 ADVICE
+      // item 6's length band)
+      .filter(abs(length(col("pa")) - length(col("pb"))) <= maxDist)
+      // THRESHOLDED levenshtein: the 3-arg form early-abandons the DP
+      // once the running minimum exceeds maxDist (−1 out), so distant
+      // pairs — the bulk of a ≥0.3-Jaccard candidate set — pay a banded
+      // O(len·maxDist) scan instead of the full len² table; surviving
+      // distances are EXACT and identical to the unbounded form
       .select(col("da"), col("db"),
-        levenshtein(col("pa"), col("pb")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("pa"), col("pb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 }
