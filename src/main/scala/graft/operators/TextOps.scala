@@ -120,6 +120,36 @@ object TextOps {
           col("stop_hits") >= 2L)
   }
 
+  /** C4 cleaning rules (Raffel et al. 2020, §2.2) — the line + page
+    * filter the original C4 corpus was built with, beside
+    * [[gopherRules]]' document-statistics screen. Line level: keep only
+    * lines that END in terminal punctuation (. ! ? "), carry ≥ 3 words,
+    * and do not mention javascript; page level: ≥ 5 sentences across
+    * the KEPT lines, no "lorem ipsum", no curly brace anywhere on the
+    * raw page. Emits the per-page accounting plus the cleaned text's
+    * md5 (pins the retained CONTENT, not just counts) — every column
+    * integer/boolean/hex, map-only, bit-exact cross-engine. Expects
+    * `doc_id` and a `body` column. */
+  def c4Rules(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__lines", split(col("body"), "\n"))
+      .withColumn("__kept", expr(
+        """filter(__lines, l ->
+             trim(l) rlike '[.!?"]$'
+             AND size(filter(split(trim(l), ' +'), w -> w != '')) >= 3
+             AND NOT contains(lower(l), 'javascript'))"""))
+      .withColumn("clean", array_join(col("__kept"), "\n"))
+      .select(col("doc_id"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        regexp_count(col("clean"), lit("[.!?]")).cast("long").as("n_sent"),
+        contains(lower(col("body")), lit("lorem ipsum")).as("has_lorem"),
+        contains(col("body"), lit("{")).as("has_brace"),
+        md5(col("clean")).as("clean_md5"),
+        length(col("clean")).cast("long").as("clean_len"))
+      .withColumn("keep",
+        col("n_sent") >= 5L && !col("has_lorem") && !col("has_brace"))
+
   /** Code-likeness signals — the code-vs-prose router a mixed web corpus
     * needs before language-specific filtering: symbol density, code
     * keywords, indented and terminator-ended line counts. Integer-exact

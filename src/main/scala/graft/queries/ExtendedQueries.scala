@@ -1811,6 +1811,97 @@ object ExtendedQueries {
     // exploded lag row aligns pairs through a day→count map lookup
     // (date arithmetic — gap-safe, identical semantics to the join), and
     // the moments fold as integer-exact HOF aggregates on a 2-row frame.
+    // §2.8: DETERMINISTIC BOOTSTRAP CI — the resampling the statistics
+    // tier was missing, made replayable: rep r keeps row i iff the
+    // md5-fold of (i, r) is even (the q_table_checksum hex-fold — a
+    // seeded 50% subsample both engines compute bit-identically; no
+    // RNG, no order dependence). B=64 reps in ONE corpus scan (the
+    // explode multiplies CPU, not shuffle — the aggregate ships 64
+    // partial rows per partition), per-rep integer mean in cents×100,
+    // CI = 2nd / 63rd order statistic of the 64 sorted rep means
+    // (~2.5% / ~97.5%). Everything BIGINT-exact.
+    "q_bootstrap_ci" -> ((s, dir) => {
+      val B = 64
+      val pop = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val reps = pop
+        .select(col("c_custkey"), col("cents"),
+          explode(sequence(lit(0), lit(B - 1))).as("r"))
+        .filter(conv(substring(
+            md5(concat_ws("|", col("c_custkey"), col("r"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0)
+        .groupBy(col("r"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cents")).cast("long").as("s"))
+        .selectExpr("r", "100 * s div n AS m")
+      val ci = reps
+        .agg(sort_array(collect_list(col("m"))).as("ms"))
+        .selectExpr("cast(size(ms) as bigint) AS n_reps",
+          "element_at(ms, 2) AS ci_lo_c100",
+          s"element_at(ms, ${B - 1}) AS ci_hi_c100")
+      pop.agg(count(lit(1)).cast("long").as("n_rows"),
+          expr("cast(100 * sum(cents) div count(*) as bigint)")
+            .as("mean_c100"))
+        .withColumn("__k", pmod(col("n_rows"), lit(1L)))
+        .join(broadcast(ci.withColumn("__k", pmod(col("n_reps"), lit(1L)))),
+          "__k")
+        .select(col("n_rows"), col("mean_c100"), col("n_reps"),
+          col("ci_lo_c100"), col("ci_hi_c100"))
+    }),
+
+    // §2.8: SEASONAL DECOMPOSITION (classical additive, the moving-
+    // average construction) — trend = centered 7-day MA (defined only
+    // on full windows), seasonal = per-day-of-week integer mean of the
+    // detrended series, remainder = detrended − seasonal. The corpus
+    // collapses to one exact count per day first; every window/group
+    // after that rides the calendar-bounded series. dow normalized to
+    // Sunday=0 on both engines (Spark dayofweek is 1-based). All ×100
+    // BIGINT arithmetic; both engines truncate integer division toward
+    // zero (probed), so negative detrended values divide identically.
+    "q_seasonal_decompose" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val t = Tables.load(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("s7", sum(col("cnt")).over(w7))
+        .withColumn("trend_x100",
+          when(col("n7") === 7L, expr("cast(100 * s7 div 7 as bigint)")))
+        .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+        .withColumn("det_x100", col("cnt") * 100L - col("trend_x100"))
+      val seas = t.filter(col("trend_x100").isNotNull)
+        .groupBy(col("dow"))
+        .agg(expr("cast(sum(det_x100) div count(*) as bigint)")
+          .as("seas_x100"))
+      t.filter(col("trend_x100").isNotNull)
+        .join(seas, Seq("dow"))
+        .select(col("day"), col("cnt"), col("trend_x100"), col("dow"),
+          col("seas_x100"),
+          (col("det_x100") - col("seas_x100")).cast("long").as("resid_x100"))
+    }),
+
+    // §2.8: exact MEDIAN as a window function — DuckDB runs aggregate
+    // quantiles as genuine window functions (`median(x) OVER (PARTITION
+    // BY k)`); Spark has no exact-percentile window, and the
+    // scale-honest translation is groupBy-percentile + join-back (a
+    // per-key window would buffer whole partitions). med_x2 = 2×median
+    // as BIGINT: even-sized groups interpolate to lo+hi exactly in
+    // both engines (doubles are exact below 2^52), so no float surface
+    // leaves the face.
+    "q_window_median" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val med = o.groupBy(col("o_custkey"))
+        .agg(expr("cast(round(2 * percentile(cents, 0.5)) as bigint)")
+          .as("med_x2"))
+      o.join(med, Seq("o_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+          col("med_x2"))
+    }),
+
     "q_autocorr" -> ((s, dir) => {
       Tables.load(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
@@ -3414,6 +3505,69 @@ object ExtendedQueries {
                 list_reduce(list(contrib ORDER BY f, st), (a, b) -> a + b)
                   AS chi2
          FROM c3""",
+    // same md5-fold subsample gate, same order-statistic CI rule
+    "q_bootstrap_ci" ->
+      """WITH pop AS (
+           SELECT c_custkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+         reps AS (
+           SELECT g.r, count(*)::BIGINT AS n,
+                  CAST(sum(cents) AS BIGINT) AS s
+           FROM pop, generate_series(0, 63) AS g(r)
+           WHERE list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(1, 8),
+                 i -> (instr('0123456789abcdef',
+                   substr(md5(concat_ws('|', c_custkey, r)), i, 1)) - 1)::BIGINT)),
+               (acc, x) -> acc * 16 + x) % 2 = 0
+           GROUP BY 1),
+         ms AS (SELECT list_sort(list(100 * s // n)) AS m FROM reps),
+         f AS (SELECT count(*)::BIGINT AS n_rows,
+                 CAST(100 * sum(cents) // count(*) AS BIGINT) AS mean_c100
+               FROM pop)
+         SELECT f.n_rows, f.mean_c100, CAST(len(m) AS BIGINT) AS n_reps,
+                m[2] AS ci_lo_c100, m[63] AS ci_hi_c100
+         FROM f, ms""",
+    // same daily collapse, same centered-7 MA, same dow normalization
+    // (DuckDB dayofweek is already Sunday=0), same truncating division
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                  count(*)::BIGINT AS cnt
+           FROM events GROUP BY 1),
+         t AS (
+           SELECT day, cnt,
+                  count(*) OVER w AS n7,
+                  CAST(sum(cnt) OVER w AS BIGINT) AS s7,
+                  CAST(dayofweek(day) AS BIGINT) AS dow
+           FROM daily
+           WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         d AS (
+           SELECT day, cnt, dow,
+                  CASE WHEN n7 = 7 THEN CAST(100 * s7 // 7 AS BIGINT) END
+                    AS trend_x100
+           FROM t),
+         e AS (
+           SELECT day, cnt, dow, trend_x100,
+                  cnt * 100 - trend_x100 AS det_x100
+           FROM d WHERE trend_x100 IS NOT NULL),
+         seas AS (
+           SELECT dow,
+                  CAST(sum(det_x100) // count(*) AS BIGINT) AS seas_x100
+           FROM e GROUP BY 1)
+         SELECT e.day, e.cnt, e.trend_x100, e.dow, seas.seas_x100,
+                CAST(e.det_x100 - seas.seas_x100 AS BIGINT) AS resid_x100
+         FROM e JOIN seas USING (dow)""",
+    // the GENUINE window-aggregate spelling on the oracle side
+    "q_window_median" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_custkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, o_custkey, cents,
+                CAST(round(2 * median(cents) OVER (PARTITION BY o_custkey))
+                  AS BIGINT) AS med_x2
+         FROM o""",
     // DATE + INTEGER day arithmetic aligns the same pairs; integer-exact
     // sums, matched final op order per lag
     "q_autocorr" ->

@@ -834,6 +834,33 @@ object PipelineQueries {
     "txt_gopher" -> ((s, dir) => TextOps.gopherRules(docs(s, dir),
       Seq("the", "join", "hash", "row", "batch", "scan", "order", "data"))),
 
+    // §2.8: C4 cleaning rules (Raffel et al. 2020 §2.2) beside Gopher's
+    // statistics screen — the corpus has no line structure, so each doc
+    // gets a deterministic PAGE planted from (doc_id, text) on both
+    // engines (the txt_code_detect posture): four good sentences, a
+    // javascript line every 5th doc, a too-short line, an
+    // unterminated line, a lorem-ipsum line every 7th, a curly-brace
+    // config line every 11th. Line drops, sentence counts, page-level
+    // kills and the cleaned text's md5 all replay bit-exact.
+    "txt_c4_rules" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"), expr(
+        """concat_ws(chr(10),
+             concat(substring(text, 1, 60), ' one.'),
+             concat(substring(text, 61, 60), ' two.'),
+             concat(substring(text, 121, 60), ' three!'),
+             concat(substring(text, 181, 60), ' four?'),
+             CASE WHEN doc_id % 5 = 0
+               THEN 'see the javascript console for details.'
+               ELSE concat(substring(text, 241, 60), ' five.') END,
+             'no',
+             'this line lacks terminal punctuation entirely',
+             CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum.'
+               ELSE 'short tail.' END,
+             CASE WHEN doc_id % 11 = 0 THEN 'config = { verbose: true }'
+               ELSE 'quoted ending line indeed."' END)""").as("body"))
+      TextOps.c4Rules(planted)
+    }),
+
     // §2.8: code-vs-prose routing — the corpus is prose by construction,
     // so every third doc gets a deterministic code-shaped prelude PLANTED
     // (def/indent/terminator lines built from doc_id — both engines plant
@@ -5082,6 +5109,50 @@ object PipelineQueries {
                  AND ell_bp <= 3000 AND alpha_bp >= 8000
                  AND stop_hits >= 2) AS keep
          FROM m""",
+    // identical planted page, identical line rules, md5 pins the kept
+    // CONTENT (not just counts)
+    "txt_c4_rules" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  concat_ws(chr(10),
+                    substr(text, 1, 60) || ' one.',
+                    substr(text, 61, 60) || ' two.',
+                    substr(text, 121, 60) || ' three!',
+                    substr(text, 181, 60) || ' four?',
+                    CASE WHEN doc_id % 5 = 0
+                      THEN 'see the javascript console for details.'
+                      ELSE substr(text, 241, 60) || ' five.' END,
+                    'no',
+                    'this line lacks terminal punctuation entirely',
+                    CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum.'
+                      ELSE 'short tail.' END,
+                    CASE WHEN doc_id % 11 = 0
+                      THEN 'config = { verbose: true }'
+                      ELSE 'quoted ending line indeed."' END) AS body
+           FROM documents),
+         k AS (
+           SELECT doc_id, body, string_split(body, chr(10)) AS ls,
+                  list_filter(string_split(body, chr(10)), l ->
+                    regexp_matches(trim(l), '[.!?"]$')
+                    AND len(list_filter(string_split_regex(trim(l), ' +'),
+                      w -> w != '')) >= 3
+                    AND NOT contains(lower(l), 'javascript')) AS kept
+           FROM p),
+         c AS (SELECT doc_id, body, ls, kept,
+                 array_to_string(kept, chr(10)) AS clean FROM k)
+         SELECT doc_id,
+                CAST(len(ls) AS BIGINT) AS n_lines,
+                CAST(len(kept) AS BIGINT) AS n_kept,
+                CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT)
+                  AS n_sent,
+                contains(lower(body), 'lorem ipsum') AS has_lorem,
+                contains(body, '{') AS has_brace,
+                md5(clean) AS clean_md5,
+                CAST(length(clean) AS BIGINT) AS clean_len,
+                (len(regexp_extract_all(clean, '[.!?]')) >= 5
+                 AND NOT contains(lower(body), 'lorem ipsum')
+                 AND NOT contains(body, '{')) AS keep
+         FROM c""",
     // identical planted bytes, identical RE2/Java-agreeing patterns,
     // integer basis points via // (Spark div)
     "txt_code_detect" ->
