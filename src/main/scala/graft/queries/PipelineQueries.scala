@@ -2341,6 +2341,53 @@ object PipelineQueries {
     "st_dau" -> ((s, dir) =>
       EventStreams.dauByDay(Tables.load(s, dir, "events"))),
 
+    // §2.10: LATE-DATA AUDIT — the watermark's DROP semantics as a
+    // driver-verified face (the one streaming QA hop the tier lacked:
+    // every other replay is single-burst, so nothing could ever be
+    // late). THREE micro-batches, split guaranteed by
+    // maxFilesPerTrigger=1 and ordered by pinned mtimes (see
+    // lateAuditSrcDir): on-time days 1-3, then the within-horizon
+    // admits + the watermark sentinel (unfiltered — its own window ends
+    // after sentinel−delay, so it never finalizes into the append sink;
+    // an explicit filter would be pushed below the watermark node and
+    // strip the advance, probed), then the genuinely-late day-1 replays
+    // — arriving
+    // after their window was emitted and evicted, the case the engine
+    // MUST drop (probed: a late row whose window is still in state
+    // merges instead). The oracle is the CLOSED FORM: per-day counts of
+    // the on-time set, plus 5 on day(max(A)−30min), late copies
+    // nowhere.
+    "st_late_audit" -> ((s, dir) => {
+      val src = lateAuditSrcDir(s, dir)
+      val schema = s.read.parquet(src).schema
+      val name = "st_late_audit_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = withStatePartitions(s, 8) {
+        // no sentinel filter: a filter here gets pushed BELOW the
+        // watermark node and strips the sentinel's advance (probed).
+        // The sentinel doesn't need one — its own window ends after
+        // sentinel_ts − 1h, so it never finalizes and never reaches the
+        // append sink.
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(src)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day").as("w"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .select(to_date(col("w.start")).as("day"), col("n"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+      }
+      try {
+        q.processAllAvailable()
+        val out = s.table(name)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+      }
+    }),
+
     // §2.7: streaming DRIFT MONITOR — per-day PSI of the event-type mix
     // against a static baseline (here the corpus-wide mix; in production
     // a precomputed table — the second scan IS the baseline build). The
@@ -2634,6 +2681,73 @@ object PipelineQueries {
         .resolve("data").toString
       d.write.mode("overwrite").parquet(path)
       path
+    })
+
+  /** THREE-file stream directory for the late-data audit face (order
+    * pinned by mtimes, one micro-batch per file under
+    * maxFilesPerTrigger=1):
+    *  A (−180 s) = the first three days of events, on time;
+    *  S (−120 s) = five within-horizon rows at max(A)−30min (admitted:
+    *    the watermark at their arrival is max(A)−1h) plus the
+    *    far-future sentinel (user_id = −1) whose event time advances
+    *    the final watermark past every real window;
+    *  L (−60 s)  = day-1 replays under shifted ids — by L's batch the
+    *    day-1 window has been EMITTED AND EVICTED (the S batch ran
+    *    with watermark max(A)−1h), so these are genuinely late and the
+    *    engine must DROP them.
+    * The probed engine semantics this encodes: a "late" row arriving
+    * while its window is still in state MERGES (no drop — that is why
+    * the late file must come after the sentinel's watermark advance,
+    * not with it); emission in batch N uses the watermark from batch
+    * N−1's end. Single-part files via the Migrate rename idiom.
+    * Memoized per sf dir. */
+  private val lateAuditCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def lateAuditSrcDir(s: SparkSession, dir: String): String =
+    lateAuditCache.computeIfAbsent(dir, { _ =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val d0 = ev.agg(date_trunc("DAY", min(col("ts"))).as("d0"))
+        .first().getTimestamp(0)
+      val cut = new java.sql.Timestamp(d0.getTime + 3L * 86400 * 1000)
+      val a = ev.filter(col("ts") < lit(cut))
+      val maxA = a.agg(max(col("ts"))).first().getTimestamp(0)
+      val day1End = new java.sql.Timestamp(d0.getTime + 86400L * 1000)
+      val late = a.filter(col("ts") < lit(day1End))
+        .select((col("event_id") + 1000000L).as("event_id"), col("ts"),
+          col("user_id"))
+      val within = a.orderBy(col("event_id")).limit(5)
+        .select((col("event_id") + 2000000L).as("event_id"),
+          lit(new java.sql.Timestamp(maxA.getTime - 30L * 60 * 1000)).as("ts"),
+          col("user_id"))
+      val sentinel = a.limit(1)
+        .select(lit(-1L).as("event_id"),
+          lit(new java.sql.Timestamp(maxA.getTime + 30L * 86400 * 1000))
+            .as("ts"),
+          lit(-1L).as("user_id"))
+      val root = java.nio.file.Files.createTempDirectory("graft_late_")
+      val streamDir = root.resolve("stream")
+      java.nio.file.Files.createDirectories(streamDir)
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = root.resolve(name + "_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val listing = java.nio.file.Files.list(tmp)
+        val part =
+          try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+          } finally listing.close()
+        val target = streamDir.resolve(name + ".parquet")
+        java.nio.file.Files.move(part, target)
+        target.toFile.setLastModified(mtime)
+        deleteRecursively(tmp)
+      }
+      val now = System.currentTimeMillis()
+      writeOne(a, "0000_a", now - 180000)
+      writeOne(within.unionByName(sentinel), "0001_s", now - 120000)
+      writeOne(late, "0002_l", now - 60000)
+      streamDir.toString
     })
 
   /** File-backed replay source over the shared payload ([[replayPayloadPath]]):
@@ -4998,6 +5112,22 @@ object PipelineQueries {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                 count(DISTINCT user_id)::BIGINT AS dau
          FROM events GROUP BY 1""",
+    // the closed form of the two-batch watermark semantics: per-day
+    // counts of batch A, plus the 5 within-horizon admits on
+    // day(max(A) − 30 min); the day-1 late replays appear NOWHERE
+    "st_late_audit" ->
+      """WITH bnd AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+         a AS (SELECT e.* FROM events e, bnd
+               WHERE e.ts < bnd.d0 + INTERVAL 3 DAY),
+         mx AS (SELECT max(ts) AS mxts FROM a),
+         base AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                         count(*)::BIGINT AS n
+                  FROM a GROUP BY 1),
+         extra AS (SELECT CAST(date_trunc('day', mxts - INTERVAL 30 MINUTE)
+                     AS DATE) AS day, 5::BIGINT AS n FROM mx)
+         SELECT day, CAST(sum(n) AS BIGINT) AS n
+         FROM (SELECT * FROM base UNION ALL SELECT * FROM extra) u
+         GROUP BY 1""",
     "st_psi" ->
       """WITH c AS (
            SELECT date_trunc('day', ts) AS day, event_type,
