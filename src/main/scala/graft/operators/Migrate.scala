@@ -79,19 +79,7 @@ object Migrate {
       require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad table name: $name")
       val target = root.resolve(s"$name.parquet")
       if (compatSingleFile) {
-        val tmp = root.resolve(s".$name.tmp")
-        deleteRecursively(tmp)
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val listing = Files.list(tmp)
-        val single =
-          try listing.iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet")).orNull
-          finally listing.close()
-        require(single != null, s"no parquet part written for $name")
-        Files.deleteIfExists(target)
-        deleteRecursively(target)
-        Files.move(single, target)
-        deleteRecursively(tmp)
+        writeSingleParquetFile(df, target)
         load.append(s"COPY $name FROM '$target' (FORMAT 'parquet');\n")
       } else {
         df.write.mode("overwrite").parquet(target.toString)
@@ -106,26 +94,78 @@ object Migrate {
   }
 
   private val createRe =
-    """(?i)CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\);?\s*""".r
+    """(?i)CREATE\s+TABLE\s+(?:"([^"]+)"|([A-Za-z_][A-Za-z0-9_]*))\s*\((.*)\);?\s*""".r
+  private val colTypeRe =
+    """(?i)^([A-Za-z][A-Za-z0-9_ ]*?(?:\(\s*\d+\s*,\s*\d+\s*\))?)\s*(?:NOT\s+NULL|DEFAULT\s*\(.*\)|DEFAULT\s+\S+|PRIMARY\s+KEY|UNIQUE)*\s*$""".r
+  private val tableConstraintRe =
+    """(?i)^\s*(?:PRIMARY\s+KEY|UNIQUE|FOREIGN\s+KEY|CHECK)\s*\(.*""".r
 
   /** Re-create every exported table from `<dir>/schema.sql`, ENFORCING
     * the declared schema on the parquet read (a drifted file fails
     * loudly instead of silently re-inferring). Reads both layouts —
-    * single file or multi-part directory — at `<dir>/<table>.parquet`. */
+    * single file or multi-part directory — at `<dir>/<table>.parquet`.
+    * Parses the GENUINE DuckDB EXPORT DATABASE dialect, not just this
+    * object's own output: quoted identifiers, no space before the
+    * column list, `DEFAULT(...)` / `NOT NULL` column suffixes
+    * (stripped — nullability and defaults are not part of the read
+    * contract), and trailing `PRIMARY KEY(...)` table constraints
+    * (skipped). */
   def importDatabase(spark: SparkSession, dir: String)
       : Seq[(String, DataFrame)] = {
     val schemaSql = Files.readString(Paths.get(dir, "schema.sql"))
     schemaSql.split("\n").filter(_.trim.nonEmpty).toSeq.map {
-      case createRe(name, colsStr) =>
-        val fields = colsStr.split(",(?![^()]*\\))").map { c =>
-          val t = c.trim
-          val sp = t.indexOf(' ')
-          StructField(t.substring(0, sp), toSparkType(t.substring(sp + 1)))
-        }
+      case createRe(quoted, bare, colsStr) =>
+        val name = if (quoted != null) quoted else bare
+        val fields = colsStr.split(",(?![^()]*\\))").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+          .filterNot(c => tableConstraintRe.pattern.matcher(c).matches())
+          .map { c =>
+            val (colName, rest) =
+              if (c.startsWith("\"")) {
+                val close = c.indexOf('"', 1)
+                (c.substring(1, close), c.substring(close + 1).trim)
+              } else {
+                val sp = c.indexOf(' ')
+                (c.substring(0, sp), c.substring(sp + 1).trim)
+              }
+            rest match {
+              case colTypeRe(tpe) =>
+                StructField(colName, toSparkType(tpe.trim))
+              case other =>
+                throw new IllegalArgumentException(
+                  s"unparseable column type: $other")
+            }
+          }
         name -> spark.read.schema(StructType(fields))
           .parquet(Paths.get(dir, s"$name.parquet").toString)
       case other =>
         throw new IllegalArgumentException(s"unparseable DDL line: $other")
+    }
+  }
+
+  /** The single-file rename idiom, shared by every writer that needs a
+    * parquet FILE (not a part directory) at an exact path: coalesce(1)
+    * into a temp dir, move the lone part to `target` (replacing any
+    * file or directory there), optionally pin its mtime (file-stream
+    * fixtures order batches by it). Driver-side by design — right for
+    * dims, manifests and fixtures, wrong for a fact table. */
+  private[graft] def writeSingleParquetFile(df: DataFrame,
+      target: java.nio.file.Path, mtime: Long = -1L): Unit = {
+    val tmp = target.resolveSibling("." + target.getFileName + ".tmp")
+    deleteRecursively(tmp)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    val single =
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).orNull
+      finally listing.close()
+    require(single != null, s"no parquet part written for $target")
+    deleteRecursively(target)
+    Files.move(single, target)
+    deleteRecursively(tmp)
+    if (mtime >= 0L) {
+      val ok = target.toFile.setLastModified(mtime)
+      require(ok, s"could not pin mtime on $target")
     }
   }
 

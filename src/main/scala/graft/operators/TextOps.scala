@@ -1051,17 +1051,21 @@ object TextOps {
     * side whenever it fits. Returns the input plus `is_blocked`. */
   def blockByDomainSuffix(docs: DataFrame, hostCol: String,
       blocklist: DataFrame, maxLabels: Int = 8): DataFrame = {
-    // Keep the SHORTEST suffixes when capping: a blocklist entry is
+    // Keep the SHORTEST suffixes when capping — a blocklist entry is
     // typically the 2-label registrable domain, so for a host deeper
     // than maxLabels the last maxLabels start positions (the short
-    // suffixes) must survive and only the longest are dropped —
-    // start positions 1..maxLabels would instead drop the registrable
-    // domain for any host with > maxLabels labels (r14 ADVICE).
+    // suffixes) must survive and only the longest are dropped (start
+    // positions 1..maxLabels would drop the registrable domain for any
+    // host with > maxLabels labels, r14 ADVICE) — PLUS position 1, the
+    // full host, always: a blocklist entry that IS an exact deep
+    // hostname must keep matching regardless of depth (r15 review).
+    // array_union dedups the overlap for shallow hosts.
     val sufs = docs.select(col(hostCol).as("__h"))
       .distinct()
       .select(col("__h"), explode(expr(
-        s"""transform(sequence(greatest(1, size(split(__h, '\\\\.'))
-            - $maxLabels + 1), size(split(__h, '\\\\.'))),
+        s"""transform(array_union(array(1),
+            sequence(greatest(1, size(split(__h, '\\\\.'))
+            - $maxLabels + 1), size(split(__h, '\\\\.')))),
             i -> array_join(slice(split(__h, '\\\\.'),
             i, size(split(__h, '\\\\.')) - i + 1), '.'))""")).as("__suf"))
     val blockedHosts = sufs

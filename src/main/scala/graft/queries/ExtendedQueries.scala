@@ -103,15 +103,19 @@ object ExtendedQueries {
     * Three tables in DuckDB's single-file compat layout; rewritten when
     * the sfDir changes. */
   private val exportDbDir = "/tmp/graft_export_spark"
-  @volatile private var exportDbWrittenFor: String = ""
   private def exportDbFixture(s: SparkSession, sfDir: String): String =
     synchronized {
-      if (exportDbWrittenFor != sfDir) {
+      // on-disk marker, not a JVM memo: a concurrent process may rewrite
+      // the fixed path for a different sfDir (r15 review — the
+      // csvSniffFixtures posture)
+      val marker = java.nio.file.Paths.get(exportDbDir, ".sfdir")
+      if (!(java.nio.file.Files.exists(marker) &&
+            java.nio.file.Files.readString(marker) == sfDir)) {
         graft.operators.Migrate.exportDatabase(s, Seq(
           "nation_t" -> Tables.load(s, sfDir, "nation"),
           "region_t" -> Tables.load(s, sfDir, "region"),
           "supplier_t" -> Tables.load(s, sfDir, "supplier")), exportDbDir)
-        exportDbWrittenFor = sfDir
+        java.nio.file.Files.writeString(marker, sfDir)
       }
       exportDbDir
     }
@@ -3215,7 +3219,8 @@ object ExtendedQueries {
     // (Verify dumps all faces before oracle SQL runs, so the directory
     // exists); digest = q_table_checksum's hex-fold spelling
     "q_export_import" ->
-      """ATTACH IF NOT EXISTS ':memory:' AS imp;
+      """DETACH DATABASE IF EXISTS imp;
+         ATTACH ':memory:' AS imp;
          USE imp;
          IMPORT DATABASE '/tmp/graft_export_spark';
          USE memory;

@@ -2728,21 +2728,9 @@ object PipelineQueries {
       val root = java.nio.file.Files.createTempDirectory("graft_late_")
       val streamDir = root.resolve("stream")
       java.nio.file.Files.createDirectories(streamDir)
-      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = root.resolve(name + "_tmp")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val listing = java.nio.file.Files.list(tmp)
-        val part =
-          try {
-            import scala.jdk.CollectionConverters._
-            listing.iterator().asScala
-              .find(_.getFileName.toString.endsWith(".parquet")).get
-          } finally listing.close()
-        val target = streamDir.resolve(name + ".parquet")
-        java.nio.file.Files.move(part, target)
-        target.toFile.setLastModified(mtime)
-        deleteRecursively(tmp)
-      }
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit =
+        graft.operators.Migrate.writeSingleParquetFile(df,
+          streamDir.resolve(name + ".parquet"), mtime)
       val now = System.currentTimeMillis()
       writeOne(a, "0000_a", now - 180000)
       writeOne(within.unionByName(sentinel), "0001_s", now - 120000)

@@ -790,9 +790,15 @@ object Relational {
     // the single-catalog q05 shape does.
     "q_attach_join" -> ((s, dir) => {
       Tables.registerViews(s, dir)
-      val loc = java.nio.file.Files
-        .createTempDirectory("graft_att_db_").toString
-      s.sql(s"CREATE DATABASE IF NOT EXISTS att LOCATION '$loc'")
+      // create the database (and its location) only once per catalog —
+      // CREATE DATABASE IF NOT EXISTS ignores a new LOCATION anyway, so
+      // an unconditional temp dir would just orphan one per invocation
+      // (r15 review)
+      if (!s.catalog.databaseExists("att")) {
+        val loc = java.nio.file.Files
+          .createTempDirectory("graft_att_db_").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS att LOCATION '$loc'")
+      }
       Tables.load(s, dir, "nation")
         .write.mode("overwrite").saveAsTable("att.nation_dim")
       Tables.load(s, dir, "region")

@@ -130,10 +130,15 @@ object XlsxQueries {
     * carries free commas in its text, the tab file is headerless pure
     * numerics. Returns the fixture dir. */
   private val csvSniffDir = Paths.get("/tmp", "graft_csv_sniff")
-  @volatile private var csvSniffWrittenFor: String = ""
   private def csvSniffFixtures(s: SparkSession, sfDir: String): Path =
     synchronized {
-      if (csvSniffWrittenFor == sfDir) return csvSniffDir
+      // on-disk marker, not a JVM memo: a CONCURRENT process (sbt test
+      // while the verify driver runs) may rewrite the fixed path for a
+      // different sfDir — the marker detects that and rebuilds (r15
+      // review)
+      val marker = csvSniffDir.resolve(".sfdir")
+      if (Files.exists(marker) && Files.readString(marker) == sfDir)
+        return csvSniffDir
       Files.createDirectories(csvSniffDir)
       val rows = Tables.load(s, sfDir, "documents")
         .orderBy("doc_id").limit(40)
@@ -164,7 +169,7 @@ object XlsxQueries {
       write("probe_tab.csv", rows.toSeq.map { case (id, _, t) =>
         s"$id\t${t.length}\t${t.split(" +").length}"
       })
-      csvSniffWrittenFor = sfDir
+      Files.writeString(marker, sfDir)
       csvSniffDir
     }
 
@@ -173,15 +178,17 @@ object XlsxQueries {
     * documents hash-partitioned by doc_id into 3 parts; rewritten when
     * the sfDir changes. */
   private val parquetFilenameDir = "/tmp/graft_filename_probe"
-  @volatile private var parquetFilenameWrittenFor: String = ""
   private def parquetFilenameFixture(s: SparkSession, sfDir: String): String =
     synchronized {
-      if (parquetFilenameWrittenFor != sfDir) {
+      // on-disk marker for cross-PROCESS freshness (see csvSniffFixtures);
+      // written after the overwrite (which wipes the dir, marker included)
+      val marker = Paths.get(parquetFilenameDir, ".sfdir")
+      if (!(Files.exists(marker) && Files.readString(marker) == sfDir)) {
         Tables.load(s, sfDir, "documents")
           .select(col("doc_id"), col("lang"))
           .repartition(3, col("doc_id"))
           .write.mode("overwrite").parquet(parquetFilenameDir)
-        parquetFilenameWrittenFor = sfDir
+        Files.writeString(marker, sfDir)
       }
       parquetFilenameDir
     }

@@ -74,17 +74,24 @@ object CsvSniffer {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
-    val buf = new Array[Byte](maxBytes)
+    // read ONE byte beyond the cap: `read == maxBytes` alone cannot
+    // distinguish "file is exactly maxBytes" (complete — keep every
+    // line) from "file continues" (truncated — drop the cut-off
+    // trailing line); the sentinel byte does (r15 review)
+    val cap = maxBytes + 1
+    val buf = new Array[Byte](cap)
     var read = 0
     try {
-      var n = in.read(buf, 0, maxBytes)
-      while (n > 0 && read + n < maxBytes) { read += n; n = in.read(buf, read, maxBytes - read) }
+      var n = in.read(buf, read, cap - read)
+      while (n > 0 && read + n < cap) { read += n; n = in.read(buf, read, cap - read) }
       if (n > 0) read += n
     } finally in.close()
-    val sample = new String(buf, 0, read, java.nio.charset.StandardCharsets.UTF_8)
+    val truncated = read > maxBytes
+    val used = math.min(read, maxBytes)
+    val sample = new String(buf, 0, used, java.nio.charset.StandardCharsets.UTF_8)
     // complete lines only: a cut-off trailing line would skew the counts
     val rawLines = sample.split("\r?\n", -1)
-    val lines = (if (read == maxBytes && rawLines.length > 1) rawLines.dropRight(1)
+    val lines = (if (truncated && rawLines.length > 1) rawLines.dropRight(1)
       else rawLines).filter(_.nonEmpty).toSeq
     require(lines.nonEmpty, s"empty CSV sample: $path")
 

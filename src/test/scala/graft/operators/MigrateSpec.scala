@@ -70,6 +70,30 @@ class MigrateSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Migrate.toSparkType("STRUCTISH") }
   }
 
+  test("importDatabase parses the GENUINE DuckDB EXPORT DATABASE dialect: " +
+      "quoted identifiers, no space before the column list, DEFAULT(...), " +
+      "NOT NULL, trailing PRIMARY KEY(...)") {
+    val dir = tmp()
+    val root = java.nio.file.Paths.get(dir)
+    // exact shapes probed from DuckDB 1.0's EXPORT DATABASE output
+    java.nio.file.Files.writeString(root.resolve("schema.sql"),
+      "CREATE TABLE \"select\"(a BIGINT, b DECIMAL(18,2));\n" +
+        "CREATE TABLE t1(id INTEGER NOT NULL, \"order\" VARCHAR, " +
+        "v DOUBLE DEFAULT(1.5), PRIMARY KEY(id));\n\n")
+    Seq((1L, BigDecimal("2.50"))).toDF("a", "b")
+      .select($"a", $"b".cast(DecimalType(18, 2)).as("b"))
+      .write.parquet(root.resolve("select.parquet").toString)
+    Seq((1, "x", 1.5)).toDF("id", "order", "v")
+      .write.parquet(root.resolve("t1.parquet").toString)
+    val imp = Migrate.importDatabase(spark, dir).toMap
+    assert(imp.keySet == Set("select", "t1"))
+    assert(imp("select").schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("a", LongType), ("b", DecimalType(18, 2))))
+    assert(imp("t1").schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("id", IntegerType), ("order", StringType), ("v", DoubleType)))
+    assert(imp("t1").collect().map(_.toString).toSeq == Seq("[1,x,1.5]"))
+  }
+
   test("import enforces the DECLARED schema (drifted parquet fails loudly, " +
       "not silently re-inferred)") {
     val dir = tmp()

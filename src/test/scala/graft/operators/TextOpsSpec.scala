@@ -577,13 +577,17 @@ class TextOpsSpec extends SparkSpec {
       // 10 labels > maxLabels=8: the cap must drop the LONGEST
       // suffixes, never the registrable-domain one (r14 ADVICE — the
       // old start-positions-1..maxLabels spelling silently passed this)
-      (6L, "a.b.c.d.e.f.g.h.ads.example.com")).toDF("doc_id", "host")
-    val bl = Seq("ads.example.com", "tracker.net").toDF("domain")
+      (6L, "a.b.c.d.e.f.g.h.ads.example.com"),
+      // 10-label host blocked by its EXACT full name: the full-host
+      // suffix must survive the cap too (r15 review)
+      (7L, "x.y.z.w.v.u.t.s.deep.example.org")).toDF("doc_id", "host")
+    val bl = Seq("ads.example.com", "tracker.net",
+      "x.y.z.w.v.u.t.s.deep.example.org").toDF("domain")
     val out = TextOps.blockByDomainSuffix(hosts, "host", bl)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         r.getAs[Boolean]("is_blocked")).toMap
     assert(out == Map(1L -> true, 2L -> true, 3L -> false,
-      4L -> false, 5L -> false, 6L -> true), s"got $out")
+      4L -> false, 5L -> false, 6L -> true, 7L -> true), s"got $out")
     // the matching layer must be an EQUI join (hash/broadcast), never a
     // per-entry LIKE scan: no nested-loop join in the plan
     val plan = TextOps.blockByDomainSuffix(hosts, "host", bl)

@@ -63,5 +63,14 @@ class CsvSnifferSpec extends SparkSpec {
     val p = writeTmp(content)
     val d = CsvSniffer.sniff(spark, p, maxBytes = 18)
     assert(d.delimiter == ',' && d.nCols == 2)
+    // a file of EXACTLY maxBytes is complete, not truncated: its last
+    // line must be kept (r15 review — the read==maxBytes heuristic
+    // dropped it)
+    // two lines, file length == maxBytes exactly: dropping the "cut"
+    // trailing line would leave one row and flip header detection off
+    val exact = "x;y\n1;2\n"
+    val p2 = writeTmp(exact)
+    val d2 = CsvSniffer.sniff(spark, p2, maxBytes = exact.length)
+    assert(d2 == CsvSniffer.Dialect(';', '"', hasHeader = true, nCols = 2))
   }
 }
