@@ -512,6 +512,110 @@ object Multimodal {
     * index). The audio stand-in when a face needs payloads an actual
     * demuxer can parse — the oracle mirrors the INTEGER geometry from the
     * documents table while Spark must recover it by really decoding. */
+  /** One VAD row: frame accounting of a decoded clip. `first_active` is
+    * the first active frame index (−1 when all silence); `n_segments`
+    * counts silence→speech transitions (active runs). */
+  final case class Vad(doc_id: Long, n_frames: Long, n_active: Long,
+      first_active: Long, n_segments: Long, active_bp: Long)
+
+  /** ENERGY-BASED VOICE ACTIVITY DETECTION over the REAL decoded PCM —
+    * the segmentation hop an audio corpus runs before any transcription
+    * or captioning: cut the clip into fixed `frameSamples` frames, a
+    * frame is ACTIVE when its summed |amplitude| exceeds `threshold` per
+    * sample (integer compare — sum > threshold·len, no division), then
+    * roll frames into activity share and speech-segment count. 16-bit
+    * little-endian mono PCM; an undecodable or non-conforming payload
+    * yields the n_frames = −1 stub row (a corrupt clip must not fail a
+    * 100 TB scan). */
+  def vad(b: Blob, frameSamples: Int = 32, threshold: Long = 1000L): Vad = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b.payload))
+      try {
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 || f.isBigEndian ||
+          f.getChannels != 1)
+          return Vad(b.doc_id, -1L, 0L, -1L, 0L, 0L)
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        if (n == 0) return Vad(b.doc_id, -1L, 0L, -1L, 0L, 0L)
+        val nFrames = (n + frameSamples - 1) / frameSamples
+        var nActive = 0L
+        var firstActive = -1L
+        var segments = 0L
+        var prevActive = false
+        var fIdx = 0
+        while (fIdx < nFrames) {
+          val start = fIdx * frameSamples
+          val end = math.min(start + frameSamples, n)
+          var sum = 0L
+          var i = start
+          while (i < end) {
+            val s = (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)
+            sum += math.abs(s)
+            i += 1
+          }
+          val active = sum > threshold * (end - start)
+          if (active) {
+            nActive += 1
+            if (firstActive < 0) firstActive = fIdx.toLong
+            if (!prevActive) segments += 1
+          }
+          prevActive = active
+          fIdx += 1
+        }
+        Vad(b.doc_id, nFrames.toLong, nActive, firstActive, segments,
+          10000L * nActive / nFrames)
+      } finally ais.close()
+    } catch { case _: Exception => Vad(b.doc_id, -1L, 0L, -1L, 0L, 0L) }
+  }
+
+  /** VAD over a blob table — same mapPartitions shape as
+    * [[audioMetaBlobs]] (per-partition decode, no shuffle; frames never
+    * leave the executor). */
+  def vadBlobs(spark: SparkSession, blobDf: DataFrame,
+      frameSamples: Int = 32, threshold: Long = 1000L): DataFrame = {
+    import spark.implicits._
+    blobDf.as[Blob].mapPartitions(
+      _.map(vad(_, frameSamples, threshold))).toDF()
+  }
+
+  /** Speech-shaped synthetic clips for the VAD face: MONO 16-bit WAVs
+    * whose 32-sample frames alternate SILENCE (even frame index) and
+    * the deterministic amplitude pattern of [[syntheticWavBlobs]] (odd
+    * frames) — so activity share, first-active frame and segment count
+    * are all live signal with a closed-form oracle. */
+  def syntheticSpeechWavBlobs(spark: SparkSession, docs: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    val meta = docs.select(col("doc_id"),
+      (col("n_chars") % 256 + 64).cast("int").as("nf"))
+      .as[(Long, Int)]
+    meta.mapPartitions { it =>
+      it.map { case (id, nf) =>
+        val sr = Array(8000, 16000, 32000)((id % 3).toInt)
+        val pcm = new Array[Byte](nf * 2)
+        var i = 0
+        while (i < nf) {
+          val s =
+            if ((i / 32) % 2 == 0) 0
+            else (((id * 31 + i * 17) % 65536) - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sr.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nf.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Blob(id, bos.toByteArray, "audio/wav", 0, 0)
+      }
+    }.toDF()
+  }
+
   def syntheticWavBlobs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val meta = docs.select(col("doc_id"),

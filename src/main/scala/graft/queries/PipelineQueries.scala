@@ -1111,6 +1111,20 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_samples"), col("fp"))
     }),
 
+    // §2.5: energy VAD over the REAL decode — speech/silence
+    // segmentation (activity share, first active frame, segment count)
+    // on mono clips whose 32-sample frames alternate planted silence
+    // and the deterministic amplitude pattern. FULL oracle: the
+    // generator's closed form replays frame sums, the integer activity
+    // gate (sum > threshold·len) and the run counting in SQL — a green
+    // row certifies the decode + framing sample-for-sample.
+    "mm_audio_vad" -> ((s, dir) => {
+      val sampled = docs(s, dir).filter(col("doc_id") % 20 === 0)
+      Multimodal.vadBlobs(s, Multimodal.syntheticSpeechWavBlobs(s, sampled))
+        .select(col("doc_id"), col("n_frames"), col("n_active"),
+          col("first_active"), col("n_segments"), col("active_bp"))
+    }),
+
     // perceptual image near-dup: REAL PNG decode → 64-bit dHash → the
     // SAME Manku pigeonhole machinery as text SimHash (shared
     // Dedup.pigeonholePairs — one banded equi-join, never O(n²); at scale
@@ -4600,6 +4614,40 @@ object PipelineQueries {
                          THEN 1::BIGINT << CAST(w AS INTEGER)
                          ELSE 0 END) AS BIGINT) AS fp
          FROM d GROUP BY doc_id""",
+    // closed-form frame replay: same per-sample arithmetic, same integer
+    // activity gate, same run counting
+    "mm_audio_vad" ->
+      """WITH m AS (
+           SELECT doc_id, (n_chars % 256 + 64)::BIGINT AS n
+           FROM documents WHERE doc_id % 20 = 0),
+         s AS (
+           SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+           FROM m),
+         sv AS (
+           SELECT doc_id, i // 32 AS f,
+                  CASE WHEN (i // 32) % 2 = 0 THEN 0
+                       ELSE abs(((doc_id * 31 + i * 17) % 65536) - 32768)
+                  END AS a
+           FROM s),
+         fr AS (
+           SELECT doc_id, f, count(*)::BIGINT AS fn,
+                  CAST(sum(a) AS BIGINT) AS fa
+           FROM sv GROUP BY 1, 2),
+         fl AS (
+           SELECT doc_id, f, (fa > 1000 * fn) AS act,
+                  lag(fa > 1000 * fn) OVER (PARTITION BY doc_id ORDER BY f)
+                    AS pact
+           FROM fr)
+         SELECT doc_id, count(*)::BIGINT AS n_frames,
+                CAST(sum(CASE WHEN act THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_active,
+                CAST(coalesce(min(CASE WHEN act THEN f END), -1) AS BIGINT)
+                  AS first_active,
+                CAST(sum(CASE WHEN act AND (pact IS NULL OR NOT pact)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+                CAST(10000 * sum(CASE WHEN act THEN 1 ELSE 0 END)
+                  // count(*) AS BIGINT) AS active_bp
+         FROM fl GROUP BY 1""",
     "dd_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),

@@ -264,6 +264,41 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.n_samples == 0L && bad.fp == -1L)
   }
 
+  test("audio VAD: frame energies over the real decode match the hand " +
+      "replay; silence/speech runs counted; corrupt bytes yield the stub") {
+    val docsDf = Seq((0L, 100L), (3L, 50L), (6L, 260L))
+      .toDF("doc_id", "n_chars")
+    val wavs = Multimodal.syntheticSpeechWavBlobs(spark, docsDf)
+    val out = Multimodal.vadBlobs(spark, wavs).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((id, nc) <- Seq(0L -> 100L, 3L -> 50L, 6L -> 260L)) {
+      val n = (nc % 256 + 64).toInt
+      val frames = (n + 31) / 32
+      val acts = (0 until frames).map { f =>
+        val start = f * 32
+        val end = math.min(start + 32, n)
+        val sum = (start until end).map(i =>
+          if ((i / 32) % 2 == 0) 0L
+          else math.abs(((id * 31 + i * 17) % 65536) - 32768)).sum
+        sum > 1000L * (end - start)
+      }
+      val r = out(id)
+      assert(r.getAs[Long]("n_frames") == frames.toLong, s"doc $id frames")
+      assert(r.getAs[Long]("n_active") == acts.count(identity).toLong,
+        s"doc $id active")
+      assert(r.getAs[Long]("first_active") ==
+        acts.indexWhere(identity).toLong, s"doc $id first")
+      val segs = acts.zip(false +: acts).count { case (a, p) => a && !p }
+      assert(r.getAs[Long]("n_segments") == segs.toLong, s"doc $id segs")
+      // the plant guarantees live signal: odd frames active, even silent
+      assert(r.getAs[Long]("n_active") > 0 && r.getAs[Long]("n_active") <
+        r.getAs[Long]("n_frames"), s"doc $id degenerate")
+    }
+    val bad = Multimodal.vad(
+      Multimodal.Blob(9L, "not audio".getBytes("UTF-8"), "audio/wav", 0, 0))
+    assert(bad.n_frames == -1L && bad.first_active == -1L)
+  }
+
   test("audio: generated WAV demuxes to true geometry; corrupt bytes pass through") {
     val docsDf = Seq(
       (0L, 100L), (1L, 200L), (2L, 300L), (3L, 50L))
