@@ -137,6 +137,9 @@ object GraftFunctions {
   def cdc_chunks(c: Column): Column =
     ColumnBridge.column(CdcChunks(ColumnBridge.expression(c)))
 
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -240,6 +243,10 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CdcChunks].getName, "cdc_chunks"),
       (exprs: Seq[Expression]) => CdcChunks(exprs(0))),
+    ("simhash64",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))),
     ("cms_merge",
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CmsMergeAgg].getName, "cms_merge"),

@@ -525,7 +525,19 @@ object Dedup {
     * Tokens are exploded and hashed once; the 64 bit-votes are 64 parallel
     * `sum` aggregates (map-side combined), then the bits are assembled with
     * constant shifts — no nested array lambdas, small codegen. */
-  def simhashDocs(docs: DataFrame): DataFrame = {
+  def simhashDocs(docs: DataFrame): DataFrame =
+    // ONE fused map pass (functions.SimHash64) — the composed form below
+    // explodes the token stream and pushes a 64-column vote aggregate
+    // through an exchange; fused, every simhash derivation (pair faces,
+    // persisted index build, incremental delta probe) is an
+    // exchange-free projection. Bit-identity spec-pinned + fuzzed.
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash64(col("text")).as("sh"))
+
+  /** The composed-operator form of [[simhashDocs]] — retained as the
+    * executable spec the fused expression is pinned bit-identical to
+    * (the winnowComposed posture). */
+  private[graft] def simhashDocsComposed(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " +")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))

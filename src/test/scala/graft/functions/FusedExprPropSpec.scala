@@ -126,6 +126,28 @@ class FusedExprPropSpec extends SparkSpec {
     assert(fused == composed)
   }
 
+  test("fused SimHash64 == composed explode+64-vote aggregate on 250 fuzz " +
+      "texts incl. space-soup edge tokens") {
+    import org.apache.spark.sql.functions._
+    // the split(" +", -1) edge semantics the byte-walk must mirror:
+    // leading/trailing empty tokens, collapsed interior runs, "" = [""]
+    val edges = Seq("", " ", "  ", "a", " a", "a ", " a b ", "a  b",
+      "é über 漢字", " 🚀 x", "\ttab is not a separator")
+    val texts = (sample(250) ++ edges).distinct
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fused = graft.operators.Dedup.simhashDocs(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = graft.operators.Dedup.simhashDocsComposed(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused.keySet == composed.keySet)
+    composed.foreach { case (id, sh) =>
+      assert(fused(id) == sh,
+        s"doc $id ${texts(id.toInt).take(40).replace("\n", "\\n")}: " +
+          s"${fused(id)} vs $sh")
+    }
+  }
+
   test("fused LmScore == composed explode+join on 120 fuzz texts") {
     val texts = sample(120)
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
