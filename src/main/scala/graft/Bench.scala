@@ -15,6 +15,16 @@ import org.apache.spark.sql.SparkSession
   * (the r4 recorded run showed a spurious 4x dd_* blowup no repeat
   * reproduced). A rep whose total deviates >30% from the median total is
   * flagged on stderr as a contended outlier.
+  *
+  * r16: the artifact additionally carries ANCHOR-NORMALIZED numbers
+  * (tools.BenchNorm) — per-rep face times scaled by
+  * nominal/rep_cpu_ms before the cross-rep median ("queries_norm",
+  * "value_norm"), and an OFFICIAL table taking the per-face MIN of the
+  * normalized medians across all same-code same-sf history runs
+  * ("queries_official", "value_official", "code", "same_code_runs").
+  * Rationale: r15 ran identical code four times and totals spanned
+  * 314.5-393.7 s purely on box speed (anchors 58.8-110.4 ms); trend
+  * reads should use value_official, which box speed cannot move.
   */
 object Bench {
   private def loadavg(): Double =
@@ -189,6 +199,35 @@ object Bench {
       val ts = passes.flatMap(_.collectFirst { case (`name`, t) if t >= 0 => t })
       name -> (if (ts.nonEmpty) median(ts) else -1.0)
     }
+    // Anchor-NORMALIZED per-face table (r15 VERDICT #1): per-rep times
+    // scaled by nominal/anchor before the cross-rep median, so a box
+    // running 1.5× slow (r15 saw 58.8-110.4 ms anchors on identical
+    // code) cannot print as a face regression. Arithmetic lives in
+    // tools.BenchNorm; BenchNormSpec pins it.
+    val nominalMs = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_NOMINAL_MS",
+      graft.tools.BenchNorm.NominalAnchorMs.toString).toDouble
+    val resultsNorm = ordered.map { case (name, _) =>
+      val perRep = passes.map(p =>
+        p.collectFirst { case (`name`, t) => t }.getOrElse(-1.0))
+      name -> graft.tools.BenchNorm.normalizedMedianSec(
+        perRep, repCpuMs.toSeq, nominalMs)
+    }
+    // OFFICIAL table: per-face MIN of the normalized medians across all
+    // SAME-CODE, SAME-SF runs in BENCH_HISTORY plus this one — residual
+    // contention only inflates, so min estimates the uncontended cost,
+    // and identical code can never regress against itself.
+    val codeFp = graft.tools.BenchNorm.codeFingerprint()
+    val histLines: Seq[String] =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+        if (java.nio.file.Files.isRegularFile(p))
+          new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+        else Seq.empty
+      } catch { case _: Exception => Seq.empty }
+    val (official, sameCodeRuns) = graft.tools.BenchNorm.officialMin(
+      histLines, codeFp, sfDir, resultsNorm.toMap)
+    val officialOrdered = resultsNorm.map { case (k, _) => k -> official(k) }
     // contended-outlier detector: a rep far off the median total is noise
     val repTotals = passes.map(_.map(_._2).filter(_ >= 0).sum)
     val medTotal = median(repTotals)
@@ -215,12 +254,23 @@ object Bench {
       s""""rep_ext_mean":[${repExtMean.map(r2).mkString(",")}],""" +
       s""""rep_gate_waits":[${repGateWaits.mkString(",")}],""" +
       s""""rep_cpu_ms":[${repCpuMs.map(r2).mkString(",")}],""" +
-      s""""min_rep_total":${r2(minRepTotal)}"""
+      s""""min_rep_total":${r2(minRepTotal)},""" +
+      s""""code":"$codeFp","anchor_nominal_ms":${r2(nominalMs)},""" +
+      s""""same_code_runs":$sameCodeRuns"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def faceJson(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalNorm = resultsNorm.map(_._2).filter(_ >= 0).sum
+    val totalOfficial = officialOrdered.map(_._2).filter(_ >= 0).sum
     reportTrend(results, sfDir)
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",$provenance,"queries":$qs,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""value_norm":${r2(totalNorm)},"value_official":${r2(totalOfficial)},""" +
+      s"""$provenance,"queries":$qs,""" +
+      s""""queries_norm":${faceJson(resultsNorm)},""" +
+      s""""queries_official":${faceJson(officialOrdered)},"sf":"$sfDir"}"""
     // The driver truncates stderr/stdout when archiving (r3's trend baseline
     // was lost exactly this way); persist the full per-query table twice —
     // target/bench_full.json (this run) and an append-only committed history
@@ -243,7 +293,9 @@ object Bench {
     // full-precision table lives in BENCH_HISTORY.jsonl (committed) and
     // target/bench_full.json.
     def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    val header = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$provenance,"sf":"$sfDir","queries_full":"BENCH_HISTORY.jsonl","queries":{"""
+    val header = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""value_norm":${ms(totalNorm)},"value_official":${ms(totalOfficial)},""" +
+      s"""$provenance,"sf":"$sfDir","queries_full":"BENCH_HISTORY.jsonl","queries":{"""
     val budget = 1880 - header.length
     val entries = results.filter(_._2 >= 0).sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }

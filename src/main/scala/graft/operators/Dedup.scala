@@ -531,7 +531,12 @@ object Dedup {
     // through an exchange; fused, every simhash derivation (pair faces,
     // persisted index build, incremental delta probe) is an
     // exchange-free projection. Bit-identity spec-pinned + fuzzed.
-    docs.select(col("doc_id"),
+    // NULL text is out-of-domain and DROPPED: the expression's
+    // UnaryExpression null-propagation would emit a (doc_id, NULL)
+    // signature row, while the composed form (and the token-explode
+    // oracle) lose the doc at explode(split(NULL)) — the filter keeps
+    // the two forms row-identical on every input (r15 review).
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
       graft.functions.GraftFunctions.simhash64(col("text")).as("sh"))
 
   /** The composed-operator form of [[simhashDocs]] — retained as the

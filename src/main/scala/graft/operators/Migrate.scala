@@ -43,7 +43,18 @@ object Migrate {
     case BooleanType => "BOOLEAN"
     case DateType => "DATE"
     case TimestampType => "TIMESTAMP"
-    case TimestampNTZType => "TIMESTAMP"
+    case TimestampNTZType =>
+      // refuse rather than silently change type class: "TIMESTAMP" maps
+      // back to TimestampType, and the enforced-schema parquet re-read
+      // would reinterpret the isAdjustedToUTC=false micros as
+      // session-zone instants — wall-clock values would SHIFT with no
+      // error (r15 review). Tables.load already normalizes NTZ away;
+      // any other caller must cast explicitly and own the semantics.
+      throw new IllegalArgumentException(
+        "TimestampNTZType is not exportable: the DuckDB TIMESTAMP DDL " +
+          "round-trips to TimestampType and would reinterpret NTZ " +
+          "wall-clock micros as instants. Cast to TimestampType " +
+          "(to_timestamp) or DATE before exportDatabase.")
     case BinaryType => "BLOB"
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
     case other =>
@@ -78,12 +89,20 @@ object Migrate {
     tables.foreach { case (name, df) =>
       require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad table name: $name")
       val target = root.resolve(s"$name.parquet")
+      // COPY paths are RELATIVE to the export dir: DuckDB's IMPORT
+      // DATABASE resolves them against the directory being imported
+      // (verified against duckdb 1.0), so the artifact stays importable
+      // after a move/copy to another machine — the primary hand-off use
+      // case. (DuckDB's own exporter writes absolute paths and is NOT
+      // relocatable; relative is strictly more useful and still
+      // consumed by the genuine importer.)
       if (compatSingleFile) {
         writeSingleParquetFile(df, target)
-        load.append(s"COPY $name FROM '$target' (FORMAT 'parquet');\n")
+        load.append(s"COPY $name FROM '$name.parquet' (FORMAT 'parquet');\n")
       } else {
         df.write.mode("overwrite").parquet(target.toString)
-        load.append(s"COPY $name FROM '$target/*.parquet' (FORMAT 'parquet');\n")
+        load.append(
+          s"COPY $name FROM '$name.parquet/*.parquet' (FORMAT 'parquet');\n")
       }
       val cols = df.schema.fields
         .map(f => s"${f.name} ${toDuckType(f.dataType)}").mkString(", ")

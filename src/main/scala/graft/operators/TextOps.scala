@@ -280,6 +280,110 @@ object TextOps {
       s"regexp_replace($sql, '$pat', '$rep', 'g')"
     }
 
+  // ------------------------------------------------------------------
+  // extended PII classes (r15 VERDICT missing #1): phone / card / IBAN
+  // ------------------------------------------------------------------
+
+  /** Patterns BEFORE the Luhn card stage: email and IP first (an address
+    * may contain a digit run), then IBAN (two letters + 2 check digits +
+    * 11-30 alphanumerics — structural match; the mod-97 checksum is
+    * deliberately NOT applied: an IBAN-shaped token in a training corpus
+    * is PII-risk whether or not its checksum holds, unlike a card number
+    * where Luhn separates real numbers from arbitrary digit runs). */
+  private val redact2Pre: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b" -> "<IBAN>")
+
+  /** Card candidates: 16 digits grouped 4-4-4-4 by space/dash, or a bare
+    * 16-digit run. Candidates are only REDACTED when Luhn-valid — an
+    * arbitrary 16-digit id must not disappear as a "card". */
+  private val cardPattern =
+    "\\b(?:\\d{4}[- ]){3}\\d{4}\\b|\\b\\d{16}\\b"
+
+  /** Patterns AFTER the card stage: phone shapes (international
+    * +CC-....-...., US (nnn) nnn-nnnn, bare nnn-nnn-nnnn), then the
+    * digit-run backstop LAST — so a Luhn-INVALID bare 16-digit candidate
+    * degrades to <NUM> (it is still a long digit run) while an invalid
+    * GROUPED candidate survives verbatim (4-digit groups are below the
+    * run threshold; nothing validated it as PII). */
+  private val redact2Post: Seq[(String, String)] = Seq(
+    "\\+\\d{1,3}[- ]\\d{2,4}[- ]\\d{3,4}[- ]\\d{2,4}" -> "<PHONE>",
+    "\\(\\d{3}\\) \\d{3}-\\d{4}" -> "<PHONE>",
+    "\\b\\d{3}-\\d{3}-\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{7,}\\b" -> "<NUM>")
+
+  /** Luhn checksum over a digit-only string: from the RIGHT, every
+    * second digit doubles (9-subtract on overflow); valid iff the sum is
+    * ≡ 0 (mod 10). 1-based scan position i ⇒ from-right index len-i. */
+  private def luhnValid(digits: Column): Column =
+    (aggregate(
+      sequence(lit(1), length(digits)),
+      lit(0),
+      (acc, i) => {
+        val v = digits.substr(i, lit(1)).cast("int")
+        val dbl = when(pmod(length(digits) - i, lit(2)) === 1, v * 2)
+          .otherwise(v)
+        acc + dbl - when(dbl > 9, lit(9)).otherwise(lit(0))
+      }) % 10) === 0
+
+  /** Extended PII scrub: email / IP / IBAN / Luhn-VALID card / phone /
+    * digit-run, in that order (map-only; regex stages codegen'd, the
+    * card stage is an extract→Luhn-filter→fold-replace over the match
+    * list). Replacement is by exact candidate string, so a valid card
+    * string that ALSO occurs embedded in a longer digit run is replaced
+    * there too — both engines do the same thing (the oracle twin uses
+    * the identical fold), and the digit-run backstop would have masked
+    * the embedding anyway. [[redact2Sql]] is the bit-exact DuckDB twin;
+    * Redact2Spec pins each class's boundary cases on both. */
+  def redact2(text: Column): Column = {
+    val pre = redact2Pre.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    val valid = filter(
+      array_distinct(regexp_extract_all(pre, lit(cardPattern), lit(0))),
+      c => luhnValid(regexp_replace(c, "[^0-9]", "")))
+    val afterCard = aggregate(valid, pre,
+      (acc, c) => org.apache.spark.sql.functions.replace(
+        acc, c, lit("<CARD>")))
+    redact2Post.foldLeft(afterCard) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+  }
+
+  /** DuckDB rendering of [[redact2]] — the same pattern chain and the
+    * same Luhn fold (list_reduce with the text prepended as the
+    * accumulator seed; non-global replace() is string-literal and global
+    * on both engines). */
+  def redact2Sql(colName: String): String = {
+    val pre = redact2Pre.foldLeft(colName) { case (sql, (pat, rep)) =>
+      s"regexp_replace($sql, '$pat', '$rep', 'g')"
+    }
+    // the digit string is bound once per candidate via a struct (DuckDB
+    // lambdas take no subqueries; nested lambdas DO capture outer vars)
+    val luhn = "list_sum(list_transform(generate_series(1, length(s.d)), i -> " +
+      "CASE WHEN (length(s.d) - i) % 2 = 1 " +
+      "THEN CASE WHEN CAST(substr(s.d, i, 1) AS INT) * 2 > 9 " +
+      "THEN CAST(substr(s.d, i, 1) AS INT) * 2 - 9 " +
+      "ELSE CAST(substr(s.d, i, 1) AS INT) * 2 END " +
+      "ELSE CAST(substr(s.d, i, 1) AS INT) END)) % 10 = 0"
+    val afterCard =
+      s"""list_reduce(
+            list_prepend(
+              $pre,
+              list_transform(
+                list_filter(
+                  list_transform(
+                    list_distinct(regexp_extract_all($pre, '$cardPattern', 0)),
+                    c -> {'c': c, 'd': regexp_replace(c, '[^0-9]', '', 'g')}),
+                  s -> $luhn),
+                s -> s.c)),
+            (acc, c) -> replace(acc, c, '<CARD>'))"""
+    redact2Post.foldLeft(afterCard) { case (sql, (pat, rep)) =>
+      s"regexp_replace($sql, '$pat', '$rep', 'g')"
+    }
+  }
+
   /** Corpus n-gram frequency table — the vocabulary/statistics pass a
     * tokenizer or contamination analysis starts from: explode token
     * n-grams, one count aggregate, threshold. Map-side combine absorbs the

@@ -104,21 +104,16 @@ object ExtendedQueries {
     * the sfDir changes. */
   private val exportDbDir = "/tmp/graft_export_spark"
   private def exportDbFixture(s: SparkSession, sfDir: String): String =
-    synchronized {
-      // on-disk marker, not a JVM memo: a concurrent process may rewrite
-      // the fixed path for a different sfDir (r15 review — the
-      // csvSniffFixtures posture)
-      val marker = java.nio.file.Paths.get(exportDbDir, ".sfdir")
-      if (!(java.nio.file.Files.exists(marker) &&
-            java.nio.file.Files.readString(marker) == sfDir)) {
-        graft.operators.Migrate.exportDatabase(s, Seq(
-          "nation_t" -> Tables.load(s, sfDir, "nation"),
-          "region_t" -> Tables.load(s, sfDir, "region"),
-          "supplier_t" -> Tables.load(s, sfDir, "supplier")), exportDbDir)
-        java.nio.file.Files.writeString(marker, sfDir)
-      }
-      exportDbDir
-    }
+    // OS-level lock, not a JVM memo: a concurrent process may race the
+    // fixed path for a different sfDir (r15 review — FixtureLock).
+    // v2: load.sql switched to RELATIVE COPY paths (r16) — the version
+    // bump forces stale absolute-path artifacts on disk to rebuild.
+    FixtureLock.ensure(java.nio.file.Paths.get(exportDbDir), sfDir, "v2") {
+      graft.operators.Migrate.exportDatabase(s, Seq(
+        "nation_t" -> Tables.load(s, sfDir, "nation"),
+        "region_t" -> Tables.load(s, sfDir, "region"),
+        "supplier_t" -> Tables.load(s, sfDir, "supplier")), exportDbDir)
+    }.toString
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.12: EXPORT / IMPORT DATABASE (r14 VERDICT missing #3) — the
@@ -2446,14 +2441,19 @@ object ExtendedQueries {
             "IF(element_at(sg, i) != element_at(sg, i - 1), 1, 0)))" +
             " as bigint) AS runs")
         .selectExpr("n_days", "med", "n1", "n2", "n_ties", "runs",
-          "1.0 + cast(2 * n1 * n2 as double) / cast(n1 + n2 as double)" +
-            " AS e_runs",
-          """(cast(runs as double) -
-              (1.0 + cast(2 * n1 * n2 as double) / cast(n1 + n2 as double)))
-             / sqrt(cast(2 * n1 * n2 as double)
-                 * (cast(2 * n1 * n2 as double) - cast(n1 + n2 as double))
-                 / (cast(n1 + n2 as double) * cast(n1 + n2 as double)
-                    * (cast(n1 + n2 as double) - 1.0))) AS z""")
+          // try_divide, not '/': a fully-tied series (n1 = n2 = 0 —
+          // happens at tiny SF) must yield NULL like DuckDB's
+          // double-division-by-zero, not an ANSI error; on any
+          // non-degenerate input try_divide IS '/' bit-for-bit
+          "1.0 + try_divide(cast(2 * n1 * n2 as double)," +
+            " cast(n1 + n2 as double)) AS e_runs",
+          """try_divide(cast(runs as double) -
+              (1.0 + try_divide(cast(2 * n1 * n2 as double),
+                                cast(n1 + n2 as double))),
+             sqrt(try_divide(cast(2 * n1 * n2 as double)
+                 * (cast(2 * n1 * n2 as double) - cast(n1 + n2 as double)),
+                 cast(n1 + n2 as double) * cast(n1 + n2 as double)
+                    * (cast(n1 + n2 as double) - 1.0)))) AS z""")
     }),
 
     // §2.8: runtime bloom-filter join pruning — the semi-join-reduction

@@ -131,15 +131,10 @@ object XlsxQueries {
     * numerics. Returns the fixture dir. */
   private val csvSniffDir = Paths.get("/tmp", "graft_csv_sniff")
   private def csvSniffFixtures(s: SparkSession, sfDir: String): Path =
-    synchronized {
-      // on-disk marker, not a JVM memo: a CONCURRENT process (sbt test
-      // while the verify driver runs) may rewrite the fixed path for a
-      // different sfDir — the marker detects that and rebuilds (r15
-      // review)
-      val marker = csvSniffDir.resolve(".sfdir")
-      if (Files.exists(marker) && Files.readString(marker) == sfDir)
-        return csvSniffDir
-      Files.createDirectories(csvSniffDir)
+    // OS-level lock, not just a JVM memo: a CONCURRENT process (sbt test
+    // while the verify driver runs) may race the fixed path for a
+    // different sfDir (r15 review, hardened r16 — FixtureLock)
+    FixtureLock.ensure(csvSniffDir, sfDir, "v1") {
       val rows = Tables.load(s, sfDir, "documents")
         .orderBy("doc_id").limit(40)
         .select(col("doc_id"), col("lang"), col("text")).collect()
@@ -169,8 +164,37 @@ object XlsxQueries {
       write("probe_tab.csv", rows.toSeq.map { case (id, _, t) =>
         s"$id\t${t.length}\t${t.split(" +").length}"
       })
-      Files.writeString(marker, sfDir)
-      csvSniffDir
+    }
+
+  /** JSON sniffing probe fixtures (r15 VERDICT missing #2) — three
+    * layouts at FIXED paths (static oracle; corpus-derived content per
+    * sfDir): newline-delimited objects with the full scalar lattice
+    * (BIGINT/DOUBLE/VARCHAR/BOOLEAN), one top-level ARRAY of records
+    * (the layout Spark needs multiLine=true for), and an ndjson file
+    * with a RAGGED field set + int/double widening (even rows integer
+    * score and no `extra`; odd rows fractional score + `extra`) — the
+    * union-of-keys and widening rules both engines must agree on. */
+  private val jsonSniffDir = Paths.get("/tmp", "graft_json_sniff")
+  private def jsonSniffFixtures(s: SparkSession, sfDir: String): Path =
+    FixtureLock.ensure(jsonSniffDir, sfDir, "v1") {
+      val rows = Tables.load(s, sfDir, "documents")
+        .orderBy("doc_id").limit(40)
+        .select(col("doc_id"), col("lang"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          r.getString(2).replaceAll("[\"\\\\\t\r\n]", " ").take(100)))
+      def write(name: String, content: String): Unit =
+        Files.writeString(jsonSniffDir.resolve(name), content)
+      write("probe_nd.json", rows.map { case (id, lang, t) =>
+        s"""{"doc_id": $id, "lang": "$lang", "score": ${id % 7}.25, """ +
+          s""""flag": ${id % 2 == 0}, "text": "$t"}"""
+      }.mkString("", "\n", "\n"))
+      write("probe_array.json", rows.map { case (id, lang, t) =>
+        s"""  {"doc_id": $id, "lang": "$lang", "text": "$t"}"""
+      }.mkString("[\n", ",\n", "\n]\n"))
+      write("probe_mixed.json", rows.map { case (id, lang, _) =>
+        if (id % 2 == 0) s"""{"doc_id": $id, "score": ${id % 9}}"""
+        else s"""{"doc_id": $id, "score": ${id % 9}.5, "extra": "$lang"}"""
+      }.mkString("", "\n", "\n"))
     }
 
   /** 3-part parquet directory for the filename-virtual-column face, at a
@@ -179,19 +203,15 @@ object XlsxQueries {
     * the sfDir changes. */
   private val parquetFilenameDir = "/tmp/graft_filename_probe"
   private def parquetFilenameFixture(s: SparkSession, sfDir: String): String =
-    synchronized {
-      // on-disk marker for cross-PROCESS freshness (see csvSniffFixtures);
-      // written after the overwrite (which wipes the dir, marker included)
-      val marker = Paths.get(parquetFilenameDir, ".sfdir")
-      if (!(Files.exists(marker) && Files.readString(marker) == sfDir)) {
-        Tables.load(s, sfDir, "documents")
-          .select(col("doc_id"), col("lang"))
-          .repartition(3, col("doc_id"))
-          .write.mode("overwrite").parquet(parquetFilenameDir)
-        Files.writeString(marker, sfDir)
-      }
-      parquetFilenameDir
-    }
+    // OS-level lock for cross-PROCESS freshness (FixtureLock; the
+    // overwrite wipes the dir, marker included, so the marker write
+    // must come after — ensure() handles the ordering)
+    FixtureLock.ensure(Paths.get(parquetFilenameDir), sfDir, "v1") {
+      Tables.load(s, sfDir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(parquetFilenameDir)
+    }.toString
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 #1: the scan itself (writer → reader roundtrip vs parquet truth)
@@ -359,6 +379,34 @@ object XlsxQueries {
       import s.implicits._
       out.toDF("file_tag", "delimiter", "quote", "has_header",
         "n_cols", "n_rows")
+    }),
+
+    // JSON SHAPE SNIFFING (r15 VERDICT missing #2) — DuckDB's
+    // `read_json_auto` is the oracle spelling; the Spark side is
+    // [[graft.sources.json.JsonSniffer]]'s bounded 64 KiB head probe.
+    // Three planted layouts (ndjson full-lattice, top-level array,
+    // ragged+widening ndjson); each yields (format, n_fields, fields)
+    // plus a parse ROUNDTRIP through the inferred layout (n_rows via
+    // the actual distributed read with the inferred multiLine option vs
+    // DuckDB's auto-detected read_json count). DuckDB doesn't expose
+    // its detected layout, so `format` is the PINNED expected literal
+    // on the oracle side — the cross-engine certification is fields +
+    // counts; format is a regression pin on our sniffer.
+    "json_sniff" -> ((s, dir) => {
+      val d = jsonSniffFixtures(s, dir)
+      val tags = Seq("nd" -> "probe_nd.json", "array" -> "probe_array.json",
+        "mixed" -> "probe_mixed.json")
+      val out = tags.map { case (tag, f) =>
+        val p = d.resolve(f).toString
+        val shape = graft.sources.json.JsonSniffer.sniff(s, p)
+        val reader =
+          if (shape.format == "array") s.read.option("multiLine", "true")
+          else s.read
+        val n = reader.format("json").load(p).count()
+        (tag, shape.format, shape.nFields.toLong, shape.fieldsSpec, n)
+      }
+      import s.implicits._
+      out.toDF("file_tag", "format", "n_fields", "fields", "n_rows")
     }),
 
     // FILENAME VIRTUAL COLUMN (r14 VERDICT missing #2) — DuckDB's
@@ -637,6 +685,26 @@ object XlsxQueries {
          SELECT 'tab', Delimiter, Quote, HasHeader, CAST(len(Columns) AS BIGINT),
                 (SELECT count(*) FROM read_csv('/tmp/graft_csv_sniff/probe_tab.csv'))::BIGINT
          FROM sniff_csv('/tmp/graft_csv_sniff/probe_tab.csv')""",
+    // the genuine read_json_auto spelling on the oracle side — schema
+    // via DESCRIBE over the SAME probe files the face wrote; `format`
+    // is the pinned expected literal (see the face comment)
+    "json_sniff" -> {
+      def leg(tag: String, fmt: String, file: String): String = {
+        val p = s"/tmp/graft_json_sniff/$file"
+        s"""SELECT '$tag' AS file_tag, '$fmt' AS format,
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM (DESCRIBE SELECT * FROM read_json_auto('$p'))) AS n_fields,
+                (SELECT string_agg(column_name || ':' || column_type, ','
+                                   ORDER BY column_name)
+                 FROM (DESCRIBE SELECT * FROM read_json_auto('$p'))) AS fields,
+                (SELECT count(*) FROM read_json_auto('$p'))::BIGINT AS n_rows"""
+      }
+      Seq(leg("nd", "ndjson", "probe_nd.json"),
+        leg("array", "array", "probe_array.json"),
+        leg("mixed", "ndjson", "probe_mixed.json"))
+        .mkString("\n UNION ALL \n")
+    },
+
     // the genuine filename=true spelling on the oracle side, over the
     // SAME part files the face wrote
     "parquet_filename" ->

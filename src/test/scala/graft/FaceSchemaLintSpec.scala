@@ -43,4 +43,38 @@ class FaceSchemaLintSpec extends SparkSpec {
         s"these — stringify via array_join/to_json per the registry " +
         s"rule): ${offenders.mkString("; ")}")
   }
+
+  test("face output column NAMES are clean identifiers and appear in the " +
+      "oracle SQL (r15 VERDICT #8)") {
+    // Two failure classes the driver's sorted-by-name hash compare turns
+    // into silent mismatches: (1) an unaliased aggregate leaks Spark's
+    // auto-generated name ("sum(l_quantity)" vs the oracle's alias);
+    // (2) a renamed face column whose oracle side kept the old alias.
+    // Class 1 = identifier shape; class 2 = the name must occur in the
+    // oracle text (aliases are always literal there; skipped for oracles
+    // that project `*`, where column names come from the table).
+    val ident = "[A-Za-z_][A-Za-z0-9_]*".r
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val cols = fn(spark, sf).schema.fieldNames
+      cols.filterNot(c => ident.pattern.matcher(c).matches())
+        .foreach(c => offenders += s"$name: non-identifier column '$c'")
+      SparkEntry.oracleSql.get(name).foreach { sql =>
+        val lower = sql.toLowerCase
+        // generated-name spellings can't carry their aliases literally:
+        // SELECT * (table columns), COLUMNS(...) star-expansions (DuckDB
+        // mints min_/max_-prefixed names mechanically), dynamic PIVOT
+        // (per-value columns) — those faces' name agreement is what the
+        // driver compare itself certifies
+        val generated = lower.contains("select *") ||
+          lower.contains("columns(") || lower.contains("pivot")
+        if (!generated)
+          cols.filterNot(c => lower.contains(c.toLowerCase))
+            .foreach(c => offenders += s"$name: column '$c' absent from " +
+              "oracle SQL (alias drift)")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"face/oracle column-name drift: ${offenders.mkString("; ")}")
+  }
 }

@@ -134,7 +134,12 @@ class FusedExprPropSpec extends SparkSpec {
     val edges = Seq("", " ", "  ", "a", " a", "a ", " a b ", "a  b",
       "é über 漢字", " 🚀 x", "\ttab is not a separator")
     val texts = (sample(250) ++ edges).distinct
-    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // NULL text is out-of-domain: BOTH forms must DROP the row (the
+    // fused expression filters; the composed form loses it at
+    // explode(split(NULL))) — pinned here so the row-set identity can
+    // never silently diverge on a null-bearing corpus (r15 review)
+    val docs = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      (texts.length.toLong, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val fused = graft.operators.Dedup.simhashDocs(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -27,7 +27,11 @@ class MigrateSpec extends SparkSpec {
     assert(ddl.contains("CREATE TABLE t_one (id BIGINT, name VARCHAR, score DOUBLE);"))
     assert(ddl.contains("CREATE TABLE t_two (k INTEGER, flag BOOLEAN);"))
     val load = java.nio.file.Files.readString(root.resolve("load.sql"))
-    assert(load.contains(s"COPY t_one FROM '$dir/t_one.parquet' (FORMAT 'parquet');"))
+    // RELATIVE paths: the artifact must survive a move to another
+    // machine (DuckDB's IMPORT DATABASE resolves against the import
+    // dir; its own exporter's absolute paths are not relocatable)
+    assert(load.contains("COPY t_one FROM 't_one.parquet' (FORMAT 'parquet');"))
+    assert(!load.contains(dir), "load.sql must not embed absolute paths")
     val imp = Migrate.importDatabase(spark, dir).toMap
     assert(imp.keySet == Set("t_one", "t_two"))
     // declared types enforced (nullability is not part of the DDL contract)
@@ -49,10 +53,33 @@ class MigrateSpec extends SparkSpec {
     val root = java.nio.file.Paths.get(dir)
     assert(java.nio.file.Files.isDirectory(root.resolve("t_big.parquet")))
     val load = java.nio.file.Files.readString(root.resolve("load.sql"))
-    assert(load.contains(s"COPY t_big FROM '$dir/t_big.parquet/*.parquet'"))
+    assert(load.contains("COPY t_big FROM 't_big.parquet/*.parquet'"))
     val imp = Migrate.importDatabase(spark, dir).toMap
     assert(imp("t_big").count() == 1000L)
     assert(imp("t_big").agg(sum($"id")).head.getLong(0) == 499500L)
+  }
+
+  test("export is RELOCATABLE: move the directory, import from the new home") {
+    val t1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val dir = tmp()
+    Migrate.exportDatabase(spark, Seq("t_move" -> t1), dir)
+    val moved = tmp() + "/relocated"
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(moved))
+    val imp = Migrate.importDatabase(spark, moved).toMap
+    assert(imp("t_move").collect().map(_.toString).sorted.toSeq ==
+      t1.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("TimestampNTZType is rejected at export (silent NTZ→instant " +
+      "reinterpretation on re-read is worse than an error)") {
+    val ntz = spark.range(1).select(
+      $"id", to_timestamp_ntz(lit("2024-01-02 03:04:05")).as("ts"))
+    assert(ntz.schema("ts").dataType == TimestampNTZType)
+    val err = intercept[IllegalArgumentException] {
+      Migrate.exportDatabase(spark, Seq("t_ntz" -> ntz), tmp())
+    }
+    assert(err.getMessage.contains("TimestampNTZType"))
   }
 
   test("DDL type mapping round-trips the supported lattice; unsupported rejects") {
@@ -61,12 +88,12 @@ class MigrateSpec extends SparkSpec {
       DecimalType(28, 4))
     types.foreach { t =>
       val mapped = Migrate.toSparkType(Migrate.toDuckType(t))
-      val expected = if (t == TimestampNTZType) TimestampType else t
-      assert(mapped == expected, s"$t -> ${Migrate.toDuckType(t)} -> $mapped")
+      assert(mapped == t, s"$t -> ${Migrate.toDuckType(t)} -> $mapped")
     }
     intercept[IllegalArgumentException] {
       Migrate.toDuckType(ArrayType(LongType))
     }
+    intercept[IllegalArgumentException] { Migrate.toDuckType(TimestampNTZType) }
     intercept[IllegalArgumentException] { Migrate.toSparkType("STRUCTISH") }
   }
 
