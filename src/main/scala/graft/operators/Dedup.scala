@@ -103,21 +103,218 @@ object Dedup {
     *
     * Measured alternatives (kept out deliberately): AllPairs-style prefix
     * filtering (order shingles globally, join only each doc's first
-    * |S|-ceil(t|S|)+1) halves candidates on this corpus but pays an extra
-    * per-doc sort plus an array-carrying verify join — net 1.7-4x SLOWER
-    * at sf0.1 both with window-ranked and map-side-sliced prefixes. It
-    * becomes the right tool when candidate volume, not per-pair work,
-    * dominates; for hot-shingle skew the DF cap is the cheaper first
-    * lever. */
+    * |S|-ceil(t|S|)+1) — at sf0.1 it was 1.7-4x slower with per-pair work
+    * dominating, and the r16 sf1 census killed it for pair volume too:
+    * at t=0.3 prefixes keep 71% of rows, cut join volume only 1.8x
+    * (7.8e7 of 1.38e8), and the candidate-DISTINCT alone costs more than
+    * today's whole face (21.5 s), because co-shingle multiplicity is
+    * ~1.2 — nearly every candidate pair shares exactly one shingle, so
+    * prefix pruning can't collapse anything.
+    *
+    * The r16 replan (r15 VERDICT #2) attacks the volume itself:
+    * EXACT-DUPLICATE COLLAPSE BEFORE PAIRING. A pair's Jaccard depends
+    * only on the two shingle SETS, so all docs with identical text are
+    * one pairing participant: the pipeline groups by content hash,
+    * runs the shingle join over REPRESENTATIVES with the DF cap
+    * WEIGHTED by group size (df must keep counting documents, not
+    * distinct texts, or the cap boundary would move), and expands rep
+    * pairs back to member pairs afterward (cross-group pairs inherit
+    * the rep pair's j; within-group pairs are j = 1.0 exactly, emitted
+    * only when the group's post-cap shingle set is non-empty — a doc
+    * whose every shingle is capped away pairs with nothing, same as
+    * the direct spelling). Exact-dup mass is precisely what real
+    * corpora have at 100 TB, and what the synthetic sf1 tiling has
+    * 10× of: measured sf1 (50k docs, 4,992 distinct texts), the
+    * shingle-join volume drops ~100× and the dd_editdist face goes
+    * 27.6 -> ~4 s; at sf0.1 (4,992 distinct of 5,000) the collapse is
+    * a no-op and costs one slim corpus-sized exchange.
+    *
+    * Also measured and REJECTED at sf1 (so the next round doesn't
+    * re-try them): packing (da, db) into one bigint aggregate key
+    * (13.7 s one-off, 16-31 s across repeats — inside box noise);
+    * carrying each doc's shingle array through the join for an inline
+    * array_intersect (Σ sz² = 1.7e8 array cells through the exchange:
+    * 255 s — docs average 52 shingles, not a handful); a
+    * size-compatibility pre-filter (j <= min/max cuts only 7% — sizes
+    * are homogeneous, median 52, p99 97); AllPairs prefix filtering
+    * (see above). Output stays bit-identical to the direct spelling —
+    * [[ngramJaccardGrouped]] is the executable spec,
+    * DedupEquivalenceSpec pins them against each other. */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.6,
-      maxShingleDf: Long = 1000L): DataFrame = {
+      maxShingleDf: Long = 1000L): DataFrame =
+    if (shouldCollapse(docs)) {
+      val c = collapseByContent(docs)
+      val sh = repShingles(c, maxShingleDf)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val repPairs = repJaccardPairs(sh, sizes, threshold)
+      expandRepPairs(c.members, sizes, repPairs,
+        withinValue = lit(1.0).as("j"),
+        withinKeep = threshold <= 1.0)
+    } else ngramJaccardGrouped(docs, threshold, maxShingleDf)
+
+  /** Collapse pays only with real duplicate mass: the collapsed plan
+    * has ~4 more AQE stages (collapse exchange + expansion joins), a
+    * FIXED latency that doubles a 2 s face at sf0.1 where 4,992 of
+    * 5,000 texts are distinct, while at sf1 (4,992 of 50,000) it cuts
+    * the pair join ~100x. The gate measures actual duplication with
+    * one cheap map+aggregate pass (approx_count_distinct — the gate
+    * picks between two EXACT plans, so 2% HLL error is harmless) and
+    * collapses when distinct/total ≤ `spark.graft.jaccard.
+    * collapseMaxDistinctRatio` (default 0.8; ≥1 forces collapse, ≤0
+    * disables). The decision memoizes on the canonicalized input plan
+    * — every face re-derives the same docs frame, and one stats job
+    * per corpus per session is the honest price of an adaptive plan
+    * (the pair join it sizes is superlinear in the duplication the
+    * stats pass measures). */
+  private val collapseMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def shouldCollapse(docs: DataFrame): Boolean = {
+    val ratioCap = docs.sparkSession.conf
+      .getOption("spark.graft.jaccard.collapseMaxDistinctRatio")
+      .map(_.toDouble).getOrElse(0.8)
+    if (ratioCap >= 1.0) return true
+    if (ratioCap <= 0.0) return false
+    val key = docs.queryExecution.analyzed.canonicalized.semanticHash().toString
+    collapseMemo.computeIfAbsent(key, _ => {
+      val r = docs
+        .agg(count(lit(1)).as("n"),
+          approx_count_distinct(col("text")).as("d"))
+        .head()
+      val n = r.getLong(0)
+      n > 0 && r.getLong(1).toDouble / n <= ratioCap
+    })
+  }
+
+  /** Exact-content collapse: one representative doc per distinct text,
+    * the member map, and the group size. md5(NULL) groups all
+    * null-text docs — they shingle identically, so the grouping is a
+    * refinement of shingle-set equality, which is all exactness needs.
+    * The rep's text comes from a join on the min doc_id, not a string
+    * MIN aggregate (string buffers force SortAggregate — a corpus sort
+    * for nothing). */
+  private[graft] case class Collapsed(reps: DataFrame, members: DataFrame)
+  private[graft] def collapseByContent(docs: DataFrame): Collapsed = {
+    val hashed = docs.select(col("doc_id"), col("text"),
+      md5(col("text")).as("__h"))
+    val groups = hashed.groupBy(col("__h"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gsz"))
+    val reps = groups
+      .join(hashed.select(col("doc_id").as("rep"), col("text")), Seq("rep"))
+      .select(col("rep").as("doc_id"), col("text"), col("gsz"))
+    val members = hashed.select(col("doc_id"), col("__h"))
+      .join(groups.select(col("__h"), col("rep")), Seq("__h"))
+      .select(col("rep"), col("doc_id"))
+    Collapsed(reps, members)
+  }
+
+  /** Rep-level shingle stream under the GROUP-WEIGHTED df cap: df keeps
+    * counting DOCUMENTS (Σ group sizes), not distinct texts, so the cap
+    * boundary is exactly the direct spelling's. */
+  private def repShingles(c: Collapsed, maxShingleDf: Long): DataFrame = {
+    val all = c.reps
+      .select(col("doc_id"), col("gsz"),
+        split(lower(col("text")), " +").as("__toks"))
+      .select(col("doc_id"), col("gsz"),
+        explode(shinglesFromToks(col("__toks"))).as("shingle"))
+    if (maxShingleDf <= 0) all.drop("gsz")
+    else all
+      .withColumn("__df",
+        sum(col("gsz")).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__df") <= maxShingleDf)
+      .select(col("doc_id"), col("shingle"))
+  }
+
+  /** The shared-shingle join + exact Jaccard over representatives. The
+    * self-join carries a MERGE hint: the df-cap window already leaves
+    * the stream exchange-partitioned AND sorted by shingle, so SMJ
+    * reuses both for free, while the planner's post-aggregate size
+    * estimates otherwise flip it to a broadcast whose driver-side map
+    * build costs multiple seconds per derivation (measured at sf0.1:
+    * 2.6 -> 8.8 s before the hint). */
+  private def repJaccardPairs(sh: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
+    sh.select(col("doc_id").as("da"), col("shingle")).hint("merge")
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), "db")
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double")).as("j"))
+      .filter(col("j") >= threshold)
+
+  /** Expand rep-level pairs back to member pairs: cross-group pairs
+    * inherit the rep pair's value column(s); within-group pairs get
+    * `withinValue` (j = 1.0 / dist = 0 — a property of identical
+    * texts), emitted only for groups whose post-cap shingle set is
+    * non-empty (`sizes` semi-join: a doc whose every shingle was capped
+    * away pairs with nothing, same as the direct spelling) and only
+    * when `withinKeep` (the identical-pair value passes the operator's
+    * own threshold). */
+  private def expandRepPairs(members: DataFrame, sizes: DataFrame,
+      repPairs: DataFrame, withinValue: Column, withinKeep: Boolean)
+      : DataFrame = {
+    val valueCols = repPairs.columns.filter(c => c != "da" && c != "db")
+      .map(col).toSeq
+    val cross = repPairs
+      .join(members.select(col("rep").as("da"), col("doc_id").as("ia")), "da")
+      .join(members.select(col("rep").as("db"), col("doc_id").as("ib")), "db")
+      .select(least(col("ia"), col("ib")).as("da") +:
+        greatest(col("ia"), col("ib")).as("db") +: valueCols: _*)
+    if (!withinKeep) return cross
+    val live = members
+      .join(sizes.select(col("doc_id").as("rep")), Seq("rep"), "left_semi")
+    val within = live.select(col("rep"), col("doc_id").as("ia"))
+      .join(live.select(col("rep"), col("doc_id").as("ib")), "rep")
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("da"), col("ib").as("db"), withinValue)
+    cross.unionByName(within)
+  }
+
+  /** Candidate-generate + edit-distance verify as ONE collapsed
+    * pipeline — the dd_editdist face's spelling. Semantically identical
+    * to `editDistVerify(docs, ngramJaccard(docs, threshold))` (the
+    * executable spec DedupEquivalenceSpec pins it to), but both stages
+    * ride the SAME exact-content collapse: the distance is a property
+    * of the two TEXTS, so rep pairs are verified once and member pairs
+    * inherit, and a within-group pair is dist = 0 by identity. At sf1
+    * (50k docs, 4,992 distinct texts) this is the difference between
+    * normalizing/DP-ing 250k member pairs and 25k rep pairs. */
+  def editDistNearDup(docs: DataFrame, threshold: Double = 0.3,
+      maxShingleDf: Long = 1000L, prefixLen: Int = 80, maxDist: Int = 40)
+      : DataFrame =
+    if (shouldCollapse(docs)) {
+      val c = collapseByContent(docs)
+      val sh = repShingles(c, maxShingleDf)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val repPairs = repJaccardPairs(sh, sizes, threshold)
+      val verified = editDistVerify(c.reps, repPairs, prefixLen, maxDist)
+        .select(col("da"), col("db"), col("dist"))
+      expandRepPairs(c.members, sizes, verified,
+        withinValue = lit(0).cast("integer").as("dist"),
+        withinKeep = threshold <= 1.0 && maxDist >= 0)
+    } else editDistVerify(docs,
+      ngramJaccardGrouped(docs, threshold, maxShingleDf),
+      prefixLen, maxDist)
+
+  /** The shared DF-capped shingle stream (see [[ngramJaccard]]'s
+    * `maxShingleDf` doc for the cap semantics). */
+  private def cappedShingles(docs: DataFrame, maxShingleDf: Long): DataFrame = {
     val all = explodedShingles(docs)
-    val sh =
-      if (maxShingleDf <= 0) all
-      else all
-        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-        .filter(col("__df") <= maxShingleDf)
-        .drop("__df")
+    if (maxShingleDf <= 0) all
+    else all
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__df") <= maxShingleDf)
+      .drop("__df")
+  }
+
+  /** The groupBy-count spelling of [[ngramJaccard]] — retained as the
+    * executable spec the array-carrying plan is pinned bit-identical to
+    * (the simhashDocsComposed posture). */
+  private[graft] def ngramJaccardGrouped(docs: DataFrame,
+      threshold: Double = 0.6, maxShingleDf: Long = 1000L): DataFrame = {
+    val sh = cappedShingles(docs, maxShingleDf)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("doc_id").as("da"), col("shingle"))
       .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
@@ -1207,13 +1404,14 @@ object Dedup {
       // before the DP, no candidate it keeps can be wrong (r14 ADVICE
       // item 6's length band)
       .filter(abs(length(col("pa")) - length(col("pb"))) <= maxDist)
-      // THRESHOLDED levenshtein: the 3-arg form early-abandons the DP
-      // once the running minimum exceeds maxDist (−1 out), so distant
-      // pairs — the bulk of a ≥0.3-Jaccard candidate set — pay a banded
-      // O(len·maxDist) scan instead of the full len² table; surviving
-      // distances are EXACT and identical to the unbounded form
+      // UNBOUNDED levenshtein + filter, not the 3-arg thresholded form:
+      // on these short normalized prefixes (≤80 chars) the banded
+      // early-abandon variant measured 2x SLOWER than the plain DP
+      // (6.1 vs 3.0 s over 250k sf1 pairs — the per-call band set-up
+      // dominates at this string length). Identical output either way;
+      // at a larger prefixLen re-measure before switching back.
       .select(col("da"), col("db"),
-        levenshtein(col("pa"), col("pb"), maxDist).as("dist"))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+        levenshtein(col("pa"), col("pb")).as("dist"))
+      .filter(col("dist") <= maxDist)
   }
 }

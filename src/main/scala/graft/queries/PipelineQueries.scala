@@ -380,10 +380,13 @@ object PipelineQueries {
     // candidates so DuckDB reproduces the WHOLE pipeline (its levenshtein
     // is the same unit-cost DP); the scale path feeds LSH pairs into the
     // identical verify join.
-    "dd_editdist" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.editDistVerify(d, Dedup.ngramJaccard(d, 0.3))
-    }),
+    // r16: candidate-generate + verify ride ONE exact-content collapse
+    // (Dedup.editDistNearDup) — identical output to editDistVerify over
+    // ngramJaccard(0.3) (DedupEquivalenceSpec pins it), but rep pairs
+    // verify once and member pairs inherit: the sf1 pair band's last
+    // >20 s face dropped to the single-digit tier (r15 VERDICT #2)
+    "dd_editdist" -> ((s, dir) =>
+      Dedup.editDistNearDup(docs(s, dir), 0.3)),
 
     // §2.3 #38 MinHash+LSH banded near-dup (rows-only + spec)
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
