@@ -265,7 +265,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalNorm = resultsNorm.map(_._2).filter(_ >= 0).sum
     val totalOfficial = officialOrdered.map(_._2).filter(_ >= 0).sum
-    reportTrend(results, sfDir)
+    reportTrend(results, resultsNorm, sfDir)
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""value_norm":${r2(totalNorm)},"value_official":${r2(totalOfficial)},""" +
       s"""$provenance,"queries":$qs,""" +
@@ -314,8 +314,13 @@ object Bench {
   /** Per-query deltas vs the previous round's BENCH_r*.json (stderr only —
     * stdout stays the single JSON line the driver parses). Flags >1.3x
     * moves so a regression gets an explanation at build time, not at
-    * judging time. */
-  private def reportTrend(results: Seq[(String, Double)], sfDir: String): Unit = try {
+    * judging time. r16: compares ANCHOR-NORMALIZED values when the
+    * history line carries queries_norm (and this run's normalized
+    * table), so the stderr trend can't print the phantom box-speed
+    * regressions the artifact-side normalization already kills; raw
+    * values remain the fallback against pre-r16 lines. */
+  private def reportTrend(resultsRaw: Seq[(String, Double)],
+      resultsNorm: Seq[(String, Double)], sfDir: String): Unit = try {
     // Prefer our own append-only history (complete by construction); fall
     // back to the driver's BENCH_r*.json capture, which may be truncated.
     // History lines from a DIFFERENT scale factor are skipped — a smoke
@@ -344,15 +349,24 @@ object Bench {
       val text = histLine.getOrElse(
         new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)).replace("\\\"", "\"")
+      // normalized baseline preferred; note the generic pair scrape
+      // below would otherwise pick the LAST face map in an r16+ line
+      // (queries_official) while comparing raw values — wrong on both
+      // sides
+      val normBase = graft.tools.BenchNorm.faceMap(text, "queries_norm")
+      val useNorm = normBase.nonEmpty
+      val results = if (useNorm) resultsNorm else resultsRaw
       val pair = "\"([A-Za-z0-9_]+)\":([0-9]+\\.[0-9]+)".r
       val arrow = "([A-Za-z0-9_]+)\\s+[0-9.]+ ->\\s+([0-9.]+) s".r
       val direct = pair.findAllMatchIn(text)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
       val old =
-        if (direct.nonEmpty) direct
+        if (useNorm) normBase
+        else if (direct.nonEmpty) direct
         else arrow.findAllMatchIn(text)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      System.err.println(s"[bench] trend vs ${f.getName}:")
+      System.err.println(s"[bench] trend vs ${f.getName}" +
+        (if (useNorm) " (anchor-normalized)" else "") + ":")
       results.foreach { case (name, t) =>
         old.get(name) match {
           case Some(p) if p > 0 && t > 0 =>

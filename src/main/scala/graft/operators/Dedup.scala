@@ -148,7 +148,7 @@ object Dedup {
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val repPairs = repJaccardPairs(sh, sizes, threshold)
       expandRepPairs(c.members, sizes, repPairs,
-        withinValue = lit(1.0).as("j"),
+        withinValues = Seq(lit(1.0).as("j")),
         withinKeep = threshold <= 1.0)
     } else ngramJaccardGrouped(docs, threshold, maxShingleDf)
 
@@ -165,7 +165,9 @@ object Dedup {
     * — every face re-derives the same docs frame, and one stats job
     * per corpus per session is the honest price of an adaptive plan
     * (the pair join it sizes is superlinear in the duplication the
-    * stats pass measures). */
+    * stats pass measures). Staleness caveat: a corpus REWRITTEN at the
+    * same path mid-session keeps its memoized decision — both branches
+    * are exact, so only plan choice (never output) can go stale. */
   private val collapseMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def shouldCollapse(docs: DataFrame): Boolean = {
@@ -253,7 +255,7 @@ object Dedup {
     * when `withinKeep` (the identical-pair value passes the operator's
     * own threshold). */
   private def expandRepPairs(members: DataFrame, sizes: DataFrame,
-      repPairs: DataFrame, withinValue: Column, withinKeep: Boolean)
+      repPairs: DataFrame, withinValues: Seq[Column], withinKeep: Boolean)
       : DataFrame = {
     val valueCols = repPairs.columns.filter(c => c != "da" && c != "db")
       .map(col).toSeq
@@ -268,7 +270,7 @@ object Dedup {
     val within = live.select(col("rep"), col("doc_id").as("ia"))
       .join(live.select(col("rep"), col("doc_id").as("ib")), "rep")
       .filter(col("ia") < col("ib"))
-      .select(col("ia").as("da"), col("ib").as("db"), withinValue)
+      .select(col("ia").as("da") +: col("ib").as("db") +: withinValues: _*)
     cross.unionByName(within)
   }
 
@@ -292,7 +294,7 @@ object Dedup {
       val verified = editDistVerify(c.reps, repPairs, prefixLen, maxDist)
         .select(col("da"), col("db"), col("dist"))
       expandRepPairs(c.members, sizes, verified,
-        withinValue = lit(0).cast("integer").as("dist"),
+        withinValues = Seq(lit(0).cast("integer").as("dist")),
         withinKeep = threshold <= 1.0 && maxDist >= 0)
     } else editDistVerify(docs,
       ngramJaccardGrouped(docs, threshold, maxShingleDf),
@@ -400,14 +402,28 @@ object Dedup {
     * never O(n²)) is inherited; only the denominator changes. Emits both
     * metrics so callers can split "contained" from "mutually similar". */
   def ngramContainment(docs: DataFrame, threshold: Double = 0.9,
-      maxShingleDf: Long = 1000L): DataFrame = {
-    val all = explodedShingles(docs)
-    val sh =
-      if (maxShingleDf <= 0) all
-      else all
-        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-        .filter(col("__df") <= maxShingleDf)
-        .drop("__df")
+      maxShingleDf: Long = 1000L): DataFrame =
+    // containment and Jaccard are both functions of the two shingle
+    // SETS, so the exact-dup collapse (see ngramJaccard) applies
+    // verbatim: within-group pairs are c = 1.0, j = 1.0 by identity.
+    // Measured at sf1: 20-30 s direct -> collapse-tier (the r16
+    // full-surface sf1 line flagged this face 55x its sf0.1 time;
+    // ngramContainmentGrouped is the pinned executable spec)
+    if (shouldCollapse(docs)) {
+      val c = collapseByContent(docs)
+      val sh = repShingles(c, maxShingleDf)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val repPairs = repContainmentPairs(sh, sizes, threshold)
+      expandRepPairs(c.members, sizes, repPairs,
+        withinValues = Seq(lit(1.0).as("c"), lit(1.0).as("j")),
+        withinKeep = threshold <= 1.0)
+    } else ngramContainmentGrouped(docs, threshold, maxShingleDf)
+
+  /** The direct spelling of [[ngramContainment]] — the executable spec
+    * the collapsed plan is pinned bit-identical to. */
+  private[graft] def ngramContainmentGrouped(docs: DataFrame,
+      threshold: Double = 0.9, maxShingleDf: Long = 1000L): DataFrame = {
+    val sh = cappedShingles(docs, maxShingleDf)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("doc_id").as("da"), col("shingle"))
       .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
@@ -423,6 +439,22 @@ object Dedup {
           (col("sza") + col("szb") - col("inter")).cast("double")).as("j"))
       .filter(col("c") >= threshold)
   }
+
+  /** Shared-shingle join + exact containment/Jaccard over reps. */
+  private def repContainmentPairs(sh: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
+    sh.select(col("doc_id").as("da"), col("shingle")).hint("merge")
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), "db")
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") /
+          least(col("sza"), col("szb")).cast("double")).as("c"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double")).as("j"))
+      .filter(col("c") >= threshold)
 
   /** Connected components over a near-dup pair graph: every document gets
     * the MINIMUM doc_id reachable through pairs as its cluster id — the

@@ -108,7 +108,10 @@ object JsonSniffer {
   }
 
   /** (key, typeclass) pairs of one FLAT object; nested values classify
-    * as JSON and are skipped over bracket-aware. */
+    * as JSON and are skipped over bracket-aware. Malformed number
+    * tokens ("1.2.3") scan as DOUBLE rather than rejecting — the
+    * sniffer reports shape; the face's roundtrip READ is what
+    * certifies the file actually parses. */
   private[json] def fieldsOf(obj: String): Seq[(String, String)] = {
     val out = Seq.newBuilder[(String, String)]
     var i = 1 // past '{'

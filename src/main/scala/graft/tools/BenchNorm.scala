@@ -72,7 +72,10 @@ object BenchNorm {
     * lacks (surface grew) min over the runs that have them; faces no
     * longer in the current surface are dropped. Unknown fingerprints
     * never merge (two unknowns are not "same code"). Returns the table
-    * and the number of runs merged (1 = current only). */
+    * and the number of runs merged (1 = current only). History values
+    * are 3-decimal-rounded while the current run's are full precision,
+    * so the min can prefer a prior value by up to 0.5 ms of rounding —
+    * harmless at face scale (seconds), noted for exactness. */
   def officialMin(history: Seq[String], code: String, sf: String,
       currentNorm: Map[String, Double]): (Map[String, Double], Int) = {
     val prior =

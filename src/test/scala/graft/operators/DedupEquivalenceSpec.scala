@@ -83,6 +83,32 @@ class DedupEquivalenceSpec extends SparkSpec {
     assertSame(docs, 0.1, maxDf = 11L)
   }
 
+  private def assertSameContainment(docs: DataFrame, t: Double): Unit = {
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("c")),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("j"))))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val fast = rows(Dedup.ngramContainment(docs, t))
+    val spec = rows(Dedup.ngramContainmentGrouped(docs, t))
+    assert(fast == spec, s"t=$t: ${fast.size} vs ${spec.size} pairs")
+  }
+
+  test("containment: collapse == direct, c and j bits identical " +
+      "(forced collapse fuzz + dup-heavy + quoted-short-doc)") {
+    forcingCollapse {
+      for ((vocab, seed) <- Seq((15, 21L), (90, 22L)))
+        assertSameContainment(wordSoup(60, vocab, 10, seed), 0.7)
+    }
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dupHeavy = ((0 until 30).map(i => (i.toLong, base)) ++ Seq(
+      30L -> "alpha beta gamma delta epsilon", // quoted prefix: contained
+      31L -> "unrelated other words entirely here"))
+      .toDF("doc_id", "text")
+    assertSameContainment(dupHeavy, 0.9)
+    assertSameContainment(dupHeavy, 0.5)
+  }
+
   private def assertSameEditDist(docs: DataFrame, threshold: Double): Unit = {
     def rows(df: DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
