@@ -90,9 +90,14 @@ object BenchNorm {
     (merged, prior.size + 1)
   }
 
-  /** Code fingerprint for same-code run detection: HEAD sha + md5 of the
-    * working-tree diff (a dirty tree is different code; the SAME dirty
-    * tree re-run is the same code). "unknown" disables merging. */
+  /** Code fingerprint for same-code run detection: HEAD sha + md5 of
+    * the working-tree diff RESTRICTED TO CODE PATHS (src, tools,
+    * project, build.sbt). The restriction is load-bearing: every bench
+    * run APPENDS to the git-tracked BENCH_HISTORY.jsonl, so an
+    * unrestricted diff would change after run 1 and consecutive
+    * same-code runs could never merge. A dirty CODE tree is different
+    * code; the same dirty code tree re-run is the same code. "unknown"
+    * disables merging. */
   def codeFingerprint(repoDir: String = "."): String =
     try {
       def run(cmd: String*): String = {
@@ -106,7 +111,8 @@ object BenchNorm {
         out
       }
       val head = run("git", "rev-parse", "--short=12", "HEAD").trim
-      val diff = run("git", "diff", "HEAD")
+      val diff = run("git", "diff", "HEAD", "--",
+        "src", "tools", "project", "build.sbt")
       val md5 = java.security.MessageDigest.getInstance("MD5")
         .digest(diff.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString.take(8)
