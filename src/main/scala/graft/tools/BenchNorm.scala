@@ -90,14 +90,18 @@ object BenchNorm {
     (merged, prior.size + 1)
   }
 
-  /** Code fingerprint for same-code run detection: HEAD sha + md5 of
-    * the working-tree diff RESTRICTED TO CODE PATHS (src, tools,
-    * project, build.sbt). The restriction is load-bearing: every bench
-    * run APPENDS to the git-tracked BENCH_HISTORY.jsonl, so an
-    * unrestricted diff would change after run 1 and consecutive
-    * same-code runs could never merge. A dirty CODE tree is different
-    * code; the same dirty code tree re-run is the same code. "unknown"
-    * disables merging. */
+  /** Code fingerprint for same-code run detection: md5 over the git
+    * TREE OBJECT hashes of the code paths (src, tools, project,
+    * build.sbt) at HEAD, plus an md5 of the working-tree diff over the
+    * same paths when dirty. Two deliberate properties, both
+    * load-bearing: (1) committing ARTIFACTS (BENCH_HISTORY, SURVEY,
+    * VERDICT) moves HEAD but not the code trees, so runs before and
+    * after a doc/artifact commit still merge — a HEAD-sha fingerprint
+    * orphaned every prior run at each bookkeeping commit; (2) the
+    * dirty diff is path-restricted because every bench run APPENDS to
+    * the tracked BENCH_HISTORY.jsonl — an unrestricted diff changed
+    * after run 1 and consecutive same-code runs could never merge.
+    * "unknown" disables merging. */
   def codeFingerprint(repoDir: String = "."): String =
     try {
       def run(cmd: String*): String = {
@@ -110,12 +114,15 @@ object BenchNorm {
         if (p.waitFor() != 0) throw new RuntimeException(cmd.mkString(" "))
         out
       }
-      val head = run("git", "rev-parse", "--short=12", "HEAD").trim
+      def md5Hex(s: String): String = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val trees = run("git", "rev-parse",
+        "HEAD:src", "HEAD:tools", "HEAD:project", "HEAD:build.sbt")
+      val base = md5Hex(trees).take(12)
       val diff = run("git", "diff", "HEAD", "--",
         "src", "tools", "project", "build.sbt")
-      val md5 = java.security.MessageDigest.getInstance("MD5")
-        .digest(diff.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString.take(8)
-      if (diff.isEmpty) head else s"$head+$md5"
+      if (diff.isEmpty) base else s"$base+${md5Hex(diff).take(8)}"
     } catch { case _: Exception => "unknown" }
 }
