@@ -140,20 +140,7 @@ object Bench {
     // change the load gauges cannot see. cpu_ref_ms gives every history
     // line an absolute machine-speed anchor: face_time / (cpu_ref_ms /
     // nominal) is comparable across rounds even when the box changes.
-    def cpuProbeMs(): Double = {
-      var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0
-      val t0 = System.nanoTime()
-      while (i < (1 << 26)) {
-        x += 0x9E3779B97F4A7C15L
-        var z = x
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        acc ^= z ^ (z >>> 31)
-        i += 1
-      }
-      if (acc == 42L) System.err.println("") // keep the loop live
-      (System.nanoTime() - t0) / 1e6
-    }
+    def cpuProbeMs(): Double = graft.tools.BenchNorm.cpuProbeMs()
     val repCpuMs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passes = (1 to reps).map { i =>
       var w = 0
@@ -226,7 +213,7 @@ object Bench {
         else Seq.empty
       } catch { case _: Exception => Seq.empty }
     val (official, sameCodeRuns) = graft.tools.BenchNorm.officialMin(
-      histLines, codeFp, sfDir, resultsNorm.toMap)
+      histLines, codeFp, sfDir, resultsNorm.toMap, nominalMs)
     val officialOrdered = resultsNorm.map { case (k, _) => k -> official(k) }
     // contended-outlier detector: a rep far off the median total is noise
     val repTotals = passes.map(_.map(_._2).filter(_ >= 0).sum)

@@ -139,7 +139,13 @@ object Dedup {
     * are homogeneous, median 52, p99 97); AllPairs prefix filtering
     * (see above). Output stays bit-identical to the direct spelling —
     * [[ngramJaccardGrouped]] is the executable spec,
-    * DedupEquivalenceSpec pins them against each other. */
+    * DedupEquivalenceSpec pins them against each other.
+    *
+    * EAGER at construction: the adaptive gate runs one small stats job
+    * (count + approx_count_distinct, memoized per plan+cap) when this
+    * DataFrame is BUILT, so construction can launch a job and throw
+    * where DataFrame construction is otherwise lazy. Same for
+    * [[ngramContainment]], [[editDistNearDup]], [[ngramJaccardDelta]]. */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.6,
       maxShingleDf: Long = 1000L): DataFrame =
     if (shouldCollapse(docs)) {
@@ -176,15 +182,29 @@ object Dedup {
       .map(_.toDouble).getOrElse(0.8)
     if (ratioCap >= 1.0) return true
     if (ratioCap <= 0.0) return false
-    val key = docs.queryExecution.analyzed.canonicalized.semanticHash().toString
-    collapseMemo.computeIfAbsent(key, _ => {
-      val r = docs
-        .agg(count(lit(1)).as("n"),
-          approx_count_distinct(col("text")).as("d"))
-        .head()
-      val n = r.getLong(0)
+    // Key = md5 of the full canonicalized plan (the 32-bit semanticHash
+    // alone could merge gate decisions across unrelated corpora on a
+    // collision) + the ratio cap (re-tuning the knob mid-session must
+    // re-gate, not silently reuse the old decision) — r16 ADVICE items
+    // 2-3.
+    val plan = docs.queryExecution.analyzed.canonicalized
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(plan.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString + ":" + ratioCap
+    val cached = collapseMemo.get(key)
+    if (cached != null) return cached
+    // Decide OUTSIDE the map: computeIfAbsent would hold the bucket lock
+    // for the duration of a Spark job, blocking unrelated plan gating.
+    // putIfAbsent accepts a rare duplicate stats job instead.
+    val r = docs
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("text")).as("d"))
+      .head()
+    val n = r.getLong(0)
+    val decision: java.lang.Boolean =
       n > 0 && r.getLong(1).toDouble / n <= ratioCap
-    })
+    val prev = collapseMemo.putIfAbsent(key, decision)
+    if (prev != null) prev else decision
   }
 
   /** Exact-content collapse: one representative doc per distinct text,
@@ -196,8 +216,13 @@ object Dedup {
     * for nothing). */
   private[graft] case class Collapsed(reps: DataFrame, members: DataFrame)
   private[graft] def collapseByContent(docs: DataFrame): Collapsed = {
+    // The group key must be NON-NULL: members re-joins groups on __h,
+    // and an equi-join on a NULL key matches nothing — md5(NULL) = NULL
+    // silently dropped every NULL-text doc from the member map (they
+    // pair via the "" shingle in the direct spelling). "§null" cannot
+    // collide with md5's hex alphabet.
     val hashed = docs.select(col("doc_id"), col("text"),
-      md5(col("text")).as("__h"))
+      coalesce(md5(col("text")), lit("§null")).as("__h"))
     val groups = hashed.groupBy(col("__h"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gsz"))
     val reps = groups
@@ -293,7 +318,16 @@ object Dedup {
       val repPairs = repJaccardPairs(sh, sizes, threshold)
       val verified = editDistVerify(c.reps, repPairs, prefixLen, maxDist)
         .select(col("da"), col("db"), col("dist"))
-      expandRepPairs(c.members, sizes, verified,
+      // NULL text is out-of-domain for the DISTANCE stage: the spec path
+      // (editDistVerify over direct candidates) drops every pair whose
+      // normalized prefix is NULL, so a group of duplicate NULL-text
+      // docs must NOT emit within-group dist=0 pairs here (r16 ADVICE
+      // medium — cross-group NULL pairs already die inside
+      // editDistVerify's length band above).
+      val verifiableSizes = sizes.join(
+        c.reps.filter(col("text").isNotNull).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      expandRepPairs(c.members, verifiableSizes, verified,
         withinValues = Seq(lit(0).cast("integer").as("dist")),
         withinKeep = threshold <= 1.0 && maxDist >= 0)
     } else editDistVerify(docs,
@@ -342,7 +376,17 @@ object Dedup {
     * delta-delta pair matches from both probes, so one orientation is
     * kept; delta-standing pairs match once. */
   def ngramJaccardDelta(all: DataFrame, deltaIds: DataFrame,
-      threshold: Double = 0.6, maxShingleDf: Long = 1000L): DataFrame = {
+      threshold: Double = 0.6, maxShingleDf: Long = 1000L): DataFrame =
+    if (shouldCollapse(all))
+      ngramJaccardDeltaCollapsed(all, deltaIds, threshold, maxShingleDf)
+    else ngramJaccardDeltaDirect(all, deltaIds, threshold, maxShingleDf)
+
+  /** The direct (per-document) spelling of [[ngramJaccardDelta]] —
+    * retained as the executable spec the collapsed plan is pinned
+    * bit-identical to (DedupEquivalenceSpec). */
+  private[graft] def ngramJaccardDeltaDirect(all: DataFrame,
+      deltaIds: DataFrame, threshold: Double = 0.6,
+      maxShingleDf: Long = 1000L): DataFrame = {
     val allSh = explodedShingles(all)
     val sh =
       if (maxShingleDf <= 0) allSh
@@ -372,6 +416,74 @@ object Dedup {
         (col("inter").cast("double") /
           (col("sza") + col("szb") - col("inter")).cast("double")).as("j"))
       .filter(col("j") >= threshold)
+  }
+
+  /** [[ngramJaccardDelta]] riding the exact-content collapse (r16
+    * VERDICT #4): the delta probes the FULL corpus shingle set, so at
+    * sf1 (50k docs, 4,992 distinct texts — real recrawls have the same
+    * exact-dup bulk) the probe-side join volume is 10× what the
+    * DISTINCT text mass needs. Collapse the corpus once, run the
+    * delta pairing at REP level (a rep counts as delta when its group
+    * holds ≥1 delta doc), then expand rep pairs back to member pairs
+    * KEEPING only pairs that touch a delta doc — j is a function of the
+    * two texts, so cross-group pairs inherit the rep pair's j and
+    * within-group pairs are j = 1.0 by identity (emitted only for
+    * groups whose post-cap shingle set is non-empty, and only when
+    * threshold ≤ 1.0 — exactly the direct spelling's behavior). */
+  private def ngramJaccardDeltaCollapsed(all: DataFrame,
+      deltaIds: DataFrame, threshold: Double,
+      maxShingleDf: Long): DataFrame = {
+    val c = collapseByContent(all)
+    val sh = repShingles(c, maxShingleDf)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val deltaReps = c.members
+      .join(deltaIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("rep")).distinct()
+    val flagged = sh.join(
+        deltaReps.select(col("rep").as("doc_id"), lit(true).as("__d")),
+        Seq("doc_id"), "left")
+      .withColumn("__d", coalesce(col("__d"), lit(false)))
+    val probe = flagged.filter(col("__d"))
+      .select(col("doc_id").as("dp"), col("shingle"))
+    val index = flagged
+      .select(col("doc_id").as("dx"), col("shingle"), col("__d").as("xd"))
+    val inter = probe.join(index, "shingle")
+      .filter(col("dp") =!= col("dx"))
+      .filter(!col("xd") || col("dp") < col("dx"))
+      .select(least(col("dp"), col("dx")).as("da"),
+        greatest(col("dp"), col("dx")).as("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    val repPairs = inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), "db")
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double")).as("j"))
+      .filter(col("j") >= threshold)
+    // expansion, restricted to member pairs touching a delta doc
+    val mem = c.members.join(
+        deltaIds.select(col("doc_id"), lit(true).as("__d")),
+        Seq("doc_id"), "left")
+      .withColumn("__d", coalesce(col("__d"), lit(false)))
+    val cross = repPairs
+      .join(mem.select(col("rep").as("da"), col("doc_id").as("ia"),
+        col("__d").as("pa")), "da")
+      .join(mem.select(col("rep").as("db"), col("doc_id").as("ib"),
+        col("__d").as("pb")), "db")
+      .filter(col("pa") || col("pb"))
+      .select(least(col("ia"), col("ib")).as("da"),
+        greatest(col("ia"), col("ib")).as("db"), col("j"))
+    if (threshold > 1.0) return cross // a within pair's j = 1.0 fails
+    val live = mem.join(sizes.select(col("doc_id").as("rep")),
+      Seq("rep"), "left_semi")
+    val within = live
+      .select(col("rep"), col("doc_id").as("ia"), col("__d").as("pa"))
+      .join(live.select(col("rep"), col("doc_id").as("ib"),
+        col("__d").as("pb")), "rep")
+      .filter(col("ia") < col("ib"))
+      .filter(col("pa") || col("pb"))
+      .select(col("ia").as("da"), col("ib").as("db"), lit(1.0).as("j"))
+    cross.unionByName(within)
   }
 
   /** INCREMENTAL near-dup clustering — IVM for the persisted cluster

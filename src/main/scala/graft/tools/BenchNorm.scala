@@ -66,6 +66,11 @@ object BenchNorm {
     ("\"" + field + "\":\"([^\"]*)\"").r
       .findFirstMatchIn(line).map(_.group(1))
 
+  /** A top-level `"field":num` number from a history line. */
+  def numField(line: String, field: String): Option[Double] =
+    ("\"" + field + "\":(-?[0-9]+(?:\\.[0-9]+)?(?:[eE]-?[0-9]+)?)").r
+      .findFirstMatchIn(line).map(_.group(1).toDouble)
+
   /** Official per-face table: for each face in `currentNorm`, the min of
     * its normalized value across `history` lines whose code fingerprint
     * AND sf both match — plus the current run. Faces a given old run
@@ -75,19 +80,47 @@ object BenchNorm {
     * and the number of runs merged (1 = current only). History values
     * are 3-decimal-rounded while the current run's are full precision,
     * so the min can prefer a prior value by up to 0.5 ms of rounding —
-    * harmless at face scale (seconds), noted for exactness. */
+    * harmless at face scale (seconds), noted for exactness.
+    *
+    * Prior lines must also have been normalized against the SAME anchor
+    * nominal (`anchor_nominal_ms`, absent = the default): a run under a
+    * SPARK_GRAFT_ANCHOR_NOMINAL_MS override is on a different scale and
+    * min-merging it would silently deflate value_official (r16 ADVICE
+    * item 4). */
   def officialMin(history: Seq[String], code: String, sf: String,
-      currentNorm: Map[String, Double]): (Map[String, Double], Int) = {
+      currentNorm: Map[String, Double],
+      nominalMs: Double = NominalAnchorMs): (Map[String, Double], Int) = {
     val prior =
       if (code == "unknown") Seq.empty
       else history.filter(l => stringField(l, "code").contains(code) &&
-          stringField(l, "sf").contains(sf))
+          stringField(l, "sf").contains(sf) &&
+          math.abs(numField(l, "anchor_nominal_ms")
+            .getOrElse(NominalAnchorMs) - nominalMs) < 0.005)
         .map(l => faceMap(l, "queries_norm")).filter(_.nonEmpty)
     val merged = currentNorm.map { case (k, v) =>
       val vs = (prior.flatMap(_.get(k)) :+ v).filter(_ >= 0)
       k -> (if (vs.isEmpty) v else vs.min)
     }
     (merged, prior.size + 1)
+  }
+
+  /** The machine-speed anchor: a fixed single-thread splitmix64 loop,
+    * timed in ms. Shared by Bench (per-rep `rep_cpu_ms`) and ScaleBench
+    * (per-chunk `anchor_ms`) so the two artifacts' anchors are the same
+    * yardstick. ~NominalAnchorMs on a quiet box. */
+  def cpuProbeMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0
+    val t0 = System.nanoTime()
+    while (i < (1 << 26)) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      acc ^= z ^ (z >>> 31)
+      i += 1
+    }
+    if (acc == 42L) System.err.println("") // keep the loop live
+    (System.nanoTime() - t0) / 1e6
   }
 
   /** Code fingerprint for same-code run detection: md5 over the git

@@ -10,6 +10,14 @@ import org.apache.spark.sql.SparkSession
   * (10× data should cost ~10× on a linear face), not ±10% noise.
   *
   * `runMain graft.tools.ScaleBench <sfDir> <sfTag> <face...>`
+  *
+  * With `SPARK_GRAFT_SCALEBENCH_OUT=<file>` the JSON line lands in that
+  * file instead of BENCH_HISTORY.jsonl — [[ScaleSweep]] runs one
+  * ScaleBench per fresh JVM chunk and merges the chunk lines into a
+  * single history line, so the per-chunk partials must not pollute the
+  * trend file. The line also carries `anchor_ms` (the shared
+  * [[BenchNorm.cpuProbeMs]] machine-speed probe, timed right before the
+  * timed rep) so a reader can tell a slow box from a slow face.
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
@@ -33,6 +41,7 @@ object ScaleBench {
       catch { case e: Throwable =>
         System.err.println(s"[scalebench] warmup $n FAILED: ${e.getMessage}") }
     }
+    val anchorMs = BenchNorm.cpuProbeMs()
     val timed = faces.map { case (n, fn) =>
       System.gc()
       val t0 = System.nanoTime()
@@ -46,8 +55,12 @@ object ScaleBench {
     val qjson = timed.map { case (n, t) => s""""$n":${ms(t)}""" }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"scale_checkpoint","value":$total,"unit":"sec",""" +
-      s""""sf":"$sfTag","dir":"$sfDir","cpus":$cpus,"queries":$qjson}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+      s""""sf":"$sfTag","dir":"$sfDir","cpus":$cpus,""" +
+      s""""anchor_ms":${ms(anchorMs)},"queries":$qjson}"""
+    val outPath = sys.env.get("SPARK_GRAFT_SCALEBENCH_OUT")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"))
+    java.nio.file.Files.write(outPath,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)

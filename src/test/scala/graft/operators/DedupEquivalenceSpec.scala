@@ -143,4 +143,62 @@ class DedupEquivalenceSpec extends SparkSpec {
       .toDF("doc_id", "text")
     forcingCollapse { for (t <- Seq(0.1, 0.5, 1.0)) assertSame(docs, t) }
   }
+
+  test("NULL-text duplicates: collapse == direct for jaccard AND the " +
+      "editDist stage drops NULL pairs on BOTH paths (r16 ADVICE medium)") {
+    // >=2 NULL texts: they share the "" shingle, so jaccard pairs them
+    // (both spellings); the distance stage's NULL prefix rejects them
+    // (both spellings). The collapsed editDist branch used to emit the
+    // within-NULL-group pair as dist=0.
+    val base = "alpha beta gamma delta epsilon zeta"
+    val docs = (Seq(1L -> base, 2L -> base, 3L -> (base + " tail"),
+      4L -> null.asInstanceOf[String], 5L -> null.asInstanceOf[String],
+      6L -> null.asInstanceOf[String], 7L -> "other words entirely"))
+      .toDF("doc_id", "text")
+    forcingCollapse {
+      assertSame(docs, 0.3)
+      assertSameEditDist(docs, 0.3)
+    }
+    // and with the gate deciding on its own (dup mass forces collapse)
+    assertSameEditDist(docs, 0.3)
+  }
+
+  private def assertSameDelta(all: DataFrame, deltaIds: DataFrame,
+      threshold: Double, maxDf: Long = 1000L): Unit = {
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("j"))))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val fast = rows(Dedup.ngramJaccardDelta(all, deltaIds, threshold, maxDf))
+    val spec = rows(Dedup.ngramJaccardDeltaDirect(all, deltaIds, threshold, maxDf))
+    assert(fast == spec,
+      s"delta t=$threshold maxDf=$maxDf: ${fast.size} vs ${spec.size} pairs")
+  }
+
+  test("ngramJaccardDelta: collapse == direct (forced-collapse fuzz + " +
+      "dup-heavy + NULL texts + delta/standing dup mixes + df cap)") {
+    forcingCollapse {
+      for ((vocab, seed) <- Seq((12, 31L), (80, 32L))) {
+        val docs = wordSoup(60, vocab, 12, seed)
+        val delta = docs.filter($"doc_id" % 5 === 0).select("doc_id")
+        for (t <- Seq(0.2, 0.6)) assertSameDelta(docs, delta, t)
+      }
+    }
+    // dup-heavy: delta docs duplicating standing docs, delta-delta dups,
+    // a NULL-text delta duplicating a NULL-text standing doc
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = ((0 until 20).map(i => (i.toLong, base)) ++ Seq(
+      20L -> (base + " tail"), 21L -> base.replace("gamma", "mu"),
+      22L -> null.asInstanceOf[String], 23L -> null.asInstanceOf[String],
+      24L -> "standing unrelated words here",
+      25L -> base, 26L -> base, // delta duplicating standing
+      27L -> null.asInstanceOf[String], // delta NULL duplicating standing NULL
+      28L -> "fresh delta content words entirely new"))
+      .toDF("doc_id", "text")
+    val delta = docs.filter($"doc_id" >= 25L).select("doc_id")
+    assertSameDelta(docs, delta, 0.5)
+    assertSameDelta(docs, delta, 0.5, maxDf = 10L)
+    assertSameDelta(docs, delta, 1.0)
+    forcingCollapse { assertSameDelta(docs, delta, 0.5) }
+  }
 }

@@ -69,6 +69,27 @@ class BenchNormSpec extends AnyFunSuite {
     assert(m2 == Map("q1" -> 1.0))
   }
 
+  test("officialMin: lines normalized under a different anchor nominal " +
+      "never merge (r16 ADVICE item 4); absent field = default nominal") {
+    def lineNom(nom: Double, qn: Map[String, Double]): String =
+      s"""{"metric":"total","value":1.0,"code":"abc",""" +
+        s""""anchor_nominal_ms":$nom,""" +
+        qn.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("\"queries_norm\":{", ",", "},") +
+        """"sf":"/d/sf0.1"}"""
+    val hist = Seq(
+      lineNom(70.0, Map("q1" -> 1.0)), // same nominal: merges
+      lineNom(35.0, Map("q1" -> 0.1)), // overridden nominal: excluded
+      line("abc", "/d/sf0.1", Map("q1" -> 1.2))) // absent field = 70.0
+    val (m, n) = BenchNorm.officialMin(hist, "abc", "/d/sf0.1",
+      Map("q1" -> 1.5), nominalMs = 70.0)
+    assert(n == 3 && m == Map("q1" -> 1.0))
+    // current run under an override merges only with same-override lines
+    val (m2, n2) = BenchNorm.officialMin(hist, "abc", "/d/sf0.1",
+      Map("q1" -> 1.5), nominalMs = 35.0)
+    assert(n2 == 2 && m2 == Map("q1" -> 0.1))
+  }
+
   test("officialMin ignores failed (-1) values when a real one exists") {
     val (m, _) = BenchNorm.officialMin(
       Seq(line("abc", "/d/sf0.1", Map("q1" -> -1.0))),
