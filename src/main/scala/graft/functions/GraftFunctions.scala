@@ -140,6 +140,9 @@ object GraftFunctions {
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
 
+  def minhash_sig(c: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k))
+
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -247,6 +250,11 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))),
+    ("minhash_sig",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) =>
+        MinHashSig(exprs(0), litInt(exprs(1), "minhash_sig k"))),
     ("cms_merge",
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CmsMergeAgg].getName, "cms_merge"),

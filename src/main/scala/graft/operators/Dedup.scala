@@ -722,16 +722,7 @@ object Dedup {
   /** LSH banded near-dup: minhash signature (k = bands * rowsPerBand
     * universal-hash rehashes, min per hash), explode into `bands`
     * band-hashes, equi-join on (band, band-hash) to get candidates, then
-    * verify exact Jaccard on candidates only.
-    *
-    * The signature is computed by exploding shingles and taking k `min`
-    * aggregates: each shingle is hashed ONCE (map-side combine keeps the
-    * shuffle at one k-value row per doc per partition). The tempting
-    * all-array formulation — transform(seq(0..k), i -> array_min(...)) —
-    * re-evaluates the shingle-hash array k times per row and generates
-    * pathological codegen; measured 60x slower. Rehash works in 31-bit
-    * space ((h mod 2^31-1) * (2i+1) + i*99991) so ANSI arithmetic cannot
-    * overflow. */
+    * verify exact Jaccard on candidates only. */
   /** (doc_id, band, bh) LSH band keys: minhash signature (k = bands *
     * rowsPerBand rehashes, min per hash) sliced into per-band hashes.
     * The shared banding of [[minhashLsh]] (self-join dedup) and
@@ -740,6 +731,40 @@ object Dedup {
   private def bandedKeys(docs: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame =
     bandedKeysSig(docs, bands, rowsPerBand).drop("sig")
+
+  /** The k-position minhash signature, ONE fused byte-walk per document
+    * ([[graft.functions.MinHashSig]], r17): an exchange-free projection
+    * where the composed spelling below explodes shingles and aggregates
+    * k `min` columns through a shuffle. The k universal rehashes are
+    * `(h·A(i) + B(i)) mod P` — r17 also FIXED the rehash family here:
+    * the old `h·(2i+1) + i·99991` had no outer mod, every position was
+    * an order-preserving map of the same h, and the whole signature
+    * collapsed to a function of the single min-hash shingle (banding's
+    * S-curve degenerated to P[collide] = j). MinHashSig's scaladoc has
+    * the full derivation; MinHashSigSpec pins fused ≡ composed. */
+  private[graft] def minhashSig(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.minhash_sig(
+        coalesce(col("text"), lit("")), k).as("sig"))
+
+  /** The executable spec of [[minhashSig]]: explode shingles, hash each
+    * once, take k `min` aggregates (map-side combine keeps the shuffle
+    * at one k-value row per doc per partition). The tempting all-array
+    * formulation — transform(seq(0..k), i -> array_min(...)) —
+    * re-evaluates the shingle-hash array k times per row and generates
+    * pathological codegen; measured 60x slower. All arithmetic stays
+    * below 2^62 (h < 2^31, A(i) < 2^31), so ANSI mode cannot overflow. */
+  private[graft] def minhashSigComposed(docs: DataFrame, k: Int): DataFrame = {
+    import graft.functions.{MinHashSig => MH}
+    val sh = explodedShingles(docs)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(MH.P)))
+    val minCols = (0 until k).map(i =>
+      min(pmod(col("h") * lit(MH.aCoef(i)) + lit(MH.bCoef(i)), lit(MH.P)))
+        .as(s"m$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** [[bandedKeys]] with the full minhash signature carried on every band
     * row — the layout the PERSISTED band index stores, so an index hit can
@@ -752,13 +777,7 @@ object Dedup {
   private def bandedKeysSig(docs: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val sh = explodedShingles(docs)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(2147483647L)))
-    val minCols = (0 until k).map(i =>
-      min(col("h") * (i * 2 + 1) + lit(i * 99991L)).as(s"m$i"))
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val sig = minhashSig(docs, k)
     sig.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -769,7 +788,27 @@ object Dedup {
         col("sig"))
   }
 
+  /** Collapse-gated (r17, same [[shouldCollapse]] gate as the jaccard
+    * family — see its scaladoc for the eager-stats-job note): at high
+    * exact-dup mass the banding re-derives identical signatures and the
+    * candidate verify re-joins identical texts per member; the collapsed
+    * plan signatures/bands/verifies REPS once and expands, with the
+    * bucket df cap weighted by group size so the cap boundary is exactly
+    * the direct spelling's. DedupEquivalenceSpec pins the two
+    * bit-identical. */
   def minhashLsh(
+      docs: DataFrame,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.6,
+      maxBucketDf: Long = 1000L): DataFrame =
+    if (shouldCollapse(docs))
+      minhashLshCollapsed(docs, bands, rowsPerBand, threshold, maxBucketDf)
+    else minhashLshDirect(docs, bands, rowsPerBand, threshold, maxBucketDf)
+
+  /** The direct (per-document) spelling of [[minhashLsh]] — retained as
+    * the executable spec the collapsed plan is pinned bit-identical to. */
+  private[graft] def minhashLshDirect(
       docs: DataFrame,
       bands: Int = 8,
       rowsPerBand: Int = 4,
@@ -798,6 +837,49 @@ object Dedup {
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
     pairJaccard(docs, cand).filter(col("j") >= threshold)
+  }
+
+  /** [[minhashLsh]] riding the exact-content collapse. Exactness
+    * argument, piece by piece: (1) identical texts have identical
+    * signatures, hence identical band keys — a rep's buckets are its
+    * whole group's buckets, and weighting the bucket-df window by group
+    * size reproduces the direct spelling's per-DOCUMENT bucket count
+    * exactly; (2) a cross-group member pair (a', b') collides in a
+    * surviving bucket iff its rep pair (a, b) does (same band hashes,
+    * same bucket dfs), and its verified j is the rep pair's (j is a
+    * function of the two texts); (3) a within-group pair is a candidate
+    * iff ≥1 of the group's band buckets survives the cap (identical
+    * docs collide in EVERY band), and verifies at exactly j = 1.0 (the
+    * "" shingle makes every shingle set non-empty, so j = 1.0 holds for
+    * NULL-text groups too — unlike the editDist family, the direct
+    * spelling DOES emit those pairs and the collapse must match). */
+  private def minhashLshCollapsed(
+      docs: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+      maxBucketDf: Long): DataFrame = {
+    val c = collapseByContent(docs)
+    val banded0 = bandedKeys(c.reps, bands, rowsPerBand)
+      .join(c.reps.select(col("doc_id"), col("gsz")), Seq("doc_id"))
+    val banded =
+      if (maxBucketDf <= 0) banded0.drop("gsz")
+      else banded0
+        .withColumn("__df",
+          sum(col("gsz")).over(Window.partitionBy(col("band"), col("bh"))))
+        .filter(col("__df") <= maxBucketDf)
+        .select(col("doc_id"), col("band"), col("bh"))
+    val cand = banded.select(col("doc_id").as("da"), col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("db"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val repPairs = pairJaccard(c.reps.select(col("doc_id"), col("text")), cand)
+      .filter(col("j") >= threshold)
+    val live = banded.select(col("doc_id")).distinct()
+    expandRepPairs(c.members, live, repPairs,
+      withinValues = Seq(lit(1.0).as("j")),
+      withinKeep = threshold <= 1.0)
   }
 
   /** Fuzzy benchmark decontamination: corpus documents within `threshold`

@@ -153,6 +153,57 @@ class FusedExprPropSpec extends SparkSpec {
     }
   }
 
+  test("fused MinHashSig == composed explode+k-min aggregate on 250 fuzz " +
+      "texts incl. space-soup edges and NULL (k = 32 and 8)") {
+    import org.apache.spark.sql.functions._
+    val edges = Seq("", " ", "  ", "a", " a", "a ", " a b ", "a  b",
+      "a b c", " a b c ", "a b c d e", "é über 漢字 kana mixed",
+      " 🚀 x y z", "\ttab is not a separator here")
+    val texts = (sample(250) ++ edges).distinct
+    // NULL text: the fused call site coalesces to "" and the composed
+    // spelling shingles NULL to the single "" shingle — SAME signature,
+    // row kept by BOTH (minhash differs from simhash here: the banding
+    // families pair NULL-text duplicates via the "" shingle)
+    val docs = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      (texts.length.toLong, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    for (k <- Seq(32, 8)) {
+      val fused = graft.operators.Dedup.minhashSig(docs, k).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val composed = graft.operators.Dedup.minhashSigComposed(docs, k).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fused.keySet == composed.keySet)
+      composed.foreach { case (id, sig) =>
+        assert(fused(id) == sig, s"k=$k doc $id " +
+          s"'${if (id < texts.length) texts(id.toInt).take(40) else "NULL"}': " +
+          s"${fused(id)} vs $sig")
+      }
+    }
+    // degeneracy pin, direct: for a doc with many shingles, the set of
+    // argmin base-hashes across positions has size > 1 (independent
+    // permutations pick different minima; the old family always picked
+    // the same one)
+    val longDoc = (0 until 200).map(i => s"tok$i").mkString(" ")
+    val shingles = (0 until 198).map(i => s"tok$i tok${i + 1} tok${i + 2}")
+    val hs = shingles.map { sh =>
+      Math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(sh.getBytes("UTF-8"),
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          sh.getBytes("UTF-8").length, 42L), MinHashSig.P)
+    }
+    val k = 32
+    val argmins = (0 until k).map { i =>
+      hs.minBy(h => (h * MinHashSig.aCoef(i) + MinHashSig.bCoef(i)) % MinHashSig.P)
+    }.toSet
+    assert(argmins.size > 1,
+      s"signature still degenerate: every position minimized by one shingle")
+    val sigRow = Seq((0L, longDoc)).toDF("doc_id", "text")
+    val sig = graft.operators.Dedup.minhashSig(sigRow, k).collect()(0).getSeq[Long](1)
+    val expected = (0 until k).map(i =>
+      hs.map(h => (h * MinHashSig.aCoef(i) + MinHashSig.bCoef(i)) % MinHashSig.P).min)
+    assert(sig == expected, "hand-computed family disagrees with the expression")
+  }
+
   test("fused LmScore == composed explode+join on 120 fuzz texts") {
     val texts = sample(120)
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

@@ -163,6 +163,45 @@ class DedupEquivalenceSpec extends SparkSpec {
     assertSameEditDist(docs, 0.3)
   }
 
+  private def assertSameLsh(docs: DataFrame, threshold: Double,
+      maxBucketDf: Long = 1000L): Unit = {
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("j"))))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val fast = rows(Dedup.minhashLsh(docs, threshold = threshold,
+      maxBucketDf = maxBucketDf))
+    val spec = rows(Dedup.minhashLshDirect(docs, threshold = threshold,
+      maxBucketDf = maxBucketDf))
+    assert(fast == spec,
+      s"lsh t=$threshold cap=$maxBucketDf: ${fast.size} vs ${spec.size} pairs")
+  }
+
+  test("minhashLsh: collapse == direct (forced-collapse fuzz + dup-heavy " +
+      "+ NULL-text dups + weighted bucket cap + cap disabled)") {
+    forcingCollapse {
+      for ((vocab, seed) <- Seq((12, 41L), (80, 42L))) {
+        val docs = wordSoup(60, vocab, 12, seed)
+        for (t <- Seq(0.2, 0.6)) assertSameLsh(docs, t)
+      }
+    }
+    // dup-heavy: identical block (collides in every band), near-dups,
+    // NULL-text dups (pair at j=1.0 via the "" shingle in BOTH
+    // spellings — minhash differs from editDist here), and a bucket cap
+    // small enough that the identical block's WEIGHTED df crosses it
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = ((0 until 30).map(i => (i.toLong, base)) ++ Seq(
+      30L -> base.replace("gamma", "mu"), 31L -> base.replace("zeta", "xi"),
+      32L -> null.asInstanceOf[String], 33L -> null.asInstanceOf[String],
+      34L -> "unrelated other words entirely different content"))
+      .toDF("doc_id", "text")
+    assertSameLsh(docs, 0.5)
+    assertSameLsh(docs, 0.5, maxBucketDf = 10L) // 30 identical docs > 10
+    assertSameLsh(docs, 0.5, maxBucketDf = 0L)  // cap disabled
+    assertSameLsh(docs, 1.0)
+    forcingCollapse { assertSameLsh(docs, 0.5, maxBucketDf = 10L) }
+  }
+
   private def assertSameDelta(all: DataFrame, deltaIds: DataFrame,
       threshold: Double, maxDf: Long = 1000L): Unit = {
     def rows(df: DataFrame) = df.collect()
