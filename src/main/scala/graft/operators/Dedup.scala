@@ -882,6 +882,51 @@ object Dedup {
       withinKeep = threshold <= 1.0)
   }
 
+  /** Position-agreement count between two equal-length minhash
+    * signatures — Broder's Jaccard estimator's numerator. Shared by
+    * [[minhashIncremental]]'s index probe and [[minhashEstimate]]. */
+  private[graft] def sigAgreement(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+
+  /** Signature-ONLY Jaccard estimation over the LSH candidate pairs:
+    * ĵ = |{i : sig_a(i) = sig_b(i)}| / k (Broder's unbiased estimator,
+    * E[ĵ] = j when the k rehashes are independent permutations). This is
+    * the zero-text-touch probe the persisted band index serves — at
+    * 100 TB an estimate-grade dedup pass reads k longs per doc where
+    * [[minhashLsh]]'s exact verify re-joins the corpus shingle stream.
+    *
+    * Meaningful only SINCE the r17 rehash-family repair: under the old
+    * order-preserving family all k positions agreed exactly when the one
+    * min-hash shingle agreed, so ĵ was binary {0, 1} — useless as an
+    * estimator (the dd_minhash_estimate_check face certifies mean
+    * absolute error and bias against exact Jaccard on the true pair
+    * set every round, which would have caught that degeneracy). */
+  def minhashEstimate(docs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
+      maxBucketDf: Long = 1000L): DataFrame = {
+    val k = bands * rowsPerBand
+    val banded0 = bandedKeysSig(docs, bands, rowsPerBand)
+    val banded =
+      if (maxBucketDf <= 0) banded0
+      else banded0
+        .withColumn("__df",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+        .filter(col("__df") <= maxBucketDf)
+        .drop("__df")
+    // one row per candidate pair; the sigs ride the bucket join and the
+    // multi-band dedup keeps any one copy (identical by construction)
+    banded.select(col("doc_id").as("da"), col("band"), col("bh"),
+        col("sig").as("siga"))
+      .join(banded.select(col("doc_id").as("db"), col("band"), col("bh"),
+        col("sig").as("sigb")), Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(first(col("siga")).as("siga"), first(col("sigb")).as("sigb"))
+      .select(col("da"), col("db"),
+        (sigAgreement(col("siga"), col("sigb")).cast("double") / k)
+          .as("j_est"))
+  }
+
   /** Fuzzy benchmark decontamination: corpus documents within `threshold`
     * word-3-gram Jaccard of ANY benchmark document, found through the SAME
     * minhash banding as [[minhashLsh]] but across the two sets — the
@@ -1331,8 +1376,7 @@ object Dedup {
     val needed = math.ceil(threshold * k).toInt
     def estMatches(a: org.apache.spark.sql.Column,
         b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, x) => acc + x)
+      sigAgreement(a, b)
     // dk feeds the index join, the survivor anti-join and both sides of
     // the intra-delta self-join — but do NOT materialize it: the banded
     // keys end in a hash-partitioned aggregate, and Catalyst's exchange

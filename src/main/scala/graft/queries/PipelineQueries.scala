@@ -406,6 +406,39 @@ object PipelineQueries {
       pairRecallRow(truth, hits)
     }),
 
+    // Signature-only Jaccard ESTIMATES over the LSH candidate pairs
+    // (Broder's agreement estimator, k = 32) — the zero-text-touch
+    // dedup probe the persisted band index serves at scale. Rows-only
+    // (DuckDB has no minhash); accuracy certified by the check below.
+    "dd_minhash_estimate" -> ((s, dir) =>
+      Dedup.minhashEstimate(docs(s, dir))),
+
+    // CHECK face: estimator quality on the TRUE pair set. n_true_pairs
+    // is the same uncapped >= 0.6 Jaccard count DuckDB recomputes
+    // independently (the dd_minhash_lsh_check spelling); the error
+    // booleans are engine-own pinned literals — mean |ĵ − j| ≤ 0.10 and
+    // |mean(ĵ − j)| ≤ 0.05 (k = 32 ⇒ per-pair σ = √(j(1−j)/32) ≤ 0.089,
+    // and the true-pair mass sits at high j where σ shrinks; the
+    // pre-r17 degenerate family, whose ĵ was binary {0,1}, would FAIL
+    // the mean-error bound on any corpus with fractional-j true pairs).
+    "dd_minhash_estimate_check" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val truth = Dedup.ngramJaccard(d, 0.6, maxShingleDf = 0)
+      val sig = Dedup.minhashSig(d, 32)
+      val scored = truth
+        .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")), "da")
+        .join(sig.select(col("doc_id").as("db"), col("sig").as("sigb")), "db")
+        .select(col("j"),
+          (Dedup.sigAgreement(col("siga"), col("sigb")).cast("double") / 32)
+            .as("j_est"))
+      scored.agg(
+        coalesce(count(lit(1)), lit(0L)).cast("long").as("n_true_pairs"),
+        (count(lit(1)) === 0L ||
+          avg(abs(col("j_est") - col("j"))) <= 0.10).as("mean_abs_err_ok"),
+        (count(lit(1)) === 0L ||
+          abs(avg(col("j_est") - col("j"))) <= 0.05).as("bias_ok"))
+    }),
+
     // exact substring dedup, stride-window form (Lee et al.'s ExactSubstr
     // re-expressed for a distributed corpus): per-doc duplicated-span
     // accounting over 40-char windows every 10 chars, corpus-wide
@@ -4811,6 +4844,34 @@ object PipelineQueries {
            JOIN szs sb ON db = sb.doc_id
            WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6)
          SELECT count(*)::BIGINT AS n_true_pairs, (1.0 >= 0.8) AS recall_ok
+         FROM truth""",
+
+    // dd_minhash_estimate_check: the SAME uncapped >= 0.6 Jaccard truth
+    // count (cross-engine leg); the estimator-quality booleans are
+    // engine-own (DuckDB has no minhash) pinned literals — a Spark-side
+    // mean-error or bias excursion hash-mismatches against them.
+    "dd_minhash_estimate_check" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [lower(array_to_string(t, ' '))] END)) AS shingle
+           FROM toks),
+         szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         truth AS (
+           SELECT da, db FROM inter
+           JOIN szs sa ON da = sa.doc_id
+           JOIN szs sb ON db = sb.doc_id
+           WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.6)
+         SELECT count(*)::BIGINT AS n_true_pairs,
+           true AS mean_abs_err_ok, true AS bias_ok
          FROM truth""",
     "dd_embed_neardup_check" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

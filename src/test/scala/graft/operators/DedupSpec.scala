@@ -63,6 +63,29 @@ class DedupSpec extends SparkSpec {
     assert(row.getAs[Double]("j") < 0.6)
   }
 
+  test("minhashEstimate: exact dups estimate exactly 1.0; fractional-j " +
+      "near-dups get a FRACTIONAL estimate near j (degeneracy guard)") {
+    val est = Dedup.minhashEstimate(corpus).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        r.getAs[Double]("j_est")).toMap
+    // docs 1 and 2 are exact duplicates: every signature position agrees
+    assert(est((1L, 2L)) == 1.0)
+    // (1,3)/(2,3) are near-dups with fractional exact j — under the
+    // pre-r17 order-preserving family the agreement estimate was binary
+    // {0,1}; the repaired family must place it strictly inside (0,1) and
+    // within estimator noise of the exact value (k=32 ⇒ σ ≤ 0.089; 3σ)
+    val exactJ = Dedup.ngramJaccard(corpus, 0.0).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        r.getAs[Double]("j")).toMap
+    for (p <- Seq((1L, 3L), (2L, 3L)); e <- est.get(p)) {
+      assert(e > 0.0 && e < 1.0, s"$p estimate $e still binary")
+      assert(math.abs(e - exactJ(p)) <= 0.27,
+        s"$p estimate $e vs exact ${exactJ(p)}")
+    }
+    assert(est.contains((1L, 3L)) || est.contains((2L, 3L)),
+      "no fractional candidate pair surfaced to test the estimator")
+  }
+
   test("minhash LSH recall >= 0.9 vs exact ngram Jaccard, no cartesian join") {
     val lsh = Dedup.minhashLsh(corpus, bands = 8, rowsPerBand = 4, threshold = 0.5)
     val exact = Dedup.ngramJaccard(corpus, 0.5).collect()
