@@ -49,7 +49,10 @@ class RegistrySpec extends AnyFunSuite {
       "st_sim_topk_indexed",
       // r14 third wave: the purged-index probes — each certified by a
       // recall + purge-contract check twin
-      "sim_topk_ivf_forgotten", "dd_minhash_forgotten")
+      "sim_topk_ivf_forgotten", "dd_minhash_forgotten",
+      // r17: signature-only Jaccard estimates — certified by the
+      // mean-abs-error/bias check twin against exact Jaccard
+      "dd_minhash_estimate")
     assert(rowsOnly == frozen,
       s"rows-only drift — new without oracle (typo or missing SQL?): " +
         s"${rowsOnly -- frozen}; frozen but now has an oracle (prune the " +
