@@ -66,8 +66,22 @@ object ScaleSweep {
           .linesIterator.toSeq.lastOption.getOrElse("")
       else ""
     }
+    val line = mergeLine(faces, chunkLines, sfTag, sfDir,
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), chunkSize)
+    Files.write(Paths.get("BENCH_HISTORY.jsonl"),
+      (line + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    println(line)
+  }
+
+  /** Pure merge of the per-chunk ScaleBench lines into the one
+    * `scale_sweep` history line (ScaleSweepSpec pins it): faces keep
+    * sweep order; a face whose chunk line is missing (dead JVM) reports
+    * -1; value sums only the non-failed faces; per-chunk anchors ride
+    * along so a slow-box chunk self-identifies (-1 = unparsed). */
+  def mergeLine(faces: Seq[String], chunkLines: Seq[String], sfTag: String,
+      sfDir: String, cpus: String, chunkSize: Int): String = {
     def ms(d: Double): Double = math.rint(d * 1000) / 1000
-    // merge in face order; a face whose chunk died entirely reports -1
     val merged: Map[String, Double] =
       chunkLines.flatMap(l => BenchNorm.faceMap(l, "queries")).toMap
     val qjson = faces.map(n =>
@@ -76,15 +90,10 @@ object ScaleSweep {
     val anchors = chunkLines
       .map(l => BenchNorm.numField(l, "anchor_ms").getOrElse(-1.0))
     val total = ms(merged.values.filter(_ >= 0).sum)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val line = s"""{"metric":"scale_sweep","value":$total,"unit":"sec",""" +
+    s"""{"metric":"scale_sweep","value":$total,"unit":"sec",""" +
       s""""sf":"$sfTag","dir":"$sfDir","cpus":$cpus,""" +
-      s""""chunks":${chunks.size},"chunk_size":$chunkSize,""" +
+      s""""chunks":${chunkLines.size},"chunk_size":$chunkSize,""" +
       s""""chunk_anchors_ms":[${anchors.map(ms).mkString(",")}],""" +
       s""""queries":$qjson}"""
-    Files.write(Paths.get("BENCH_HISTORY.jsonl"),
-      (line + "\n").getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    println(line)
   }
 }
