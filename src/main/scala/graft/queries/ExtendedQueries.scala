@@ -43,7 +43,7 @@ object ExtendedQueries {
       val hex = java.lang.Integer.toHexString(d.hashCode)
       val ot = s"graft_bkt_orders_$hex"
       val ct = s"graft_bkt_customer_$hex"
-      val root = java.nio.file.Files.createTempDirectory("graft_bkt_")
+      val root = graft.Scratch.dir("graft_bkt_")
       Tables.load(s, d, "orders")
         .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", root.resolve("o").toString)
@@ -63,7 +63,7 @@ object ExtendedQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private def layoutDirs(s: SparkSession, dir: String): (String, String) =
     memo(layoutCache, dir) { d =>
-      val root = java.nio.file.Files.createTempDirectory("graft_layout_")
+      val root = graft.Scratch.dir("graft_layout_")
       val evo = root.resolve("evolved").toString
       val part = root.resolve("partitioned").toString
       val o = Tables.load(s, d, "orders")
@@ -89,7 +89,7 @@ object ExtendedQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def compactedOrders(s: SparkSession, dir: String): String =
     memo(compactCache, dir) { d =>
-      val root = java.nio.file.Files.createTempDirectory("graft_compact_")
+      val root = graft.Scratch.dir("graft_compact_")
       val frag = root.resolve("frag").toString
       val out = root.resolve("compacted").toString
       Tables.load(s, d, "orders").repartition(64)
@@ -1018,7 +1018,7 @@ object ExtendedQueries {
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"),
           col("l_returnflag"))
-      val root = java.nio.file.Files.createTempDirectory("graft_zorder_")
+      val root = graft.Scratch.dir("graft_zorder_")
       try {
         val path = root.resolve("li").toString
         graft.operators.Layout.writeZordered2(
@@ -3132,7 +3132,7 @@ object ExtendedQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def revenueRollup(s: SparkSession, dir: String): String =
     memo(rollupCache, dir) { d =>
-      val out = java.nio.file.Files.createTempDirectory("graft_rollup_")
+      val out = graft.Scratch.dir("graft_rollup_")
         .resolve("state").toString
       Tables.load(s, d, "orders")
         .filter(col("o_orderdate") < "1997-07-01 00:00:00")
@@ -3149,7 +3149,7 @@ object ExtendedQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def fullRollup(s: SparkSession, dir: String): String =
     memo(fullRollupCache, dir) { d =>
-      val out = java.nio.file.Files.createTempDirectory("graft_rollup_full_")
+      val out = graft.Scratch.dir("graft_rollup_full_")
         .resolve("state").toString
       Tables.load(s, d, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
@@ -3190,7 +3190,7 @@ object ExtendedQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def coActivityPairsPath(s: SparkSession, dir: String): String =
     memo(coActCache, dir) { d =>
-      val out = java.nio.file.Files.createTempDirectory("graft_coact_")
+      val out = graft.Scratch.dir("graft_coact_")
         .resolve("pairs").toString
       coActivityPairStream(s, d)
         .groupBy(col("a"), col("b"))

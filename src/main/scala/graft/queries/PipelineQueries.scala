@@ -57,8 +57,8 @@ object PipelineQueries {
   private def ivfIndexTable(s: SparkSession, dir: String): String =
     memo(ivfIndexCache, dir) { d =>
       val tbl = "graft_ivf_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivf_idx_").resolve("t").toString
+      val path = graft.Scratch
+        .dir("graft_ivf_idx_").resolve("t").toString
       Similarity.writeIvfIndex(s, emb(s, d), tbl, path, nCentroids = 16)
       tbl
     }
@@ -76,8 +76,8 @@ object PipelineQueries {
   private def driftIvfIndexTable(s: SparkSession, dir: String): String =
     memo(driftIndexCache, dir) { d =>
       val tbl = "graft_ivf_drift_" + java.lang.Integer.toHexString(d.hashCode)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivf_drift_").resolve("t").toString
+      val path = graft.Scratch
+        .dir("graft_ivf_drift_").resolve("t").toString
       val e = emb(s, d)
       Similarity.writeIvfIndex(s, e.filter(col("vec_id") % 5 =!= 4),
         tbl, path, nCentroids = 16)
@@ -99,8 +99,8 @@ object PipelineQueries {
   private def bandIndexTable(s: SparkSession, dir: String): String =
     memo(bandIndexCache, dir) { d =>
       val tbl = "graft_band_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_band_idx_").resolve("t").toString
+      val path = graft.Scratch
+        .dir("graft_band_idx_").resolve("t").toString
       Dedup.writeBandIndex(
         docs(s, d).filter(col("source") =!= lit("src19")), tbl, path)
       tbl
@@ -117,8 +117,8 @@ object PipelineQueries {
   private def forgottenBandIndexTable(s: SparkSession, dir: String): String =
     memo(forgottenBandIndexCache, dir) { d =>
       val tbl = "graft_band_idxf_" + java.lang.Integer.toHexString(d.hashCode)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_band_idxf_").resolve("t").toString
+      val path = graft.Scratch
+        .dir("graft_band_idxf_").resolve("t").toString
       Dedup.forgetBandIndex(s, bandIndexTable(s, d),
         docs(s, d).filter(col("source") === "src0").select(col("doc_id")),
         tbl, path)
@@ -148,8 +148,8 @@ object PipelineQueries {
   private def seenIndexTable(s: SparkSession, dir: String): String =
     memo(seenIndexCache, dir) { d =>
       val tbl = "graft_seen_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_seen_idx_").resolve("t").toString
+      val path = graft.Scratch
+        .dir("graft_seen_idx_").resolve("t").toString
       Dedup.writeSeenIndex(
         docs(s, d).filter(col("source") =!= lit("src19")), tbl, path)
       tbl
@@ -163,8 +163,8 @@ object PipelineQueries {
   private def fullSeenIndexTable(s: SparkSession, dir: String): String =
     memo(fullSeenIndexCache, dir) { d =>
       val tbl = "graft_full_seen_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_full_seen_idx_").resolve("t").toString
+      val path = graft.Scratch
+        .dir("graft_full_seen_idx_").resolve("t").toString
       Dedup.writeSeenIndex(docs(s, d), tbl, path)
       tbl
     }
@@ -178,8 +178,8 @@ object PipelineQueries {
   private def textIndexTable(s: SparkSession, dir: String): String =
     memo(textIndexCache, dir) { d =>
       val tbl = "graft_text_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_text_idx_").resolve("t").toString
+      val path = graft.Scratch
+        .dir("graft_text_idx_").resolve("t").toString
       TextOps.writeTextIndex(docs(s, d), tbl, path)
       tbl
     }
@@ -193,7 +193,7 @@ object PipelineQueries {
   private def forgottenIvfIndexTable(s: SparkSession, dir: String): String =
     memo(forgottenIvfIndexCache, dir) { d =>
       val tbl = "graft_ivf_idxf_" + java.lang.Integer.toHexString(d.hashCode)
-      val root = java.nio.file.Files.createTempDirectory("graft_ivf_idxf_")
+      val root = graft.Scratch.dir("graft_ivf_idxf_")
       Similarity.forgetIvfIndex(s, ivfIndexTable(s, d),
         emb(s, d).filter(col("vec_id") % 5 === 3).select(col("vec_id")),
         tbl, root.resolve("t").toString)
@@ -211,7 +211,7 @@ object PipelineQueries {
   private def forgottenTextIndexTable(s: SparkSession, dir: String): String =
     memo(forgottenTextIndexCache, dir) { d =>
       val tbl = "graft_text_idxf_" + java.lang.Integer.toHexString(d.hashCode)
-      val root = java.nio.file.Files.createTempDirectory("graft_text_idxf_")
+      val root = graft.Scratch.dir("graft_text_idxf_")
       TextOps.forgetTextIndex(s, textIndexTable(s, d),
         docs(s, d).filter(col("source") === "src5").select(col("doc_id")),
         tbl, root.resolve("t").toString)
@@ -228,7 +228,7 @@ object PipelineQueries {
   private def mergedTextIndexTable(s: SparkSession, dir: String): String =
     memo(mergedTextIndexCache, dir) { d =>
       val tbl = "graft_text_idxm_" + java.lang.Integer.toHexString(d.hashCode)
-      val root = java.nio.file.Files.createTempDirectory("graft_text_idxm_")
+      val root = graft.Scratch.dir("graft_text_idxm_")
       TextOps.writeTextIndex(docs(s, d).filter(col("doc_id") % 5 =!= 0),
         tbl + "_base", root.resolve("base").toString)
       TextOps.mergeTextIndex(s, tbl + "_base",
@@ -246,7 +246,7 @@ object PipelineQueries {
   private def segTextIndexTables(s: SparkSession, dir: String): Seq[String] =
     memo(segTextIndexCache, dir) { d =>
       val tbl = "graft_text_seg_" + java.lang.Integer.toHexString(d.hashCode)
-      val root = java.nio.file.Files.createTempDirectory("graft_text_seg_")
+      val root = graft.Scratch.dir("graft_text_seg_")
       TextOps.writeTextIndex(docs(s, d).filter(col("doc_id") % 5 =!= 0),
         tbl + "_base", root.resolve("base").toString)
       TextOps.appendTextIndexSegment(s, Seq(tbl + "_base"),
@@ -278,8 +278,8 @@ object PipelineQueries {
   private def clusterMapTable(s: SparkSession, dir: String): String =
     memo(clusterMapCache, dir) { d =>
       val tbl = "graft_cluster_map_" + java.lang.Integer.toHexString(d.hashCode)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_cluster_map_").resolve("t").toString
+      val path = graft.Scratch
+        .dir("graft_cluster_map_").resolve("t").toString
       Dedup.connectedComponents(Dedup.ngramJaccard(docs(s, d), 0.6))
         .write.bucketBy(8, "doc_id").sortBy("doc_id")
         .option("path", path).mode("overwrite").saveAsTable(tbl)
@@ -298,8 +298,8 @@ object PipelineQueries {
     memo(standingClusterMapCache, dir) { d =>
       val tbl = "graft_standing_cluster_" +
         java.lang.Integer.toHexString(d.hashCode)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_standing_cluster_").resolve("t").toString
+      val path = graft.Scratch
+        .dir("graft_standing_cluster_").resolve("t").toString
       val standingPairs = Dedup.ngramJaccard(docs(s, d), 0.6)
         .filter(col("da") % 5 =!= 0 && col("db") % 5 =!= 0)
       Dedup.connectedComponents(standingPairs)
@@ -316,8 +316,8 @@ object PipelineQueries {
   private def substrIndexTable(s: SparkSession, dir: String): String =
     memo(substrIndexCache, dir) { d =>
       val tbl = "graft_substr_index_" + java.lang.Integer.toHexString(d.hashCode)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_substr_index_").resolve("t").toString
+      val path = graft.Scratch
+        .dir("graft_substr_index_").resolve("t").toString
       Dedup.writeSubstrIndex(
         docs(s, d).filter(col("doc_id") % 5 =!= 0), tbl, path)
       tbl
@@ -331,8 +331,8 @@ object PipelineQueries {
   private def simhashIndexTable(s: SparkSession, dir: String): String =
     memo(simhashIndexCache, dir) { d =>
       val tbl = "graft_simhash_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_simhash_idx_").resolve("t").toString
+      val path = graft.Scratch
+        .dir("graft_simhash_idx_").resolve("t").toString
       Dedup.writeSimhashIndex(
         docs(s, d).filter(col("source") =!= lit("src19")), tbl, path)
       tbl
@@ -2758,7 +2758,7 @@ object PipelineQueries {
             "unix_micros reject it; normalize upstream (Tables.load casts " +
             "NTZ to TimestampType under the UTC-pinned session)")
       }
-      val path = java.nio.file.Files.createTempDirectory("graft_et_")
+      val path = graft.Scratch.dir("graft_et_")
         .resolve("data").toString
       d.write.mode("overwrite").parquet(path)
       path
@@ -2806,7 +2806,7 @@ object PipelineQueries {
           lit(new java.sql.Timestamp(maxA.getTime + 30L * 86400 * 1000))
             .as("ts"),
           lit(-1L).as("user_id"))
-      val root = java.nio.file.Files.createTempDirectory("graft_late_")
+      val root = graft.Scratch.dir("graft_late_")
       val streamDir = root.resolve("stream")
       java.nio.file.Files.createDirectories(streamDir)
       def writeOne(df: DataFrame, name: String, mtime: Long): Unit =
@@ -3291,7 +3291,7 @@ object PipelineQueries {
 
   private def stSimTopk(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val root = java.nio.file.Files.createTempDirectory("graft_et_")
+    val root = graft.Scratch.dir("graft_et_")
     val outPath = root.resolve("out").toString
     val ckpt = root.resolve("ckpt").toString
     // 4 files → 4 micro-batches at maxFilesPerTrigger=1: the face really
@@ -3322,7 +3322,7 @@ object PipelineQueries {
   private def stSimTopkIndexed(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val tbl = ivfIndexTable(s, dir)
-    val root = java.nio.file.Files.createTempDirectory("graft_et_")
+    val root = graft.Scratch.dir("graft_et_")
     val outPath = root.resolve("out").toString
     val ckpt = root.resolve("ckpt").toString
     val qPath = replayPayloadPath(s, s"$dir|queries4",
@@ -3361,7 +3361,7 @@ object PipelineQueries {
     val evs = Tables.load(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
         col("value").cast("double").as("value"))
-    val root = java.nio.file.Files.createTempDirectory("graft_et_")
+    val root = graft.Scratch.dir("graft_et_")
     val srcPath = replayPayloadPath(s, s"$dir|cdc_updates_$nBatches",
       evs.repartition(nBatches))
     val stream = s.readStream.schema(evs.schema)

@@ -795,8 +795,8 @@ object Relational {
       // an unconditional temp dir would just orphan one per invocation
       // (r15 review)
       if (!s.catalog.databaseExists("att")) {
-        val loc = java.nio.file.Files
-          .createTempDirectory("graft_att_db_").toString
+        val loc = graft.Scratch
+          .dir("graft_att_db_").toString
         s.sql(s"CREATE DATABASE IF NOT EXISTS att LOCATION '$loc'")
       }
       Tables.load(s, dir, "nation")
