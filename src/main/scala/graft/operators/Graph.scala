@@ -12,6 +12,49 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Size gate for the DRIVER-FINISHED small-graph paths (r17, opt guide
+    * §1.2: fix the distributed algorithm first — and for a bounded-round
+    * operator over a TINY graph the distributed algorithm is the wrong
+    * one). Each superstep of the iterative operators below costs one
+    * join + one aggregate + one eager localCheckpoint — 2-4 scheduled
+    * jobs of pure fixed cost (measured: q_pagerank = 31 jobs / 777 tasks
+    * / ~2 s steady-state at sf0.1 for a graph whose size is bounded by
+    * (#event types)² at ANY corpus scale). When the materialized edge
+    * list holds at most this many rows (an EXACT count of the persisted
+    * frame, not an estimate), the same algorithm runs in one driver loop
+    * over the collected edges: identical integer arithmetic (Java long
+    * division == Spark `div` on non-negative int64), with strict
+    * eligibility — any null key/weight, non-positive weight (pageRank /
+    * sssp), unexpected column type, or arithmetic overflow falls back to
+    * the distributed path, so the driver loop never has to replicate
+    * null-join or overflow semantics (the r16 ADVICE divergence class).
+    * GraphSmallEquivalenceSpec pins driver ≡ distributed bit-for-bit on
+    * fuzzed graphs. Above the gate the distributed supersteps run
+    * unchanged — at 100 TB a co-activity graph blows any driver budget
+    * and a row-count gate cannot misfire. Default 500k edges ≈ tens of
+    * MB of driver heap; 0 disables the driver path. */
+  val SmallEdgesKey = "spark.graft.graph.smallEdges"
+
+  private def smallEdgeLimit(df: DataFrame): Long =
+    df.sparkSession.conf.get(SmallEdgesKey, "500000").toLong
+
+  /** Exact-count gate: the frame is already persisted (the distributed
+    * path would scan it repeatedly anyway); collect only when it fits. */
+  private def collectIfSmall(e: DataFrame): Option[Array[org.apache.spark.sql.Row]] = {
+    val lim = smallEdgeLimit(e)
+    if (lim <= 0) None
+    else if (e.count() <= lim) Some(e.collect())
+    else None
+  }
+
+  private def isLong(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.LongType
+
+  private def rowsDF(spark: org.apache.spark.sql.SparkSession,
+      rows: java.util.List[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(rows, schema)
+
   /** Integer-exact weighted PageRank with a FIXED iteration count (the
     * bounded-rounds posture of the CC family — at 100 TB you run k
     * power-iteration sweeps, not to-convergence):
@@ -39,29 +82,94 @@ object Graph {
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nodes = e.select(col("src").as("node"))
-        .unionByName(e.select(col("dst").as("node"))).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val wdeg = e.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
-      val ew = e.join(wdeg, "src")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var ranks = nodes.withColumn("rank", lit(scale))
-      (1 to iters).foreach { _ =>
-        val contrib = ew.join(ranks, col("src") === col("node"))
-          .select(col("dst"), expr("(rank * w) div wdeg").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
-        ranks = nodes.join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"),
-            (lit(scale * 15L / 100L) +
-              expr("(coalesce(in_sum, cast(0 as bigint)) * 85) div 100"))
-              .as("rank"))
-          .localCheckpoint(eager = true)
-      }
-      val out = ranks
-      nodes.unpersist()
-      ew.unpersist()
-      out
+      val nodeDt = e.schema(0).dataType
+      val driver: Option[DataFrame] =
+        if (nodeDt != e.schema(1).dataType || scale <= 0 ||
+            !(isLong(nodeDt) || nodeDt == org.apache.spark.sql.types.StringType))
+          None
+        else collectIfSmall(e).flatMap(rows =>
+          pageRankDriver(e, rows, iters, scale))
+      driver.getOrElse(pageRankDistributed(e, iters, scale))
     } finally { e.unpersist(); () }
+  }
+
+  /** Driver finish under [[SmallEdgesKey]] — same integer arithmetic as
+    * the supersteps (Java `/` on non-negative longs == Spark `div`);
+    * bails (None) on any null key/weight, non-positive weight, or long
+    * overflow, deferring those semantics to the distributed path. */
+  private def pageRankDriver(e: DataFrame,
+      rows: Array[org.apache.spark.sql.Row], iters: Int,
+      scale: Long): Option[DataFrame] = {
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2) || r.getLong(2) <= 0L)
+        return None
+      i += 1
+    }
+    try {
+      val nodes = scala.collection.mutable.LinkedHashSet.empty[Any]
+      rows.foreach { r => nodes += r.get(0); nodes += r.get(1) }
+      val wdeg = scala.collection.mutable.HashMap.empty[Any, Long]
+      rows.foreach { r =>
+        val k = r.get(0)
+        wdeg.update(k, Math.addExact(wdeg.getOrElse(k, 0L), r.getLong(2)))
+      }
+      var rank = scala.collection.mutable.HashMap.empty[Any, Long]
+      nodes.foreach(v => rank.update(v, scale))
+      val base = scale * 15L / 100L
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.HashMap.empty[Any, Long]
+        rows.foreach { r =>
+          val s = r.get(0)
+          val c = Math.multiplyExact(rank(s), r.getLong(2)) / wdeg(s)
+          val d = r.get(1)
+          in.update(d, Math.addExact(in.getOrElse(d, 0L), c))
+        }
+        val nr = scala.collection.mutable.HashMap.empty[Any, Long]
+        nodes.foreach { v =>
+          nr.update(v, base + Math.multiplyExact(in.getOrElse(v, 0L), 85L) / 100L)
+        }
+        rank = nr
+      }
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size)
+      nodes.foreach(v => out.add(org.apache.spark.sql.Row(v, rank(v))))
+      val srcF = e.schema(0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", srcF.dataType,
+          srcF.nullable || e.schema(1).nullable),
+        org.apache.spark.sql.types.StructField("rank",
+          // the superstep's aggregate spelling is nullable once any
+          // iteration runs; iters=0 is the non-null lit(scale)
+          org.apache.spark.sql.types.LongType, nullable = iters >= 1)))
+      Some(rowsDF(e.sparkSession, out, schema))
+    } catch { case _: ArithmeticException => None }
+  }
+
+  private def pageRankDistributed(e: DataFrame, iters: Int,
+      scale: Long): DataFrame = {
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wdeg = e.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    val ew = e.join(wdeg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.withColumn("rank", lit(scale))
+    (1 to iters).foreach { _ =>
+      val contrib = ew.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("(rank * w) div wdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(scale * 15L / 100L) +
+            expr("(coalesce(in_sum, cast(0 as bigint)) * 85) div 100"))
+            .as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    val out = ranks
+    nodes.unpersist()
+    ew.unpersist()
+    out
   }
 
   /** Bounded-round frontier BFS: shortest hop count from `source` over a
@@ -90,27 +198,80 @@ object Graph {
     val e = canonEdges.select(col("a"), col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var lab = e.select(col("a").as("v"))
-        .union(e.select(col("b").as("v"))).distinct()
-        .withColumn("l", col("v"))
-        .localCheckpoint(eager = true)
-      for (_ <- 1 to rounds) {
-        lab = lab
-          .union(e.join(lab, col("a") === col("v"))
-            .select(col("b").as("v"), col("l")))
-          .union(e.join(lab, col("b") === col("v"))
-            .select(col("a").as("v"), col("l")))
-          .groupBy(col("v")).agg(min(col("l")).as("l"))
+      val driver: Option[DataFrame] =
+        if (!e.schema.fields.forall(f => isLong(f.dataType))) None
+        else collectIfSmall(e).flatMap(rows => labelPropagateDriver(e, rows, rounds))
+      driver.getOrElse {
+        var lab = e.select(col("a").as("v"))
+          .union(e.select(col("b").as("v"))).distinct()
+          .withColumn("l", col("v"))
           .localCheckpoint(eager = true)
+        for (_ <- 1 to rounds) {
+          lab = lab
+            .union(e.join(lab, col("a") === col("v"))
+              .select(col("b").as("v"), col("l")))
+            .union(e.join(lab, col("b") === col("v"))
+              .select(col("a").as("v"), col("l")))
+            .groupBy(col("v")).agg(min(col("l")).as("l"))
+            .localCheckpoint(eager = true)
+        }
+        lab
       }
-      lab
     } finally e.unpersist()
+  }
+
+  /** Driver finish ([[SmallEdgesKey]]): per round each edge (a,b) offers
+    * l(a) to b and l(b) to a, then every node keeps the min of its own
+    * label and the offers — exactly the union + min-aggregate above.
+    * Bails on any null endpoint. */
+  private def labelPropagateDriver(e: DataFrame,
+      rows: Array[org.apache.spark.sql.Row], rounds: Int): Option[DataFrame] = {
+    var i = 0
+    while (i < rows.length) {
+      if (rows(i).isNullAt(0) || rows(i).isNullAt(1)) return None
+      i += 1
+    }
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+    rows.foreach { r => nodes += r.getLong(0); nodes += r.getLong(1) }
+    var lab = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodes.foreach(v => lab.update(v, v))
+    for (_ <- 1 to rounds) {
+      val next = lab.clone()
+      rows.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        val la = lab(a); val lb = lab(b)
+        if (la < next(b)) next.update(b, la)
+        if (lb < next(a)) next.update(a, lb)
+      }
+      lab = next
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size)
+    nodes.foreach(v => out.add(org.apache.spark.sql.Row(v, lab(v))))
+    val lt = org.apache.spark.sql.types.LongType
+    val nullable = e.schema.fields.exists(_.nullable)
+    Some(rowsDF(e.sparkSession, out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", lt, nullable),
+        // min() is nullable once any round aggregates; rounds=0 keeps
+        // the initial l = v spelling
+        org.apache.spark.sql.types.StructField("l", lt,
+          nullable || rounds >= 1)))))
   }
 
   def bfsHops(edges: DataFrame, source: DataFrame, maxHops: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val srcDf = source.select(col("node"))
+      val driver: Option[DataFrame] =
+        if (!e.schema.fields.forall(f => isLong(f.dataType)) ||
+            !isLong(srcDf.schema(0).dataType)) None
+        else collectIfSmall(e).flatMap { rows =>
+          val src = srcDf.collect() // 1-row seed in practice; gate bounds e
+          if (src.length > smallEdgeLimit(e)) None
+          else bfsDriver(e, srcDf, rows, src, maxHops)
+        }
+      if (driver.isDefined) return driver.get
       var visited = source.select(col("node")).distinct()
         .withColumn("hops", lit(0)).localCheckpoint(eager = true)
       var frontier = visited
@@ -133,6 +294,52 @@ object Graph {
     } finally { e.unpersist(); () }
   }
 
+  /** Driver finish ([[SmallEdgesKey]]): identical frontier walk — per hop,
+    * neighbors of the frontier minus visited join the visited set; stops
+    * early on an empty frontier. Bails on any null node. */
+  private def bfsDriver(e: DataFrame, srcDf: DataFrame,
+      rows: Array[org.apache.spark.sql.Row],
+      src: Array[org.apache.spark.sql.Row], maxHops: Int): Option[DataFrame] = {
+    var i = 0
+    while (i < rows.length) {
+      if (rows(i).isNullAt(0) || rows(i).isNullAt(1)) return None
+      i += 1
+    }
+    if (src.exists(_.isNullAt(0))) return None
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    rows.foreach { r =>
+      adj.getOrElseUpdate(r.getLong(0),
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+    }
+    val visited = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+    src.foreach(r => visited.update(r.getLong(0), 0))
+    var frontier: Iterable[Long] = visited.keys.toSeq
+    var hop = 0
+    var done = false
+    while (hop < maxHops && !done) {
+      hop += 1
+      val next = scala.collection.mutable.LinkedHashSet.empty[Long]
+      frontier.foreach(n => adj.get(n).foreach(_.foreach { d =>
+        if (!visited.contains(d)) next += d
+      }))
+      if (next.isEmpty) done = true
+      else {
+        next.foreach(n => visited.update(n, hop))
+        frontier = next
+      }
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](visited.size)
+    visited.foreach { case (n, h) => out.add(org.apache.spark.sql.Row(n, h)) }
+    val lt = org.apache.spark.sql.types.LongType
+    val it = org.apache.spark.sql.types.IntegerType
+    Some(rowsDF(e.sparkSession, out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", lt,
+          srcDf.schema(0).nullable || e.schema.fields.exists(_.nullable)),
+        org.apache.spark.sql.types.StructField("hops", it, nullable = false)))))
+  }
+
   /** Bounded-round single-source shortest paths (Bellman-Ford sweeps) with
     * INTEGER edge weights: after k rounds every node holds the exact
     * minimum cost over paths of ≤ k edges — the same bounded-rounds
@@ -151,6 +358,16 @@ object Graph {
         "be shortest paths') ELSE cast(w as bigint) END").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val srcDf = source.select(col("node"))
+      val driver: Option[DataFrame] =
+        if (!isLong(e.schema(0).dataType) || !isLong(e.schema(1).dataType) ||
+            !isLong(srcDf.schema(0).dataType)) None
+        else collectIfSmall(e).flatMap { rows =>
+          val src = srcDf.collect()
+          if (src.length > smallEdgeLimit(e)) None
+          else ssspDriver(e, srcDf, rows, src, rounds)
+        }
+      if (driver.isDefined) return driver.get
       var dist = source.select(col("node")).distinct()
         .withColumn("cost", lit(0L)).localCheckpoint(eager = true)
       (1 to rounds).foreach { _ =>
@@ -162,6 +379,47 @@ object Graph {
       }
       dist
     } finally { e.unpersist(); () }
+  }
+
+  /** Driver finish ([[SmallEdgesKey]]): Bellman-Ford sweeps over the
+    * collected edges — each round relaxes from the PREVIOUS round's dist
+    * map, exactly like the union + min-aggregate. Negative weights never
+    * reach here (the raise_error CASE fires during the gate's count);
+    * null nodes/weights or cost overflow bail to the distributed path. */
+  private def ssspDriver(e: DataFrame, srcDf: DataFrame,
+      rows: Array[org.apache.spark.sql.Row],
+      src: Array[org.apache.spark.sql.Row], rounds: Int): Option[DataFrame] = {
+    var i = 0
+    while (i < rows.length) {
+      if (rows(i).isNullAt(0) || rows(i).isNullAt(1) || rows(i).isNullAt(2))
+        return None
+      i += 1
+    }
+    if (src.exists(_.isNullAt(0))) return None
+    try {
+      var dist = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      src.foreach(r => dist.update(r.getLong(0), 0L))
+      for (_ <- 1 to rounds) {
+        val next = dist.clone()
+        rows.foreach { r =>
+          dist.get(r.getLong(0)).foreach { c =>
+            val cand = Math.addExact(c, r.getLong(2))
+            val d = r.getLong(1)
+            if (!next.contains(d) || cand < next(d)) next.update(d, cand)
+          }
+        }
+        dist = next
+      }
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](dist.size)
+      dist.foreach { case (n, c) => out.add(org.apache.spark.sql.Row(n, c)) }
+      val lt = org.apache.spark.sql.types.LongType
+      Some(rowsDF(e.sparkSession, out,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", lt,
+            srcDf.schema(0).nullable || e.schema.fields.take(2).exists(_.nullable)),
+          org.apache.spark.sql.types.StructField("cost", lt,
+            nullable = rounds >= 1)))))
+    } catch { case _: ArithmeticException => None }
   }
 
   /** Exact triangle / wedge counts over an UNDIRECTED graph given as
@@ -308,6 +566,10 @@ object Graph {
       e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     var e = canonEdges.select(col("a"), col("b")).localCheckpoint(eager = true)
+    val driver: Option[DataFrame] =
+      if (!e.schema.fields.forall(f => isLong(f.dataType))) None
+      else collectIfSmall(e).flatMap(rows => kcoreDriver(e, rows, k, rounds))
+    if (driver.isDefined) return driver.get
     for (_ <- 1 to rounds) {
       val keep = degrees(e).filter(col("deg") >= k).select(col("node"))
       e = e.join(keep.select(col("node").as("a")), "a")
@@ -315,5 +577,40 @@ object Graph {
         .select(col("a"), col("b")).localCheckpoint(eager = true)
     }
     degrees(e).select(col("node"), col("deg").cast("long").as("deg"))
+  }
+
+  /** Driver finish ([[SmallEdgesKey]]): the same R peels over the
+    * collected (multi-)edge list — degree count per endpoint, drop nodes
+    * under k with their edges. Bails on any null endpoint. */
+  private def kcoreDriver(e: DataFrame,
+      rows: Array[org.apache.spark.sql.Row], k: Int,
+      rounds: Int): Option[DataFrame] = {
+    var i = 0
+    while (i < rows.length) {
+      if (rows(i).isNullAt(0) || rows(i).isNullAt(1)) return None
+      i += 1
+    }
+    var edges = rows.map(r => (r.getLong(0), r.getLong(1)))
+    def degrees(es: Array[(Long, Long)]) = {
+      val d = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      es.foreach { case (a, b) =>
+        d.update(a, d.getOrElse(a, 0L) + 1L)
+        d.update(b, d.getOrElse(b, 0L) + 1L)
+      }
+      d
+    }
+    for (_ <- 1 to rounds) {
+      val deg = degrees(edges)
+      edges = edges.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+    }
+    val fin = degrees(edges)
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](fin.size)
+    fin.foreach { case (n, d) => out.add(org.apache.spark.sql.Row(n, d)) }
+    val lt = org.apache.spark.sql.types.LongType
+    Some(rowsDF(e.sparkSession, out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", lt,
+          e.schema.fields.exists(_.nullable)),
+        org.apache.spark.sql.types.StructField("deg", lt, nullable = false)))))
   }
 }

@@ -19,6 +19,10 @@ object SparkSpec {
     // exercise the distributed (scale) spelling; gate-regime tests set
     // the knob explicitly and restore it
     .config("spark.graft.ranked.smallBytes", "0")
+    // same discipline for the graph driver-finish gate (r17): specs test
+    // the distributed supersteps; GraphSmallEquivalenceSpec flips the
+    // knob explicitly to pin driver ≡ distributed
+    .config("spark.graft.graph.smallEdges", "0")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir",
