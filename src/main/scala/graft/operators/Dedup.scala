@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Size gate for [[connectedComponents]]'s driver finish — see the
+    * inline doc at its use site. Exact row count of the persisted
+    * pre-contraction star map; 0 disables the driver path. */
+  val CcSmallStarsKey = "spark.graft.cc.smallStars"
+
   // ------------------------------------------------------------------
   // shared shingling
   // ------------------------------------------------------------------
@@ -626,6 +631,50 @@ object Dedup {
         while (ks.hasNext) { val k = ks.next().longValue; out += ((k, root(k))) }
         out.iterator
       }.toDF("node", "root").persist()
+    // r17 DRIVER FINISH (spark.graft.cc.smallStars, the Graph.SmallEdgesKey
+    // discipline): the contracted star map is the SMALL representation of
+    // the pair graph — when it fits (exact count of the persisted frame;
+    // the distributed rounds would materialize it anyway), one driver
+    // union-find replaces the whole pointer-jumping loop and its 2-4
+    // scheduled jobs per round. Union-by-min + path halving over
+    // (node, root) stars yields exactly the component-minimum label the
+    // rounds converge to (CcDriverFinishSpec pins driver ≡ distributed).
+    // Star rows are non-null longs by construction (built from the cast
+    // RDD above), so no null-semantics gap exists on this path; above the
+    // gate the rounds run unchanged.
+    val ccLim = spark.conf.get(CcSmallStarsKey, "500000").toLong
+    if (ccLim > 0 && star.count() <= ccLim) {
+      val rows = star.select(col("node"), col("root")).as[(Long, Long)].collect()
+      star.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent(x)
+        while (p != x) {
+          val g = parent(p) // path halving
+          parent.update(x, g)
+          x = g
+          p = parent(x)
+        }
+        x
+      }
+      rows.foreach { case (n, r) =>
+        if (!parent.contains(n)) parent.update(n, n)
+        if (!parent.contains(r)) parent.update(r, r)
+        val rn = find(n); val rr = find(r)
+        if (rn < rr) parent.update(rr, rn)
+        else if (rr < rn) parent.update(rn, rr)
+      }
+      val keys = parent.keysIterator.toArray
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](keys.length)
+      keys.foreach(k => out.add(org.apache.spark.sql.Row(k, find(k))))
+      val lt = org.apache.spark.sql.types.LongType
+      return spark.createDataFrame(out,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", lt, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster_id", lt,
+            nullable = false))))
+    }
     // symmetric adjacency over the contracted stars; roots self-loop via
     // their own (root, root) row, so every node survives into the label set
     val edges = star.select(col("node").as("a"), col("root").as("b"))

@@ -23,6 +23,7 @@ object SparkSpec {
     // the distributed supersteps; GraphSmallEquivalenceSpec flips the
     // knob explicitly to pin driver ≡ distributed
     .config("spark.graft.graph.smallEdges", "0")
+    .config("spark.graft.cc.smallStars", "0")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir",
