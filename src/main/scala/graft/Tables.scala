@@ -12,8 +12,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Schema memo per table file (r17, opt guide §1.2/§6): schema
+    * INFERENCE re-reads the parquet footer on the driver at every plan
+    * build — measured ~70 ms per load (LoadProbe: 93 ms plan-only with
+    * inference vs 22 ms with an explicit schema), and the bench surface
+    * performs ~600 loads per rep. The key includes the table file's
+    * (path, length, mtime) fingerprint, so a REGENERATED file (or a spec
+    * rewriting its fixture dir) re-infers instead of serving a stale
+    * schema. Metadata-only: every query still reads the data in full. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(
+      path + "@" + fingerprint(path),
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
     // raw long (spark.sql.legacy.parquet.nanosAsLong=true, set in
     // Verify/Bench/specs). Convert to a microsecond timestamp here so every

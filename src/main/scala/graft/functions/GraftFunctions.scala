@@ -137,6 +137,17 @@ object GraftFunctions {
   def cdc_chunks(c: Column): Column =
     ColumnBridge.column(CdcChunks(ColumnBridge.expression(c)))
 
+  /** Drop-in for `sum(c.cast(DecimalType(28, scale)))` (same DECIMAL(38,
+    * scale) type, same exact value, same null semantics) with the
+    * BigDecimal-free 128-bit accumulator — see [[Int128SumAgg]]. Caller
+    * contract: |c| < 10^(18-scale) per row so the compact cast cannot
+    * overflow (every statistics-tier site bounds this by construction). */
+  def sum_dec_exact(c: Column, scale: Int): Column =
+    ColumnBridge.column(Int128SumAgg(
+      UnscaledLong(ColumnBridge.expression(
+        c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))),
+      scale).toAggregateExpression())
+
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
 

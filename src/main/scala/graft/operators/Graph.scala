@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.GraftFunctions.sum_dec_exact
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -501,11 +502,11 @@ object Graph {
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
       .agg(count(lit(1)).as("n2"),
-        sum(col("du").cast(d380)).as("sx"),
-        sum(col("dv").cast(d380)).as("sy"),
-        sum((col("du") * col("du")).cast(d380)).as("sxx"),
-        sum((col("dv") * col("dv")).cast(d380)).as("syy"),
-        sum((col("du") * col("dv")).cast(d380)).as("sxy"))
+        sum_dec_exact(col("du"), 0).as("sx"),
+        sum_dec_exact(col("dv"), 0).as("sy"),
+        sum_dec_exact(col("du") * col("du"), 0).as("sxx"),
+        sum_dec_exact(col("dv") * col("dv"), 0).as("syy"),
+        sum_dec_exact(col("du") * col("dv"), 0).as("sxy"))
       .select(expr("n2 div 2").as("n_edges"),
         col("n2").cast("double").as("nd"),
         col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.functions.GraftFunctions.sum_dec_exact
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -45,7 +46,11 @@ object Profiler {
         case _: NumericType => base ++ Seq(
           min(c).cast(DoubleType).as(s"${f.name}__min"),
           max(c).cast(DoubleType).as(s"${f.name}__max"),
-          sum(dec(c)).cast(DoubleType).as(s"${f.name}__sum"))
+          // sum_dec_exact: same DECIMAL(38,6)-exact sum, BigDecimal-free
+          // per row (r17, functions/DecExpressions.scala). Per-row bound
+          // |x| < 10^12 for the compact (18,6) cast — every profiled
+          // column in the corpus is orders of magnitude below it.
+          sum_dec_exact(c, 6).cast(DoubleType).as(s"${f.name}__sum"))
         // booleans profile as 0/1 numerics: sum = true count, mean = true rate
         case BooleanType => base ++ Seq(
           min(c.cast(IntegerType)).cast(DoubleType).as(s"${f.name}__min"),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.GraftFunctions.sum_dec_exact
 import graft.operators.{AsofJoin, Ranked, Resample}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1389,8 +1390,8 @@ object ExtendedQueries {
             col("l_linenumber").asc))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("long").as("n"),
-          sum(col("cents").cast(d380)).as("s0"),
-          sum((col("rn") * col("cents")).cast(d380)).as("s1"))
+          sum_dec_exact(col("cents"), 0).as("s0"),
+          sum_dec_exact(col("rn") * col("cents"), 0).as("s1"))
         .select(col("l_returnflag"), col("n").as("n_rows"),
           col("s0").cast("long").as("sum_cents"),
           ((lit(2).cast(d380) * col("s1")
@@ -1430,10 +1431,10 @@ object ExtendedQueries {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(q.cast(d284)).as("s1"),
-          sum((q * q).cast(d284)).as("s2"),
-          sum((q * q * q).cast(d284)).as("s3"),
-          sum((q * q * q * q).cast(d284)).as("s4"))
+          sum_dec_exact(q, 4).as("s1"),
+          sum_dec_exact(q * q, 4).as("s2"),
+          sum_dec_exact(q * q * q, 4).as("s3"),
+          sum_dec_exact(q * q * q * q, 4).as("s4"))
         .select(col("l_returnflag"), col("n").as("n_rows"),
           col("n").cast("double").as("nd"),
           col("s1").cast("double").as("s1"), col("s2").cast("double").as("s2"),
@@ -1532,11 +1533,11 @@ object ExtendedQueries {
       val li = Tables.load(s, dir, "lineitem")
       li.agg(
         count(lit(1)).as("n"),
-        sum(col("l_quantity").cast(d284)).as("sx"),
-        sum(col("l_extendedprice").cast(d284)).as("sy"),
-        sum((col("l_quantity") * col("l_quantity")).cast(d284)).as("sxx"),
-        sum((col("l_extendedprice") * col("l_extendedprice")).cast(d284)).as("syy"),
-        sum((col("l_quantity") * col("l_extendedprice")).cast(d284)).as("sxy"))
+        sum_dec_exact(col("l_quantity"), 4).as("sx"),
+        sum_dec_exact(col("l_extendedprice"), 4).as("sy"),
+        sum_dec_exact(col("l_quantity") * col("l_quantity"), 4).as("sxx"),
+        sum_dec_exact(col("l_extendedprice") * col("l_extendedprice"), 4).as("syy"),
+        sum_dec_exact(col("l_quantity") * col("l_extendedprice"), 4).as("sxy"))
         .select(col("n").as("n_rows"),
           col("n").cast("double").as("nd"),
           col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
@@ -1567,12 +1568,12 @@ object ExtendedQueries {
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(d284)).as("sx"),
-          sum(col("l_extendedprice").cast(d284)).as("sy"),
-          sum((col("l_quantity") * col("l_quantity")).cast(d284)).as("sxx"),
-          sum((col("l_extendedprice") * col("l_extendedprice")).cast(d284))
+          sum_dec_exact(col("l_quantity"), 4).as("sx"),
+          sum_dec_exact(col("l_extendedprice"), 4).as("sy"),
+          sum_dec_exact(col("l_quantity") * col("l_quantity"), 4).as("sxx"),
+          sum_dec_exact(col("l_extendedprice") * col("l_extendedprice"), 4)
             .as("syy"),
-          sum((col("l_quantity") * col("l_extendedprice")).cast(d284))
+          sum_dec_exact(col("l_quantity") * col("l_extendedprice"), 4)
             .as("sxy"))
         .select(col("l_returnflag"), col("n").as("n_rows"),
           col("n").cast("double").as("nd"),
@@ -2066,18 +2067,18 @@ object ExtendedQueries {
         .agg(
           sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
             .cast("long").as("n_r"),
-          sum(when(col("l_returnflag") === "R", col("l_quantity"))
-            .otherwise(lit(0.0)).cast(d284)).as("sx_r"),
-          sum(when(col("l_returnflag") === "R",
+          sum_dec_exact(when(col("l_returnflag") === "R", col("l_quantity"))
+            .otherwise(lit(0.0)), 4).as("sx_r"),
+          sum_dec_exact(when(col("l_returnflag") === "R",
             col("l_quantity") * col("l_quantity"))
-            .otherwise(lit(0.0)).cast(d284)).as("sxx_r"),
+            .otherwise(lit(0.0)), 4).as("sxx_r"),
           sum(when(col("l_returnflag") === "A", 1L).otherwise(0L))
             .cast("long").as("n_a"),
-          sum(when(col("l_returnflag") === "A", col("l_quantity"))
-            .otherwise(lit(0.0)).cast(d284)).as("sx_a"),
-          sum(when(col("l_returnflag") === "A",
+          sum_dec_exact(when(col("l_returnflag") === "A", col("l_quantity"))
+            .otherwise(lit(0.0)), 4).as("sx_a"),
+          sum_dec_exact(when(col("l_returnflag") === "A",
             col("l_quantity") * col("l_quantity"))
-            .otherwise(lit(0.0)).cast(d284)).as("sxx_a"))
+            .otherwise(lit(0.0)), 4).as("sxx_a"))
         .select(col("n_r"), col("n_a"),
           col("n_r").cast("double").as("nr"),
           col("n_a").cast("double").as("na"),
@@ -2115,8 +2116,8 @@ object ExtendedQueries {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("g"))
         .agg(count(lit(1)).cast("long").as("n"),
-          sum(col("l_extendedprice").cast(d284)).as("sx"),
-          sum((col("l_extendedprice") * col("l_extendedprice")).cast(d284))
+          sum_dec_exact(col("l_extendedprice"), 4).as("sx"),
+          sum_dec_exact(col("l_extendedprice") * col("l_extendedprice"), 4)
             .as("sxx"))
         .select(col("g"), col("n"),
           col("sx").cast("double").as("sx"),

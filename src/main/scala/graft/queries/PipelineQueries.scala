@@ -2440,7 +2440,8 @@ object PipelineQueries {
     // nowhere.
     "st_late_audit" -> ((s, dir) => {
       val src = lateAuditSrcDir(s, dir)
-      val schema = s.read.parquet(src).schema
+      val schema = replaySchemaCache.computeIfAbsent(src,
+        p => s.read.parquet(p).schema)
       val name = "st_late_audit_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val q = withStatePartitions(s, 8) {
@@ -2830,10 +2831,18 @@ object PipelineQueries {
     * that advance leaves timeouts or evictions due. One (shared) write +
     * one PAA round — each extra micro-batch costs ~0.5-1 s of fixed
     * state-commit and planning overhead, so the replay runs exactly two. */
+  /** Payload schemas are immutable once written (the payload itself is
+    * memoized); re-reading the footer per invocation costs a ~70 ms
+    * driver I/O round (the Tables.load schema-memo rationale). */
+  private val replaySchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private def fileReplaySource(s: SparkSession, key: String,
       df: => DataFrame): DataFrame = {
     val path = replayPayloadPath(s, key, df)
-    s.readStream.schema(s.read.parquet(path).schema).parquet(path)
+    val schema = replaySchemaCache.computeIfAbsent(path,
+      p => s.read.parquet(p).schema)
+    s.readStream.schema(schema).parquet(path)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = try {

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.GraftFunctions.sum_dec_exact
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,10 +34,10 @@ object Relational {
         .filter($"l_shipdate" <= "1998-09-02 00:00:00")
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum(dec2($"l_quantity")).cast("double").as("sum_qty"),
-          sum(dec2($"l_extendedprice")).cast("double").as("sum_base_price"),
-          sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).cast("double").as("sum_disc_price"),
-          (sum(dec2($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          sum_dec_exact($"l_quantity", 2).cast("double").as("sum_qty"),
+          sum_dec_exact($"l_extendedprice", 2).cast("double").as("sum_base_price"),
+          sum_dec_exact($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).cast("double").as("sum_disc_price"),
+          (sum_dec_exact($"l_quantity", 2).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -47,7 +48,7 @@ object Relational {
         .filter($"l_shipdate" >= "1996-01-01 00:00:00" &&
                 $"l_shipdate" < "1997-01-01 00:00:00" &&
                 $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
-        .agg(sum(dec4($"l_extendedprice" * $"l_discount")).cast("double").as("revenue"))
+        .agg(sum_dec_exact($"l_extendedprice" * $"l_discount", 4).cast("double").as("revenue"))
     }),
 
     // §2.2 #19: inner equi-join + agg + top-k (TPC-H Q3 shape)
@@ -59,7 +60,7 @@ object Relational {
       li.join(ord, $"l_orderkey" === $"o_orderkey")
         .join(cust, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate")
-        .agg(sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount"))).cast("double").as("revenue"))
+        .agg(sum_dec_exact($"l_extendedprice" * (lit(1) - $"l_discount"), 4).cast("double").as("revenue"))
         .orderBy($"revenue".desc, $"l_orderkey")
         .limit(10)
     }),
@@ -80,7 +81,7 @@ object Relational {
         .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
-        .agg(sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount"))).cast("double").as("revenue"))
+        .agg(sum_dec_exact($"l_extendedprice" * (lit(1) - $"l_discount"), 4).cast("double").as("revenue"))
     }),
 
     // §2.2 #18: conditional aggregation / CASE WHEN (TPC-H Q14 shape)
@@ -93,7 +94,7 @@ object Relational {
         .agg(
           sum(when($"p_type" === "PROMO", dec4($"l_extendedprice" * (lit(1) - $"l_discount")))
             .otherwise(dec4(lit(0.0)))).cast("double").as("promo_revenue"),
-          sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount"))).cast("double").as("total_revenue"))
+          sum_dec_exact($"l_extendedprice" * (lit(1) - $"l_discount"), 4).cast("double").as("total_revenue"))
     }),
 
     // §2.2 #28: per-group average threshold via self-aggregation (TPC-H Q17
@@ -110,7 +111,7 @@ object Relational {
         .agg(sum(dec2($"l_quantity")).as("s"), count(lit(1)).as("c"))
       li.join(perPart, $"l_partkey" === $"pk")
         .filter($"l_quantity" * $"c" * 5 < $"s".cast("double"))
-        .agg(sum(dec2($"l_extendedprice")).cast("double").as("total_price"), count(lit(1)).as("n_items"))
+        .agg(sum_dec_exact($"l_extendedprice", 2).cast("double").as("total_price"), count(lit(1)).as("n_items"))
     }),
 
     // §2.2 #21: left outer join preserving unmatched rows
@@ -138,7 +139,7 @@ object Relational {
       val ord = Tables.load(s, dir, "orders")
       val li = Tables.load(s, dir, "lineitem").filter($"l_quantity" >= 48)
       ord.join(li, $"o_orderkey" === $"l_orderkey", "left_anti")
-        .agg(count(lit(1)).as("n_orders"), sum(dec2($"o_totalprice")).cast("double").as("total"))
+        .agg(count(lit(1)).as("n_orders"), sum_dec_exact($"o_totalprice", 2).cast("double").as("total"))
     }),
 
     // §2.2 #24: distinct + count distinct
@@ -504,7 +505,7 @@ object Relational {
       import s.implicits._
       Tables.load(s, dir, "orders")
         .groupBy($"o_custkey")
-        .agg(count(lit(1)).as("n_orders"), sum(dec2($"o_totalprice")).cast("double").as("spend"))
+        .agg(count(lit(1)).as("n_orders"), sum_dec_exact($"o_totalprice", 2).cast("double").as("spend"))
         .filter($"n_orders" >= 3)
     }),
 
@@ -741,7 +742,7 @@ object Relational {
       import s.implicits._
       Tables.load(s, dir, "events")
         .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
-        .agg(count(lit(1)).as("n_events"), sum(dec4($"value")).cast("double").as("total_value"))
+        .agg(count(lit(1)).as("n_events"), sum_dec_exact($"value", 4).cast("double").as("total_value"))
     }),
 
     // §2.2 #33: null handling — outer-join nulls through coalesce/null-safe agg
@@ -763,7 +764,7 @@ object Relational {
       import s.implicits._
       Tables.load(s, dir, "lineitem")
         .rollup($"l_returnflag", $"l_linestatus")
-        .agg(count(lit(1)).as("n"), sum(dec2($"l_quantity")).cast("double").as("qty"))
+        .agg(count(lit(1)).as("n"), sum_dec_exact($"l_quantity", 2).cast("double").as("qty"))
     }),
 
     // §2.2 #35: same surface via spark.sql over registered views
@@ -966,8 +967,8 @@ object Relational {
       Tables.load(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          sum(dec2($"l_quantity")).cast("double").as("sum_qty"),
-          sum(dec2($"l_extendedprice")).cast("double").as("sum_price"),
+          sum_dec_exact($"l_quantity", 2).cast("double").as("sum_qty"),
+          sum_dec_exact($"l_extendedprice", 2).cast("double").as("sum_price"),
           count(lit(1)).cast("double").as("n_items"))
         .unpivot(Array($"l_returnflag"),
           Array($"sum_qty", $"sum_price", $"n_items"), "metric", "value")
@@ -1145,7 +1146,7 @@ object Relational {
         .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
         .groupBy(expr("substring(c_name, length(c_name), 1)").as("cgroup"))
         .agg(count(lit(1)).as("numcust"),
-          sum(dec2($"c_acctbal")).cast("double").as("totacctbal"))
+          sum_dec_exact($"c_acctbal", 2).cast("double").as("totacctbal"))
     }),
 
     // §2.13: TPC-H Q15 shape — aggregate, then select the rows attaining
@@ -1201,7 +1202,7 @@ object Relational {
       Tables.load(s, dir, "events")
         .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n_events"),
-          sum(dec4($"value")).cast("double").as("total_value"))
+          sum_dec_exact($"value", 4).cast("double").as("total_value"))
         .select($"window.start".as("ws"), $"event_type",
           $"n_events", $"total_value")
     }),
