@@ -108,7 +108,7 @@ object Relational {
       import s.implicits._
       val li = Tables.load(s, dir, "lineitem")
       val perPart = li.groupBy($"l_partkey".as("pk"))
-        .agg(sum(dec2($"l_quantity")).as("s"), count(lit(1)).as("c"))
+        .agg(sum_dec_exact($"l_quantity", 2).as("s"), count(lit(1)).as("c"))
       li.join(perPart, $"l_partkey" === $"pk")
         .filter($"l_quantity" * $"c" * 5 < $"s".cast("double"))
         .agg(sum_dec_exact($"l_extendedprice", 2).cast("double").as("total_price"), count(lit(1)).as("n_items"))
@@ -176,7 +176,7 @@ object Relational {
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.load(s, dir, "events")
-        .withColumn("running_value", sum(dec4($"value")).over(w).cast("double"))
+        .withColumn("running_value", sum_dec_exact($"value", 4).over(w).cast("double"))
         .select($"user_id", $"event_id", $"running_value")
     }),
 
@@ -247,7 +247,7 @@ object Relational {
           ($"p_brand" === "Brand#34" && $"p_size".between(1, 15) &&
             $"l_quantity".between(20, 30)))
         .agg(count(lit(1)).as("n"),
-          sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          sum_dec_exact($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
             .cast("double").as("revenue"))
     }),
 
@@ -262,7 +262,7 @@ object Relational {
         .join(Tables.load(s, dir, "customer"), $"o_custkey" === $"c_custkey")
         .join(Tables.load(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
         .groupBy($"c_custkey", $"c_name", $"n_name")
-        .agg(sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("__rev"))
+        .agg(sum_dec_exact($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("__rev"))
         .orderBy($"__rev".desc, $"c_custkey")
         .limit(20)
         .select($"c_custkey", $"c_name", $"n_name",
@@ -1132,7 +1132,7 @@ object Relational {
       import s.implicits._
       val cust = Tables.load(s, dir, "customer")
       val stats = cust.filter($"c_acctbal" > 0.0)
-        .agg(sum(dec2($"c_acctbal")).as("bal_sum"),
+        .agg(sum_dec_exact($"c_acctbal", 2).as("bal_sum"),
           count(lit(1)).as("bal_n"))
         .withColumn("__k", expr("pmod(bal_n, 1)"))
       val urgent = Tables.load(s, dir, "orders")
@@ -1160,7 +1160,7 @@ object Relational {
         .filter($"l_shipdate" >= "1997-01-01 00:00:00" &&
           $"l_shipdate" < "1997-04-01 00:00:00")
         .groupBy($"l_suppkey")
-        .agg(sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        .agg(sum_dec_exact($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
           .as("total_rev"))
       val mx = rev.agg(max($"total_rev").as("mx"))
         .withColumn("__k", expr("pmod(cast(mx as bigint), 1)"))
@@ -1181,9 +1181,9 @@ object Relational {
       import s.implicits._
       val li = Tables.load(s, dir, "lineitem")
       val perSupp = li.groupBy($"l_partkey", $"l_suppkey")
-        .agg(sum(dec2($"l_quantity")).as("sq"))
+        .agg(sum_dec_exact($"l_quantity", 2).as("sq"))
       val perPart = li.groupBy($"l_partkey")
-        .agg(sum(dec2($"l_quantity")).as("tq"))
+        .agg(sum_dec_exact($"l_quantity", 2).as("tq"))
       val dominant = perSupp.join(perPart, "l_partkey")
         .filter($"sq" * 5 > $"tq")
         .select($"l_suppkey").distinct()
@@ -1231,7 +1231,7 @@ object Relational {
       import s.implicits._
       val li = Tables.load(s, dir, "lineitem")
       val bigKeys = li.groupBy($"l_orderkey")
-        .agg(sum(dec2($"l_quantity")).as("__q"))
+        .agg(sum_dec_exact($"l_quantity", 2).as("__q"))
         .filter($"__q" > 230)
         .select($"l_orderkey".as("bk"))
       Tables.load(s, dir, "orders")
@@ -1240,7 +1240,7 @@ object Relational {
         .join(li, $"o_orderkey" === $"l_orderkey")
         .groupBy($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
           $"o_totalprice")
-        .agg(sum(dec2($"l_quantity")).as("__sumq"))
+        .agg(sum_dec_exact($"l_quantity", 2).as("__sumq"))
         .orderBy($"o_totalprice".desc, $"o_orderkey")
         .limit(10)
         .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
@@ -1359,7 +1359,7 @@ object Relational {
           ($"cust_nation" === "NATION_2" && $"supp_nation" === "NATION_1"))
         .groupBy($"supp_nation", $"cust_nation",
           year($"l_shipdate").cast("long").as("l_year"))
-        .agg(sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount")))
+        .agg(sum_dec_exact($"l_extendedprice" * (lit(1) - $"l_discount"), 4)
           .cast("double").as("revenue"))
     }),
 
@@ -1390,10 +1390,10 @@ object Relational {
         .join(broadcast(suppNation), $"s_nationkey" === $"sk")
         .groupBy(year($"o_orderdate").cast("long").as("o_year"))
         .agg(
-          sum(when($"supp_nation" === "NATION_6",
-            dec4($"l_extendedprice" * (lit(1) - $"l_discount")))
-            .otherwise(dec4(lit(0.0)))).cast("double").as("mkt_num"),
-          sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount")))
+          sum_dec_exact(when($"supp_nation" === "NATION_6",
+            $"l_extendedprice" * (lit(1) - $"l_discount"))
+            .otherwise(lit(0.0)), 4).cast("double").as("mkt_num"),
+          sum_dec_exact($"l_extendedprice" * (lit(1) - $"l_discount"), 4)
             .cast("double").as("mkt_den"))
     }),
 
@@ -1414,8 +1414,8 @@ object Relational {
         .join(Tables.load(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
         .groupBy($"n_name".as("nation"),
           year($"o_orderdate").cast("long").as("o_year"))
-        .agg(sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount") -
-          $"p_retailprice" * $"l_quantity" * lit(0.1)))
+        .agg(sum_dec_exact($"l_extendedprice" * (lit(1) - $"l_discount") -
+          $"p_retailprice" * $"l_quantity" * lit(0.1), 4)
           .cast("double").as("sum_profit"))
     }),
 
@@ -1435,7 +1435,7 @@ object Relational {
           .select($"s_suppkey"),
           $"l_suppkey" === $"s_suppkey")
         .groupBy($"l_partkey")
-        .agg(sum(dec2($"l_extendedprice")).as("value"))
+        .agg(sum_dec_exact($"l_extendedprice", 2).as("value"))
       val tot = vals.agg(sum($"value").as("total"))
         .withColumn("__k", expr("pmod(cast(total as bigint), 1)"))
       vals.withColumn("__k", expr("pmod(l_partkey, 1)"))

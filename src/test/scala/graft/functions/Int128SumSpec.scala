@@ -58,6 +58,20 @@ class Int128SumSpec extends SparkSpec {
     assert(old.sameElements(neu), s"grouped diverged:\n${old.mkString("\n")}\n--\n${neu.mkString("\n")}")
   }
 
+  test("window running sum matches sum(cast) frame-for-frame") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextLong(),
+      (rnd.nextDouble() - 0.5) * 1e5)).toDF("k", "ord", "x")
+    val w = Window.partitionBy(col("k")).orderBy(col("ord"))
+    val old = rows.select(col("k"), col("ord"),
+      sum(col("x").cast(DecimalType(28, 4))).over(w).as("rs"))
+      .orderBy(col("k"), col("ord")).collect().map(_.toString)
+    val neu = rows.select(col("k"), col("ord"),
+      GraftFunctions.sum_dec_exact(col("x"), 4).over(w).as("rs"))
+      .orderBy(col("k"), col("ord")).collect().map(_.toString)
+    assert(old.sameElements(neu), "window running sums diverged")
+  }
+
   test("128-bit carries: sums crossing the int64 boundary repeatedly") {
     // 10^14-scale values at scale 4 → unscaled 10^18 per row: a few rows
     // cross Long.MaxValue, exercising the carry path both signs
