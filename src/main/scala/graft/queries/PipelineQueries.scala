@@ -2872,7 +2872,24 @@ object PipelineQueries {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
     s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, old)
+    try withEphemeralStreamConf(s)(body) finally s.conf.set(key, old)
+  }
+
+  /** Confs scoped to the replay queries' START (streaming confs are
+    * captured per query at start): checkpoint-file checksums are a
+    * durability feature for RESUMABLE checkpoints on unreliable storage —
+    * these faces' checkpoints are per-invocation temp dirs on tmpfs,
+    * deleted at query stop, and the async checksum await was the top
+    * blocked-stack sample in the stateful commit path (thread-sampled;
+    * A/B ~0.15-0.2 s per face). Restored after start. */
+  private def withEphemeralStreamConf[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val old = try Some(s.conf.get(key)) catch { case _: Exception => None }
+    s.conf.set(key, "false")
+    try body finally old match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   /** Chained-CTE MMR oracle: replays [[graft.operators.Similarity.mmrRerank]]'s
@@ -3320,7 +3337,8 @@ object PipelineQueries {
       e.filter(col("vec_id") < 8).repartition(4))
     val qStream = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(qPath)
-    val q = Similarity.topKStreamToParquet(e, qStream, k = 5, outPath, ckpt)
+    val q = withEphemeralStreamConf(s)(
+      Similarity.topKStreamToParquet(e, qStream, k = 5, outPath, ckpt))
     try {
       q.processAllAvailable()
       val out = s.read.parquet(outPath)
@@ -3347,8 +3365,8 @@ object PipelineQueries {
       e.filter(col("vec_id") < 8).repartition(4))
     val qStream = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(qPath)
-    val q = Similarity.topKStreamIndexedToParquet(s, tbl, qStream,
-      k = 5, nProbe = 8, outPath, ckpt)
+    val q = withEphemeralStreamConf(s)(Similarity.topKStreamIndexedToParquet(
+      s, tbl, qStream, k = 5, nProbe = 8, outPath, ckpt))
     try {
       q.processAllAvailable()
       val out = s.read.parquet(outPath)
