@@ -15,25 +15,44 @@ package graft
   * pure ephemeral-durability cost.
   *
   * Placement order: `$SPARK_GRAFT_SCRATCH` if set, else `/dev/shm` when it
-  * exists and is writable, else `java.io.tmpdir`. Durable artifacts (the
-  * parquet inputs, committed outputs) never go through here.
+  * exists, is writable AND has at least `SPARK_GRAFT_SCRATCH_MIN_FREE`
+  * bytes free (default 4 GiB), else `java.io.tmpdir`. The headroom gate
+  * (r17 ADVICE) is re-evaluated on every `dir()` call: tmpfs is typically
+  * capped at 50% of RAM and shared with the JVM's page cache, so bulk
+  * session fixtures (table copies, indexes) at larger scale factors must
+  * degrade to disk rather than ENOSPC mid-write or squeeze the heap.
+  * Durable artifacts (the parquet inputs, committed outputs) never go
+  * through here.
   */
 object Scratch {
-  private lazy val root: java.nio.file.Path = {
-    val candidates =
-      sys.env.get("SPARK_GRAFT_SCRATCH").map(java.nio.file.Paths.get(_)).toSeq ++
-        Seq(java.nio.file.Paths.get("/dev/shm"),
-          java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
-    val base = candidates.find(p =>
-      java.nio.file.Files.isDirectory(p) && java.nio.file.Files.isWritable(p))
-      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
-    val d = base.resolve("graft-scratch")
-    java.nio.file.Files.createDirectories(d)
-    d
+  private val MinFreeBytes: Long =
+    sys.env.get("SPARK_GRAFT_SCRATCH_MIN_FREE").map(_.toLong)
+      .getOrElse(4L << 30)
+
+  private def usableBytes(p: java.nio.file.Path): Long =
+    try java.nio.file.Files.getFileStore(p).getUsableSpace
+    catch { case _: Exception => -1L }
+
+  private def writableDir(p: java.nio.file.Path): Boolean =
+    java.nio.file.Files.isDirectory(p) && java.nio.file.Files.isWritable(p)
+
+  private def pickBase(): java.nio.file.Path = {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    sys.env.get("SPARK_GRAFT_SCRATCH").map(java.nio.file.Paths.get(_))
+      .filter(writableDir)
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        Some(shm).filter(p => writableDir(p) && usableBytes(p) > MinFreeBytes)
+      }
+      .getOrElse(tmp)
   }
 
   /** A fresh temp directory under the scratch root. Same contract as
-    * `Files.createTempDirectory(prefix)`, different (RAM-backed) home. */
-  def dir(prefix: String): java.nio.file.Path =
-    java.nio.file.Files.createTempDirectory(root, prefix)
+    * `Files.createTempDirectory(prefix)`, different (RAM-backed when there
+    * is headroom) home. */
+  def dir(prefix: String): java.nio.file.Path = {
+    val d = pickBase().resolve("graft-scratch")
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.createTempDirectory(d, prefix)
+  }
 }

@@ -50,6 +50,36 @@ object Tables {
     }
   }
 
+  /** Size-gated pre-aggregate fan-out (r17 VERDICT #6; opt guide §2.6
+    * idle capacity). The testdata tables are written as ONE parquet row
+    * group each, so their scans run as ONE task and a compute-heavy
+    * operator above (the profiler's 64 aggregate expressions) serializes
+    * on a single core while the rest idle. Fan the rows out through a
+    * round-robin exchange ONLY when
+    *  (a) the scan has fewer input files than half the cores — i.e.
+    *      parallelism is actually missing, not merely imperfect — AND
+    *  (b) the whole input is small enough that one serial exchange of it
+    *      is clearly cheaper than the serial compute it frees
+    *      (< bytesPerCore × cores).
+    * At 100 TB both gates fail (thousands of files, TB of bytes) and the
+    * frame passes through untouched; the cheap-compute faces keep their
+    * exchange-free plans (FanoutProbe r17: for q01-class aggregates the
+    * exchange costs what the parallelism saves — this helper is only for
+    * faces whose per-row compute dominates). Driver-side file metadata
+    * only; no extra Spark job. */
+  def fanOutSmallScan(df: DataFrame, bytesPerCore: Long = 8L << 20): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val files = try df.inputFiles catch { case _: Exception => Array.empty[String] }
+    val bytes = files.foldLeft(0L) { (acc, u) =>
+      val len = try new java.io.File(new java.net.URI(u).getPath).length
+        catch { case _: Exception => Long.MaxValue / 4096 }
+      acc + len
+    }
+    if (files.nonEmpty && files.length < cores / 2 &&
+        bytes < bytesPerCore * cores.toLong) df.repartition(cores)
+    else df
+  }
+
   /** Cheap content fingerprint of an sf dir: (path, length, mtime) of every
     * file under it, folded into one 64-bit hex string. Per-JVM memoization
     * keys append it so a REGENERATED testdata dir (same path, new bytes —

@@ -141,12 +141,25 @@ object GraftFunctions {
     * scale) type, same exact value, same null semantics) with the
     * BigDecimal-free 128-bit accumulator — see [[Int128SumAgg]]. Caller
     * contract: |c| < 10^(18-scale) per row so the compact cast cannot
-    * overflow (every statistics-tier site bounds this by construction). */
-  def sum_dec_exact(c: Column, scale: Int): Column =
+    * overflow (every statistics-tier site bounds this by construction).
+    * r18 (r17 ADVICE): the contract is ENFORCED, not documented — under
+    * non-ANSI eval an overflowing cast yields NULL and the aggregate
+    * would silently drop the row from the sum; instead a non-null input
+    * whose compact cast comes back null raises, so a future unbounded
+    * call site fails loudly rather than producing a wrong sum. */
+  def sum_dec_exact(c: Column, scale: Int): Column = {
+    import org.apache.spark.sql.functions.{concat, lit, raise_error, when}
+    val cast18 = c.cast(org.apache.spark.sql.types.DecimalType(18, scale))
+    val guarded = when(c.isNotNull && cast18.isNull,
+      raise_error(concat(
+        lit(s"sum_dec_exact: input overflows DECIMAL(18,$scale) (|x| >= " +
+          s"10^${18 - scale}): "), c.cast("string")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, scale)))
+      .otherwise(cast18)
     ColumnBridge.column(Int128SumAgg(
-      UnscaledLong(ColumnBridge.expression(
-        c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))),
+      UnscaledLong(ColumnBridge.expression(guarded)),
       scale).toAggregateExpression())
+  }
 
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))

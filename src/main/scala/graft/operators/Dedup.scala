@@ -1479,17 +1479,11 @@ object Dedup {
     * given the corpus (sample order is hash-fixed, Lloyd's has no RNG),
     * but float k-means has no DuckDB twin → rows-only + semantic spec. */
   def semDedup(emb: DataFrame, tau: Double = 0.95, nCentroids: Int = 16,
-      dim: Int = 64,
-      trainedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+      dim: Int = 64): DataFrame = {
     validateDim(emb, dim)
     val spark = emb.sparkSession
     import spark.implicits._
-    // r17: callers that probe the same immutable corpus repeatedly pass
-    // the memoized centroids (the bpeMerges/embCount fixture discipline —
-    // training is deterministic, so re-running it per invocation is a
-    // pure repeat); when absent, train as before.
-    val centroids = trainedCentroids
-      .getOrElse(Similarity.trainCentroids(emb, nCentroids))
+    val centroids = Similarity.trainCentroids(emb, nCentroids)
     val cLit = typedLit(centroids.map(_.toSeq).toSeq)
     val v = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))

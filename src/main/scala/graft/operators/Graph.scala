@@ -268,8 +268,13 @@ object Graph {
         if (!e.schema.fields.forall(f => isLong(f.dataType)) ||
             !isLong(srcDf.schema(0).dataType)) None
         else collectIfSmall(e).flatMap { rows =>
-          val src = srcDf.collect() // 1-row seed in practice; gate bounds e
-          if (src.length > smallEdgeLimit(e)) None
+          // r17 ADVICE: bound the collect ITSELF — the edge gate says
+          // nothing about the seed frame's size, so fetch at most lim+1
+          // rows and route an over-limit seed set to the distributed path
+          // before the driver has materialized it.
+          val lim = smallEdgeLimit(e).min(Int.MaxValue - 1).toInt
+          val src = srcDf.limit(lim + 1).collect()
+          if (src.length > lim) None
           else bfsDriver(e, srcDf, rows, src, maxHops)
         }
       if (driver.isDefined) return driver.get
@@ -364,8 +369,10 @@ object Graph {
         if (!isLong(e.schema(0).dataType) || !isLong(e.schema(1).dataType) ||
             !isLong(srcDf.schema(0).dataType)) None
         else collectIfSmall(e).flatMap { rows =>
-          val src = srcDf.collect()
-          if (src.length > smallEdgeLimit(e)) None
+          // bounded seed collect — same rationale as bfsHops above
+          val lim = smallEdgeLimit(e).min(Int.MaxValue - 1).toInt
+          val src = srcDf.limit(lim + 1).collect()
+          if (src.length > lim) None
           else ssspDriver(e, srcDf, rows, src, rounds)
         }
       if (driver.isDefined) return driver.get
