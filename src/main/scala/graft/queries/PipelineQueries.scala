@@ -1704,9 +1704,14 @@ object PipelineQueries {
     }),
 
     // §2.8: char-trigram LM counts — the model-building pass of the
-    // CCNet-style statistical quality filter (oracle-exact counts)
+    // CCNet-style statistical quality filter (oracle-exact counts).
+    // r18: fanOutSmallScan — the trigram explode+count owned a 1.09 s
+    // single task over the one-row-group docs scan (OverheadProbe);
+    // counts are order-independent, so the gated fan-out parallelizes
+    // the per-char work and leaves the 100 TB plan untouched.
     "txt_charlm" -> ((s, dir) =>
-      TextOps.charNgramCounts(docs(s, dir), n = 3, minCount = 2L)),
+      TextOps.charNgramCounts(Tables.fanOutSmallScan(docs(s, dir)),
+        n = 3, minCount = 2L)),
 
     // §2.8: LM scoring face — integer columns only (n_grams, n_oov are
     // cross-engine exact; the float score is deterministic but has no
