@@ -2869,8 +2869,20 @@ object PipelineQueries {
     * restoring after start() is safe. */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    // r18 (r17 VERDICT #3): `spark.graft.stream.statePartitions` overrides
+    // the per-face default for A/B probing and deployment tuning (0 = use
+    // the face's n). The r17 reduction to 4/8 partitions targeted the
+    // per-store commit-fsync floor, which the tmpfs + in-process-manager
+    // work since removed; the binding cost NOW is the state-size-
+    // proportional eviction/emission scan inside addBatch, which
+    // parallelizes per partition (StFaceProbe: the zero-input watermark
+    // follow-up batch spends 0.7-1.0 s in addBatch at 4 partitions).
+    val eff = s.conf.get("spark.graft.stream.statePartitions", "0").toInt match {
+      case 0 => n
+      case x => x
+    }
     val old = s.conf.get(key)
-    s.conf.set(key, n.toString)
+    s.conf.set(key, eff.toString)
     try withEphemeralStreamConf(s)(body) finally s.conf.set(key, old)
   }
 
@@ -2893,6 +2905,13 @@ object PipelineQueries {
     // A/B: st_join_et 2.34 -> 1.91 s (6-run means).
     val keys = Seq(
       "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
+      // r18: the state-schema compatibility check exists to protect a
+      // RESUMED checkpoint against an operator whose state schema changed
+      // between runs; these per-invocation tmpfs checkpoints are born and
+      // die with one query, so there is nothing to be compatible WITH —
+      // skipping it removes a schema-file write + read round per state
+      // store at query start (thread-sampled on the stream thread).
+      "spark.sql.streaming.stateStore.stateSchemaCheck" -> "false",
       "spark.sql.streaming.checkpointFileManagerClass" ->
         ("org.apache.spark.sql.execution.streaming.checkpointing." +
           "FileSystemBasedCheckpointFileManager"))
