@@ -148,14 +148,19 @@ object GraftFunctions {
     * whose compact cast comes back null raises, so a future unbounded
     * call site fails loudly rather than producing a wrong sum. */
   def sum_dec_exact(c: Column, scale: Int): Column = {
-    import org.apache.spark.sql.functions.{concat, lit, raise_error, when}
-    val cast18 = c.cast(org.apache.spark.sql.types.DecimalType(18, scale))
-    val guarded = when(c.isNotNull && cast18.isNull,
-      raise_error(concat(
-        lit(s"sum_dec_exact: input overflows DECIMAL(18,$scale) (|x| >= " +
-          s"10^${18 - scale}): "), c.cast("string")))
-        .cast(org.apache.spark.sql.types.DecimalType(18, scale)))
-      .otherwise(cast18)
+    import org.apache.spark.sql.functions.{coalesce, concat, lit, raise_error, when}
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, scale)
+    // coalesce, not CASE WHEN on the cast: a CASE evaluates the (string-
+    // routed, expensive) double→decimal cast in both the predicate and the
+    // else branch — measured +0.9 s over five sums of 600k rows (DecProbe
+    // int128_x5 0.78 → 1.70 s). coalesce evaluates it ONCE; only rows
+    // whose cast came back null (true null or overflow) touch the guard.
+    val guarded = coalesce(
+      c.cast(dec18),
+      when(c.isNull, lit(null).cast(dec18))
+        .otherwise(raise_error(concat(
+          lit(s"sum_dec_exact: input overflows DECIMAL(18,$scale) (|x| >= " +
+            s"10^${18 - scale}): "), c.cast("string"))).cast(dec18)))
     ColumnBridge.column(Int128SumAgg(
       UnscaledLong(ColumnBridge.expression(guarded)),
       scale).toAggregateExpression())
