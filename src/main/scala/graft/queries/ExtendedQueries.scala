@@ -218,7 +218,9 @@ object ExtendedQueries {
         .select(col("l_returnflag"),
           (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
           (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
-      li.join(broadcast(fences), "l_returnflag")
+      // r18: fan out the corpus leg of the fence join (1.1 s CPU in the
+      // scan's 3 tasks; conditional-count aggregate, order-independent)
+      Tables.fanOutSmallScan(li).join(broadcast(fences), "l_returnflag")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L))
@@ -608,8 +610,10 @@ object ExtendedQueries {
     }),
 
     // §2.4 #58: CUBE grouping sets
+    // r18: fanOutSmallScan — the 4x Expand + partial cube aggregate ran in
+    // the scan's 3 tasks (OverheadProbe: 0.94 s CPU); order-independent.
     "q_cube" -> ((s, dir) =>
-      Tables.load(s, dir, "lineitem")
+      Tables.fanOutSmallScan(Tables.load(s, dir, "lineitem"))
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(dec2(col("l_quantity"))).cast("double").as("qty"))),
@@ -1254,8 +1258,12 @@ object ExtendedQueries {
     // dirty data: try_cast swallows malformed casts to NULL (both
     // engines), try_divide NULLs a zero denominator instead of raising.
     // Map-only, codegen'd, no UDF.
+    // r18: fanOutSmallScan — try_cast of a never-numeric string pays
+    // TryEval exception handling per row (~10 µs; OverheadProbe: 1.5 s of
+    // CPU in ONE task over the single-row-group orders scan); the output
+    // multiset is row-order-independent, so the gated fan-out spreads it.
     "q_try_funcs" -> ((s, dir) =>
-      Tables.load(s, dir, "orders")
+      Tables.fanOutSmallScan(Tables.load(s, dir, "orders"))
         .select(col("o_orderkey"),
           expr("try_cast(o_orderpriority AS INT)").as("prio_bad"),
           expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
