@@ -1282,7 +1282,10 @@ object PipelineQueries {
         card,
         lit(" iban GB82WEST12345698765432 acct 12345678" +
           " mail a.b+c@ex.co ip 10.0.0.1"))
-      docs(s, dir).select(col("doc_id"),
+      // r18: fanOutSmallScan — the redaction regex cascade ran ~1.0 s of
+      // CPU in ONE task over the single-row-group docs scan
+      // (OverheadProbe); row-wise projection, order-independent multiset.
+      Tables.fanOutSmallScan(docs(s, dir)).select(col("doc_id"),
         TextOps.redact2(planted).as("redacted"))
     }),
 
