@@ -299,6 +299,12 @@ object Similarity {
     * constants emitted from the SAME doubles, so selection is
     * deterministic cross-engine (rank-only output, the bruteforce
     * discipline). */
+  /** Exact-count gate for the MMR driver finish (the Graph/CC posture):
+    * when the checkpointed shortlist and pairwise-sim frames both fit,
+    * the k−1 greedy steps run in one driver loop instead of k−1 scheduled
+    * join+window+checkpoint rounds (~45 tiny jobs at k=5). 0 disables. */
+  val MmrSmallKey = "spark.graft.mmr.smallCandidates"
+
   def mmrRerank(emb: DataFrame, queries: DataFrame, k: Int = 5, m: Int = 20,
       lam: Double = 0.7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -314,6 +320,8 @@ object Similarity {
         Dedup.cosine(col("va"), col("vb")).as("sim"))
       .localCheckpoint(true)
     val base = cand.select(col("query_id"), col("vec_id"), col("cos"))
+    val driver = mmrDriver(base, pairs, k, lam)
+    if (driver.isDefined) return driver.get
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     var selected = base.withColumn("__rn", row_number().over(w1))
@@ -339,6 +347,125 @@ object Similarity {
       t += 1
     }
     selected
+  }
+
+  /** Driver finish for [[mmrRerank]]: replays the identical greedy
+    * selection over the collected (query_id, vec_id, cos) shortlist and
+    * (query_id, a, b, sim) pair table. Exactness contract, matched
+    * op-for-op with the distributed spelling:
+    *  - step 1 picks max by (cos DESC, vec_id ASC);
+    *  - step t scores only candidates having ≥1 pair to a selected row
+    *    (the distributed inner join's semantics), with
+    *    obj = lam * cos − (1−lam) * maxsim in the same double op order;
+    *  - ordering uses java.lang.Double.compare — Spark's double ordering
+    *    (NaN greatest, −0.0 < 0.0) — and ties break by vec_id ASC;
+    *  - per-(a,b) duplicate sims fold by max, as the distributed
+    *    groupBy(max) would.
+    * Bails (None → distributed path) on a disabled/exceeded gate, non-
+    * (long, long, double) schemas, any null, or a duplicate candidate id
+    * within a query. MmrDriverFinishSpec pins driver ≡ distributed. */
+  private def mmrDriver(base: DataFrame, pairs: DataFrame, k: Int,
+      lam: Double): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val spark = base.sparkSession
+    val lim = spark.conf.get(MmrSmallKey, "500000").toLong
+    if (lim <= 0) return None
+    val bs = base.schema
+    val ps = pairs.schema
+    if (bs(0).dataType != LongType || bs(1).dataType != LongType ||
+        bs(2).dataType != DoubleType || ps(0).dataType != LongType ||
+        ps(1).dataType != LongType || ps(2).dataType != LongType ||
+        ps(3).dataType != DoubleType) return None
+    // both frames are localCheckpointed — the exact counts are cheap
+    if (base.count() > lim || pairs.count() > lim) return None
+    val bRows = base.collect()
+    val pRows = pairs.collect()
+    if (bRows.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)) ||
+        pRows.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2) ||
+          r.isNullAt(3))) return None
+    // candidates per query; bail on duplicate ids (row_number would pick
+    // one arbitrarily-but-deterministically; don't replicate that corner)
+    val byQ = new java.util.LinkedHashMap[Long,
+      scala.collection.mutable.ArrayBuffer[(Long, Double)]]()
+    for (r <- bRows) {
+      val buf = byQ.computeIfAbsent(r.getLong(0),
+        _ => scala.collection.mutable.ArrayBuffer.empty)
+      buf += ((r.getLong(1), r.getDouble(2)))
+    }
+    val it0 = byQ.values().iterator()
+    while (it0.hasNext) {
+      val buf = it0.next()
+      if (buf.map(_._1).distinct.size != buf.size) return None
+    }
+    // per-query (a, b) -> sim, duplicates folded by Double.compare-max
+    val sim = new java.util.HashMap[(Long, Long, Long), Double]()
+    for (r <- pRows) {
+      val key = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val v = r.getDouble(3)
+      if (!sim.containsKey(key) ||
+          java.lang.Double.compare(v, sim.get(key)) > 0)
+        sim.put(key, v)
+    }
+    val om = 1 - lam
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    val qIt = byQ.entrySet().iterator()
+    while (qIt.hasNext) {
+      val e = qIt.next()
+      val qid = e.getKey
+      val cands = e.getValue
+      // step 1: (cos DESC, vec_id ASC)
+      var best = cands.head
+      for (c <- cands.tail) {
+        val cmp = java.lang.Double.compare(c._2, best._2)
+        if (cmp > 0 || (cmp == 0 && c._1 < best._1)) best = c
+      }
+      out.add(org.apache.spark.sql.Row(qid, best._1, 1L))
+      val remaining = scala.collection.mutable.LinkedHashMap(
+        cands.filter(_ != best).map(c => c._1 -> c._2).toSeq: _*)
+      // maxsim per remaining candidate, present only once a pair to a
+      // selected row exists (inner-join semantics)
+      val maxsim = scala.collection.mutable.HashMap.empty[Long, Double]
+      def admit(selectedId: Long): Unit = remaining.keysIterator.foreach { a =>
+        val key = (qid, a, selectedId)
+        if (sim.containsKey(key)) {
+          val s = sim.get(key)
+          maxsim.get(a) match {
+            case Some(old) if java.lang.Double.compare(s, old) <= 0 => ()
+            case _ => maxsim(a) = s
+          }
+        }
+      }
+      admit(best._1)
+      var t = 2
+      var done = false
+      while (t <= k && !done) {
+        var bestId = -1L
+        var bestObj = 0.0
+        var have = false
+        remaining.foreach { case (a, cos) =>
+          maxsim.get(a) match {
+            case Some(ms) =>
+              val obj = lam * cos - om * ms
+              val cmp = if (!have) 1 else java.lang.Double.compare(obj, bestObj)
+              if (cmp > 0 || (cmp == 0 && a < bestId)) {
+                bestId = a; bestObj = obj; have = true
+              }
+            case None => ()
+          }
+        }
+        if (!have) done = true
+        else {
+          out.add(org.apache.spark.sql.Row(qid, bestId, t.toLong))
+          remaining.remove(bestId)
+          maxsim.remove(bestId)
+          admit(bestId)
+          t += 1
+        }
+      }
+    }
+    val schema = StructType(Seq(bs(0), bs(1),
+      StructField("mmr_rank", LongType, nullable = false)))
+    Some(spark.createDataFrame(out, schema))
   }
 
   /** Streaming retrieval: query vectors arrive as a STREAM and are scored
